@@ -1,0 +1,482 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.core.Tables
+
+/** The relational (§2B) operator surface of the reference, expressed as
+  * idiomatic Spark over the driver's TPC-H-ish tables.
+  *
+  * The reference (paradigmxyz/sinker) delegates all relational work to
+  * Postgres inside user-supplied materialized-view SQL
+  * (reference: src/sinker/query_templates.py:10-13); the constructs below
+  * are the ones its fixtures exercise (reference:
+  * tests/fixtures/course_mv.sql:1-26, tests/test_parse_schema_tables.py)
+  * plus standard warehouse staples needed at 100 TB.
+  *
+  * Oracle-exactness discipline (the driver hash-compares against DuckDB):
+  *   - money arithmetic runs in exact DECIMAL and is surfaced as DOUBLE,
+  *     with the identical cast chain in the oracle SQL, so both engines
+  *     round the same exact value once;
+  *   - averages are written as sum/count so no engine-specific AVG
+  *     rounding is involved;
+  *   - array aggregations are explicitly sorted by a full key;
+  *   - top-k queries carry a unique tie-break key.
+  */
+object Relational {
+
+  private val P = DecimalType(12, 2) // prices (~1e5, 2dp exact in data)
+  private val R = DecimalType(4, 2)  // rates: discount/tax/value fractions
+  private def dP(c: Column): Column = c.cast(P)
+  private def dR(c: Column): Column = c.cast(R)
+  private def dbl(c: Column): Column = c.cast("double")
+  /** revenue term: extendedprice * (1 - discount), exact decimal */
+  private def discPrice(price: Column, disc: Column): Column =
+    dP(price) * (lit(1) - dR(disc))
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---------------------------------------------------------------- q01
+  /** TPC-H Q1-style pricing summary: scan → filter → hash agg.
+    * Exercises B1/B3/B16; partial aggregation keeps the shuffle tiny. */
+  private def q01(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        dbl(sum(dP(col("l_extendedprice")))).as("sum_base_price"),
+        dbl(sum(discPrice(col("l_extendedprice"), col("l_discount"))))
+          .as("sum_disc_price"),
+        dbl(sum(discPrice(col("l_extendedprice"), col("l_discount")) *
+          (lit(1) + dR(col("l_tax"))))).as("sum_charge"),
+        (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        (dbl(sum(dP(col("l_extendedprice")))) / count(lit(1))).as("avg_price"),
+        (dbl(sum(dR(col("l_discount")))) / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+  }
+  private val q01Sql =
+    """SELECT l_returnflag, l_linestatus,
+      |  SUM(l_quantity) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+      |  SUM(l_quantity) / COUNT(*) AS avg_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+      |  CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      |GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  // ---------------------------------------------------------------- q02
+  /** Filter + projection; both pushed into the parquet scan (B2/B3). */
+  private def q02(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_quantity") > 45 &&
+        col("l_shipdate") >= lit("2000-01-01").cast("timestamp"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_quantity"), col("l_shipdate"))
+  private val q02Sql =
+    """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity, l_shipdate
+      |FROM lineitem
+      |WHERE l_quantity > 45 AND l_shipdate >= TIMESTAMP '2000-01-01'""".stripMargin
+
+  // ---------------------------------------------------------------- q03
+  /** TPC-H Q3-style: selective dim filter, fact join, top-k (B13, topk).
+    * Aggregates lineitem BEFORE the 3-way join so the join input is one
+    * row per order, and broadcasts the filtered customer dim. */
+  private def q03(s: SparkSession, dir: String): DataFrame = {
+    val cut = lit("1998-06-30").cast("timestamp")
+    val rev = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") > cut)
+      .groupBy(col("l_orderkey"))
+      .agg(dbl(sum(discPrice(col("l_extendedprice"), col("l_discount"))))
+        .as("revenue"))
+    val cust = Tables.customer(s, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val ord = Tables.orders(s, dir)
+      .filter(col("o_orderdate") < cut)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(rev, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderkey"), col("revenue"), col("o_orderdate"))
+      .orderBy(col("revenue").desc, col("o_orderkey").asc)
+      .limit(10)
+  }
+  private val q03Sql =
+    """SELECT o_orderkey,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+      |  o_orderdate
+      |FROM customer, orders, lineitem
+      |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+      |  AND l_orderkey = o_orderkey
+      |  AND o_orderdate < TIMESTAMP '1998-06-30'
+      |  AND l_shipdate  > TIMESTAMP '1998-06-30'
+      |GROUP BY o_orderkey, o_orderdate
+      |ORDER BY revenue DESC, o_orderkey ASC
+      |LIMIT 10""".stripMargin
+
+  // ---------------------------------------------------------------- q04
+  /** EXISTS via left-semi join with a non-equi conjunct (B3, semi). */
+  private def q04(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    val li = Tables.lineitem(s, dir)
+    ord.join(li,
+        ord("o_orderkey") === li("l_orderkey") &&
+          li("l_shipdate") > ord("o_orderdate"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+  }
+  private val q04Sql =
+    """SELECT o_orderpriority, COUNT(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate <  TIMESTAMP '1997-01-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+      |GROUP BY o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------- q05
+  /** TPC-H Q5-style multiway join; dims broadcast, facts shuffle once. */
+  private def q05(s: SparkSession, dir: String): DataFrame = {
+    val nat = Tables.nation(s, dir)
+    val reg = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+    val dims = nat.join(broadcast(reg),
+      col("n_regionkey") === col("r_regionkey"))
+    val cust = Tables.customer(s, dir)
+    val ord = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val li = Tables.lineitem(s, dir)
+    val sup = Tables.supplier(s, dir)
+    li.join(sup, col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(dims), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(dbl(sum(discPrice(col("l_extendedprice"), col("l_discount"))))
+        .as("revenue"))
+  }
+  private val q05Sql =
+    """SELECT n_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+      |FROM customer, orders, lineitem, supplier, nation, region
+      |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      |  AND r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate <  TIMESTAMP '1998-01-01'
+      |GROUP BY n_name""".stripMargin
+
+  // ---------------------------------------------------------------- q06
+  /** TPC-H Q6-style single-pass scan agg — pure pushdown + codegen. */
+  private def q06(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(dbl(sum(dP(col("l_extendedprice")) * dR(col("l_discount"))))
+        .as("revenue"))
+  private val q06Sql =
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate <  TIMESTAMP '1997-01-01'
+      |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin
+
+  // ---------------------------------------------------------------- q07
+  /** LEFT OUTER join with null-aware counting (B14). */
+  private def q07(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(s, dir)
+    val big = Tables.lineitem(s, dir).filter(col("l_quantity") >= 48)
+      .select(col("l_orderkey"), col("l_quantity"))
+    ord.join(big, ord("o_orderkey") === big("l_orderkey"), "left")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(col("l_orderkey")).as("n_big_items"),
+        count(lit(1)).as("n_rows"))
+  }
+  private val q07Sql =
+    """SELECT o_orderpriority,
+      |  COUNT(l_orderkey) AS n_big_items, COUNT(*) AS n_rows
+      |FROM orders LEFT JOIN lineitem
+      |  ON o_orderkey = l_orderkey AND l_quantity >= 48
+      |GROUP BY o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------- q08
+  /** Window ranking: top-3 orders per customer (extension beyond the
+    * reference; unique (price,orderkey) tiebreak keeps it deterministic). */
+  private def q08(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        col("rn"))
+  }
+  private val q08Sql =
+    """SELECT o_custkey, o_orderkey, o_totalprice,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rn
+      |FROM orders
+      |QUALIFY rn <= 3""".stripMargin
+
+  // ---------------------------------------------------------------- q09
+  /** DISTINCT ON (B15): latest order per customer via row_number()=1. */
+  private def q09(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    Tables.orders(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderkey").as("latest_orderkey"),
+        col("o_orderdate").as("latest_orderdate"))
+  }
+  private val q09Sql =
+    """SELECT o_custkey, o_orderkey AS latest_orderkey, o_orderdate AS latest_orderdate
+      |FROM orders
+      |QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) = 1""".stripMargin
+
+  // ---------------------------------------------------------------- q10
+  /** CTE + derived aggregate (B12/B17), run through Spark SQL text. */
+  private def q10(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(
+      """WITH cust_rev AS (
+        |  SELECT o_custkey,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS rev,
+        |    COUNT(*) AS n_orders
+        |  FROM orders GROUP BY o_custkey
+        |)
+        |SELECT c_mktsegment, COUNT(*) AS n_cust,
+        |  CAST(SUM(CAST(rev AS DECIMAL(18,2))) AS DOUBLE) AS seg_rev
+        |FROM customer JOIN cust_rev ON c_custkey = o_custkey
+        |WHERE n_orders >= 2
+        |GROUP BY c_mktsegment""".stripMargin)
+  }
+  private val q10Sql =
+    """WITH cust_rev AS (
+      |  SELECT o_custkey,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS rev,
+      |    COUNT(*) AS n_orders
+      |  FROM orders GROUP BY o_custkey
+      |)
+      |SELECT c_mktsegment, COUNT(*) AS n_cust,
+      |  CAST(SUM(CAST(rev AS DECIMAL(18,2))) AS DOUBLE) AS seg_rev
+      |FROM customer JOIN cust_rev ON c_custkey = o_custkey
+      |WHERE n_orders >= 2
+      |GROUP BY c_mktsegment""".stripMargin
+
+  // ---------------------------------------------------------------- q11
+  /** person_mv parity (B2/B6): keyed (id, doc) JSON document projection.
+    * Reference: tests/fixtures/person_mv.sql:1-4. */
+  private def q11(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .select(col("c_custkey").as("id"),
+        to_json(struct(col("c_name").as("name"),
+          col("c_mktsegment").as("segment"))).as("doc"))
+  private val q11Sql =
+    """SELECT c_custkey AS id,
+      |  CAST(json_object('name', c_name, 'segment', c_mktsegment) AS VARCHAR) AS doc
+      |FROM customer""".stripMargin
+
+  // ---------------------------------------------------------------- q12
+  /** course_mv parity (B5/B6/B7): parent row + sorted array of child
+    * structs serialized as one nested JSON doc.
+    * Reference: tests/fixtures/course_mv.sql:9-24 (json_agg subquery). */
+  private def q12(s: SparkSession, dir: String): DataFrame = {
+    val items = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_list(struct(
+        col("l_linenumber").as("line"),
+        col("l_partkey").as("part"),
+        col("l_quantity").cast("long").as("qty")))).as("items"))
+    Tables.orders(s, dir)
+      .join(items, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderkey").as("id"),
+        to_json(struct(col("o_orderstatus").as("status"), col("items")))
+          .as("doc"))
+  }
+  private val q12Sql =
+    """SELECT o_orderkey AS id,
+      |  to_json(struct_pack(status := o_orderstatus,
+      |    items := list(struct_pack(line := l_linenumber, part := l_partkey,
+      |                              qty := CAST(l_quantity AS BIGINT))
+      |                  ORDER BY l_linenumber, l_partkey, l_quantity))) AS doc
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |GROUP BY o_orderkey, o_orderstatus""".stripMargin
+
+  // ---------------------------------------------------------------- q13
+  /** unnest/explode (B10): word frequencies over documents.text. */
+  private def q13(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("cnt"))
+  private val q13Sql =
+    """SELECT word, COUNT(*) AS cnt
+      |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      |WHERE word <> ''
+      |GROUP BY word""".stripMargin
+
+  // ---------------------------------------------------------------- q14
+  /** split_part (B9). */
+  private def q14(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .select(col("c_custkey"),
+        element_at(split(col("c_name"), "#"), 2).as("cust_num"))
+  private val q14Sql =
+    "SELECT c_custkey, split_part(c_name, '#', 2) AS cust_num FROM customer"
+
+  // ---------------------------------------------------------------- q15
+  /** JSON field extraction (B11-adjacent): props -> typed value. */
+  private def q15(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
+  private val q15Sql =
+    """SELECT event_type,
+      |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+      |  COUNT(*) AS n
+      |FROM events GROUP BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q16
+  /** UNION ALL + re-aggregation (set-op extension). */
+  private def q16(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+      .select(col("c_nationkey").as("nationkey"), lit("customer").as("kind"))
+    val p = Tables.supplier(s, dir)
+      .select(col("s_nationkey").as("nationkey"), lit("supplier").as("kind"))
+    c.unionAll(p).groupBy(col("nationkey"), col("kind"))
+      .agg(count(lit(1)).as("n"))
+  }
+  private val q16Sql =
+    """SELECT nationkey, kind, COUNT(*) AS n
+      |FROM (SELECT c_nationkey AS nationkey, 'customer' AS kind FROM customer
+      |      UNION ALL
+      |      SELECT s_nationkey AS nationkey, 'supplier' AS kind FROM supplier)
+      |GROUP BY nationkey, kind""".stripMargin
+
+  // ---------------------------------------------------------------- q17
+  /** CASE WHEN routing — the A4 filter/route operator as an expression.
+    * Reference: src/sinker/bulk_action_generator.py:44-58. */
+  private def q17(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(when(col("event_type").isin("click", "view"), lit("read"))
+        .when(col("event_type") === "error", lit("error"))
+        .otherwise(lit("write")).as("route"),
+        col("value"))
+      .groupBy(col("route"))
+      .agg(count(lit(1)).as("n"),
+        dbl(sum(dP(col("value")))).as("sum_value"))
+  private val q17Sql =
+    """SELECT CASE WHEN event_type IN ('click','view') THEN 'read'
+      |            WHEN event_type = 'error' THEN 'error'
+      |            ELSE 'write' END AS route,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- q18
+  /** Tumbling event-time window aggregation (streaming-shape, batch-run).
+    * Same 5-minute bucketing Structured Streaming uses (epoch-aligned). */
+  private def q18(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        dbl(sum(dP(col("value")))).as("sum_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n"), col("sum_value"))
+  private val q18Sql =
+    """SELECT time_bucket(INTERVAL '5 minutes', ts) AS win_start, event_type,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------- q19
+  /** Correlated scalar subquery (B4) — Catalyst decorrelates to a join.
+    * Reference: tests/fixtures/course_mv.sql:3-8. */
+  private def q19(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT c_custkey, c_name,
+        |  (SELECT MAX(n_name) FROM nation WHERE n_nationkey = c_nationkey) AS nation_name
+        |FROM customer""".stripMargin)
+  }
+  private val q19Sql =
+    """SELECT c_custkey, c_name,
+      |  (SELECT MAX(n_name) FROM nation WHERE n_nationkey = c_nationkey) AS nation_name
+      |FROM customer""".stripMargin
+
+  // ---------------------------------------------------------------- q20
+  /** Correlated aggregate subquery (B5) — COUNT over children per parent,
+    * including zero-row parents (the COUNT-bug case Catalyst handles).
+    * Reference: tests/fixtures/course_mv.sql:9-24. */
+  private def q20(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT o_orderkey,
+        |  (SELECT COUNT(*) FROM lineitem WHERE l_orderkey = o_orderkey) AS n_items
+        |FROM orders""".stripMargin)
+  }
+  private val q20Sql =
+    """SELECT o_orderkey,
+      |  (SELECT COUNT(*) FROM lineitem WHERE l_orderkey = o_orderkey) AS n_items
+      |FROM orders""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q01_pricing_summary" -> q01 _,
+    "q02_filter_project" -> q02 _,
+    "q03_topk_revenue" -> q03 _,
+    "q04_exists_semijoin" -> q04 _,
+    "q05_region_revenue" -> q05 _,
+    "q06_scan_agg" -> q06 _,
+    "q07_left_join" -> q07 _,
+    "q08_window_rank" -> q08 _,
+    "q09_distinct_on" -> q09 _,
+    "q10_cte_rollup" -> q10 _,
+    "q11_doc_project" -> q11 _,
+    "q12_doc_nested_agg" -> q12 _,
+    "q13_explode_words" -> q13 _,
+    "q14_split_part" -> q14 _,
+    "q15_json_extract" -> q15 _,
+    "q16_union_all" -> q16 _,
+    "q17_case_route" -> q17 _,
+    "q18_time_window" -> q18 _,
+    "q19_scalar_subquery" -> q19 _,
+    "q20_correlated_agg" -> q20 _)
+
+  val oracles: Map[String, String] = Map(
+    "q01_pricing_summary" -> q01Sql,
+    "q02_filter_project" -> q02Sql,
+    "q03_topk_revenue" -> q03Sql,
+    "q04_exists_semijoin" -> q04Sql,
+    "q05_region_revenue" -> q05Sql,
+    "q06_scan_agg" -> q06Sql,
+    "q07_left_join" -> q07Sql,
+    "q08_window_rank" -> q08Sql,
+    "q09_distinct_on" -> q09Sql,
+    "q10_cte_rollup" -> q10Sql,
+    "q11_doc_project" -> q11Sql,
+    "q12_doc_nested_agg" -> q12Sql,
+    "q13_explode_words" -> q13Sql,
+    "q14_split_part" -> q14Sql,
+    "q15_json_extract" -> q15Sql,
+    "q16_union_all" -> q16Sql,
+    "q17_case_route" -> q17Sql,
+    "q18_time_window" -> q18Sql,
+    "q19_scalar_subquery" -> q19Sql,
+    "q20_correlated_agg" -> q20Sql)
+}
