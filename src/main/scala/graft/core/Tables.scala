@@ -20,11 +20,12 @@ object Tables {
     else spark.read.parquet(s"$dir/$name.parquet")
 
   /** events.parquet carries TIMESTAMP(NANOS) which Spark's parquet reader
-    * rejects. Read nanos as long (legacy conf) and floor to microseconds —
-    * the same truncation DuckDB/pandas apply when downcasting ns→µs.
-    * Integer `div` (not `/`) because ~1.7e18 ns exceeds double precision. */
+    * rejects. `spark.sql.legacy.parquet.nanosAsLong=true` (set once at
+    * session build — GraftSession) reads nanos as long; floor to
+    * microseconds here — the same truncation DuckDB/pandas apply when
+    * downcasting ns→µs. Integer `div` (not `/`) because ~1.7e18 ns
+    * exceeds double precision. */
   private def eventsDf(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     s.read.parquet(s"$d/events.parquet")
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts div 1000")))

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{DecimalType, MapType, StringType}
 
 import graft.core.Tables
 
@@ -88,7 +88,10 @@ object Relational {
   // ---------------------------------------------------------------- q03
   /** TPC-H Q3-style: selective dim filter, fact join, top-k (B13, topk).
     * Aggregates lineitem BEFORE the 3-way join so the join input is one
-    * row per order, and broadcasts the filtered customer dim. */
+    * row per order. No broadcast hint on customer: its filtered slice
+    * grows linearly with scale factor, so a hard-coded broadcast would
+    * OOM executors at 100 TB — AQE picks broadcast vs shuffle from
+    * runtime sizes instead. */
   private def q03(s: SparkSession, dir: String): DataFrame = {
     val cut = lit("1998-06-30").cast("timestamp")
     val rev = Tables.lineitem(s, dir)
@@ -102,7 +105,7 @@ object Relational {
     val ord = Tables.orders(s, dir)
       .filter(col("o_orderdate") < cut)
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
-    ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+    ord.join(cust, col("o_custkey") === col("c_custkey"))
       .join(rev, col("o_orderkey") === col("l_orderkey"))
       .select(col("o_orderkey"), col("revenue"), col("o_orderdate"))
       .orderBy(col("revenue").desc, col("o_orderkey").asc)
@@ -330,11 +333,15 @@ object Relational {
       |GROUP BY word""".stripMargin
 
   // ---------------------------------------------------------------- q14
-  /** split_part (B9). */
+  /** split_part (B9). try_element_at + coalesce("") matches Postgres/
+    * DuckDB split_part's missing-field behavior (returns '') and stays
+    * safe under ANSI mode, where plain element_at throws on a too-short
+    * array. */
   private def q14(s: SparkSession, dir: String): DataFrame =
     Tables.customer(s, dir)
       .select(col("c_custkey"),
-        element_at(split(col("c_name"), "#"), 2).as("cust_num"))
+        coalesce(try_element_at(split(col("c_name"), "#"), lit(2)), lit(""))
+          .as("cust_num"))
   private val q14Sql =
     "SELECT c_custkey, split_part(c_name, '#', 2) AS cust_num FROM customer"
 
@@ -346,9 +353,11 @@ object Relational {
         get_json_object(col("props"), "$.k").cast("long").as("k"))
       .groupBy(col("event_type"))
       .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
+  // DuckDB SUM(BIGINT) widens to HUGEINT (→ float64 in pandas) while the
+  // Spark side stays int64; the outer CAST pins both to int64.
   private val q15Sql =
     """SELECT event_type,
-      |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+      |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
       |  COUNT(*) AS n
       |FROM events GROUP BY event_type""".stripMargin
 
@@ -436,6 +445,55 @@ object Relational {
       |  (SELECT COUNT(*) FROM lineitem WHERE l_orderkey = o_orderkey) AS n_items
       |FROM orders""".stripMargin
 
+  // ---------------------------------------------------------------- q21
+  /** jsonb_each_text (B11): JSON map → (key, value) rows via
+    * explode(from_json(_, MapType)). Reference:
+    * tests/test_parse_schema_tables.py:76 (`jsonb_each_text(attendees)
+    * as kv(key, value)`). */
+  private def q21(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(explode(from_json(col("props"), MapType(StringType, StringType)))
+        .as(Seq("key", "value")))
+      .groupBy(col("key"), (col("value").cast("long") % 10).as("vbucket"))
+      .agg(count(lit(1)).as("n"), sum(col("value").cast("long")).as("sum_v"))
+  private val q21Sql =
+    """SELECT key,
+      |  CAST(CAST(json_extract_string(props, '$.' || key) AS BIGINT) % 10 AS BIGINT) AS vbucket,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(json_extract_string(props, '$.' || key) AS BIGINT)) AS BIGINT) AS sum_v
+      |FROM (SELECT unnest(json_keys(props)) AS key, props FROM events)
+      |GROUP BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------- q22
+  /** Case-sensitive quoted identifiers (B18): camelCase aliases survive
+    * end-to-end under spark.sql.caseSensitive=true (reference fixtures
+    * quote "EmailAddress"/"personId" — tests/test_parse_schema_tables
+    * .py:10). DuckDB renames output columns that collide
+    * case-insensitively, so the same-name-different-case proof lives in
+    * RelationalSpec instead. */
+  private def q22(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .select(col("c_custkey").as("personId"),
+        col("c_name").as("personName"),
+        upper(col("c_name")).as("PersonNameUpper"))
+  private val q22Sql =
+    """SELECT c_custkey AS "personId", c_name AS "personName", upper(c_name) AS "PersonNameUpper"
+      |FROM customer""".stripMargin
+
+  // ---------------------------------------------------------------- q23
+  /** Ingest timestamp (B19): `now()` column default, compared on a
+    * derived stable predicate (reference: tests/fixtures/schema.sql:9
+    * `created_at timestamp not null default now()`). */
+  private def q23(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .withColumn("ingest_ts", current_timestamp())
+      .select(col("c_custkey"),
+        (col("ingest_ts") >= lit("2026-01-01").cast("timestamp"))
+          .as("ingested_after_2026"))
+  private val q23Sql =
+    """SELECT c_custkey, now() >= TIMESTAMP '2026-01-01' AS ingested_after_2026
+      |FROM customer""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01 _,
     "q02_filter_project" -> q02 _,
@@ -456,7 +514,10 @@ object Relational {
     "q17_case_route" -> q17 _,
     "q18_time_window" -> q18 _,
     "q19_scalar_subquery" -> q19 _,
-    "q20_correlated_agg" -> q20 _)
+    "q20_correlated_agg" -> q20 _,
+    "q21_jsonb_each" -> q21 _,
+    "q22_mixed_case" -> q22 _,
+    "q23_ingest_ts" -> q23 _)
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -478,5 +539,8 @@ object Relational {
     "q17_case_route" -> q17Sql,
     "q18_time_window" -> q18Sql,
     "q19_scalar_subquery" -> q19Sql,
-    "q20_correlated_agg" -> q20Sql)
+    "q20_correlated_agg" -> q20Sql,
+    "q21_jsonb_each" -> q21Sql,
+    "q22_mixed_case" -> q22Sql,
+    "q23_ingest_ts" -> q23Sql)
 }
