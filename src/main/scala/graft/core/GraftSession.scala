@@ -26,6 +26,9 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.caseSensitive", "true")
+      // Postgres-style "quoted identifiers" in user view SQL (B18);
+      // single-quoted strings stay literals.
+      .config("spark.sql.ansi.doubleQuotedIdentifiers", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
