@@ -50,9 +50,38 @@ object PipelineQueries {
        |FROM wal""".stripMargin
   }
 
+  // --------------------------------------------------------- q25
+  /** A9 diff refresh: old vs new snapshot → upsert/delete actions via
+    * the engine's DiffRefresher (anti-joins on (id, xxhash64(doc))).
+    * New snapshot deterministically drops custkey%10==0 (→ deletes) and
+    * rewrites the segment of custkey%7==0 (→ changed-doc upserts); the
+    * oracle states the expected action set relationally. */
+  private def q25(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir)
+    def snap(df: DataFrame, seg: org.apache.spark.sql.Column): DataFrame =
+      df.select(concat(lit("c-"), col("c_custkey")).as("id"),
+        to_json(struct(col("c_name").as("name"), seg.as("segment"))).as("doc"))
+    val oldSnap = snap(cust, col("c_mktsegment"))
+    val newSnap = snap(
+      cust.filter(col("c_custkey") % 10 =!= 0),
+      when(col("c_custkey") % 7 === 0, lit("CHANGED"))
+        .otherwise(col("c_mktsegment")))
+    graft.refresh.DiffRefresher.diff(oldSnap, newSnap)
+      .select(col("op"), col("id"),
+        get_json_object(col("doc"), "$.name").as("doc_name"))
+  }
+  private val q25Sql =
+    """SELECT 'index' AS op, 'c-' || CAST(c_custkey AS VARCHAR) AS id, c_name AS doc_name
+      |FROM customer WHERE c_custkey % 10 <> 0 AND c_custkey % 7 = 0
+      |UNION ALL
+      |SELECT 'delete' AS op, 'c-' || CAST(c_custkey AS VARCHAR) AS id, NULL AS doc_name
+      |FROM customer WHERE c_custkey % 10 = 0""".stripMargin
+
   val queries: Map[String, Q] = Map(
-    "q24_cdc_decode" -> q24 _)
+    "q24_cdc_decode" -> q24 _,
+    "q25_snapshot_diff" -> q25 _)
 
   val oracles: Map[String, String] = Map(
-    "q24_cdc_decode" -> q24Sql)
+    "q24_cdc_decode" -> q24Sql,
+    "q25_snapshot_diff" -> q25Sql)
 }

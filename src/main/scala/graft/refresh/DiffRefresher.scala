@@ -1,0 +1,42 @@
+package graft.refresh
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Incremental view maintenance by snapshot diff (A9) — the Spark
+  * equivalent of `REFRESH MATERIALIZED VIEW CONCURRENTLY`, where
+  * Postgres recomputes the view, diffs it against the stored copy, and
+  * emits only the changed rows to the WAL (reference:
+  * src/sinker/query_templates.py:13, src/sinker/sinker.py:131-135).
+  *
+  * Here the recomputed snapshot is diffed against the previous one on
+  * `(id, xxhash64(doc))`:
+  *   - rows of NEW whose (id, hash) pair isn't in OLD → `index` actions
+  *     (new or changed docs — full-document idempotent upserts);
+  *   - ids of OLD absent from NEW → `delete` actions. This covers
+  *     parent-row deletes without the reference's WAL-proxy hack, and
+  *     matches its e2e delete semantics (doc gone from the view ⇒ doc
+  *     deleted from the sink; child deletes shrink docs via the upsert
+  *     branch — reference tests/test_e2e.py:141-171).
+  *
+  * Cost: two hash-partitioned anti-joins on `id` — one shuffle of each
+  * snapshot, no driver-side data, no skew risk beyond the id space
+  * itself. At 100 TB the win is that only the DIFF leaves the cluster:
+  * sink traffic is proportional to change volume, not view size.
+  */
+object DiffRefresher {
+
+  /** @return actions `(op: "index"|"delete", id, doc)` */
+  def diff(oldSnap: DataFrame, newSnap: DataFrame): DataFrame = {
+    val o = oldSnap.select(col("id").as("o_id"), xxhash64(col("doc")).as("o_h"))
+    val n = newSnap.select(col("id"), col("doc"), xxhash64(col("doc")).as("n_h"))
+    val upserts = n
+      .join(o, n("id") === o("o_id") && n("n_h") === o("o_h"), "left_anti")
+      .select(lit("index").as("op"), col("id"), col("doc"))
+    val deletes = oldSnap.select(col("id"))
+      .join(newSnap.select(col("id")), Seq("id"), "left_anti")
+      .select(lit("delete").as("op"), col("id"),
+        lit(null).cast("string").as("doc"))
+    upserts.unionByName(deletes)
+  }
+}

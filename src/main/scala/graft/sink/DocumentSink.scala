@@ -1,0 +1,97 @@
+package graft.sink
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Keyed, idempotent document index (A5-A7, A16) — the engine's
+  * equivalent of the reference's Elasticsearch index: full-document
+  * upsert by `_id` ("index" action overwrites whatever is there —
+  * reference: src/sinker/bulk_action_generator.py:75-90), delete by
+  * `_id` (:60-73), and a declared strict mapping enforced on every
+  * batch (sinker.py:74-86).
+  *
+  * Applying the same action batch twice converges to the same state
+  * (at-least-once delivery + idempotent upsert, SURVEY §2C).
+  */
+trait DocumentSink {
+  def index: String
+  def mapping: StructType
+
+  /** Apply a batch of actions `(op: "index"|"delete", id, doc)`.
+    * Validates strictness first and fails the whole batch on any
+    * violation (ES `raise_on_error=True` semantics —
+    * reference: src/sinker/settings.py:36-41). */
+  final def applyActions(actions: DataFrame): Unit = {
+    StrictSchema.validate(actions, mapping, index)
+    doApply(actions)
+  }
+
+  protected def doApply(actions: DataFrame): Unit
+
+  def get(id: String): Option[String]
+  def count(): Long
+}
+
+/** Test/driver-side sink: a concurrent map. Collects each batch to the
+  * driver — ONLY for golden tests and interactive inspection; the scale
+  * path is [[ParquetIndex]]. */
+class InMemoryIndex(val index: String, val mapping: StructType)
+    extends DocumentSink {
+  private val docs = TrieMap.empty[String, String]
+
+  override protected def doApply(actions: DataFrame): Unit =
+    actions.select("op", "id", "doc").collect().foreach { r =>
+      r.getString(0) match {
+        case "index" => docs.put(r.getString(1), r.getString(2))
+        case "delete" => docs.remove(r.getString(1))
+        case other => throw new IllegalArgumentException(s"unknown op $other")
+      }
+    }
+
+  override def get(id: String): Option[String] = docs.get(id)
+  override def count(): Long = docs.size.toLong
+  def ids: Set[String] = docs.keySet.toSet
+}
+
+/** Distributed sink: a versioned keyed parquet table, merged per batch
+  * with one anti-join + union (MERGE-by-key shape; on a real cluster
+  * this is a Delta MERGE or an external bulk API). Batch writes are
+  * Spark tasks — the analogue of the reference's 100-doc ES bulk chunks
+  * with task-level retry (reference: src/sinker/settings.py:23-41). */
+class ParquetIndex(spark: SparkSession, val index: String,
+    val mapping: StructType, path: String) extends DocumentSink {
+
+  private val store = new graft.refresh.SnapshotStore(spark, path)
+
+  /** Initialize empty (A16 recreate_index: delete + recreate). */
+  def recreate(): Unit = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(root)) fs.delete(root, true)
+    import spark.implicits._
+    store.commit(store.stage(
+      Seq.empty[(String, String)].toDF("id", "doc")))
+  }
+
+  override protected def doApply(actions: DataFrame): Unit = {
+    val acts = actions.cache()
+    try {
+      val current = store.read()
+      val touched = acts.select(col("id"))
+      val upserts = acts.filter(col("op") === "index").select("id", "doc")
+      val merged = current
+        .join(touched, Seq("id"), "left_anti")
+        .unionByName(upserts)
+      store.commit(store.stage(merged))
+    } finally acts.unpersist()
+  }
+
+  def read(): DataFrame = store.read()
+  override def get(id: String): Option[String] =
+    read().filter(col("id") === id).collect().headOption.map(_.getString(1))
+  override def count(): Long = read().count()
+}

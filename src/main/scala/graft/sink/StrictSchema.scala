@@ -1,0 +1,86 @@
+package graft.sink
+
+import scala.collection.mutable
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** `dynamic: "strict"` document validation (A16) — the sink equivalent
+  * of the reference's Elasticsearch index mappings with strict dynamics
+  * that reject documents carrying unexpected fields (reference:
+  * src/sinker/sinker.py:74-86, tests/fixtures/courses.json:3,
+  * README.md:208-209).
+  *
+  * A doc violates the mapping when it has an object field not declared
+  * in the StructType at that path, an object where a scalar is declared,
+  * or unparseable JSON. Scalar leaf values are accepted as-is (ES
+  * coerces leaf types; structure is what `strict` polices).
+  *
+  * Validation runs distributed (a deserialization UDF at the sink edge —
+  * the same place the reference does row-wise Python work), so no doc
+  * ever funnels through the driver.
+  */
+object SchemaViolationException {
+  def apply(index: String, samples: Seq[(String, Seq[String])]): IllegalArgumentException =
+    new IllegalArgumentException(
+      s"strict mapping violation in index '$index': " +
+        samples.map { case (id, vs) => s"id=$id -> ${vs.mkString(", ")}" }.mkString("; "))
+}
+
+object StrictSchema {
+
+  @transient private lazy val mapper = new ObjectMapper()
+
+  /** Unknown/mis-shaped field paths of `doc` vs the declared schema;
+    * empty = valid. */
+  def violations(doc: String, schema: StructType): Seq[String] = {
+    val node =
+      try mapper.readTree(doc)
+      catch { case _: Exception => return Seq("<malformed json>") }
+    val buf = mutable.ArrayBuffer[String]()
+    walk(node, schema, "", buf)
+    buf.toSeq
+  }
+
+  private def walk(node: JsonNode, dt: DataType, path: String,
+      buf: mutable.ArrayBuffer[String]): Unit = {
+    if (node == null || node.isNull) return
+    dt match {
+      case st: StructType =>
+        if (!node.isObject) { buf += s"$path: expected object"; return }
+        val it = node.fields()
+        while (it.hasNext) {
+          val e = it.next()
+          val p = if (path.isEmpty) e.getKey else s"$path.${e.getKey}"
+          st.find(_.name == e.getKey) match {
+            case Some(f) => walk(e.getValue, f.dataType, p, buf)
+            case None => buf += s"$p: unknown field"
+          }
+        }
+      case at: ArrayType =>
+        if (!node.isArray) { buf += s"$path: expected array"; return }
+        val it = node.elements()
+        while (it.hasNext) walk(it.next(), at.elementType, path + "[]", buf)
+      case _: MapType => () // open key space by declaration
+      case _ =>
+        if (node.isObject || node.isArray)
+          buf += s"$path: expected scalar"
+    }
+  }
+
+  /** Fail-fast batch validation: throws with up to 3 sample violations
+    * if any `index` action's doc doesn't fit the mapping. */
+  def validate(actions: DataFrame, schema: StructType, index: String): Unit = {
+    val violUdf = udf((doc: String) => violations(doc, schema))
+    val bad = actions
+      .filter(col("op") === "index")
+      .select(col("id"), violUdf(col("doc")).as("viol"))
+      .filter(size(col("viol")) > 0)
+      .take(3)
+    if (bad.nonEmpty)
+      throw SchemaViolationException(index,
+        bad.toSeq.map(r => (r.getString(0), r.getSeq[String](1))))
+  }
+}

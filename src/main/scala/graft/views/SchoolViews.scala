@@ -1,0 +1,82 @@
+package graft.views
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The reference's two fixture denormalization views, re-expressed as
+  * idiomatic Spark transforms producing the mandatory `(id, doc)` shape.
+  * These are the golden-test workload AND the worked example of how a
+  * user writes a view for this engine: correlated scalar subqueries
+  * become left joins + structs (B4), `json_agg` becomes
+  * `collect_list(struct(...))` bounded per parent key (B5/B7), and
+  * `json_build_object` becomes `to_json(struct(...))` (B6).
+  *
+  * `ignoreNullFields=false` matches Postgres `json_build_object`, which
+  * emits `"field": null` for empty subqueries rather than omitting the
+  * key.
+  */
+object SchoolViews {
+
+  private val jsonOpts = Map("ignoreNullFields" -> "false")
+
+  /** person_mv (reference: tests/fixtures/person_mv.sql:1-4):
+    * `select id, json_build_object('name', "name") from "person"`. */
+  def personMv(person: DataFrame): DataFrame =
+    person.select(col("id"),
+      to_json(struct(col("name").as("name")), jsonOpts).as("doc"))
+
+  /** course_mv (reference: tests/fixtures/course_mv.sql:1-26): course →
+    * teacher → person scalar chain plus an enrollment → student → person
+    * array, 4 levels deep. Enrollment array order is made deterministic
+    * by enrollment id (Postgres `json_agg` scan order is insertion order
+    * in the fixture).
+    *
+    * Scale shape: every join is an equi-join on a key column (Catalyst
+    * picks broadcast vs shuffle), and `collect_list` groups by course id
+    * — bounded by enrollments-per-course, never by table size. */
+  def courseMv(
+      course: DataFrame,
+      teacher: DataFrame,
+      student: DataFrame,
+      person: DataFrame,
+      enrollment: DataFrame): DataFrame = {
+
+    val personName = person.select(col("id").as("p_id"), col("name"))
+
+    val teacherDoc = teacher
+      .join(personName, col("person_id") === col("p_id"), "left")
+      .select(col("id").as("t_id"),
+        struct(
+          col("salary").cast("double").as("salary"),
+          when(col("p_id").isNotNull, struct(col("name").as("name")))
+            .as("person")).as("teacher"))
+
+    val studentDoc = student
+      .join(personName, col("person_id") === col("p_id"), "left")
+      .select(col("id").as("s_id"),
+        struct(
+          col("gpa").cast("double").as("gpa"),
+          when(col("p_id").isNotNull, struct(col("name").as("name")))
+            .as("person")).as("student"))
+
+    val enrollments = enrollment
+      .join(studentDoc, col("student_id") === col("s_id"), "left")
+      .select(col("course_id").as("e_cid"), col("id").as("e_id"),
+        struct(col("grade").cast("double").as("grade"), col("student"))
+          .as("e"))
+      .groupBy(col("e_cid"))
+      .agg(collect_list(struct(col("e_id"), col("e"))).as("es"))
+      .select(col("e_cid"),
+        expr("transform(sort_array(es), x -> x.e)").as("enrollments"))
+
+    course
+      .join(teacherDoc, col("teacher_id") === col("t_id"), "left")
+      .join(enrollments, course("id") === col("e_cid"), "left")
+      .select(course("id"),
+        to_json(struct(
+          col("name").as("name"),
+          col("description").as("description"),
+          col("teacher"),
+          col("enrollments")), jsonOpts).as("doc"))
+  }
+}
