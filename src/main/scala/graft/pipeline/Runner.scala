@@ -1,0 +1,72 @@
+package graft.pipeline
+
+import java.nio.file.{Files, Paths}
+
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration.Duration
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+/** A18: pipeline-binding config, the `views_to_indices.json` equivalent
+  * (reference: src/sinker/runner.py:30-31,
+  * tests/fixtures/views_to_indices.json). */
+object PipelineConfig {
+  private val mapper = new ObjectMapper()
+  def loadViewsToIndices(path: String): Map[String, String] = {
+    val node = mapper.readTree(Files.readString(Paths.get(path)))
+    val buf = scala.collection.mutable.LinkedHashMap[String, String]()
+    val it = node.fields()
+    while (it.hasNext) { val e = it.next(); buf(e.getKey) = e.getValue.asText() }
+    buf.toMap
+  }
+}
+
+/** Orchestrator (A13/A14): owns all pipelines, fans setup/refresh out in
+  * parallel, and surfaces worker errors instead of swallowing them —
+  * the reference's `ThreadPoolExecutor` + `future.result()` semantics
+  * (reference: src/sinker/runner.py:44-50, 91-99).
+  *
+  * One iterate() = the reference's poll tick (runner.py:73-117): drain
+  * the change feed, map changed TABLES to the VIEWS that read them
+  * (trigger-equivalent dirty detection, A10), refresh each dirty view
+  * once no matter how many row changes arrived (dirty-set coalescing,
+  * A11 — the todo PK + ON CONFLICT DO NOTHING collapse), and let each
+  * refresh's diff push the delta to its sink. Unlike the reference,
+  * refresh and slot-drain aren't separate phases: the diff IS the
+  * change stream, computed exactly (no race window —
+  * runner.py:80-86's re-enqueue caveat disappears).
+  */
+class Runner(val pipelines: Seq[Pipeline], feed: ChangeFeed) {
+
+  private implicit val ec: ExecutionContext = ExecutionContext.global
+
+  /** Await all futures; re-throws the first failure (the reference
+    * re-raises via future.result() — runner.py:48-49, 97-98). */
+  private def awaitAll[T](fs: Seq[Future[T]]): Seq[T] =
+    Await.result(Future.sequence(fs), Duration.Inf)
+
+  /** Parallel setup + backfill of every pipeline (runner.py:44-50).
+    * @return view → docs loaded */
+  def backfillAll(): Map[String, Long] =
+    awaitAll(pipelines.map(p => Future(p.view -> p.backfill()))).toMap
+
+  /** One poll tick. @return view → #actions applied (empty = idle). */
+  def iterate(): Map[String, Long] = {
+    val changed = feed.drain()
+    if (changed.isEmpty) return Map.empty
+    val dirtyTables = changed.map(_.table).toSet
+    val dirty = pipelines.filter(_.sourceTables.intersect(dirtyTables).nonEmpty)
+    awaitAll(dirty.map(p => Future(p.view -> p.refresh()))).toMap
+  }
+
+  /** Poll loop (A14; reference runner.py:68-90): iterate forever,
+    * sleeping `pollIntervalMs` when idle. `maxTicks` bounds the loop
+    * for embedding/tests (reference loops unboundedly). */
+  def run(pollIntervalMs: Long = 10000L, maxTicks: Long = Long.MaxValue): Unit = {
+    var ticks = 0L
+    while (ticks < maxTicks) {
+      if (iterate().isEmpty) Thread.sleep(pollIntervalMs)
+      ticks += 1
+    }
+  }
+}

@@ -1,0 +1,63 @@
+package graft.pipeline
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.cdc.WalDecoder
+
+/** Structured Streaming front-end for the runner (A2/A14/A17):
+  * backfill-then-tail over a stream of raw WAL-text change rows
+  * `(xid LONG, lsn STRING, data STRING)`.
+  *
+  * Each micro-batch is decoded with [[WalDecoder.decodeDf]], the set of
+  * changed tables drives dirty-view refresh (same coalescing semantics
+  * as [[Runner.iterate]] — one refresh per view per batch regardless of
+  * row volume), and offsets commit in the Spark checkpoint — the
+  * replication slot's role in the reference (A17; reference:
+  * src/sinker/runner.py:56-64). A replayed batch after a crash re-runs
+  * the refresh; the diff against the committed snapshot makes that a
+  * no-op or a re-send, converging via idempotent upserts (§2C
+  * at-least-once).
+  *
+  * The reference's 10s poll interval (settings.py:20) maps to
+  * `Trigger.ProcessingTime`; tests use the default micro-batch trigger
+  * with `processAllAvailable()`.
+  */
+class StreamingRunner(
+    spark: SparkSession,
+    pipelines: Seq[Pipeline],
+    checkpointDir: String) {
+
+  /** Drop stale offsets — the reference's slot drop/create on startup
+    * (runner.py:56-64): after setup's backfill, only post-setup changes
+    * matter. */
+  def resetCheckpoint(): Unit = {
+    val p = new Path(checkpointDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+  }
+
+  /** Start tailing. `walStream` must be a STREAMING DataFrame of raw
+    * change rows. One streaming query serves all pipelines (they share
+    * the feed; each filters to its own tables), the A13 analogue of
+    * one-thread-per-view. */
+  def start(walStream: DataFrame, trigger: Trigger = Trigger.ProcessingTime(0L)): StreamingQuery =
+    walStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val dirtyTables = WalDecoder.decodeDf(batch)
+          .select("table").distinct().collect().map(_.getString(0)).toSet
+        if (dirtyTables.nonEmpty) {
+          val dirty = pipelines.filter(
+            _.sourceTables.intersect(dirtyTables).nonEmpty)
+          // refreshes run sequentially within a batch; Spark parallelizes
+          // inside each refresh. Cross-view parallelism at scale comes
+          // from one StreamingQuery per pipeline group if needed.
+          dirty.foreach(_.refresh())
+        }
+        ()
+      }
+      .start()
+}
