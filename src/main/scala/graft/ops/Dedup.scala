@@ -1,0 +1,151 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines.
+  * Every transform is `DataFrame → DataFrame`, shuffle-bounded by its
+  * group key, and free of driver-side loops — the same code path holds
+  * at 100 TB:
+  *
+  *  - exact dedup: one hash-partitioned window over the content key;
+  *  - MinHash/LSH: O(n·H) signature computation per row (codegen'd
+  *    higher-order array functions, no UDFs), then candidate PAIRS come
+  *    from equi-joins on band keys — never an all-pairs O(n²) product;
+  *  - SimHash: per-row 16-bit signature via md5 hex-digit bit
+  *    arithmetic, near-dup distance = `bit_count(xor)`;
+  *  - fingerprint: canonical content key (sorted distinct tokens) for
+  *    order/duplication-insensitive clustering.
+  *
+  * All hashing is md5-based and therefore deterministic and
+  * reproducible across engines (the DuckDB oracle recomputes identical
+  * values).
+  */
+object Dedup {
+
+  /** Tokenize on single spaces (the corpus delimiter). */
+  def words(text: Column): Column = split(text, " ")
+
+  // ------------------------------------------------------------ exact
+  /** Exact dedup on a content hash: marks each doc with its content key
+    * and whether it's the canonical (minimum-id) copy. Single shuffle on
+    * the content key. */
+  def exactDedup(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(col("content_key")).orderBy(col(idCol).asc)
+    docs
+      .withColumn("content_key", md5(col(textCol)))
+      .withColumn("is_canonical", row_number().over(w) === 1)
+  }
+
+  // ------------------------------------------------------ fingerprint
+  /** Order- and multiplicity-insensitive content fingerprint: md5 of the
+    * sorted distinct token set. Docs with the same token set collide. */
+  def fingerprint(text: Column): Column =
+    md5(array_join(array_sort(array_distinct(words(text))), " "))
+
+  /** Fingerprint clusters of size > 1: (fingerprint, cluster_size,
+    * canonical_doc = min id). */
+  def fingerprintClusters(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs
+      .groupBy(fingerprint(col(textCol)).as("fingerprint"))
+      .agg(count(lit(1)).as("cluster_size"), min(col(idCol)).as("canonical_doc"))
+      .filter(col("cluster_size") > 1)
+
+  // ---------------------------------------------------------- minhash
+  /** Word `k`-shingles of a text column (consecutive token n-grams).
+    * Guarded: `sequence(1, n)` REVERSES when n < 1, so short docs map to
+    * an explicit empty array. */
+  def shingles(text: Column, k: Int): Column = {
+    val ws = words(text)
+    val n = size(ws) - (k - 1)
+    when(n >= 1,
+      transform(sequence(lit(1), greatest(n, lit(1))),
+        i => concat_ws(" ", (0 until k).map(j => element_at(ws, i + j)): _*)))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** MinHash signature h ∈ [0, numHashes): min over shingles of
+    * md5(shingle + "#" + h). String-min over hex digests — deterministic
+    * everywhere, no seed state. */
+  def minhash(shinglesCol: Column, h: Int): Column =
+    array_min(transform(shinglesCol, s => md5(concat(s, lit("#" + h)))))
+
+  /** Banded LSH keys: `bands` keys per doc, each hashing `rowsPerBand`
+    * consecutive minhashes. Two docs sharing any band key are candidate
+    * near-dups. Output: (id, band, band_key) — `bands × n` rows. */
+  def bandKeys(docs: DataFrame, textCol: String, idCol: String,
+      bands: Int, rowsPerBand: Int, shingleK: Int = 3): DataFrame = {
+    val withShingles = docs
+      .select(col(idCol).as("id"), shingles(col(textCol), shingleK).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val sigs = (0 until bands * rowsPerBand)
+      .map(h => minhash(col("sh"), h).as(s"mh$h"))
+    val bandCols = (0 until bands).map { b =>
+      val parts = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), md5(concat_ws("|", parts: _*)).as("band_key")).as(s"b$b")
+    }
+    withShingles
+      .select(col("id") +: sigs: _*)
+      .select(col("id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
+  }
+
+  /** Candidate pairs = equi-join on (band, band_key), id_a < id_b,
+    * distinct. The join shuffles on the band key — skew only when many
+    * docs share a band (i.e., true near-dup storms); never all-pairs. */
+  def candidatePairs(bandKeysDf: DataFrame): DataFrame = {
+    val a = bandKeysDf.select(col("band"), col("band_key"), col("id").as("id_a"))
+    val b = bandKeysDf.select(col("band"), col("band_key"), col("id").as("id_b"))
+    a.join(b, Seq("band", "band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** Verify candidate pairs with exact token-set Jaccard; keeps pairs
+    * ≥ `threshold`. Joins the (small) candidate set back to the docs —
+    * two hash joins keyed on doc id. */
+  def jaccardVerify(pairs: DataFrame, docs: DataFrame, textCol: String,
+      idCol: String, threshold: Double): DataFrame = {
+    val sets = docs.select(col(idCol).as("jid"),
+      array_distinct(words(col(textCol))).as("toks"))
+    pairs
+      .join(sets.withColumnRenamed("toks", "toks_a"), col("id_a") === col("jid"))
+      .drop("jid")
+      .join(sets.withColumnRenamed("toks", "toks_b"), col("id_b") === col("jid"))
+      .withColumn("jaccard",
+        size(array_intersect(col("toks_a"), col("toks_b"))).cast("double") /
+          size(array_union(col("toks_a"), col("toks_b"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  // ---------------------------------------------------------- simhash
+  /** Value of hex digit `i` (1-based) of md5(s): both Spark and DuckDB
+    * express this as strpos over the hex alphabet, keeping the oracle
+    * bit-identical. */
+  private def hexDigit(h: Column, i: Int): Column =
+    instr(lit("0123456789abcdef"), substring(h, i, 1)) - 1
+
+  /** 16-bit SimHash over the token multiset: bit b is set when the sum
+    * over tokens of ±1 (by bit b of the token's md5) is positive.
+    * Computed per row with higher-order functions — no explode, no
+    * shuffle. */
+  def simhash16(text: Column): Column = {
+    val hashes = transform(words(text), w => md5(w))
+    val bitSums = (0 until 16).map { b =>
+      val digit = b / 4 + 1  // hex digit index, 1-based
+      val shift = b % 4
+      aggregate(hashes, lit(0),
+        (acc, h) => acc +
+          when(hexDigit(h, digit).cast("int").bitwiseAND(lit(1 << shift)) > 0, 1)
+            .otherwise(-1))
+    }
+    bitSums.zipWithIndex.map { case (s, b) =>
+      when(s > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Hamming distance between two simhash values. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One media object: opaque bytes + typed metadata. The engine treats
+  * image/audio/video as `binary` columns; decode/feature-extraction is a
+  * per-partition batch transform. */
+case class MediaBlob(id: Long, mime: String, blob: Array[Byte])
+
+/** Decoder output: dimensions + a fixed-width feature vector. */
+case class MediaFeatures(
+    id: Long,
+    mime: String,
+    byte_len: Int,
+    width: Int,
+    height: Int,
+    features: Array[Float])
+
+/** Multimodal-column plumbing for training-data pipelines.
+  *
+  * The Spark-side mechanics are real and tested: schema (`binary` +
+  * typed metadata), hash-partitioning by id so blobs spread evenly,
+  * batched per-partition iteration (the JVM equivalent of
+  * `mapInPandas`-style batch decode — the decoder sees `batchSize`
+  * blobs at a time, amortizing model/codec setup), and a typed
+  * `Dataset[MediaFeatures]` result.
+  *
+  * The DECODE ITSELF IS A STUB: this container has no image/audio
+  * codecs, so [[decodeBatchStub]] derives deterministic fake
+  * dimensions/features from the bytes. A real deployment replaces that
+  * one function with JavaCPP/FFmpeg/ImageIO calls — nothing else
+  * changes.
+  */
+object Multimodal {
+
+  /** Adapt the documents table into a media table: utf-8 bytes as the
+    * blob, mime derived from the source column. Stands in for reading a
+    * real `binary` parquet column. */
+  def mediaFromDocuments(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("id"),
+      concat(lit("application/x-src-"), col("source")).as("mime"),
+      col("text").cast("binary").as("blob"))
+
+  /** STUB decoder — deterministic fake. Real impl: decode image/audio,
+    * measure dimensions, run a feature extractor over the batch. */
+  private def decodeBatchStub(batch: Seq[MediaBlob]): Seq[MediaFeatures] =
+    batch.map { m =>
+      val len = m.blob.length
+      val features = (0 until 8).map { i =>
+        if (len == 0) 0f else (m.blob(i % len) & 0xff) / 255.0f
+      }.toArray
+      MediaFeatures(m.id, m.mime, len,
+        width = 64 + (len % 64), height = 64 + (len % 48), features)
+    }
+
+  /** Batched per-partition decode. `repartition(id)` spreads blobs by
+    * key (at 100 TB: no partition holds more than its hash share, and
+    * decode parallelism = partition count, sized by the caller). */
+  def extractFeatures(spark: SparkSession, media: DataFrame,
+      batchSize: Int = 64, partitions: Int = 0): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    val parts = if (partitions > 0) partitions
+      else spark.sessionState.conf.numShufflePartitions
+    media
+      .repartition(parts, col("id"))
+      .as[MediaBlob]
+      .mapPartitions(it => it.grouped(batchSize).flatMap(decodeBatchStub))
+  }
+}

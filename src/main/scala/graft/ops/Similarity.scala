@@ -1,0 +1,102 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`Array[Float]`).
+  *
+  * Two paths:
+  *  - [[topKNeighbors]] — exact brute force: the correctness baseline.
+  *    Fine when one side (the query set) is small enough to broadcast;
+  *    cost is |queries| × |corpus| dot products, all codegen'd
+  *    higher-order functions, top-k via per-query window.
+  *  - [[lshBuckets]] + [[topKNeighborsLsh]] — the scale path: random-
+  *    hyperplane signatures bucket the corpus so candidate generation is
+  *    an equi-join on the bucket key; dot products only run within
+  *    buckets. Hyperplane weights are derived from `sin(p·12.9898 +
+  *    d·78.233)` — deterministic, seedless, identical in any engine.
+  *
+  * All arithmetic is done in DOUBLE after an exact float→double cast so
+  * results are reproducible bit-for-bit across engines.
+  */
+object Similarity {
+
+  /** Float[] → Double[] (exact widening). */
+  def toDouble(vec: Column): Column = transform(vec, _.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, _ * _), lit(0.0d), _ + _)
+
+  def norm(a: Column): Column = sqrt(aggregate(transform(a, x => x * x), lit(0.0d), _ + _))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k cosine neighbors of each query vector.
+    * @param queries  (q_id, q_vec) — small; broadcast
+    * @param corpus   (vec_id, embedding) */
+  def topKNeighbors(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val joined = corpus
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .crossJoin(broadcast(queries
+        .select(col("q_id"), toDouble(col("q_vec")).as("q"))))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", cosine(col("q"), col("v")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    joined
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("vec_id"),
+        round(col("cos"), 6).as("cos_sim"))
+  }
+
+  /** Deterministic pseudo-random hyperplane weight for (plane, dim):
+    * the classic shader-noise construction — uniform-ish in [-1, 1],
+    * reproducible everywhere. */
+  private def planeWeight(p: Int, d: Column): Column =
+    sin(lit(p.toDouble) * 12.9898d + d.cast("double") * 78.233d)
+
+  /** Sign pattern of `planes` hyperplane projections → one bucket key
+    * per vector (a `planes`-character bit string). Vectors only compete
+    * within their bucket. */
+  def lshBucket(vec: Column, planes: Int): Column = {
+    val v = toDouble(vec)
+    val bits = (1 to planes).map { p =>
+      val proj = aggregate(
+        zip_with(v, sequence(lit(0), size(v) - 1),
+          (x, d) => x * planeWeight(p, d)),
+        lit(0.0d), _ + _)
+      when(proj >= 0, lit("1")).otherwise(lit("0"))
+    }
+    concat(bits: _*)
+  }
+
+  /** (vec_id, bucket) assignment for the corpus. */
+  def lshBuckets(corpus: DataFrame, planes: Int): DataFrame =
+    corpus.select(col("vec_id"),
+      lshBucket(col("embedding"), planes).as("bucket"))
+
+  /** Approximate top-k: candidates share the query's bucket; exact
+    * cosine + window only within buckets. The equi-join on `bucket`
+    * replaces the cross join — at N corpus vectors and B buckets the
+    * work drops from |Q|·N to ~|Q|·N/B comparisons. */
+  def topKNeighborsLsh(corpus: DataFrame, queries: DataFrame,
+      k: Int, planes: Int): DataFrame = {
+    val corpusB = corpus.select(col("vec_id"),
+      toDouble(col("embedding")).as("v"),
+      lshBucket(col("embedding"), planes).as("bucket"))
+    val queriesB = queries.select(col("q_id"),
+      toDouble(col("q_vec")).as("q"),
+      lshBucket(col("q_vec"), planes).as("bucket"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    corpusB.join(broadcast(queriesB), Seq("bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", cosine(col("q"), col("v")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("vec_id"),
+        round(col("cos"), 6).as("cos_sim"))
+  }
+}

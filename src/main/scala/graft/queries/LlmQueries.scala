@@ -1,0 +1,263 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Training-data-pipeline operators under the CORRECTNESS gate: dedup
+  * (exact, fingerprint, MinHash-LSH, SimHash), similarity search (brute
+  * force + LSH), text analysis, and multimodal metadata — all over the
+  * driver's `documents`/`embeddings` tables, each with a DuckDB oracle
+  * recomputing identical md5/double arithmetic.
+  */
+object LlmQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val Bands = 4
+  private val RowsPerBand = 4
+  private val ShingleK = 3
+  private val JaccardThreshold = 0.5
+  private val AnnK = 5
+  private val LshPlanes = 6
+
+  // shared oracle fragments ------------------------------------------------
+  private val WsSplit = "string_split(text, ' ')"
+  /** DuckDB shingle list for k=3 (guarded like the Spark side). */
+  private val ShinglesSql =
+    s"""CASE WHEN len($WsSplit) >= $ShingleK
+       | THEN list_transform(range(1, len($WsSplit) - ${ShingleK - 2}),
+       |        i -> $WsSplit[i] || ' ' || $WsSplit[i+1] || ' ' || $WsSplit[i+2])
+       | ELSE [] END""".stripMargin.replace("\n", " ")
+  private def minhashSql(h: Int) =
+    s"list_min(list_transform(sh, s -> md5(s || '#$h')))"
+  private def bandKeySql(b: Int) = {
+    val parts = (0 until RowsPerBand).map(r => s"mh${b * RowsPerBand + r}")
+    s"md5(${parts.mkString(" || '|' || ")})"
+  }
+  private val BandsCte = {
+    val mhCols = (0 until Bands * RowsPerBand)
+      .map(h => s"${minhashSql(h)} AS mh$h").mkString(", ")
+    val bandSelects = (0 until Bands).map(b =>
+      s"SELECT doc_id, $b AS band, ${bandKeySql(b)} AS band_key FROM mh")
+      .mkString(" UNION ALL ")
+    s"""sh AS (SELECT doc_id, $ShinglesSql AS sh FROM documents),
+       |mh AS (SELECT doc_id, $mhCols FROM sh WHERE len(sh) > 0),
+       |bands AS ($bandSelects)""".stripMargin
+  }
+
+  // --------------------------------------------------------- q26
+  /** Exact dedup: content hash + canonical flag (min id per hash). */
+  private def q26(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactDedup(Tables.documents(s, dir), "text", "doc_id")
+      .select(col("doc_id"), col("content_key"), col("is_canonical"))
+  private val q26Sql =
+    """SELECT doc_id, md5(text) AS content_key,
+      |  ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1 AS is_canonical
+      |FROM documents""".stripMargin
+
+  // --------------------------------------------------------- q27
+  /** MinHash banded LSH keys: (doc_id, band, band_key). */
+  private def q27(s: SparkSession, dir: String): DataFrame =
+    Dedup.bandKeys(Tables.documents(s, dir), "text", "doc_id",
+        Bands, RowsPerBand, ShingleK)
+      .select(col("id").as("doc_id"), col("band"), col("band_key"))
+  private val q27Sql =
+    s"WITH $BandsCte SELECT doc_id, band, band_key FROM bands"
+
+  // --------------------------------------------------------- q28
+  /** Near-dup pairs: LSH candidates verified by exact token Jaccard. */
+  private def q28(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val pairs = Dedup.candidatePairs(
+      Dedup.bandKeys(docs, "text", "doc_id", Bands, RowsPerBand, ShingleK))
+    Dedup.jaccardVerify(pairs, docs, "text", "doc_id", JaccardThreshold)
+  }
+  private val q28Sql =
+    s"""WITH $BandsCte,
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+       |sets AS (SELECT doc_id, list_distinct($WsSplit) AS toks FROM documents)
+       |SELECT id_a, id_b,
+       |  round(len(list_intersect(sa.toks, sb.toks))::DOUBLE /
+       |        len(list_distinct(list_concat(sa.toks, sb.toks))), 4) AS jaccard
+       |FROM pairs JOIN sets sa ON id_a = sa.doc_id JOIN sets sb ON id_b = sb.doc_id
+       |WHERE len(list_intersect(sa.toks, sb.toks))::DOUBLE /
+       |      len(list_distinct(list_concat(sa.toks, sb.toks))) >= $JaccardThreshold""".stripMargin
+
+  // --------------------------------------------------------- q29
+  /** Fingerprint (sorted distinct token set) clusters of size > 1. */
+  private def q29(s: SparkSession, dir: String): DataFrame =
+    Dedup.fingerprintClusters(Tables.documents(s, dir), "text", "doc_id")
+  private val q29Sql =
+    s"""SELECT md5(array_to_string(list_sort(list_distinct($WsSplit)), ' ')) AS fingerprint,
+       |  COUNT(*) AS cluster_size, MIN(doc_id) AS canonical_doc
+       |FROM documents GROUP BY 1 HAVING COUNT(*) > 1""".stripMargin
+
+  // --------------------------------------------------------- q30
+  /** 16-bit SimHash per document. */
+  private def q30(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), Dedup.simhash16(col("text")).as("simhash"))
+  private val q30Sql = {
+    val bitTerms = (0 until 16).map { b =>
+      val digit = b / 4 + 1
+      val shift = b % 4
+      val bitSum =
+        s"""list_sum(list_transform($WsSplit, w ->
+           | CASE WHEN ((strpos('0123456789abcdef', substr(md5(w), $digit, 1)) - 1) >> $shift) & 1 = 1
+           | THEN 1 ELSE -1 END))""".stripMargin.replace("\n", " ")
+      s"CASE WHEN $bitSum > 0 THEN ${1L << b} ELSE 0 END"
+    }
+    s"SELECT doc_id, CAST(${bitTerms.mkString(" + ")} AS BIGINT) AS simhash FROM documents"
+  }
+
+  // --------------------------------------------------------- q31
+  /** Exact brute-force cosine top-k (queries = vec_id < 10). */
+  private def q31(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    Similarity.topKNeighbors(emb, queries, AnnK)
+  }
+  private val CosSql =
+    "list_dot_product(qv, v) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v)))"
+  private val q31Sql =
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+       |c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+       |SELECT q_id, CAST(rn AS INT) AS rank, vec_id, round(cos, 6) AS cos_sim FROM (
+       |  SELECT q_id, vec_id, $CosSql AS cos,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY $CosSql DESC, vec_id) AS rn
+       |  FROM q, c WHERE vec_id <> q_id)
+       |WHERE rn <= $AnnK""".stripMargin
+
+  // --------------------------------------------------------- q32
+  /** LSH-bucketed approximate top-k: candidates share the query's
+    * hyperplane-sign bucket; cosine only within buckets. */
+  private def q32(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    Similarity.topKNeighborsLsh(emb, queries, AnnK, LshPlanes)
+  }
+  private val BucketSql = {
+    val bits = (1 to LshPlanes).map { p =>
+      s"""CASE WHEN list_sum(list_transform(range(0, 64),
+         | d -> e[d + 1]::DOUBLE * sin($p * 12.9898 + d * 78.233))) >= 0
+         | THEN '1' ELSE '0' END""".stripMargin.replace("\n", " ")
+    }
+    bits.mkString(" || ")
+  }
+  private val q32Sql =
+    s"""WITH base AS (SELECT vec_id, embedding AS e, embedding::DOUBLE[] AS vd FROM embeddings),
+       |b AS (SELECT vec_id, vd, $BucketSql AS bucket FROM base),
+       |q AS (SELECT vec_id AS q_id, vd AS qv, bucket FROM b WHERE vec_id < 10),
+       |c AS (SELECT vec_id, vd AS v, bucket FROM b)
+       |SELECT q_id, CAST(rn AS INT) AS rank, vec_id, round(cos, 6) AS cos_sim FROM (
+       |  SELECT q_id, vec_id, $CosSql AS cos,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY $CosSql DESC, vec_id) AS rn
+       |  FROM q JOIN c USING (bucket) WHERE vec_id <> q_id)
+       |WHERE rn <= $AnnK""".stripMargin
+
+  // --------------------------------------------------------- q33
+  /** Language id: stopword-hit argmax vs the labeled lang column. */
+  private def q33(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        TextAnalysis.langId(col("text")).as("lang_pred"))
+  private val q33Sql = {
+    // Spark's greatest(struct(score, lang)) tie-breaks by MAX lang string;
+    // DuckDB 1.0 greatest can't take structs, so the CASE checks langs in
+    // descending lexicographic order for identical semantics.
+    val scoreCols = TextAnalysis.StopwordSets.map { case (lang, sw) =>
+      val swList = sw.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"len(list_filter($WsSplit, w -> list_contains($swList, w)))::DOUBLE / greatest(len($WsSplit), 1) AS s_$lang"
+    }
+    val langsDesc = TextAnalysis.StopwordSets.map(_._1).sorted.reverse
+    val best = s"greatest(${TextAnalysis.StopwordSets.map(l => s"s_${l._1}").mkString(", ")})"
+    val pick = langsDesc.init
+      .map(l => s"WHEN s_$l = $best THEN '$l'")
+      .mkString(" ")
+    s"""SELECT doc_id, lang,
+       |  CASE WHEN $best = 0 THEN 'und' $pick ELSE '${langsDesc.last}' END AS lang_pred
+       |FROM (SELECT doc_id, lang, ${scoreCols.mkString(", ")} FROM documents)""".stripMargin
+  }
+
+  // --------------------------------------------------------- q34
+  /** Quality scoring: length/punct/word-length composite. */
+  private def q34(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("n_chars"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        TextAnalysis.qualityScore(col("text"), col("n_chars")).as("quality"))
+  private val q34Sql =
+    s"""SELECT doc_id, n_chars, n_tokens, round((len_band + word_band + (1.0 - least(punct * 4, 1.0))) / 3.0, 4) AS quality
+       |FROM (
+       |  SELECT doc_id, n_chars, CAST(len($WsSplit) AS INT) AS n_tokens,
+       |    len(list_filter(list_transform($WsSplit, w -> substr(w, 1, 1)),
+       |        c -> NOT regexp_matches(c, '[A-Za-z0-9]')))::DOUBLE
+       |      / greatest(len($WsSplit), 1) AS punct,
+       |    CASE WHEN n_chars BETWEEN 100 AND 400 THEN 1.0
+       |         WHEN n_chars BETWEEN 50 AND 99 OR n_chars BETWEEN 401 AND 600 THEN 0.5
+       |         ELSE 0.0 END AS len_band,
+       |    CASE WHEN n_chars::DOUBLE / greatest(len($WsSplit), 1) BETWEEN 3.0 AND 8.0
+       |         THEN 1.0 ELSE 0.5 END AS word_band
+       |  FROM documents)""".stripMargin
+
+  // --------------------------------------------------------- q35
+  /** Token counting: whitespace + BPE-ish regex. */
+  private def q35(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_ws_tokens"),
+        TextAnalysis.tokenCountRegex(col("text")).as("n_bpe_tokens"))
+  private val q35Sql =
+    s"""SELECT doc_id, CAST(len($WsSplit) AS INT) AS n_ws_tokens,
+       |  CAST(len(regexp_extract_all(text, '${TextAnalysis.BpeTokenPattern}')) AS INT) AS n_bpe_tokens
+       |FROM documents""".stripMargin
+
+  // --------------------------------------------------------- q36
+  /** Multimodal metadata over binary blobs: byte length + sha256. The
+    * decode/feature step is the [[Multimodal]] mapPartitions path
+    * (spec-tested); metadata extraction is oracle-checked here. */
+  private def q36(s: SparkSession, dir: String): DataFrame =
+    Multimodal.mediaFromDocuments(Tables.documents(s, dir))
+      .select(col("id").as("doc_id"), col("mime"),
+        length(col("blob")).as("byte_len"),
+        sha2(col("blob"), 256).as("sha"))
+  private val q36Sql =
+    """SELECT doc_id, 'application/x-src-' || source AS mime,
+      |  CAST(octet_length(encode(text)) AS INT) AS byte_len,
+      |  sha256(text) AS sha
+      |FROM documents""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q26_dedup_exact" -> q26 _,
+    "q27_minhash_bands" -> q27 _,
+    "q28_neardup_pairs" -> q28 _,
+    "q29_fingerprint_dedup" -> q29 _,
+    "q30_simhash" -> q30 _,
+    "q31_ann_cosine" -> q31 _,
+    "q32_ann_lsh" -> q32 _,
+    "q33_lang_id" -> q33 _,
+    "q34_text_quality" -> q34 _,
+    "q35_token_count" -> q35 _,
+    "q36_multimodal_meta" -> q36 _)
+
+  val oracles: Map[String, String] = Map(
+    "q26_dedup_exact" -> q26Sql,
+    "q27_minhash_bands" -> q27Sql,
+    "q28_neardup_pairs" -> q28Sql,
+    "q29_fingerprint_dedup" -> q29Sql,
+    "q30_simhash" -> q30Sql,
+    "q31_ann_cosine" -> q31Sql,
+    "q32_ann_lsh" -> q32Sql,
+    "q33_lang_id" -> q33Sql,
+    "q34_text_quality" -> q34Sql,
+    "q35_token_count" -> q35Sql,
+    "q36_multimodal_meta" -> q36Sql)
+}

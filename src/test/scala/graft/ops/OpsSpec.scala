@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("shingles: k-grams, short docs yield empty not reversed sequence") {
+    val df = Seq((1L, "a b c d"), (2L, "a b"), (3L, "a")).toDF("doc_id", "text")
+    val sh = df.select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    sh(1L) shouldBe Seq("a b c", "b c d")
+    sh(2L) shouldBe Seq.empty
+    sh(3L) shouldBe Seq.empty
+  }
+
+  test("exact dedup marks one canonical row per content key") {
+    val df = Seq((1L, "same text"), (2L, "same text"), (3L, "other"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exactDedup(df, "text", "doc_id")
+      .select("doc_id", "is_canonical").as[(Long, Boolean)].collect().toMap
+    out shouldBe Map(1L -> true, 2L -> false, 3L -> true)
+  }
+
+  test("minhash LSH surfaces a true near-dup pair; jaccard verifies") {
+    val a = "the quick brown fox jumps over the lazy dog again and again"
+    val b = "the quick brown fox jumps over the lazy cat again and again"
+    val c = "completely different words nothing shared here at all ever done"
+    val df = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    val pairs = Dedup.candidatePairs(
+      Dedup.bandKeys(df, "text", "doc_id", bands = 4, rowsPerBand = 2))
+    val verified = Dedup.jaccardVerify(pairs, df, "text", "doc_id", 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    verified shouldBe Set((1L, 2L))
+  }
+
+  test("simhash: identical texts collide, similar texts are close") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "alpha beta gamma delta epsilon eta")).toDF("doc_id", "text")
+    val sh = df.select(col("doc_id"), Dedup.simhash16(col("text")).as("s"))
+      .as[(Long, Long)].collect().toMap
+    sh(1L) shouldBe sh(2L)
+    val dist = spark.range(1)
+      .select(Dedup.hamming(lit(sh(1L)), lit(sh(3L))).cast("long"))
+      .first().getLong(0)
+    assert(dist <= 8, s"similar docs should be close, hamming=$dist")
+  }
+
+  test("brute-force topK finds the exact nearest neighbor") {
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(-1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val queries = Seq((1L, Array(1.0f, 0.0f))).toDF("q_id", "q_vec")
+    val top = Similarity.topKNeighbors(corpus, queries, 2)
+      .orderBy("rank").as[(Long, Int, Long, Double)].collect()
+    top(0)._3 shouldBe 2L // nearest (excluding self)
+    top(1)._3 shouldBe 3L
+  }
+
+  test("LSH buckets: identical vectors share a bucket, opposites don't") {
+    val corpus = Seq(
+      (1L, Array.fill(8)(0.5f)), (2L, Array.fill(8)(0.5f)),
+      (3L, Array.fill(8)(-0.5f))).toDF("vec_id", "embedding")
+    val b = Similarity.lshBuckets(corpus, planes = 4)
+      .as[(Long, String)].collect().toMap
+    b(1L) shouldBe b(2L)
+    b(1L) should not be b(3L)
+  }
+
+  test("multimodal: batched decode is deterministic with typed schema") {
+    val docs = Seq((1L, "hello world", "en", "srcA", 11L),
+      (2L, "spark engine", "en", "srcB", 12L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val media = Multimodal.mediaFromDocuments(docs)
+    media.schema("blob").dataType.typeName shouldBe "binary"
+    val feats = Multimodal.extractFeatures(spark, media, batchSize = 1, partitions = 2)
+    feats.rdd.getNumPartitions shouldBe 2
+    val rows = feats.collect().sortBy(_.id)
+    rows.map(_.byte_len).toSeq shouldBe Seq(11, 12)
+    rows.head.features.length shouldBe 8
+    rows.head.mime shouldBe "application/x-src-srcA"
+    // determinism: same input -> same features
+    val again = Multimodal.extractFeatures(spark, media, batchSize = 64)
+      .collect().sortBy(_.id)
+    again.map(_.features.toSeq).toSeq shouldBe rows.map(_.features.toSeq).toSeq
+  }
+}
