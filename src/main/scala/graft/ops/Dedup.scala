@@ -27,6 +27,15 @@ object Dedup {
   /** Tokenize on single spaces (the corpus delimiter). */
   def words(text: Column): Column = split(text, " ")
 
+  /** Ensure CPU-bound per-row work is spread across the cluster: a small
+    * input (one parquet file → one task) would otherwise hash on a
+    * single core. No-op when the scan already has enough splits — at
+    * real scale the input parallelism dominates and no shuffle is added. */
+  def spread(df: DataFrame): DataFrame = {
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    if (df.rdd.getNumPartitions < parts) df.repartition(parts) else df
+  }
+
   // ------------------------------------------------------------ exact
   /** Exact dedup on a content hash: marks each doc with its content key
     * and whether it's the canonical (minimum-id) copy. Single shuffle on
@@ -53,11 +62,13 @@ object Dedup {
       .filter(col("cluster_size") > 1)
 
   // ---------------------------------------------------------- minhash
-  /** Word `k`-shingles of a text column (consecutive token n-grams).
+  /** Word `k`-shingles from a MATERIALIZED words-array column
+    * (consecutive token n-grams). `ws` must be a plain column/attribute:
+    * passing an expression like `split(text)` here would re-evaluate it
+    * per array ELEMENT inside the lambda — O(words²) per row.
     * Guarded: `sequence(1, n)` REVERSES when n < 1, so short docs map to
     * an explicit empty array. */
-  def shingles(text: Column, k: Int): Column = {
-    val ws = words(text)
+  def shinglesOfWords(ws: Column, k: Int): Column = {
     val n = size(ws) - (k - 1)
     when(n >= 1,
       transform(sequence(lit(1), greatest(n, lit(1))),
@@ -65,27 +76,49 @@ object Dedup {
       .otherwise(array().cast("array<string>"))
   }
 
-  /** MinHash signature h ∈ [0, numHashes): min over shingles of
-    * md5(shingle + "#" + h). String-min over hex digests — deterministic
-    * everywhere, no seed state. */
-  def minhash(shinglesCol: Column, h: Int): Column =
-    array_min(transform(shinglesCol, s => md5(concat(s, lit("#" + h)))))
+  /** Convenience for small/test inputs; for bulk use stage `words` as
+    * its own projection first (see [[bandKeys]]). */
+  def shingles(text: Column, k: Int): Column = shinglesOfWords(words(text), k)
+
+  /** Per-shingle hash pair for the Carter-Wegman MinHash family: ONE
+    * md5 per shingle, split into two 48-bit halves `(h1, h2)`; the i-th
+    * hash function is then `h1 + i·h2` (exact in 53 bits — no overflow,
+    * no modulus needed). 16 hash functions cost 16 integer FMAs instead
+    * of 16 digests — ~an order of magnitude less CPU per shingle, same
+    * shape at any scale. */
+  def shingleHashPairs(shinglesCol: Column): Column =
+    transform(shinglesCol, s => {
+      val d = md5(s)
+      array(
+        conv(substring(d, 1, 12), 16, 10).cast("long"),
+        conv(substring(d, 13, 12), 16, 10).cast("long"))
+    })
+
+  /** MinHash i: min over shingles of `h1 + i·h2`. */
+  def minhash(hashPairsCol: Column, i: Int): Column =
+    array_min(transform(hashPairsCol,
+      p => element_at(p, 1) + lit(i.toLong) * element_at(p, 2)))
 
   /** Banded LSH keys: `bands` keys per doc, each hashing `rowsPerBand`
     * consecutive minhashes. Two docs sharing any band key are candidate
     * near-dups. Output: (id, band, band_key) — `bands × n` rows. */
   def bandKeys(docs: DataFrame, textCol: String, idCol: String,
       bands: Int, rowsPerBand: Int, shingleK: Int = 3): DataFrame = {
-    val withShingles = docs
-      .select(col(idCol).as("id"), shingles(col(textCol), shingleK).as("sh"))
+    // staged projections: words -> shingles -> hash pairs each become
+    // attributes, so no array expression is re-evaluated per element
+    val withHashes = spread(docs.select(col(idCol).as("id"), col(textCol)))
+      .select(col("id"), words(col(textCol)).as("ws"))
+      .select(col("id"), shinglesOfWords(col("ws"), shingleK).as("sh"))
       .filter(size(col("sh")) > 0)
+      .select(col("id"), shingleHashPairs(col("sh")).as("hs"))
     val sigs = (0 until bands * rowsPerBand)
-      .map(h => minhash(col("sh"), h).as(s"mh$h"))
+      .map(h => minhash(col("hs"), h).as(s"mh$h"))
     val bandCols = (0 until bands).map { b =>
-      val parts = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
+      val parts = (0 until rowsPerBand)
+        .map(r => col(s"mh${b * rowsPerBand + r}").cast("string"))
       struct(lit(b).as("band"), md5(concat_ws("|", parts: _*)).as("band_key")).as(s"b$b")
     }
-    withShingles
+    withHashes
       .select(col("id") +: sigs: _*)
       .select(col("id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
@@ -127,12 +160,16 @@ object Dedup {
   private def hexDigit(h: Column, i: Int): Column =
     instr(lit("0123456789abcdef"), substring(h, i, 1)) - 1
 
+  /** Per-token md5 digests, to be staged as a projection before
+    * [[simhash16FromHashes]] (which references the array 16 times). */
+  def wordHashes(ws: Column): Column = transform(ws, w => md5(w))
+
   /** 16-bit SimHash over the token multiset: bit b is set when the sum
     * over tokens of ±1 (by bit b of the token's md5) is positive.
     * Computed per row with higher-order functions — no explode, no
-    * shuffle. */
-  def simhash16(text: Column): Column = {
-    val hashes = transform(words(text), w => md5(w))
+    * shuffle. `hashes` must be a materialized column of [[wordHashes]];
+    * passing the expression inline re-hashes every token 16×. */
+  def simhash16FromHashes(hashes: Column): Column = {
     val bitSums = (0 until 16).map { b =>
       val digit = b / 4 + 1  // hex digit index, 1-based
       val shift = b % 4
@@ -145,6 +182,11 @@ object Dedup {
       when(s > 0, lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
   }
+
+  /** Convenience for small/test inputs; bulk callers stage
+    * [[wordHashes]] first (see LlmQueries q30). */
+  def simhash16(text: Column): Column =
+    simhash16FromHashes(wordHashes(words(text)))
 
   /** Hamming distance between two simhash values. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

@@ -32,9 +32,9 @@ object LlmQueries {
        |        i -> $WsSplit[i] || ' ' || $WsSplit[i+1] || ' ' || $WsSplit[i+2])
        | ELSE [] END""".stripMargin.replace("\n", " ")
   private def minhashSql(h: Int) =
-    s"list_min(list_transform(sh, s -> md5(s || '#$h')))"
+    s"list_min(list_transform(hs, p -> p[1] + $h * p[2]))"
   private def bandKeySql(b: Int) = {
-    val parts = (0 until RowsPerBand).map(r => s"mh${b * RowsPerBand + r}")
+    val parts = (0 until RowsPerBand).map(r => s"mh${b * RowsPerBand + r}::VARCHAR")
     s"md5(${parts.mkString(" || '|' || ")})"
   }
   private val BandsCte = {
@@ -44,7 +44,11 @@ object LlmQueries {
       s"SELECT doc_id, $b AS band, ${bandKeySql(b)} AS band_key FROM mh")
       .mkString(" UNION ALL ")
     s"""sh AS (SELECT doc_id, $ShinglesSql AS sh FROM documents),
-       |mh AS (SELECT doc_id, $mhCols FROM sh WHERE len(sh) > 0),
+       |hp AS (SELECT doc_id, list_transform(sh, s ->
+       |         [('0x' || substr(md5(s), 1, 12))::BIGINT,
+       |          ('0x' || substr(md5(s), 13, 12))::BIGINT]) AS hs
+       |       FROM sh WHERE len(sh) > 0),
+       |mh AS (SELECT doc_id, $mhCols FROM hp),
        |bands AS ($bandSelects)""".stripMargin
   }
 
@@ -71,8 +75,13 @@ object LlmQueries {
   /** Near-dup pairs: LSH candidates verified by exact token Jaccard. */
   private def q28(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val pairs = Dedup.candidatePairs(
-      Dedup.bandKeys(docs, "text", "doc_id", Bands, RowsPerBand, ShingleK))
+    // persist the signatures: the candidate self-join reads them twice,
+    // and recomputing 16 minhashes per side doubles the dominant cost
+    // (band keys are ~bands×n tiny rows — cheap to keep, at any scale)
+    val bands = Dedup
+      .bandKeys(docs, "text", "doc_id", Bands, RowsPerBand, ShingleK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = Dedup.candidatePairs(bands)
     Dedup.jaccardVerify(pairs, docs, "text", "doc_id", JaccardThreshold)
   }
   private val q28Sql =
@@ -101,8 +110,10 @@ object LlmQueries {
   // --------------------------------------------------------- q30
   /** 16-bit SimHash per document. */
   private def q30(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
-      .select(col("doc_id"), Dedup.simhash16(col("text")).as("simhash"))
+    Dedup.spread(Tables.documents(s, dir).select(col("doc_id"), col("text")))
+      .select(col("doc_id"),
+        Dedup.wordHashes(Dedup.words(col("text"))).as("wh"))
+      .select(col("doc_id"), Dedup.simhash16FromHashes(col("wh")).as("simhash"))
   private val q30Sql = {
     val bitTerms = (0 until 16).map { b =>
       val digit = b / 4 + 1

@@ -30,7 +30,7 @@ class OpsSpec extends SparkSpec {
     val c = "completely different words nothing shared here at all ever done"
     val df = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
     val pairs = Dedup.candidatePairs(
-      Dedup.bandKeys(df, "text", "doc_id", bands = 4, rowsPerBand = 2))
+      Dedup.bandKeys(df, "text", "doc_id", bands = 8, rowsPerBand = 1))
     val verified = Dedup.jaccardVerify(pairs, df, "text", "doc_id", 0.5)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     verified shouldBe Set((1L, 2L))
