@@ -21,7 +21,8 @@ class Pipeline(
     val sourceTables: Set[String],
     compute: () => DataFrame,
     store: SnapshotStore,
-    val sink: DocumentSink) {
+    val sink: DocumentSink,
+    scopedCompute: Option[Seq[graft.cdc.ChangeEvent] => (DataFrame, DataFrame)] = None) {
 
   /** A1/A8: materialize the initial snapshot and bulk-load the sink —
     * the reference's `setup` + backfill via server-side cursor
@@ -52,5 +53,47 @@ class Pipeline(
       store.commit(v)
       n
     } finally actions.unpersist()
+  }
+
+  /** The 100 TB refresh path: recompute ONLY the view keys a change
+    * batch can affect (derived by mapping changed source rows through
+    * the view's join graph — the per-pipeline `scopedCompute`), instead
+    * of the whole view. Work scales with change volume, not view size:
+    * `REFRESH CONCURRENTLY`'s cost model, which the reference gets from
+    * Postgres for free and a naive recompute loses (SURVEY §7.4).
+    *
+    * `scopedCompute(changes)` returns `(affectedIds(id), recomputed(id,
+    * doc))` where `recomputed` covers exactly the still-existing docs of
+    * `affectedIds`. Diff semantics:
+    *   - recomputed rows whose (id, hash) isn't in the old snapshot →
+    *     upserts;
+    *   - affected ids present in old but absent from recomputed →
+    *     deletes;
+    *   - snapshot = old minus affected, plus recomputed (one
+    *     anti-join + union — same merge shape as the sink).
+    *
+    * Pipelines without a scoped compute fall back to full [[refresh]].
+    * @return #actions applied */
+  def refreshScoped(changes: Seq[graft.cdc.ChangeEvent]): Long = scopedCompute match {
+    case None => refresh()
+    case Some(f) =>
+      val (affectedIds, recomputed) = f(changes)
+      val ids = affectedIds.select(col("id")).distinct().cache()
+      val recomp = recomputed.cache()
+      try {
+        val old = store.read()
+        val oldAffected = old.join(ids, Seq("id"), "left_semi")
+        val actions = DiffRefresher.diff(oldAffected, recomp).cache()
+        try {
+          val n = actions.count()
+          if (n > 0) {
+            sink.applyActions(actions)
+            val merged = old.join(ids, Seq("id"), "left_anti")
+              .unionByName(recomp.select("id", "doc"))
+            store.commit(store.stage(merged))
+          }
+          n
+        } finally actions.unpersist()
+      } finally { ids.unpersist(); recomp.unpersist() }
   }
 }

@@ -50,13 +50,22 @@ class Runner(val pipelines: Seq[Pipeline], feed: ChangeFeed) {
   def backfillAll(): Map[String, Long] =
     awaitAll(pipelines.map(p => Future(p.view -> p.backfill()))).toMap
 
-  /** One poll tick. @return view → #actions applied (empty = idle). */
+  /** One poll tick. Pipelines with a scoped compute get only their
+    * relevant change events and refresh key-scoped; DELETE batches (no
+    * before-image to scope with) and scope-less pipelines fall back to
+    * the full recompute-and-diff.
+    * @return view → #actions applied (empty = idle). */
   def iterate(): Map[String, Long] = {
     val changed = feed.drain()
     if (changed.isEmpty) return Map.empty
     val dirtyTables = changed.map(_.table).toSet
     val dirty = pipelines.filter(_.sourceTables.intersect(dirtyTables).nonEmpty)
-    awaitAll(dirty.map(p => Future(p.view -> p.refresh()))).toMap
+    awaitAll(dirty.map { p =>
+      val relevant = changed.filter(e => p.sourceTables.contains(e.table))
+      Future(p.view -> (
+        if (relevant.exists(_.op == "DELETE")) p.refresh()
+        else p.refreshScoped(relevant)))
+    }).toMap
   }
 
   /** Poll loop (A14; reference runner.py:68-90): iterate forever,

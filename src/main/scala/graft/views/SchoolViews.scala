@@ -1,6 +1,6 @@
 package graft.views
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** The reference's two fixture denormalization views, re-expressed as
@@ -78,5 +78,55 @@ object SchoolViews {
           col("description").as("description"),
           col("teacher"),
           col("enrollments")), jsonOpts).as("doc"))
+  }
+
+  /** Scoped-compute for course_mv (the 100 TB refresh path —
+    * Pipeline.refreshScoped): maps a change batch to the course ids it
+    * can affect by walking the view's join graph against CURRENT source
+    * state, then recomputes the view for just those courses (the course
+    * scan is semi-join-pruned; every downstream join prunes with it).
+    *
+    * Change ids become literal IN-lists — change batches are bounded
+    * (one micro-batch); a huge backfill-style batch should use the full
+    * refresh instead. DELETE changes need before-images to scope
+    * correctly (the dead row no longer joins), so the runner routes
+    * delete batches to the full refresh.
+    */
+  def courseMvScoped(
+      course: DataFrame,
+      teacher: DataFrame,
+      student: DataFrame,
+      person: DataFrame,
+      enrollment: DataFrame)(
+      changes: Seq[graft.cdc.ChangeEvent]): (DataFrame, DataFrame) = {
+    def ids(table: String): Seq[String] =
+      changes.filter(_.table == table).map(_.id).distinct
+    def inList(c: Column, vs: Seq[String]): Column =
+      if (vs.isEmpty) lit(false) else c.isin(vs: _*)
+
+    val personIds = ids("person")
+    val viaTeacher = teacher
+      .filter(inList(col("person_id"), personIds) ||
+        inList(col("id"), ids("teacher")))
+      .select(col("id").as("t_id"))
+    val viaStudent = student
+      .filter(inList(col("person_id"), personIds) ||
+        inList(col("id"), ids("student")))
+      .select(col("id").as("s_id"))
+    val viaEnrollment = enrollment
+      .filter(inList(col("id"), ids("enrollment")))
+      .select(col("course_id").as("id"))
+    val affected = course
+      .join(viaTeacher, col("teacher_id") === col("t_id"), "left_semi")
+      .select(col("id"))
+      .unionByName(enrollment
+        .join(viaStudent, col("student_id") === col("s_id"), "left_semi")
+        .select(col("course_id").as("id")))
+      .unionByName(viaEnrollment)
+      .unionByName(course.filter(inList(col("id"), ids("course")))
+        .select(col("id")))
+      .distinct()
+    val scopedCourse = course.join(affected, Seq("id"), "left_semi")
+    (affected, courseMv(scopedCourse, teacher, student, person, enrollment))
   }
 }
