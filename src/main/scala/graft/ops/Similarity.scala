@@ -77,6 +77,51 @@ object Similarity {
     corpus.select(col("vec_id"),
       lshBucket(col("embedding"), planes).as("bucket"))
 
+  /** Banded hyperplane buckets for near-dup detection: `bands`
+    * independent bucket keys per vector (band b uses planes
+    * b·R+1 … b·R+R). Two vectors are candidates when ANY band matches —
+    * the OR-construction that buys recall at moderate thresholds, same
+    * shape as MinHash banding. Output: (vec_id, band, bucket). */
+  def lshBandKeys(corpus: DataFrame, bands: Int, planesPerBand: Int): DataFrame = {
+    val bandCols = (0 until bands).map { b =>
+      val bits = (1 to planesPerBand).map { r =>
+        val p = b * planesPerBand + r
+        val v = toDouble(col("embedding"))
+        val proj = aggregate(
+          zip_with(v, sequence(lit(0), size(v) - 1),
+            (x, d) => x * planeWeight(p, d)),
+          lit(0.0d), _ + _)
+        when(proj >= 0, lit("1")).otherwise(lit("0"))
+      }
+      struct(lit(b).as("band"), concat(bits: _*).as("bucket")).as(s"b$b")
+    }
+    corpus
+      .select(col("vec_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("vec_id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+  }
+
+  /** Embedding near-dup pairs: banded-LSH candidates (equi-join on
+    * (band, bucket) — never an all-pairs product) verified by exact
+    * cosine ≥ `threshold`. The verify join reads the corpus keyed by
+    * vec_id; candidate volume, not corpus size, drives its cost. */
+  def nearDupPairs(corpus: DataFrame, bands: Int, planesPerBand: Int,
+      threshold: Double): DataFrame = {
+    val keys = lshBandKeys(corpus, bands, planesPerBand)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = keys.select(col("band"), col("bucket"), col("vec_id").as("id_a"))
+    val b = keys.select(col("band"), col("bucket"), col("vec_id").as("id_b"))
+    val pairs = a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val vecs = corpus.select(col("vec_id"), toDouble(col("embedding")).as("vv"))
+    pairs
+      .join(vecs.select(col("vec_id").as("id_a"), col("vv").as("va")), Seq("id_a"))
+      .join(vecs.select(col("vec_id").as("id_b"), col("vv").as("vb")), Seq("id_b"))
+      .withColumn("cos", cosine(col("va"), col("vb")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos_sim"))
+  }
+
   /** Approximate top-k: candidates share the query's bucket; exact
     * cosine + window only within buckets. The equi-join on `bucket`
     * replaces the cross join — at N corpus vectors and B buckets the

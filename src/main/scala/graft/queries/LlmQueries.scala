@@ -246,6 +246,40 @@ object LlmQueries {
       |  sha256(text) AS sha
       |FROM documents""".stripMargin
 
+  // --------------------------------------------------------- q37
+  /** Embedding-cosine near-dup pairs: banded hyperplane LSH candidates
+    * verified at cosine ≥ 0.4 (the corpus' high-similarity tail). */
+  private val NdBands = 3
+  private val NdPlanes = 3
+  private val NdThreshold = 0.4
+  private def q37(s: SparkSession, dir: String): DataFrame =
+    Similarity.nearDupPairs(Tables.embeddings(s, dir),
+      NdBands, NdPlanes, NdThreshold)
+  private val q37Sql = {
+    val bandSelects = (0 until NdBands).map { b =>
+      val bits = (1 to NdPlanes).map { r =>
+        val p = b * NdPlanes + r
+        s"""CASE WHEN list_sum(list_transform(range(0, 64),
+           | d -> e[d + 1]::DOUBLE * sin($p * 12.9898 + d * 78.233))) >= 0
+           | THEN '1' ELSE '0' END""".stripMargin.replace("\n", " ")
+      }
+      s"SELECT vec_id, $b AS band, ${bits.mkString(" || ")} AS bucket FROM base"
+    }
+    s"""WITH base AS (SELECT vec_id, embedding AS e FROM embeddings),
+       |keys AS (${bandSelects.mkString(" UNION ALL ")}),
+       |pairs AS (
+       |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM keys a JOIN keys b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+       |vecs AS (SELECT vec_id, embedding::DOUBLE[] AS vv FROM embeddings)
+       |SELECT id_a, id_b, round(cos, 6) AS cos_sim FROM (
+       |  SELECT id_a, id_b,
+       |    list_dot_product(va.vv, vb.vv) /
+       |      (sqrt(list_dot_product(va.vv, va.vv)) * sqrt(list_dot_product(vb.vv, vb.vv))) AS cos
+       |  FROM pairs JOIN vecs va ON id_a = va.vec_id JOIN vecs vb ON id_b = vb.vec_id)
+       |WHERE cos >= $NdThreshold""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q26_dedup_exact" -> q26 _,
     "q27_minhash_bands" -> q27 _,
@@ -257,7 +291,8 @@ object LlmQueries {
     "q33_lang_id" -> q33 _,
     "q34_text_quality" -> q34 _,
     "q35_token_count" -> q35 _,
-    "q36_multimodal_meta" -> q36 _)
+    "q36_multimodal_meta" -> q36 _,
+    "q37_embed_neardup" -> q37 _)
 
   val oracles: Map[String, String] = Map(
     "q26_dedup_exact" -> q26Sql,
@@ -270,5 +305,6 @@ object LlmQueries {
     "q33_lang_id" -> q33Sql,
     "q34_text_quality" -> q34Sql,
     "q35_token_count" -> q35Sql,
-    "q36_multimodal_meta" -> q36Sql)
+    "q36_multimodal_meta" -> q36Sql,
+    "q37_embed_neardup" -> q37Sql)
 }
