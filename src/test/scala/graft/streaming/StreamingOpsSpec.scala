@@ -1,0 +1,81 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.{Encoder, Encoders}
+
+import graft.SparkSpec
+
+/** Streaming operator surface beyond the reference's processing-time
+  * poll loop (SURVEY §2C notes sinker is processing-time-only): event-
+  * time windows with watermarks and arbitrary keyed state — the pieces
+  * a training-data ingest pipeline needs for late data and
+  * sessionization at scale. */
+class StreamingOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("watermarked tumbling-window aggregation emits closed windows") {
+    implicit val enc: Encoder[(Timestamp, String, Double)] =
+      Encoders.product[(Timestamp, String, Double)]
+    val stream = MemoryStream[(Timestamp, String, Double)](enc, spark)
+    val windowed = stream.toDF().toDF("ts", "event_type", "value")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n"), col("sum_value"))
+    val query = windowed.writeStream
+      .format("memory").queryName("win_agg")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      stream.addData((ts(0), "click", 1.0), (ts(2), "click", 2.0), (ts(4), "view", 5.0))
+      query.processAllAvailable()
+      // nothing emitted yet: watermark hasn't passed the window ends
+      spark.table("win_agg").count() shouldBe 0
+
+      // event at 10:30 pushes the watermark to 10:20 -> both 10:00-10:05
+      // windows close and emit
+      stream.addData((ts(30), "click", 9.0))
+      query.processAllAvailable()
+      val rows = spark.table("win_agg")
+        .as[(Timestamp, String, Long, Double)].collect().sortBy(_._2)
+      rows.map(r => (r._1.toString, r._2, r._3, r._4)).toSeq shouldBe Seq(
+        ("2024-01-01 10:00:00.0", "click", 2L, 3.0),
+        ("2024-01-01 10:00:00.0", "view", 1L, 5.0))
+    } finally query.stop()
+  }
+
+  test("mapGroupsWithState keeps running per-key state across batches") {
+    implicit val enc: Encoder[(String, Long)] = Encoders.product[(String, Long)]
+    val stream = MemoryStream[(String, Long)](enc, spark)
+    val counted = stream.toDS()
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, Long)], state: GroupState[Long]) =>
+          val total = state.getOption.getOrElse(0L) + rows.map(_._2).sum
+          state.update(total)
+          (key, total)
+      }
+    val query = counted.toDF("user", "total").writeStream
+      .format("memory").queryName("user_totals")
+      .outputMode(OutputMode.Update())
+      .start()
+    try {
+      stream.addData(("u1", 3L), ("u2", 4L))
+      query.processAllAvailable()
+      stream.addData(("u1", 5L))
+      query.processAllAvailable()
+      val totals = spark.table("user_totals")
+        .groupBy("user").agg(max("total").as("total"))
+        .as[(String, Long)].collect().toMap
+      totals shouldBe Map("u1" -> 8L, "u2" -> 4L)
+    } finally query.stop()
+  }
+}
