@@ -190,4 +190,16 @@ object Dedup {
 
   /** Hamming distance between two simhash values. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash dedup clusters: docs sharing an identical 16-bit signature,
+    * one hash-partitioned groupBy — the near-dup blocking step that
+    * never materializes pairs. (Within-cluster or nibble-banded
+    * hamming-distance verification composes on top via [[hamming]].) */
+  def simhashClusters(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    spread(docs.select(col(idCol).as("id"), col(textCol)))
+      .select(col("id"), wordHashes(words(col(textCol))).as("wh"))
+      .select(col("id"), simhash16FromHashes(col("wh")).as("simhash"))
+      .groupBy(col("simhash"))
+      .agg(count(lit(1)).as("cluster_size"), min(col("id")).as("canonical_doc"))
+      .filter(col("cluster_size") > 1)
 }

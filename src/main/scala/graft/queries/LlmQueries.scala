@@ -280,6 +280,20 @@ object LlmQueries {
        |WHERE cos >= $NdThreshold""".stripMargin
   }
 
+  // --------------------------------------------------------- q38
+  /** SimHash dedup clusters (identical-signature blocking). */
+  private def q38(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashClusters(Tables.documents(s, dir), "text", "doc_id")
+      .select(col("simhash"), col("cluster_size"),
+        col("canonical_doc").cast("long").as("canonical_doc"))
+  private val q38Sql = {
+    val simhashBody = q30Sql.stripPrefix("SELECT doc_id, ")
+      .stripSuffix(" FROM documents")
+    s"""WITH sigs AS (SELECT doc_id, $simhashBody FROM documents)
+       |SELECT simhash, COUNT(*) AS cluster_size, MIN(doc_id) AS canonical_doc
+       |FROM sigs GROUP BY simhash HAVING COUNT(*) > 1""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q26_dedup_exact" -> q26 _,
     "q27_minhash_bands" -> q27 _,
@@ -292,7 +306,8 @@ object LlmQueries {
     "q34_text_quality" -> q34 _,
     "q35_token_count" -> q35 _,
     "q36_multimodal_meta" -> q36 _,
-    "q37_embed_neardup" -> q37 _)
+    "q37_embed_neardup" -> q37 _,
+    "q38_simhash_clusters" -> q38 _)
 
   val oracles: Map[String, String] = Map(
     "q26_dedup_exact" -> q26Sql,
@@ -306,5 +321,6 @@ object LlmQueries {
     "q34_text_quality" -> q34Sql,
     "q35_token_count" -> q35Sql,
     "q36_multimodal_meta" -> q36Sql,
-    "q37_embed_neardup" -> q37Sql)
+    "q37_embed_neardup" -> q37Sql,
+    "q38_simhash_clusters" -> q38Sql)
 }

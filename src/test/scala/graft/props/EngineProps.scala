@@ -1,0 +1,113 @@
+package graft.props
+
+import org.scalacheck.{Gen, Prop, Properties, Test}
+import org.scalacheck.Prop.forAll
+import org.apache.spark.sql.types._
+
+import graft.cdc.WalDecoder
+import graft.refresh.DiffRefresher
+import graft.sink.StrictSchema
+
+/** Property-based checks of the engine's core semantics. Pure-function
+  * properties run at full case counts; Spark-backed ones are scaled
+  * down (each case runs real jobs). */
+object EngineProps extends Properties("graft") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(40)
+
+  private lazy val spark = graft.SparkSpec.spark
+
+  private val ident: Gen[String] = for {
+    n <- Gen.chooseNum(1, 12)
+    cs <- Gen.listOfN(n, Gen.frequency(
+      8 -> Gen.alphaNumChar, 1 -> Gen.const('-'), 1 -> Gen.const('_')))
+  } yield cs.mkString
+
+  // ---------------------------------------------------------------
+  // WAL decode inverts the test_decoding line format (A3)
+  property("walDecodeRoundtrip") = forAll(ident, ident, ident) {
+    (schema, table, id) =>
+      val line = s"""table $schema."$table": UPDATE: id[text]:'$id'"""
+      WalDecoder.decode(7L, "0/1", line) match {
+        case Some(ev) =>
+          ev.schema == schema && ev.table == table &&
+            ev.op == "UPDATE" && ev.id == id && ev.doc.isEmpty
+        case None => false
+      }
+  }
+
+  property("walDecodeInsertCarriesQuoteStrippedDoc") = forAll(ident, ident) {
+    (table, id) =>
+      val line =
+        s"""table sinker.$table: INSERT: id[text]:'$id' doc[json]:'{"k": "v"}'"""
+      WalDecoder.decode(1L, "0/2", line)
+        .exists(_.doc.contains("""{"k": "v"}"""))
+  }
+
+  property("walNoiseNeverDecodes") = forAll(Gen.chooseNum(0L, 99999L)) { x =>
+    WalDecoder.decode(x, "0/1", s"BEGIN $x").isEmpty &&
+      WalDecoder.decode(x, "0/1", s"COMMIT $x").isEmpty &&
+      WalDecoder.decode(x, "0/1", "table sinker.m: DELETE: (no-tuple-data)").isEmpty
+  }
+
+  // ---------------------------------------------------------------
+  // Strict schema: conforming docs pass, any unknown field is caught
+  private val flatSchema = StructType(Seq(
+    StructField("name", StringType), StructField("n", DoubleType)))
+
+  property("strictSchemaAcceptsConforming") = forAll(ident, Gen.chooseNum(-1e6, 1e6)) {
+    (name, n) =>
+      StrictSchema.violations(s"""{"name": "$name", "n": $n}""", flatSchema).isEmpty
+  }
+
+  property("strictSchemaRejectsUnknownField") = forAll(ident) { k =>
+    val key = if (k == "name" || k == "n") k + "x" else k
+    StrictSchema.violations(s"""{"$key": 1}""", flatSchema).nonEmpty
+  }
+
+  // ---------------------------------------------------------------
+  // Diff semantics (A9): applying diff(old, new) to old yields new,
+  // and diffing identical snapshots is empty
+  private val kvMap: Gen[Map[String, String]] = for {
+    n <- Gen.chooseNum(0, 12)
+    ks <- Gen.listOfN(n, Gen.chooseNum(0, 20))
+    vs <- Gen.listOfN(n, Gen.chooseNum(0, 5))
+  } yield ks.zip(vs).map { case (k, v) => s"k$k" -> s"""{"v": $v}""" }.toMap
+
+  private def toDf(m: Map[String, String]) = {
+    val s = spark
+    import s.implicits._
+    // toSeq of empty map still needs a schema: union with a dummy then filter
+    (m.toSeq :+ ("__dummy__", "{}")).toDF("id", "doc").filter($"id" =!= "__dummy__")
+  }
+
+  property("diffAppliedToOldYieldsNew") = Prop.forAllNoShrink(kvMap, kvMap) {
+    (oldM, newM) =>
+      val actions = DiffRefresher.diff(toDf(oldM), toDf(newM)).collect()
+      val applied = actions.foldLeft(oldM) { (acc, r) =>
+        r.getString(0) match {
+          case "index" => acc + (r.getString(1) -> r.getString(2))
+          case "delete" => acc - r.getString(1)
+        }
+      }
+      applied == newM
+  }
+
+  property("diffOfIdenticalSnapshotsIsEmpty") = Prop.forAllNoShrink(kvMap) { m =>
+    DiffRefresher.diff(toDf(m), toDf(m)).isEmpty
+  }
+
+  // applying the same actions twice converges (idempotent upsert, §2C)
+  property("actionReplayIsIdempotent") = Prop.forAllNoShrink(kvMap, kvMap) {
+    (oldM, newM) =>
+      val actions = DiffRefresher.diff(toDf(oldM), toDf(newM)).collect()
+      def apply1(m: Map[String, String]) = actions.foldLeft(m) { (acc, r) =>
+        r.getString(0) match {
+          case "index" => acc + (r.getString(1) -> r.getString(2))
+          case "delete" => acc - r.getString(1)
+        }
+      }
+      apply1(apply1(oldM)) == apply1(oldM)
+  }
+}
