@@ -33,14 +33,49 @@ object Bench {
         }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
+    // Pipeline-lifecycle benchmark (not in the oracle gate): backfill a
+    // 1-doc-per-customer pipeline into a ParquetIndex, then refresh after
+    // a 1% change — measures the engine's own sync path, where cost must
+    // track change volume, not view size.
+    val lifecycle =
+      try {
+        import org.apache.spark.sql.functions._
+        val t0 = System.nanoTime()
+        val tmp = java.nio.file.Files.createTempDirectory("graft-bench").toString
+        var flip = false
+        def view() = graft.core.Tables.customer(spark, sfDir).select(
+          concat(lit("c-"), col("c_custkey")).as("id"),
+          to_json(struct(
+            (if (flip) concat(col("c_name"), when(col("c_custkey") % 100 === 0, "!").otherwise(""))
+             else col("c_name")).as("name"),
+            col("c_mktsegment").as("segment"))).as("doc"))
+        val mapping = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("name", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("segment", org.apache.spark.sql.types.StringType)))
+        val sink = new graft.sink.ParquetIndex(spark, "bench_docs", mapping, s"$tmp/idx")
+        sink.recreate()
+        val pipe = new graft.pipeline.Pipeline("bench_mv", "customer", Set("customer"),
+          () => view(), new graft.refresh.SnapshotStore(spark, s"$tmp/snap"), sink)
+        pipe.backfill()
+        flip = true
+        val changed = pipe.refresh()
+        val idle = pipe.refresh()
+        require(idle == 0, s"idle refresh must be a no-op, got $idle")
+        errors.remove("p90_pipeline_lifecycle")
+        Some(("p90_pipeline_lifecycle", (System.nanoTime() - t0) / 1e9, changed))
+      } catch { case e: Throwable =>
+        errors("p90_pipeline_lifecycle") = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}"
+        None
+      }
+    val allResults = results ++ lifecycle.map { case (n, t, _) => n -> t }.toSeq
     def jq(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       } + "\""
-    val qs = results.map { case (k, v) => s"${jq(k)}:$v" }.mkString("{", ",", "}")
+    val qs = allResults.map { case (k, v) => s"${jq(k)}:$v" }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s"${jq(k)}:${jq(v)}" }.mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val total = allResults.collect { case (_, v) if v >= 0 => v }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -71,6 +71,20 @@ class RunnerSpec extends SparkSpec {
     runner.iterate() shouldBe Map("person_copy_mv" -> 0)
   }
 
+  test("setup errors surface from backfillAll (test_e2e.py:49-57)") {
+    val failingSink = new InMemoryIndex("down", nameMapping) {
+      override protected def doApply(a: org.apache.spark.sql.DataFrame): Unit =
+        throw new IllegalStateException("sink unreachable: Boom!")
+    }
+    val person = Seq(("p-1", "John")).toDF("id", "name")
+    val pipe = new Pipeline("person_mv", "person", Set("person"),
+      () => SchoolViews.personMv(person),
+      new SnapshotStore(spark, tmp()), failingSink)
+    val e = intercept[IllegalStateException](
+      new Runner(Seq(pipe), new InMemoryChangeFeed).backfillAll())
+    e.getMessage should include("Boom!")
+  }
+
   test("worker errors surface from iterate (test_e2e.py:35-46)") {
     val boom = new Pipeline("boom_mv", "t", Set("t"),
       () => throw new IllegalStateException("Boom!"),
