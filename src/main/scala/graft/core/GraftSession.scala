@@ -31,6 +31,7 @@ object GraftSession {
       .config("spark.sql.ansi.doubleQuotedIdentifiers", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.ui.enabled", "false")
 
   /** Default session for mains: core count from SPARK_GRAFT_CPUS. */

@@ -41,7 +41,7 @@ object Similarity {
       .crossJoin(broadcast(queries
         .select(col("q_id"), toDouble(col("q_vec")).as("q"))))
       .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("cos", cosine(col("q"), col("v")))
+      .withColumn("cos", graft.functions.CosineSimilarity(col("q"), col("v")))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("vec_id").asc)
     joined
@@ -117,7 +117,7 @@ object Similarity {
     pairs
       .join(vecs.select(col("vec_id").as("id_a"), col("vv").as("va")), Seq("id_a"))
       .join(vecs.select(col("vec_id").as("id_b"), col("vv").as("vb")), Seq("id_b"))
-      .withColumn("cos", cosine(col("va"), col("vb")))
+      .withColumn("cos", graft.functions.CosineSimilarity(col("va"), col("vb")))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos_sim"))
   }
@@ -138,7 +138,7 @@ object Similarity {
       .orderBy(col("cos").desc, col("vec_id").asc)
     corpusB.join(broadcast(queriesB), Seq("bucket"))
       .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("cos", cosine(col("q"), col("v")))
+      .withColumn("cos", graft.functions.CosineSimilarity(col("q"), col("v")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("vec_id"),
