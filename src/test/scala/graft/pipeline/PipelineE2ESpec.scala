@@ -151,6 +151,30 @@ class PipelineE2ESpec extends SparkSpec {
     sink.count() shouldBe 0 // failed batches apply nothing
   }
 
+  test("BucketedParquetIndex: touched-bucket merge, delete, bucket pruning") {
+    val idx = new graft.sink.BucketedParquetIndex(
+      spark, "people_bq", peopleMapping, tmp(), numBuckets = 8)
+    idx.recreate()
+    idx.applyActions(Seq(
+      ("index", "p-1", """{"name": "John"}"""),
+      ("index", "p-2", """{"name": "Loren"}"""),
+      ("index", "p-3", """{"name": "Ada"}""")).toDF("op", "id", "doc"))
+    idx.count() shouldBe 3
+    idx.get("p-2") shouldBe Some("""{"name": "Loren"}""")
+    // overwrite one, delete one; untouched buckets' files stay intact
+    idx.applyActions(Seq(
+      ("index", "p-1", """{"name": "Jane"}"""),
+      ("delete", "p-3", null.asInstanceOf[String])).toDF("op", "id", "doc"))
+    idx.count() shouldBe 2
+    idx.get("p-1") shouldBe Some("""{"name": "Jane"}""")
+    idx.get("p-3") shouldBe None
+    // replay the same batch: idempotent convergence
+    idx.applyActions(Seq(
+      ("index", "p-1", """{"name": "Jane"}"""),
+      ("delete", "p-3", null.asInstanceOf[String])).toDF("op", "id", "doc"))
+    idx.count() shouldBe 2
+  }
+
   test("ParquetIndex distributed sink: backfill, merge, delete") {
     val idx = new ParquetIndex(spark, "people_pq", peopleMapping, tmp())
     idx.recreate()
