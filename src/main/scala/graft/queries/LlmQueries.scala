@@ -294,6 +294,79 @@ object LlmQueries {
        |FROM sigs GROUP BY simhash HAVING COUNT(*) > 1""".stripMargin
   }
 
+  // --------------------------------------------------------- q39
+  /** End-to-end dedup keep-policy: a doc is dropped when it's the
+    * higher id of any verified near-dup pair (greedy canonical-keeps —
+    * deterministic, one anti-join; no iterative connected components
+    * needed for a keep/drop decision). Reports per-source retention. */
+  private def q39(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val bands = Dedup
+      .bandKeys(docs, "text", "doc_id", Bands, RowsPerBand, ShingleK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dropped = Dedup
+      .jaccardVerify(Dedup.candidatePairs(bands), docs, "text", "doc_id",
+        JaccardThreshold)
+      .select(col("id_b").as("doc_id")).distinct()
+    docs.join(dropped, Seq("doc_id"), "left_anti")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"))
+      .join(docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs")),
+        Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_kept"))
+  }
+  private val q39Sql =
+    s"""WITH $BandsCte,
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+       |sets AS (SELECT doc_id, list_distinct($WsSplit) AS toks FROM documents),
+       |dropped AS (
+       |  SELECT DISTINCT id_b AS doc_id
+       |  FROM pairs JOIN sets sa ON id_a = sa.doc_id JOIN sets sb ON id_b = sb.doc_id
+       |  WHERE len(list_intersect(sa.toks, sb.toks))::DOUBLE /
+       |        len(list_distinct(list_concat(sa.toks, sb.toks))) >= $JaccardThreshold)
+       |SELECT source, COUNT(*) AS n_docs,
+       |  COUNT(*) FILTER (doc_id NOT IN (SELECT doc_id FROM dropped)) AS n_kept
+       |FROM documents GROUP BY source""".stripMargin
+
+  // --------------------------------------------------------- q40
+  /** Event sessionization: 30-minute-gap sessions per user via running
+    * gap-count windows — one shuffle on user_id, the batch shape of the
+    * streaming mapGroupsWithState sessionizer. Microsecond-exact gap
+    * arithmetic keeps both engines identical. */
+  private def q40(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("gap",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > 1800L * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("gap")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"), min(col("ts")).as("session_start"))
+  }
+  private val q40Sql =
+    """SELECT user_id, session_id, COUNT(*) AS n_events, MIN(ts) AS session_start
+      |FROM (
+      |  SELECT user_id, ts,
+      |    SUM(gap) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                   ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM (
+      |    SELECT user_id, ts, event_id,
+      |      CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000
+      |           THEN 1 ELSE 0 END AS gap
+      |    FROM (
+      |      SELECT user_id, ts, event_id,
+      |        LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+      |      FROM events)))
+      |GROUP BY user_id, session_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q26_dedup_exact" -> q26 _,
     "q27_minhash_bands" -> q27 _,
@@ -307,7 +380,9 @@ object LlmQueries {
     "q35_token_count" -> q35 _,
     "q36_multimodal_meta" -> q36 _,
     "q37_embed_neardup" -> q37 _,
-    "q38_simhash_clusters" -> q38 _)
+    "q38_simhash_clusters" -> q38 _,
+    "q39_dedup_keep" -> q39 _,
+    "q40_sessionize" -> q40 _)
 
   val oracles: Map[String, String] = Map(
     "q26_dedup_exact" -> q26Sql,
@@ -322,5 +397,7 @@ object LlmQueries {
     "q35_token_count" -> q35Sql,
     "q36_multimodal_meta" -> q36Sql,
     "q37_embed_neardup" -> q37Sql,
-    "q38_simhash_clusters" -> q38Sql)
+    "q38_simhash_clusters" -> q38Sql,
+    "q39_dedup_keep" -> q39Sql,
+    "q40_sessionize" -> q40Sql)
 }

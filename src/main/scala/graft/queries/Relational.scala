@@ -319,7 +319,11 @@ object Relational {
       |GROUP BY o_orderkey, o_orderstatus""".stripMargin
 
   // ---------------------------------------------------------------- q13
-  /** unnest/explode (B10): word frequencies over documents.text. */
+  /** unnest/explode (B10): word frequencies over documents.text.
+    * Note: Spark's split() treats the delimiter as a Java REGEX while
+    * the DuckDB oracle's string_split is literal — equivalent for a
+    * single space, but a metacharacter delimiter would need
+    * Pattern.quote here to stay aligned. */
   private def q13(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(explode(split(col("text"), " ")).as("word"))
