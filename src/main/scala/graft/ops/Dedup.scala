@@ -104,15 +104,16 @@ object Dedup {
     * near-dups. Output: (id, band, band_key) — `bands × n` rows. */
   def bandKeys(docs: DataFrame, textCol: String, idCol: String,
       bands: Int, rowsPerBand: Int, shingleK: Int = 3): DataFrame = {
-    // staged projections: words -> shingles -> hash pairs each become
-    // attributes, so no array expression is re-evaluated per element
+    // one fused primitive pass per row (native minhash_sig expression);
+    // see graft.functions.MinhashSig for why HOFs don't cut it here
     val withHashes = spread(docs.select(col(idCol).as("id"), col(textCol)))
       .select(col("id"), words(col(textCol)).as("ws"))
-      .select(col("id"), shinglesOfWords(col("ws"), shingleK).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .select(col("id"), shingleHashPairs(col("sh")).as("hs"))
+      .select(col("id"),
+        call_function("minhash_sig", col("ws"),
+          lit(shingleK), lit(bands * rowsPerBand)).as("sig"))
+      .filter(col("sig").isNotNull)
     val sigs = (0 until bands * rowsPerBand)
-      .map(h => minhash(col("hs"), h).as(s"mh$h"))
+      .map(h => element_at(col("sig"), h + 1).as(s"mh$h"))
     val bandCols = (0 until bands).map { b =>
       val parts = (0 until rowsPerBand)
         .map(r => col(s"mh${b * rowsPerBand + r}").cast("string"))
