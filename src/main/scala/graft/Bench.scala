@@ -18,9 +18,12 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark: SparkSession = GraftSession.get()
-    // warm the session (codegen, scheduler, noop sink classloading) so
-    // the alphabetically-first query doesn't absorb ~5s of one-time cost
+    // warm the session (codegen, scheduler, parquet reader + noop sink
+    // classloading) so the alphabetically-first query doesn't absorb
+    // seconds of one-time cost
     spark.range(1000).selectExpr("sum(id) as s")
+      .write.format("noop").mode("overwrite").save()
+    graft.core.Tables.region(spark, sfDir)
       .write.format("noop").mode("overwrite").save()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
