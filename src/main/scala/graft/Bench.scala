@@ -55,7 +55,7 @@ object Bench {
         val mapping = org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("name", org.apache.spark.sql.types.StringType),
           org.apache.spark.sql.types.StructField("segment", org.apache.spark.sql.types.StringType)))
-        val sink = new graft.sink.ParquetIndex(spark, "bench_docs", mapping, s"$tmp/idx")
+        val sink = new graft.sink.BucketedParquetIndex(spark, "bench_docs", mapping, s"$tmp/idx")
         sink.recreate()
         val pipe = new graft.pipeline.Pipeline("bench_mv", "customer", Set("customer"),
           () => view(), new graft.refresh.SnapshotStore(spark, s"$tmp/snap"), sink)
