@@ -122,6 +122,55 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos_sim"))
   }
 
+  /** IVF (inverted-file) approximate top-k: the corpus is partitioned
+    * into `nClusters` Voronoi cells by k-means (MLlib, fixed seed);
+    * each query probes its `nProbe` nearest centroids and brute-forces
+    * only those cells — the standard coarse-quantization ANN layout.
+    * Centroids are tiny (`nClusters` rows) and broadcast; the corpus is
+    * touched once for assignment (a fit + transform, amortized across
+    * queries) and candidate generation is an equi-join on `cluster`.
+    * Expected work per query: nProbe/nClusters of the corpus.
+    *
+    * k-means is iterative and seeded — deterministic for a fixed seed
+    * and Spark version, but not SQL-reproducible, so this op is
+    * spec-verified (recall vs brute force) rather than oracle-gated. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nClusters: Int, nProbe: Int, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val corpusVec = corpus
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .withColumn("fv", array_to_vector(col("v")))
+    val model = new KMeans().setK(nClusters).setSeed(seed)
+      .setFeaturesCol("fv").fit(corpusVec)
+    val assigned = model.transform(corpusVec)
+      .select(col("vec_id"), col("v"), col("prediction").as("cluster"))
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray) }.toSeq
+      .toDF("cluster", "centroid")
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cdist").asc, col("cluster").asc)
+    val probes = queries
+      .select(col("q_id"), toDouble(col("q_vec")).as("q"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("cdist",
+        aggregate(zip_with(col("q"), col("centroid"), (a, b) => (a - b) * (a - b)),
+          lit(0.0d), _ + _))
+      .withColumn("prank", row_number().over(w))
+      .filter(col("prank") <= nProbe)
+      .select(col("q_id"), col("q"), col("cluster"))
+    val wk = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    assigned.join(broadcast(probes), Seq("cluster"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", graft.functions.CosineSimilarity(col("q"), col("v")))
+      .withColumn("rank", row_number().over(wk))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("vec_id"),
+        round(col("cos"), 6).as("cos_sim"))
+  }
+
   /** Approximate top-k: candidates share the query's bucket; exact
     * cosine + window only within buckets. The equi-join on `bucket`
     * replaces the cross join — at N corpus vectors and B buckets the

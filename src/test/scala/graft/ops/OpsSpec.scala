@@ -72,6 +72,22 @@ class OpsSpec extends SparkSpec {
     b(1L) should not be b(3L)
   }
 
+  test("IVF ANN: deterministic and high recall vs brute force on real embeddings") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val exact = Similarity.topKNeighbors(emb, queries, 5)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(emb, queries, 5, nClusters = 8, nProbe = 3)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.6, s"IVF recall too low: $recall")
+    // deterministic under a fixed seed
+    val again = Similarity.ivfTopK(emb, queries, 5, nClusters = 8, nProbe = 3)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    again shouldBe ivf
+  }
+
   test("multimodal: batched decode is deterministic with typed schema") {
     val docs = Seq((1L, "hello world", "en", "srcA", 11L),
       (2L, "spark engine", "en", "srcB", 12L))
