@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.{Column, SparkSessionExtensions}
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.types._
 
@@ -90,24 +90,39 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
 object CosineSimilarity {
   /** Column API over the native expression, resolved through the
-    * function registry ([[GraftExtensions]] must be installed —
-    * GraftSession does this via `spark.sql.extensions`). */
-  def apply(a: Column, b: Column): Column =
+    * function registry. Registers on the active session if the
+    * extension wasn't installed at build time. */
+  def apply(a: Column, b: Column): Column = {
+    SparkSession.getActiveSession.foreach(GraftExtensions.ensureRegistered)
     call_function("cosine_sim", a, b)
+  }
 }
 
 /** Session extension registering the engine's native functions for SQL
   * users: `spark.sql.extensions=graft.functions.GraftExtensions` →
   * `SELECT cosine_sim(a, b)`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      new FunctionIdentifier("cosine_sim"),
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+  private[functions] val functions = Seq(
+    (new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
-      (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))))
-    ext.injectFunction((
-      new FunctionIdentifier("minhash_sig"),
+      (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))),
+    (new FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinhashSig].getName, "minhash_sig"),
       (children: Seq[Expression]) => MinhashSig.fromFunctionArgs(children)))
+
+  /** Idempotently register the engine's functions on a session that was
+    * built WITHOUT `spark.sql.extensions=graft.functions.GraftExtensions`
+    * (e.g. an embedding application's own session). Ops call this before
+    * using `call_function`, so they work on any session. */
+  def ensureRegistered(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    functions.foreach { case (id, info, builder) =>
+      if (!reg.functionExists(id)) reg.registerFunction(id, info, builder)
+    }
   }
 }

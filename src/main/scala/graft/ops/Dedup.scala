@@ -106,6 +106,7 @@ object Dedup {
       bands: Int, rowsPerBand: Int, shingleK: Int = 3): DataFrame = {
     // one fused primitive pass per row (native minhash_sig expression);
     // see graft.functions.MinhashSig for why HOFs don't cut it here
+    graft.functions.GraftExtensions.ensureRegistered(docs.sparkSession)
     val withHashes = spread(docs.select(col(idCol).as("id"), col(textCol)))
       .select(col("id"), words(col(textCol)).as("ws"))
       .select(col("id"),
