@@ -34,7 +34,10 @@ object Bench {
           errors(name) = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}"
           false
         }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val elapsed = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      // release per-query persisted intermediates (e.g. LSH band keys)
+      spark.catalog.clearCache()
+      name -> elapsed
     }
     // Pipeline-lifecycle benchmark (not in the oracle gate): backfill a
     // 1-doc-per-customer pipeline into a ParquetIndex, then refresh after

@@ -42,6 +42,11 @@ object ViewAnalyzer {
     *         `Notes`), matching the reference's `table.name`. */
   def parseSchemaTables(spark: SparkSession, viewSelectQuery: String): (String, Set[String]) = {
     val plan = spark.sessionState.sqlParser.parsePlan(normalize(viewSelectQuery))
+    // CTE aliases are subtracted GLOBALLY (including aliases defined in
+    // nested subqueries) — deliberately unscoped, matching the
+    // reference's sqlglot behavior exactly (`tables - ctes`,
+    // utils.py:17-19): a real table shadowed by an inner CTE alias is
+    // treated as a CTE, same as upstream.
     val cteAliases = collectCteAliases(plan)
     val tables = collectRelationNames(plan).filter(_.nonEmpty).toSet -- cteAliases
     val parent = firstFromRelation(plan, cteAliases)

@@ -43,10 +43,12 @@ object WalDecoder {
     SlotRe.findFirstMatchIn(data).map { m =>
       val doc =
         if (m.group(3) == "INSERT" && data.contains(DocMarker))
-          // reference strips ALL single quotes from the payload
-          // (bulk_action_generator.py:41): data.split("doc[json]:")[1]
-          // .replace("'", "")
-          Some(data.split(java.util.regex.Pattern.quote(DocMarker), 2)(1)
+          // reference: data.split("doc[json]:")[1].replace("'", "")
+          // (bulk_action_generator.py:41) — [1] of an UNLIMITED split,
+          // i.e. the segment between the first and second marker, with
+          // ALL single quotes stripped. Mirrored exactly (and by the
+          // DataFrame path + the DuckDB oracle's split_part).
+          Some(data.split(java.util.regex.Pattern.quote(DocMarker))(1)
             .replace("'", ""))
         else None
       ChangeEvent(m.group(1), m.group(2), m.group(3), m.group(4), doc, lsn, xid)
@@ -69,11 +71,16 @@ object WalDecoder {
         col("xid"))
   }
 
-  /** The JSON payload column: text after `doc[json]:` with single quotes
-    * stripped; NULL when absent or not an INSERT. */
+  /** The JSON payload column: the segment after the FIRST `doc[json]:`
+    * marker (before any further marker occurrence — split_part
+    * semantics, matching the scalar [[decode]] and the reference's
+    * unlimited `split(...)[1]`), single quotes stripped; NULL when
+    * absent or not an INSERT. */
   def docColumn(data: Column): Column =
     when(
       regexp_extract(data, SlotPattern, 3) === "INSERT" &&
         data.contains(DocMarker),
-      translate(substring_index(data, DocMarker, -1), "'", ""))
+      translate(
+        element_at(split(data, java.util.regex.Pattern.quote(DocMarker)), 2),
+        "'", ""))
 }

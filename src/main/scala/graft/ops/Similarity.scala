@@ -36,6 +36,7 @@ object Similarity {
     * @param queries  (q_id, q_vec) — small; broadcast
     * @param corpus   (vec_id, embedding) */
   def topKNeighbors(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    graft.functions.GraftExtensions.ensureRegistered(corpus.sparkSession)
     val joined = corpus
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
       .crossJoin(broadcast(queries
@@ -106,6 +107,7 @@ object Similarity {
     * vec_id; candidate volume, not corpus size, drives its cost. */
   def nearDupPairs(corpus: DataFrame, bands: Int, planesPerBand: Int,
       threshold: Double): DataFrame = {
+    graft.functions.GraftExtensions.ensureRegistered(corpus.sparkSession)
     val keys = lshBandKeys(corpus, bands, planesPerBand)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = keys.select(col("band"), col("bucket"), col("vec_id").as("id_a"))
@@ -136,6 +138,7 @@ object Similarity {
     * spec-verified (recall vs brute force) rather than oracle-gated. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nClusters: Int, nProbe: Int, seed: Long = 42L): DataFrame = {
+    graft.functions.GraftExtensions.ensureRegistered(corpus.sparkSession)
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val corpusVec = corpus
@@ -177,6 +180,7 @@ object Similarity {
     * work drops from |Q|·N to ~|Q|·N/B comparisons. */
   def topKNeighborsLsh(corpus: DataFrame, queries: DataFrame,
       k: Int, planes: Int): DataFrame = {
+    graft.functions.GraftExtensions.ensureRegistered(corpus.sparkSession)
     val corpusB = corpus.select(col("vec_id"),
       toDouble(col("embedding")).as("v"),
       lshBucket(col("embedding"), planes).as("bucket"))

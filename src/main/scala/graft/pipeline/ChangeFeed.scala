@@ -13,12 +13,19 @@ import graft.cdc.ChangeEvent
 trait ChangeFeed {
   /** Return-and-clear all pending events (offset commit). */
   def drain(): Seq[ChangeEvent]
+
+  /** Compensation for a failed tick: put a drained batch back so the
+    * next iterate() retries it (the destructive drain would otherwise
+    * lose the batch when a refresh throws — the streaming runner gets
+    * this for free from checkpoint replay). */
+  def requeue(events: Seq[ChangeEvent]): Unit
 }
 
 /** Driver-side feed for embedded/batch use and tests. Thread-safe. */
 class InMemoryChangeFeed extends ChangeFeed {
   private val q = new ConcurrentLinkedQueue[ChangeEvent]()
   def append(events: ChangeEvent*): Unit = events.foreach(q.add)
+  override def requeue(events: Seq[ChangeEvent]): Unit = events.foreach(q.add)
   override def drain(): Seq[ChangeEvent] = {
     val buf = scala.collection.mutable.ArrayBuffer[ChangeEvent]()
     var e = q.poll()

@@ -26,12 +26,17 @@ class Pipeline(
 
   /** A1/A8: materialize the initial snapshot and bulk-load the sink —
     * the reference's `setup` + backfill via server-side cursor
-    * (reference: src/sinker/sinker.py:52-72). Returns #docs loaded. */
+    * (reference: src/sinker/sinker.py:52-72). The pointer commits only
+    * AFTER the sink accepted the load (same failure ordering as
+    * [[refresh]]): a sink failure leaves no committed snapshot, so the
+    * retried backfill reloads instead of diffing to a false no-op.
+    * Returns #docs loaded. */
   def backfill(): Long = {
-    store.commit(store.stage(compute()))
-    val snap = store.read()
+    val v = store.stage(compute())
+    val snap = store.readVersion(v)
     sink.applyActions(
       snap.select(lit("index").as("op"), col("id"), col("doc")))
+    store.commit(v)
     snap.count()
   }
 

@@ -60,12 +60,21 @@ class Runner(val pipelines: Seq[Pipeline], feed: ChangeFeed) {
     if (changed.isEmpty) return Map.empty
     val dirtyTables = changed.map(_.table).toSet
     val dirty = pipelines.filter(_.sourceTables.intersect(dirtyTables).nonEmpty)
-    awaitAll(dirty.map { p =>
-      val relevant = changed.filter(e => p.sourceTables.contains(e.table))
-      Future(p.view -> (
-        if (relevant.exists(_.op == "DELETE")) p.refresh()
-        else p.refreshScoped(relevant)))
-    }).toMap
+    try {
+      awaitAll(dirty.map { p =>
+        val relevant = changed.filter(e => p.sourceTables.contains(e.table))
+        Future(p.view -> (
+          if (relevant.exists(_.op == "DELETE")) p.refresh()
+          else p.refreshScoped(relevant)))
+      }).toMap
+    } catch {
+      case e: Throwable =>
+        // the drain already consumed the batch; put it back so the next
+        // tick retries (idempotent refresh makes double-processing of
+        // any already-succeeded view a no-op)
+        feed.requeue(changed)
+        throw e
+    }
   }
 
   /** Poll loop (A14; reference runner.py:68-90): iterate forever,

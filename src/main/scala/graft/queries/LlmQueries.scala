@@ -157,7 +157,7 @@ object LlmQueries {
   }
   private val BucketSql = {
     val bits = (1 to LshPlanes).map { p =>
-      s"""CASE WHEN list_sum(list_transform(range(0, 64),
+      s"""CASE WHEN list_sum(list_transform(range(0, len(e)),
          | d -> e[d + 1]::DOUBLE * sin($p * 12.9898 + d * 78.233))) >= 0
          | THEN '1' ELSE '0' END""".stripMargin.replace("\n", " ")
     }
@@ -259,7 +259,7 @@ object LlmQueries {
     val bandSelects = (0 until NdBands).map { b =>
       val bits = (1 to NdPlanes).map { r =>
         val p = b * NdPlanes + r
-        s"""CASE WHEN list_sum(list_transform(range(0, 64),
+        s"""CASE WHEN list_sum(list_transform(range(0, len(e)),
            | d -> e[d + 1]::DOUBLE * sin($p * 12.9898 + d * 78.233))) >= 0
            | THEN '1' ELSE '0' END""".stripMargin.replace("\n", " ")
       }

@@ -46,18 +46,23 @@ class SnapshotStore(spark: SparkSession, path: String) {
     v
   }
 
-  /** Atomically repoint `_CURRENT` at `v` (write-temp-then-rename). */
+  /** Atomically repoint `_CURRENT` at `v`: write-temp then
+    * rename-with-OVERWRITE (atomic on POSIX/HDFS — no
+    * delete-then-rename window in which no pointer exists). Prunes
+    * versions older than the PREVIOUS one, so a reader holding a lazy
+    * DataFrame over the prior snapshot survives one refresh cycle
+    * (bounded MVCC grace; Delta/Iceberg generalize this with retention
+    * policies). */
   def commit(v: String): Unit = {
     val tmp = new Path(root, s"_CURRENT.tmp")
     val out = fs.create(tmp, true)
     try out.write(v.getBytes("UTF-8")) finally out.close()
-    if (fs.exists(currentPtr)) fs.delete(currentPtr, false)
-    fs.rename(tmp, currentPtr)
-    // prune all versions older than the committed one
-    val keep = v
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      currentPtr.toUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, currentPtr, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     Option(fs.globStatus(new Path(root, "v*"))).toSeq.flatten
       .map(_.getPath)
-      .filter(p => p.getName != keep && versionNum(p.getName) < versionNum(keep))
+      .filter(p => versionNum(p.getName) < versionNum(v) - 1)
       .foreach(p => fs.delete(p, true))
   }
 

@@ -37,6 +37,17 @@ class WalDecoderSpec extends SparkSpec {
     WalDecoder.decode(1, "0/1", "COMMIT 17393") shouldBe None
   }
 
+  test("payload containing the marker truncates identically in both paths (reference split[1])") {
+    import spark.implicits._
+    val line =
+      """table sinker.m_mv: INSERT: id[text]:'x-1' doc[json]:'{"t": "see doc[json]: syntax"}'"""
+    val scalar = WalDecoder.decode(1L, "0/9", line).get.doc.get
+    val viaDf = WalDecoder.decodeDf(Seq((1L, "0/9", line)).toDF("xid", "lsn", "data"))
+      .select("doc").first().getString(0)
+    viaDf shouldBe scalar
+    scalar shouldBe """{"t": "see """ // cut at the 2nd marker, quotes stripped
+  }
+
   test("decodeDf + route: view INSERT → index, parent DELETE → delete, rest dropped") {
     import spark.implicits._
     val wal = Seq(
