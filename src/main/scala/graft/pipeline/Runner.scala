@@ -19,6 +19,37 @@ object PipelineConfig {
     while (it.hasNext) { val e = it.next(); buf(e.getKey) = e.getValue.asText() }
     buf.toMap
   }
+
+  /** Build every pipeline from a reference-layout definitions directory
+    * — `views_to_indices.json`, one `<view>.sql` Postgres-dialect query
+    * per view, one `<index>.json` ES index definition per index
+    * (reference: src/sinker/runner.py:30-41, sinker.py:88-105,74-86).
+    * This is the drop-in path for a sinker user: same files, Spark
+    * execution.
+    *
+    * @param sources     current-state accessor per source table
+    * @param workDir     root for the per-view snapshot stores
+    * @param sinkFactory sink per (index, declared mapping) */
+  def fromDefinitions(
+      spark: org.apache.spark.sql.SparkSession,
+      definitionsDir: String,
+      workDir: String,
+      sources: Map[String, () => org.apache.spark.sql.DataFrame],
+      sinkFactory: (String, org.apache.spark.sql.types.StructType) => graft.sink.DocumentSink)
+      : Seq[Pipeline] = {
+    loadViewsToIndices(s"$definitionsDir/views_to_indices.json").toSeq.map {
+      case (view, index) =>
+        val viewSql = Files.readString(Paths.get(s"$definitionsDir/$view.sql"))
+        val mapping = graft.sink.EsMapping.toStructType(
+          Files.readString(Paths.get(s"$definitionsDir/$index.json")))
+        val (parent, tables) =
+          graft.analysis.ViewAnalyzer.parseSchemaTables(spark, viewSql)
+        new Pipeline(view, parent, tables,
+          graft.views.SqlView.compile(spark, viewSql, sources),
+          new graft.refresh.SnapshotStore(spark, s"$workDir/$view"),
+          sinkFactory(index, mapping))
+    }
+  }
 }
 
 /** Orchestrator (A13/A14): owns all pipelines, fans setup/refresh out in

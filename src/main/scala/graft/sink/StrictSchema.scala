@@ -49,6 +49,14 @@ object StrictSchema {
     if (node == null || node.isNull) return
     dt match {
       case st: StructType =>
+        // ES mappings don't distinguish object from array-of-object —
+        // any field may hold an array of its declared type. Mirror that:
+        // validate array elements against the struct.
+        if (node.isArray) {
+          val it = node.elements()
+          while (it.hasNext) walk(it.next(), st, path + "[]", buf)
+          return
+        }
         if (!node.isObject) { buf += s"$path: expected object"; return }
         val it = node.fields()
         while (it.hasNext) {
@@ -65,8 +73,15 @@ object StrictSchema {
         while (it.hasNext) walk(it.next(), at.elementType, path + "[]", buf)
       case _: MapType => () // open key space by declaration
       case _ =>
-        if (node.isObject || node.isArray)
-          buf += s"$path: expected scalar"
+        if (node.isObject) { buf += s"$path: expected scalar"; return }
+        // ES leniency again: array of scalars fits a scalar mapping
+        if (node.isArray) {
+          val it = node.elements()
+          while (it.hasNext) {
+            val e = it.next()
+            if (e.isObject || e.isArray) buf += s"$path[]: expected scalar"
+          }
+        }
     }
   }
 

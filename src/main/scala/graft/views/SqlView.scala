@@ -1,0 +1,56 @@
+package graft.views
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import graft.analysis.ViewAnalyzer
+import graft.functions.GraftExtensions
+
+/** Compiles a user-supplied Postgres-dialect denormalization query (the
+  * reference's `<view>.sql` files — README.md:131-183) into the
+  * pipeline's compute function, so a sinker user can bring their SQL
+  * unchanged:
+  *
+  *  - [[ViewAnalyzer.normalize]] shims the parse-level Postgres-isms
+  *    and the session provides double-quoted identifiers;
+  *  - `json_build_object`/`json_agg` resolve via [[GraftExtensions]]
+  *    (structs in-plan, reference NULL-for-empty aggregation);
+  *  - correlated scalar subqueries decorrelate in Catalyst (B4/B5) —
+  *    ONE level of correlation per subquery (Catalyst's limit; no
+  *    nested-correlation support in Spark 4.1). The reference's 3-deep
+  *    nested lookups flatten to joins inside each subquery with
+  *    identical semantics (see SqlViewE2ESpec's course_mv);
+  *  - the result must be the mandatory 2-column `(id, doc)` shape
+  *    (reference: src/sinker/query_templates.py:11); a struct doc is
+  *    serialized once with `to_json` (`ignoreNullFields=false` to match
+  *    `json_build_object`'s explicit nulls).
+  */
+object SqlView {
+
+  private val jsonOpts = Map("ignoreNullFields" -> "false")
+
+  /** @param sources current-state accessor per source table name (the
+    *                Postgres tables in the reference)
+    * @return the recompute closure for a [[graft.pipeline.Pipeline]] */
+  def compile(spark: SparkSession, viewSql: String,
+      sources: Map[String, () => DataFrame]): () => DataFrame = {
+    GraftExtensions.ensureRegistered(spark)
+    val (_, tables) = ViewAnalyzer.parseSchemaTables(spark, viewSql)
+    val missing = tables.filterNot(sources.contains)
+    require(missing.isEmpty, s"no source registered for table(s): $missing")
+    val normalized = ViewAnalyzer.normalize(viewSql)
+    () => {
+      tables.foreach(t => sources(t)().createOrReplaceTempView(t))
+      val df = spark.sql(normalized)
+      require(df.columns.length == 2,
+        s"view query must produce (id, doc), got ${df.columns.mkString(", ")}")
+      val Array(idName, docName) = df.columns
+      val docIsStruct = df.schema(docName).dataType.isInstanceOf[StructType]
+      df.select(
+        col(idName).cast("string").as("id"),
+        (if (docIsStruct) to_json(col(docName), jsonOpts)
+         else col(docName).cast("string")).as("doc"))
+    }
+  }
+}
