@@ -21,13 +21,29 @@ trait DocumentSink {
   def index: String
   def mapping: StructType
 
+  /** Transient-failure retry budget per batch, the reference's ES bulk
+    * `max_retries` (src/sinker/settings.py:25,36-41). Schema violations
+    * are NOT retried — they fail deterministically before any write. */
+  def maxRetries: Int = 5
+
   /** Apply a batch of actions `(op: "index"|"delete", id, doc)`.
     * Validates strictness first and fails the whole batch on any
     * violation (ES `raise_on_error=True` semantics —
-    * reference: src/sinker/settings.py:36-41). */
+    * reference: src/sinker/settings.py:36-41); writes retry up to
+    * [[maxRetries]] times (idempotent actions make a retry after a
+    * partial write safe). */
   final def applyActions(actions: DataFrame): Unit = {
     StrictSchema.validate(actions, mapping, index)
-    doApply(actions)
+    var attempt = 0
+    var done = false
+    while (!done) {
+      try { doApply(actions); done = true }
+      catch {
+        case e: Throwable if attempt < maxRetries =>
+          attempt += 1
+          Thread.sleep(50L * attempt)
+      }
+    }
   }
 
   protected def doApply(actions: DataFrame): Unit

@@ -151,6 +151,33 @@ class PipelineE2ESpec extends SparkSpec {
     sink.count() shouldBe 0 // failed batches apply nothing
   }
 
+  test("sink retries transient write failures up to maxRetries, then surfaces") {
+    class FlakySink(failures: Int) extends InMemoryIndex("flaky", peopleMapping) {
+      var attempts = 0
+      override protected def doApply(a: org.apache.spark.sql.DataFrame): Unit = {
+        attempts += 1
+        if (attempts <= failures) throw new IllegalStateException("transient")
+        super.doApply(a)
+      }
+    }
+    val batch = Seq(("index", "r-1", """{"name": "A"}""")).toDF("op", "id", "doc")
+    val healing = new FlakySink(failures = 2)
+    healing.applyActions(batch)
+    healing.attempts shouldBe 3
+    healing.get("r-1") shouldBe Some("""{"name": "A"}""")
+    // permanent failure exhausts the budget and surfaces
+    val dead = new FlakySink(failures = Int.MaxValue) {
+      override def maxRetries: Int = 2
+    }
+    intercept[IllegalStateException](dead.applyActions(batch))
+    dead.attempts shouldBe 3
+    // schema violations are never retried
+    val strict = new FlakySink(failures = 0)
+    intercept[IllegalArgumentException](strict.applyActions(
+      Seq(("index", "r-2", """{"nope": 1}""")).toDF("op", "id", "doc")))
+    strict.attempts shouldBe 0
+  }
+
   test("BucketedParquetIndex: touched-bucket merge, delete, bucket pruning") {
     val idx = new graft.sink.BucketedParquetIndex(
       spark, "people_bq", peopleMapping, tmp(), numBuckets = 8)
