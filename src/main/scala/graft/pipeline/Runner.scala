@@ -94,8 +94,10 @@ class Runner(val pipelines: Seq[Pipeline], feed: ChangeFeed) {
     try {
       awaitAll(dirty.map { p =>
         val relevant = changed.filter(e => p.sourceTables.contains(e.table))
+        // full recompute for DELETE batches (no before-image to scope
+        // with) and table-level wildcard events (id="*", e.g. file-watch)
         Future(p.view -> (
-          if (relevant.exists(_.op == "DELETE")) p.refresh()
+          if (relevant.exists(e => e.op == "DELETE" || e.id == "*")) p.refresh()
           else p.refreshScoped(relevant)))
       }).toMap
     } catch {
