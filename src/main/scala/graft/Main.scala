@@ -65,8 +65,10 @@ object Main {
     val maxTicks = args.lift(4).map(_.toLong).getOrElse(Long.MaxValue)
     val spark = GraftSession.get()
     val (runner, feed) = build(spark, defs, srcs, work)
+    feed.mark() // before backfill: a change landing mid-backfill still
+                // fingerprints unequal next tick (extra refresh, never
+                // a lost update)
     val loaded = runner.backfillAll()
-    feed.mark() // only post-setup changes trigger refreshes
     println(s"[graft] backfilled: $loaded — we are sinking")
     runner.run(pollMs, maxTicks)
     spark.stop()

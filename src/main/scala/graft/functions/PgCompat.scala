@@ -1,7 +1,8 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{CreateNamedStruct, EqualTo, Expression, ExpressionInfo, If, Literal, Size}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue
+import org.apache.spark.sql.catalyst.expressions.{ArrayTransform, CreateNamedStruct, EqualTo, Expression, ExpressionInfo, If, LambdaFunction, Literal, Size, UnresolvedNamedLambdaVariable}
 import org.apache.spark.sql.catalyst.expressions.aggregate.CollectList
 import org.apache.spark.sql.types.NullType
 
@@ -14,10 +15,12 @@ import org.apache.spark.sql.types.NullType
   *    nested structs); the pipeline serializes the top-level doc once at
   *    the sink edge with `to_json` — matching how the reference's JSON
   *    only ever materializes at the MV boundary.
-  *  - `json_agg(x)` → `collect_list(x)`, but NULL for empty groups:
-  *    Postgres json_agg over zero rows is NULL, Spark's collect_list is
-  *    `[]` — the wrapper restores reference semantics (the golden course
-  *    doc with no enrollments expects `"enrollments": null`).
+  *  - `json_agg(x)` → `collect_list`, with two Postgres fidelity fixes:
+  *    NULL for empty groups (Postgres json_agg over zero rows is NULL,
+  *    collect_list is `[]` — the golden course doc with no enrollments
+  *    expects `"enrollments": null`), and NULL ELEMENTS preserved
+  *    (collect_list drops nulls; Postgres keeps them) by collecting a
+  *    single-field struct wrapper and unwrapping with `transform`.
   */
 object PgCompat {
 
@@ -28,7 +31,13 @@ object PgCompat {
     (new FunctionIdentifier("json_agg"),
       new ExpressionInfo(classOf[CollectList].getName, "json_agg"),
       (children: Seq[Expression]) => {
-        val agg = CollectList(children.head).toAggregateExpression()
-        If(EqualTo(Size(agg), Literal(0)), Literal(null, NullType), agg)
+        // struct wrapper is never null even when the element is, so
+        // collect_list keeps null elements; unwrap after aggregation
+        val wrapped = CreateNamedStruct(Seq(Literal("v"), children.head))
+        val agg = CollectList(wrapped).toAggregateExpression()
+        val x = UnresolvedNamedLambdaVariable(Seq("x"))
+        val unwrapped = ArrayTransform(agg,
+          LambdaFunction(UnresolvedExtractValue(x, Literal("v")), Seq(x)))
+        If(EqualTo(Size(agg), Literal(0)), Literal(null, NullType), unwrapped)
       }))
 }

@@ -18,36 +18,45 @@ import graft.cdc.ChangeEvent
 class FileWatchFeed(spark: SparkSession, tables: Map[String, String])
     extends ChangeFeed {
 
-  private val lastSeen = scala.collection.mutable.Map[String, Long]()
+  private val lastSeen = scala.collection.mutable.Map[String, (Long, Long, Long)]()
   private val pending = scala.collection.mutable.Set[String]()
 
-  private def mtime(p: String): Long = {
+  /** Change fingerprint: (max mtime incl. the dir itself, file count,
+    * total bytes). The dir mtime catches entry deletion; count+bytes
+    * catch replacement with older-mtime data and same-second rewrites
+    * that a bare max-mtime comparison would miss. */
+  private def fingerprint(p: String): (Long, Long, Long) = {
     val path = new Path(p)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(path)) 0L
+    if (!fs.exists(path)) (0L, 0L, 0L)
     else {
       val st = fs.getFileStatus(path)
-      if (st.isDirectory)
-        Option(fs.listStatus(path)).toSeq.flatten
-          .map(_.getModificationTime).maxOption.getOrElse(st.getModificationTime)
-      else st.getModificationTime
+      if (!st.isDirectory) (st.getModificationTime, 1L, st.getLen)
+      else {
+        val children = Option(fs.listStatus(path)).toSeq.flatten
+        ((st.getModificationTime +: children.map(_.getModificationTime)).max,
+          children.size.toLong, children.map(_.getLen).sum)
+      }
     }
   }
 
-  /** Record current mtimes WITHOUT marking anything dirty — call after
-    * backfill so only post-setup changes trigger refreshes (the
-    * reference creates its slot after setup — runner.py:56-64). */
+  /** Record current state WITHOUT marking anything dirty. Call BEFORE
+    * backfill (any change landing during backfill then still compares
+    * unequal on the next drain — worst case an extra idempotent
+    * refresh, never a lost update; reference creates its slot around
+    * setup for the same reason — runner.py:56-64). */
   def mark(): Unit = synchronized {
-    tables.foreach { case (t, p) => lastSeen(t) = mtime(p) }
+    tables.foreach { case (t, p) => lastSeen(t) = fingerprint(p) }
   }
 
   override def drain(): Seq[ChangeEvent] = synchronized {
     tables.foreach { case (t, p) =>
-      val m = mtime(p)
-      if (m > lastSeen.getOrElse(t, 0L)) { pending += t; lastSeen(t) = m }
+      val f = fingerprint(p)
+      if (lastSeen.get(t).exists(_ != f)) { pending += t; lastSeen(t) = f }
+      else if (!lastSeen.contains(t)) lastSeen(t) = f
     }
     val out = pending.toSeq.sorted.map(t =>
-      ChangeEvent("public", t, "UPDATE", "*", None, s"mtime", 0L))
+      ChangeEvent("public", t, "UPDATE", "*", None, "mtime", 0L))
     pending.clear()
     out
   }

@@ -37,17 +37,24 @@ object PipelineConfig {
       sources: Map[String, () => org.apache.spark.sql.DataFrame],
       sinkFactory: (String, org.apache.spark.sql.types.StructType) => graft.sink.DocumentSink)
       : Seq[Pipeline] = {
+    // one sink INSTANCE per index: the reference allows several views
+    // feeding one index (distinct id spaces); separate sink objects over
+    // one path would race their merges
+    val sinkCache = scala.collection.mutable.Map[String, graft.sink.DocumentSink]()
     loadViewsToIndices(s"$definitionsDir/views_to_indices.json").toSeq.map {
       case (view, index) =>
         val viewSql = Files.readString(Paths.get(s"$definitionsDir/$view.sql"))
-        val mapping = graft.sink.EsMapping.toStructType(
-          Files.readString(Paths.get(s"$definitionsDir/$index.json")))
         val (parent, tables) =
           graft.analysis.ViewAnalyzer.parseSchemaTables(spark, viewSql)
+        val sink = sinkCache.getOrElseUpdate(index, {
+          val mapping = graft.sink.EsMapping.toStructType(
+            Files.readString(Paths.get(s"$definitionsDir/$index.json")))
+          sinkFactory(index, mapping)
+        })
         new Pipeline(view, parent, tables,
-          graft.views.SqlView.compile(spark, viewSql, sources),
+          graft.views.SqlView.compile(spark, viewSql, sources, Some(tables)),
           new graft.refresh.SnapshotStore(spark, s"$workDir/$view"),
-          sinkFactory(index, mapping))
+          sink)
     }
   }
 }

@@ -39,7 +39,8 @@ trait DocumentSink {
     while (!done) {
       try { doApply(actions); done = true }
       catch {
-        case e: Throwable if attempt < maxRetries =>
+        // NonFatal only: VM errors and interrupts must surface at once
+        case scala.util.control.NonFatal(_) if attempt < maxRetries =>
           attempt += 1
           Thread.sleep(50L * attempt)
       }
@@ -93,7 +94,7 @@ class ParquetIndex(spark: SparkSession, val index: String,
       Seq.empty[(String, String)].toDF("id", "doc")))
   }
 
-  override protected def doApply(actions: DataFrame): Unit = {
+  override protected def doApply(actions: DataFrame): Unit = this.synchronized {
     val acts = actions.cache()
     try {
       val current = store.read()
@@ -149,7 +150,9 @@ class BucketedParquetIndex(spark: SparkSession, val index: String,
     spark.read.schema("id STRING, doc STRING, bucket BIGINT").parquet(path)
       .select("id", "doc")
 
-  override protected def doApply(actions: DataFrame): Unit = {
+  // serialized per instance: several pipelines may feed one index, and
+  // concurrent merges over the same files would race
+  override protected def doApply(actions: DataFrame): Unit = this.synchronized {
     val acts = actions
       .withColumn("bucket", bucketOf(col("id")))
       .cache()

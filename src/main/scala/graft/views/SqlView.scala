@@ -30,26 +30,43 @@ object SqlView {
 
   private val jsonOpts = Map("ignoreNullFields" -> "false")
 
+  /** Serializes temp-view registration + analysis across concurrent
+    * refreshes: views resolve bare table names in the shared session
+    * catalog (the reference's tables are equally global in one Postgres
+    * schema), and the returned DataFrame is fully ANALYZED inside the
+    * lock, so later re-registration can't redirect an in-flight plan. */
+  private val registrationLock = new Object
+
   /** @param sources current-state accessor per source table name (the
     *                Postgres tables in the reference)
+    * @param tablesHint source tables if the caller already parsed the
+    *                   SQL (avoids a second parse)
     * @return the recompute closure for a [[graft.pipeline.Pipeline]] */
   def compile(spark: SparkSession, viewSql: String,
-      sources: Map[String, () => DataFrame]): () => DataFrame = {
+      sources: Map[String, () => DataFrame],
+      tablesHint: Option[Set[String]] = None): () => DataFrame = {
     GraftExtensions.ensureRegistered(spark)
-    val (_, tables) = ViewAnalyzer.parseSchemaTables(spark, viewSql)
+    val tables = tablesHint.getOrElse(
+      ViewAnalyzer.parseSchemaTables(spark, viewSql)._2)
     val missing = tables.filterNot(sources.contains)
     require(missing.isEmpty, s"no source registered for table(s): $missing")
     val normalized = ViewAnalyzer.normalize(viewSql)
     () => {
-      tables.foreach(t => sources(t)().createOrReplaceTempView(t))
-      val df = spark.sql(normalized)
+      val df = registrationLock.synchronized {
+        tables.foreach(t => sources(t)().createOrReplaceTempView(t))
+        spark.sql(normalized)
+      }
       require(df.columns.length == 2,
         s"view query must produce (id, doc), got ${df.columns.mkString(", ")}")
       val Array(idName, docName) = df.columns
-      val docIsStruct = df.schema(docName).dataType.isInstanceOf[StructType]
+      val docIsComplex = df.schema(docName).dataType match {
+        case _: StructType | _: org.apache.spark.sql.types.ArrayType |
+             _: org.apache.spark.sql.types.MapType => true
+        case _ => false
+      }
       df.select(
         col(idName).cast("string").as("id"),
-        (if (docIsStruct) to_json(col(docName), jsonOpts)
+        (if (docIsComplex) to_json(col(docName), jsonOpts)
          else col(docName).cast("string")).as("doc"))
     }
   }
