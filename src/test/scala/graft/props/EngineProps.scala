@@ -98,6 +98,40 @@ object EngineProps extends Properties("graft") {
     DiffRefresher.diff(toDf(m), toDf(m)).isEmpty
   }
 
+  // ---------------------------------------------------------------
+  // Dedup operator invariants
+  private val wordGen: Gen[String] =
+    Gen.oneOf("alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta")
+  private val textGen: Gen[String] = for {
+    n <- Gen.chooseNum(3, 20)
+    ws <- Gen.listOfN(n, wordGen)
+  } yield ws.mkString(" ")
+
+  property("identicalTextsShareMinhashAndSimhash") = Prop.forAllNoShrink(textGen) { t =>
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, t), (2L, t)).toDF("doc_id", "text")
+    val sigs = graft.ops.Dedup
+      .bandKeys(df, "text", "doc_id", bands = 2, rowsPerBand = 2)
+      .collect().groupBy(_.getLong(0))
+      .map { case (id, rs) => id -> rs.map(r => (r.getInt(1), r.getString(2))).toSet }
+    val sims = df.select(org.apache.spark.sql.functions.col("doc_id"),
+      graft.ops.Dedup.simhash16(org.apache.spark.sql.functions.col("text")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    sigs(1L) == sigs(2L) && sims(1L) == sims(2L)
+  }
+
+  property("fingerprintInvariantUnderOrderAndRepetition") = Prop.forAllNoShrink(textGen) { t =>
+    val s = spark
+    import s.implicits._
+    val shuffled = (t.split(" ").toSeq ++ t.split(" ").toSeq).reverse.mkString(" ")
+    val df = Seq((1L, t), (2L, shuffled)).toDF("doc_id", "text")
+    val fps = df.select(org.apache.spark.sql.functions.col("doc_id"),
+      graft.ops.Dedup.fingerprint(org.apache.spark.sql.functions.col("text")))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    fps(1L) == fps(2L)
+  }
+
   // applying the same actions twice converges (idempotent upsert, §2C)
   property("actionReplayIsIdempotent") = Prop.forAllNoShrink(kvMap, kvMap) {
     (oldM, newM) =>

@@ -52,6 +52,38 @@ class StreamingOpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("session_window groups events by 30-minute gaps (streaming form of q40)") {
+    implicit val enc: Encoder[(Timestamp, Long)] =
+      Encoders.product[(Timestamp, Long)]
+    val stream = MemoryStream[(Timestamp, Long)](enc, spark)
+    val sessions = stream.toDF().toDF("ts", "user_id")
+      .withWatermark("ts", "2 hours")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("n_events"))
+    val query = sessions.writeStream
+      .format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      // user 1: events at 10:00, 10:10 (one session), then 11:30 (new
+      // session after a >30min gap)
+      stream.addData((ts(0), 1L), (ts(10), 1L),
+        (Timestamp.valueOf("2024-01-01 11:30:00"), 1L))
+      query.processAllAvailable()
+      // close all sessions by advancing the watermark far ahead
+      stream.addData((Timestamp.valueOf("2024-01-01 20:00:00"), 99L))
+      query.processAllAvailable()
+      val rows = spark.table("sessions")
+        .filter(col("user_id") === 1L)
+        .as[(Long, Timestamp, Long)].collect().sortBy(_._2.getTime)
+      rows.map(r => (r._2.toString, r._3)).toSeq shouldBe Seq(
+        ("2024-01-01 10:00:00.0", 2L),
+        ("2024-01-01 11:30:00.0", 1L))
+    } finally query.stop()
+  }
+
   test("mapGroupsWithState keeps running per-key state across batches") {
     implicit val enc: Encoder[(String, Long)] = Encoders.product[(String, Long)]
     val stream = MemoryStream[(String, Long)](enc, spark)
