@@ -498,6 +498,29 @@ object Relational {
     """SELECT c_custkey, now() >= TIMESTAMP '2026-01-01' AS ingested_after_2026
       |FROM customer""".stripMargin
 
+  // ---------------------------------------------------------------- q41
+  /** ROLLUP hierarchy totals (beyond-parity extension): per-(flag,
+    * status), per-flag, and grand-total revenue in one pass — Catalyst
+    * expands grouping sets into a single shuffle. `grouping()` flags
+    * pin the NULL-indicator semantics to the oracle's. */
+  private def q41(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(dbl(sum(dP(col("l_extendedprice")))).as("revenue"),
+        count(lit(1)).as("n"),
+        grouping(col("l_returnflag")).cast("int").as("g_flag"),
+        grouping(col("l_linestatus")).cast("int").as("g_status"))
+      .select(col("l_returnflag"), col("l_linestatus"), col("revenue"),
+        col("n"), col("g_flag"), col("g_status"))
+  private val q41Sql =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n,
+      |  CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+      |  CAST(GROUPING(l_linestatus) AS INT) AS g_status
+      |FROM lineitem
+      |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01 _,
     "q02_filter_project" -> q02 _,
@@ -521,7 +544,8 @@ object Relational {
     "q20_correlated_agg" -> q20 _,
     "q21_jsonb_each" -> q21 _,
     "q22_mixed_case" -> q22 _,
-    "q23_ingest_ts" -> q23 _)
+    "q23_ingest_ts" -> q23 _,
+    "q41_rollup" -> q41 _)
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -546,5 +570,6 @@ object Relational {
     "q20_correlated_agg" -> q20Sql,
     "q21_jsonb_each" -> q21Sql,
     "q22_mixed_case" -> q22Sql,
-    "q23_ingest_ts" -> q23Sql)
+    "q23_ingest_ts" -> q23Sql,
+    "q41_rollup" -> q41Sql)
 }

@@ -88,6 +88,27 @@ class OpsSpec extends SparkSpec {
     again shouldBe ivf
   }
 
+  test("sketches: approx distinct within rsd bound, quantiles near exact") {
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val stats = Sketches.distinctStats(events, "event_type", "user_id")
+      .join(events.groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("exact_distinct")), Seq("event_type"))
+      .withColumn("err",
+        Sketches.relativeError(col("approx_distinct"), col("exact_distinct")))
+      .collect()
+    stats.length should be > 0
+    stats.foreach { r =>
+      assert(r.getAs[Double]("err") <= 0.15,
+        s"approx distinct too far off: $r")
+    }
+    val q = Sketches.quantiles(events, "event_type", "value", Seq(0.5, 0.99))
+      .collect()
+    q.foreach { r =>
+      val qs = r.getSeq[Double](1)
+      assert(qs(0) <= qs(1), s"median above p99: $r")
+    }
+  }
+
   test("multimodal: batched decode is deterministic with typed schema") {
     val docs = Seq((1L, "hello world", "en", "srcA", 11L),
       (2L, "spark engine", "en", "srcB", 12L))

@@ -84,6 +84,29 @@ class StreamingOpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("dropDuplicatesWithinWatermark dedups replayed events (at-least-once → effective once)") {
+    implicit val enc: Encoder[(Timestamp, String)] =
+      Encoders.product[(Timestamp, String)]
+    val stream = MemoryStream[(Timestamp, String)](enc, spark)
+    val deduped = stream.toDF().toDF("ts", "event_id")
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+    val query = deduped.writeStream
+      .format("memory").queryName("deduped_events")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      stream.addData((ts(0), "e-1"), (ts(1), "e-2"))
+      query.processAllAvailable()
+      // an at-least-once source replays e-1 in a later batch
+      stream.addData((ts(2), "e-1"), (ts(3), "e-3"))
+      query.processAllAvailable()
+      spark.table("deduped_events")
+        .select("event_id").as[String].collect().sorted.toSeq shouldBe
+        Seq("e-1", "e-2", "e-3")
+    } finally query.stop()
+  }
+
   test("mapGroupsWithState keeps running per-key state across batches") {
     implicit val enc: Encoder[(String, Long)] = Encoders.product[(String, Long)]
     val stream = MemoryStream[(String, Long)](enc, spark)
