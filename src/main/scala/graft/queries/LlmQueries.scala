@@ -367,6 +367,31 @@ object LlmQueries {
       |      FROM events)))
       |GROUP BY user_id, session_id""".stripMargin
 
+  // --------------------------------------------------------- q42
+  /** The multimodal DECODE path under the oracle: blobs flow through
+    * the typed mapPartitions batch decoder (Multimodal.extractFeatures);
+    * the stub's outputs are byte-derived, so DuckDB recomputes them from
+    * the same (ASCII) text — the oracle checks the full plumbing: blob
+    * packing, partitioning, batching, typed decode, feature shape. */
+  private def q42(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.element_at
+    val feats = Multimodal.extractFeatures(s,
+      Multimodal.mediaFromDocuments(Tables.documents(s, dir)), batchSize = 64)
+    feats.toDF()
+      .select(col("id").as("doc_id"), col("byte_len"), col("width"), col("height"),
+        // features are (byte & 0xff)/255f — recover the exact byte
+        round(element_at(col("features"), 1) * 255, 0).cast("int").as("b0"),
+        round(element_at(col("features"), 8) * 255, 0).cast("int").as("b7"))
+  }
+  private val q42Sql =
+    """SELECT doc_id,
+      |  CAST(octet_length(encode(text)) AS INT) AS byte_len,
+      |  CAST(64 + octet_length(encode(text)) % 64 AS INT) AS width,
+      |  CAST(64 + octet_length(encode(text)) % 48 AS INT) AS height,
+      |  CAST(ord(substr(text, 1, 1)) AS INT) AS b0,
+      |  CAST(ord(substr(text, ((7 % octet_length(encode(text))) + 1), 1)) AS INT) AS b7
+      |FROM documents""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q26_dedup_exact" -> q26 _,
     "q27_minhash_bands" -> q27 _,
@@ -382,7 +407,8 @@ object LlmQueries {
     "q37_embed_neardup" -> q37 _,
     "q38_simhash_clusters" -> q38 _,
     "q39_dedup_keep" -> q39 _,
-    "q40_sessionize" -> q40 _)
+    "q40_sessionize" -> q40 _,
+    "q42_multimodal_decode" -> q42 _)
 
   val oracles: Map[String, String] = Map(
     "q26_dedup_exact" -> q26Sql,
@@ -399,5 +425,6 @@ object LlmQueries {
     "q37_embed_neardup" -> q37Sql,
     "q38_simhash_clusters" -> q38Sql,
     "q39_dedup_keep" -> q39Sql,
-    "q40_sessionize" -> q40Sql)
+    "q40_sessionize" -> q40Sql,
+    "q42_multimodal_decode" -> q42Sql)
 }
