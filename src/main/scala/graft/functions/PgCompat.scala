@@ -2,9 +2,9 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue
-import org.apache.spark.sql.catalyst.expressions.{ArrayTransform, CreateNamedStruct, EqualTo, Expression, ExpressionInfo, If, LambdaFunction, Literal, Size, UnresolvedNamedLambdaVariable}
+import org.apache.spark.sql.catalyst.expressions.{ArrayTransform, CreateNamedStruct, EqualTo, Explode, Expression, ExpressionInfo, If, JsonToStructs, LambdaFunction, Literal, Size, UnresolvedNamedLambdaVariable}
 import org.apache.spark.sql.catalyst.expressions.aggregate.CollectList
-import org.apache.spark.sql.types.NullType
+import org.apache.spark.sql.types.{MapType, NullType, StringType}
 
 /** Postgres-dialect functions the reference's user view SQL relies on
   * (reference: tests/fixtures/person_mv.sql, course_mv.sql), mapped onto
@@ -39,5 +39,15 @@ object PgCompat {
         val unwrapped = ArrayTransform(agg,
           LambdaFunction(UnresolvedExtractValue(x, Literal("v")), Seq(x)))
         If(EqualTo(Size(agg), Literal(0)), Literal(null, NullType), unwrapped)
-      }))
+      }),
+    // jsonb_each_text(col) → (key, value) rows (B11): a GENERATOR, used
+    // as `SELECT jsonb_each_text(props)` or `LATERAL VIEW
+    // jsonb_each_text(props) kv AS key, value` (Spark has no Postgres
+    // implicit-lateral comma join; reference:
+    // tests/test_parse_schema_tables.py:76)
+    (new FunctionIdentifier("jsonb_each_text"),
+      new ExpressionInfo(classOf[Explode].getName, "jsonb_each_text"),
+      (children: Seq[Expression]) => Explode(JsonToStructs(
+        MapType(StringType, StringType), Map.empty[String, String],
+        children.head))))
 }
