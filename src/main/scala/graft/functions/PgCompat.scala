@@ -48,6 +48,9 @@ object PgCompat {
     (new FunctionIdentifier("jsonb_each_text"),
       new ExpressionInfo(classOf[Explode].getName, "jsonb_each_text"),
       (children: Seq[Expression]) => Explode(JsonToStructs(
-        MapType(StringType, StringType), Map.empty[String, String],
+        MapType(StringType, StringType),
+        // FAILFAST: Postgres raises on malformed jsonb; permissive mode
+        // would silently drop the row from the view instead
+        Map("mode" -> "FAILFAST"),
         children.head))))
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Approximate aggregates for corpus statistics at 100 TB (SURVEY §7.6):
@@ -34,9 +34,4 @@ object Sketches {
       .agg(percentile_approx(col(valueCol), pArr, lit(accuracy))
         .as("quantiles"))
   }
-
-  /** Relative error of an estimate vs the exact count (test helper). */
-  def relativeError(estimate: Column, exact: Column): Column =
-    abs(estimate.cast("double") - exact.cast("double")) /
-      greatest(exact.cast("double"), lit(1.0d))
 }

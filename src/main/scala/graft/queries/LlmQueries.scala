@@ -383,13 +383,17 @@ object LlmQueries {
         round(element_at(col("features"), 1) * 255, 0).cast("int").as("b0"),
         round(element_at(col("features"), 8) * 255, 0).cast("int").as("b7"))
   }
+  // the CASE branches mirror the stub's len==0 guard (empty blob ->
+  // all-zero features), so an empty-text row can't split the gate
   private val q42Sql =
     """SELECT doc_id,
       |  CAST(octet_length(encode(text)) AS INT) AS byte_len,
       |  CAST(64 + octet_length(encode(text)) % 64 AS INT) AS width,
       |  CAST(64 + octet_length(encode(text)) % 48 AS INT) AS height,
-      |  CAST(ord(substr(text, 1, 1)) AS INT) AS b0,
-      |  CAST(ord(substr(text, ((7 % octet_length(encode(text))) + 1), 1)) AS INT) AS b7
+      |  CAST(CASE WHEN octet_length(encode(text)) = 0 THEN 0
+      |            ELSE ord(substr(text, 1, 1)) END AS INT) AS b0,
+      |  CAST(CASE WHEN octet_length(encode(text)) = 0 THEN 0
+      |            ELSE ord(substr(text, ((7 % octet_length(encode(text))) + 1), 1)) END AS INT) AS b7
       |FROM documents""".stripMargin
 
   val queries: Map[String, Q] = Map(

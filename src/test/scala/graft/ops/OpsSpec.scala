@@ -94,7 +94,8 @@ class OpsSpec extends SparkSpec {
       .join(events.groupBy("event_type")
         .agg(countDistinct(col("user_id")).as("exact_distinct")), Seq("event_type"))
       .withColumn("err",
-        Sketches.relativeError(col("approx_distinct"), col("exact_distinct")))
+        abs(col("approx_distinct").cast("double") - col("exact_distinct").cast("double")) /
+          greatest(col("exact_distinct").cast("double"), lit(1.0d)))
       .collect()
     stats.length should be > 0
     stats.foreach { r =>
