@@ -355,8 +355,8 @@ object LlmQueries {
     """SELECT user_id, session_id, COUNT(*) AS n_events, MIN(ts) AS session_start
       |FROM (
       |  SELECT user_id, ts,
-      |    SUM(gap) OVER (PARTITION BY user_id ORDER BY ts, event_id
-      |                   ROWS UNBOUNDED PRECEDING) AS session_id
+      |    CAST(SUM(gap) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
       |  FROM (
       |    SELECT user_id, ts, event_id,
       |      CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000

@@ -18,6 +18,25 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+def dtype_kind(s: pd.Series) -> str:
+    """Driver-visible dtype class. The driver's hash is type-sensitive, so an
+    int64-vs-float64 (or int-vs-HUGEINT-widened) mismatch must FAIL here, not
+    be coerced away. Datetime resolution (ns vs us) is normalized — both
+    engines emit parquet timestamps the driver reads uniformly."""
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "datetime"
+    return str(s.dtype)
+
+
+def dtype_mismatches(got: pd.DataFrame, want: pd.DataFrame):
+    out = []
+    for c in sorted(set(got.columns) & set(want.columns)):
+        a, b = dtype_kind(got[c]), dtype_kind(want[c])
+        if a != b:
+            out.append(f"col {c}: spark dtype {a} != oracle dtype {b}")
+    return out
+
+
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     # normalize dtypes for comparison
@@ -50,10 +69,16 @@ def main():
             n_fail += 1
             continue
         try:
-            got = canon(pd.read_parquet(qdir))
-            want = canon(con.sql(oracle[name]).df())
+            got_raw = pd.read_parquet(qdir)
+            want_raw = con.sql(oracle[name]).df()
+            mism = dtype_mismatches(got_raw, want_raw)
+            got, want = canon(got_raw), canon(want_raw)
         except Exception as e:
             print(f"FAIL {name}: {type(e).__name__}: {e}")
+            n_fail += 1
+            continue
+        if mism:
+            print(f"FAIL {name}: " + "; ".join(mism))
             n_fail += 1
             continue
         if list(got.columns) != list(want.columns):
