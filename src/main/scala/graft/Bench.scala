@@ -61,7 +61,7 @@ object Bench {
         val sink = new graft.sink.BucketedParquetIndex(spark, "bench_docs", mapping, s"$tmp/idx")
         sink.recreate()
         val pipe = new graft.pipeline.Pipeline("bench_mv", "customer", Set("customer"),
-          () => view(), new graft.refresh.SnapshotStore(spark, s"$tmp/snap"), sink)
+          () => view(), new graft.refresh.BucketedSnapshotStore(spark, s"$tmp/snap"), sink)
         pipe.backfill()
         flip = true
         val changed = pipe.refresh()

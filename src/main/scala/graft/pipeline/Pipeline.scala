@@ -40,24 +40,37 @@ class Pipeline(
     snap.count()
   }
 
-  /** A9: `REFRESH ... CONCURRENTLY` equivalent — recompute, stage the
-    * new snapshot, diff old vs new FROM STORAGE (the view query runs
-    * exactly once), push only the delta to the sink, then commit the
-    * new snapshot. Returns #actions applied.
+  /** A9: `REFRESH ... CONCURRENTLY` equivalent — recompute, diff old vs
+    * new, push only the delta to the sink, then MERGE the delta into the
+    * snapshot. Returns #actions applied.
     *
-    * Failure ordering: the snapshot pointer moves only after the sink
+    * I/O shape (the 100 TB property): the recomputed view is persisted
+    * to executor memory/local disk (the cluster's scratch tier), never
+    * staged into the store; the diff is the only thing written — so an
+    * idle refresh writes NOTHING, and a 1% change batch rewrites ~1% of
+    * a [[graft.refresh.BucketedSnapshotStore]]'s files. The view query
+    * still runs exactly once (both diff branches read the persisted
+    * plan).
+    *
+    * Failure ordering: the snapshot merge commits only after the sink
     * accepted the batch, so a sink failure leaves the old snapshot
     * committed and the next refresh re-diffs and re-sends — at-least-
     * once delivery converging via idempotent upserts (SURVEY §2C). */
   def refresh(): Long = {
-    val v = store.stage(compute())
-    val actions = DiffRefresher.diff(store.read(), store.readVersion(v)).cache()
+    val newSnap = compute()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val n = actions.count()
-      if (n > 0) sink.applyActions(actions)
-      store.commit(v)
-      n
-    } finally actions.unpersist()
+      // keyed old side: the diff never reads the old snapshot's doc bytes
+      val actions = DiffRefresher.diffKeyed(store.readKeyed(), newSnap).cache()
+      try {
+        val n = actions.count()
+        if (n > 0) {
+          sink.applyActions(actions)
+          store.mergeActions(actions)
+        }
+        n
+      } finally actions.unpersist()
+    } finally newSnap.unpersist()
   }
 
   /** The 100 TB refresh path: recompute ONLY the view keys a change
@@ -74,8 +87,9 @@ class Pipeline(
     *     upserts;
     *   - affected ids present in old but absent from recomputed →
     *     deletes;
-    *   - snapshot = old minus affected, plus recomputed (one
-    *     anti-join + union — same merge shape as the sink).
+    *   - snapshot = old minus affected, plus recomputed — via
+    *     [[graft.refresh.SnapshotStore.mergeScoped]], which a bucketed
+    *     store serves by rewriting only the touched buckets' files.
     *
     * Pipelines without a scoped compute fall back to full [[refresh]].
     * @return #actions applied */
@@ -86,16 +100,13 @@ class Pipeline(
       val ids = affectedIds.select(col("id")).distinct().cache()
       val recomp = recomputed.cache()
       try {
-        val old = store.read()
-        val oldAffected = old.join(ids, Seq("id"), "left_semi")
-        val actions = DiffRefresher.diff(oldAffected, recomp).cache()
+        val oldAffected = store.readScopedKeyed(ids)
+        val actions = DiffRefresher.diffKeyed(oldAffected, recomp).cache()
         try {
           val n = actions.count()
           if (n > 0) {
             sink.applyActions(actions)
-            val merged = old.join(ids, Seq("id"), "left_anti")
-              .unionByName(recomp.select("id", "doc"))
-            store.commit(store.stage(merged))
+            store.mergeScoped(ids, recomp)
           }
           n
         } finally actions.unpersist()

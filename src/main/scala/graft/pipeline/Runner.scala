@@ -53,7 +53,8 @@ object PipelineConfig {
         })
         new Pipeline(view, parent, tables,
           graft.views.SqlView.compile(spark, viewSql, sources, Some(tables)),
-          new graft.refresh.SnapshotStore(spark, s"$workDir/$view"),
+          // bucketed: refresh writes scale with change volume, not view size
+          new graft.refresh.BucketedSnapshotStore(spark, s"$workDir/$view"),
           sink)
     }
   }

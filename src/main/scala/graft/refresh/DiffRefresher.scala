@@ -26,17 +26,26 @@ import org.apache.spark.sql.functions._
   */
 object DiffRefresher {
 
-  /** @return actions `(op: "index"|"delete", id, doc)` */
-  def diff(oldSnap: DataFrame, newSnap: DataFrame): DataFrame = {
-    val o = oldSnap.select(col("id").as("o_id"), xxhash64(col("doc")).as("o_h"))
+  /** Diff against a keyed old side `(id, h)` — the old snapshot's doc
+    * BYTES are never read. Stores that persist the hash
+    * ([[BucketedSnapshotStore.readKeyed]]) serve this from a
+    * column-pruned scan: at 100 TB the doc column dominates the bytes,
+    * so the per-refresh base scan shrinks to ids+hashes.
+    * @return actions `(op: "index"|"delete", id, doc)` */
+  def diffKeyed(oldKeyed: DataFrame, newSnap: DataFrame): DataFrame = {
+    val o = oldKeyed.select(col("id").as("o_id"), col("h").as("o_h"))
     val n = newSnap.select(col("id"), col("doc"), xxhash64(col("doc")).as("n_h"))
     val upserts = n
       .join(o, n("id") === o("o_id") && n("n_h") === o("o_h"), "left_anti")
       .select(lit("index").as("op"), col("id"), col("doc"))
-    val deletes = oldSnap.select(col("id"))
+    val deletes = oldKeyed.select(col("id"))
       .join(newSnap.select(col("id")), Seq("id"), "left_anti")
       .select(lit("delete").as("op"), col("id"),
         lit(null).cast("string").as("doc"))
     upserts.unionByName(deletes)
   }
+
+  /** @return actions `(op: "index"|"delete", id, doc)` */
+  def diff(oldSnap: DataFrame, newSnap: DataFrame): DataFrame =
+    diffKeyed(oldSnap.select(col("id"), xxhash64(col("doc")).as("h")), newSnap)
 }

@@ -1,34 +1,100 @@
 package graft.refresh
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
-/** Keyed `(id, doc)` snapshot table with MVCC versions — the engine's
+/** Keyed `(id, doc)` snapshot table with atomic commits — the engine's
   * stand-in for the reference's materialized view storage
   * (reference: src/sinker/query_templates.py:11-12 — MV with a unique
   * index on id).
   *
-  * Layout: `<path>/v<N>/` parquet dirs plus a `_CURRENT` pointer file.
-  * Writers [[stage]] a full new version (never touching the current one)
-  * and [[commit]] by atomically swapping the pointer — readers always see
-  * a consistent snapshot, and the diff refresher can read old and new
-  * versions side by side without recomputing the view twice. This is the
-  * same snapshot-isolation pattern Delta/Iceberg give on a cluster; the
-  * pointer file is the only piece that assumes an atomic rename, which
-  * HDFS and local filesystems provide (object stores would swap in a
-  * catalog/log here).
+  * Two implementations:
+  *   - [[MvccSnapshotStore]]: whole-snapshot versions + a pointer file.
+  *     Simple, fully atomic, but every commit rewrites the whole view —
+  *     fine for small views and the scratch store inside
+  *     [[graft.sink.ParquetIndex]].
+  *   - [[BucketedSnapshotStore]]: hash-bucketed base + merge-on-read
+  *     delta log + amortized compaction. Write I/O per refresh is
+  *     proportional to CHANGE VOLUME (one delta file), never to view
+  *     size — the store to use at 100 TB.
   *
   * Uniqueness of `id` is an invariant of the view computation (the diff
   * and sinks key on it), matching the reference's mandatory unique index.
   */
-class SnapshotStore(spark: SparkSession, path: String) {
+trait SnapshotStore {
+
+  def exists: Boolean
+
+  /** Current committed snapshot `(id, doc)`. */
+  def read(): DataFrame
+
+  /** Current snapshot restricted to `ids` — layouts that can prune
+    * (bucketed) read only the relevant files. */
+  def readScoped(ids: DataFrame): DataFrame =
+    read().join(ids.select("id"), Seq("id"), "left_semi")
+
+  /** Current snapshot as `(id, h)` with `h = xxhash64(doc)` — all a
+    * refresh diff needs from the old side. Layouts that persist the
+    * hash (bucketed) serve this WITHOUT reading doc bytes. */
+  def readKeyed(): DataFrame =
+    read().select(col("id"), xxhash64(col("doc")).as("h"))
+
+  /** [[readKeyed]] restricted to `ids`. */
+  def readScopedKeyed(ids: DataFrame): DataFrame =
+    readScoped(ids).select(col("id"), xxhash64(col("doc")).as("h"))
+
+  /** Write `df` (must be `(id, doc)`) as the next full version; returns
+    * the version id. Does NOT move the pointer — call [[commit]]. */
+  def stage(df: DataFrame): String
+
+  /** Atomically make `v` the current snapshot. */
+  def commit(v: String): Unit
+
+  def readVersion(v: String): DataFrame
+
+  /** Apply a diff batch `(op: "index"|"delete", id, doc)` to the
+    * snapshot atomically: upserts replace, deletes vanish, untouched
+    * rows stay. */
+  def mergeActions(actions: DataFrame): Unit
+
+  /** Replace all rows whose id ∈ `ids` with `recomputed` (which must
+    * cover exactly the surviving docs of `ids`), committing atomically. */
+  def mergeScoped(ids: DataFrame, recomputed: DataFrame): Unit = {
+    val keyDf = ids.select("id")
+    val deletes = keyDf
+      .join(recomputed.select("id"), Seq("id"), "left_anti")
+      .select(lit("delete").as("op"), col("id"), lit(null).cast("string").as("doc"))
+    mergeActions(
+      recomputed.select(lit("index").as("op"), col("id"), col("doc"))
+        .unionByName(deletes))
+  }
+}
+
+object SnapshotStore {
+  private[graft] val docSchema = StructType(Seq(
+    StructField("id", StringType), StructField("doc", StringType)))
+}
+
+/** MVCC layout: `<path>/v<N>/` parquet dirs plus a `_CURRENT` pointer
+  * file. Writers [[stage]] a full new version (never touching the
+  * current one) and [[commit]] by atomically swapping the pointer —
+  * readers always see a consistent snapshot, and the diff refresher can
+  * read old and new versions side by side without recomputing the view
+  * twice. The pointer file is the only piece that assumes an atomic
+  * rename, which HDFS and local filesystems provide (object stores
+  * would swap in a catalog/log here).
+  */
+class MvccSnapshotStore(spark: SparkSession, path: String) extends SnapshotStore {
 
   private val root = new Path(path)
   private def fs: FileSystem =
     root.getFileSystem(spark.sparkContext.hadoopConfiguration)
   private val currentPtr = new Path(root, "_CURRENT")
 
-  def exists: Boolean = fs.exists(currentPtr)
+  override def exists: Boolean = fs.exists(currentPtr)
 
   def currentVersion: Option[String] =
     if (!exists) None
@@ -38,9 +104,7 @@ class SnapshotStore(spark: SparkSession, path: String) {
       finally in.close()
     }
 
-  /** Write `df` (must be `(id, doc)`) as the next version; returns the
-    * version id. Does NOT move the pointer — call [[commit]]. */
-  def stage(df: DataFrame): String = {
+  override def stage(df: DataFrame): String = {
     val v = "v" + (currentVersion.map(_.drop(1).toLong).getOrElse(0L) + 1)
     df.select("id", "doc").write.mode("overwrite").parquet(new Path(root, v).toString)
     v
@@ -53,7 +117,7 @@ class SnapshotStore(spark: SparkSession, path: String) {
     * DataFrame over the prior snapshot survives one refresh cycle
     * (bounded MVCC grace; Delta/Iceberg generalize this with retention
     * policies). */
-  def commit(v: String): Unit = {
+  override def commit(v: String): Unit = {
     val tmp = new Path(root, s"_CURRENT.tmp")
     val out = fs.create(tmp, true)
     try out.write(v.getBytes("UTF-8")) finally out.close()
@@ -68,11 +132,313 @@ class SnapshotStore(spark: SparkSession, path: String) {
 
   private def versionNum(v: String): Long = v.drop(1).toLong
 
-  def readVersion(v: String): DataFrame =
+  override def readVersion(v: String): DataFrame =
     spark.read.parquet(new Path(root, v).toString)
 
-  /** Current committed snapshot `(id, doc)`. */
-  def read(): DataFrame =
+  override def read(): DataFrame =
     readVersion(currentVersion.getOrElse(
       throw new IllegalStateException(s"no committed snapshot at $path")))
+
+  /** Whole-snapshot rewrite (this layout can't scope writes). */
+  override def mergeActions(actions: DataFrame): Unit = {
+    val merged = read()
+      .join(actions.select("id"), Seq("id"), "left_anti")
+      .unionByName(actions.filter(col("op") === "index").select("id", "doc"))
+    commit(stage(merged))
+  }
+}
+
+/** The 100 TB snapshot store: an LSM-shaped bucketed table.
+  *
+  * Layout:
+  * {{{
+  * <path>/v3/bucket=0/part-*.parquet      base leaves (hash(id) % n)
+  * <path>/v7/bucket=1/part-*.parquet
+  * <path>/d9/part-*.parquet               delta log entries (op,id,doc)
+  * <path>/_CURRENT                        manifest:  "0 v3\n1 v7\nD d9"
+  * }}}
+  *
+  * The manifest pointer maps every live bucket to the version that last
+  * compacted it, plus the ordered delta log. A [[mergeActions]] batch
+  * appends ONE delta file and swaps the manifest — write I/O is exactly
+  * the change volume, regardless of how many buckets the changed ids
+  * hash into (bucket-granular rewrite degenerates to a full rewrite for
+  * uniformly spread changes; the delta log does not). Reads merge base
+  * and deltas with latest-wins per id; the log is kept short by
+  * compaction — when it exceeds [[maxDeltas]] files or a quarter of the
+  * base size, the touched buckets (only) are rewritten and the log
+  * cleared, amortizing base rewrites over many refreshes. This is the
+  * base+delta+compaction design Delta/Iceberg's merge-on-read mode and
+  * every LSM store use; the pointer file stands in for the catalog.
+  *
+  * Atomicity: every mutation writes new files first and then swaps the
+  * manifest with a single atomic rename — readers always see a
+  * consistent snapshot, and the commit-after-sink failure ordering of
+  * [[graft.pipeline.Pipeline]] is preserved exactly. Orphan dirs from a
+  * crash before the swap are GC'd on a later commit. GC keeps leaves
+  * referenced by the current OR the immediately-previous manifest — one
+  * cycle of reader grace, matching [[MvccSnapshotStore]].
+  */
+class BucketedSnapshotStore(
+    spark: SparkSession, path: String, numBuckets: Int = 64,
+    maxDeltas: Int = 8)
+    extends SnapshotStore {
+
+  require(numBuckets > 0, "numBuckets must be positive")
+
+  private val root = new Path(path)
+  private def fs: FileSystem =
+    root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private val currentPtr = new Path(root, "_CURRENT")
+  private val prevPtr = new Path(root, "_PREV")
+
+  private def bucketOf(c: Column): Column = pmod(xxhash64(c), lit(numBuckets))
+
+  override def exists: Boolean = fs.exists(currentPtr)
+
+  // ------------------------------------------------------------ manifest
+
+  /** buckets: live bucket → version dir; deltas: ordered log dirs. */
+  private case class Manifest(buckets: Map[Long, String], deltas: Seq[String])
+
+  private def readPtr(p: Path): Option[String] =
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8"))
+      finally in.close()
+    }
+
+  private def parseManifest(s: String): Manifest = {
+    val lines = s.linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
+    Manifest(
+      lines.filterNot(_.startsWith("D ")).map { line =>
+        val Array(b, v) = line.split(' '); b.toLong -> v
+      }.toMap,
+      lines.filter(_.startsWith("D ")).map(_.drop(2)))
+  }
+
+  private def manifest: Manifest =
+    readPtr(currentPtr).map(parseManifest).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $path"))
+
+  /** Swap in a new manifest: stash the old one in `_PREV` (reader
+    * grace), atomic-rename the new one into `_CURRENT`, then GC dirs
+    * unreferenced by both. */
+  private def commitManifest(m: Manifest): Unit = {
+    val old = readPtr(currentPtr)
+    old.foreach { s =>
+      val out = fs.create(prevPtr, true)
+      try out.write(s.getBytes("UTF-8")) finally out.close()
+    }
+    val body = (m.buckets.toSeq.sortBy(_._1).map { case (b, v) => s"$b $v" } ++
+      m.deltas.map(d => s"D $d")).mkString("\n")
+    val tmp = new Path(root, "_CURRENT.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      currentPtr.toUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, currentPtr, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    gc(m, old.map(parseManifest).getOrElse(Manifest(Map.empty, Nil)))
+  }
+
+  private def gc(current: Manifest, prev: Manifest): Unit = {
+    val liveLeaves: Set[(String, Long)] =
+      (current.buckets.toSeq ++ prev.buckets.toSeq)
+        .map { case (b, v) => (v, b) }.toSet
+    val liveDeltas = (current.deltas ++ prev.deltas).toSet
+    Option(fs.globStatus(new Path(root, "v*"))).toSeq.flatten.foreach { vDir =>
+      val v = vDir.getPath.getName
+      Option(fs.globStatus(new Path(vDir.getPath, "bucket=*"))).toSeq.flatten
+        .foreach { leaf =>
+          val b = leaf.getPath.getName.stripPrefix("bucket=").toLong
+          if (!liveLeaves.contains((v, b))) fs.delete(leaf.getPath, true)
+        }
+      if (Option(fs.globStatus(new Path(vDir.getPath, "bucket=*")))
+            .forall(_.isEmpty)) fs.delete(vDir.getPath, true)
+    }
+    Option(fs.globStatus(new Path(root, "d*"))).toSeq.flatten
+      .map(_.getPath)
+      .filter(p => !liveDeltas.contains(p.getName))
+      .foreach(p => fs.delete(p, true))
+  }
+
+  // ------------------------------------------------------- dirs/versions
+
+  /** Shared monotonic counter across v* and d* dirs (driver-side
+    * listing — ≤ a few dozen entries between GCs). */
+  private def nextDirNum(): Long = {
+    val nums = Option(fs.globStatus(new Path(root, "{v,d}*"))).toSeq.flatten
+      .map(_.getPath.getName.drop(1).toLong)
+    if (nums.isEmpty) 1L else nums.max + 1L
+  }
+
+  /** Buckets actually written under a version dir (driver-side listing,
+    * ≤ numBuckets entries). */
+  private def bucketsIn(v: String): Seq[Long] =
+    Option(fs.globStatus(new Path(new Path(root, v), "bucket=*"))).toSeq.flatten
+      .map(_.getPath.getName.stripPrefix("bucket=").toLong)
+
+  override def stage(df: DataFrame): String = {
+    val v = "v" + nextDirNum()
+    // h is persisted so refresh diffs can scan (id, h) without ever
+    // reading doc bytes — see [[readKeyed]]
+    df.select("id", "doc")
+      .withColumn("h", xxhash64(col("doc")))
+      .withColumn("bucket", bucketOf(col("id")))
+      .repartition(col("bucket"))
+      .write.partitionBy("bucket").parquet(new Path(root, v).toString)
+    v
+  }
+
+  /** Full-snapshot commit: every bucket present in `v` becomes current
+    * and the delta log is cleared (a backfill / full refresh wrote the
+    * complete view into `v`). */
+  override def commit(v: String): Unit =
+    commitManifest(Manifest(bucketsIn(v).map(_ -> v).toMap, Nil))
+
+  override def readVersion(v: String): DataFrame =
+    spark.read
+      .schema("id STRING, doc STRING, h BIGINT, bucket BIGINT")
+      .parquet(new Path(root, v).toString)
+      .select("id", "doc")
+
+  /** Internal frames carry `(id, doc, h)`; the public readers project. */
+  private def emptyFull: DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(SnapshotStore.docSchema.fields :+
+        org.apache.spark.sql.types.StructField("h",
+          org.apache.spark.sql.types.LongType)))
+
+  private def readLeaves(m: Map[Long, String]): DataFrame =
+    if (m.isEmpty) emptyFull
+    else {
+      // one partitioned read per VERSION dir (not per leaf): driver-side
+      // listing cost ∝ #versions (small, GC-bounded), and the isin on
+      // the partition column prunes to exactly the manifest's buckets
+      m.groupBy(_._2).toSeq.sortBy(_._1).map { case (v, entries) =>
+        spark.read.schema("id STRING, doc STRING, h BIGINT, bucket BIGINT")
+          .parquet(new Path(root, v).toString)
+          .filter(col("bucket").isin(entries.keys.toSeq: _*))
+          .select("id", "doc", "h")
+      }.reduce(_ unionByName _)
+    }
+
+  /** Latest-wins resolution of the delta log: one row per id from the
+    * newest delta mentioning it. Deltas are change-volume-sized, so the
+    * window is over a small frame and the join against base typically
+    * broadcasts. */
+  private def latestDelta(deltas: Seq[String]): Option[DataFrame] =
+    if (deltas.isEmpty) None
+    else Some {
+      deltas.zipWithIndex.map { case (d, i) =>
+        spark.read.schema("op STRING, id STRING, doc STRING, h BIGINT")
+          .parquet(new Path(root, d).toString)
+          .withColumn("_seq", lit(i))
+      }.reduce(_ unionByName _)
+        .withColumn("_rn", row_number().over(
+          Window.partitionBy("id").orderBy(col("_seq").desc)))
+        .filter(col("_rn") === 1)
+        .select("op", "id", "doc", "h")
+    }
+
+  /** Base+delta merged view as `(id, doc, h)`. */
+  private def mergeRead(base: DataFrame, deltas: Seq[String]): DataFrame =
+    latestDelta(deltas) match {
+      case None => base
+      case Some(latest) =>
+        base.join(latest.select("id"), Seq("id"), "left_anti")
+          .unionByName(
+            latest.filter(col("op") === "index").select("id", "doc", "h"))
+    }
+
+  private def currentFull: DataFrame = {
+    val m = manifest
+    mergeRead(readLeaves(m.buckets), m.deltas)
+  }
+
+  override def read(): DataFrame = currentFull.select("id", "doc")
+
+  /** Column-pruned keyed read: the doc column never leaves parquet —
+    * the per-refresh base scan is ids+hashes only. */
+  override def readKeyed(): DataFrame = currentFull.select("id", "h")
+
+  /** Partition-pruned scoped read as `(id, doc, h)`: only the buckets
+    * `ids` hash into are opened (≤ numBuckets driver-side values —
+    * bounded, not data-sized), and the delta log is filtered to `ids`. */
+  private def scopedFull(ids: DataFrame): DataFrame = {
+    val keyDf = ids.select("id")
+    val touched = keyDf.select(bucketOf(col("id")).as("b")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val m = manifest
+    val base = readLeaves(m.buckets.view.filterKeys(touched).toMap)
+      .join(keyDf, Seq("id"), "left_semi")
+    latestDelta(m.deltas) match {
+      case None => base
+      case Some(latest) =>
+        val scoped = latest.join(keyDf, Seq("id"), "left_semi")
+        base.join(scoped.select("id"), Seq("id"), "left_anti")
+          .unionByName(
+            scoped.filter(col("op") === "index").select("id", "doc", "h"))
+    }
+  }
+
+  override def readScoped(ids: DataFrame): DataFrame =
+    scopedFull(ids).select("id", "doc")
+
+  override def readScopedKeyed(ids: DataFrame): DataFrame =
+    scopedFull(ids).select("id", "h")
+
+  /** The point of this store: one delta-file append per batch — write
+    * I/O ∝ change volume even when the changed ids hash into every
+    * bucket. Compacts when the log reaches [[maxDeltas]] files, or
+    * immediately when the base is empty (a bulk load lands straight in
+    * bucketed form). A production store would add a byte/row-ratio
+    * trigger from manifest statistics (as Iceberg snapshots carry);
+    * raw dir sizes are dominated by per-file overhead at test scale, so
+    * the count rule is the honest local proxy. */
+  override def mergeActions(actions: DataFrame): Unit = {
+    val m = manifest
+    if (m.buckets.isEmpty && m.deltas.isEmpty) {
+      // bulk load into an empty store: land directly in bucketed form —
+      // one write, no delta hop (deletes against nothing are dropped)
+      val v = stage(actions.filter(col("op") === "index").select("id", "doc"))
+      commit(v)
+      return
+    }
+    val d = "d" + nextDirNum()
+    actions.select("op", "id", "doc")
+      .withColumn("h", xxhash64(col("doc")))
+      .write.parquet(new Path(root, d).toString)
+    val grown = Manifest(m.buckets, m.deltas :+ d)
+    if (grown.deltas.size >= maxDeltas || m.buckets.isEmpty) compact(grown)
+    else commitManifest(grown)
+  }
+
+  /** Fold the delta log into the base: rewrite ONLY the buckets the
+    * delta ids hash into, clear the log, swap the manifest. Amortized
+    * over the batches since the last compaction. */
+  private def compact(m: Manifest): Unit = {
+    latestDelta(m.deltas) match {
+      case None => commitManifest(m)
+      case Some(latest0) =>
+        val latest = latest0.cache()
+        try {
+          val keyDf = latest.select("id")
+          val touched = keyDf.select(bucketOf(col("id")).as("b")).distinct()
+            .collect().map(_.getLong(0)).toSet
+          val merged = readLeaves(m.buckets.view.filterKeys(touched).toMap)
+            .join(keyDf, Seq("id"), "left_anti")
+            .unionByName(
+              latest.filter(col("op") === "index").select("id", "doc", "h"))
+            .withColumn("bucket", bucketOf(col("id")))
+          val v = "v" + nextDirNum()
+          merged.repartition(col("bucket"))
+            .write.partitionBy("bucket").parquet(new Path(root, v).toString)
+          commitManifest(Manifest(
+            m.buckets -- touched ++ bucketsIn(v).map(_ -> v).toMap, Nil))
+        } finally latest.unpersist()
+    }
+  }
 }

@@ -82,7 +82,7 @@ class InMemoryIndex(val index: String, val mapping: StructType)
 class ParquetIndex(spark: SparkSession, val index: String,
     val mapping: StructType, path: String) extends DocumentSink {
 
-  private val store = new graft.refresh.SnapshotStore(spark, path)
+  private val store = new graft.refresh.MvccSnapshotStore(spark, path)
 
   /** Initialize empty (A16 recreate_index: delete + recreate). */
   def recreate(): Unit = {
@@ -113,100 +113,45 @@ class ParquetIndex(spark: SparkSession, val index: String,
   override def count(): Long = read().count()
 }
 
-/** The 100 TB sink: the index is hash-bucketed by id
-  * (`bucket = pmod(xxhash64(id), n)`), and a batch rewrites ONLY the
-  * buckets containing touched ids — dynamic partition overwrite leaves
-  * the other `n - |touched|` buckets' files untouched. Merge I/O is
-  * proportional to change volume, not index size (the property
-  * [[ParquetIndex]]'s full-snapshot MVCC rewrite gives up).
-  *
-  * Tradeoff, stated honestly: per-bucket overwrite is not atomic across
-  * buckets (Delta/Iceberg would add the transaction log). A crashed
-  * batch leaves some buckets new and some old; replaying the batch
-  * converges because actions are idempotent full-document upserts and
-  * deletes — exactly the §2C at-least-once contract the reference
-  * lives with too (destructive slot reads, re-refresh as "harmless
-  * no-op").
+/** The 100 TB sink: delegates storage to a
+  * [[graft.refresh.BucketedSnapshotStore]] — hash-bucketed base +
+  * merge-on-read delta log + amortized scoped compaction. A batch
+  * appends ONE delta file (write I/O ∝ change volume, even when the
+  * touched ids hash into every bucket) and swaps a manifest pointer
+  * atomically; compaction folds the log into only the touched buckets
+  * when it grows. A bulk load into an empty index compacts immediately,
+  * landing in bucketed form — the analogue of the reference's 100-doc
+  * ES bulk chunks with retry (reference: src/sinker/settings.py:23-41).
   */
 class BucketedParquetIndex(spark: SparkSession, val index: String,
     val mapping: StructType, path: String, numBuckets: Int = 64)
     extends DocumentSink {
 
-  private def bucketOf(c: Column): Column = pmod(xxhash64(c), lit(numBuckets))
-  private def empty: DataFrame = {
-    import spark.implicits._
-    Seq.empty[(String, String)].toDF("id", "doc")
-      .withColumn("bucket", bucketOf(col("id")))
-  }
+  private val store =
+    new graft.refresh.BucketedSnapshotStore(spark, path, numBuckets)
 
+  /** Initialize empty (A16 recreate_index: delete + recreate). */
   def recreate(): Unit = {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(root)) fs.delete(root, true)
-    empty.write.partitionBy("bucket").parquet(path)
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      graft.refresh.SnapshotStore.docSchema)
+    store.commit(store.stage(empty))
   }
 
-  def read(): DataFrame =
-    spark.read.schema("id STRING, doc STRING, bucket BIGINT").parquet(path)
-      .select("id", "doc")
+  def read(): DataFrame = store.read()
 
   // serialized per instance: several pipelines may feed one index, and
-  // concurrent merges over the same files would race
-  override protected def doApply(actions: DataFrame): Unit = this.synchronized {
-    val acts = actions
-      .withColumn("bucket", bucketOf(col("id")))
-      .cache()
-    try {
-      val touched = acts.select("bucket").distinct()
-        .collect().map(_.getLong(0))
-      if (touched.isEmpty) return
-      // partition pruning: only the touched buckets are read
-      val current = spark.read
-        .schema("id STRING, doc STRING, bucket BIGINT").parquet(path)
-        .filter(col("bucket").isin(touched.toSeq: _*))
-      val merged = current
-        .join(acts.select(col("id")), Seq("id"), "left_anti")
-        .unionByName(acts.filter(col("op") === "index")
-          .select(col("id"), col("doc"), col("bucket")))
-      // dynamic overwrite: only partitions present in `merged` rewrite;
-      // a touched bucket emptied of all docs keeps stale files, so make
-      // sure every touched bucket appears (possibly with zero rows kept
-      // -> write its empty frame too via union of bucket markers)
-      // stage the merged buckets first: the merge READS the same files
-      // the dynamic overwrite would replace, so writing in place would
-      // delete inputs mid-scan. Staging I/O is still proportional to
-      // the touched buckets only.
-      val root = new Path(path)
-      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val staging = new Path(root.getParent,
-        s".${root.getName}-staging-${java.util.UUID.randomUUID()}")
-      try {
-        merged.repartition(col("bucket"))
-          .write.partitionBy("bucket").parquet(staging.toString)
-        spark.read
-          .schema("id STRING, doc STRING, bucket BIGINT")
-          .parquet(staging.toString)
-          .write
-          .mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("bucket")
-          .parquet(path)
-        // dynamic overwrite skips buckets whose merged content is empty;
-        // delete their stale partition dirs explicitly
-        val written = spark.read
-          .schema("id STRING, doc STRING, bucket BIGINT")
-          .parquet(staging.toString)
-          .select("bucket").distinct().collect().map(_.getLong(0)).toSet
-        touched.filterNot(written).foreach { b =>
-          fs.delete(new Path(root, s"bucket=$b"), true)
-        }
-      } finally fs.delete(staging, true)
-    } finally acts.unpersist()
-  }
+  // concurrent merges over the same manifest would race
+  override protected def doApply(actions: DataFrame): Unit =
+    this.synchronized { store.mergeActions(actions) }
 
-  override def get(id: String): Option[String] =
-    spark.read.schema("id STRING, doc STRING, bucket BIGINT").parquet(path)
-      .filter(col("bucket") === bucketOf(lit(id)) && col("id") === id)
+  override def get(id: String): Option[String] = {
+    import spark.implicits._
+    store.readScoped(Seq(id).toDF("id"))
       .collect().headOption.map(_.getString(1))
+  }
   override def count(): Long = read().count()
 }

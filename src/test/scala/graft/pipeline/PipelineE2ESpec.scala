@@ -7,7 +7,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.types._
 
 import graft.SparkSpec
-import graft.refresh.SnapshotStore
+import graft.refresh.{BucketedSnapshotStore, MvccSnapshotStore}
 import graft.sink.{DocumentSink, InMemoryIndex, ParquetIndex}
 import graft.views.SchoolViews
 
@@ -71,11 +71,11 @@ class PipelineE2ESpec extends SparkSpec {
   private val personPipe = new Pipeline(
     "person_mv", "person", Set("person"),
     () => SchoolViews.personMv(person),
-    new SnapshotStore(spark, tmp()), peopleSink)
+    new BucketedSnapshotStore(spark, tmp()), peopleSink)
   private val coursePipe = new Pipeline(
     "course_mv", "course", Set("course", "teacher", "student", "person", "enrollment"),
     () => SchoolViews.courseMv(course, teacher, studentCur, person, enrollment),
-    new SnapshotStore(spark, tmp()), coursesSink)
+    new BucketedSnapshotStore(spark, tmp()), coursesSink)
 
   private val goldenCourseC1 =
     """{

@@ -9,7 +9,7 @@ import org.apache.spark.sql.types._
 
 import graft.SparkSpec
 import graft.cdc.ChangeEvent
-import graft.refresh.SnapshotStore
+import graft.refresh.{BucketedSnapshotStore, MvccSnapshotStore}
 import graft.sink.InMemoryIndex
 import graft.views.SchoolViews
 
@@ -33,7 +33,7 @@ class RunnerSoakSpec extends SparkSpec {
     val feed = new InMemoryChangeFeed
     val pipe = new Pipeline("person_mv", "person", Set("person"),
       () => SchoolViews.personMv(current),
-      new SnapshotStore(spark, Files.createTempDirectory("graft-soak").toString),
+      new BucketedSnapshotStore(spark, Files.createTempDirectory("graft-soak").toString),
       sink)
     val runner = new Runner(Seq(pipe), feed)
     runner.backfillAll() shouldBe Map("person_mv" -> 20)

@@ -8,7 +8,7 @@ import org.apache.spark.sql.types._
 
 import graft.SparkSpec
 import graft.cdc.ChangeEvent
-import graft.refresh.SnapshotStore
+import graft.refresh.{BucketedSnapshotStore, MvccSnapshotStore}
 import graft.sink.InMemoryIndex
 import graft.views.SchoolViews
 
@@ -41,10 +41,10 @@ class RunnerSpec extends SparkSpec {
     val sink2 = new InMemoryIndex("people_copy", nameMapping)
     val p1 = new Pipeline("person_mv", "person", Set("person"),
       () => { computes1.incrementAndGet(); SchoolViews.personMv(person) },
-      new SnapshotStore(spark, tmp()), sink1)
+      new MvccSnapshotStore(spark, tmp()), sink1)
     val p2 = new Pipeline("person_copy_mv", "person", Set("person", "extra"),
       () => { computes2.incrementAndGet(); SchoolViews.personMv(person) },
-      new SnapshotStore(spark, tmp()), sink2)
+      new MvccSnapshotStore(spark, tmp()), sink2)
     val feed = new InMemoryChangeFeed
     val runner = new Runner(Seq(p1, p2), feed)
 
@@ -79,7 +79,7 @@ class RunnerSpec extends SparkSpec {
     val person = Seq(("p-1", "John")).toDF("id", "name")
     val pipe = new Pipeline("person_mv", "person", Set("person"),
       () => SchoolViews.personMv(person),
-      new SnapshotStore(spark, tmp()), failingSink)
+      new MvccSnapshotStore(spark, tmp()), failingSink)
     val e = intercept[IllegalStateException](
       new Runner(Seq(pipe), new InMemoryChangeFeed).backfillAll())
     e.getMessage should include("Boom!")
@@ -88,7 +88,7 @@ class RunnerSpec extends SparkSpec {
   test("worker errors surface from iterate (test_e2e.py:35-46)") {
     val boom = new Pipeline("boom_mv", "t", Set("t"),
       () => throw new IllegalStateException("Boom!"),
-      new SnapshotStore(spark, tmp()),
+      new MvccSnapshotStore(spark, tmp()),
       new InMemoryIndex("boom", nameMapping))
     val feed = new InMemoryChangeFeed
     feed.append(mkEvent("t"))
@@ -101,7 +101,7 @@ class RunnerSpec extends SparkSpec {
     val sink = new InMemoryIndex("people_stream", nameMapping)
     val pipe = new Pipeline("person_mv", "person", Set("person"),
       () => SchoolViews.personMv(person),
-      new SnapshotStore(spark, tmp()), sink)
+      new MvccSnapshotStore(spark, tmp()), sink)
     pipe.backfill() shouldBe 2
 
     val sr = new StreamingRunner(spark, Seq(pipe), tmp() + "/ckpt")

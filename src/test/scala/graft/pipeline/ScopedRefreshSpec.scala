@@ -8,7 +8,7 @@ import org.apache.spark.sql.types._
 
 import graft.SparkSpec
 import graft.cdc.ChangeEvent
-import graft.refresh.SnapshotStore
+import graft.refresh.{BucketedSnapshotStore, MvccSnapshotStore}
 import graft.sink.InMemoryIndex
 import graft.views.SchoolViews
 
@@ -54,7 +54,7 @@ class ScopedRefreshSpec extends SparkSpec {
     "course_mv", "course",
     Set("course", "teacher", "student", "person", "enrollment"),
     () => SchoolViews.courseMv(course, teacher, student, person, enrollment),
-    new SnapshotStore(spark, Files.createTempDirectory("graft-scoped").toString),
+    new MvccSnapshotStore(spark, Files.createTempDirectory("graft-scoped").toString),
     sink,
     scopedCompute = Some(changes =>
       SchoolViews.courseMvScoped(course, teacher, student, person, enrollment)(changes)))
