@@ -39,6 +39,11 @@ trait DocumentSink {
     while (!done) {
       try { doApply(actions); done = true }
       catch {
+        // deterministic sink-side rejections can't be retried away
+        case e: SinkRejectionException => throw e
+        case e: org.apache.spark.SparkException
+            if causeChain(e).exists(_.isInstanceOf[SinkRejectionException]) =>
+          throw e
         // NonFatal only: VM errors and interrupts must surface at once
         case scala.util.control.NonFatal(_) if attempt < maxRetries =>
           attempt += 1
@@ -46,6 +51,9 @@ trait DocumentSink {
       }
     }
   }
+
+  private def causeChain(t: Throwable): Seq[Throwable] =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
 
   protected def doApply(actions: DataFrame): Unit
 

@@ -1,0 +1,183 @@
+package graft.sink
+
+import java.io.IOException
+import java.net.{HttpURLConnection, URI}
+import java.nio.charset.StandardCharsets
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.types.StructType
+
+/** Deterministic sink-side rejection (e.g. an ES strict-mapping
+  * failure): retrying cannot help, so [[DocumentSink.applyActions]]
+  * surfaces it immediately instead of burning the retry budget —
+  * the `raise_on_error=True` path of the reference's bulk call
+  * (reference: src/sinker/settings.py:36-41). */
+class SinkRejectionException(msg: String) extends RuntimeException(msg)
+
+/** Elasticsearch-compatible HTTP bulk sink — the reference's actual
+  * target, speaking the same wire shapes its `elasticsearch.helpers.
+  * bulk` emits (reference: src/sinker/es.py:15-25, sinker.py:55-72,
+  * settings.py:23-41):
+  *
+  *   - `POST /_bulk` with NDJSON `{"index":{...}}\ndoc\n` /
+  *     `{"delete":{...}}\n` action lines, in [[chunkSize]]-action
+  *     chunks (`ELASTICSEARCH_CHUNK_SIZE`, default 100);
+  *   - transient transport failures (IO errors, 429/5xx) retried up to
+  *     [[maxRetries]] per chunk (`ELASTICSEARCH_MAX_RETRIES`, 5);
+  *   - an item-level error in a 200 response raises
+  *     [[SinkRejectionException]] and is NOT retried
+  *     (`raise_on_error=True`);
+  *   - index recreate = `DELETE /<index>` (404 ignored) +
+  *     `PUT /<index>` with the definition file's mappings/settings
+  *     (reference: sinker.py:74-86).
+  *
+  * Scale shape: the bulk POSTs run from `foreachPartition` on the
+  * executors — each partition streams its own chunks straight to the
+  * cluster, no driver fan-in; this is exactly how es-hadoop ships
+  * documents. Chunks are idempotent full-document upserts/deletes, so
+  * Spark task retries and the outer batch retry both converge (§2C).
+  */
+class EsHttpBulkSink(
+    baseUrl: String,
+    val index: String,
+    val mapping: StructType,
+    chunkSize: Int = 100,
+    override val maxRetries: Int = 5,
+    timeoutMs: Int = 60000) extends DocumentSink {
+
+  import EsHttp._
+
+  /** A16: delete + recreate with the declared index body (mappings and
+    * settings JSON, the `<index>.json` definition file's content). */
+  def recreate(indexBody: String): Unit = {
+    request("DELETE", s"$baseUrl/$index", None, timeoutMs,
+      okCodes = Set(200, 404))
+    request("PUT", s"$baseUrl/$index", Some(indexBody), timeoutMs,
+      contentType = "application/json")
+  }
+
+  override protected def doApply(actions: DataFrame): Unit = {
+    // locals only: the closure must not capture the sink (DataFrame,
+    // SparkSession and friends aren't serializable)
+    val (url, idx, chunk, retries, timeout) =
+      (baseUrl, index, chunkSize, maxRetries, timeoutMs)
+    actions.select("op", "id", "doc").foreachPartition {
+      rows: Iterator[org.apache.spark.sql.Row] =>
+        rows.grouped(chunk).foreach { group =>
+          val body = new StringBuilder
+          group.foreach { r =>
+            val (op, id, doc) = (r.getString(0), r.getString(1), r.getString(2))
+            op match {
+              case "index" =>
+                body.append(s"""{"index":{"_index":${jstr(idx)},"_id":${jstr(id)}}}""")
+                  .append('\n').append(doc).append('\n')
+              case "delete" =>
+                body.append(s"""{"delete":{"_index":${jstr(idx)},"_id":${jstr(id)}}}""")
+                  .append('\n')
+              case other =>
+                throw new IllegalArgumentException(s"unknown op $other")
+            }
+          }
+          postBulkWithRetry(s"$url/_bulk", body.toString, retries, timeout)
+        }
+    }
+  }
+
+  override def get(id: String): Option[String] = {
+    val enc = java.net.URLEncoder.encode(id, "UTF-8")
+    val resp = request("GET", s"$baseUrl/$index/_doc/$enc", None, timeoutMs,
+      okCodes = Set(200, 404))
+    resp.filter(_._1 == 200).map { case (_, body) =>
+      val node = mapperRef.readTree(body)
+      mapperRef.writeValueAsString(node.get("_source"))
+    }
+  }
+
+  override def count(): Long = {
+    val resp = request("GET", s"$baseUrl/$index/_count", None, timeoutMs)
+    resp.map { case (_, body) =>
+      mapperRef.readTree(body).get("count").asLong()
+    }.getOrElse(0L)
+  }
+}
+
+/** Executor-side HTTP helpers (static object: serializable by
+  * reference, no state). JDK HttpURLConnection only — no extra
+  * dependencies. */
+private[sink] object EsHttp {
+  private[sink] val mapperRef = new ObjectMapper()
+
+  private[sink] def jstr(s: String): String = mapperRef.writeValueAsString(s)
+
+  /** One HTTP request; returns (code, body) or None for codes in
+    * `okCodes` with no body expected. Throws IOException for transport
+    * failures and non-ok codes (making them retryable upstream). */
+  private[sink] def request(
+      method: String, url: String, body: Option[String], timeoutMs: Int,
+      contentType: String = "application/x-ndjson",
+      okCodes: Set[Int] = Set(200, 201)): Option[(Int, String)] = {
+    val conn = URI.create(url).toURL.openConnection()
+      .asInstanceOf[HttpURLConnection]
+    try {
+      conn.setRequestMethod(method)
+      conn.setConnectTimeout(timeoutMs)
+      conn.setReadTimeout(timeoutMs)
+      body.foreach { b =>
+        conn.setDoOutput(true)
+        conn.setRequestProperty("Content-Type", contentType)
+        val out = conn.getOutputStream
+        try out.write(b.getBytes(StandardCharsets.UTF_8)) finally out.close()
+      }
+      val code = conn.getResponseCode
+      val stream = if (code >= 400) conn.getErrorStream else conn.getInputStream
+      val text =
+        if (stream == null) ""
+        else try new String(stream.readAllBytes(), StandardCharsets.UTF_8)
+        finally stream.close()
+      if (!okCodes.contains(code))
+        throw new IOException(s"$method $url -> HTTP $code: ${text.take(200)}")
+      Some((code, text))
+    } finally conn.disconnect()
+  }
+
+  /** POST one bulk chunk; retry transport failures with linear backoff
+    * ([[IOException]] covers refused connections, timeouts and non-2xx
+    * codes); item-level errors in a 200 response are deterministic →
+    * [[SinkRejectionException]], never retried. */
+  private[sink] def postBulkWithRetry(
+      url: String, body: String, maxRetries: Int, timeoutMs: Int): Unit = {
+    var attempt = 0
+    while (true) {
+      try {
+        val Some((_, respBody)) =
+          request("POST", url, Some(body), timeoutMs): @unchecked
+        val node = mapperRef.readTree(respBody)
+        if (node.has("errors") && node.get("errors").asBoolean()) {
+          val firstErr = {
+            val items = node.get("items")
+            val it = items.elements()
+            var msg = "bulk item error"
+            var found = false
+            while (it.hasNext && !found) {
+              val item = it.next()
+              val action = item.elements().next()
+              if (action.has("error")) {
+                msg = action.get("error").toString.take(300); found = true
+              }
+            }
+            msg
+          }
+          throw new SinkRejectionException(s"bulk rejected: $firstErr")
+        }
+        return
+      } catch {
+        case e: SinkRejectionException => throw e
+        case e: IOException =>
+          if (attempt >= maxRetries) throw e
+          attempt += 1
+          Thread.sleep(50L * attempt)
+      }
+    }
+  }
+}
