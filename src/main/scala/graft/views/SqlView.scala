@@ -16,11 +16,12 @@ import graft.functions.GraftExtensions
   *    and the session provides double-quoted identifiers;
   *  - `json_build_object`/`json_agg` resolve via [[GraftExtensions]]
   *    (structs in-plan, reference NULL-for-empty aggregation);
-  *  - correlated scalar subqueries decorrelate in Catalyst (B4/B5) —
-  *    ONE level of correlation per subquery (Catalyst's limit; no
-  *    nested-correlation support in Spark 4.1). The reference's 3-deep
-  *    nested lookups flatten to joins inside each subquery with
-  *    identical semantics (see SqlViewE2ESpec's course_mv);
+  *  - correlated scalar subqueries decorrelate in Catalyst (B4/B5),
+  *    including nested projection lookups; the one shape Spark 4.1
+  *    cannot plan — a correlated lookup inside an aggregate argument —
+  *    is rewritten to a left join pre-analysis by
+  *    [[graft.analysis.CorrelationFlattener]], so the reference's
+  *    3-deep course_mv.sql runs verbatim (SqlViewE2ESpec);
   *  - the result must be the mandatory 2-column `(id, doc)` shape
   *    (reference: src/sinker/query_templates.py:11); a struct doc is
   *    serialized once with `to_json` (`ignoreNullFields=false` to match
@@ -54,7 +55,13 @@ object SqlView {
     () => {
       val df = registrationLock.synchronized {
         tables.foreach(t => sources(t)().createOrReplaceTempView(t))
-        spark.sql(normalized)
+        // parse -> flatten nested-in-aggregate correlation -> analyze:
+        // lets the reference's course_mv.sql run verbatim (see
+        // CorrelationFlattener); a plan without that shape passes
+        // through unchanged, so this is spark.sql plus one rewrite
+        val parsed = spark.sessionState.sqlParser.parsePlan(normalized)
+        org.apache.spark.sql.graftshim.PlanRunner.ofRows(
+          spark, graft.analysis.CorrelationFlattener.flatten(parsed))
       }
       require(df.columns.length == 2,
         s"view query must produce (id, doc), got ${df.columns.mkString(", ")}")

@@ -84,25 +84,37 @@ class SqlViewE2ESpec extends SparkSpec {
         |               'name', "name") as "person"
         |from "person"
         |""".stripMargin)
-    // course_mv in join-flattened form: Catalyst decorrelates ONE level
-    // of correlated subquery (q19/q20); the reference's 3-deep nesting
-    // flattens to joins INSIDE each subquery — identical semantics and
-    // golden documents, single correlation level per subquery
+    // course_mv VERBATIM from the reference fixture
+    // (tests/fixtures/course_mv.sql) — 3-deep nested correlated
+    // subqueries, incl. lookups inside json_agg. Spark handles the
+    // projection nesting natively; CorrelationFlattener rewrites the
+    // in-aggregate lookups to left joins pre-analysis.
     Files.writeString(d.resolve("course_mv.sql"),
       """select id,
-        |  json_build_object('name', "name", 'description', "description",
-        |    'teacher', (select json_build_object('salary', t.salary, 'person',
-        |                    json_build_object('name', p.name))
-        |                from teacher t join person p on p.id = t.person_id
-        |                where t.id = course.teacher_id),
-        |    'enrollments', (select json_agg(json_build_object('grade', e.grade,
-        |                        'student', json_build_object('gpa', s.gpa,
-        |                            'person', json_build_object('name', sp.name))))
-        |                    from enrollment e
-        |                    join student s on s.id = e.student_id
-        |                    join person sp on sp.id = s.person_id
-        |                    where e.course_id = course.id)
-        |  ) as "course"
+        |       json_build_object('name', "name", 'description', "description", 'teacher',
+        |                         (select json_build_object('salary', "salary", 'person',
+        |                                                   (select json_build_object('name', "name")
+        |                                                    from person
+        |                                                    where person.id = person_id))
+        |                          from teacher
+        |                          where teacher.id = teacher_id), 'enrollments',
+        |                         (select json_agg(json_build_object('grade', "grade",
+        |                                                            'student', (select json_build_object(
+        |                                                                                   'gpa', "gpa",
+        |                                                                                   'person',
+        |                                                                                   (select json_build_object(
+        |                                                                                               'name',
+        |                                                                                               "name"
+        |                                                                                               )
+        |                                                                                    from person
+        |                                                                                    where person.id = person_id)
+        |                                                                                   )
+        |                                                                        from student
+        |                                                                        where student.id = student_id)
+        |                             ))
+        |                          from enrollment
+        |                          where enrollment.course_id = course.id)
+        |           ) as "course"
         |from "course";
         |""".stripMargin)
     Files.writeString(d.resolve("people.json"),
