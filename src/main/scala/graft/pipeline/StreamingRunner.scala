@@ -52,10 +52,16 @@ class StreamingRunner(
         if (dirtyTables.nonEmpty) {
           val dirty = pipelines.filter(
             _.sourceTables.intersect(dirtyTables).nonEmpty)
-          // refreshes run sequentially within a batch; Spark parallelizes
-          // inside each refresh. Cross-view parallelism at scale comes
-          // from one StreamingQuery per pipeline group if needed.
-          dirty.foreach(_.refresh())
+          // A13 on the streaming path: fan dirty-view refreshes out in
+          // parallel and re-raise the first failure — the same
+          // Future+result semantics as Runner.iterate (reference:
+          // src/sinker/runner.py:91-99). A raised error fails the batch;
+          // checkpoint replay then retries it (idempotent refresh).
+          import scala.concurrent.{Await, ExecutionContext, Future}
+          import scala.concurrent.duration.Duration
+          implicit val ec: ExecutionContext = ExecutionContext.global
+          Await.result(
+            Future.sequence(dirty.map(p => Future(p.refresh()))), Duration.Inf)
         }
         ()
       }

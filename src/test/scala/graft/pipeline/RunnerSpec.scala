@@ -125,4 +125,53 @@ class RunnerSpec extends SparkSpec {
       sink.count() shouldBe 2
     } finally query.stop()
   }
+
+  test("streaming batch fans refreshes out in parallel and surfaces errors (A13)") {
+    var person = Seq(("p-1", "John")).toDF("id", "name")
+    val active = new AtomicInteger(0)
+    val maxActive = new AtomicInteger(0)
+    def slowCompute() = {
+      val now = active.incrementAndGet()
+      maxActive.getAndUpdate(m => math.max(m, now))
+      try { Thread.sleep(400); SchoolViews.personMv(person) }
+      finally active.decrementAndGet()
+    }
+    val sinkA = new InMemoryIndex("par_a", nameMapping)
+    val sinkB = new InMemoryIndex("par_b", nameMapping)
+    val pa = new Pipeline("a_mv", "person", Set("person"),
+      () => slowCompute(), new MvccSnapshotStore(spark, tmp()), sinkA)
+    val pb = new Pipeline("b_mv", "person", Set("person"),
+      () => slowCompute(), new MvccSnapshotStore(spark, tmp()), sinkB)
+    pa.backfill(); pb.backfill()
+
+    val sr = new StreamingRunner(spark, Seq(pa, pb), tmp() + "/ckpt")
+    val stream = MemoryStream[(Long, String, String)](
+      org.apache.spark.sql.Encoders.product[(Long, String, String)], spark)
+    val query = sr.start(stream.toDF().toDF("xid", "lsn", "data"))
+    try {
+      person = Seq(("p-1", "Jane")).toDF("id", "name")
+      stream.addData((1L, "0/2", "table public.person: UPDATE: id[text]:'p-1'"))
+      query.processAllAvailable()
+      sinkA.get("p-1").get should include("Jane")
+      sinkB.get("p-1").get should include("Jane")
+      // the two view recomputes overlapped inside one micro-batch
+      maxActive.get() shouldBe 2
+    } finally query.stop()
+
+    // a failing refresh fails the batch (checkpoint replay then retries)
+    val boom = new Pipeline("boom_mv", "person", Set("person"),
+      () => throw new IllegalStateException("stream Boom!"),
+      new MvccSnapshotStore(spark, tmp()),
+      new InMemoryIndex("par_boom", nameMapping))
+    val sr2 = new StreamingRunner(spark, Seq(boom), tmp() + "/ckpt2")
+    val stream2 = MemoryStream[(Long, String, String)](
+      org.apache.spark.sql.Encoders.product[(Long, String, String)], spark)
+    val query2 = sr2.start(stream2.toDF().toDF("xid", "lsn", "data"))
+    try {
+      stream2.addData((1L, "0/2", "table public.person: UPDATE: id[text]:'p-1'"))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException](
+        query2.processAllAvailable())
+      e.getMessage should include("stream Boom!")
+    } finally query2.stop()
+  }
 }
