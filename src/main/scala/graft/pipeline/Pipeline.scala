@@ -22,7 +22,9 @@ class Pipeline(
     compute: () => DataFrame,
     store: SnapshotStore,
     val sink: DocumentSink,
-    scopedCompute: Option[Seq[graft.cdc.ChangeEvent] => (DataFrame, DataFrame)] = None) {
+    scopedCompute: Option[Seq[graft.cdc.ChangeEvent] => (DataFrame, DataFrame)] = None,
+    canScope: Seq[graft.cdc.ChangeEvent] => Boolean =
+      Pipeline.defaultCanScope) {
 
   /** A1/A8: materialize the initial snapshot and bulk-load the sink —
     * the reference's `setup` + backfill via server-side cursor
@@ -91,10 +93,15 @@ class Pipeline(
     *     [[graft.refresh.SnapshotStore.mergeScoped]], which a bucketed
     *     store serves by rewriting only the touched buckets' files.
     *
-    * Pipelines without a scoped compute fall back to full [[refresh]].
+    * Pipelines without a scoped compute — and batches the view's
+    * `canScope` predicate rejects (default: any table-level wildcard or
+    * DELETE, since a dead row can't be key-mapped without a
+    * before-image; views whose mapping understands before-images pass a
+    * wider predicate) — fall back to full [[refresh]].
     * @return #actions applied */
   def refreshScoped(changes: Seq[graft.cdc.ChangeEvent]): Long = scopedCompute match {
     case None => refresh()
+    case Some(_) if !canScope(changes) => refresh()
     case Some(f) =>
       val (affectedIds, recomputed) = f(changes)
       val ids = affectedIds.select(col("id")).distinct().cache()
@@ -112,4 +119,12 @@ class Pipeline(
         } finally actions.unpersist()
       } finally { ids.unpersist(); recomp.unpersist() }
   }
+}
+
+object Pipeline {
+  /** Conservative default: scope only batches with concrete row keys
+    * and no deletes (a deleted row no longer joins, so key-mapping it
+    * needs a before-image the default mapping doesn't assume). */
+  val defaultCanScope: Seq[graft.cdc.ChangeEvent] => Boolean =
+    changes => changes.forall(e => e.id != "*" && e.op != "DELETE")
 }

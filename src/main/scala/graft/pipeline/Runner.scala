@@ -29,13 +29,15 @@ object PipelineConfig {
     *
     * @param sources     current-state accessor per source table
     * @param workDir     root for the per-view snapshot stores
-    * @param sinkFactory sink per (index, declared mapping) */
+    * @param sinkFactory sink per (index, declared mapping)
+    * @param settings    env-driven knobs (snapshot buckets/compaction) */
   def fromDefinitions(
       spark: org.apache.spark.sql.SparkSession,
       definitionsDir: String,
       workDir: String,
       sources: Map[String, () => org.apache.spark.sql.DataFrame],
-      sinkFactory: (String, org.apache.spark.sql.types.StructType) => graft.sink.DocumentSink)
+      sinkFactory: (String, org.apache.spark.sql.types.StructType) => graft.sink.DocumentSink,
+      settings: graft.core.GraftSettings = graft.core.GraftSettings.fromEnv)
       : Seq[Pipeline] = {
     // one sink INSTANCE per index: the reference allows several views
     // feeding one index (distinct id spaces); separate sink objects over
@@ -54,7 +56,8 @@ object PipelineConfig {
         new Pipeline(view, parent, tables,
           graft.views.SqlView.compile(spark, viewSql, sources, Some(tables)),
           // bucketed: refresh writes scale with change volume, not view size
-          new graft.refresh.BucketedSnapshotStore(spark, s"$workDir/$view"),
+          new graft.refresh.BucketedSnapshotStore(spark, s"$workDir/$view",
+            settings.snapshotBuckets, settings.snapshotMaxDeltas),
           sink)
     }
   }
@@ -90,9 +93,9 @@ class Runner(val pipelines: Seq[Pipeline], feed: ChangeFeed) {
     awaitAll(pipelines.map(p => Future(p.view -> p.backfill()))).toMap
 
   /** One poll tick. Pipelines with a scoped compute get only their
-    * relevant change events and refresh key-scoped; DELETE batches (no
-    * before-image to scope with) and scope-less pipelines fall back to
-    * the full recompute-and-diff.
+    * relevant change events and refresh key-scoped; each pipeline's own
+    * `canScope` routes unscopable batches (wildcards; deletes without a
+    * usable before-image) to the full recompute-and-diff.
     * @return view → #actions applied (empty = idle). */
   def iterate(): Map[String, Long] = {
     val changed = feed.drain()
@@ -102,11 +105,7 @@ class Runner(val pipelines: Seq[Pipeline], feed: ChangeFeed) {
     try {
       awaitAll(dirty.map { p =>
         val relevant = changed.filter(e => p.sourceTables.contains(e.table))
-        // full recompute for DELETE batches (no before-image to scope
-        // with) and table-level wildcard events (id="*", e.g. file-watch)
-        Future(p.view -> (
-          if (relevant.exists(e => e.op == "DELETE" || e.id == "*")) p.refresh()
-          else p.refreshScoped(relevant)))
+        Future(p.view -> p.refreshScoped(relevant))
       }).toMap
     } catch {
       case e: Throwable =>

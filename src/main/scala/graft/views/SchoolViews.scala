@@ -88,9 +88,16 @@ object SchoolViews {
     *
     * Change ids become literal IN-lists — change batches are bounded
     * (one micro-batch); a huge backfill-style batch should use the full
-    * refresh instead. DELETE changes need before-images to scope
-    * correctly (the dead row no longer joins), so the runner routes
-    * delete batches to the full refresh.
+    * refresh instead.
+    *
+    * DELETE scoping: a deleted row no longer joins, so affected ids are
+    * derived from the EVENTS rather than the dead rows — a course
+    * event's id IS a view key; teacher/student event ids feed the FK
+    * probes directly (the referencing rows survive the delete); an
+    * enrollment DELETE carries its before-image (real CDC emits old
+    * tuples) whose course_id scopes it. Only an enrollment DELETE
+    * without a before-image is unscopable — [[courseMvCanScope]] routes
+    * that batch to the full refresh.
     */
   def courseMvScoped(
       course: DataFrame,
@@ -99,23 +106,34 @@ object SchoolViews {
       person: DataFrame,
       enrollment: DataFrame)(
       changes: Seq[graft.cdc.ChangeEvent]): (DataFrame, DataFrame) = {
+    val spark = course.sparkSession
+    import spark.implicits._
     def ids(table: String): Seq[String] =
       changes.filter(_.table == table).map(_.id).distinct
     def inList(c: Column, vs: Seq[String]): Column =
       if (vs.isEmpty) lit(false) else c.isin(vs: _*)
+    def idsDf(vs: Seq[String], name: String): DataFrame = vs.toDF(name)
 
     val personIds = ids("person")
+    // event ids union'd in directly: a DELETEd teacher/student row no
+    // longer joins, but courses/enrollments referencing it survive
     val viaTeacher = teacher
-      .filter(inList(col("person_id"), personIds) ||
-        inList(col("id"), ids("teacher")))
+      .filter(inList(col("person_id"), personIds))
       .select(col("id").as("t_id"))
+      .unionByName(idsDf(ids("teacher"), "t_id"))
     val viaStudent = student
-      .filter(inList(col("person_id"), personIds) ||
-        inList(col("id"), ids("student")))
+      .filter(inList(col("person_id"), personIds))
       .select(col("id").as("s_id"))
+      .unionByName(idsDf(ids("student"), "s_id"))
+    // enrollment deletes scope via the before-image's course_id
+    val deletedEnrollmentCourses = changes
+      .filter(e => e.table == "enrollment" && e.op == "DELETE")
+      .flatMap(_.doc)
+      .flatMap(beforeImageField(_, "course_id"))
     val viaEnrollment = enrollment
       .filter(inList(col("id"), ids("enrollment")))
       .select(col("course_id").as("id"))
+      .unionByName(idsDf(deletedEnrollmentCourses, "id"))
     val affected = course
       .join(viaTeacher, col("teacher_id") === col("t_id"), "left_semi")
       .select(col("id"))
@@ -123,10 +141,27 @@ object SchoolViews {
         .join(viaStudent, col("student_id") === col("s_id"), "left_semi")
         .select(col("course_id").as("id")))
       .unionByName(viaEnrollment)
-      .unionByName(course.filter(inList(col("id"), ids("course")))
-        .select(col("id")))
+      // course event ids verbatim: a DELETEd course is exactly the view
+      // key that must vanish, and the diff needs it in the affected set
+      .unionByName(idsDf(ids("course"), "id"))
       .distinct()
     val scopedCourse = course.join(affected, Seq("id"), "left_semi")
     (affected, courseMv(scopedCourse, teacher, student, person, enrollment))
   }
+
+  /** Which batches [[courseMvScoped]] can scope: everything except
+    * table-level wildcards and enrollment DELETEs lacking a
+    * before-image. */
+  def courseMvCanScope(changes: Seq[graft.cdc.ChangeEvent]): Boolean =
+    changes.forall(e => e.id != "*" &&
+      (e.op != "DELETE" || e.table != "enrollment" || e.doc.nonEmpty))
+
+  private val beforeImageMapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** Extract one field from a JSON before-image (driver-side; change
+    * batches are bounded). */
+  private def beforeImageField(doc: String, field: String): Option[String] =
+    try {
+      Option(beforeImageMapper.readTree(doc).get(field)).map(_.asText())
+    } catch { case scala.util.control.NonFatal(_) => None }
 }

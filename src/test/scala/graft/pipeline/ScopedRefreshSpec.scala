@@ -20,13 +20,13 @@ class ScopedRefreshSpec extends SparkSpec {
   private var person = Seq(
     ("p-1", "John"), ("p-2", "Loren"), ("p-3", "Prof Georgios"), ("p-4", "Prof Matt")
   ).toDF("id", "name")
-  private val student = Seq(
+  private var student = Seq(
     ("s-1", "p-1", true, 3.01), ("s-2", "p-2", true, 3.99)
   ).toDF("id", "person_id", "is_active", "gpa")
-  private val teacher = Seq(
+  private var teacher = Seq(
     ("t-1", "p-3", 100000.0), ("t-2", "p-4", 100000.0)
   ).toDF("id", "person_id", "salary")
-  private val course = Seq(
+  private var course = Seq(
     ("c-1", "Reth", "How to build a modern Ethereum node", "t-1"),
     ("c-2", "ZK Proofs", "Sometimes zero knowledge is more than enough", "t-1"),
     ("c-3", "Bizchain", "How to build a business on-chain", "t-2")
@@ -50,14 +50,26 @@ class ScopedRefreshSpec extends SparkSpec {
         StructField("person", StructType(Seq(StructField("name", StringType)))))))))))))
 
   private val sink = new InMemoryIndex("courses_scoped", coursesMapping)
+  private val fullComputes = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val scopedComputes = new java.util.concurrent.atomic.AtomicInteger(0)
   private val pipe = new Pipeline(
     "course_mv", "course",
     Set("course", "teacher", "student", "person", "enrollment"),
-    () => SchoolViews.courseMv(course, teacher, student, person, enrollment),
+    () => {
+      fullComputes.incrementAndGet()
+      SchoolViews.courseMv(course, teacher, student, person, enrollment)
+    },
     new MvccSnapshotStore(spark, Files.createTempDirectory("graft-scoped").toString),
     sink,
-    scopedCompute = Some(changes =>
-      SchoolViews.courseMvScoped(course, teacher, student, person, enrollment)(changes)))
+    scopedCompute = Some(changes => {
+      scopedComputes.incrementAndGet()
+      SchoolViews.courseMvScoped(course, teacher, student, person, enrollment)(changes)
+    }),
+    canScope = SchoolViews.courseMvCanScope)
+
+  private def affectedOf(changes: graft.cdc.ChangeEvent*): Set[String] =
+    SchoolViews.courseMvScoped(course, teacher, student, person, enrollment)(changes)
+      ._1.collect().map(_.getString(0)).toSet
 
   private def ev(table: String, id: String, op: String = "UPDATE") =
     ChangeEvent("public", table, op, id, None, "0/1", 1L)
@@ -84,5 +96,52 @@ class ScopedRefreshSpec extends SparkSpec {
 
   test("scoped refresh with an unrelated key is a no-op") {
     pipe.refreshScoped(Seq(ev("person", "p-99"))) shouldBe 0
+  }
+
+  test("teacher DELETE scopes to the taught courses via event ids (no before-image)") {
+    teacher = teacher.filter($"id" =!= "t-2")
+    affectedOf(ev("teacher", "t-2", "DELETE")) shouldBe Set("c-3")
+    val full = fullComputes.get()
+    pipe.refreshScoped(Seq(ev("teacher", "t-2", "DELETE"))) shouldBe 1
+    fullComputes.get() shouldBe full // stayed on the scoped path
+    sink.get("c-3").get should include(""""teacher":null""")
+  }
+
+  test("enrollment DELETE scopes via its before-image course_id") {
+    enrollment = enrollment.filter($"id" =!= "e-2")
+    val del = ChangeEvent("public", "enrollment", "DELETE", "e-2",
+      Some("""{"id":"e-2","student_id":"s-2","course_id":"c-1","grade":3.14}"""),
+      "0/9", 9L)
+    affectedOf(del) shouldBe Set("c-1")
+    val full = fullComputes.get()
+    pipe.refreshScoped(Seq(del)) shouldBe 1
+    fullComputes.get() shouldBe full
+    sink.get("c-1").get should not include "3.14"
+    pipe.refresh() shouldBe 0 // full recompute agrees
+  }
+
+  test("course DELETE scopes to exactly that view key and deletes the doc") {
+    course = course.filter($"id" =!= "c-3")
+    enrollment = enrollment.filter($"course_id" =!= "c-3")
+    val del = ChangeEvent("public", "course", "DELETE", "c-3", None, "0/10", 10L)
+    val enrDel = ChangeEvent("public", "enrollment", "DELETE", "e-5",
+      Some("""{"id":"e-5","student_id":"s-1","course_id":"c-3","grade":3.5}"""),
+      "0/10", 10L)
+    affectedOf(del, enrDel) shouldBe Set("c-3")
+    pipe.refreshScoped(Seq(del, enrDel)) shouldBe 1
+    sink.get("c-3") shouldBe None
+    sink.count() shouldBe 2
+    pipe.refresh() shouldBe 0
+  }
+
+  test("enrollment DELETE without a before-image falls back to full refresh") {
+    enrollment = enrollment.filter($"id" =!= "e-4")
+    val del = ChangeEvent("public", "enrollment", "DELETE", "e-4", None, "0/11", 11L)
+    SchoolViews.courseMvCanScope(Seq(del)) shouldBe false
+    val full = fullComputes.get(); val scoped = scopedComputes.get()
+    pipe.refreshScoped(Seq(del)) shouldBe 1
+    fullComputes.get() shouldBe (full + 1) // took the full path
+    scopedComputes.get() shouldBe scoped
+    sink.get("c-2").get should not include "Loren"
   }
 }
