@@ -7,14 +7,20 @@ import graft.core.GraftSession
 /** Benchmark main: runs every SparkEntry query against
   * SPARK_GRAFT_SF_DIR and prints one JSON line.
   *
-  * Honesty rules (VERDICT r1 items 2-3):
+  * Honesty rules (VERDICT r1 items 2-3, r2 item 7):
   *  - results are FULLY materialized via the `noop` datasource (every
   *    row and column is produced and shipped to the writer), not
   *    `.count()`, which lets Spark skip projections;
   *  - failures are recorded per-query (`-1` timing + an `errors` map),
-  *    never swallowed into a fast "success".
+  *    never swallowed into a fast "success";
+  *  - every query runs `RUNS` times and reports the MEDIAN (a trimmed
+  *    mean for n=3), plus a per-query max-min `spread` map, so single-
+  *    run artifacts (first-touch codegen, driver-load noise) are
+  *    attributable instead of mistaken for regressions.
   */
 object Bench {
+  private val RUNS = 3
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark: SparkSession = GraftSession.get()
@@ -26,18 +32,26 @@ object Bench {
     graft.core.Tables.region(spark, sfDir)
       .write.format("noop").mode("overwrite").save()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    val spreads = scala.collection.mutable.LinkedHashMap[String, Double]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case e: Throwable =>
-          errors(name) = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}"
-          false
-        }
-      val elapsed = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
-      // release per-query persisted intermediates (e.g. LSH band keys)
-      spark.catalog.clearCache()
-      name -> elapsed
+      val times = (1 to RUNS).flatMap { _ =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            errors(name) = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}"
+            false
+          }
+        // release per-query persisted intermediates (e.g. LSH band keys)
+        spark.catalog.clearCache()
+        if (ok) Some((System.nanoTime() - t0) / 1e9) else None
+      }
+      if (times.isEmpty) name -> -1.0
+      else {
+        val sorted = times.sorted
+        spreads(name) = sorted.last - sorted.head
+        name -> sorted(sorted.length / 2)
+      }
     }
     // Pipeline-lifecycle benchmark (not in the oracle gate): backfill a
     // 1-doc-per-customer pipeline into a ParquetIndex, then refresh after
@@ -81,8 +95,9 @@ object Bench {
       } + "\""
     val qs = allResults.map { case (k, v) => s"${jq(k)}:$v" }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s"${jq(k)}:${jq(v)}" }.mkString("{", ",", "}")
+    val spreadJson = spreads.map { case (k, v) => s"${jq(k)}:$v" }.mkString("{", ",", "}")
     val total = allResults.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$RUNS,"queries":$qs,"spread":$spreadJson,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
