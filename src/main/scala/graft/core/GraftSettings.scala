@@ -1,0 +1,76 @@
+package graft.core
+
+/** Env-driven runtime configuration — the reference's `settings.py`
+  * surface (src/sinker/settings.py:13-41) re-homed: same variable names
+  * and defaults where the concept carries over, plus knobs for the
+  * engine's own storage layer. Precedence: explicit CLI/constructor
+  * argument > environment variable > default (covered by
+  * GraftSettingsSpec).
+  *
+  * @param env injectable for tests; production uses `sys.env`
+  */
+class GraftSettings(env: Map[String, String] = sys.env) {
+
+  private def str(key: String, default: String): String =
+    env.getOrElse(key, default)
+  private def int(key: String, default: Int): Int =
+    env.get(key).map(_.trim.toInt).getOrElse(default)
+  private def long(key: String, default: Long): Long =
+    env.get(key).map(_.trim.toLong).getOrElse(default)
+
+  // ---- reference-named knobs (src/sinker/settings.py) ----
+
+  /** Definitions directory (views_to_indices.json + *.sql + *.json). */
+  def definitionsPath: String = str("SINKER_DEFINITIONS_PATH", ".")
+
+  /** Logical replication slot name for [[graft.pipeline.PgSlotFeed]]. */
+  def replicationSlot: String = str("SINKER_REPLICATION_SLOT", "sinker")
+
+  /** Poll interval between runner ticks, ms (reference stores seconds:
+    * SINKER_POLL_INTERVAL=10). */
+  def pollIntervalMs: Long = long("SINKER_POLL_INTERVAL", 10L) * 1000L
+
+  /** ES bulk chunk size (ELASTICSEARCH_CHUNK_SIZE). */
+  def esChunkSize: Int = int("ELASTICSEARCH_CHUNK_SIZE", 100)
+
+  /** Sink retry budget (ELASTICSEARCH_MAX_RETRIES). */
+  def sinkMaxRetries: Int = int("ELASTICSEARCH_MAX_RETRIES", 5)
+
+  /** Sink request timeout, ms (reference stores seconds:
+    * ELASTICSEARCH_TIMEOUT=60). */
+  def sinkTimeoutMs: Int = int("ELASTICSEARCH_TIMEOUT", 60) * 1000
+
+  // ---- Postgres connection (reference names: settings.py:44-51) ----
+
+  /** Present iff PGHOST is set — switches the CLI from file-watch mode
+    * to live Postgres mode (JDBC table reads + replication-slot feed). */
+  def pgJdbcUrl: Option[String] = env.get("PGHOST").map { host =>
+    val port = int("PGPORT", 5432)
+    val db = str("PGDATABASE", str("PGUSER", "postgres"))
+    s"jdbc:postgresql://$host:$port/$db"
+  }
+
+  def pgProps: java.util.Properties = {
+    val p = new java.util.Properties()
+    env.get("PGUSER").foreach(p.setProperty("user", _))
+    env.get("PGPASSWORD").foreach(p.setProperty("password", _))
+    env.get("PGSSLMODE").foreach(p.setProperty("sslmode", _))
+    p
+  }
+
+  // ---- engine knobs (no reference equivalent) ----
+
+  /** Hash buckets per snapshot store / bucketed index. */
+  def snapshotBuckets: Int = int("GRAFT_SNAPSHOT_BUCKETS", 64)
+
+  /** Delta-log length that triggers snapshot compaction. */
+  def snapshotMaxDeltas: Int = int("GRAFT_SNAPSHOT_MAX_DELTAS", 8)
+
+  /** Streaming trigger interval, ms (maps to Trigger.ProcessingTime). */
+  def triggerIntervalMs: Long = long("GRAFT_TRIGGER_INTERVAL_MS", 0L)
+}
+
+object GraftSettings {
+  /** Process-wide settings from the real environment. */
+  lazy val fromEnv: GraftSettings = new GraftSettings()
+}

@@ -132,11 +132,14 @@ class ParquetIndex(spark: SparkSession, val index: String,
   * ES bulk chunks with retry (reference: src/sinker/settings.py:23-41).
   */
 class BucketedParquetIndex(spark: SparkSession, val index: String,
-    val mapping: StructType, path: String, numBuckets: Int = 64)
+    val mapping: StructType, path: String, numBuckets: Int = 64,
+    maxDeltas: Int = 8, retries: Int = 5)
     extends DocumentSink {
 
+  override def maxRetries: Int = retries
+
   private val store =
-    new graft.refresh.BucketedSnapshotStore(spark, path, numBuckets)
+    new graft.refresh.BucketedSnapshotStore(spark, path, numBuckets, maxDeltas)
 
   /** Initialize empty (A16 recreate_index: delete + recreate). */
   def recreate(): Unit = {

@@ -42,4 +42,25 @@ class MainSpec extends SparkSpec {
     sink.get("p-3") shouldBe Some("""{"name":"New"}""")
     sink.count() shouldBe 3
   }
+
+  test("PGHOST switches the CLI to JDBC-source + slot-feed wiring (no connection made)") {
+    val defs = Files.createTempDirectory("graft-mainpg-defs")
+    Files.writeString(defs.resolve("views_to_indices.json"),
+      """{"person_mv": "people"}""")
+    Files.writeString(defs.resolve("person_mv.sql"),
+      """select id, json_build_object('name', "name") as "person" from "person"""")
+    Files.writeString(defs.resolve("people.json"),
+      """{"mappings": {"dynamic": "strict", "properties": {"name": {"type": "keyword"}}}, "settings": {}}""")
+    val settings = new graft.core.GraftSettings(Map(
+      "PGHOST" -> "db.example", "PGPORT" -> "5433", "PGDATABASE" -> "app",
+      "PGUSER" -> "svc"))
+    settings.pgJdbcUrl shouldBe Some("jdbc:postgresql://db.example:5433/app")
+    // wiring is lazy: pipelines + slot feed are built without touching
+    // the (nonexistent) database
+    val (runner, _) = Main.buildPg(
+      spark, defs.toString,
+      Files.createTempDirectory("graft-mainpg-work").toString, settings)
+    runner.pipelines.map(_.view) shouldBe Seq("person_mv")
+    runner.pipelines.head.sourceTables shouldBe Set("person")
+  }
 }
