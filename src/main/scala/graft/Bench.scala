@@ -32,22 +32,31 @@ object Bench {
     graft.core.Tables.region(spark, sfDir)
       .write.format("noop").mode("overwrite").save()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    val flaky = scala.collection.mutable.LinkedHashMap[String, String]()
     val spreads = scala.collection.mutable.LinkedHashMap[String, Double]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      var lastErr: Option[String] = None
       val times = (1 to RUNS).flatMap { _ =>
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
           catch { case e: Throwable =>
-            errors(name) = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}"
+            lastErr = Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
             false
           }
-        // release per-query persisted intermediates (e.g. LSH band keys)
+        // timing stops BEFORE cache teardown: clearCache is harness
+        // hygiene (releasing per-query persisted intermediates, e.g. LSH
+        // band keys), not query cost
+        val elapsed = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
-        if (ok) Some((System.nanoTime() - t0) / 1e9) else None
+        if (ok) Some(elapsed) else None
       }
-      if (times.isEmpty) name -> -1.0
+      // `errors` = query never succeeded; a transiently-failed run with
+      // other runs green goes to `flaky` so the contract stays
+      // unambiguous (timing -1 <=> errors entry)
+      if (times.isEmpty) { lastErr.foreach(errors(name) = _); name -> -1.0 }
       else {
+        lastErr.foreach(flaky(name) = _)
         val sorted = times.sorted
         spreads(name) = sorted.last - sorted.head
         name -> sorted(sorted.length / 2)
@@ -96,8 +105,9 @@ object Bench {
     val qs = allResults.map { case (k, v) => s"${jq(k)}:$v" }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s"${jq(k)}:${jq(v)}" }.mkString("{", ",", "}")
     val spreadJson = spreads.map { case (k, v) => s"${jq(k)}:$v" }.mkString("{", ",", "}")
+    val flakyJson = flaky.map { case (k, v) => s"${jq(k)}:${jq(v)}" }.mkString("{", ",", "}")
     val total = allResults.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$RUNS,"queries":$qs,"spread":$spreadJson,"errors":$errJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$RUNS,"queries":$qs,"spread":$spreadJson,"errors":$errJson,"flaky":$flakyJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -87,12 +87,22 @@ object Main {
       settings: graft.core.GraftSettings): Seq[Pipeline] =
     PipelineConfig.fromDefinitions(
       spark, definitionsDir, s"$workDir/snapshots", sources,
-      (index, mapping) => {
-        val sink = new BucketedParquetIndex(spark, index, mapping,
-          s"$workDir/indexes/$index", settings.snapshotBuckets,
-          settings.snapshotMaxDeltas, settings.sinkMaxRetries)
-        sink.recreate() // A16: delete + recreate on setup
-        sink
+      (index, mapping) => settings.esUrl match {
+        case Some(url) =>
+          // real ES-compatible endpoint: bulk chunks/retries/timeout
+          // from the reference's env knobs (settings.py:23-41)
+          val sink = new graft.sink.EsHttpBulkSink(url, index, mapping,
+            settings.esChunkSize, settings.sinkMaxRetries,
+            settings.sinkTimeoutMs)
+          sink.recreate(java.nio.file.Files.readString(
+            java.nio.file.Paths.get(s"$definitionsDir/$index.json")))
+          sink
+        case None =>
+          val sink = new BucketedParquetIndex(spark, index, mapping,
+            s"$workDir/indexes/$index", settings.snapshotBuckets,
+            settings.snapshotMaxDeltas, settings.sinkMaxRetries)
+          sink.recreate() // A16: delete + recreate on setup
+          sink
       }, settings)
 
   def main(args: Array[String]): Unit = {

@@ -1,6 +1,6 @@
 package graft.analysis
 
-import org.apache.spark.sql.catalyst.analysis.{UnresolvedAlias, UnresolvedFunction, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAlias, UnresolvedAttribute, UnresolvedFunction, UnresolvedRelation}
 import org.apache.spark.sql.catalyst.expressions.{Alias, EqualTo, Expression, NamedExpression, ScalarSubquery, SubqueryExpression}
 import org.apache.spark.sql.catalyst.plans.LeftOuter
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, JoinHint, LogicalPlan, Project, SubqueryAlias}
@@ -83,13 +83,27 @@ object CorrelationFlattener {
     case e => e
   }
 
-  /** `(SELECT <e> FROM <rel> WHERE <a> = <b>)` → (e, cond, rel). */
+  /** `(SELECT <e> FROM <rel> WHERE <a> = <b>)` → (e, cond, rel). Only
+    * when the equality plausibly CORRELATES to the enclosing query: a
+    * condition whose both sides are qualified with the subquery's own
+    * relation names is a local predicate — Spark plans that subquery
+    * natively, and flattening it would change semantics (the join would
+    * multiply instead of erroring on >1 match). */
   private def lookupShape(ss: ScalarSubquery): Option[(Expression, Expression, LogicalPlan)] =
     ss.plan match {
-      case Project(Seq(proj), Filter(cond @ EqualTo(_, _), rel))
-          if relationNames(rel).nonEmpty =>
+      case Project(Seq(proj), Filter(cond @ EqualTo(l, r), rel))
+          if relationNames(rel).nonEmpty &&
+            !(isLocalQualified(l, rel) && isLocalQualified(r, rel)) =>
         Some((unwrap(proj), cond, rel))
       case _ => None
+    }
+
+  private def isLocalQualified(e: Expression, rel: LogicalPlan): Boolean =
+    e match {
+      case a: UnresolvedAttribute =>
+        a.nameParts.length > 1 &&
+          relationNames(rel).contains(a.nameParts.dropRight(1).last)
+      case _ => false
     }
 
   /** First lookup-shaped subquery under an aggregate function argument

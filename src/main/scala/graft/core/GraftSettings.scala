@@ -58,6 +58,11 @@ class GraftSettings(env: Map[String, String] = sys.env) {
     p
   }
 
+  /** Present iff GRAFT_ES_URL is set (e.g. `http://es:9200`) — the CLI
+    * then sinks into a real Elasticsearch-compatible endpoint via
+    * [[graft.sink.EsHttpBulkSink]] instead of local bucketed parquet. */
+  def esUrl: Option[String] = env.get("GRAFT_ES_URL")
+
   // ---- engine knobs (no reference equivalent) ----
 
   /** Hash buckets per snapshot store / bucketed index. */

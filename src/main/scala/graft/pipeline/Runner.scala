@@ -82,10 +82,18 @@ class Runner(val pipelines: Seq[Pipeline], feed: ChangeFeed) {
 
   private implicit val ec: ExecutionContext = ExecutionContext.global
 
-  /** Await all futures; re-throws the first failure (the reference
-    * re-raises via future.result() — runner.py:48-49, 97-98). */
-  private def awaitAll[T](fs: Seq[Future[T]]): Seq[T] =
-    Await.result(Future.sequence(fs), Duration.Inf)
+  /** Await ALL futures — even after a failure — then re-throw the first
+    * one (the reference re-raises via future.result() — runner.py:48-49,
+    * 97-98). Waiting for stragglers matters: a fail-fast await would
+    * leave a sibling refresh still running while the caller requeues and
+    * retries the batch, racing two refreshes of one pipeline over the
+    * same snapshot store. */
+  private def awaitAll[T](fs: Seq[Future[T]]): Seq[T] = {
+    val settled = Await.result(
+      Future.sequence(fs.map(_.transform(scala.util.Success(_)))), Duration.Inf)
+    settled.collectFirst { case scala.util.Failure(e) => throw e }
+    settled.map(_.get)
+  }
 
   /** Parallel setup + backfill of every pipeline (runner.py:44-50).
     * @return view → docs loaded */

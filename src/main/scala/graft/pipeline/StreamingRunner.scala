@@ -42,7 +42,9 @@ class StreamingRunner(
     * change rows. One streaming query serves all pipelines (they share
     * the feed; each filters to its own tables), the A13 analogue of
     * one-thread-per-view. */
-  def start(walStream: DataFrame, trigger: Trigger = Trigger.ProcessingTime(0L)): StreamingQuery =
+  def start(walStream: DataFrame,
+      trigger: Trigger = Trigger.ProcessingTime(
+        graft.core.GraftSettings.fromEnv.triggerIntervalMs)): StreamingQuery =
     walStream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
@@ -57,11 +59,16 @@ class StreamingRunner(
           // Future+result semantics as Runner.iterate (reference:
           // src/sinker/runner.py:91-99). A raised error fails the batch;
           // checkpoint replay then retries it (idempotent refresh).
+          // ALL futures are awaited before re-raising, so no straggler
+          // refresh can overlap the replayed batch on the same store.
           import scala.concurrent.{Await, ExecutionContext, Future}
           import scala.concurrent.duration.Duration
           implicit val ec: ExecutionContext = ExecutionContext.global
-          Await.result(
-            Future.sequence(dirty.map(p => Future(p.refresh()))), Duration.Inf)
+          val settled = Await.result(
+            Future.sequence(dirty.map(p =>
+              Future(p.refresh()).transform(scala.util.Success(_)))),
+            Duration.Inf)
+          settled.collectFirst { case scala.util.Failure(e) => throw e }
         }
         ()
       }

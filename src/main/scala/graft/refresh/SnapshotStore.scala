@@ -192,7 +192,16 @@ class BucketedSnapshotStore(
   private val currentPtr = new Path(root, "_CURRENT")
   private val prevPtr = new Path(root, "_PREV")
 
-  private def bucketOf(c: Column): Column = pmod(xxhash64(c), lit(numBuckets))
+  /** The bucket count is part of the ON-DISK layout: it is stamped into
+    * the manifest (`B <n>` header) at first commit and read back on
+    * reopen, so changing the constructor/env value against an existing
+    * store can NOT silently re-hash reads against the old leaf
+    * assignment — the persisted value always wins. */
+  private lazy val effectiveBuckets: Int =
+    readPtr(currentPtr).flatMap(parseBucketCount).getOrElse(numBuckets)
+
+  private def bucketOf(c: Column): Column =
+    pmod(xxhash64(c), lit(effectiveBuckets))
 
   override def exists: Boolean = fs.exists(currentPtr)
 
@@ -200,6 +209,10 @@ class BucketedSnapshotStore(
 
   /** buckets: live bucket → version dir; deltas: ordered log dirs. */
   private case class Manifest(buckets: Map[Long, String], deltas: Seq[String])
+
+  private def parseBucketCount(s: String): Option[Int] =
+    s.linesIterator.map(_.trim).find(_.startsWith("B "))
+      .map(_.drop(2).trim.toInt)
 
   private def readPtr(p: Path): Option[String] =
     if (!fs.exists(p)) None
@@ -212,7 +225,7 @@ class BucketedSnapshotStore(
   private def parseManifest(s: String): Manifest = {
     val lines = s.linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
     Manifest(
-      lines.filterNot(_.startsWith("D ")).map { line =>
+      lines.filterNot(l => l.startsWith("D ") || l.startsWith("B ")).map { line =>
         val Array(b, v) = line.split(' '); b.toLong -> v
       }.toMap,
       lines.filter(_.startsWith("D ")).map(_.drop(2)))
@@ -231,8 +244,9 @@ class BucketedSnapshotStore(
       val out = fs.create(prevPtr, true)
       try out.write(s.getBytes("UTF-8")) finally out.close()
     }
-    val body = (m.buckets.toSeq.sortBy(_._1).map { case (b, v) => s"$b $v" } ++
-      m.deltas.map(d => s"D $d")).mkString("\n")
+    val body = (s"B $effectiveBuckets" +:
+      (m.buckets.toSeq.sortBy(_._1).map { case (b, v) => s"$b $v" } ++
+        m.deltas.map(d => s"D $d"))).mkString("\n")
     val tmp = new Path(root, "_CURRENT.tmp")
     val out = fs.create(tmp, true)
     try out.write(body.getBytes("UTF-8")) finally out.close()

@@ -26,6 +26,12 @@ trait DocumentSink {
     * are NOT retried — they fail deterministically before any write. */
   def maxRetries: Int = 5
 
+  /** Whole-batch retry budget used by [[applyActions]]. Sinks that
+    * already retry transients at a finer granularity (per chunk —
+    * [[EsHttpBulkSink]]) override this to 0: nesting both loops would
+    * multiply the work to (maxRetries+1)² requests per chunk. */
+  protected def batchRetries: Int = maxRetries
+
   /** Apply a batch of actions `(op: "index"|"delete", id, doc)`.
     * Validates strictness first and fails the whole batch on any
     * violation (ES `raise_on_error=True` semantics —
@@ -45,7 +51,7 @@ trait DocumentSink {
             if causeChain(e).exists(_.isInstanceOf[SinkRejectionException]) =>
           throw e
         // NonFatal only: VM errors and interrupts must surface at once
-        case scala.util.control.NonFatal(_) if attempt < maxRetries =>
+        case scala.util.control.NonFatal(_) if attempt < batchRetries =>
           attempt += 1
           Thread.sleep(50L * attempt)
       }

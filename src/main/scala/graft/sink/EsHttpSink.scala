@@ -48,6 +48,10 @@ class EsHttpBulkSink(
 
   import EsHttp._
 
+  /** Transients retry per CHUNK inside [[EsHttp.postBulkWithRetry]];
+    * re-running the whole Spark job on top would square the budget. */
+  override protected def batchRetries: Int = 0
+
   /** A16: delete + recreate with the declared index body (mappings and
     * settings JSON, the `<index>.json` definition file's content). */
   def recreate(indexBody: String): Unit = {
@@ -85,7 +89,9 @@ class EsHttpBulkSink(
   }
 
   override def get(id: String): Option[String] = {
-    val enc = java.net.URLEncoder.encode(id, "UTF-8")
+    // percent-encoding, not form encoding: URLEncoder's '+' for space is
+    // wrong in a URL PATH segment (real ES would look up a literal '+')
+    val enc = java.net.URLEncoder.encode(id, "UTF-8").replace("+", "%20")
     val resp = request("GET", s"$baseUrl/$index/_doc/$enc", None, timeoutMs,
       okCodes = Set(200, 404))
     resp.filter(_._1 == 200).map { case (_, body) =>

@@ -90,14 +90,16 @@ object SchoolViews {
     * (one micro-batch); a huge backfill-style batch should use the full
     * refresh instead.
     *
-    * DELETE scoping: a deleted row no longer joins, so affected ids are
-    * derived from the EVENTS rather than the dead rows — a course
-    * event's id IS a view key; teacher/student event ids feed the FK
-    * probes directly (the referencing rows survive the delete); an
-    * enrollment DELETE carries its before-image (real CDC emits old
-    * tuples) whose course_id scopes it. Only an enrollment DELETE
-    * without a before-image is unscopable — [[courseMvCanScope]] routes
-    * that batch to the full refresh.
+    * DELETE/UPDATE scoping: a deleted (or re-pointed) row no longer
+    * joins to its OLD parent, so affected ids are derived from the
+    * EVENTS rather than only the current rows — a course event's id IS
+    * a view key; teacher/student event ids feed the FK probes directly
+    * (the referencing rows survive); and an enrollment DELETE or UPDATE
+    * carries its before-image (real CDC emits old tuples) whose
+    * course_id covers the OLD parent — an UPDATE that moves an
+    * enrollment to a new course must refresh both courses. Only an
+    * enrollment DELETE/UPDATE without a before-image is unscopable —
+    * [[courseMvCanScope]] routes that batch to the full refresh.
     */
   def courseMvScoped(
       course: DataFrame,
@@ -125,9 +127,12 @@ object SchoolViews {
       .filter(inList(col("person_id"), personIds))
       .select(col("id").as("s_id"))
       .unionByName(idsDf(ids("student"), "s_id"))
-    // enrollment deletes scope via the before-image's course_id
+    // enrollment deletes AND updates scope via the before-image's
+    // course_id: a delete's parent is gone from the current row set, and
+    // an update may have MOVED the row to a different course — the old
+    // course's doc must shrink
     val deletedEnrollmentCourses = changes
-      .filter(e => e.table == "enrollment" && e.op == "DELETE")
+      .filter(e => e.table == "enrollment" && (e.op == "DELETE" || e.op == "UPDATE"))
       .flatMap(_.doc)
       .flatMap(beforeImageField(_, "course_id"))
     val viaEnrollment = enrollment
@@ -150,11 +155,12 @@ object SchoolViews {
   }
 
   /** Which batches [[courseMvScoped]] can scope: everything except
-    * table-level wildcards and enrollment DELETEs lacking a
-    * before-image. */
+    * table-level wildcards and enrollment DELETEs/UPDATEs lacking a
+    * before-image (an UPDATE without one might have moved the row off
+    * its old course, which would then never refresh). */
   def courseMvCanScope(changes: Seq[graft.cdc.ChangeEvent]): Boolean =
     changes.forall(e => e.id != "*" &&
-      (e.op != "DELETE" || e.table != "enrollment" || e.doc.nonEmpty))
+      (e.table != "enrollment" || e.op == "INSERT" || e.doc.nonEmpty))
 
   private val beforeImageMapper = new com.fasterxml.jackson.databind.ObjectMapper()
 

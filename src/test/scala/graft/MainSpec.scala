@@ -43,6 +43,30 @@ class MainSpec extends SparkSpec {
     sink.count() shouldBe 3
   }
 
+  test("GRAFT_ES_URL routes the CLI sink to the ES bulk endpoint") {
+    val stub = new graft.sink.EsStubServer
+    try {
+      val defs = Files.createTempDirectory("graft-maines-defs")
+      Files.writeString(defs.resolve("views_to_indices.json"),
+        """{"person_mv": "people"}""")
+      Files.writeString(defs.resolve("person_mv.sql"),
+        """select id, json_build_object('name', "name") as "person" from "person"""")
+      Files.writeString(defs.resolve("people.json"),
+        """{"mappings": {"dynamic": "strict", "properties": {"name": {"type": "keyword"}}}, "settings": {}}""")
+      val srcs = Files.createTempDirectory("graft-maines-srcs")
+      Seq(("p-1", "John")).toDF("id", "name")
+        .write.mode("overwrite").parquet(s"$srcs/person.parquet")
+      val settings = new graft.core.GraftSettings(Map(
+        "GRAFT_ES_URL" -> stub.url, "ELASTICSEARCH_CHUNK_SIZE" -> "50"))
+      val (runner, _) = Main.build(spark, defs.toString, srcs.toString,
+        Files.createTempDirectory("graft-maines-work").toString, settings)
+      runner.backfillAll() shouldBe Map("person_mv" -> 1)
+      stub.indexCreated.get should startWith("people:")
+      stub.docs.get("p-1") shouldBe Some("""{"name":"John"}""")
+      runner.pipelines.head.sink.get("p-1") shouldBe Some("""{"name":"John"}""")
+    } finally stub.stop()
+  }
+
   test("PGHOST switches the CLI to JDBC-source + slot-feed wiring (no connection made)") {
     val defs = Files.createTempDirectory("graft-mainpg-defs")
     Files.writeString(defs.resolve("views_to_indices.json"),

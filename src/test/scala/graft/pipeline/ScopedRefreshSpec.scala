@@ -89,9 +89,32 @@ class ScopedRefreshSpec extends SparkSpec {
   test("scoped enrollment grade change touches only its course") {
     enrollment = enrollment.withColumn("grade",
       when($"id" === "e-2", 2.71).otherwise($"grade"))
-    pipe.refreshScoped(Seq(ev("enrollment", "e-2"))) shouldBe 1
+    // real CDC updates carry the before-image (old tuple)
+    val upd = ChangeEvent("public", "enrollment", "UPDATE", "e-2",
+      Some("""{"id":"e-2","student_id":"s-2","course_id":"c-1","grade":3.14}"""),
+      "0/5", 5L)
+    affectedOf(upd) shouldBe Set("c-1")
+    pipe.refreshScoped(Seq(upd)) shouldBe 1
     sink.get("c-1").get should include("2.71")
     pipe.refresh() shouldBe 0
+  }
+
+  test("enrollment UPDATE that moves courses refreshes BOTH old and new course") {
+    // move e-4 from c-2 to c-1
+    enrollment = enrollment.withColumn("course_id",
+      when($"id" === "e-4", "c-1").otherwise($"course_id"))
+    val upd = ChangeEvent("public", "enrollment", "UPDATE", "e-4",
+      Some("""{"id":"e-4","student_id":"s-2","course_id":"c-2","grade":3.14}"""),
+      "0/6", 6L)
+    affectedOf(upd) shouldBe Set("c-1", "c-2") // new parent AND old parent
+    pipe.refreshScoped(Seq(upd)) shouldBe 2
+    sink.get("c-1").get should include("3.14") // gained e-4
+    sink.get("c-2").get should not include "3.14" // lost e-4
+    pipe.refresh() shouldBe 0
+    // move it back to keep later tests' fixture expectations intact
+    enrollment = enrollment.withColumn("course_id",
+      when($"id" === "e-4", "c-2").otherwise($"course_id"))
+    pipe.refresh() shouldBe 2
   }
 
   test("scoped refresh with an unrelated key is a no-op") {

@@ -119,6 +119,22 @@ class BucketedSnapshotStoreSpec extends SparkSpec {
     assert(dirs.length <= 8, s"stale dirs not GC'd: ${dirs.toSeq.sorted}")
   }
 
+  test("bucket count is stamped on disk; a mismatched reopen keeps the layout's value") {
+    val dir = Files.createTempDirectory("graft-bucketed6").toString
+    new BucketedSnapshotStore(spark, dir, numBuckets = 8)
+      .commit(new BucketedSnapshotStore(spark, dir, numBuckets = 8).stage(snap(200, "a")))
+    // reopen with a DIFFERENT configured count: the persisted 8 wins, so
+    // pruned reads still hash against the on-disk leaf assignment
+    val reopened = new BucketedSnapshotStore(spark, dir, numBuckets = 2)
+    reopened.readScoped(Seq("id-7").toDF("id"))
+      .as[(String, String)].collect().toSeq shouldBe Seq(("id-7", """{"v":"a-7"}"""))
+    reopened.mergeScoped(Seq("id-7").toDF("id"),
+      Seq(("id-7", """{"v":"n-7"}""")).toDF("id", "doc"))
+    reopened.read().count() shouldBe 200
+    reopened.readScoped(Seq("id-7").toDF("id"))
+      .as[(String, String)].collect().toSeq shouldBe Seq(("id-7", """{"v":"n-7"}"""))
+  }
+
   test("merge that empties a bucket removes it after compaction") {
     val dir = Files.createTempDirectory("graft-bucketed5").toString
     val store = new BucketedSnapshotStore(spark, dir, numBuckets = 2, maxDeltas = 1)

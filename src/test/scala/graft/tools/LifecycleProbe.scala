@@ -1,5 +1,5 @@
-// scratch probe (not part of the build): timing breakdown of the bench
-// lifecycle. Run via: sbt -batch "runMain graft.tools.LifecycleProbe"
+// Dev probe: per-phase timing breakdown of the bench pipeline lifecycle.
+// Run via: sbt -batch "Test/runMain graft.tools.LifecycleProbe"
 package graft.tools
 
 import org.apache.spark.sql.functions._
