@@ -174,6 +174,58 @@ object Similarity {
         round(col("cos"), 6).as("cos_sim"))
   }
 
+  /** Squared euclidean distance via the dot-product identity
+    * `‖a-b‖² = a·a − 2a·b + b·b` — every term is the SAME left-fold
+    * [[dot]], so the value (and therefore distance-based rankings)
+    * reproduces bit-for-bit in engines whose dot product folds
+    * sequentially (DuckDB `list_dot_product` — proven by the q31 gate). */
+  def sqDist(a: Column, b: Column): Column =
+    dot(a, a) - lit(2.0d) * dot(a, b) + dot(b, b)
+
+  /** IVF with DETERMINISTIC coarse centroids: the `nClusters`
+    * lowest-id corpus vectors serve as the quantizer (sample-as-
+    * centroids — the standard IVF *initialization*, skipping the
+    * k-means refinement [[ivfTopK]] adds). Fully SQL-reproducible, so
+    * this variant is oracle-gated (q43) while [[ivfTopK]] is
+    * spec-verified by recall.
+    *
+    * Same scale shape as [[ivfTopK]]: centroids broadcast (tiny),
+    * assignment is one corpus pass (O(N·nClusters) dot products,
+    * amortized across queries — persisted in a real deployment),
+    * candidates via equi-join on `cluster`; per-query work ≈
+    * nProbe/nClusters of the corpus. */
+  def ivfTopKFixed(corpus: DataFrame, queries: DataFrame, k: Int,
+      nClusters: Int, nProbe: Int): DataFrame = {
+    graft.functions.GraftExtensions.ensureRegistered(corpus.sparkSession)
+    val cents = corpus.filter(col("vec_id") < nClusters)
+      .select(col("vec_id").as("cluster"), toDouble(col("embedding")).as("c"))
+    val corpusV = corpus.select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cdist").asc, col("cluster").asc)
+    val assigned = corpusV.crossJoin(broadcast(cents))
+      .withColumn("cdist", sqDist(col("v"), col("c")))
+      .withColumn("arank", row_number().over(wAssign))
+      .filter(col("arank") === 1)
+      .select(col("vec_id"), col("v"), col("cluster"))
+    val wProbe = Window.partitionBy(col("q_id"))
+      .orderBy(col("cdist").asc, col("cluster").asc)
+    val probes = queries.select(col("q_id"), toDouble(col("q_vec")).as("q"))
+      .crossJoin(broadcast(cents))
+      .withColumn("cdist", sqDist(col("q"), col("c")))
+      .withColumn("prank", row_number().over(wProbe))
+      .filter(col("prank") <= nProbe)
+      .select(col("q_id"), col("q"), col("cluster"))
+    val wk = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    assigned.join(broadcast(probes), Seq("cluster"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", graft.functions.CosineSimilarity(col("q"), col("v")))
+      .withColumn("rank", row_number().over(wk))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("vec_id"),
+        round(col("cos"), 6).as("cos_sim"))
+  }
+
   /** Approximate top-k: candidates share the query's bucket; exact
     * cosine + window only within buckets. The equi-join on `bucket`
     * replaces the cross join — at N corpus vectors and B buckets the

@@ -396,6 +396,48 @@ object LlmQueries {
       |            ELSE ord(substr(text, ((7 % octet_length(encode(text))) + 1), 1)) END AS INT) AS b7
       |FROM documents""".stripMargin
 
+  // --------------------------------------------------------- q43
+  /** IVF ANN with deterministic sample centroids (the k-means-refined
+    * variant is spec-verified by recall — Similarity.ivfTopK): assign
+    * every vector to its nearest of the 8 lowest-id embeddings, probe
+    * the query's 2 nearest cells, brute-force cosine inside them.
+    * Distances use the dot-product identity so both engines fold
+    * identically. */
+  private val IvfClusters = 8
+  private val IvfProbe = 2
+  private def q43(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    Similarity.ivfTopKFixed(emb, queries, AnnK, IvfClusters, IvfProbe)
+  }
+  private def distSql(a: String, b: String): String =
+    s"list_dot_product($a, $a) - 2 * list_dot_product($a, $b) + list_dot_product($b, $b)"
+  private val q43Sql =
+    s"""WITH cents AS (SELECT vec_id AS cluster, embedding::DOUBLE[] AS c FROM embeddings WHERE vec_id < $IvfClusters),
+       |base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |assigned AS (
+       |  SELECT vec_id, v, cluster FROM (
+       |    SELECT b.vec_id, b.v, cents.cluster,
+       |      ROW_NUMBER() OVER (PARTITION BY b.vec_id
+       |        ORDER BY ${distSql("b.v", "cents.c")} ASC, cents.cluster ASC) AS rn
+       |    FROM base b, cents) WHERE rn = 1),
+       |q AS (SELECT vec_id AS q_id, v AS qv FROM base WHERE vec_id < 10),
+       |probes AS (
+       |  SELECT q_id, qv, cluster FROM (
+       |    SELECT q.q_id, q.qv, cents.cluster,
+       |      ROW_NUMBER() OVER (PARTITION BY q.q_id
+       |        ORDER BY ${distSql("q.qv", "cents.c")} ASC, cents.cluster ASC) AS rn
+       |    FROM q, cents) WHERE rn <= $IvfProbe)
+       |SELECT q_id, CAST(rn AS INT) AS rank, vec_id, round(cos, 6) AS cos_sim FROM (
+       |  SELECT p.q_id, a.vec_id,
+       |    list_dot_product(p.qv, a.v) / (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(a.v, a.v))) AS cos,
+       |    ROW_NUMBER() OVER (PARTITION BY p.q_id
+       |      ORDER BY list_dot_product(p.qv, a.v) / (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(a.v, a.v))) DESC,
+       |        a.vec_id ASC) AS rn
+       |  FROM probes p JOIN assigned a USING (cluster) WHERE a.vec_id <> p.q_id)
+       |WHERE rn <= $AnnK""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q26_dedup_exact" -> q26 _,
     "q27_minhash_bands" -> q27 _,
@@ -412,7 +454,8 @@ object LlmQueries {
     "q38_simhash_clusters" -> q38 _,
     "q39_dedup_keep" -> q39 _,
     "q40_sessionize" -> q40 _,
-    "q42_multimodal_decode" -> q42 _)
+    "q42_multimodal_decode" -> q42 _,
+    "q43_ann_ivf" -> q43 _)
 
   val oracles: Map[String, String] = Map(
     "q26_dedup_exact" -> q26Sql,
@@ -428,6 +471,7 @@ object LlmQueries {
     "q36_multimodal_meta" -> q36Sql,
     "q37_embed_neardup" -> q37Sql,
     "q38_simhash_clusters" -> q38Sql,
+    "q43_ann_ivf" -> q43Sql,
     "q39_dedup_keep" -> q39Sql,
     "q40_sessionize" -> q40Sql,
     "q42_multimodal_decode" -> q42Sql)
