@@ -61,6 +61,54 @@ object Dedup {
       .agg(count(lit(1)).as("cluster_size"), min(col(idCol)).as("canonical_doc"))
       .filter(col("cluster_size") > 1)
 
+  // --------------------------------------------------------- winnowing
+  /** Winnowing (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the classic
+    * rolling-hash document-fingerprinting algorithm): hash every
+    * character k-gram, then keep the MINIMUM hash of each w-long window
+    * of consecutive k-gram hashes. Any sufficiently long textual match
+    * between two documents is guaranteed to share a fingerprint. The
+    * k-gram hash is the same md5-prefix integer the minhash path uses,
+    * so the oracle reproduces it exactly.
+    *
+    * All columns passed in must be plain attributes (lambda re-eval
+    * trap); each step below is staged as its own projection. */
+  def gramHashes(text: Column, k: Int): Column = {
+    val n = length(text) - (k - 1)
+    when(n >= 1,
+      transform(sequence(lit(1), greatest(n, lit(1))),
+        i => conv(substring(md5(text.substr(i, lit(k))), 1, 12), 16, 10)
+          .cast("long")))
+      .otherwise(array().cast("array<bigint>"))
+  }
+
+  /** Per-window minima over a MATERIALIZED hash-array column. Fewer
+    * hashes than `w` → one window over them all (standard edge). */
+  def winnowMins(hs: Column, w: Int): Column = {
+    val m = size(hs)
+    when(m === 0, array().cast("array<bigint>"))
+      .when(m <= w, array(array_min(hs)))
+      .otherwise(transform(sequence(lit(0), m - w),
+        j => array_min(transform(sequence(j + 1, j + w),
+          x => element_at(hs, x)))))
+  }
+
+  /** Doc-level winnowing summary: (id, fp_count, winnow_fp) where
+    * winnow_fp = md5 of the sorted distinct window minima — equal
+    * fingerprints ⇔ identical winnow sketch. For overlap SEARCH keep
+    * the exploded (id, fingerprint) pairs instead and equi-join them. */
+  def winnowFingerprint(docs: DataFrame, textCol: String, idCol: String,
+      k: Int, w: Int): DataFrame =
+    spread(docs.select(col(idCol), col(textCol)))
+      .select(col(idCol), gramHashes(col(textCol), k).as("hs"))
+      .select(col(idCol), winnowMins(col("hs"), w).as("wins"))
+      .select(col(idCol),
+        array_sort(array_distinct(col("wins"))).as("fps"))
+      .select(col(idCol),
+        size(col("fps")).cast("long").as("fp_count"),
+        when(size(col("fps")) > 0,
+          md5(array_join(transform(col("fps"), _.cast("string")), ",")))
+          .as("winnow_fp"))
+
   // ---------------------------------------------------------- minhash
   /** Word `k`-shingles from a MATERIALIZED words-array column
     * (consecutive token n-grams). `ws` must be a plain column/attribute:

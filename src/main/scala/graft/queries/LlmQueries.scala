@@ -438,6 +438,39 @@ object LlmQueries {
        |  FROM probes p JOIN assigned a USING (cluster) WHERE a.vec_id <> p.q_id)
        |WHERE rn <= $AnnK""".stripMargin
 
+  // --------------------------------------------------------- q44
+  /** Winnowing fingerprints (k-gram rolling hash + window minima —
+    * Schleimer et al. SIGMOD'03) per document. */
+  private val WinnowK = 8
+  private val WinnowW = 4
+  private def q44(s: SparkSession, dir: String): DataFrame =
+    Dedup.winnowFingerprint(Tables.documents(s, dir), "text", "doc_id",
+      WinnowK, WinnowW)
+  private val q44Sql = {
+    val k = WinnowK; val w = WinnowW
+    s"""WITH hs AS (
+       |  SELECT doc_id,
+       |    CASE WHEN length(text) >= $k
+       |      THEN list_transform(range(1, length(text) - $k + 2),
+       |             i -> ('0x' || substr(md5(substr(text, i, $k)), 1, 12))::BIGINT)
+       |      ELSE [] END AS h
+       |  FROM documents),
+       |wins AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(h) = 0 THEN []
+       |         WHEN len(h) <= $w THEN [list_min(h)]
+       |         ELSE list_transform(range(0, len(h) - $w + 1),
+       |                j -> list_min(list_transform(range(j + 1, j + $w + 1), x -> h[x])))
+       |    END AS wmins
+       |  FROM hs),
+       |fps AS (SELECT doc_id, list_sort(list_distinct(wmins)) AS fps FROM wins)
+       |SELECT doc_id, len(fps)::BIGINT AS fp_count,
+       |  CASE WHEN len(fps) > 0
+       |    THEN md5(array_to_string(list_transform(fps, y -> y::VARCHAR), ','))
+       |    ELSE NULL END AS winnow_fp
+       |FROM fps""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q26_dedup_exact" -> q26 _,
     "q27_minhash_bands" -> q27 _,
@@ -455,7 +488,8 @@ object LlmQueries {
     "q39_dedup_keep" -> q39 _,
     "q40_sessionize" -> q40 _,
     "q42_multimodal_decode" -> q42 _,
-    "q43_ann_ivf" -> q43 _)
+    "q43_ann_ivf" -> q43 _,
+    "q44_winnow_fp" -> q44 _)
 
   val oracles: Map[String, String] = Map(
     "q26_dedup_exact" -> q26Sql,
@@ -472,6 +506,7 @@ object LlmQueries {
     "q37_embed_neardup" -> q37Sql,
     "q38_simhash_clusters" -> q38Sql,
     "q43_ann_ivf" -> q43Sql,
+    "q44_winnow_fp" -> q44Sql,
     "q39_dedup_keep" -> q39Sql,
     "q40_sessionize" -> q40Sql,
     "q42_multimodal_decode" -> q42Sql)
