@@ -152,26 +152,8 @@ object Similarity {
     import spark.implicits._
     val centroids = model.clusterCenters.zipWithIndex
       .map { case (c, i) => (i, c.toArray) }.toSeq
-      .toDF("cluster", "centroid")
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cdist").asc, col("cluster").asc)
-    val probes = queries
-      .select(col("q_id"), toDouble(col("q_vec")).as("q"))
-      .crossJoin(broadcast(centroids))
-      .withColumn("cdist",
-        aggregate(zip_with(col("q"), col("centroid"), (a, b) => (a - b) * (a - b)),
-          lit(0.0d), _ + _))
-      .withColumn("prank", row_number().over(w))
-      .filter(col("prank") <= nProbe)
-      .select(col("q_id"), col("q"), col("cluster"))
-    val wk = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos").desc, col("vec_id").asc)
-    assigned.join(broadcast(probes), Seq("cluster"))
-      .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("cos", graft.functions.CosineSimilarity(col("q"), col("v")))
-      .withColumn("rank", row_number().over(wk))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("rank"), col("vec_id"),
-        round(col("cos"), 6).as("cos_sim"))
+      .toDF("cluster", "c")
+    ivfSearch(assigned, centroids, queries, k, nProbe)
   }
 
   /** Squared euclidean distance via the dot-product identity
@@ -185,9 +167,11 @@ object Similarity {
   /** IVF with DETERMINISTIC coarse centroids: the `nClusters`
     * lowest-id corpus vectors serve as the quantizer (sample-as-
     * centroids — the standard IVF *initialization*, skipping the
-    * k-means refinement [[ivfTopK]] adds). Fully SQL-reproducible, so
-    * this variant is oracle-gated (q43) while [[ivfTopK]] is
-    * spec-verified by recall.
+    * k-means refinement [[ivfTopK]] adds). Selection is by id RANK
+    * (order by vec_id, take nClusters), so sparse or offset id spaces
+    * still yield a full quantizer. Fully SQL-reproducible, so this
+    * variant is oracle-gated (q43) while [[ivfTopK]] is spec-verified
+    * by recall.
     *
     * Same scale shape as [[ivfTopK]]: centroids broadcast (tiny),
     * assignment is one corpus pass (O(N·nClusters) dot products,
@@ -197,7 +181,7 @@ object Similarity {
   def ivfTopKFixed(corpus: DataFrame, queries: DataFrame, k: Int,
       nClusters: Int, nProbe: Int): DataFrame = {
     graft.functions.GraftExtensions.ensureRegistered(corpus.sparkSession)
-    val cents = corpus.filter(col("vec_id") < nClusters)
+    val cents = corpus.orderBy(col("vec_id")).limit(nClusters)
       .select(col("vec_id").as("cluster"), toDouble(col("embedding")).as("c"))
     val corpusV = corpus.select(col("vec_id"), toDouble(col("embedding")).as("v"))
     val wAssign = Window.partitionBy(col("vec_id"))
@@ -207,6 +191,16 @@ object Similarity {
       .withColumn("arank", row_number().over(wAssign))
       .filter(col("arank") === 1)
       .select(col("vec_id"), col("v"), col("cluster"))
+    ivfSearch(assigned, cents, queries, k, nProbe)
+  }
+
+  /** Shared IVF search tail: rank each query's `nProbe` nearest
+    * centroids (squared-euclidean via [[sqDist]], ties by cluster id),
+    * then exact cosine top-k within the probed cells only. Both IVF
+    * variants route through here so tie-breaking/rounding can never
+    * diverge between the oracle-gated and recall-tested paths. */
+  private def ivfSearch(assigned: DataFrame, cents: DataFrame,
+      queries: DataFrame, k: Int, nProbe: Int): DataFrame = {
     val wProbe = Window.partitionBy(col("q_id"))
       .orderBy(col("cdist").asc, col("cluster").asc)
     val probes = queries.select(col("q_id"), toDouble(col("q_vec")).as("q"))

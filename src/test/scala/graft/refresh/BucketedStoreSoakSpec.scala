@@ -31,7 +31,13 @@ class BucketedStoreSoakSpec extends SparkSpec {
     model ++= init
 
     def checkAgainstModel(step: Int): Unit = {
-      val read = store.read().as[(String, String)].collect().toMap
+      val rows = store.read().as[(String, String)].collect()
+      // unique-id invariant BEFORE collapsing to a map: a merge bug
+      // leaving an id in both a base leaf and an uncleared delta would
+      // otherwise hide behind toMap
+      assert(rows.length == rows.map(_._1).distinct.length,
+        s"step $step: duplicate ids in full read")
+      val read = rows.toMap
       assert(read == model.toMap, s"step $step: full read diverged")
       // scoped read over a random probe set (mix of present + absent)
       val probe = rnd.shuffle(idSpace).take(10)
