@@ -88,6 +88,37 @@ class OpsSpec extends SparkSpec {
     again shouldBe ivf
   }
 
+  test("winnowing: overlap guarantee — a shared (w+k-1)-char run shares a fingerprint") {
+    val k = 8; val w = 4
+    val common = "the quick brown fox jumps over the lazy dog" // >> w+k-1 chars
+    val docs = Seq(
+      (1L, s"AAAA $common BBBB"),
+      (2L, s"zzz $common qqq"),
+      (3L, "completely unrelated content with no shared run at all"),
+      (4L, ""), // empty text -> no fingerprints, null summary
+      (5L, "tiny")) // shorter than k -> no grams
+      .toDF("doc_id", "text")
+    val fps = docs
+      .select(col("doc_id"), Dedup.gramHashes(col("text"), k).as("hs"))
+      .select(col("doc_id"), Dedup.winnowMins(col("hs"), w).as("wins"))
+      .select(col("doc_id"), array_distinct(col("wins")).as("fps"))
+      .as[(Long, Seq[Long])].collect().toMap
+    // Schleimer et al.: any match of length >= w + k - 1 must share a
+    // window minimum between the two documents
+    fps(1L).intersect(fps(2L)) should not be empty
+    fps(3L).intersect(fps(1L)) shouldBe empty
+    fps(4L) shouldBe empty
+    fps(5L) shouldBe empty
+    // summary shape: identical docs get identical fingerprints
+    val sum = Dedup.winnowFingerprint(
+      Seq((1L, "same text body here"), (2L, "same text body here"),
+        (3L, "different text body")).toDF("doc_id", "text"),
+      "text", "doc_id", k, w)
+      .as[(Long, Long, String)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    sum(1L) shouldBe sum(2L)
+    sum(3L)._2 should not be sum(1L)._2
+  }
+
   test("sketches: approx distinct within rsd bound, quantiles near exact") {
     val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     val stats = Sketches.distinctStats(events, "event_type", "user_id")
