@@ -68,4 +68,57 @@ object Multimodal {
       .as[MediaBlob]
       .mapPartitions(it => it.grouped(batchSize).flatMap(decodeBatchStub))
   }
+
+  /** Uniform FRAME SAMPLING over the raw byte stream — the video-style
+    * "take k frames spread across the clip" primitive, done entirely
+    * with codegen'd expressions (byte slicing is byte math; only
+    * INTERPRETING a frame needs a codec). The blob is cut into
+    * `frameBytes` chunks; `ceil(nFrames / maxFrames)` strides pick ≤
+    * `maxFrames` uniformly-spaced chunks. Output one row per sampled
+    * frame: `(id, frame_idx, frame_off, frame_len, frame_hash)` — the
+    * hash stands in for handing the frame bytes to a decoder.
+    * Scale shape: narrow per-row transform + explode, no shuffle. */
+  def frameSample(media: DataFrame, frameBytes: Int, maxFrames: Int): DataFrame = {
+    val len = length(col("blob")).cast("long") // bytes (BinaryType)
+    media
+      .select(col("id"), col("blob"),
+        ((len + (frameBytes - 1)) / frameBytes).cast("long").as("nf"))
+      .withColumn("stride",
+        ((col("nf") + (maxFrames - 1)) / maxFrames).cast("long"))
+      .withColumn("frame_idx",
+        explode(when(col("nf") > 0,
+          sequence(lit(0L), col("nf") - 1, col("stride")))
+          .otherwise(array().cast("array<bigint>"))))
+      .select(col("id"), col("frame_idx"),
+        (col("frame_idx") * frameBytes).as("frame_off"),
+        expr(s"CAST(length(substring(blob, CAST(frame_idx * $frameBytes + 1 AS INT), $frameBytes)) AS BIGINT)")
+          .as("frame_len"),
+        expr(s"md5(substring(blob, CAST(frame_idx * $frameBytes + 1 AS INT), $frameBytes))")
+          .as("frame_hash"))
+  }
+
+  /** Resized thumbnail: id + target dims + pixel bytes. */
+  case class MediaThumb(id: Long, width: Int, height: Int, thumb: Array[Byte])
+
+  /** RESIZE plumbing: nearest-neighbor resampling of the byte stream to
+    * a `w×h` grid — the resampling arithmetic is real; only the
+    * interpretation of the source bytes as pixels is the stub (a real
+    * deployment decodes first, then pools — same batch shape). */
+  def resizeStub(spark: SparkSession, media: DataFrame, w: Int, h: Int,
+      batchSize: Int = 64): Dataset[MediaThumb] = {
+    import spark.implicits._
+    media.repartition(col("id")).as[MediaBlob]
+      .mapPartitions(_.grouped(batchSize).flatMap(_.map { m =>
+        val n = w * h
+        val out = new Array[Byte](n)
+        if (m.blob.nonEmpty) {
+          var i = 0
+          while (i < n) {
+            out(i) = m.blob((i.toLong * m.blob.length / n).toInt)
+            i += 1
+          }
+        }
+        MediaThumb(m.id, w, h, out)
+      }))
+  }
 }

@@ -471,6 +471,31 @@ object LlmQueries {
        |FROM fps""".stripMargin
   }
 
+  // --------------------------------------------------------- q45
+  /** Frame sampling over media blobs: ≤4 uniformly-strided 32-byte
+    * frames per blob, hashed (the decoder handoff). Oracle reproduces
+    * the byte math on the ASCII text the blobs wrap (q42's
+    * text-equivalence pattern — DuckDB's md5 is VARCHAR-only). */
+  private val FrameBytes = 32
+  private val MaxFrames = 4
+  private def q45(s: SparkSession, dir: String): DataFrame =
+    Multimodal.frameSample(
+      Multimodal.mediaFromDocuments(Tables.documents(s, dir)),
+      FrameBytes, MaxFrames)
+  private val q45Sql =
+    s"""WITH m AS (
+       |  SELECT doc_id AS id, text, octet_length(encode(text)) AS len FROM documents),
+       |f AS (
+       |  SELECT id, text, (len + ${FrameBytes - 1}) // $FrameBytes AS nf FROM m),
+       |st AS (
+       |  SELECT id, text, nf, (nf + ${MaxFrames - 1}) // $MaxFrames AS stride FROM f
+       |  WHERE nf > 0)
+       |SELECT id, frame_idx,
+       |  frame_idx * $FrameBytes AS frame_off,
+       |  length(substr(text, CAST(frame_idx * $FrameBytes + 1 AS INT), $FrameBytes))::BIGINT AS frame_len,
+       |  md5(substr(text, CAST(frame_idx * $FrameBytes + 1 AS INT), $FrameBytes)) AS frame_hash
+       |FROM (SELECT id, text, unnest(range(0, nf, stride)) AS frame_idx FROM st)""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q26_dedup_exact" -> q26 _,
     "q27_minhash_bands" -> q27 _,
@@ -489,7 +514,8 @@ object LlmQueries {
     "q40_sessionize" -> q40 _,
     "q42_multimodal_decode" -> q42 _,
     "q43_ann_ivf" -> q43 _,
-    "q44_winnow_fp" -> q44 _)
+    "q44_winnow_fp" -> q44 _,
+    "q45_frame_sample" -> q45 _)
 
   val oracles: Map[String, String] = Map(
     "q26_dedup_exact" -> q26Sql,
@@ -507,6 +533,7 @@ object LlmQueries {
     "q38_simhash_clusters" -> q38Sql,
     "q43_ann_ivf" -> q43Sql,
     "q44_winnow_fp" -> q44Sql,
+    "q45_frame_sample" -> q45Sql,
     "q39_dedup_keep" -> q39Sql,
     "q40_sessionize" -> q40Sql,
     "q42_multimodal_decode" -> q42Sql)

@@ -141,6 +141,25 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("multimodal: resize resamples bytes to the target grid deterministically") {
+    val media = Seq(
+      (1L, "application/x-img", (0 until 100).map(_.toByte).toArray),
+      (2L, "application/x-img", Array.empty[Byte]))
+      .toDF("id", "mime", "blob")
+    val thumbs = Multimodal.resizeStub(spark, media, w = 4, h = 3)
+      .collect().map(t => t.id -> t).toMap
+    thumbs(1L).width shouldBe 4
+    thumbs(1L).height shouldBe 3
+    thumbs(1L).thumb.length shouldBe 12
+    // nearest-neighbor: index i maps to blob[(i * len) / (w*h)]
+    thumbs(1L).thumb.toSeq shouldBe (0 until 12).map(i => (i * 100 / 12).toByte)
+    thumbs(2L).thumb.toSeq shouldBe Seq.fill(12)(0.toByte)
+    // deterministic across runs
+    Multimodal.resizeStub(spark, media, 4, 3).collect()
+      .map(t => t.id -> t.thumb.toSeq).toMap shouldBe
+      thumbs.map { case (k, v) => k -> v.thumb.toSeq }
+  }
+
   test("multimodal: batched decode is deterministic with typed schema") {
     val docs = Seq((1L, "hello world", "en", "srcA", 11L),
       (2L, "spark engine", "en", "srcB", 12L))
