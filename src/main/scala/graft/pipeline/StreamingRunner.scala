@@ -27,7 +27,8 @@ import graft.cdc.WalDecoder
 class StreamingRunner(
     spark: SparkSession,
     pipelines: Seq[Pipeline],
-    checkpointDir: String) {
+    checkpointDir: String,
+    maxScopedEvents: Int = 10000) {
 
   /** Drop stale offsets — the reference's slot drop/create on startup
     * (runner.py:56-64): after setup's backfill, only post-setup changes
@@ -49,8 +50,24 @@ class StreamingRunner(
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val dirtyTables = WalDecoder.decodeDf(batch)
-          .select("table").distinct().collect().map(_.getString(0)).toSet
+        // small batches (≤ maxScopedEvents decoded rows) come to the
+        // driver as ChangeEvents so pipelines can KEY-SCOPE the refresh
+        // — work ∝ change volume, same as Runner.iterate. A batch past
+        // the bound keeps only the dirty-table set (bounded driver
+        // memory) and full-refreshes: recompute-and-diff beats per-key
+        // scoping once a batch touches a large fraction of the view.
+        val decoded = WalDecoder.decodeDf(batch)
+        val sample = decoded.limit(maxScopedEvents + 1).collect()
+        val events: Option[Seq[graft.cdc.ChangeEvent]] =
+          if (sample.length > maxScopedEvents) None
+          else Some(sample.toSeq.map(r => graft.cdc.ChangeEvent(
+            r.getString(0), r.getString(1), r.getString(2), r.getString(3),
+            Option(r.getString(4)), r.getString(5), r.getLong(6))))
+        val dirtyTables = events match {
+          case Some(es) => es.map(_.table).toSet
+          case None => decoded.select("table").distinct()
+            .collect().map(_.getString(0)).toSet
+        }
         if (dirtyTables.nonEmpty) {
           val dirty = pipelines.filter(
             _.sourceTables.intersect(dirtyTables).nonEmpty)
@@ -65,8 +82,14 @@ class StreamingRunner(
           import scala.concurrent.duration.Duration
           implicit val ec: ExecutionContext = ExecutionContext.global
           val settled = Await.result(
-            Future.sequence(dirty.map(p =>
-              Future(p.refresh()).transform(scala.util.Success(_)))),
+            Future.sequence(dirty.map { p =>
+              val work = events match {
+                case Some(es) => () => p.refreshScoped(
+                  es.filter(e => p.sourceTables.contains(e.table)))
+                case None => () => p.refresh()
+              }
+              Future(work()).transform(scala.util.Success(_))
+            }),
             Duration.Inf)
           settled.collectFirst { case scala.util.Failure(e) => throw e }
         }

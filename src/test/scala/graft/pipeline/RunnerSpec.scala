@@ -126,6 +126,53 @@ class RunnerSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming batches key-scope the refresh; oversize batches fall back to full") {
+    var person = Seq(("p-1", "John"), ("p-2", "Loren")).toDF("id", "name")
+    val fullCalls = new AtomicInteger(0)
+    val scopedCalls = new AtomicInteger(0)
+    val sink = new InMemoryIndex("people_scoped_stream", nameMapping)
+    def scoped(events: Seq[ChangeEvent]) = {
+      scopedCalls.incrementAndGet()
+      val ids = events.map(_.id)
+      val aff = person.filter($"id".isin(ids: _*)).select($"id")
+      (aff, SchoolViews.personMv(person.filter($"id".isin(ids: _*))))
+    }
+    val pipe = new Pipeline("person_mv", "person", Set("person"),
+      () => { fullCalls.incrementAndGet(); SchoolViews.personMv(person) },
+      new MvccSnapshotStore(spark, tmp()), sink,
+      scopedCompute = Some(scoped))
+    pipe.backfill()
+    val fullAfterBackfill = fullCalls.get()
+
+    val sr = new StreamingRunner(spark, Seq(pipe), tmp() + "/ckpt")
+    val stream = MemoryStream[(Long, String, String)](
+      org.apache.spark.sql.Encoders.product[(Long, String, String)], spark)
+    val query = sr.start(stream.toDF().toDF("xid", "lsn", "data"))
+    try {
+      person = Seq(("p-1", "Jane"), ("p-2", "Loren")).toDF("id", "name")
+      stream.addData((1L, "0/2", "table public.person: UPDATE: id[text]:'p-1'"))
+      query.processAllAvailable()
+      sink.get("p-1").get should include("Jane")
+      scopedCalls.get() shouldBe 1
+      fullCalls.get() shouldBe fullAfterBackfill // stayed on the scoped path
+    } finally query.stop()
+
+    // a runner with a zero scoping budget routes every batch to full refresh
+    val sr0 = new StreamingRunner(spark, Seq(pipe), tmp() + "/ckpt0",
+      maxScopedEvents = 0)
+    val stream0 = MemoryStream[(Long, String, String)](
+      org.apache.spark.sql.Encoders.product[(Long, String, String)], spark)
+    val query0 = sr0.start(stream0.toDF().toDF("xid", "lsn", "data"))
+    try {
+      person = Seq(("p-1", "Janet"), ("p-2", "Loren")).toDF("id", "name")
+      stream0.addData((2L, "0/3", "table public.person: UPDATE: id[text]:'p-1'"))
+      query0.processAllAvailable()
+      sink.get("p-1").get should include("Janet")
+      fullCalls.get() shouldBe fullAfterBackfill + 1
+      scopedCalls.get() shouldBe 1 // unchanged
+    } finally query0.stop()
+  }
+
   test("streaming batch fans refreshes out in parallel and surfaces errors (A13)") {
     var person = Seq(("p-1", "John")).toDF("id", "name")
     val active = new AtomicInteger(0)
