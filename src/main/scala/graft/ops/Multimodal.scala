@@ -103,22 +103,25 @@ object Multimodal {
   /** RESIZE plumbing: nearest-neighbor resampling of the byte stream to
     * a `w×h` grid — the resampling arithmetic is real; only the
     * interpretation of the source bytes as pixels is the stub (a real
-    * deployment decodes first, then pools — same batch shape). */
-  def resizeStub(spark: SparkSession, media: DataFrame, w: Int, h: Int,
-      batchSize: Int = 64): Dataset[MediaThumb] = {
+    * deployment decodes first, then resamples). A pure per-row map: no
+    * shuffle, no batching needed (unlike [[extractFeatures]], whose
+    * decoder amortizes setup across a batch). Null blobs (null source
+    * text) resample to the zero grid, matching [[frameSample]]'s
+    * zero-rows treatment of empty input. */
+  def resizeStub(spark: SparkSession, media: DataFrame, w: Int, h: Int)
+      : Dataset[MediaThumb] = {
     import spark.implicits._
-    media.repartition(col("id")).as[MediaBlob]
-      .mapPartitions(_.grouped(batchSize).flatMap(_.map { m =>
-        val n = w * h
-        val out = new Array[Byte](n)
-        if (m.blob.nonEmpty) {
-          var i = 0
-          while (i < n) {
-            out(i) = m.blob((i.toLong * m.blob.length / n).toInt)
-            i += 1
-          }
+    media.as[MediaBlob].map { m =>
+      val n = w * h
+      val out = new Array[Byte](n)
+      if (m.blob != null && m.blob.nonEmpty) {
+        var i = 0
+        while (i < n) {
+          out(i) = m.blob((i.toLong * m.blob.length / n).toInt)
+          i += 1
         }
-        MediaThumb(m.id, w, h, out)
-      }))
+      }
+      MediaThumb(m.id, w, h, out)
+    }
   }
 }

@@ -63,6 +63,38 @@ object PipelineConfig {
   }
 }
 
+object Runner {
+  /** Shared per-batch dispatch for the poll loop AND the streaming
+    * runner (one source of truth for the scoping contract): each dirty
+    * pipeline gets its RELEVANT events (filtered by source tables) and
+    * routes through refreshScoped — whose canScope falls back to a full
+    * refresh when the batch isn't key-mappable. `events = None` means
+    * the batch was too large to ship row events; only the dirty-table
+    * set is known and every dirty pipeline full-refreshes.
+    * All futures settle before the first failure re-raises (a fail-fast
+    * await would leave a straggler refresh racing the retried batch).
+    * @return view → #actions applied */
+  def dispatch(pipelines: Seq[Pipeline],
+      events: Option[Seq[graft.cdc.ChangeEvent]],
+      dirtyTables: Set[String])(
+      implicit ec: scala.concurrent.ExecutionContext): Map[String, Long] = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    val dirty = pipelines.filter(_.sourceTables.intersect(dirtyTables).nonEmpty)
+    val settled = Await.result(
+      Future.sequence(dirty.map { p =>
+        val work: () => Long = events match {
+          case Some(es) =>
+            () => p.refreshScoped(es.filter(e => p.sourceTables.contains(e.table)))
+          case None => () => p.refresh()
+        }
+        Future(p.view -> work()).transform(scala.util.Success(_))
+      }), Duration.Inf)
+    settled.collectFirst { case scala.util.Failure(e) => throw e }
+    settled.map(_.get).toMap
+  }
+}
+
 /** Orchestrator (A13/A14): owns all pipelines, fans setup/refresh out in
   * parallel, and surfaces worker errors instead of swallowing them —
   * the reference's `ThreadPoolExecutor` + `future.result()` semantics
@@ -108,13 +140,8 @@ class Runner(val pipelines: Seq[Pipeline], feed: ChangeFeed) {
   def iterate(): Map[String, Long] = {
     val changed = feed.drain()
     if (changed.isEmpty) return Map.empty
-    val dirtyTables = changed.map(_.table).toSet
-    val dirty = pipelines.filter(_.sourceTables.intersect(dirtyTables).nonEmpty)
     try {
-      awaitAll(dirty.map { p =>
-        val relevant = changed.filter(e => p.sourceTables.contains(e.table))
-        Future(p.view -> p.refreshScoped(relevant))
-      }).toMap
+      Runner.dispatch(pipelines, Some(changed), changed.map(_.table).toSet)
     } catch {
       case e: Throwable =>
         // the drain already consumed the batch; put it back so the next

@@ -50,48 +50,32 @@ class StreamingRunner(
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        // small batches (≤ maxScopedEvents decoded rows) come to the
-        // driver as ChangeEvents so pipelines can KEY-SCOPE the refresh
-        // — work ∝ change volume, same as Runner.iterate. A batch past
-        // the bound keeps only the dirty-table set (bounded driver
-        // memory) and full-refreshes: recompute-and-diff beats per-key
-        // scoping once a batch touches a large fraction of the view.
+        // First pass: per-table counts (tiny result) size the batch and
+        // give the dirty-table set. Small batches (≤ maxScopedEvents
+        // decoded rows) then come to the driver as ChangeEvents so
+        // pipelines can KEY-SCOPE the refresh — work ∝ change volume,
+        // same as Runner.iterate. Larger batches never re-decode for
+        // row events (bounded driver memory) and full-refresh:
+        // recompute-and-diff beats per-key scoping once a batch touches
+        // a large fraction of the view anyway.
         val decoded = WalDecoder.decodeDf(batch)
-        val sample = decoded.limit(maxScopedEvents + 1).collect()
+        val tableCounts = decoded.groupBy("table").count().collect()
+        val dirtyTables = tableCounts.map(_.getString(0)).toSet
+        val total = tableCounts.map(_.getLong(1)).sum
         val events: Option[Seq[graft.cdc.ChangeEvent]] =
-          if (sample.length > maxScopedEvents) None
-          else Some(sample.toSeq.map(r => graft.cdc.ChangeEvent(
-            r.getString(0), r.getString(1), r.getString(2), r.getString(3),
-            Option(r.getString(4)), r.getString(5), r.getLong(6))))
-        val dirtyTables = events match {
-          case Some(es) => es.map(_.table).toSet
-          case None => decoded.select("table").distinct()
-            .collect().map(_.getString(0)).toSet
-        }
+          if (total > maxScopedEvents) None
+          // name-based encoder: stays correct under decodeDf column
+          // reordering (positional Row access would silently mis-bind)
+          else Some(decoded.as(org.apache.spark.sql.Encoders
+            .product[graft.cdc.ChangeEvent]).collect().toSeq)
         if (dirtyTables.nonEmpty) {
-          val dirty = pipelines.filter(
-            _.sourceTables.intersect(dirtyTables).nonEmpty)
-          // A13 on the streaming path: fan dirty-view refreshes out in
-          // parallel and re-raise the first failure — the same
-          // Future+result semantics as Runner.iterate (reference:
-          // src/sinker/runner.py:91-99). A raised error fails the batch;
-          // checkpoint replay then retries it (idempotent refresh).
-          // ALL futures are awaited before re-raising, so no straggler
-          // refresh can overlap the replayed batch on the same store.
-          import scala.concurrent.{Await, ExecutionContext, Future}
-          import scala.concurrent.duration.Duration
-          implicit val ec: ExecutionContext = ExecutionContext.global
-          val settled = Await.result(
-            Future.sequence(dirty.map { p =>
-              val work = events match {
-                case Some(es) => () => p.refreshScoped(
-                  es.filter(e => p.sourceTables.contains(e.table)))
-                case None => () => p.refresh()
-              }
-              Future(work()).transform(scala.util.Success(_))
-            }),
-            Duration.Inf)
-          settled.collectFirst { case scala.util.Failure(e) => throw e }
+          // A13 on the streaming path, via the SAME dispatch as
+          // Runner.iterate (reference: src/sinker/runner.py:91-99): a
+          // raised error fails the batch; checkpoint replay retries it
+          // (idempotent refresh).
+          implicit val ec: scala.concurrent.ExecutionContext =
+            scala.concurrent.ExecutionContext.global
+          Runner.dispatch(pipelines, events, dirtyTables)
         }
         ()
       }

@@ -98,18 +98,6 @@ object EngineProps extends Properties("graft") {
     DiffRefresher.diff(toDf(m), toDf(m)).isEmpty
   }
 
-  // the column-pruned keyed path must emit exactly the same actions as
-  // the doc-reading path — they serve the same refresh contract
-  property("diffKeyedEqualsDiff") = Prop.forAllNoShrink(kvMap, kvMap) {
-    (oldM, newM) =>
-      import org.apache.spark.sql.functions.{col, xxhash64}
-      val keyed = DiffRefresher.diffKeyed(
-        toDf(oldM).select(col("id"), xxhash64(col("doc")).as("h")), toDf(newM))
-        .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
-      val plain = DiffRefresher.diff(toDf(oldM), toDf(newM))
-        .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
-      keyed == plain
-  }
 
   // ---------------------------------------------------------------
   // Dedup operator invariants

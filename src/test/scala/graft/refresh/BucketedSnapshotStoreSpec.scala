@@ -135,6 +135,26 @@ class BucketedSnapshotStoreSpec extends SparkSpec {
       .as[(String, String)].collect().toSeq shouldBe Seq(("id-7", """{"v":"n-7"}"""))
   }
 
+  test("keyed diff against the PERSISTED hash equals the doc-reading diff") {
+    // guards the write-time-hash / read-time-hash contract: readKeyed
+    // serves h stamped into the leaves and deltas, and a refresh diff
+    // against it must emit exactly what hashing the docs fresh would
+    val dir = Files.createTempDirectory("graft-bucketed-keyed").toString
+    val store = new BucketedSnapshotStore(spark, dir, numBuckets = 4, maxDeltas = 2)
+    store.commit(store.stage(snap(50, "a")))
+    // stack a delta so readKeyed crosses base AND log
+    store.mergeScoped(Seq("id-3").toDF("id"),
+      Seq(("id-3", """{"v":"d-3"}""")).toDF("id", "doc"))
+    val newSnap = ((4 to 52).map(i => (s"id-$i", s"""{"v":"a-$i"}""")) :+
+      (("id-3", """{"v":"n-3"}"""))).toDF("id", "doc")
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getString(1), Option(r.getString(2)))).toSet
+    val keyed = norm(DiffRefresher.diffKeyed(store.readKeyed(), newSnap))
+    val plain = norm(DiffRefresher.diff(store.read(), newSnap))
+    keyed shouldBe plain
+    keyed.map(_._2) should contain allOf ("id-1", "id-2", "id-3", "id-51")
+  }
+
   test("merge that empties a bucket removes it after compaction") {
     val dir = Files.createTempDirectory("graft-bucketed5").toString
     val store = new BucketedSnapshotStore(spark, dir, numBuckets = 2, maxDeltas = 1)
