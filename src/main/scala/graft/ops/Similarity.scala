@@ -52,22 +52,32 @@ object Similarity {
         round(col("cos"), 6).as("cos_sim"))
   }
 
-  /** Deterministic pseudo-random hyperplane weight for (plane, dim):
-    * the classic shader-noise construction — uniform-ish in [-1, 1],
-    * reproducible everywhere. */
-  private def planeWeight(p: Int, d: Column): Column =
-    sin(lit(p.toDouble) * 12.9898d + d.cast("double") * 78.233d)
+  /** Deterministic pseudo-random hyperplane weights for plane `p` over
+    * `dims` dimensions: the classic shader-noise construction
+    * `sin(p·12.9898 + d·78.233)` — uniform-ish in [-1, 1], reproducible
+    * everywhere. Weights depend only on (plane, dim), so they are
+    * computed ONCE on the driver (java.lang.Math.sin — the same libm
+    * call Spark's Sin expression makes, so oracle SQL recomputing sin
+    * per row still bit-matches) and shipped as a literal array: the hot
+    * path is a pure multiply-add dot product instead of per-element
+    * trigonometry (embeddings·planes sin() calls per ROW otherwise). */
+  private def planeWeights(p: Int, dims: Int): Column =
+    typedLit((0 until dims).map(d => math.sin(p * 12.9898d + d * 78.233d)))
+
+  /** Fixed-width embedding dimensionality, probed from one row (the
+    * standard contract for an embedding column). 0 for an empty corpus. */
+  private def embDims(corpus: DataFrame): Int =
+    corpus.select(size(col("embedding")).as("d"))
+      .take(1).headOption.map(_.getInt(0)).getOrElse(0)
 
   /** Sign pattern of `planes` hyperplane projections → one bucket key
     * per vector (a `planes`-character bit string). Vectors only compete
     * within their bucket. */
-  def lshBucket(vec: Column, planes: Int): Column = {
+  def lshBucket(vec: Column, planes: Int, dims: Int): Column = {
     val v = toDouble(vec)
     val bits = (1 to planes).map { p =>
       val proj = aggregate(
-        zip_with(v, sequence(lit(0), size(v) - 1),
-          (x, d) => x * planeWeight(p, d)),
-        lit(0.0d), _ + _)
+        zip_with(v, planeWeights(p, dims), _ * _), lit(0.0d), _ + _)
       when(proj >= 0, lit("1")).otherwise(lit("0"))
     }
     concat(bits: _*)
@@ -76,7 +86,7 @@ object Similarity {
   /** (vec_id, bucket) assignment for the corpus. */
   def lshBuckets(corpus: DataFrame, planes: Int): DataFrame =
     corpus.select(col("vec_id"),
-      lshBucket(col("embedding"), planes).as("bucket"))
+      lshBucket(col("embedding"), planes, embDims(corpus)).as("bucket"))
 
   /** Banded hyperplane buckets for near-dup detection: `bands`
     * independent bucket keys per vector (band b uses planes
@@ -84,14 +94,13 @@ object Similarity {
     * the OR-construction that buys recall at moderate thresholds, same
     * shape as MinHash banding. Output: (vec_id, band, bucket). */
   def lshBandKeys(corpus: DataFrame, bands: Int, planesPerBand: Int): DataFrame = {
+    val dims = embDims(corpus)
     val bandCols = (0 until bands).map { b =>
       val bits = (1 to planesPerBand).map { r =>
         val p = b * planesPerBand + r
         val v = toDouble(col("embedding"))
         val proj = aggregate(
-          zip_with(v, sequence(lit(0), size(v) - 1),
-            (x, d) => x * planeWeight(p, d)),
-          lit(0.0d), _ + _)
+          zip_with(v, planeWeights(p, dims), _ * _), lit(0.0d), _ + _)
         when(proj >= 0, lit("1")).otherwise(lit("0"))
       }
       struct(lit(b).as("band"), concat(bits: _*).as("bucket")).as(s"b$b")
@@ -227,12 +236,13 @@ object Similarity {
   def topKNeighborsLsh(corpus: DataFrame, queries: DataFrame,
       k: Int, planes: Int): DataFrame = {
     graft.functions.GraftExtensions.ensureRegistered(corpus.sparkSession)
+    val dims = embDims(corpus)
     val corpusB = corpus.select(col("vec_id"),
       toDouble(col("embedding")).as("v"),
-      lshBucket(col("embedding"), planes).as("bucket"))
+      lshBucket(col("embedding"), planes, dims).as("bucket"))
     val queriesB = queries.select(col("q_id"),
       toDouble(col("q_vec")).as("q"),
-      lshBucket(col("q_vec"), planes).as("bucket"))
+      lshBucket(col("q_vec"), planes, dims).as("bucket"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("vec_id").asc)
     corpusB.join(broadcast(queriesB), Seq("bucket"))
