@@ -123,7 +123,7 @@ object Similarity {
     val b = keys.select(col("band"), col("bucket"), col("vec_id").as("id_b"))
     val pairs = a.join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+      .select("id_a", "id_b")
     val vecs = corpus.select(col("vec_id"), toDouble(col("embedding")).as("vv"))
     pairs
       .join(vecs.select(col("vec_id").as("id_a"), col("vv").as("va")), Seq("id_a"))
@@ -131,6 +131,11 @@ object Similarity {
       .withColumn("cos", graft.functions.CosineSimilarity(col("va"), col("vb")))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos_sim"))
+      // dedup AFTER the verify filter: a pair matching in k bands costs k
+      // extra codegen'd cosines, but the distinct shuffles only the
+      // SURVIVORS (≈ output size) instead of every candidate — at scale
+      // the all-candidates shuffle is the near-dup pipeline's bottleneck
+      .distinct()
   }
 
   /** IVF (inverted-file) approximate top-k: the corpus is partitioned
