@@ -113,7 +113,10 @@ object GraftExtensions {
       (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))),
     (new FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinhashSig].getName, "minhash_sig"),
-      (children: Seq[Expression]) => MinhashSig.fromFunctionArgs(children))) ++
+      (children: Seq[Expression]) => MinhashSig.fromFunctionArgs(children)),
+    (new FunctionIdentifier("nearest_centroid"),
+      new ExpressionInfo(classOf[NearestCentroid].getName, "nearest_centroid"),
+      (children: Seq[Expression]) => NearestCentroid.fromFunctionArgs(children))) ++
     PgCompat.functions
 
   /** Idempotently register the engine's functions on a session that was

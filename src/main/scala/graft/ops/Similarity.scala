@@ -194,17 +194,26 @@ object Similarity {
     * nProbe/nClusters of the corpus. */
   def ivfTopKFixed(corpus: DataFrame, queries: DataFrame, k: Int,
       nClusters: Int, nProbe: Int): DataFrame = {
-    graft.functions.GraftExtensions.ensureRegistered(corpus.sparkSession)
-    val cents = corpus.orderBy(col("vec_id")).limit(nClusters)
-      .select(col("vec_id").as("cluster"), toDouble(col("embedding")).as("c"))
-    val corpusV = corpus.select(col("vec_id"), toDouble(col("embedding")).as("v"))
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cdist").asc, col("cluster").asc)
-    val assigned = corpusV.crossJoin(broadcast(cents))
-      .withColumn("cdist", sqDist(col("v"), col("c")))
-      .withColumn("arank", row_number().over(wAssign))
-      .filter(col("arank") === 1)
-      .select(col("vec_id"), col("v"), col("cluster"))
+    val spark = corpus.sparkSession
+    graft.functions.GraftExtensions.ensureRegistered(spark)
+    // the quantizer is nClusters rows — the codebook every IVF engine
+    // holds in memory; collecting it is bounded by the parameter, not
+    // the data (same class of collect as BucketedParquetIndex's bucket
+    // ids). Baking it into a literal makes assignment a pure per-row
+    // map: no |corpus|×nClusters expanded join, no shuffle, no window.
+    val centRows = corpus
+      .orderBy(col("vec_id")).limit(nClusters)
+      .select(col("vec_id"), toDouble(col("embedding")).as("c"))
+      .collect()
+      .sortBy(_.getLong(0))
+    val ids = centRows.map(_.getLong(0)).toSeq
+    val cvecs = centRows.map(_.getSeq[Double](1)).toSeq
+    import spark.implicits._
+    val cents = ids.zip(cvecs).toDF("cluster", "c")
+    val assigned = corpus
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .withColumn("cluster", call_function("nearest_centroid",
+        col("v"), typedLit(ids), typedLit(cvecs)))
     ivfSearch(assigned, cents, queries, k, nProbe)
   }
 

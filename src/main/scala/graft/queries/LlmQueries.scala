@@ -308,11 +308,15 @@ object LlmQueries {
       .jaccardVerify(Dedup.candidatePairs(bands), docs, "text", "doc_id",
         JaccardThreshold)
       .select(col("id_b").as("doc_id")).distinct()
-    docs.join(dropped, Seq("doc_id"), "left_anti")
+      .withColumn("is_dropped", lit(true))
+    // fold both counts in ONE aggregation pass over docs (the previous
+    // anti-join + two groupBys + rejoin scanned docs twice and shuffled
+    // thrice); no broadcast hint — dropped scales with the near-dup
+    // rate, so AQE decides per run (a storm-heavy corpus must not OOM)
+    docs.join(dropped, Seq("doc_id"), "left")
       .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_kept"))
-      .join(docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs")),
-        Seq("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("is_dropped").isNull, 1)).as("n_kept"))
       .select(col("source"), col("n_docs"), col("n_kept"))
   }
   private val q39Sql =
