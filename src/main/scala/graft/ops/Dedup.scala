@@ -185,13 +185,11 @@ object Dedup {
       .select("id_a", "id_b").distinct()
   }
 
-  /** Verify candidate pairs with exact token-set Jaccard; keeps pairs
-    * ≥ `threshold`. Joins the (small) candidate set back to the docs —
-    * two hash joins keyed on doc id. */
-  def jaccardVerify(pairs: DataFrame, docs: DataFrame, textCol: String,
-      idCol: String, threshold: Double): DataFrame = {
-    val sets = docs.select(col(idCol).as("jid"),
-      array_distinct(words(col(textCol))).as("toks"))
+  /** Verify candidate pairs against a `(jid, toks)` set table with
+    * exact Jaccard; keeps pairs ≥ `threshold`. Two hash joins keyed on
+    * doc id — candidate volume, not corpus size, drives the cost. */
+  private def verifySets(pairs: DataFrame, sets: DataFrame,
+      threshold: Double): DataFrame =
     pairs
       .join(sets.withColumnRenamed("toks", "toks_a"), col("id_a") === col("jid"))
       .drop("jid")
@@ -201,6 +199,67 @@ object Dedup {
           size(array_union(col("toks_a"), col("toks_b"))))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+
+  /** Verify candidate pairs with exact token-set Jaccard. */
+  def jaccardVerify(pairs: DataFrame, docs: DataFrame, textCol: String,
+      idCol: String, threshold: Double): DataFrame =
+    verifySets(pairs,
+      docs.select(col(idCol).as("jid"),
+        array_distinct(words(col(textCol))).as("toks")),
+      threshold)
+
+  /** Distinct word n-gram sets: the set representation behind n-gram
+    * Jaccard similarity (bigram sets catch word-order edits that
+    * unigram sets are blind to). Staged projection, lambda-safe. */
+  def ngramSets(docs: DataFrame, textCol: String, idCol: String,
+      n: Int): DataFrame =
+    docs.select(col(idCol).as("jid"), words(col(textCol)).as("__ws"))
+      .select(col("jid"),
+        array_distinct(shinglesOfWords(col("__ws"), n)).as("toks"))
+
+  /** Verify candidate pairs with exact n-gram Jaccard (distinct word
+    * n-gram sets instead of unigram token sets). */
+  def ngramJaccardVerify(pairs: DataFrame, docs: DataFrame, textCol: String,
+      idCol: String, n: Int, threshold: Double): DataFrame =
+    verifySets(pairs, ngramSets(docs, textCol, idCol, n), threshold)
+
+  /** Exact set-similarity join by prefix filtering (AllPairs/PPJoin
+    * family — Bayardo et al. WWW'07): order every set by ascending
+    * global token frequency (rarest first), keep only the first
+    * `|s| − ⌈t·|s|⌉ + 1` tokens as the prefix, and generate candidates
+    * by equi-joining on prefix tokens. Any pair with Jaccard ≥ t shares
+    * at least one prefix token, so verifying candidates with exact
+    * Jaccard returns EXACTLY the brute-force answer — no
+    * approximation, unlike MinHash banding.
+    *
+    * Shape: token-frequency groupBy, re-sort per set, prefix explode,
+    * equi-join on token, verify — all shuffles keyed, never |n|².
+    * Selectivity depends on the corpus: on natural text (Zipfian vocab)
+    * prefixes are rare tokens and candidates collapse; on a tiny-vocab
+    * corpus every "rare" token is still shared widely and MinHash
+    * banding ([[bandKeys]]) is the better tool. Prefer this when the
+    * answer must be exact; prefer LSH when approximate recall at lower
+    * cost is acceptable. */
+  def prefixFilterJaccardJoin(docs: DataFrame, textCol: String,
+      idCol: String, n: Int, threshold: Double): DataFrame = {
+    val sets = spread(ngramSets(docs, textCol, idCol, n))
+    val toks = sets.select(col("jid"), explode(col("toks")).as("tok"))
+    val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+    // rebuild each set sorted rarest-first: struct sort on (freq, tok)
+    val ordered = toks.join(freq, Seq("tok"))
+      .groupBy(col("jid"))
+      .agg(sort_array(collect_list(struct(col("freq"), col("tok")))).as("sorted"))
+      .select(col("jid"), transform(col("sorted"), _.getField("tok")).as("og"))
+    val prefixes = ordered.select(col("jid"),
+      explode(slice(col("og"), lit(1),
+        greatest(lit(1),
+          size(col("og")) - ceil(lit(threshold) * size(col("og"))).cast("int") + 1)))
+        .as("tok"))
+    val cands = prefixes.select(col("tok"), col("jid").as("id_a"))
+      .join(prefixes.select(col("tok"), col("jid").as("id_b")), Seq("tok"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    verifySets(cands, sets, threshold)
   }
 
   // ---------------------------------------------------------- simhash

@@ -1,0 +1,114 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal join operators Spark lacks natively, re-expressed in the
+  * shapes that survive 100 TB:
+  *
+  *  - [[asOfJoin]] — "latest right row at or before each left row" per
+  *    key. The naive formulation is a range join + per-row argmax
+  *    (quadratic within key); this one is the union-and-carry trick:
+  *    tag both sides, union, ONE window partitioned by key carries the
+  *    latest right payload forward — a single shuffle on the key,
+  *    linear work, no pair blow-up regardless of how many right rows
+  *    precede a left row.
+  *
+  *  - [[rangeCountJoin]] — "right rows within [ts−before, ts+after] of
+  *    each left row" with NO equi key. The naive form is a cross join
+  *    with a range filter; here time is quantized into buckets at least
+  *    as wide as the window span, the left side explodes to the (≤ 2)
+  *    buckets its interval covers, the right side keeps its single home
+  *    bucket, and the join is an equi-join on the bucket with the exact
+  *    range predicate as a residual filter. Each right row lives in
+  *    exactly one bucket, so no post-join dedup is needed. Work scales
+  *    with true temporal locality (rows per bucket), never |L|×|R|.
+  */
+object Temporal {
+
+  /** As-of join: for every left row, the latest right row of the same
+    * `key` with `right.rightTs <= left.leftTs` (inclusive — ties on the
+    * timestamp match, like DuckDB's `ASOF JOIN ... ON r.ts <= l.ts`).
+    * Left rows with no preceding right row survive with nulls (left
+    * outer semantics).
+    *
+    * Right rows should be unique per (key, rightTs); with duplicates
+    * the greatest payload struct wins deterministically (DuckDB leaves
+    * that tie unspecified — dedup first when oracle-matching).
+    *
+    * Output: every left column, then `rightVals` renamed with `prefix`,
+    * then the matched right timestamp as `<prefix><rightTs>`.
+    */
+  def asOfJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, rightVals: Seq[String],
+      prefix: String = "r_"): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val rPayloadCols = rightTs +: rightVals
+    val rPayloadType = right
+      .select(struct(rPayloadCols.map(col): _*).as("p")).schema("p").dataType
+    val lPayloadType = left
+      .select(struct(leftCols.map(col): _*).as("p")).schema("p").dataType
+    val rSide = right.select(
+      col(key).as("__key"),
+      col(rightTs).as("__ts"),
+      lit(0).as("__side"),
+      struct(rPayloadCols.map(col): _*).as("__r"),
+      lit(null).cast(lPayloadType).as("__l"))
+    val lSide = left.select(
+      col(key).as("__key"),
+      col(leftTs).as("__ts"),
+      lit(1).as("__side"),
+      lit(null).cast(rPayloadType).as("__r"),
+      struct(leftCols.map(col): _*).as("__l"))
+    // right rows sort before left rows at the same timestamp so the
+    // carry is inclusive; __r last so duplicate right timestamps break
+    // ties deterministically (greatest payload)
+    val w = Window.partitionBy(col("__key"))
+      .orderBy(col("__ts").asc, col("__side").asc, col("__r").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = rSide.unionByName(lSide)
+      .withColumn("__match", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+    val outLeft = leftCols.map(c => col("__l").getField(c).as(c))
+    val outRight = rightVals.map(c => col("__match").getField(c).as(s"$prefix$c")) :+
+      col("__match").getField(rightTs).as(s"$prefix$rightTs")
+    carried.select(outLeft ++ outRight: _*)
+  }
+
+  /** Keyless time-range count join: for each left row, the number of
+    * right rows with `rightTs` in `[leftTs − beforeSec, leftTs +
+    * afterSec]`. Bucket width = the window span (so a left interval
+    * covers at most 2 buckets); the bucket equi-join carries the exact
+    * range predicate as a residual, and left-outer semantics keep
+    * zero-match left rows. `leftId` must be unique per left row.
+    *
+    * Output: (leftId, leftTs, n_matches).
+    */
+  def rangeCountJoin(left: DataFrame, right: DataFrame, leftId: String,
+      leftTs: String, rightTs: String,
+      beforeSec: Long, afterSec: Long): DataFrame = {
+    require(beforeSec >= 0 && afterSec >= 0 && beforeSec + afterSec > 0,
+      "rangeCountJoin needs a non-empty window")
+    val bucketUs = (beforeSec + afterSec) * 1000000L
+    // bucket key = the bucket's start microsecond (x − x mod width):
+    // pure integer arithmetic, no float division at any timestamp
+    def bucketOf(c: Column): Column = c - pmod(c, lit(bucketUs))
+    val l = left.select(col(leftId), col(leftTs).as("__lts"),
+        unix_micros(col(leftTs)).as("__lus"))
+      .withColumn("__bucket", explode(sequence(
+        bucketOf(col("__lus") - lit(beforeSec * 1000000L)),
+        bucketOf(col("__lus") + lit(afterSec * 1000000L)),
+        lit(bucketUs))))
+    val r = right.select(unix_micros(col(rightTs)).as("__rus"))
+      .withColumn("__bucket", bucketOf(col("__rus")))
+    l.join(r,
+        l("__bucket") === r("__bucket") &&
+          col("__rus") >= col("__lus") - lit(beforeSec * 1000000L) &&
+          col("__rus") <= col("__lus") + lit(afterSec * 1000000L),
+        "left_outer")
+      .groupBy(col(leftId))
+      .agg(first(col("__lts")).as(leftTs),
+        count(col("__rus")).as("n_matches"))
+  }
+}

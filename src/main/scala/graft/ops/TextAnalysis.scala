@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for corpus curation: language id, quality
@@ -47,6 +47,53 @@ object TextAnalysis {
     }
     val best = greatest(scored: _*)
     when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** BM25 relevance of every document against a fixed bag of query
+    * `terms` (Robertson/Sparck Jones; the Okapi k1/b form) — the lexical
+    * ranking half of a retrieval pipeline, as a pure DataFrame plan:
+    *
+    *  - per-row term frequencies and doc length are codegen'd array
+    *    expressions (no explode for the tf side);
+    *  - corpus statistics (N, avgdl, per-term document frequency) are
+    *    ONE aggregate row, broadcast back via a 1-row cross join — the
+    *    idf table every search engine keeps in memory;
+    *  - the score folds terms left-to-right in a fixed order, so the
+    *    arithmetic reproduces bit-for-bit in any engine that evaluates
+    *    the same expression tree (the oracle's `ln` and `/` are the
+    *    same libm doubles).
+    *
+    * Output: (idCol, dl, score). Compose `.orderBy(desc)` + `limit`
+    * for top-k (TakeOrderedAndProject — no global sort at scale).
+    */
+  def bm25(docs: DataFrame, textCol: String, idCol: String,
+      terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    val withTf = docs
+      .select(col(idCol), words(col(textCol)).as("__ws"))
+      .select(
+        col(idCol) +:
+          size(col("__ws")).cast("long").as("dl") +:
+          terms.zipWithIndex.map { case (t, i) =>
+            size(filter(col("__ws"), w => w === lit(t))).cast("long").as(s"tf$i")
+          }: _*)
+    val statCols =
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl") +:
+        terms.indices.map(i => count(when(col(s"tf$i") > 0, 1)).as(s"df$i"))
+    val stats = withTf.agg(count(lit(1)).as("n_docs"), statCols: _*)
+    val scored = withTf.crossJoin(broadcast(stats))
+    val score = terms.indices.map { i =>
+      val idf = log(
+        ((col("n_docs") - col(s"df$i")).cast("double") + lit(0.5)) /
+          (col(s"df$i").cast("double") + lit(0.5)) + lit(1.0))
+      val inner = lit(1.0) - lit(b) +
+        lit(b) * (col("dl").cast("double") / col("avgdl"))
+      // (k1 + 1) folds INSIDE the plan (constant-folded in double) so an
+      // oracle writing `1.2 + 1` lands on the identical double literal
+      idf * ((col(s"tf$i").cast("double") * (lit(k1) + lit(1.0))) /
+        (col(s"tf$i").cast("double") + lit(k1) * inner))
+    }.reduce(_ + _)
+    scored.select(col(idCol), col("dl"), score.as("score"))
   }
 
   /** Composite quality score in [0,1]: length band + punctuation ratio +

@@ -25,25 +25,28 @@ object LlmQueries {
 
   // shared oracle fragments ------------------------------------------------
   private val WsSplit = "string_split(text, ' ')"
-  /** DuckDB shingle list for k=3 (guarded like the Spark side). */
-  private val ShinglesSql =
-    s"""CASE WHEN len($WsSplit) >= $ShingleK
-       | THEN list_transform(range(1, len($WsSplit) - ${ShingleK - 2}),
-       |        i -> $WsSplit[i] || ' ' || $WsSplit[i+1] || ' ' || $WsSplit[i+2])
+  /** DuckDB word k-shingle list (guarded like the Spark side). */
+  private def shinglesSqlK(k: Int): String = {
+    val terms = (0 until k).map(j => s"$WsSplit[i+$j]").mkString(" || ' ' || ")
+    s"""CASE WHEN len($WsSplit) >= $k
+       | THEN list_transform(range(1, len($WsSplit) - ${k - 2}), i -> $terms)
        | ELSE [] END""".stripMargin.replace("\n", " ")
+  }
+  private val ShinglesSql = shinglesSqlK(ShingleK)
   private def minhashSql(h: Int) =
     s"list_min(list_transform(hs, p -> p[1] + $h * p[2]))"
   private def bandKeySql(b: Int) = {
     val parts = (0 until RowsPerBand).map(r => s"mh${b * RowsPerBand + r}::VARCHAR")
     s"md5(${parts.mkString(" || '|' || ")})"
   }
-  private val BandsCte = {
+  /** The full minhash-banding CTE chain over `k`-shingles. */
+  private def bandsCteK(k: Int): String = {
     val mhCols = (0 until Bands * RowsPerBand)
       .map(h => s"${minhashSql(h)} AS mh$h").mkString(", ")
     val bandSelects = (0 until Bands).map(b =>
       s"SELECT doc_id, $b AS band, ${bandKeySql(b)} AS band_key FROM mh")
       .mkString(" UNION ALL ")
-    s"""sh AS (SELECT doc_id, $ShinglesSql AS sh FROM documents),
+    s"""sh AS (SELECT doc_id, ${shinglesSqlK(k)} AS sh FROM documents),
        |hp AS (SELECT doc_id, list_transform(sh, s ->
        |         [('0x' || substr(md5(s), 1, 12))::BIGINT,
        |          ('0x' || substr(md5(s), 13, 12))::BIGINT]) AS hs
@@ -51,6 +54,7 @@ object LlmQueries {
        |mh AS (SELECT doc_id, $mhCols FROM hp),
        |bands AS ($bandSelects)""".stripMargin
   }
+  private val BandsCte = bandsCteK(ShingleK)
 
   // --------------------------------------------------------- q26
   /** Exact dedup: content hash + canonical flag (min id per hash). */
@@ -500,6 +504,73 @@ object LlmQueries {
        |  md5(substr(text, CAST(frame_idx * $FrameBytes + 1 AS INT), $FrameBytes)) AS frame_hash
        |FROM (SELECT id, text, unnest(range(0, nf, stride)) AS frame_idx FROM st)""".stripMargin
 
+  // --------------------------------------------------------- q48
+  /** n-gram Jaccard near-dup pairs: candidates from minhash banding
+    * over word BIGRAM shingles, verified with exact Jaccard over the
+    * distinct-bigram sets. Bigram sets see word-order edits that
+    * unigram Jaccard (q28) is blind to. The exact-but-corpus-sensitive
+    * alternative, [[graft.ops.Dedup.prefixFilterJaccardJoin]], is
+    * spec-gated (DedupJoinSpec) — on this tiny-vocab synthetic corpus
+    * prefix filtering degenerates while banding stays selective. */
+  private val NgramN = 2
+  private val NgramJaccardThreshold = 0.4
+  private def q48(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val bands = Dedup
+      .bandKeys(docs, "text", "doc_id", Bands, RowsPerBand, NgramN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Dedup.ngramJaccardVerify(Dedup.candidatePairs(bands), docs,
+      "text", "doc_id", NgramN, NgramJaccardThreshold)
+  }
+  private val q48Sql =
+    s"""WITH ${bandsCteK(NgramN)},
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+       |sets AS (SELECT doc_id, list_distinct(${shinglesSqlK(NgramN)}) AS toks FROM documents)
+       |SELECT id_a, id_b,
+       |  round(len(list_intersect(sa.toks, sb.toks))::DOUBLE /
+       |        len(list_distinct(list_concat(sa.toks, sb.toks))), 4) AS jaccard
+       |FROM pairs JOIN sets sa ON id_a = sa.doc_id JOIN sets sb ON id_b = sb.doc_id
+       |WHERE len(list_intersect(sa.toks, sb.toks))::DOUBLE /
+       |      len(list_distinct(list_concat(sa.toks, sb.toks))) >= $NgramJaccardThreshold""".stripMargin
+
+  // --------------------------------------------------------- q49
+  /** BM25 top-k retrieval for a fixed query-term bag: corpus stats are
+    * one broadcast aggregate row; scoring is per-row codegen; the
+    * top-k is TakeOrderedAndProject (no global sort). Both engines rank
+    * by the ROUNDED score with doc_id tie-break, so the cut line cannot
+    * diverge on sub-1e-6 noise. */
+  private val Bm25Terms = Seq("join", "spark", "window")
+  private val Bm25TopK = 20
+  private def q49(s: SparkSession, dir: String): DataFrame =
+    graft.ops.TextAnalysis.bm25(Tables.documents(s, dir), "text", "doc_id",
+        Bm25Terms)
+      .select(col("doc_id"), col("dl"), round(col("score"), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(Bm25TopK)
+  private val q49Sql = {
+    def termScore(i: Int) =
+      s"""ln(((n_docs - df$i) + 0.5) / (df$i + 0.5) + 1.0) *
+         |  ((tf$i * (1.2 + 1.0)) /
+         |   (tf$i + 1.2 * (1.0 - 0.75 + 0.75 * (dl / avgdl))))""".stripMargin
+    val tfCols = Bm25Terms.zipWithIndex.map { case (t, i) =>
+      s"len(list_filter($WsSplit, w -> w = '$t'))::BIGINT AS tf$i"
+    }.mkString(", ")
+    val dfCols = Bm25Terms.indices
+      .map(i => s"count(*) FILTER (tf$i > 0) AS df$i").mkString(", ")
+    val scoreExpr = Bm25Terms.indices.map(termScore).mkString(" + ")
+    s"""WITH tf AS (
+       |  SELECT doc_id, len($WsSplit)::BIGINT AS dl, $tfCols FROM documents),
+       |stats AS (
+       |  SELECT count(*) AS n_docs, SUM(dl)::DOUBLE / count(*) AS avgdl, $dfCols
+       |  FROM tf)
+       |SELECT doc_id, dl, round($scoreExpr, 6) AS score
+       |FROM tf, stats
+       |ORDER BY score DESC, doc_id ASC LIMIT $Bm25TopK""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q26_dedup_exact" -> q26 _,
     "q27_minhash_bands" -> q27 _,
@@ -519,7 +590,9 @@ object LlmQueries {
     "q42_multimodal_decode" -> q42 _,
     "q43_ann_ivf" -> q43 _,
     "q44_winnow_fp" -> q44 _,
-    "q45_frame_sample" -> q45 _)
+    "q45_frame_sample" -> q45 _,
+    "q48_ngram_jaccard" -> q48 _,
+    "q49_bm25" -> q49 _)
 
   val oracles: Map[String, String] = Map(
     "q26_dedup_exact" -> q26Sql,
@@ -538,6 +611,8 @@ object LlmQueries {
     "q43_ann_ivf" -> q43Sql,
     "q44_winnow_fp" -> q44Sql,
     "q45_frame_sample" -> q45Sql,
+    "q48_ngram_jaccard" -> q48Sql,
+    "q49_bm25" -> q49Sql,
     "q39_dedup_keep" -> q39Sql,
     "q40_sessionize" -> q40Sql,
     "q42_multimodal_decode" -> q42Sql)

@@ -1,0 +1,101 @@
+package graft.ops
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Unit semantics for the temporal joins: the as-of carry (inclusive
+  * ties, null when nothing precedes, latest-of-many wins) and the
+  * bucketed range join checked against a brute-force cross join —
+  * including rows that straddle bucket boundaries, the case the
+  * bucketing must not double-count or drop. */
+class TemporalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("asOfJoin: latest preceding right row, inclusive ties, null when none") {
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")), // before any right row
+      (2L, 10L, ts("2024-01-01 12:00:00")), // equals a right ts (inclusive)
+      (3L, 10L, ts("2024-01-01 15:00:00")), // after two right rows
+      (4L, 99L, ts("2024-01-01 15:00:00"))  // key with no right rows
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (10L, ts("2024-01-01 12:00:00"), 100L, 1.0),
+      (10L, ts("2024-01-01 13:00:00"), 101L, 2.0)
+    ).toDF("user_id", "ts", "event_id", "value")
+
+    val out = Temporal.asOfJoin(left, right, "user_id", "ts", "ts",
+        Seq("event_id", "value"), "p_")
+      .orderBy("event_id")
+      .collect()
+
+    out.map(_.getLong(0)) shouldBe Array(1L, 2L, 3L, 4L)
+    out(0).isNullAt(3) shouldBe true               // nothing precedes
+    out(1).getLong(3) shouldBe 100L                // tie matches (<=)
+    out(2).getLong(3) shouldBe 101L                // latest of two wins
+    out(2).getDouble(4) shouldBe 2.0
+    out(2).getTimestamp(5) shouldBe ts("2024-01-01 13:00:00")
+    out(3).isNullAt(3) shouldBe true               // unmatched key
+  }
+
+  test("asOfJoin matches the brute-force argmax on random data") {
+    val n = 300
+    val left = (1 to n).map(i =>
+        (i.toLong, (i % 7).toLong, new Timestamp(1700000000000L + i * 7919L % 100000 * 1000L)))
+      .toDF("event_id", "user_id", "ts")
+    val right = (1 to n).map(i =>
+        ((i % 7).toLong, new Timestamp(1700000000000L + i * 104729L % 100000 * 1000L), i.toLong, i * 1.5))
+      .toDF("user_id", "ts", "event_id", "value")
+      // unique (key, ts): keep max event_id, like the q46 discipline
+      .groupBy("user_id", "ts")
+      .agg(max(struct(col("event_id"), col("value"))).as("s"))
+      .select(col("user_id"), col("ts"),
+        col("s.event_id").as("event_id"), col("s.value").as("value"))
+
+    val fast = Temporal.asOfJoin(left, right, "user_id", "ts", "ts",
+      Seq("event_id", "value"), "p_")
+
+    val brute = left.as("l")
+      .join(right.as("r"),
+        col("l.user_id") === col("r.user_id") && col("r.ts") <= col("l.ts"),
+        "left_outer")
+      .groupBy(col("l.event_id").as("event_id"), col("l.user_id").as("user_id"),
+        col("l.ts").as("ts"))
+      .agg(max(struct(col("r.ts"), col("r.event_id"), col("r.value"))).as("m"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("m.event_id").as("p_event_id"), col("m.value").as("p_value"),
+        col("m.ts").as("p_ts"))
+
+    fast.exceptAll(brute).count() shouldBe 0
+    brute.exceptAll(fast).count() shouldBe 0
+  }
+
+  test("rangeCountJoin matches the brute-force cross join across bucket boundaries") {
+    val base = 1700000000000000L // µs
+    // left rows land near bucket edges for width 120s
+    val left = Seq(1L, 2L, 3L, 4L, 5L).map(i =>
+        (i, new Timestamp((base + i * 119000000L + i) / 1000)))
+      .toDF("event_id", "ts")
+    val right = (0 until 500).map(i =>
+        Tuple1(new Timestamp((base + i.toLong * 1234567L) / 1000)))
+      .toDF("ts")
+
+    val fast = Temporal.rangeCountJoin(left, right, "event_id", "ts", "ts", 60L, 60L)
+
+    val brute = left.crossJoin(right.select(col("ts").as("rts")))
+      .groupBy("event_id")
+      .agg(
+        first(col("ts")).as("ts"),
+        count(when(
+          unix_micros(col("rts")).between(
+            unix_micros(col("ts")) - 60000000L,
+            unix_micros(col("ts")) + 60000000L), 1)).as("n_matches"))
+
+    fast.exceptAll(brute).count() shouldBe 0
+    brute.exceptAll(fast).count() shouldBe 0
+  }
+}
