@@ -176,10 +176,31 @@ object Dedup {
 
   /** Candidate pairs = equi-join on (band, band_key), id_a < id_b,
     * distinct. The join shuffles on the band key — skew only when many
-    * docs share a band (i.e., true near-dup storms); never all-pairs. */
-  def candidatePairs(bandKeysDf: DataFrame): DataFrame = {
-    val a = bandKeysDf.select(col("band"), col("band_key"), col("id").as("id_a"))
-    val b = bandKeysDf.select(col("band"), col("band_key"), col("id").as("id_b"))
+    * docs share a band (i.e., true near-dup storms); never all-pairs.
+    *
+    * `maxBucket` caps the quadratic blow-up a hot bucket causes at
+    * scale: a band key shared by B docs emits B² join rows, and one
+    * boilerplate-storm bucket (empty docs, licence headers, templated
+    * spam) can dominate the whole job. Buckets over the cap are
+    * DROPPED, which is the standard production LSH discipline — their
+    * members are exact or near-exact duplicates that the cheap exact
+    * pass ([[exactDedup]] / [[fingerprintClusters]]) already catches,
+    * and a storm's pair list is operationally useless. The count runs
+    * in the same partitioning the self-join needs, so the cap costs no
+    * extra shuffle of the big side. */
+  def candidatePairs(bandKeysDf: DataFrame,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
+    val keys =
+      if (maxBucket == Int.MaxValue) bandKeysDf
+      else {
+        val w = Window.partitionBy(col("band"), col("band_key"))
+        bandKeysDf
+          .withColumn("__bucket_n", count(lit(1)).over(w))
+          .filter(col("__bucket_n") <= maxBucket)
+          .drop("__bucket_n")
+      }
+    val a = keys.select(col("band"), col("band_key"), col("id").as("id_a"))
+    val b = keys.select(col("band"), col("band_key"), col("id").as("id_b"))
     a.join(b, Seq("band", "band_key"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()

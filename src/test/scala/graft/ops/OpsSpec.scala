@@ -36,6 +36,23 @@ class OpsSpec extends SparkSpec {
     verified shouldBe Set((1L, 2L))
   }
 
+  test("candidatePairs maxBucket drops storm buckets, keeps genuine near-dups") {
+    val storm = (10L to 109L).map(i =>
+      (i, "identical boilerplate header repeated across the whole corpus verbatim"))
+    val pair = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy cat again and again"))
+    val df = (storm ++ pair).toDF("doc_id", "text")
+    val bands = Dedup.bandKeys(df, "text", "doc_id", bands = 8, rowsPerBand = 1)
+    // uncapped: the 100-doc storm emits ~100²/2 pairs per band
+    Dedup.candidatePairs(bands)
+      .filter(col("id_a") >= 10L).count() shouldBe 100L * 99 / 2
+    // capped: storm buckets vanish, the genuine near-dup pair survives
+    val capped = Dedup.candidatePairs(bands, maxBucket = 50)
+      .as[(Long, Long)].collect().toSet
+    capped shouldBe Set((1L, 2L))
+  }
+
   test("simhash: identical texts collide, similar texts are close") {
     val df = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),

@@ -52,6 +52,39 @@ class StreamingOpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("stream-stream interval join attributes clicks to preceding purchases") {
+    implicit val enc: Encoder[(Timestamp, Long, Long)] =
+      Encoders.product[(Timestamp, Long, Long)]
+    val clicks = MemoryStream[(Timestamp, Long, Long)](enc, spark)
+    val purchases = MemoryStream[(Timestamp, Long, Long)](enc, spark)
+    // the streaming sibling of the q46 as-of join: a purchase matches
+    // clicks of the same user up to 15 min LATER; watermarks bound the
+    // state both engines must hold (Spark drops purchase state once
+    // click-time watermark passes purchase_ts + 15 min)
+    val c = clicks.toDF().toDF("c_ts", "c_user", "click_id")
+      .withWatermark("c_ts", "10 minutes")
+    val p = purchases.toDF().toDF("p_ts", "p_user", "purchase_id")
+      .withWatermark("p_ts", "10 minutes")
+    val joined = c.join(p,
+      col("c_user") === col("p_user") &&
+        col("p_ts") <= col("c_ts") &&
+        col("p_ts") >= col("c_ts") - expr("INTERVAL 15 minutes"))
+      .select(col("click_id"), col("purchase_id"))
+    val query = joined.writeStream
+      .format("memory").queryName("ss_join")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      purchases.addData((ts(0), 7L, 100L), (ts(1), 8L, 101L))
+      clicks.addData((ts(5), 7L, 200L),   // 5 min after purchase 100 → match
+        (ts(20), 7L, 201L),               // 20 min after → outside interval
+        (ts(3), 9L, 202L))                // no purchase for user 9
+      query.processAllAvailable()
+      spark.table("ss_join").as[(Long, Long)].collect().toSet shouldBe
+        Set((200L, 100L))
+    } finally query.stop()
+  }
+
   test("session_window groups events by 30-minute gaps (streaming form of q40)") {
     implicit val enc: Encoder[(Timestamp, Long)] =
       Encoders.product[(Timestamp, Long)]
