@@ -283,6 +283,59 @@ object Dedup {
     verifySets(cands, sets, threshold)
   }
 
+  // ----------------------------------------------- connected components
+  /** Connected components over an undirected edge list `(id_a, id_b)` —
+    * the clustering step after near-dup verification, when keep-policy
+    * decisions need whole clusters (transitive near-dups) rather than
+    * the greedy pair drop of q39. Iterative min-label propagation:
+    * every node's label converges to the minimum id of its component.
+    * Each round is one equi-join + two aggregations, all keyed by node
+    * id — no driver-side data, the loop only reads a converged-count
+    * (bounded, one long per round). Rounds needed = component diameter;
+    * near-dup clusters are shallow (stars around a canonical doc), so
+    * this converges in a handful of rounds. (For adversarially long
+    * chains at planetary scale the classic fix is alternating
+    * large-star/small-star contraction — O(log n) rounds — behind the
+    * same signature.)
+    *
+    * Output: (node, cluster) where cluster = min id of the component.
+    * Throws if `maxIter` rounds don't converge (result would be wrong
+    * silently otherwise).
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val edges = pairs
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist(MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("cluster", col("node"))
+      .persist(MEMORY_AND_DISK)
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("node").as("dst"), col("cluster").as("nl")),
+          Seq("dst"))
+        .groupBy(col("src").as("node"))
+        .agg(min(col("nl")).as("nbr_min"))
+      val next = labels.join(nbrMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("cluster"), coalesce(col("nbr_min"), col("cluster")))
+            .as("cluster"),
+          (col("nbr_min") < col("cluster")).as("changed"))
+        .persist(MEMORY_AND_DISK)
+      done = next.filter(col("changed")).limit(1).count() == 0
+      val prev = labels
+      labels = next.select(col("node"), col("cluster"))
+      prev.unpersist()
+      iter += 1
+    }
+    edges.unpersist()
+    require(done, s"connectedComponents did not converge in $maxIter rounds")
+    labels
+  }
+
   // ---------------------------------------------------------- simhash
   /** Value of hex digit `i` (1-based) of md5(s): both Spark and DuckDB
     * express this as strpos over the hex alphabet, keeping the oracle

@@ -571,6 +571,43 @@ object LlmQueries {
        |ORDER BY score DESC, doc_id ASC LIMIT $Bm25TopK""".stripMargin
   }
 
+  // --------------------------------------------------------- q50
+  /** Transitive near-dup clusters: verified LSH pairs → connected
+    * components (min-label propagation; the oracle computes the same
+    * closure with a recursive CTE). Complements q39's greedy keep —
+    * cluster ids let a keep-policy pick one canonical doc per
+    * TRANSITIVE group. */
+  private def q50(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val bands = Dedup
+      .bandKeys(docs, "text", "doc_id", Bands, RowsPerBand, ShingleK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = Dedup
+      .jaccardVerify(Dedup.candidatePairs(bands), docs, "text", "doc_id",
+        JaccardThreshold)
+      .select(col("id_a"), col("id_b"))
+    Dedup.connectedComponents(pairs)
+      .select(col("node").as("doc_id"), col("cluster").as("cluster_id"))
+  }
+  private val q50Sql =
+    s"""WITH RECURSIVE $BandsCte,
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+       |sets AS (SELECT doc_id, list_distinct($WsSplit) AS toks FROM documents),
+       |vpairs AS (
+       |  SELECT id_a, id_b
+       |  FROM pairs JOIN sets sa ON id_a = sa.doc_id JOIN sets sb ON id_b = sb.doc_id
+       |  WHERE len(list_intersect(sa.toks, sb.toks))::DOUBLE /
+       |        len(list_distinct(list_concat(sa.toks, sb.toks))) >= $JaccardThreshold),
+       |edges AS (SELECT id_a AS s, id_b AS d FROM vpairs
+       |          UNION ALL SELECT id_b, id_a FROM vpairs),
+       |reach AS (SELECT DISTINCT s AS node, s AS r FROM edges
+       |          UNION
+       |          SELECT e.s, r.r FROM edges e JOIN reach r ON r.node = e.d)
+       |SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q26_dedup_exact" -> q26 _,
     "q27_minhash_bands" -> q27 _,
@@ -592,7 +629,8 @@ object LlmQueries {
     "q44_winnow_fp" -> q44 _,
     "q45_frame_sample" -> q45 _,
     "q48_ngram_jaccard" -> q48 _,
-    "q49_bm25" -> q49 _)
+    "q49_bm25" -> q49 _,
+    "q50_dedup_clusters" -> q50 _)
 
   val oracles: Map[String, String] = Map(
     "q26_dedup_exact" -> q26Sql,
@@ -613,6 +651,7 @@ object LlmQueries {
     "q45_frame_sample" -> q45Sql,
     "q48_ngram_jaccard" -> q48Sql,
     "q49_bm25" -> q49Sql,
+    "q50_dedup_clusters" -> q50Sql,
     "q39_dedup_keep" -> q39Sql,
     "q40_sessionize" -> q40Sql,
     "q42_multimodal_decode" -> q42Sql)

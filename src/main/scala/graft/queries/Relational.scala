@@ -521,6 +521,31 @@ object Relational {
       |FROM lineitem
       |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
 
+  // ---------------------------------------------------------------- q51
+  /** Exact distribution quantiles per group (beyond-parity extension):
+    * Spark's `percentile` (exact linear interpolation on the sorted
+    * group) bit-matches DuckDB's `quantile_cont` — verified bitwise at
+    * sf0.01 AND sf0.1 before gating. Exact quantiles sort each group's
+    * values, so this is for grouped distributions (priorities, sources,
+    * languages); unbounded-cardinality profiling at 100 TB uses the
+    * mergeable `approx_percentile` sketch instead
+    * (ops/Sketches.scala, spec-gated vs exact). */
+  private def q51(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        expr("percentile(o_totalprice, 0.25)").as("p25"),
+        expr("percentile(o_totalprice, 0.5)").as("p50"),
+        expr("percentile(o_totalprice, 0.9)").as("p90"),
+        count(lit(1)).as("n"))
+  private val q51Sql =
+    """SELECT o_orderpriority,
+      |  quantile_cont(o_totalprice, 0.25) AS p25,
+      |  quantile_cont(o_totalprice, 0.5) AS p50,
+      |  quantile_cont(o_totalprice, 0.9) AS p90,
+      |  COUNT(*) AS n
+      |FROM orders GROUP BY o_orderpriority""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01 _,
     "q02_filter_project" -> q02 _,
@@ -545,7 +570,8 @@ object Relational {
     "q21_jsonb_each" -> q21 _,
     "q22_mixed_case" -> q22 _,
     "q23_ingest_ts" -> q23 _,
-    "q41_rollup" -> q41 _)
+    "q41_rollup" -> q41 _,
+    "q51_quantiles" -> q51 _)
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -571,5 +597,6 @@ object Relational {
     "q21_jsonb_each" -> q21Sql,
     "q22_mixed_case" -> q22Sql,
     "q23_ingest_ts" -> q23Sql,
-    "q41_rollup" -> q41Sql)
+    "q41_rollup" -> q41Sql,
+    "q51_quantiles" -> q51Sql)
 }

@@ -36,6 +36,22 @@ class OpsSpec extends SparkSpec {
     verified shouldBe Set((1L, 2L))
   }
 
+  test("connectedComponents labels chains, stars, and singleton pairs correctly") {
+    // component 1: a 6-node chain (worst diameter — needs >1 round);
+    // component 2: a star around 10; component 3: a lone pair
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (10L, 11L), (10L, 12L), (10L, 13L),
+      (20L, 21L)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    (1L to 6L).foreach(n => got(n) shouldBe 1L)
+    (10L to 13L).foreach(n => got(n) shouldBe 10L)
+    got(20L) shouldBe 20L
+    got(21L) shouldBe 20L
+    got.size shouldBe 12
+  }
+
   test("candidatePairs maxBucket drops storm buckets, keeps genuine near-dups") {
     val storm = (10L to 109L).map(i =>
       (i, "identical boilerplate header repeated across the whole corpus verbatim"))
