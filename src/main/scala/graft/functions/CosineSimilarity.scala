@@ -116,7 +116,13 @@ object GraftExtensions {
       (children: Seq[Expression]) => MinhashSig.fromFunctionArgs(children)),
     (new FunctionIdentifier("nearest_centroid"),
       new ExpressionInfo(classOf[NearestCentroid].getName, "nearest_centroid"),
-      (children: Seq[Expression]) => NearestCentroid.fromFunctionArgs(children))) ++
+      (children: Seq[Expression]) => NearestCentroid.fromFunctionArgs(children)),
+    (new FunctionIdentifier("simhash16"),
+      new ExpressionInfo(classOf[Simhash16].getName, "simhash16"),
+      (children: Seq[Expression]) => Simhash16(children.head)),
+    (new FunctionIdentifier("winnow_fp"),
+      new ExpressionInfo(classOf[WinnowFp].getName, "winnow_fp"),
+      (children: Seq[Expression]) => WinnowFp.fromFunctionArgs(children))) ++
     PgCompat.functions
 
   /** Idempotently register the engine's functions on a session that was

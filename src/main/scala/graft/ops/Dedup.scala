@@ -95,9 +95,28 @@ object Dedup {
   /** Doc-level winnowing summary: (id, fp_count, winnow_fp) where
     * winnow_fp = md5 of the sorted distinct window minima — equal
     * fingerprints ⇔ identical winnow sketch. For overlap SEARCH keep
-    * the exploded (id, fingerprint) pairs instead and equi-join them. */
+    * the exploded (id, fingerprint) pairs instead and equi-join them.
+    *
+    * Runs through the fused native kernel
+    * ([[graft.functions.WinnowFp]] — one md5 per k-gram, one pass,
+    * no per-window array allocation); [[gramHashes]]/[[winnowMins]]
+    * remain as the readable composed form the spec cross-checks the
+    * kernel against. */
   def winnowFingerprint(docs: DataFrame, textCol: String, idCol: String,
-      k: Int, w: Int): DataFrame =
+      k: Int, w: Int): DataFrame = {
+    graft.functions.GraftExtensions.ensureRegistered(docs.sparkSession)
+    spread(docs.select(col(idCol), col(textCol)))
+      .select(col(idCol),
+        call_function("winnow_fp", col(textCol), lit(k), lit(w)).as("wf"))
+      .select(col(idCol),
+        col("wf.fp_count").as("fp_count"),
+        col("wf.winnow_fp").as("winnow_fp"))
+  }
+
+  /** The composed (HOF) form of [[winnowFingerprint]] — kept as the
+    * executable specification of the kernel. */
+  def winnowFingerprintComposed(docs: DataFrame, textCol: String,
+      idCol: String, k: Int, w: Int): DataFrame =
     spread(docs.select(col(idCol), col(textCol)))
       .select(col(idCol), gramHashes(col(textCol), k).as("hs"))
       .select(col(idCol), winnowMins(col("hs"), w).as("wins"))
@@ -374,15 +393,25 @@ object Dedup {
   /** Hamming distance between two simhash values. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Fused-kernel SimHash signature column over a words array
+    * ([[graft.functions.Simhash16]] — one md5 per token, one pass for
+    * all 16 bits); [[simhash16FromHashes]] is the composed form the
+    * spec cross-checks it against. */
+  def simhash16Native(df: DataFrame, ws: Column): Column = {
+    graft.functions.GraftExtensions.ensureRegistered(df.sparkSession)
+    call_function("simhash16", ws)
+  }
+
   /** SimHash dedup clusters: docs sharing an identical 16-bit signature,
     * one hash-partitioned groupBy — the near-dup blocking step that
     * never materializes pairs. (Within-cluster or nibble-banded
     * hamming-distance verification composes on top via [[hamming]].) */
-  def simhashClusters(docs: DataFrame, textCol: String, idCol: String): DataFrame =
-    spread(docs.select(col(idCol).as("id"), col(textCol)))
-      .select(col("id"), wordHashes(words(col(textCol))).as("wh"))
-      .select(col("id"), simhash16FromHashes(col("wh")).as("simhash"))
+  def simhashClusters(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val base = spread(docs.select(col(idCol).as("id"), col(textCol)))
+    base
+      .select(col("id"), simhash16Native(base, words(col(textCol))).as("simhash"))
       .groupBy(col("simhash"))
       .agg(count(lit(1)).as("cluster_size"), min(col("id")).as("canonical_doc"))
       .filter(col("cluster_size") > 1)
+  }
 }

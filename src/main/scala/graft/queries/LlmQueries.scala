@@ -112,12 +112,13 @@ object LlmQueries {
        |FROM documents GROUP BY 1 HAVING COUNT(*) > 1""".stripMargin
 
   // --------------------------------------------------------- q30
-  /** 16-bit SimHash per document. */
-  private def q30(s: SparkSession, dir: String): DataFrame =
-    Dedup.spread(Tables.documents(s, dir).select(col("doc_id"), col("text")))
-      .select(col("doc_id"),
-        Dedup.wordHashes(Dedup.words(col("text"))).as("wh"))
-      .select(col("doc_id"), Dedup.simhash16FromHashes(col("wh")).as("simhash"))
+  /** 16-bit SimHash per document (fused native kernel). */
+  private def q30(s: SparkSession, dir: String): DataFrame = {
+    val base = Dedup.spread(
+      Tables.documents(s, dir).select(col("doc_id"), col("text")))
+    base.select(col("doc_id"),
+      Dedup.simhash16Native(base, Dedup.words(col("text"))).as("simhash"))
+  }
   private val q30Sql = {
     val bitTerms = (0 until 16).map { b =>
       val digit = b / 4 + 1

@@ -36,6 +36,25 @@ class OpsSpec extends SparkSpec {
     verified shouldBe Set((1L, 2L))
   }
 
+  test("native simhash16 and winnow_fp kernels equal their composed HOF forms") {
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+      // edge rows the corpus lacks: single word, short-of-one-k-gram
+      .unionByName(Seq((9001L, "word"), (9002L, "ab")).toDF("doc_id", "text"))
+    val simNative = docs.select(col("doc_id"),
+      Dedup.simhash16Native(docs, Dedup.words(col("text"))).as("simhash"))
+    val simComposed = docs
+      .select(col("doc_id"), Dedup.wordHashes(Dedup.words(col("text"))).as("wh"))
+      .select(col("doc_id"), Dedup.simhash16FromHashes(col("wh")).as("simhash"))
+    simNative.exceptAll(simComposed).count() shouldBe 0
+    simComposed.exceptAll(simNative).count() shouldBe 0
+
+    val winNative = Dedup.winnowFingerprint(docs, "text", "doc_id", 8, 4)
+    val winComposed = Dedup.winnowFingerprintComposed(docs, "text", "doc_id", 8, 4)
+    winNative.exceptAll(winComposed).count() shouldBe 0
+    winComposed.exceptAll(winNative).count() shouldBe 0
+  }
+
   test("connectedComponents labels chains, stars, and singleton pairs correctly") {
     // component 1: a 6-node chain (worst diameter — needs >1 round);
     // component 2: a star around 10; component 3: a lone pair
