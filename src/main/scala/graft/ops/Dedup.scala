@@ -333,17 +333,33 @@ object Dedup {
     var iter = 0
     var done = false
     while (!done && iter < maxIter) {
+      // (1) propagation: pull the minimum label over direct neighbors
       val nbrMin = edges
         .join(labels.select(col("node").as("dst"), col("cluster").as("nl")),
           Seq("dst"))
         .groupBy(col("src").as("node"))
         .agg(min(col("nl")).as("nbr_min"))
-      val next = labels.join(nbrMin, Seq("node"), "left")
-        .select(col("node"),
+      val prop = labels.join(nbrMin, Seq("node"), "left")
+        .select(col("node"), col("cluster").as("old"),
           least(col("cluster"), coalesce(col("nbr_min"), col("cluster")))
-            .as("cluster"),
-          (col("nbr_min") < col("cluster")).as("changed"))
-        .persist(MEMORY_AND_DISK)
+            .as("mid"))
+      // (2) path halving: hop through the label's own label — labels
+      // are node ids, so one self-join doubles how far a round reaches
+      // and the loop converges in O(log diameter) rounds, not O(diameter)
+      //
+      // localCheckpoint TRUNCATES lineage: each round's plan otherwise
+      // embeds the previous round's twice, doubling plan size per
+      // iteration until the driver OOMs on analysis — the classic
+      // iterative-join trap. On a cluster a reliable checkpoint dir
+      // serves the same role.
+      val next = prop
+        .join(prop.select(col("node").as("hk"), col("mid").as("hop")),
+          col("mid") === col("hk"), "left")
+        .select(col("node"),
+          least(col("mid"), coalesce(col("hop"), col("mid"))).as("cluster"),
+          col("old"))
+        .withColumn("changed", col("cluster") < col("old"))
+        .localCheckpoint(true)
       done = next.filter(col("changed")).limit(1).count() == 0
       val prev = labels
       labels = next.select(col("node"), col("cluster"))

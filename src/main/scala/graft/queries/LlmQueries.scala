@@ -515,19 +515,29 @@ object LlmQueries {
     * prefix filtering degenerates while banding stays selective. */
   private val NgramN = 2
   private val NgramJaccardThreshold = 0.4
+  /** Bigram signatures collide heavily on a small vocabulary (at sf0.1
+    * the hottest bucket holds 311 docs → ~900 k candidate rows, 98% of
+    * them storm noise), so this query exercises the production bucket
+    * cap: buckets over [[NgramMaxBucket]] are dropped on BOTH sides of
+    * the gate — the oracle mirrors the cap, proving it exactly. */
+  private val NgramMaxBucket = 20
   private def q48(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val bands = Dedup
       .bandKeys(docs, "text", "doc_id", Bands, RowsPerBand, NgramN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    Dedup.ngramJaccardVerify(Dedup.candidatePairs(bands), docs,
+    Dedup.ngramJaccardVerify(
+      Dedup.candidatePairs(bands, maxBucket = NgramMaxBucket), docs,
       "text", "doc_id", NgramN, NgramJaccardThreshold)
   }
   private val q48Sql =
     s"""WITH ${bandsCteK(NgramN)},
+       |keep AS (SELECT band, band_key FROM bands
+       |         GROUP BY band, band_key HAVING count(*) <= $NgramMaxBucket),
+       |fbands AS (SELECT b.* FROM bands b JOIN keep USING (band, band_key)),
        |pairs AS (
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-       |  FROM bands a JOIN bands b
+       |  FROM fbands a JOIN fbands b
        |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
        |sets AS (SELECT doc_id, list_distinct(${shinglesSqlK(NgramN)}) AS toks FROM documents)
        |SELECT id_a, id_b,
