@@ -290,10 +290,15 @@ object Dedup {
       .groupBy(col("jid"))
       .agg(sort_array(collect_list(struct(col("freq"), col("tok")))).as("sorted"))
       .select(col("jid"), transform(col("sorted"), _.getField("tok")).as("og"))
+    // ceil(t·|s| − ε): float noise can make an exact product (0.4×5)
+    // land a hair ABOVE its integer and ceil one too high — shortening
+    // the prefix and silently dropping true pairs. The ε errs toward a
+    // LONGER prefix, which only costs candidates, never correctness.
     val prefixes = ordered.select(col("jid"),
       explode(slice(col("og"), lit(1),
         greatest(lit(1),
-          size(col("og")) - ceil(lit(threshold) * size(col("og"))).cast("int") + 1)))
+          size(col("og")) -
+            ceil(lit(threshold) * size(col("og")) - lit(1e-9)).cast("int") + 1)))
         .as("tok"))
     val cands = prefixes.select(col("tok"), col("jid").as("id_a"))
       .join(prefixes.select(col("tok"), col("jid").as("id_b")), Seq("tok"))
