@@ -332,6 +332,11 @@ object Dedup {
       .select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist(MEMORY_AND_DISK)
+    val labelSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("node",
+        pairs.schema("id_a").dataType),
+      org.apache.spark.sql.types.StructField("cluster",
+        pairs.schema("id_a").dataType)))
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("cluster", col("node"))
       .persist(MEMORY_AND_DISK)
@@ -367,7 +372,16 @@ object Dedup {
         .localCheckpoint(true)
       done = next.filter(col("changed")).limit(1).count() == 0
       val prev = labels
-      labels = next.select(col("node"), col("cluster"))
+      // REBUILD from the checkpointed RDD instead of selecting over the
+      // checkpoint: localCheckpoint preserves the child plan's size
+      // STATISTICS, and every self-join round squares them — by round
+      // ~14 the BigInteger size estimate itself has millions of digits
+      // and the driver burns CPU multiplying it (observed: minutes in
+      // BigInteger.multiplyToomCook3). A fresh LogicalRDD resets stats
+      // to a constant each round.
+      val spark = next.sparkSession
+      labels = spark.createDataFrame(
+        next.select(col("node"), col("cluster")).rdd, labelSchema)
       prev.unpersist()
       iter += 1
     }
