@@ -71,6 +71,30 @@ class OpsSpec extends SparkSpec {
     got.size shouldBe 12
   }
 
+  test("connectedComponents agrees with a union-find reference on a random graph") {
+    val rnd = new scala.util.Random(42)
+    val n = 200
+    val edges = (1 to 240)
+      .map { _ =>
+        val a = rnd.nextInt(n); val b = rnd.nextInt(n)
+        (math.min(a, b).toLong, math.max(a, b).toLong)
+      }
+      .filter(p => p._1 != p._2).distinct
+    // union-find, always attaching the larger root under the smaller,
+    // so every root IS its component's minimum
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    edges.foreach { case (a, b) =>
+      val ra = find(a.toInt); val rb = find(b.toInt)
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expect = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      .map(v => v -> find(v.toInt).toLong).toMap
+    val got = Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
+      .as[(Long, Long)].collect().toMap
+    got shouldBe expect
+  }
+
   test("candidatePairs maxBucket drops storm buckets, keeps genuine near-dups") {
     val storm = (10L to 109L).map(i =>
       (i, "identical boilerplate header repeated across the whole corpus verbatim"))
