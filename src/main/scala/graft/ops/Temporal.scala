@@ -43,6 +43,9 @@ object Temporal {
   def asOfJoin(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String, rightVals: Seq[String],
       prefix: String = "r_"): DataFrame = {
+    val reserved = Set("__key", "__ts", "__side", "__r", "__l", "__match")
+    require(!(left.columns ++ right.columns).exists(reserved),
+      s"asOfJoin inputs must not use reserved columns ${reserved.mkString(", ")}")
     val leftCols = left.columns.toSeq
     val rPayloadCols = rightTs +: rightVals
     val rPayloadType = right
