@@ -122,7 +122,10 @@ object GraftExtensions {
       (children: Seq[Expression]) => Simhash16(children.head)),
     (new FunctionIdentifier("winnow_fp"),
       new ExpressionInfo(classOf[WinnowFp].getName, "winnow_fp"),
-      (children: Seq[Expression]) => WinnowFp.fromFunctionArgs(children))) ++
+      (children: Seq[Expression]) => WinnowFp.fromFunctionArgs(children)),
+    (new FunctionIdentifier("winnow_mins"),
+      new ExpressionInfo(classOf[WinnowMins].getName, "winnow_mins"),
+      (children: Seq[Expression]) => WinnowMins.fromFunctionArgs(children))) ++
     PgCompat.functions
 
   /** Idempotently register the engine's functions on a session that was

@@ -48,6 +48,43 @@ case class WinnowFp(child: Expression, k: Int, w: Int)
     copy(child = newChild)
 }
 
+/** Sorted distinct winnow minima as an array — the exploded-search form
+  * of [[WinnowFp]] (overlap pairs equi-join on individual minima, so
+  * they need the values, not the summary digest). Same kernel math. */
+case class WinnowMins(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"winnow_mins expects string, got ${other.catalogString}")
+  }
+
+  override protected def nullSafeEval(text: Any): Any =
+    WinnowFp.computeMins(text.asInstanceOf[UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.WinnowFp.computeMins($c, $k, $w);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WinnowMins {
+  def fromFunctionArgs(children: Seq[Expression]): Expression = {
+    require(children.length == 3, "winnow_mins(text, k, w)")
+    def lit(e: Expression, what: String): Int = e match {
+      case Literal(v: Int, IntegerType) => v
+      case other => throw new IllegalArgumentException(
+        s"winnow_mins $what must be an integer literal, got $other")
+    }
+    WinnowMins(children.head, lit(children(1), "k"), lit(children(2), "w"))
+  }
+}
+
 object WinnowFp {
 
   private val digests = ThreadLocal.withInitial[MessageDigest](
@@ -55,12 +92,12 @@ object WinnowFp {
 
   private val hexChars = "0123456789abcdef".toCharArray
 
-  /** Primitive kernel, called from generated code. */
-  def compute(text: UTF8String, k: Int, w: Int): InternalRow = {
+  /** Shared minima pipeline: k-gram 48-bit md5 hashes → width-`w`
+    * window minima → sorted distinct. */
+  private[functions] def minsOf(text: UTF8String, k: Int, w: Int): Array[Long] = {
     val len = text.numChars()
     val m = len - (k - 1)
     val md = digests.get()
-    // k-gram hashes: first 48 bits of md5 of each k-char substring
     val hs = new Array[Long](math.max(m, 0))
     var i = 0
     while (i < m) {
@@ -72,7 +109,6 @@ object WinnowFp {
       hs(i) = h
       i += 1
     }
-    // window minima (all-hashes window when m <= w — the standard edge)
     val wins: Array[Long] =
       if (m <= 0) Array.emptyLongArray
       else if (m <= w) { var mn = hs(0); var j = 1; while (j < m) { if (hs(j) < mn) mn = hs(j); j += 1 }; Array(mn) }
@@ -87,7 +123,6 @@ object WinnowFp {
         }
         out
       }
-    // sorted distinct minima → count + summary digest
     java.util.Arrays.sort(wins)
     var distinct = 0
     var j = 0
@@ -95,15 +130,26 @@ object WinnowFp {
       if (j == 0 || wins(j) != wins(j - 1)) { wins(distinct) = wins(j); distinct += 1 }
       j += 1
     }
-    if (distinct == 0)
+    java.util.Arrays.copyOf(wins, distinct)
+  }
+
+  /** Array-form kernel for [[WinnowMins]]. */
+  def computeMins(text: UTF8String, k: Int, w: Int): org.apache.spark.sql.catalyst.util.ArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(minsOf(text, k, w))
+
+  /** Primitive kernel, called from generated code. */
+  def compute(text: UTF8String, k: Int, w: Int): InternalRow = {
+    val mins = minsOf(text, k, w)
+    if (mins.length == 0)
       return new GenericInternalRow(Array[Any](0L, null))
-    val sb = new java.lang.StringBuilder(distinct * 16)
-    j = 0
-    while (j < distinct) {
+    val sb = new java.lang.StringBuilder(mins.length * 16)
+    var j = 0
+    while (j < mins.length) {
       if (j > 0) sb.append(',')
-      sb.append(wins(j))
+      sb.append(mins(j))
       j += 1
     }
+    val md = digests.get()
     md.reset()
     md.update(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val d = md.digest()
@@ -114,7 +160,7 @@ object WinnowFp {
       hex(2 * j + 1) = hexChars(d(j) & 0xf)
       j += 1
     }
-    new GenericInternalRow(Array[Any](distinct.toLong,
+    new GenericInternalRow(Array[Any](mins.length.toLong,
       UTF8String.fromString(new String(hex))))
   }
 

@@ -113,6 +113,39 @@ object Dedup {
         col("wf.winnow_fp").as("winnow_fp"))
   }
 
+  /** Winnow overlap search: pairs of docs sharing at least `minShared`
+    * winnow fingerprints — the substring-level (word-order-sensitive)
+    * overlap detector the summary digest can't provide, since partial
+    * plagiarism shares SOME minima without equal sketches. Shape:
+    * explode per-doc distinct minima, equi-join on the fingerprint,
+    * count per pair — candidates scale with fingerprint co-occurrence,
+    * never all-pairs (cap hot fingerprints like [[candidatePairs]] when
+    * boilerplate storms appear). */
+  def winnowOverlapPairs(docs: DataFrame, textCol: String, idCol: String,
+      k: Int, w: Int, minShared: Int, maxDocsPerFp: Int): DataFrame = {
+    graft.functions.GraftExtensions.ensureRegistered(docs.sparkSession)
+    val fps = spread(docs.select(col(idCol), col(textCol)))
+      .select(col(idCol).as("id"),
+        explode(call_function("winnow_mins", col(textCol), lit(k), lit(w)))
+          .as("fp"))
+    // stop-gram discipline: a fingerprint shared by hundreds of docs is
+    // boilerplate, carries no overlap signal, and alone contributes
+    // O(docs²) join rows — drop it before the self-join (same cap
+    // rationale as [[candidatePairs]]'s maxBucket). The count runs in
+    // the partitioning the join needs anyway.
+    val w2 = Window.partitionBy(col("fp"))
+    val rare = fps
+      .withColumn("__fp_n", count(lit(1)).over(w2))
+      .filter(col("__fp_n") <= maxDocsPerFp)
+      .drop("__fp_n")
+    rare.select(col("fp"), col("id").as("id_a"))
+      .join(rare.select(col("fp"), col("id").as("id_b")), Seq("fp"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** The composed (HOF) form of [[winnowFingerprint]] — kept as the
     * executable specification of the kernel. */
   def winnowFingerprintComposed(docs: DataFrame, textCol: String,

@@ -619,6 +619,43 @@ object LlmQueries {
        |          SELECT e.s, r.r FROM edges e JOIN reach r ON r.node = e.d)
        |SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node""".stripMargin
 
+  // --------------------------------------------------------- q52
+  /** Winnow overlap search: doc pairs sharing ≥ 3 winnowing
+    * fingerprints — substring-level partial-overlap detection (the
+    * plagiarism-detector shape), distinct from whole-doc Jaccard
+    * (q28/q48) and from equal-sketch clustering (q44). */
+  private val WinnowMinShared = 3
+  private val WinnowMaxDocsPerFp = 10
+  private def q52(s: SparkSession, dir: String): DataFrame =
+    Dedup.winnowOverlapPairs(Tables.documents(s, dir), "text", "doc_id",
+      WinnowK, WinnowW, WinnowMinShared, WinnowMaxDocsPerFp)
+      .select(col("id_a"), col("id_b"), col("n_shared"))
+  private val q52Sql = {
+    val k = WinnowK; val w = WinnowW
+    s"""WITH hs AS (
+       |  SELECT doc_id,
+       |    CASE WHEN length(text) >= $k
+       |      THEN list_transform(range(1, length(text) - $k + 2),
+       |             i -> ('0x' || substr(md5(substr(text, i, $k)), 1, 12))::BIGINT)
+       |      ELSE [] END AS h
+       |  FROM documents),
+       |wins AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(h) = 0 THEN []
+       |         WHEN len(h) <= $w THEN [list_min(h)]
+       |         ELSE list_transform(range(0, len(h) - $w + 1),
+       |                j -> list_min(list_transform(range(j + 1, j + $w + 1), x -> h[x])))
+       |    END AS wmins
+       |  FROM hs),
+       |fps AS (SELECT doc_id, unnest(list_distinct(wmins)) AS fp FROM wins),
+       |keep AS (SELECT fp FROM fps GROUP BY fp
+       |         HAVING count(*) <= $WinnowMaxDocsPerFp),
+       |rare AS (SELECT f.* FROM fps f JOIN keep USING (fp))
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+       |FROM rare a JOIN rare b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2 HAVING count(*) >= $WinnowMinShared""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q26_dedup_exact" -> q26 _,
     "q27_minhash_bands" -> q27 _,
@@ -641,7 +678,8 @@ object LlmQueries {
     "q45_frame_sample" -> q45 _,
     "q48_ngram_jaccard" -> q48 _,
     "q49_bm25" -> q49 _,
-    "q50_dedup_clusters" -> q50 _)
+    "q50_dedup_clusters" -> q50 _,
+    "q52_winnow_overlap" -> q52 _)
 
   val oracles: Map[String, String] = Map(
     "q26_dedup_exact" -> q26Sql,
@@ -663,6 +701,7 @@ object LlmQueries {
     "q48_ngram_jaccard" -> q48Sql,
     "q49_bm25" -> q49Sql,
     "q50_dedup_clusters" -> q50Sql,
+    "q52_winnow_overlap" -> q52Sql,
     "q39_dedup_keep" -> q39Sql,
     "q40_sessionize" -> q40Sql,
     "q42_multimodal_decode" -> q42Sql)
