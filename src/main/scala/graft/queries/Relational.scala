@@ -546,6 +546,31 @@ object Relational {
       |  COUNT(*) AS n
       |FROM orders GROUP BY o_orderpriority""".stripMargin
 
+  // ---------------------------------------------------------------- q53
+  /** Set operations (beyond-parity extension): customers ordering in
+    * BOTH 1996 and 1997 (INTERSECT) and customers who churned after
+    * 1996 (EXCEPT), labeled and unioned. Catalyst plans both as
+    * aggregate/anti-join shapes — one shuffle each on the key. */
+  private def q53(s: SparkSession, dir: String): DataFrame = {
+    def inYear(y: Int) = Tables.orders(s, dir)
+      .filter(year(col("o_orderdate")) === y)
+      .select(col("o_custkey"))
+    val c96 = inYear(1996)
+    val c97 = inYear(1997)
+    c96.intersect(c97).withColumn("cohort", lit("both"))
+      .unionByName(c96.except(c97).withColumn("cohort", lit("churned")))
+  }
+  private val q53Sql =
+    """SELECT o_custkey, 'both' AS cohort FROM (
+      |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+      |  INTERSECT
+      |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997)
+      |UNION ALL
+      |SELECT o_custkey, 'churned' AS cohort FROM (
+      |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+      |  EXCEPT
+      |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997)""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01 _,
     "q02_filter_project" -> q02 _,
@@ -571,7 +596,8 @@ object Relational {
     "q22_mixed_case" -> q22 _,
     "q23_ingest_ts" -> q23 _,
     "q41_rollup" -> q41 _,
-    "q51_quantiles" -> q51 _)
+    "q51_quantiles" -> q51 _,
+    "q53_setops" -> q53 _)
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -598,5 +624,6 @@ object Relational {
     "q22_mixed_case" -> q22Sql,
     "q23_ingest_ts" -> q23Sql,
     "q41_rollup" -> q41Sql,
-    "q51_quantiles" -> q51Sql)
+    "q51_quantiles" -> q51Sql,
+    "q53_setops" -> q53Sql)
 }
