@@ -73,7 +73,10 @@ object Main {
     val props = settings.pgProps
     val sources: Map[String, () => org.apache.spark.sql.DataFrame] =
       tables.map { t =>
-        t -> (() => spark.read.jdbc(url, s""""$t"""", props))
+        // chunked (fetchsize=PGCHUNK_SIZE) + range-partitioned scan —
+        // the backfill parallelizes instead of one task per table
+        t -> (() => graft.sources.JdbcSource.read(spark, url, s""""$t"""",
+          props, settings.pgChunkSize, settings.pgScanPartitions))
       }.toMap
     val pipelines = buildPipelines(spark, definitionsDir, workDir, sources, settings)
     val feed = new PgSlotFeed(
@@ -93,7 +96,7 @@ object Main {
           // from the reference's env knobs (settings.py:23-41)
           val sink = new graft.sink.EsHttpBulkSink(url, index, mapping,
             settings.esChunkSize, settings.sinkMaxRetries,
-            settings.sinkTimeoutMs)
+            settings.sinkTimeoutMs, settings.esAuthHeader)
           sink.recreate(java.nio.file.Files.readString(
             java.nio.file.Paths.get(s"$definitionsDir/$index.json")))
           sink

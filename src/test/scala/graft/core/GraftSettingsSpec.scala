@@ -37,6 +37,38 @@ class GraftSettingsSpec extends AnyFunSuite with Matchers {
     s.snapshotMaxDeltas shouldBe 4
   }
 
+  test("PGCHUNK_SIZE: reference default 2000, env override, scan partitions") {
+    val d = new GraftSettings(Map.empty)
+    d.pgChunkSize shouldBe 2000 // settings.py:50
+    d.pgScanPartitions shouldBe 32
+    val s = new GraftSettings(Map(
+      "PGCHUNK_SIZE" -> "500", "GRAFT_PG_SCAN_PARTITIONS" -> "8"))
+    s.pgChunkSize shouldBe 500
+    s.pgScanPartitions shouldBe 8
+  }
+
+  test("ES auth/scheme parity with es.py: user:pass -> Basic header") {
+    val none = new GraftSettings(Map.empty)
+    none.esAuthHeader shouldBe None // no-auth default unchanged
+    none.esScheme shouldBe "http"
+    val s = new GraftSettings(Map(
+      "ELASTICSEARCH_USER" -> "elastic",
+      "ELASTICSEARCH_PASSWORD" -> "s3cret",
+      "ELASTICSEARCH_SCHEME" -> "https",
+      "ELASTICSEARCH_HOST" -> "es.internal",
+      "ELASTICSEARCH_PORT" -> "9243"))
+    val expected = "Basic " + java.util.Base64.getEncoder
+      .encodeToString("elastic:s3cret".getBytes("UTF-8"))
+    s.esAuthHeader shouldBe Some(expected)
+    // host/port/scheme fold into the endpoint URL (es.py:15-19);
+    // GRAFT_ES_URL still wins when set
+    s.esUrl shouldBe Some("https://es.internal:9243")
+    new GraftSettings(Map(
+      "GRAFT_ES_URL" -> "http://override:9200",
+      "ELASTICSEARCH_HOST" -> "es.internal"))
+      .esUrl shouldBe Some("http://override:9200")
+  }
+
   test("explicit argument beats env: Main-style pollMs resolution") {
     val s = new GraftSettings(Map("SINKER_POLL_INTERVAL" -> "3"))
     // the CLI resolution rule: arg > env > default

@@ -18,6 +18,8 @@ import graft.SparkSpec
 class EsStubServer {
   val docs = new TrieMap[String, String]()
   val bulkBodies = new java.util.concurrent.CopyOnWriteArrayList[String]()
+  /** Authorization header of every request, "" when absent. */
+  val authHeaders = new java.util.concurrent.CopyOnWriteArrayList[String]()
   val failNextBulks = new AtomicInteger(0) // 503 this many bulk calls
   @volatile var rejectIds: Set[String] = Set.empty // item-level error ids
   @volatile var indexCreated: Option[String] = None
@@ -40,6 +42,8 @@ class EsStubServer {
   private def handle(ex: HttpExchange): Unit = try {
     val path = ex.getRequestURI.getPath
     val method = ex.getRequestMethod
+    authHeaders.add(
+      Option(ex.getRequestHeaders.getFirst("Authorization")).getOrElse(""))
     val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
     (method, path) match {
       case ("POST", "/_bulk") =>
@@ -160,6 +164,32 @@ class EsHttpSinkSpec extends SparkSpec {
       // exactly one bulk attempt: deterministic rejection burns no retries
       stub.bulkBodies.size - before shouldBe 1
     }
+  }
+
+  test("basic auth header reaches every request; no-auth default sends none") {
+    val stub = new EsStubServer
+    try {
+      val header = new graft.core.GraftSettings(Map(
+        "ELASTICSEARCH_USER" -> "elastic",
+        "ELASTICSEARCH_PASSWORD" -> "s3cret")).esAuthHeader
+      val authed = new EsHttpBulkSink(stub.url, "people", nameMapping,
+        chunkSize = 100, maxRetries = 2, timeoutMs = 5000, auth = header)
+      authed.recreate("""{"mappings":{"dynamic":"strict"}}""")
+      authed.applyActions(actions(3).coalesce(1))
+      authed.count() shouldBe 3
+      import scala.jdk.CollectionConverters._
+      val expected = "Basic " + java.util.Base64.getEncoder
+        .encodeToString("elastic:s3cret".getBytes("UTF-8"))
+      // DELETE + PUT (recreate), POST _bulk, GET _count — all authed
+      stub.authHeaders.asScala.toSeq should not be empty
+      all(stub.authHeaders.asScala.toSeq) shouldBe expected
+
+      stub.authHeaders.clear()
+      val anon = new EsHttpBulkSink(stub.url, "people", nameMapping,
+        chunkSize = 100, maxRetries = 2, timeoutMs = 5000)
+      anon.applyActions(actions(1).coalesce(1))
+      all(stub.authHeaders.asScala.toSeq) shouldBe ""
+    } finally stub.stop()
   }
 
   test("client-side strict schema still validates before any HTTP call") {
