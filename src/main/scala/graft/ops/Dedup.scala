@@ -344,82 +344,196 @@ object Dedup {
   /** Connected components over an undirected edge list `(id_a, id_b)` —
     * the clustering step after near-dup verification, when keep-policy
     * decisions need whole clusters (transitive near-dups) rather than
-    * the greedy pair drop of q39. Iterative min-label propagation:
-    * every node's label converges to the minimum id of its component.
-    * Each round is one equi-join + two aggregations, all keyed by node
-    * id — no driver-side data, the loop only reads a converged-count
-    * (bounded, one long per round). Rounds needed = component diameter;
-    * near-dup clusters are shallow (stars around a canonical doc), so
-    * this converges in a handful of rounds. (For adversarially long
-    * chains at planetary scale the classic fix is alternating
-    * large-star/small-star contraction — O(log n) rounds — behind the
-    * same signature.)
+    * the greedy pair drop of q39.
     *
-    * Output: (node, cluster) where cluster = min id of the component.
-    * Throws if `maxIter` rounds don't converge (result would be wrong
-    * silently otherwise).
+    * Alternating large-star/small-star contraction (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14): the
+    * state is the EDGE SET itself, repeatedly rewritten toward a forest
+    * of stars whose roots are the component minima.
+    *
+    *  - large-star (per node u over its undirected neighborhood):
+    *    attach every neighbor larger than u to the minimum of
+    *    N(u) ∪ {u} — long chains collapse by doubling reach;
+    *  - small-star (per node u over its smaller neighbors): attach
+    *    them all, and u, to their minimum — multi-root leaves merge.
+    *
+    * Both phases are one keyed aggregation + one co-keyed join over the
+    * current edge set; no label table is carried, so work per round is
+    * proportional to the surviving edges (which contract toward one per
+    * non-root node) rather than to the node count. Rounds needed are
+    * logarithmic in component diameter. The driver sees only per-round
+    * counts, never data.
+    *
+    * Iterative-join traps (both documented the hard way): each round
+    * `localCheckpoint`s to truncate lineage AND rebuilds the frame from
+    * the checkpointed RDD, because localCheckpoint preserves the child
+    * plan's size statistics and self-referential rounds square them
+    * into BigIntegers that hang the driver (observed: minutes inside
+    * BigInteger.multiplyToomCook3 by round ~14). A fresh LogicalRDD
+    * resets the estimate each round.
+    *
+    * Small-graph fast path: when the deduplicated edge set fits under
+    * `maxDriverEdges` (a BOUNDED collect — the same capped-driver
+    * discipline as StreamingRunner's maxScopedEvents), the components
+    * solve in one union-find pass on the driver instead of paying
+    * several distributed rounds of fixed scheduling cost. Near-dup
+    * verification typically leaves edge sets orders of magnitude
+    * smaller than the corpus, so this is the common case even at
+    * 100 TB input; edge sets above the cap run the contraction loop.
+    * Pass `maxDriverEdges = 0` to force the distributed path (the
+    * random-graph spec gates both paths against the same union-find
+    * reference).
+    *
+    * Output: (node, cluster) where cluster = min id of the component;
+    * every node of `pairs` appears, self-pairs as singletons. Throws if
+    * `maxIter` rounds don't converge (the result would be silently
+    * wrong otherwise).
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25,
+      maxDriverEdges: Long = 2000000L): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val edges = pairs
-      .select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .persist(MEMORY_AND_DISK)
+    val aType = pairs.schema("id_a").dataType
+    val bType = pairs.schema("id_b").dataType
+    require(aType == bType,
+      s"connectedComponents: id_a ($aType) and id_b ($bType) must have the same type")
+    val spark = pairs.sparkSession
+    val edgeSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("u", aType),
+      org.apache.spark.sql.types.StructField("v", aType)))
+
+    // one pass over the (possibly expensive) upstream pipeline: nodes
+    // and the initial edge set both read this cached frame
+    val base = pairs.select(col("id_a"), col("id_b")).persist(MEMORY_AND_DISK)
     val labelSchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("node",
-        pairs.schema("id_a").dataType),
-      org.apache.spark.sql.types.StructField("cluster",
-        pairs.schema("id_a").dataType)))
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("cluster", col("node"))
+      org.apache.spark.sql.types.StructField("node", aType),
+      org.apache.spark.sql.types.StructField("cluster", aType)))
+
+    if (base.count() <= maxDriverEdges) {
+      // bounded-collect fast path: union-find over the raw pairs
+      // (duplicates and self-loops are free to it), linking the larger
+      // root under the smaller so every root IS its component minimum;
+      // the whole label table is built driver-side with zero shuffles.
+      // Ids are Comparable for every supported column type.
+      val parent = new java.util.HashMap[Any, Any]()
+      val seen = new java.util.LinkedHashSet[Any]()
+      def find(x: Any): Any = {
+        var r = x
+        var p = parent.getOrDefault(r, r)
+        while (p != r) { r = p; p = parent.getOrDefault(r, r) }
+        var c = x // path compression
+        while (parent.getOrDefault(c, c) != r) {
+          val nxt = parent.get(c); parent.put(c, r); c = nxt
+        }
+        r
+      }
+      def lt(a: Any, b: Any): Boolean =
+        a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+      base.collect().foreach { row =>
+        val (a, b) = (row.get(0), row.get(1))
+        seen.add(a); seen.add(b)
+        if (a != b) {
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) {
+            if (lt(ra, rb)) parent.put(rb, ra) else parent.put(ra, rb)
+          }
+        }
+      }
+      val labelRows = seen.toArray.map { n =>
+        org.apache.spark.sql.Row(n, find(n))
+      }
+      base.unpersist()
+      return spark.createDataFrame(
+        java.util.Arrays.asList(labelRows: _*), labelSchema)
+    }
+
+    val nodes = base.select(col("id_a").as("node"))
+      .unionByName(base.select(col("id_b").as("node"))).distinct()
       .persist(MEMORY_AND_DISK)
+
+    // canonical directed edges, larger endpoint -> smaller, no self-loops
+    var edges = spark.createDataFrame(
+      base.filter(col("id_a") =!= col("id_b"))
+        .select(greatest(col("id_a"), col("id_b")).as("u"),
+          least(col("id_a"), col("id_b")).as("v"))
+        .distinct()
+        .localCheckpoint(true).rdd, edgeSchema)
+    var cnt = edges.count() // trivial: RDD is materialized
+
+    // Both phases use a window min over the node key — ONE exchange per
+    // phase instead of the groupBy+join-back pair. Intermediate
+    // duplicate edges ride along one phase (bounded by the prior edge
+    // count) and collapse in small-star's distinct.
+    //
+    // large-star over the UNDIRECTED neighborhood: every neighbor
+    // larger than u attaches to min(N(u) ∪ {u}); each edge is
+    // processed under its larger endpoint (where v > u holds).
+    def largeStar(e: DataFrame): DataFrame = {
+      val und = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      und.withColumn("m",
+          least(col("u"), min("v").over(Window.partitionBy("u"))))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+    }
+    // small-star: edges all point down, so the window over the larger
+    // endpoint sees only smaller neighbors; they and u itself attach to
+    // their minimum
+    def smallStar(e: DataFrame): DataFrame = {
+      val withM = e.withColumn("m", min("v").over(Window.partitionBy("u")))
+      withM.filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionByName(withM.select(col("u"), col("m").as("v")))
+        .distinct()
+    }
+
+    // Convergence = the edge set IS a star forest: no source node also
+    // appears as a target (no chains), and every source has exactly one
+    // out-edge (no multi-root leaves). A star forest is a fixpoint of
+    // both phases, its connectivity equals the original graph's, and
+    // edges always point down — so each root is its component minimum
+    // and the labels can be read off directly. Checked in ONE
+    // aggregation job, which doubles as the materialization action for
+    // the round's lazy checkpoint.
+    def isStarForest(e: DataFrame): Boolean =
+      e.select(col("u").as("n"), lit(1L).as("s"), lit(0L).as("t"))
+        .unionByName(e.select(col("v").as("n"), lit(0L).as("s"), lit(1L).as("t")))
+        .groupBy("n").agg(sum("s").as("s"), sum("t").as("t"))
+        .filter(col("s") > 1 || (col("s") > 0 && col("t") > 0))
+        .limit(1).count() == 0
+    // (the check reads the round's edges twice via the union, so the
+    // checkpoint must be EAGER — a lazy one would race both branches
+    // through the uncached upstream DAG)
+
     var iter = 0
     var done = false
+    val debug = sys.props.contains("graft.cc.debug")
     while (!done && iter < maxIter) {
-      // (1) propagation: pull the minimum label over direct neighbors
-      val nbrMin = edges
-        .join(labels.select(col("node").as("dst"), col("cluster").as("nl")),
-          Seq("dst"))
-        .groupBy(col("src").as("node"))
-        .agg(min(col("nl")).as("nbr_min"))
-      val prop = labels.join(nbrMin, Seq("node"), "left")
-        .select(col("node"), col("cluster").as("old"),
-          least(col("cluster"), coalesce(col("nbr_min"), col("cluster")))
-            .as("mid"))
-      // (2) path halving: hop through the label's own label — labels
-      // are node ids, so one self-join doubles how far a round reaches
-      // and the loop converges in O(log diameter) rounds, not O(diameter)
-      //
-      // localCheckpoint TRUNCATES lineage: each round's plan otherwise
-      // embeds the previous round's twice, doubling plan size per
-      // iteration until the driver OOMs on analysis — the classic
-      // iterative-join trap. On a cluster a reliable checkpoint dir
-      // serves the same role.
-      val next = prop
-        .join(prop.select(col("node").as("hk"), col("mid").as("hop")),
-          col("mid") === col("hk"), "left")
-        .select(col("node"),
-          least(col("mid"), coalesce(col("hop"), col("mid"))).as("cluster"),
-          col("old"))
-        .withColumn("changed", col("cluster") < col("old"))
-        .localCheckpoint(true)
-      done = next.filter(col("changed")).limit(1).count() == 0
-      val prev = labels
-      // REBUILD from the checkpointed RDD instead of selecting over the
-      // checkpoint: localCheckpoint preserves the child plan's size
-      // STATISTICS, and every self-join round squares them — by round
-      // ~14 the BigInteger size estimate itself has millions of digits
-      // and the driver burns CPU multiplying it (observed: minutes in
-      // BigInteger.multiplyToomCook3). A fresh LogicalRDD resets stats
-      // to a constant each round.
-      val spark = next.sparkSession
-      labels = spark.createDataFrame(
-        next.select(col("node"), col("cluster")).rdd, labelSchema)
-      prev.unpersist()
+      val t0 = System.nanoTime()
+      val next = spark.createDataFrame(
+        smallStar(largeStar(edges)).localCheckpoint(true).rdd, edgeSchema)
+      val t1 = System.nanoTime()
+      // a still-contracting edge set can't be a star forest: gate the
+      // check behind a trivial count of the materialized RDD
+      val nextCnt = next.count()
+      done = nextCnt == cnt && isStarForest(next)
+      if (debug) println(f"[cc] round $iter: parts=${next.rdd.getNumPartitions} " +
+        f"$cnt->$nextCnt mat=${(t1 - t0) / 1e9}%.2f " +
+        f"check=${(System.nanoTime() - t1) / 1e9}%.2f s")
+      edges = next
+      cnt = nextCnt
       iter += 1
     }
-    edges.unpersist()
     require(done, s"connectedComponents did not converge in $maxIter rounds")
+    // fixpoint edges are (leaf -> component-min root); roots and
+    // self-pair singletons label themselves. The star edge set is one
+    // row per non-root node — broadcast only when it's small enough
+    // (it usually is: clusters are rare relative to the corpus).
+    val stars = edges.select(col("u").as("node"), col("v").as("cluster"))
+    val labels = nodes
+      .join(if (cnt <= 10000000L) broadcast(stars) else stars,
+        Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("cluster"), col("node")).as("cluster"))
+    base.unpersist()
     labels
   }
 

@@ -57,18 +57,29 @@ class OpsSpec extends SparkSpec {
 
   test("connectedComponents labels chains, stars, and singleton pairs correctly") {
     // component 1: a 6-node chain (worst diameter — needs >1 round);
-    // component 2: a star around 10; component 3: a lone pair
+    // component 2: a star around 10; component 3: a lone pair.
+    // Run BOTH paths: driver union-find (default) and distributed
+    // star contraction (maxDriverEdges = 0).
     val edges = Seq(
       (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
       (10L, 11L), (10L, 12L), (10L, 13L),
       (20L, 21L)).toDF("id_a", "id_b")
-    val got = Dedup.connectedComponents(edges)
-      .as[(Long, Long)].collect().toMap
-    (1L to 6L).foreach(n => got(n) shouldBe 1L)
-    (10L to 13L).foreach(n => got(n) shouldBe 10L)
-    got(20L) shouldBe 20L
-    got(21L) shouldBe 20L
-    got.size shouldBe 12
+    for (cap <- Seq(2000000L, 0L)) {
+      val got = Dedup.connectedComponents(edges, maxDriverEdges = cap)
+        .as[(Long, Long)].collect().toMap
+      (1L to 6L).foreach(n => got(n) shouldBe 1L)
+      (10L to 13L).foreach(n => got(n) shouldBe 10L)
+      got(20L) shouldBe 20L
+      got(21L) shouldBe 20L
+      got.size shouldBe 12
+    }
+  }
+
+  test("connectedComponents rejects mismatched id types up front") {
+    val bad = Seq((1L, "a"), (2L, "b")).toDF("id_a", "id_b")
+    val e = intercept[IllegalArgumentException](
+      Dedup.connectedComponents(bad))
+    e.getMessage should include("same type")
   }
 
   test("connectedComponents agrees with a union-find reference on a random graph") {
@@ -90,9 +101,14 @@ class OpsSpec extends SparkSpec {
     }
     val expect = edges.flatMap(e => Seq(e._1, e._2)).distinct
       .map(v => v -> find(v.toInt).toLong).toMap
-    val got = Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
-      .as[(Long, Long)].collect().toMap
-    got shouldBe expect
+    // both the driver fast path and the distributed star contraction
+    // must reproduce the reference exactly
+    for (cap <- Seq(2000000L, 0L)) {
+      val got = Dedup
+        .connectedComponents(edges.toDF("id_a", "id_b"), maxDriverEdges = cap)
+        .as[(Long, Long)].collect().toMap
+      got shouldBe expect
+    }
   }
 
   test("candidatePairs maxBucket drops storm buckets, keeps genuine near-dups") {

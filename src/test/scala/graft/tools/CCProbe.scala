@@ -2,6 +2,7 @@ package graft.tools
 import org.apache.spark.sql.functions._
 object CCProbe {
   def main(args: Array[String]): Unit = {
+    System.setProperty("graft.cc.debug", "1")
     val spark = graft.core.GraftSession.get()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.1"
@@ -16,7 +17,10 @@ object CCProbe {
     println(f"PROBE pairs ${pairs.count()} ${(System.nanoTime()-t0)/1e9}%.2f s")
     val t1 = System.nanoTime()
     val cc = graft.ops.Dedup.connectedComponents(pairs)
-    println(f"PROBE cc-nodes ${cc.count()} ${(System.nanoTime()-t1)/1e9}%.2f s")
+    println(f"PROBE cc-driver-nodes ${cc.count()} ${(System.nanoTime()-t1)/1e9}%.2f s")
+    val t2 = System.nanoTime()
+    val ccD = graft.ops.Dedup.connectedComponents(pairs, maxDriverEdges = 0L)
+    println(f"PROBE cc-dist-nodes ${ccD.count()} ${(System.nanoTime()-t2)/1e9}%.2f s")
     spark.stop()
   }
 }
