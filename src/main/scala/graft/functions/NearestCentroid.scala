@@ -88,6 +88,8 @@ object NearestCentroid {
       "nearest_centroid: ids and cents must have equal length")
     require(ids.sameElements(ids.sorted),
       "nearest_centroid: ids must be sorted ascending (tie-break contract)")
+    require(cents.map(_.length).distinct.length <= 1,
+      "nearest_centroid: all centroids must share one dimension")
     NearestCentroid(children.head, ids, cents)
   }
 
@@ -102,6 +104,11 @@ object NearestCentroid {
       v(i) = if (isFloat) vArr.getFloat(i).toDouble else vArr.getDouble(i)
       i += 1
     }
+    // a dimension mismatch must fail loudly, not truncate the dot
+    // product into a silently-wrong assignment
+    if (cents.length > 0 && cents(0).length != n)
+      throw new IllegalArgumentException(
+        s"nearest_centroid: input vector has $n dims, codebook has ${cents(0).length}")
     var vv = 0.0
     i = 0
     while (i < n) { vv += v(i) * v(i); i += 1 }
@@ -110,10 +117,9 @@ object NearestCentroid {
     var c = 0
     while (c < cents.length) {
       val cent = cents(c)
-      val m = math.min(n, cent.length)
       var dotVc = 0.0
       var j = 0
-      while (j < m) { dotVc += v(j) * cent(j); j += 1 }
+      while (j < n) { dotVc += v(j) * cent(j); j += 1 }
       val d = vv - 2.0 * dotVc + selfDots(c)
       if (d < best) { best = d; bestId = ids(c) }
       c += 1

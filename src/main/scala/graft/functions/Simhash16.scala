@@ -17,8 +17,10 @@ import org.apache.spark.sql.types._
   * reads hex digit `b/4 + 1` (1-based) of the token's md5 hex string —
   * i.e. the high/low nibble of digest byte `(b/4)/2` — and adds +1 when
   * bit `b%4` of that nibble is set, else −1; bit `b` of the result is
-  * set when the sum is positive. Null tokens hash like empty strings
-  * (the words arrays the engine produces contain none).
+  * set when the sum is positive. A null token contributes −1 to every
+  * bit — exactly what the composed form yields (md5(null) is null, so
+  * every `when` falls to its −1 branch); the equality spec covers the
+  * null-token case explicitly.
   */
 case class Simhash16(child: Expression) extends UnaryExpression {
 
@@ -54,17 +56,24 @@ object Simhash16 {
     var i = 0
     while (i < n) {
       val s = ws.getUTF8String(i)
-      md.reset()
-      if (s != null) md.update(s.getBytes)
-      val d = md.digest()
-      var b = 0
-      while (b < 16) {
-        // hex digit b/4 + 1 (1-based) = nibble of digest byte (b/4)/2
-        val digitIdx = b / 4 // 0-based hex digit index
-        val byte = d(digitIdx / 2) & 0xff
-        val nibble = if (digitIdx % 2 == 0) byte >>> 4 else byte & 0xf
-        sums(b) += (if (((nibble >> (b % 4)) & 1) == 1) 1 else -1)
-        b += 1
+      if (s == null) {
+        // composed-form parity: md5(null) is null, so every bit's
+        // `when` takes the -1 branch
+        var b = 0
+        while (b < 16) { sums(b) -= 1; b += 1 }
+      } else {
+        md.reset()
+        md.update(s.getBytes)
+        val d = md.digest()
+        var b = 0
+        while (b < 16) {
+          // hex digit b/4 + 1 (1-based) = nibble of digest byte (b/4)/2
+          val digitIdx = b / 4 // 0-based hex digit index
+          val byte = d(digitIdx / 2) & 0xff
+          val nibble = if (digitIdx % 2 == 0) byte >>> 4 else byte & 0xf
+          sums(b) += (if (((nibble >> (b % 4)) & 1) == 1) 1 else -1)
+          b += 1
+        }
       }
       i += 1
     }

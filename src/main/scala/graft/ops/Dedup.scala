@@ -24,8 +24,12 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Tokenize on single spaces (the corpus delimiter). */
-  def words(text: Column): Column = split(text, " ")
+  /** Tokenize on a literal delimiter (default: single space, the
+    * corpus convention). Spark's `split` takes a Java REGEX, so the
+    * delimiter is `Pattern.quote`d — a `.` or `|` delimiter splits
+    * literally, matching the oracle's literal `string_split`. */
+  def words(text: Column, delim: String = " "): Column =
+    split(text, java.util.regex.Pattern.quote(delim))
 
   /** Ensure CPU-bound per-row work is spread across the cluster: a small
     * input (one parquet file → one task) would otherwise hash on a

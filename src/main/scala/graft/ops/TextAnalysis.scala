@@ -9,7 +9,10 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  def words(text: Column): Column = split(text, " ")
+  /** Tokenize on a literal delimiter — `Pattern.quote`d because
+    * Spark's `split` treats it as a regex (see [[Dedup.words]]). */
+  def words(text: Column, delim: String = " "): Column =
+    split(text, java.util.regex.Pattern.quote(delim))
 
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(words(text))

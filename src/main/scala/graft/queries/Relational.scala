@@ -320,13 +320,13 @@ object Relational {
 
   // ---------------------------------------------------------------- q13
   /** unnest/explode (B10): word frequencies over documents.text.
-    * Note: Spark's split() treats the delimiter as a Java REGEX while
-    * the DuckDB oracle's string_split is literal — equivalent for a
-    * single space, but a metacharacter delimiter would need
-    * Pattern.quote here to stay aligned. */
+    * The delimiter goes through [[graft.ops.Dedup.words]], which
+    * Pattern.quotes it — Spark's split() is regex-based while the
+    * DuckDB oracle's string_split is literal, and quoting keeps the
+    * two aligned for ANY delimiter, not just the space. */
   private def q13(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
-      .select(explode(split(col("text"), " ")).as("word"))
+      .select(explode(graft.ops.Dedup.words(col("text"))).as("word"))
       .filter(col("word") =!= "")
       .groupBy(col("word"))
       .agg(count(lit(1)).as("cnt"))

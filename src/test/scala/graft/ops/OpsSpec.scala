@@ -16,6 +16,19 @@ class OpsSpec extends SparkSpec {
     sh(3L) shouldBe Seq.empty
   }
 
+  test("words treats regex-metacharacter delimiters literally") {
+    // '.' as a regex would split between EVERY character; quoted it
+    // splits only on literal dots ('|' likewise)
+    val df = Seq("a.b.c").toDF("text")
+    df.select(Dedup.words(col("text"), ".").as("w"))
+      .head().getSeq[String](0) shouldBe Seq("a", "b", "c")
+    df.select(TextAnalysis.words(col("text"), ".").as("w"))
+      .head().getSeq[String](0) shouldBe Seq("a", "b", "c")
+    Seq("x|y z").toDF("text")
+      .select(Dedup.words(col("text"), "|").as("w"))
+      .head().getSeq[String](0) shouldBe Seq("x", "y z")
+  }
+
   test("exact dedup marks one canonical row per content key") {
     val df = Seq((1L, "same text"), (2L, "same text"), (3L, "other"))
       .toDF("doc_id", "text")
@@ -53,6 +66,32 @@ class OpsSpec extends SparkSpec {
     val winComposed = Dedup.winnowFingerprintComposed(docs, "text", "doc_id", 8, 4)
     winNative.exceptAll(winComposed).count() shouldBe 0
     winComposed.exceptAll(winNative).count() shouldBe 0
+  }
+
+  test("native simhash16 matches the composed form on null tokens (-1 every bit)") {
+    // arrays with null elements never come from words(), but the kernel
+    // and the composed HOF form must still agree if one sneaks in
+    val df = Seq(1L, 2L, 3L).toDF("doc_id").select(col("doc_id"),
+      when(col("doc_id") === 1L,
+          array(lit("alpha"), lit(null).cast("string"), lit("beta")))
+        .when(col("doc_id") === 2L, array(lit(null).cast("string")))
+        .otherwise(array(lit("alpha"), lit("beta"))).as("ws"))
+    val native = df.select(col("doc_id"),
+      Dedup.simhash16Native(df, col("ws")).as("simhash"))
+    val composed = df
+      .select(col("doc_id"), Dedup.wordHashes(col("ws")).as("wh"))
+      .select(col("doc_id"), Dedup.simhash16FromHashes(col("wh")).as("simhash"))
+    native.exceptAll(composed).count() shouldBe 0
+    composed.exceptAll(native).count() shouldBe 0
+  }
+
+  test("nearest_centroid rejects dimension mismatches instead of truncating") {
+    graft.functions.GraftExtensions.ensureRegistered(spark)
+    val df = Seq((1L, Seq(1.0, 2.0, 3.0))).toDF("vec_id", "v")
+    val bad = df.withColumn("cluster", call_function("nearest_centroid",
+      col("v"), typedLit(Seq(10L)), typedLit(Seq(Seq(1.0, 2.0)))))
+    val e = intercept[Exception](bad.collect())
+    e.getMessage should include("dims")
   }
 
   test("connectedComponents labels chains, stars, and singleton pairs correctly") {
