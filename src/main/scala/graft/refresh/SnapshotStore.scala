@@ -171,17 +171,24 @@ class MvccSnapshotStore(spark: SparkSession, path: String) extends SnapshotStore
   * base+delta+compaction design Delta/Iceberg's merge-on-read mode and
   * every LSM store use; the pointer file stands in for the catalog.
   *
-  * Atomicity: every mutation writes new files first and then swaps the
-  * manifest with a single atomic rename — readers always see a
-  * consistent snapshot, and the commit-after-sink failure ordering of
-  * [[graft.pipeline.Pipeline]] is preserved exactly. Orphan dirs from a
-  * crash before the swap are GC'd on a later commit. GC keeps leaves
-  * referenced by the current OR the immediately-previous manifest — one
-  * cycle of reader grace, matching [[MvccSnapshotStore]].
+  * Atomicity and multi-writer safety: every mutation writes new files
+  * first and then publishes a GENERATION-NUMBERED manifest
+  * (`_CURRENT.<N>`) with a rename that FAILS if the target exists — a
+  * compare-and-swap, so two drivers committing over one store can
+  * never silently overwrite each other's manifest (the loser re-reads
+  * and retries against the fresh state; its already-written data files
+  * are reused). Readers resolve the highest generation. Orphan dirs
+  * from a crash or a lost race are GC'd on a later commit, but only
+  * after a grace window ([[gcGraceMs]]) so a concurrent writer's
+  * not-yet-referenced files survive its in-flight commit. GC keeps
+  * leaves referenced by the current OR the immediately-previous
+  * manifest — one cycle of reader grace, matching
+  * [[MvccSnapshotStore]]. A plain legacy `_CURRENT` file reads as
+  * generation 0.
   */
 class BucketedSnapshotStore(
     spark: SparkSession, path: String, numBuckets: Int = 64,
-    maxDeltas: Int = 8)
+    maxDeltas: Int = 8, gcGraceMs: Long = 600000L)
     extends SnapshotStore {
 
   require(numBuckets > 0, "numBuckets must be positive")
@@ -189,8 +196,7 @@ class BucketedSnapshotStore(
   private val root = new Path(path)
   private def fs: FileSystem =
     root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-  private val currentPtr = new Path(root, "_CURRENT")
-  private val prevPtr = new Path(root, "_PREV")
+  private val legacyPtr = new Path(root, "_CURRENT")
 
   /** The bucket count is part of the ON-DISK layout: it is stamped into
     * the manifest (`B <n>` header) at first commit and read back on
@@ -198,29 +204,62 @@ class BucketedSnapshotStore(
     * store can NOT silently re-hash reads against the old leaf
     * assignment — the persisted value always wins. */
   private lazy val effectiveBuckets: Int =
-    readPtr(currentPtr).flatMap(parseBucketCount).getOrElse(numBuckets)
+    currentGenAndBody().map(_._2).flatMap(parseBucketCount)
+      .getOrElse(numBuckets)
 
   private def bucketOf(c: Column): Column =
     pmod(xxhash64(c), lit(effectiveBuckets))
 
-  override def exists: Boolean = fs.exists(currentPtr)
+  override def exists: Boolean = manifestFiles().nonEmpty
 
   // ------------------------------------------------------------ manifest
 
   /** buckets: live bucket → version dir; deltas: ordered log dirs. */
   private case class Manifest(buckets: Map[Long, String], deltas: Seq[String])
 
+  /** Raced a concurrent committer at the same generation — re-read and
+    * recompute against the fresh manifest. */
+  private class CommitConflictException(msg: String)
+      extends RuntimeException(msg)
+
   private def parseBucketCount(s: String): Option[Int] =
     s.linesIterator.map(_.trim).find(_.startsWith("B "))
       .map(_.drop(2).trim.toInt)
 
-  private def readPtr(p: Path): Option[String] =
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      try Some(new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8"))
-      finally in.close()
+  /** All manifest generations on disk, ascending; a legacy un-numbered
+    * `_CURRENT` participates as generation 0. */
+  private def manifestFiles(): Seq[(Long, Path)] = {
+    val gens = Option(fs.globStatus(new Path(root, "_CURRENT.*"))).toSeq.flatten
+      .flatMap { st =>
+        val suffix = st.getPath.getName.stripPrefix("_CURRENT.")
+        scala.util.Try(suffix.toLong).toOption.map(_ -> st.getPath)
+      }
+    val legacy = if (fs.exists(legacyPtr)) Seq(0L -> legacyPtr) else Nil
+    (legacy ++ gens).sortBy(_._1)
+  }
+
+  private def readFile(p: Path): String = {
+    val in = fs.open(p)
+    try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+    finally in.close()
+  }
+
+  /** Highest-generation manifest body. Retries a handful of times: the
+    * max-gen file can vanish between the listing and the read when a
+    * concurrent committer advances twice and prunes old generations. */
+  private def currentGenAndBody(): Option[(Long, String)] = {
+    var attempt = 0
+    while (attempt < 5) {
+      manifestFiles().lastOption match {
+        case None => return None
+        case Some((g, p)) =>
+          try return Some((g, readFile(p)))
+          catch { case _: java.io.FileNotFoundException => attempt += 1 }
+      }
     }
+    throw new IllegalStateException(
+      s"manifest at $path kept vanishing mid-read (heavy concurrent churn)")
+  }
 
   private def parseManifest(s: String): Manifest = {
     val lines = s.linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
@@ -231,32 +270,69 @@ class BucketedSnapshotStore(
       lines.filter(_.startsWith("D ")).map(_.drop(2)))
   }
 
-  private def manifest: Manifest =
-    readPtr(currentPtr).map(parseManifest).getOrElse(
-      throw new IllegalStateException(s"no committed snapshot at $path"))
+  /** Current (generation, manifest); throws when nothing is committed. */
+  private def manifestWithGen: (Long, Manifest) =
+    currentGenAndBody().map { case (g, s) => (g, parseManifest(s)) }
+      .getOrElse(
+        throw new IllegalStateException(s"no committed snapshot at $path"))
 
-  /** Swap in a new manifest: stash the old one in `_PREV` (reader
-    * grace), atomic-rename the new one into `_CURRENT`, then GC dirs
-    * unreferenced by both. */
-  private def commitManifest(m: Manifest): Unit = {
-    val old = readPtr(currentPtr)
-    old.foreach { s =>
-      val out = fs.create(prevPtr, true)
-      try out.write(s.getBytes("UTF-8")) finally out.close()
-    }
+  private def manifest: Manifest = manifestWithGen._2
+
+  /** CAS publish: write the body to a temp file, rename it to
+    * `_CURRENT.<expectedGen+1>` WITHOUT overwrite — if that generation
+    * already exists another writer won the race and the caller must
+    * recompute ([[CommitConflictException]]). On success, prune
+    * generations older than the previous one and GC data dirs. */
+  private def commitManifest(m: Manifest, expectedGen: Long,
+      prev: Manifest): Unit = {
     val body = (s"B $effectiveBuckets" +:
       (m.buckets.toSeq.sortBy(_._1).map { case (b, v) => s"$b $v" } ++
         m.deltas.map(d => s"D $d"))).mkString("\n")
-    val tmp = new Path(root, "_CURRENT.tmp")
+    val tmp = new Path(root,
+      s"_TMP.${java.util.UUID.randomUUID().toString.take(8)}")
     val out = fs.create(tmp, true)
     try out.write(body.getBytes("UTF-8")) finally out.close()
+    val dest = new Path(root, s"_CURRENT.${expectedGen + 1}")
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-      currentPtr.toUri, spark.sparkContext.hadoopConfiguration)
-    fc.rename(tmp, currentPtr, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-    gc(m, old.map(parseManifest).getOrElse(Manifest(Map.empty, Nil)))
+      dest.toUri, spark.sparkContext.hadoopConfiguration)
+    try fc.rename(tmp, dest) // no OVERWRITE: fails on existing target
+    catch {
+      case e @ (_: org.apache.hadoop.fs.FileAlreadyExistsException |
+                _: java.nio.file.FileAlreadyExistsException) =>
+        fs.delete(tmp, false)
+        throw new CommitConflictException(
+          s"generation ${expectedGen + 1} already committed at $path: $e")
+    }
+    // keep dest and its predecessor (reader grace); prune older gens
+    manifestFiles().filter(_._1 < expectedGen).foreach { case (_, p) =>
+      fs.delete(p, false)
+    }
+    gc(m, prev)
   }
 
+  /** Optimistic-concurrency loop for mutators: on a CAS conflict the
+    * body re-reads the fresh manifest and recomputes. Data files the
+    * lost attempt already wrote are reused by the retry (mutators
+    * memoize them) or GC'd after the grace window. */
+  private def withCasRetry[T](what: String)(body: => T): T = {
+    var attempt = 0
+    while (true) {
+      try return body
+      catch {
+        case _: CommitConflictException if attempt < 20 =>
+          attempt += 1
+          Thread.sleep(5L * attempt)
+      }
+    }
+    throw new IllegalStateException(s"unreachable: $what")
+  }
+
+  /** Delete data dirs unreferenced by the current AND previous
+    * manifests — but only once they outlive [[gcGraceMs]], so files a
+    * CONCURRENT writer has staged but not yet published are never
+    * swept from under its commit. */
   private def gc(current: Manifest, prev: Manifest): Unit = {
+    val cutoff = System.currentTimeMillis() - gcGraceMs
     val liveLeaves: Set[(String, Long)] =
       (current.buckets.toSeq ++ prev.buckets.toSeq)
         .map { case (b, v) => (v, b) }.toSet
@@ -266,25 +342,32 @@ class BucketedSnapshotStore(
       Option(fs.globStatus(new Path(vDir.getPath, "bucket=*"))).toSeq.flatten
         .foreach { leaf =>
           val b = leaf.getPath.getName.stripPrefix("bucket=").toLong
-          if (!liveLeaves.contains((v, b))) fs.delete(leaf.getPath, true)
+          if (!liveLeaves.contains((v, b)) &&
+              leaf.getModificationTime < cutoff)
+            fs.delete(leaf.getPath, true)
         }
       if (Option(fs.globStatus(new Path(vDir.getPath, "bucket=*")))
-            .forall(_.isEmpty)) fs.delete(vDir.getPath, true)
+            .forall(_.isEmpty) && vDir.getModificationTime < cutoff)
+        fs.delete(vDir.getPath, true)
     }
     Option(fs.globStatus(new Path(root, "d*"))).toSeq.flatten
-      .map(_.getPath)
-      .filter(p => !liveDeltas.contains(p.getName))
-      .foreach(p => fs.delete(p, true))
+      .filter(st => !liveDeltas.contains(st.getPath.getName) &&
+        st.getModificationTime < cutoff)
+      .foreach(st => fs.delete(st.getPath, true))
   }
 
   // ------------------------------------------------------- dirs/versions
 
-  /** Shared monotonic counter across v* and d* dirs (driver-side
-    * listing — ≤ a few dozen entries between GCs). */
-  private def nextDirNum(): Long = {
+  /** Next data-dir name: monotonic number (driver-side listing — ≤ a
+    * few dozen entries between GCs) plus a random suffix so two
+    * concurrent writers picking the same number can never write into
+    * each other's directory. */
+  private def nextDirName(prefix: String): String = {
     val nums = Option(fs.globStatus(new Path(root, "{v,d}*"))).toSeq.flatten
-      .map(_.getPath.getName.drop(1).toLong)
-    if (nums.isEmpty) 1L else nums.max + 1L
+      .map(_.getPath.getName.drop(1).takeWhile(_.isDigit))
+      .filter(_.nonEmpty).map(_.toLong)
+    val n = if (nums.isEmpty) 1L else nums.max + 1L
+    s"$prefix$n-${java.util.UUID.randomUUID().toString.take(8)}"
   }
 
   /** Buckets actually written under a version dir (driver-side listing,
@@ -294,7 +377,7 @@ class BucketedSnapshotStore(
       .map(_.getPath.getName.stripPrefix("bucket=").toLong)
 
   override def stage(df: DataFrame): String = {
-    val v = "v" + nextDirNum()
+    val v = nextDirName("v")
     // h is persisted so refresh diffs can scan (id, h) without ever
     // reading doc bytes — see [[readKeyed]]
     df.select("id", "doc")
@@ -308,8 +391,12 @@ class BucketedSnapshotStore(
   /** Full-snapshot commit: every bucket present in `v` becomes current
     * and the delta log is cleared (a backfill / full refresh wrote the
     * complete view into `v`). */
-  override def commit(v: String): Unit =
-    commitManifest(Manifest(bucketsIn(v).map(_ -> v).toMap, Nil))
+  override def commit(v: String): Unit = withCasRetry("commit") {
+    val (gen, prev) = currentGenAndBody()
+      .map { case (g, s) => (g, parseManifest(s)) }
+      .getOrElse((0L, Manifest(Map.empty, Nil)))
+    commitManifest(Manifest(bucketsIn(v).map(_ -> v).toMap, Nil), gen, prev)
+  }
 
   override def readVersion(v: String): DataFrame =
     spark.read
@@ -413,29 +500,43 @@ class BucketedSnapshotStore(
     * raw dir sizes are dominated by per-file overhead at test scale, so
     * the count rule is the honest local proxy. */
   override def mergeActions(actions: DataFrame): Unit = {
-    val m = manifest
-    if (m.buckets.isEmpty && m.deltas.isEmpty) {
-      // bulk load into an empty store: land directly in bucketed form —
-      // one write, no delta hop (deletes against nothing are dropped)
-      val v = stage(actions.filter(col("op") === "index").select("id", "doc"))
-      commit(v)
-      return
+    // data files write ONCE and are memoized — a CAS retry republishes
+    // them against the fresh manifest instead of rewriting
+    var stagedBulk: Option[String] = None
+    var writtenDelta: Option[String] = None
+    withCasRetry("mergeActions") {
+      val (gen, m) = manifestWithGen
+      if (m.buckets.isEmpty && m.deltas.isEmpty) {
+        // bulk load into an empty store: land directly in bucketed
+        // form — one write, no delta hop (deletes against nothing are
+        // dropped)
+        val v = stagedBulk.getOrElse {
+          val s = stage(actions.filter(col("op") === "index").select("id", "doc"))
+          stagedBulk = Some(s); s
+        }
+        commitManifest(Manifest(bucketsIn(v).map(_ -> v).toMap, Nil), gen, m)
+      } else {
+        val d = writtenDelta.getOrElse {
+          val name = nextDirName("d")
+          actions.select("op", "id", "doc")
+            .withColumn("h", xxhash64(col("doc")))
+            .write.parquet(new Path(root, name).toString)
+          writtenDelta = Some(name); name
+        }
+        val grown = Manifest(m.buckets, m.deltas :+ d)
+        if (grown.deltas.size >= maxDeltas || m.buckets.isEmpty)
+          compact(grown, gen, m)
+        else commitManifest(grown, gen, m)
+      }
     }
-    val d = "d" + nextDirNum()
-    actions.select("op", "id", "doc")
-      .withColumn("h", xxhash64(col("doc")))
-      .write.parquet(new Path(root, d).toString)
-    val grown = Manifest(m.buckets, m.deltas :+ d)
-    if (grown.deltas.size >= maxDeltas || m.buckets.isEmpty) compact(grown)
-    else commitManifest(grown)
   }
 
   /** Fold the delta log into the base: rewrite ONLY the buckets the
     * delta ids hash into, clear the log, swap the manifest. Amortized
     * over the batches since the last compaction. */
-  private def compact(m: Manifest): Unit = {
+  private def compact(m: Manifest, gen: Long, prev: Manifest): Unit = {
     latestDelta(m.deltas) match {
-      case None => commitManifest(m)
+      case None => commitManifest(m, gen, prev)
       case Some(latest0) =>
         val latest = latest0.cache()
         try {
@@ -447,11 +548,12 @@ class BucketedSnapshotStore(
             .unionByName(
               latest.filter(col("op") === "index").select("id", "doc", "h"))
             .withColumn("bucket", bucketOf(col("id")))
-          val v = "v" + nextDirNum()
+          val v = nextDirName("v")
           merged.repartition(col("bucket"))
             .write.partitionBy("bucket").parquet(new Path(root, v).toString)
           commitManifest(Manifest(
-            m.buckets -- touched ++ bucketsIn(v).map(_ -> v).toMap, Nil))
+            m.buckets -- touched ++ bucketsIn(v).map(_ -> v).toMap, Nil),
+            gen, prev)
         } finally latest.unpersist()
     }
   }

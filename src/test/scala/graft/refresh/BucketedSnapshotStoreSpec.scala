@@ -105,7 +105,11 @@ class BucketedSnapshotStoreSpec extends SparkSpec {
 
   test("repeated merges stay GC-bounded and converge") {
     val dir = Files.createTempDirectory("graft-bucketed4").toString
-    val store = new BucketedSnapshotStore(spark, dir, numBuckets = 4, maxDeltas = 2)
+    // gcGraceMs=0: single-writer test wants immediate GC so the bound
+    // below is meaningful (production default keeps a grace window for
+    // concurrent writers' in-flight files)
+    val store = new BucketedSnapshotStore(spark, dir, numBuckets = 4,
+      maxDeltas = 2, gcGraceMs = 0L)
     store.commit(store.stage(snap(40, "a")))
     for (round <- 1 to 6) {
       store.mergeScoped(Seq("id-1").toDF("id"),

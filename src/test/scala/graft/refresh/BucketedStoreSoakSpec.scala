@@ -83,4 +83,38 @@ class BucketedStoreSoakSpec extends SparkSpec {
       checkAgainstModel(step)
     }
   }
+
+  test("two concurrent writers over one store lose no update (CAS commit)") {
+    // Two independent STORE INSTANCES (per-instance synchronization
+    // can't help) hammer disjoint id ranges concurrently; the CAS
+    // manifest swap must serialize their commits so every final write
+    // survives. Default gcGraceMs keeps in-flight files safe.
+    val dir = Files.createTempDirectory("graft-bucketed-cas").toString
+    val a = new BucketedSnapshotStore(spark, dir, numBuckets = 4, maxDeltas = 3)
+    val b = new BucketedSnapshotStore(spark, dir, numBuckets = 4, maxDeltas = 3)
+    a.commit(a.stage(Seq(("seed", """{"v":"0"}""")).toDF("id", "doc")))
+
+    val rounds = 6
+    def writer(store: BucketedSnapshotStore, tag: String): Thread = {
+      val t = new Thread(() => {
+        for (r <- 1 to rounds) {
+          store.mergeActions(
+            Seq(("index", s"$tag-$r", s"""{"v":"$tag-$r"}"""))
+              .toDF("op", "id", "doc"))
+        }
+      })
+      t.start(); t
+    }
+    val (ta, tb) = (writer(a, "a"), writer(b, "b"))
+    ta.join(120000); tb.join(120000)
+    assert(!ta.isAlive && !tb.isAlive, "writers did not finish")
+
+    val docs = new BucketedSnapshotStore(spark, dir, numBuckets = 4)
+      .read().as[(String, String)].collect().toMap
+    (1 to rounds).foreach { r =>
+      assert(docs.contains(s"a-$r"), s"lost a-$r: ${docs.keySet.toSeq.sorted}")
+      assert(docs.contains(s"b-$r"), s"lost b-$r: ${docs.keySet.toSeq.sorted}")
+    }
+    docs("seed") shouldBe """{"v":"0"}"""
+  }
 }
