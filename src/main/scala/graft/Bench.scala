@@ -63,7 +63,7 @@ object Bench {
       }
     }
     // Pipeline-lifecycle benchmark (not in the oracle gate): backfill a
-    // 1-doc-per-customer pipeline into a ParquetIndex, then refresh after
+    // 1-doc-per-customer pipeline into a BucketedParquetIndex, then refresh after
     // a 1% change — measures the engine's own sync path, where cost must
     // track change volume, not view size.
     val lifecycle =

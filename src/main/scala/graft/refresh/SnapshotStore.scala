@@ -14,8 +14,8 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   * Two implementations:
   *   - [[MvccSnapshotStore]]: whole-snapshot versions + a pointer file.
   *     Simple, fully atomic, but every commit rewrites the whole view —
-  *     fine for small views and the scratch store inside
-  *     [[graft.sink.ParquetIndex]].
+  *     fine for small views and tests (the deprecated
+  *     `graft.sink.ParquetIndex` wraps it).
   *   - [[BucketedSnapshotStore]]: hash-bucketed base + merge-on-read
   *     delta log + amortized compaction. Write I/O per refresh is
   *     proportional to CHANGE VOLUME (one delta file), never to view

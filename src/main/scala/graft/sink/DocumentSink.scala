@@ -69,7 +69,7 @@ trait DocumentSink {
 
 /** Test/driver-side sink: a concurrent map. Collects each batch to the
   * driver — ONLY for golden tests and interactive inspection; the scale
-  * path is [[ParquetIndex]]. */
+  * path is [[BucketedParquetIndex]]. */
 class InMemoryIndex(val index: String, val mapping: StructType)
     extends DocumentSink {
   private val docs = TrieMap.empty[String, String]
@@ -88,11 +88,15 @@ class InMemoryIndex(val index: String, val mapping: StructType)
   def ids: Set[String] = docs.keySet.toSet
 }
 
-/** Distributed sink: a versioned keyed parquet table, merged per batch
-  * with one anti-join + union (MERGE-by-key shape; on a real cluster
-  * this is a Delta MERGE or an external bulk API). Batch writes are
-  * Spark tasks — the analogue of the reference's 100-doc ES bulk chunks
-  * with task-level retry (reference: src/sinker/settings.py:23-41). */
+/** Versioned keyed parquet table, merged per batch with one anti-join
+  * + union (MERGE-by-key shape). DEPRECATED toward
+  * [[BucketedParquetIndex]]: every batch rewrites the WHOLE table, so
+  * write I/O scales with view size instead of change volume — the
+  * bucketed store (delta log + scoped compaction) is the only sink the
+  * production entry points wire. Kept for tests that want the simplest
+  * possible distributed sink. */
+@deprecated("use BucketedParquetIndex — this sink rewrites the whole " +
+  "table per batch", "0.1.0")
 class ParquetIndex(spark: SparkSession, val index: String,
     val mapping: StructType, path: String) extends DocumentSink {
 

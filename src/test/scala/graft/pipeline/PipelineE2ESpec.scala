@@ -203,7 +203,8 @@ class PipelineE2ESpec extends SparkSpec {
   }
 
   test("ParquetIndex distributed sink: backfill, merge, delete") {
-    val idx = new ParquetIndex(spark, "people_pq", peopleMapping, tmp())
+    val idx = (new ParquetIndex(spark, "people_pq", peopleMapping,
+      tmp())): @annotation.nowarn("cat=deprecation")
     idx.recreate()
     idx.applyActions(Seq(
       ("index", "p-1", """{"name": "John"}"""),
