@@ -34,10 +34,28 @@ object Dedup {
   /** Ensure CPU-bound per-row work is spread across the cluster: a small
     * input (one parquet file → one task) would otherwise hash on a
     * single core. No-op when the scan already has enough splits — at
-    * real scale the input parallelism dominates and no shuffle is added. */
+    * real scale the input parallelism dominates and no shuffle is added.
+    * Partition count comes from the logical plan's leaves (file-scan
+    * split math / LogicalRDD partitions) — no `df.rdd` plan conversion
+    * per call. */
   def spread(df: DataFrame): DataFrame = {
     val parts = df.sparkSession.sessionState.conf.numShufflePartitions
-    if (df.rdd.getNumPartitions < parts) df.repartition(parts) else df
+    val leafParts = df.queryExecution.logical.collectLeaves().map {
+      case r: org.apache.spark.sql.execution.LogicalRDD =>
+        r.rdd.getNumPartitions
+      case rel: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        rel.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            // same split rule the scan planner applies
+            val bytes = fs.location.sizeInBytes
+            val maxSplit = df.sparkSession.sessionState.conf.filesMaxPartitionBytes
+            math.max(1L, bytes / math.max(1L, maxSplit)).toInt
+          case _ => parts // unknown relation: assume already spread
+        }
+      case _ => parts
+    }
+    if (leafParts.nonEmpty && leafParts.max < parts) df.repartition(parts)
+    else df
   }
 
   // ------------------------------------------------------------ exact
