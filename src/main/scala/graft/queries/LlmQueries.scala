@@ -656,6 +656,35 @@ object LlmQueries {
        |GROUP BY 1, 2 HAVING count(*) >= $WinnowMinShared""".stripMargin
   }
 
+  // --------------------------------------------------------- q57
+  /** Deterministic hash-based corpus split (train/val/test) — the
+    * reproducible train-test partitioning every training-data pipeline
+    * needs: a doc's split follows md5(text) alone, so ANY engine, any
+    * partitioning, any run assigns identically (no RNG, no
+    * sampleBy seed drift). Per-row codegen hash + one aggregation;
+    * token totals ride along for corpus budgeting. 8/1/1 by hash
+    * bucket. */
+  private def q57(s: SparkSession, dir: String): DataFrame = {
+    val bucket = conv(substring(md5(col("text")), 1, 6), 16, 10)
+      .cast("long") % 10
+    Tables.documents(s, dir)
+      .select(
+        when(bucket < 8, "train").when(bucket === 8, "val")
+          .otherwise("test").as("split"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("toks"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
+  }
+  private val q57Sql =
+    s"""SELECT CASE WHEN bucket < 8 THEN 'train'
+       |            WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split,
+       |  COUNT(*) AS n_docs,
+       |  CAST(SUM(toks) AS BIGINT) AS n_tokens
+       |FROM (SELECT ('0x' || substr(md5(text), 1, 6))::BIGINT % 10 AS bucket,
+       |             CAST(len($WsSplit) AS BIGINT) AS toks
+       |      FROM documents)
+       |GROUP BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q26_dedup_exact" -> q26 _,
     "q27_minhash_bands" -> q27 _,
@@ -679,7 +708,8 @@ object LlmQueries {
     "q48_ngram_jaccard" -> q48 _,
     "q49_bm25" -> q49 _,
     "q50_dedup_clusters" -> q50 _,
-    "q52_winnow_overlap" -> q52 _)
+    "q52_winnow_overlap" -> q52 _,
+    "q57_hash_split" -> q57 _)
 
   val oracles: Map[String, String] = Map(
     "q26_dedup_exact" -> q26Sql,
@@ -704,5 +734,6 @@ object LlmQueries {
     "q52_winnow_overlap" -> q52Sql,
     "q39_dedup_keep" -> q39Sql,
     "q40_sessionize" -> q40Sql,
-    "q42_multimodal_decode" -> q42Sql)
+    "q42_multimodal_decode" -> q42Sql,
+    "q57_hash_split" -> q57Sql)
 }

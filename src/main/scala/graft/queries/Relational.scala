@@ -571,6 +571,83 @@ object Relational {
       |  EXCEPT
       |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997)""".stripMargin
 
+  // ---------------------------------------------------------------- q54
+  /** FULL OUTER join (beyond-parity extension): daily click counts vs
+    * view counts — days where either side is absent survive with a
+    * zero. Both inputs pre-aggregate to one row per day BEFORE the
+    * join (join input ∝ distinct days, not events), the full-outer
+    * itself is one sort-merge on the day key, and COALESCE keeps the
+    * output columns non-null so the schema is stable. */
+  private def q54(s: SparkSession, dir: String): DataFrame = {
+    // date_trunc keeps TIMESTAMP typing on both engines (a DATE column
+    // round-trips as python date objects and defeats the dtype check)
+    def perDay(t: String, as: String) = Tables.events(s, dir)
+      .filter(col("event_type") === t)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as(as))
+    perDay("click", "clicks")
+      .join(perDay("view", "views"), Seq("day"), "full_outer")
+      .select(col("day"),
+        coalesce(col("clicks"), lit(0L)).as("clicks"),
+        coalesce(col("views"), lit(0L)).as("views"))
+  }
+  private val q54Sql =
+    """SELECT COALESCE(c.day, v.day) AS day,
+      |  COALESCE(c.clicks, 0) AS clicks,
+      |  COALESCE(v.views, 0) AS views
+      |FROM (SELECT date_trunc('day', ts) AS day, COUNT(*) AS clicks
+      |      FROM events WHERE event_type = 'click' GROUP BY 1) c
+      |FULL OUTER JOIN
+      |     (SELECT date_trunc('day', ts) AS day, COUNT(*) AS views
+      |      FROM events WHERE event_type = 'view' GROUP BY 1) v
+      |ON c.day = v.day""".stripMargin
+
+  // ---------------------------------------------------------------- q55
+  /** NOT EXISTS anti-join (beyond-parity extension): customers with no
+    * 1997 order. Catalyst plans a LeftAnti hash join on the key — one
+    * shuffle, no row duplication, the complement of q04's semi-join. */
+  private def q55(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir)
+          .filter(year(col("o_orderdate")) === 1997)
+          .select(col("o_custkey").as("c_custkey")),
+        Seq("c_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+  private val q55Sql =
+    """SELECT c_custkey, c_name, c_mktsegment FROM customer c
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM orders o
+      |  WHERE o.o_custkey = c.c_custkey
+      |    AND year(o.o_orderdate) = 1997)""".stripMargin
+
+  // ---------------------------------------------------------------- q56
+  /** Explicit window frame (beyond-parity extension): per-customer
+    * running revenue in order-date order, ROWS UNBOUNDED PRECEDING →
+    * CURRENT ROW. Prices go through cents-as-BIGINT so the running
+    * fold is exact integer arithmetic in both engines (a double fold
+    * would expose engine-internal summation order); the unique
+    * (custkey, date, orderkey) sort makes every prefix deterministic.
+    * One hash-partitioned window on the customer key. */
+  private def q56(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    Tables.orders(s, dir)
+      .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+      .select(col("o_custkey"), col("o_orderkey"),
+        sum(col("cents")).over(w).as("running_cents"))
+  }
+  private val q56Sql =
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER (
+      |    PARTITION BY o_custkey
+      |    ORDER BY o_orderdate ASC, o_orderkey ASC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS running_cents
+      |FROM orders""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01 _,
     "q02_filter_project" -> q02 _,
@@ -597,7 +674,10 @@ object Relational {
     "q23_ingest_ts" -> q23 _,
     "q41_rollup" -> q41 _,
     "q51_quantiles" -> q51 _,
-    "q53_setops" -> q53 _)
+    "q53_setops" -> q53 _,
+    "q54_full_outer" -> q54 _,
+    "q55_anti_join" -> q55 _,
+    "q56_running_sum" -> q56 _)
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -625,5 +705,8 @@ object Relational {
     "q23_ingest_ts" -> q23Sql,
     "q41_rollup" -> q41Sql,
     "q51_quantiles" -> q51Sql,
-    "q53_setops" -> q53Sql)
+    "q53_setops" -> q53Sql,
+    "q54_full_outer" -> q54Sql,
+    "q55_anti_join" -> q55Sql,
+    "q56_running_sum" -> q56Sql)
 }
