@@ -4,7 +4,9 @@ object ExplainProbe {
     val spark = graft.core.GraftSession.get()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.01"
-    for (q <- Seq("q46_asof_join", "q47_range_join", "q48_ngram_jaccard", "q49_bm25")) {
+    val qs = if (args.nonEmpty) args.toSeq
+      else Seq("q46_asof_join", "q47_range_join", "q48_ngram_jaccard", "q49_bm25")
+    for (q <- qs) {
       println(s"========== $q ==========")
       val df = graft.SparkEntry.queries(q)(spark, dir)
       val plan = df.queryExecution.executedPlan.toString
