@@ -70,6 +70,7 @@ class GraftSettings(env: Map[String, String] = sys.env) {
     env.get("PGUSER").foreach(p.setProperty("user", _))
     env.get("PGPASSWORD").foreach(p.setProperty("password", _))
     env.get("PGSSLMODE").foreach(p.setProperty("sslmode", _))
+    env.get("PGSSLROOTCERT").foreach(p.setProperty("sslrootcert", _))
     p
   }
 

@@ -31,7 +31,9 @@ class JdbcSourceSpec extends SparkSpec {
     "INSERT INTO keyless VALUES ('a'), ('b'), ('c')",
     "CREATE TABLE emptied(id INT NOT NULL PRIMARY KEY)",
     "CREATE TABLE tiny(id INT NOT NULL PRIMARY KEY)",
-    "INSERT INTO tiny VALUES (7), (8)")
+    "INSERT INTO tiny VALUES (7), (8)",
+    "CREATE TABLE nullkey(id INT, name VARCHAR(16))",
+    "INSERT INTO nullkey VALUES (1,'a'), (2,'b'), (NULL,'c'), (NULL,'d'), (9,'e')")
 
   private val props = new Properties()
 
@@ -55,6 +57,15 @@ class JdbcSourceSpec extends SparkSpec {
     val df = JdbcSource.read(spark, url, "emptied", props,
       fetchSize = 10, numPartitions = 4)
     df.count() shouldBe 0
+  }
+
+  test("nullable key: null rows survive the ranged read (first-partition clause)") {
+    // Spark's range partitioning adds `col IS NULL` to the first
+    // partition predicate — rows with a null key must not be dropped
+    val df = JdbcSource.read(spark, url, "nullkey", props,
+      fetchSize = 2, numPartitions = 3)
+    df.count() shouldBe 5
+    df.filter("ID IS NULL").count() shouldBe 2
   }
 
   test("partition count clamps to the key range on tiny tables") {
