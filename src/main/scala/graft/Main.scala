@@ -71,11 +71,14 @@ object Main {
         graft.analysis.ViewAnalyzer.parseSchemaTables(spark, sql)._2
       }
     val props = settings.pgProps
+    val schema = settings.sinkerSchema
     val sources: Map[String, () => org.apache.spark.sql.DataFrame] =
       tables.map { t =>
-        // chunked (fetchsize=PGCHUNK_SIZE) + range-partitioned scan —
-        // the backfill parallelizes instead of one task per table
-        t -> (() => graft.sources.JdbcSource.read(spark, url, s""""$t"""",
+        // schema-qualified (SINKER_SCHEMA parity), chunked
+        // (fetchsize=PGCHUNK_SIZE) and range-partitioned scan — the
+        // backfill parallelizes instead of one task per table
+        t -> (() => graft.sources.JdbcSource.read(spark, url,
+          s""""$schema"."$t"""",
           props, settings.pgChunkSize, settings.pgScanPartitions))
       }.toMap
     val pipelines = buildPipelines(spark, definitionsDir, workDir, sources, settings)

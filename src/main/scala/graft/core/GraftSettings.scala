@@ -26,6 +26,11 @@ class GraftSettings(env: Map[String, String] = sys.env) {
   /** Logical replication slot name for [[graft.pipeline.PgSlotFeed]]. */
   def replicationSlot: String = str("SINKER_REPLICATION_SLOT", "sinker")
 
+  /** Schema qualifying live-Postgres source tables (SINKER_SCHEMA,
+    * reference default "public" — settings.py:12,19; the reference
+    * prefixes every table/view access with it). */
+  def sinkerSchema: String = str("SINKER_SCHEMA", "public")
+
   /** Poll interval between runner ticks, ms (reference stores seconds:
     * SINKER_POLL_INTERVAL=10). */
   def pollIntervalMs: Long = long("SINKER_POLL_INTERVAL", 10L) * 1000L

@@ -41,6 +41,8 @@ class GraftSettingsSpec extends AnyFunSuite with Matchers {
     val d = new GraftSettings(Map.empty)
     d.pgChunkSize shouldBe 2000 // settings.py:50
     d.pgScanPartitions shouldBe 32
+    d.sinkerSchema shouldBe "public" // settings.py:12,19
+    new GraftSettings(Map("SINKER_SCHEMA" -> "app")).sinkerSchema shouldBe "app"
     val s = new GraftSettings(Map(
       "PGCHUNK_SIZE" -> "500", "GRAFT_PG_SCAN_PARTITIONS" -> "8"))
     s.pgChunkSize shouldBe 500
