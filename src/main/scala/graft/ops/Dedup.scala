@@ -223,9 +223,15 @@ object Dedup {
 
   /** Banded LSH keys: `bands` keys per doc, each hashing `rowsPerBand`
     * consecutive minhashes. Two docs sharing any band key are candidate
-    * near-dups. Output: (id, band, band_key) — `bands × n` rows. */
+    * near-dups. Output: (id, band, band_key) — `bands × n` rows.
+    *
+    * `hashFamily`: "md5" (default — the DuckDB oracle recomputes
+    * identical values) or "xxhash64" (seeded XXH64, no digest
+    * allocation — the production choice when nothing external needs to
+    * reproduce the signatures; same banding behavior, spec-gated). */
   def bandKeys(docs: DataFrame, textCol: String, idCol: String,
-      bands: Int, rowsPerBand: Int, shingleK: Int = 3): DataFrame = {
+      bands: Int, rowsPerBand: Int, shingleK: Int = 3,
+      hashFamily: String = "md5"): DataFrame = {
     // one fused primitive pass per row (native minhash_sig expression);
     // see graft.functions.MinhashSig for why HOFs don't cut it here
     graft.functions.GraftExtensions.ensureRegistered(docs.sparkSession)
@@ -233,7 +239,7 @@ object Dedup {
       .select(col("id"), words(col(textCol)).as("ws"))
       .select(col("id"),
         call_function("minhash_sig", col("ws"),
-          lit(shingleK), lit(bands * rowsPerBand)).as("sig"))
+          lit(shingleK), lit(bands * rowsPerBand), lit(hashFamily)).as("sig"))
       .filter(col("sig").isNotNull)
     val sigs = (0 until bands * rowsPerBand)
       .map(h => element_at(col("sig"), h + 1).as(s"mh$h"))

@@ -68,6 +68,25 @@ class OpsSpec extends SparkSpec {
     winComposed.exceptAll(winNative).count() shouldBe 0
   }
 
+  test("xxhash64 minhash family: same near-dups, no md5, deterministic") {
+    val a = "the quick brown fox jumps over the lazy dog again and again"
+    val b = "the quick brown fox jumps over the lazy cat again and again"
+    val c = "completely different words nothing shared here at all ever done"
+    val df = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    def pairsWith(fam: String) = Dedup.jaccardVerify(
+      Dedup.candidatePairs(Dedup.bandKeys(df, "text", "doc_id",
+        bands = 8, rowsPerBand = 1, shingleK = 3, hashFamily = fam)),
+      df, "text", "doc_id", 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    pairsWith("xxhash64") shouldBe Set((1L, 2L)) // same truth as md5 family
+    // the families are genuinely different hash functions
+    def sigs(fam: String) = Dedup.bandKeys(df, "text", "doc_id",
+      8, 1, 3, fam).select("band_key").as[String].collect().toSet
+    sigs("xxhash64") should not be sigs("md5")
+    sigs("xxhash64") shouldBe sigs("xxhash64") // deterministic across runs
+    intercept[Exception](sigs("fnv"))
+  }
+
   test("native simhash16 matches the composed form on null tokens (-1 every bit)") {
     // arrays with null elements never come from words(), but the kernel
     // and the composed HOF form must still agree if one sneaks in
