@@ -18,9 +18,11 @@ import org.apache.spark.sql.functions._
   *  - fingerprint: canonical content key (sorted distinct tokens) for
   *    order/duplication-insensitive clustering.
   *
-  * All hashing is md5-based and therefore deterministic and
-  * reproducible across engines (the DuckDB oracle recomputes identical
-  * values).
+  * Hashing defaults to md5 everywhere, deterministic and reproducible
+  * across engines (the DuckDB oracle recomputes identical values);
+  * [[bandKeys]] additionally offers a production `xxhash64` family
+  * whose signatures only this engine can recompute (spec-gated, never
+  * oracle-gated).
   */
 object Dedup {
 
@@ -35,27 +37,35 @@ object Dedup {
     * input (one parquet file → one task) would otherwise hash on a
     * single core. No-op when the scan already has enough splits — at
     * real scale the input parallelism dominates and no shuffle is added.
-    * Partition count comes from the logical plan's leaves (file-scan
-    * split math / LogicalRDD partitions) — no `df.rdd` plan conversion
-    * per call. */
+    * Partition counts come from the logical plan's leaves (file-scan
+    * split math, LogicalRDD/cached partitioning) so the common paths
+    * skip the `df.rdd` plan conversion; a leaf the estimator doesn't
+    * recognize falls back to the accurate physical count rather than
+    * guessing "already spread". */
   def spread(df: DataFrame): DataFrame = {
     val parts = df.sparkSession.sessionState.conf.numShufflePartitions
-    val leafParts = df.queryExecution.logical.collectLeaves().map {
+    val known: Seq[Option[Int]] = df.queryExecution.logical.collectLeaves().map {
       case r: org.apache.spark.sql.execution.LogicalRDD =>
-        r.rdd.getNumPartitions
+        Some(r.rdd.getNumPartitions)
+      case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+        Some(1) // driver-local rows: always worth spreading
+      case m: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+        Some(m.cachedPlan.outputPartitioning.numPartitions)
       case rel: org.apache.spark.sql.execution.datasources.LogicalRelation =>
         rel.relation match {
-          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+          case fsRel: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
             // same split rule the scan planner applies
-            val bytes = fs.location.sizeInBytes
+            val bytes = fsRel.location.sizeInBytes
             val maxSplit = df.sparkSession.sessionState.conf.filesMaxPartitionBytes
-            math.max(1L, bytes / math.max(1L, maxSplit)).toInt
-          case _ => parts // unknown relation: assume already spread
+            Some(math.max(1L, bytes / math.max(1L, maxSplit)).toInt)
+          case _ => None
         }
-      case _ => parts
+      case _ => None
     }
-    if (leafParts.nonEmpty && leafParts.max < parts) df.repartition(parts)
-    else df
+    val leafParts: Seq[Int] =
+      if (known.nonEmpty && known.forall(_.isDefined)) known.flatten
+      else Seq(df.rdd.getNumPartitions) // unknown source: pay one conversion
+    if (leafParts.max < parts) df.repartition(parts) else df
   }
 
   // ------------------------------------------------------------ exact
@@ -430,8 +440,13 @@ object Dedup {
       org.apache.spark.sql.types.StructField("v", aType)))
 
     // one pass over the (possibly expensive) upstream pipeline: nodes
-    // and the initial edge set both read this cached frame
-    val base = pairs.select(col("id_a"), col("id_b")).persist(MEMORY_AND_DISK)
+    // and the initial edge set both read this cached frame. Null ids
+    // are not nodes — dropped up front so both paths agree (the join
+    // semantics of the distributed path would silently drop null-keyed
+    // edges anyway, and the driver path's comparators can't order null).
+    val base = pairs
+      .filter(col("id_a").isNotNull && col("id_b").isNotNull)
+      .select(col("id_a"), col("id_b")).persist(MEMORY_AND_DISK)
     val labelSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("node", aType),
       org.apache.spark.sql.types.StructField("cluster", aType)))
@@ -477,6 +492,11 @@ object Dedup {
     val nodes = base.select(col("id_a").as("node"))
       .unionByName(base.select(col("id_b").as("node"))).distinct()
       .persist(MEMORY_AND_DISK)
+    // materialize NOW, while base is cached: the labels frame returned
+    // below is lazy, and computing nodes at the caller's first action
+    // would otherwise re-run the whole upstream pipeline after the
+    // base.unpersist() at the end of this method
+    nodes.count()
 
     // canonical directed edges, larger endpoint -> smaller, no self-loops
     var edges = spark.createDataFrame(
@@ -553,11 +573,12 @@ object Dedup {
     require(done, s"connectedComponents did not converge in $maxIter rounds")
     // fixpoint edges are (leaf -> component-min root); roots and
     // self-pair singletons label themselves. The star edge set is one
-    // row per non-root node — broadcast only when it's small enough
-    // (it usually is: clusters are rare relative to the corpus).
+    // row per non-root node — broadcast only while it's comfortably
+    // inside broadcast sizing (~1M two-column rows ≈ tens of MB);
+    // bigger fixpoints take the plain shuffle join
     val stars = edges.select(col("u").as("node"), col("v").as("cluster"))
     val labels = nodes
-      .join(if (cnt <= 10000000L) broadcast(stars) else stars,
+      .join(if (cnt <= 1000000L) broadcast(stars) else stars,
         Seq("node"), "left")
       .select(col("node"),
         coalesce(col("cluster"), col("node")).as("cluster"))

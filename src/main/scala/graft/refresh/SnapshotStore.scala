@@ -202,10 +202,17 @@ class BucketedSnapshotStore(
     * the manifest (`B <n>` header) at first commit and read back on
     * reopen, so changing the constructor/env value against an existing
     * store can NOT silently re-hash reads against the old leaf
-    * assignment — the persisted value always wins. */
-  private lazy val effectiveBuckets: Int =
-    currentGenAndBody().map(_._2).flatMap(parseBucketCount)
-      .getOrElse(numBuckets)
+    * assignment — the persisted value always wins. Cached only once a
+    * manifest has been SEEN: before the first commit the configured
+    * value is returned WITHOUT freezing, so an instance racing another
+    * writer's initial commit adopts the winner's persisted count on
+    * its next read instead of keeping a stale guess. */
+  @volatile private var persistedBuckets: Option[Int] = None
+  private def effectiveBuckets: Int = persistedBuckets.getOrElse {
+    val fromDisk = currentGenAndBody().map(_._2).flatMap(parseBucketCount)
+    fromDisk.foreach(b => persistedBuckets = Some(b))
+    fromDisk.getOrElse(numBuckets)
+  }
 
   private def bucketOf(c: Column): Column =
     pmod(xxhash64(c), lit(effectiveBuckets))
@@ -278,11 +285,18 @@ class BucketedSnapshotStore(
 
   private def manifest: Manifest = manifestWithGen._2
 
-  /** CAS publish: write the body to a temp file, rename it to
-    * `_CURRENT.<expectedGen+1>` WITHOUT overwrite — if that generation
-    * already exists another writer won the race and the caller must
-    * recompute ([[CommitConflictException]]). On success, prune
-    * generations older than the previous one and GC data dirs. */
+  /** CAS publish: write the body to a temp file, publish it as
+    * `_CURRENT.<expectedGen+1>` atomically-failing-if-present — if
+    * that generation already exists another writer won the race and
+    * the caller must recompute ([[CommitConflictException]]). On
+    * success, prune generations older than the previous one and GC
+    * data dirs.
+    *
+    * Publish primitive by scheme: on local filesystems a HARD LINK
+    * (`link(2)` fails with EEXIST atomically — Hadoop's local rename
+    * without OVERWRITE is a non-atomic exists-check-then-renameTo,
+    * which silently overwrites in the race window); on HDFS and
+    * friends, rename-without-overwrite, which is atomic there. */
   private def commitManifest(m: Manifest, expectedGen: Long,
       prev: Manifest): Unit = {
     val body = (s"B $effectiveBuckets" +:
@@ -293,16 +307,30 @@ class BucketedSnapshotStore(
     val out = fs.create(tmp, true)
     try out.write(body.getBytes("UTF-8")) finally out.close()
     val dest = new Path(root, s"_CURRENT.${expectedGen + 1}")
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-      dest.toUri, spark.sparkContext.hadoopConfiguration)
-    try fc.rename(tmp, dest) // no OVERWRITE: fails on existing target
-    catch {
-      case e @ (_: org.apache.hadoop.fs.FileAlreadyExistsException |
-                _: java.nio.file.FileAlreadyExistsException) =>
-        fs.delete(tmp, false)
-        throw new CommitConflictException(
-          s"generation ${expectedGen + 1} already committed at $path: $e")
-    }
+    val conflict: Boolean =
+      if ("file" == Option(dest.toUri.getScheme).getOrElse(
+          fs.getUri.getScheme)) {
+        val tmpNio = java.nio.file.Paths.get(
+          fs.makeQualified(tmp).toUri.getPath)
+        val destNio = java.nio.file.Paths.get(
+          fs.makeQualified(dest).toUri.getPath)
+        try { java.nio.file.Files.createLink(destNio, tmpNio); false }
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException => true
+        } finally java.nio.file.Files.deleteIfExists(tmpNio)
+      } else {
+        val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+          dest.toUri, spark.sparkContext.hadoopConfiguration)
+        try { fc.rename(tmp, dest); false }
+        catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+               _: java.nio.file.FileAlreadyExistsException =>
+            fs.delete(tmp, false); true
+        }
+      }
+    if (conflict)
+      throw new CommitConflictException(
+        s"generation ${expectedGen + 1} already committed at $path")
     // keep dest and its predecessor (reader grace); prune older gens
     manifestFiles().filter(_._1 < expectedGen).foreach { case (_, p) =>
       fs.delete(p, false)
@@ -354,6 +382,10 @@ class BucketedSnapshotStore(
       .filter(st => !liveDeltas.contains(st.getPath.getName) &&
         st.getModificationTime < cutoff)
       .foreach(st => fs.delete(st.getPath, true))
+    // manifest temp files stranded by a crash between create and publish
+    Option(fs.globStatus(new Path(root, "_TMP.*"))).toSeq.flatten
+      .filter(_.getModificationTime < cutoff)
+      .foreach(st => fs.delete(st.getPath, false))
   }
 
   // ------------------------------------------------------- dirs/versions
@@ -376,17 +408,36 @@ class BucketedSnapshotStore(
     Option(fs.globStatus(new Path(new Path(root, v), "bucket=*"))).toSeq.flatten
       .map(_.getPath.getName.stripPrefix("bucket=").toLong)
 
+  /** Bucket count each staged version was hashed with — checked at
+    * commit so a racing initial commit with a DIFFERENT persisted
+    * count can never publish leaves hashed against the wrong layout. */
+  private val stagedWith =
+    scala.collection.concurrent.TrieMap.empty[String, Int]
+
   override def stage(df: DataFrame): String = {
     val v = nextDirName("v")
+    val buckets = effectiveBuckets
+    stagedWith(v) = buckets
     // h is persisted so refresh diffs can scan (id, h) without ever
     // reading doc bytes — see [[readKeyed]]
     df.select("id", "doc")
       .withColumn("h", xxhash64(col("doc")))
-      .withColumn("bucket", bucketOf(col("id")))
+      .withColumn("bucket", pmod(xxhash64(col("id")), lit(buckets)))
       .repartition(col("bucket"))
       .write.partitionBy("bucket").parquet(new Path(root, v).toString)
     v
   }
+
+  /** Guard for [[commit]]/bulk-load: the bucket count `v` was staged
+    * with must still be the store's effective count at publish time. */
+  private def requireStageLayout(v: String): Unit =
+    stagedWith.get(v).foreach { b =>
+      val now = effectiveBuckets
+      if (b != now) throw new IllegalStateException(
+        s"staged version $v was hashed into $b buckets but the store's " +
+          s"persisted layout is $now (a concurrent initial commit won " +
+          "with a different bucket count) — re-stage and retry")
+    }
 
   /** Full-snapshot commit: every bucket present in `v` becomes current
     * and the delta log is cleared (a backfill / full refresh wrote the
@@ -395,6 +446,7 @@ class BucketedSnapshotStore(
     val (gen, prev) = currentGenAndBody()
       .map { case (g, s) => (g, parseManifest(s)) }
       .getOrElse((0L, Manifest(Map.empty, Nil)))
+    requireStageLayout(v)
     commitManifest(Manifest(bucketsIn(v).map(_ -> v).toMap, Nil), gen, prev)
   }
 
@@ -510,10 +562,15 @@ class BucketedSnapshotStore(
         // bulk load into an empty store: land directly in bucketed
         // form — one write, no delta hop (deletes against nothing are
         // dropped)
-        val v = stagedBulk.getOrElse {
-          val s = stage(actions.filter(col("op") === "index").select("id", "doc"))
-          stagedBulk = Some(s); s
-        }
+        // a retry may find the store's layout changed (a racing initial
+        // commit won with a different bucket count) — re-stage then
+        val v = stagedBulk
+          .filter(sv => stagedWith.get(sv).forall(_ == effectiveBuckets))
+          .getOrElse {
+            val s = stage(actions.filter(col("op") === "index").select("id", "doc"))
+            stagedBulk = Some(s); s
+          }
+        requireStageLayout(v)
         commitManifest(Manifest(bucketsIn(v).map(_ -> v).toMap, Nil), gen, m)
       } else {
         val d = writtenDelta.getOrElse {

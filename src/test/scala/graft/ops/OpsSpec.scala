@@ -133,6 +133,17 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("connectedComponents ignores null-id rows consistently on both paths") {
+    val withNulls = Seq(
+      (Some(1L), Some(2L)), (None, Some(5L)), (Some(5L), Some(6L)),
+      (Some(7L), None)).toDF("id_a", "id_b")
+    for (cap <- Seq(2000000L, 0L)) {
+      val got = Dedup.connectedComponents(withNulls, maxDriverEdges = cap)
+        .as[(Long, Long)].collect().toMap
+      got shouldBe Map(1L -> 1L, 2L -> 1L, 5L -> 5L, 6L -> 5L)
+    }
+  }
+
   test("connectedComponents rejects mismatched id types up front") {
     val bad = Seq((1L, "a"), (2L, "b")).toDF("id_a", "id_b")
     val e = intercept[IllegalArgumentException](
