@@ -79,7 +79,8 @@ object Main {
         // backfill parallelizes instead of one task per table
         t -> (() => graft.sources.JdbcSource.read(spark, url,
           s""""$schema"."$t"""",
-          props, settings.pgChunkSize, settings.pgScanPartitions))
+          props, settings.pgChunkSize, settings.pgScanPartitions,
+          settings.pgPartitionColumns.get(t)))
       }.toMap
     val pipelines = buildPipelines(spark, definitionsDir, workDir, sources, settings)
     val feed = new PgSlotFeed(

@@ -89,6 +89,21 @@ class GraftSettings(env: Map[String, String] = sys.env) {
     * [[graft.sources.JdbcSource]] clamps to the key range). */
   def pgScanPartitions: Int = int("GRAFT_PG_SCAN_PARTITIONS", 32)
 
+  /** Optional override for the backfill partition column, as
+    * `table:column` pairs (`GRAFT_PG_PARTITION_COLUMNS=
+    * person:person_id,orders:o_id`) — for tables whose first numeric
+    * column isn't the indexed key the auto-probe should range over. */
+  def pgPartitionColumns: Map[String, String] =
+    env.get("GRAFT_PG_PARTITION_COLUMNS").map {
+      _.split(',').iterator.map(_.trim).filter(_.nonEmpty).map { pair =>
+        pair.split(':') match {
+          case Array(t, c) => t.trim -> c.trim
+          case _ => throw new IllegalArgumentException(
+            s"GRAFT_PG_PARTITION_COLUMNS entry '$pair' is not table:column")
+        }
+      }.toMap
+    }.getOrElse(Map.empty)
+
   /** ES endpoint: GRAFT_ES_URL verbatim (e.g. `http://es:9200`), or
     * built from the reference's ELASTICSEARCH_HOST/PORT/SCHEME when
     * the host is set (es.py:15-19). When present the CLI sinks into a

@@ -48,13 +48,28 @@ object JdbcSource {
   /** Read `table` (caller-quoted, e.g. `"person"`) with streaming
     * fetch and, when a numeric column exists, ranged parallelism.
     * Schema resolution and the bounds probe are metadata-sized
-    * queries; no data moves until an action runs. */
+    * queries; no data moves until an action runs.
+    *
+    * `keyColumn` overrides the auto-probe (first numeric column) — the
+    * production knob for tables whose first numeric column is
+    * unindexed or skewed; it must name a numeric column or the read
+    * fails loudly rather than scanning on a bad key. */
   def read(spark: SparkSession, url: String, table: String,
       props: Properties, fetchSize: Int = 2000,
-      numPartitions: Int = 32): DataFrame = {
+      numPartitions: Int = 32, keyColumn: Option[String] = None): DataFrame = {
     val p = withFetch(props, fetchSize)
     val whole = spark.read.jdbc(url, table, p)
-    val key = whole.schema.fields.find(f => isRangeKey(f.dataType))
+    val key = keyColumn match {
+      case Some(name) =>
+        val f = whole.schema.fields.find(_.name.equalsIgnoreCase(name))
+          .getOrElse(throw new IllegalArgumentException(
+            s"partition column $name not found in $table " +
+              s"(have: ${whole.schema.fieldNames.mkString(", ")})"))
+        require(isRangeKey(f.dataType),
+          s"partition column $name has non-numeric type ${f.dataType.sql}")
+        Some(f)
+      case None => whole.schema.fields.find(f => isRangeKey(f.dataType))
+    }
     key match {
       case None => whole // keyless: one cursor, chunked by fetchsize
       case Some(f) if numPartitions <= 1 => whole

@@ -47,6 +47,13 @@ class GraftSettingsSpec extends AnyFunSuite with Matchers {
       "PGCHUNK_SIZE" -> "500", "GRAFT_PG_SCAN_PARTITIONS" -> "8"))
     s.pgChunkSize shouldBe 500
     s.pgScanPartitions shouldBe 8
+    d.pgPartitionColumns shouldBe Map.empty
+    new GraftSettings(Map(
+      "GRAFT_PG_PARTITION_COLUMNS" -> "person:person_id, orders:o_id"))
+      .pgPartitionColumns shouldBe Map(
+        "person" -> "person_id", "orders" -> "o_id")
+    intercept[IllegalArgumentException](new GraftSettings(Map(
+      "GRAFT_PG_PARTITION_COLUMNS" -> "justatable")).pgPartitionColumns)
   }
 
   test("ES auth/scheme parity with es.py: user:pass -> Basic header") {

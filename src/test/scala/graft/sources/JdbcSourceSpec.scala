@@ -68,6 +68,28 @@ class JdbcSourceSpec extends SparkSpec {
     df.filter("ID IS NULL").count() shouldBe 2
   }
 
+  test("keyColumn override wins over the auto-probe; bad names fail loudly") {
+    // two numeric columns: auto-probe would pick SEQ (first); the
+    // override ranges on ID instead
+    exec(
+      "CREATE TABLE twokeys(seq INT NOT NULL, id INT NOT NULL PRIMARY KEY)",
+      (1 to 40).map(i => s"(1, $i)")
+        .mkString("INSERT INTO twokeys VALUES ", ", ", ""))
+    val df = JdbcSource.read(spark, url, "twokeys", props,
+      fetchSize = 10, numPartitions = 4, keyColumn = Some("id"))
+    df.rdd.getNumPartitions shouldBe 4
+    df.count() shouldBe 40
+    // auto-probe on SEQ (all 1s): bounds collapse to one value
+    JdbcSource.read(spark, url, "twokeys", props, 10, 4)
+      .rdd.getNumPartitions shouldBe 1
+    intercept[IllegalArgumentException](
+      JdbcSource.read(spark, url, "twokeys", props, 10, 4,
+        keyColumn = Some("nope")))
+    intercept[IllegalArgumentException](
+      JdbcSource.read(spark, url, "keyless", props, 10, 4,
+        keyColumn = Some("name"))) // non-numeric
+  }
+
   test("partition count clamps to the key range on tiny tables") {
     val df = JdbcSource.read(spark, url, "tiny", props,
       fetchSize = 10, numPartitions = 32)
