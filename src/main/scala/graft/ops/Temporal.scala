@@ -37,12 +37,19 @@ object Temporal {
     * the greatest payload struct wins deterministically (DuckDB leaves
     * that tie unspecified — dedup first when oracle-matching).
     *
+    * `toleranceSec` bounds staleness (pandas `merge_asof` tolerance): a
+    * carried match older than the tolerance is nulled out, so a left
+    * row only attributes to a right row within the window. For
+    * TIMESTAMP columns the unit is seconds; for numeric timestamp
+    * columns it's the column's own unit. Costs one more projection —
+    * the shuffle shape is unchanged.
+    *
     * Output: every left column, then `rightVals` renamed with `prefix`,
     * then the matched right timestamp as `<prefix><rightTs>`.
     */
   def asOfJoin(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String, rightVals: Seq[String],
-      prefix: String = "r_"): DataFrame = {
+      prefix: String = "r_", toleranceSec: Option[Long] = None): DataFrame = {
     val reserved = Set("__key", "__ts", "__side", "__r", "__l", "__match")
     require(!(left.columns ++ right.columns).exists(reserved),
       s"asOfJoin inputs must not use reserved columns ${reserved.mkString(", ")}")
@@ -70,9 +77,25 @@ object Temporal {
     val w = Window.partitionBy(col("__key"))
       .orderBy(col("__ts").asc, col("__side").asc, col("__r").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = rSide.unionByName(lSide)
+    val carriedAll = rSide.unionByName(lSide)
       .withColumn("__match", last(col("__r"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
+    val carried = toleranceSec match {
+      case None => carriedAll
+      case Some(tol) =>
+        val isTimestamp = left.schema(leftTs).dataType match {
+          case org.apache.spark.sql.types.TimestampType |
+               org.apache.spark.sql.types.TimestampNTZType => true
+          case _ => false
+        }
+        val matchTs = col("__match").getField(rightTs)
+        val fresh =
+          if (isTimestamp)
+            unix_micros(col("__ts")) - unix_micros(matchTs) <= tol * 1000000L
+          else col("__ts") - matchTs <= tol
+        carriedAll.withColumn("__match",
+          when(col("__match").isNotNull && fresh, col("__match")))
+    }
     val outLeft = leftCols.map(c => col("__l").getField(c).as(c))
     val outRight = rightVals.map(c => col("__match").getField(c).as(s"$prefix$c")) :+
       col("__match").getField(rightTs).as(s"$prefix$rightTs")

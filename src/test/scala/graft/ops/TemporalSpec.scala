@@ -42,6 +42,35 @@ class TemporalSpec extends SparkSpec {
     out(3).isNullAt(3) shouldBe true               // unmatched key
   }
 
+  test("asOfJoin tolerance nulls stale matches, keeps fresh ones") {
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 12:30:00")), // 30 min after a purchase: fresh
+      (2L, 10L, ts("2024-01-01 14:30:00")), // 90 min after the latest: stale
+      (3L, 99L, ts("2024-01-01 14:30:00"))  // no right rows at all
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (10L, ts("2024-01-01 12:00:00"), 100L, 1.0),
+      (10L, ts("2024-01-01 13:00:00"), 101L, 2.0)
+    ).toDF("user_id", "ts", "event_id", "value")
+    val out = Temporal.asOfJoin(left, right, "user_id", "ts", "ts",
+        Seq("event_id", "value"), "p_", toleranceSec = Some(3600L))
+      .orderBy("event_id").collect()
+    out(0).getLong(3) shouldBe 100L     // within the hour
+    out(1).isNullAt(3) shouldBe true    // carried match too old: nulled
+    out(1).isNullAt(4) shouldBe true
+    out(1).isNullAt(5) shouldBe true    // matched ts nulled too
+    out(2).isNullAt(3) shouldBe true    // no match stays no match
+
+    // numeric timestamp columns: tolerance in the column's own units
+    val ln = Seq((1L, 1L, 100L), (2L, 1L, 250L)).toDF("id", "k", "t")
+    val rn = Seq((1L, 90L, 7L)).toDF("k", "t", "v")
+    val outN = Temporal.asOfJoin(ln, rn, "k", "t", "t", Seq("v"), "r_",
+        toleranceSec = Some(50L))
+      .orderBy("id").collect()
+    outN(0).getLong(3) shouldBe 7L      // 100-90=10 <= 50
+    outN(1).isNullAt(3) shouldBe true   // 250-90=160 > 50
+  }
+
   test("asOfJoin matches the brute-force argmax on random data") {
     val n = 300
     val left = (1 to n).map(i =>
