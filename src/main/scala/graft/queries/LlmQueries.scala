@@ -685,6 +685,45 @@ object LlmQueries {
        |      FROM documents)
        |GROUP BY 1""".stripMargin
 
+  // --------------------------------------------------------- q59
+  /** Repetition quality metrics (the Gopher-rules family): per doc,
+    * the repeated-token fraction and the share of all bigrams claimed
+    * by the single most frequent bigram — the filters that catch
+    * boilerplate/spam documents before they reach training. Token
+    * fraction is pure per-row array math (zero shuffle); bigram
+    * coverage is one keyed explode + two aggregations on doc_id.
+    * Divisions are single IEEE ops on exact integers, so both engines
+    * produce bit-identical doubles. */
+  private def q59(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val toks = docs.select(col("doc_id"), Dedup.words(col("text")).as("ws"))
+    val tokenRep = toks.select(col("doc_id"),
+      (lit(1.0) - size(array_distinct(col("ws"))).cast("double") /
+        size(col("ws")).cast("double")).as("token_rep"))
+    val bigrams = toks
+      .select(col("doc_id"),
+        explode(Dedup.shinglesOfWords(col("ws"), 2)).as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg((max(col("c")).cast("double") / sum(col("c")).cast("double"))
+        .as("top_bigram_cov"))
+    tokenRep.join(bigrams, Seq("doc_id"))
+  }
+  private val q59Sql =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |tok AS (SELECT doc_id,
+      |  1.0 - len(list_distinct(ws))::DOUBLE / len(ws)::DOUBLE AS token_rep
+      |  FROM t),
+      |bg AS (SELECT doc_id,
+      |  unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS bg
+      |  FROM t WHERE len(ws) >= 2),
+      |bgc AS (SELECT doc_id, bg, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+      |bga AS (SELECT doc_id,
+      |  MAX(c)::DOUBLE / CAST(SUM(c) AS BIGINT)::DOUBLE AS top_bigram_cov
+      |  FROM bgc GROUP BY 1)
+      |SELECT tok.doc_id, token_rep, top_bigram_cov
+      |FROM tok JOIN bga USING (doc_id)""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q26_dedup_exact" -> q26 _,
     "q27_minhash_bands" -> q27 _,
@@ -709,7 +748,8 @@ object LlmQueries {
     "q49_bm25" -> q49 _,
     "q50_dedup_clusters" -> q50 _,
     "q52_winnow_overlap" -> q52 _,
-    "q57_hash_split" -> q57 _)
+    "q57_hash_split" -> q57 _,
+    "q59_repetition" -> q59 _)
 
   val oracles: Map[String, String] = Map(
     "q26_dedup_exact" -> q26Sql,
@@ -735,5 +775,6 @@ object LlmQueries {
     "q39_dedup_keep" -> q39Sql,
     "q40_sessionize" -> q40Sql,
     "q42_multimodal_decode" -> q42Sql,
-    "q57_hash_split" -> q57Sql)
+    "q57_hash_split" -> q57Sql,
+    "q59_repetition" -> q59Sql)
 }
