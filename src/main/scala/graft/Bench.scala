@@ -65,38 +65,46 @@ object Bench {
     // Pipeline-lifecycle benchmark (not in the oracle gate): backfill a
     // 1-doc-per-customer pipeline into a BucketedParquetIndex, then refresh after
     // a 1% change — measures the engine's own sync path, where cost must
-    // track change volume, not view size.
+    // track change volume, not view size. Median of RUNS like every
+    // other entry: a single run swings ±1.5 s on local[32] (GC, file
+    // cache) and reads as a fake regression.
+    def lifecycleOnce(): Double = {
+      import org.apache.spark.sql.functions._
+      val t0 = System.nanoTime()
+      val tmp = java.nio.file.Files.createTempDirectory("graft-bench").toString
+      var flip = false
+      def view() = graft.core.Tables.customer(spark, sfDir).select(
+        concat(lit("c-"), col("c_custkey")).as("id"),
+        to_json(struct(
+          (if (flip) concat(col("c_name"), when(col("c_custkey") % 100 === 0, "!").otherwise(""))
+           else col("c_name")).as("name"),
+          col("c_mktsegment").as("segment"))).as("doc"))
+      val mapping = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("name", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("segment", org.apache.spark.sql.types.StringType)))
+      val sink = new graft.sink.BucketedParquetIndex(spark, "bench_docs", mapping, s"$tmp/idx")
+      sink.recreate()
+      val pipe = new graft.pipeline.Pipeline("bench_mv", "customer", Set("customer"),
+        () => view(), new graft.refresh.BucketedSnapshotStore(spark, s"$tmp/snap"), sink)
+      pipe.backfill()
+      flip = true
+      val changed = pipe.refresh()
+      require(changed > 0, "changed refresh must emit actions")
+      val idle = pipe.refresh()
+      require(idle == 0, s"idle refresh must be a no-op, got $idle")
+      (System.nanoTime() - t0) / 1e9
+    }
     val lifecycle =
       try {
-        import org.apache.spark.sql.functions._
-        val t0 = System.nanoTime()
-        val tmp = java.nio.file.Files.createTempDirectory("graft-bench").toString
-        var flip = false
-        def view() = graft.core.Tables.customer(spark, sfDir).select(
-          concat(lit("c-"), col("c_custkey")).as("id"),
-          to_json(struct(
-            (if (flip) concat(col("c_name"), when(col("c_custkey") % 100 === 0, "!").otherwise(""))
-             else col("c_name")).as("name"),
-            col("c_mktsegment").as("segment"))).as("doc"))
-        val mapping = org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("name", org.apache.spark.sql.types.StringType),
-          org.apache.spark.sql.types.StructField("segment", org.apache.spark.sql.types.StringType)))
-        val sink = new graft.sink.BucketedParquetIndex(spark, "bench_docs", mapping, s"$tmp/idx")
-        sink.recreate()
-        val pipe = new graft.pipeline.Pipeline("bench_mv", "customer", Set("customer"),
-          () => view(), new graft.refresh.BucketedSnapshotStore(spark, s"$tmp/snap"), sink)
-        pipe.backfill()
-        flip = true
-        val changed = pipe.refresh()
-        val idle = pipe.refresh()
-        require(idle == 0, s"idle refresh must be a no-op, got $idle")
+        val times = (1 to RUNS).map(_ => lifecycleOnce()).sorted
+        spreads("p90_pipeline_lifecycle") = times.last - times.head
         errors.remove("p90_pipeline_lifecycle")
-        Some(("p90_pipeline_lifecycle", (System.nanoTime() - t0) / 1e9, changed))
+        Some(("p90_pipeline_lifecycle", times(times.length / 2)))
       } catch { case e: Throwable =>
         errors("p90_pipeline_lifecycle") = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}"
         None
       }
-    val allResults = results ++ lifecycle.map { case (n, t, _) => n -> t }.toSeq
+    val allResults = results ++ lifecycle.toSeq
     def jq(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
