@@ -648,6 +648,28 @@ object Relational {
       |    AS running_cents
       |FROM orders""".stripMargin
 
+  // ---------------------------------------------------------------- q60
+  /** lag() inter-event gaps (beyond-parity extension): microseconds
+    * since each user's previous event — the building block under
+    * sessionization (q40 consumes exactly this shape). Exact integer
+    * microsecond arithmetic on both engines; the (ts, event_id) sort
+    * is unique so every lag is deterministic. One window shuffle on
+    * the user key. */
+  private def q60(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"),
+        (unix_micros(col("ts")) -
+          lag(unix_micros(col("ts")), 1).over(w)).as("gap_us"))
+  }
+  private val q60Sql =
+    """SELECT event_id, user_id,
+      |  epoch_us(ts) - lag(epoch_us(ts), 1) OVER (
+      |    PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS gap_us
+      |FROM events""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01 _,
     "q02_filter_project" -> q02 _,
@@ -677,7 +699,8 @@ object Relational {
     "q53_setops" -> q53 _,
     "q54_full_outer" -> q54 _,
     "q55_anti_join" -> q55 _,
-    "q56_running_sum" -> q56 _)
+    "q56_running_sum" -> q56 _,
+    "q60_event_gaps" -> q60 _)
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -708,5 +731,6 @@ object Relational {
     "q53_setops" -> q53Sql,
     "q54_full_outer" -> q54Sql,
     "q55_anti_join" -> q55Sql,
-    "q56_running_sum" -> q56Sql)
+    "q56_running_sum" -> q56Sql,
+    "q60_event_gaps" -> q60Sql)
 }
