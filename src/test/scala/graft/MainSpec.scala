@@ -57,13 +57,21 @@ class MainSpec extends SparkSpec {
       Seq(("p-1", "John")).toDF("id", "name")
         .write.mode("overwrite").parquet(s"$srcs/person.parquet")
       val settings = new graft.core.GraftSettings(Map(
-        "GRAFT_ES_URL" -> stub.url, "ELASTICSEARCH_CHUNK_SIZE" -> "50"))
+        "GRAFT_ES_URL" -> stub.url, "ELASTICSEARCH_CHUNK_SIZE" -> "50",
+        "ELASTICSEARCH_USER" -> "elastic",
+        "ELASTICSEARCH_PASSWORD" -> "pw"))
       val (runner, _) = Main.build(spark, defs.toString, srcs.toString,
         Files.createTempDirectory("graft-maines-work").toString, settings)
       runner.backfillAll() shouldBe Map("person_mv" -> 1)
       stub.indexCreated.get should startWith("people:")
       stub.docs.get("p-1") shouldBe Some("""{"name":"John"}""")
       runner.pipelines.head.sink.get("p-1") shouldBe Some("""{"name":"John"}""")
+      // credentials flow from settings through the CLI wiring to every
+      // request (recreate DELETE/PUT, bulk POST, _doc GET)
+      import scala.jdk.CollectionConverters._
+      all(stub.authHeaders.asScala.toSeq) shouldBe
+        ("Basic " + java.util.Base64.getEncoder
+          .encodeToString("elastic:pw".getBytes("UTF-8")))
     } finally stub.stop()
   }
 
