@@ -334,6 +334,35 @@ object Dedup {
       idCol: String, n: Int, threshold: Double): DataFrame =
     verifySets(pairs, ngramSets(docs, textCol, idCol, n), threshold)
 
+  /** Benchmark decontamination (the GPT-3/Llama discipline): count, per
+    * training document, how many distinct word `n`-grams it shares with
+    * an evaluation corpus — documents with any overlap are quarantined
+    * before training so benchmark answers can't leak into the model.
+    *
+    * Shape at 100 TB: the training side is one keyed explode of
+    * distinct n-grams (never materialized whole); the benchmark side is
+    * an eval suite — thousands of documents, bounded by construction —
+    * so its distinct-gram set is broadcast and the join is map-side
+    * with ZERO shuffle of the training corpus. Set
+    * `broadcastBench = false` if the eval corpus ever outgrows the
+    * broadcast threshold; the join then degrades gracefully to one
+    * keyed shuffle on the gram. Returns (idCol, shared_grams) for
+    * contaminated docs only; anti-join against it to get the clean set.
+    */
+  def decontaminate(train: DataFrame, bench: DataFrame, textCol: String,
+      idCol: String, n: Int, broadcastBench: Boolean = true): DataFrame = {
+    def grams(df: DataFrame, cols: Column*): DataFrame =
+      df.select((cols :+ words(col(textCol)).as("__ws")): _*)
+        .select((cols :+
+          explode(array_distinct(shinglesOfWords(col("__ws"), n)))
+            .as("__gram")): _*)
+    val benchG = grams(bench).distinct()
+    val trainG = grams(train, col(idCol))
+    trainG.join(if (broadcastBench) broadcast(benchG) else benchG, "__gram")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("shared_grams"))
+  }
+
   /** Exact set-similarity join by prefix filtering (AllPairs/PPJoin
     * family — Bayardo et al. WWW'07): order every set by ascending
     * global token frequency (rarest first), keep only the first

@@ -99,6 +99,26 @@ object TextAnalysis {
     scored.select(col(idCol), col("dl"), score.as("score"))
   }
 
+  /** PII scrubbing patterns, ordered most- to least-specific so one
+    * pass per pattern composes safely (an email is redacted before its
+    * digit run could be). All three stay inside RE2-compatible syntax
+    * (no backrefs/lookarounds) so any engine mirroring the pipeline —
+    * including the DuckDB oracle — matches byte-for-byte. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "\\+?[0-9]{1,3}[-. (]{1,2}[0-9]{3}[-. )]{1,2}[0-9]{3}[-. ]?[0-9]{4}"
+  val DigitRunPattern = "[0-9]{4,}"
+
+  /** Redact PII-looking spans with `token`: each pattern is one
+    * codegen'd `regexp_replace` (global), applied in order. Per-row,
+    * zero shuffle — the shape you want in front of a 100 TB corpus
+    * scan. Callers with stricter compliance needs pass their own
+    * pattern list; the default covers emails, NANP-ish phone numbers,
+    * and ≥4-digit identifier runs. */
+  def redactPii(text: Column,
+      patterns: Seq[String] = Seq(EmailPattern, PhonePattern, DigitRunPattern),
+      token: String = "<PII>"): Column =
+    patterns.foldLeft(text)((c, p) => regexp_replace(c, p, token))
+
   /** Composite quality score in [0,1]: length band + punctuation ratio +
     * mean word length band — the standard cheap filters applied before
     * expensive model-based scoring. */

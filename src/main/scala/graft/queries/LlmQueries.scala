@@ -724,6 +724,53 @@ object LlmQueries {
       |SELECT tok.doc_id, token_rep, top_bigram_cov
       |FROM tok JOIN bga USING (doc_id)""".stripMargin
 
+  // --------------------------------------------------------- q61
+  /** Benchmark decontamination: every 50th document plays the eval
+    * suite; training docs sharing any distinct word trigram with it are
+    * flagged with their overlap count (GPT-3's 13-gram rule, scaled to
+    * this corpus' tiny vocabulary). The eval side is broadcast — the
+    * training corpus is never shuffled. See
+    * [[graft.ops.Dedup.decontaminate]] for the 100 TB shape. */
+  private val DecontN = 3
+  private def q61(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    Dedup.decontaminate(
+      train = docs.filter(col("doc_id") % 50 =!= 0),
+      bench = docs.filter(col("doc_id") % 50 === 0),
+      textCol = "text", idCol = "doc_id", n = DecontN)
+  }
+  private val q61Sql =
+    s"""WITH sh AS (SELECT doc_id,
+       |  list_distinct(${shinglesSqlK(DecontN)}) AS grams FROM documents),
+       |ex AS (SELECT doc_id, unnest(grams) AS gram FROM sh),
+       |bench AS (SELECT DISTINCT gram FROM ex WHERE doc_id % 50 = 0)
+       |SELECT e.doc_id, count(*) AS shared_grams
+       |FROM ex e JOIN bench USING (gram)
+       |WHERE e.doc_id % 50 <> 0
+       |GROUP BY e.doc_id""".stripMargin
+
+  // --------------------------------------------------------- q62
+  /** PII scrubbing: emails, phone-shaped spans, and ≥2-digit runs in
+    * the event props payload are replaced with a redaction token —
+    * three codegen'd global regexp_replace passes, per-row, zero
+    * shuffle. The patterns are RE2-safe so the oracle replays them
+    * verbatim. (The production default redacts ≥4-digit runs; this
+    * corpus' synthetic ids are 1–2 digits, so the gate tightens the
+    * run length to exercise the pass on real rows.) */
+  private val PiiDigitRun = "[0-9]{2,}"
+  private def q62(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).select(col("event_id"),
+      graft.ops.TextAnalysis.redactPii(col("props"),
+        patterns = Seq(graft.ops.TextAnalysis.EmailPattern, PiiDigitRun),
+        token = "#").as("clean_props"))
+  private val q62Sql =
+    s"""SELECT event_id,
+       |  regexp_replace(
+       |    regexp_replace(props,
+       |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '#', 'g'),
+       |    '$PiiDigitRun', '#', 'g') AS clean_props
+       |FROM events""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q26_dedup_exact" -> q26 _,
     "q27_minhash_bands" -> q27 _,
@@ -749,7 +796,9 @@ object LlmQueries {
     "q50_dedup_clusters" -> q50 _,
     "q52_winnow_overlap" -> q52 _,
     "q57_hash_split" -> q57 _,
-    "q59_repetition" -> q59 _)
+    "q59_repetition" -> q59 _,
+    "q61_decontaminate" -> q61 _,
+    "q62_redact_pii" -> q62 _)
 
   val oracles: Map[String, String] = Map(
     "q26_dedup_exact" -> q26Sql,
@@ -776,5 +825,7 @@ object LlmQueries {
     "q40_sessionize" -> q40Sql,
     "q42_multimodal_decode" -> q42Sql,
     "q57_hash_split" -> q57Sql,
-    "q59_repetition" -> q59Sql)
+    "q59_repetition" -> q59Sql,
+    "q61_decontaminate" -> q61Sql,
+    "q62_redact_pii" -> q62Sql)
 }

@@ -670,6 +670,80 @@ object Relational {
       |    PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS gap_us
       |FROM events""".stripMargin
 
+  // ---------------------------------------------------------------- q63
+  /** Stratified deterministic sampling — the data-mixing primitive: each
+    * language stratum keeps a different fraction of documents, decided
+    * by a salted md5 of the key (NOT rand(), so the sample is stable
+    * across retries, executors, and engines — a training-data split you
+    * can reproduce). Pure per-row predicate: the filter pushes to the
+    * scan, zero shuffle, and the same expression splits a 100 TB corpus
+    * with per-source mixing weights. */
+  private def q63(s: SparkSession, dir: String): DataFrame = {
+    val bucket = conv(
+      substring(md5(concat(col("doc_id").cast("string"), lit(":mix"))), 1, 15),
+      16, 10).cast("long") % 100
+    val rate = when(col("lang") === "en", 70)
+      .when(col("lang").isin("es", "fr"), 40)
+      .otherwise(20)
+    Tables.documents(s, dir)
+      .filter(bucket < rate)
+      .select(col("doc_id"), col("lang"), col("source"))
+  }
+  private val q63Sql =
+    """SELECT doc_id, lang, source FROM documents
+      |WHERE ('0x' || substr(md5(doc_id::VARCHAR || ':mix'), 1, 15))::BIGINT % 100 <
+      |  CASE WHEN lang = 'en' THEN 70
+      |       WHEN lang IN ('es', 'fr') THEN 40
+      |       ELSE 20 END""".stripMargin
+
+  // ---------------------------------------------------------------- q64
+  /** GROUPING SETS: per-(lang, source), per-lang, and grand-total corpus
+    * stats in ONE pass — Catalyst expands the sets into a single
+    * shuffle (one Expand + one HashAggregate), not three scans.
+    * `grouping()` indicators disambiguate "subtotal row" from a real
+    * NULL group value, matching the oracle bit-for-bit. */
+  private def q64(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupingSets(
+        Seq(Seq(col("lang"), col("source")), Seq(col("lang")), Seq()),
+        col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("n_chars"),
+        grouping(col("lang")).cast("int").as("g_lang"),
+        grouping(col("source")).cast("int").as("g_source"))
+  private val q64Sql =
+    """SELECT lang, source, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+      |  CAST(GROUPING(lang) AS INT) AS g_lang,
+      |  CAST(GROUPING(source) AS INT) AS g_source
+      |FROM documents
+      |GROUP BY GROUPING SETS ((lang, source), (lang), ())""".stripMargin
+
+  // ---------------------------------------------------------------- q65
+  /** PIVOT: document counts per source with one column per language —
+    * the corpus-composition report every mixing run starts from. Spark's
+    * pivot with an EXPLICIT value list stays a single shuffle (no
+    * distinct-scan to discover columns — at 100 TB that discovery pass
+    * is the difference); empty cells coalesce to 0 to match COUNT
+    * FILTER semantics. */
+  private val PivotLangs = Seq("de", "en", "es", "fr", "zh")
+  private def q65(s: SparkSession, dir: String): DataFrame = {
+    val pivoted = Tables.documents(s, dir)
+      .groupBy(col("source"))
+      .pivot("lang", PivotLangs)
+      .agg(count(lit(1)))
+    pivoted.select(col("source") +:
+      PivotLangs.map(l => coalesce(col(l), lit(0L)).as(l)): _*)
+  }
+  private val q65Sql =
+    """SELECT source,
+      |  COUNT(*) FILTER (WHERE lang = 'de') AS de,
+      |  COUNT(*) FILTER (WHERE lang = 'en') AS en,
+      |  COUNT(*) FILTER (WHERE lang = 'es') AS es,
+      |  COUNT(*) FILTER (WHERE lang = 'fr') AS fr,
+      |  COUNT(*) FILTER (WHERE lang = 'zh') AS zh
+      |FROM documents GROUP BY source""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01 _,
     "q02_filter_project" -> q02 _,
@@ -700,7 +774,10 @@ object Relational {
     "q54_full_outer" -> q54 _,
     "q55_anti_join" -> q55 _,
     "q56_running_sum" -> q56 _,
-    "q60_event_gaps" -> q60 _)
+    "q60_event_gaps" -> q60 _,
+    "q63_stratified_sample" -> q63 _,
+    "q64_grouping_sets" -> q64 _,
+    "q65_pivot" -> q65 _)
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -732,5 +809,8 @@ object Relational {
     "q54_full_outer" -> q54Sql,
     "q55_anti_join" -> q55Sql,
     "q56_running_sum" -> q56Sql,
-    "q60_event_gaps" -> q60Sql)
+    "q60_event_gaps" -> q60Sql,
+    "q63_stratified_sample" -> q63Sql,
+    "q64_grouping_sets" -> q64Sql,
+    "q65_pivot" -> q65Sql)
 }

@@ -338,4 +338,30 @@ class OpsSpec extends SparkSpec {
       .collect().sortBy(_.id)
     again.map(_.features.toSeq).toSeq shouldBe rows.map(_.features.toSeq).toSeq
   }
+
+  test("redactPii scrubs emails, phones, and digit runs; order protects emails") {
+    val df = Seq(
+      "contact bob.smith+x@corp.example.com or +1 (555) 123-4567",
+      "ssn 123456789 pin 1234 ok 123",     // ≥4-digit runs only
+      "no pii here at all").toDF("text")
+    val out = df.select(TextAnalysis.redactPii(col("text")).as("t"))
+      .as[String].collect().toSeq
+    out shouldBe Seq(
+      "contact <PII> or <PII>",
+      "ssn <PII> pin <PII> ok 123",
+      "no pii here at all")
+  }
+
+  test("decontaminate counts distinct shared n-grams vs the bench set only") {
+    val train = Seq(
+      (1L, "alpha beta gamma delta"),      // shares "alpha beta gamma" + "beta gamma delta"
+      (2L, "beta gamma delta epsilon"),    // shares "beta gamma delta"
+      (3L, "zeta eta theta iota"),         // no overlap
+      (4L, "alpha beta gamma alpha beta gamma")) // repeated gram counted ONCE
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val hits = Dedup.decontaminate(train, bench, "text", "doc_id", n = 3)
+      .as[(Long, Long)].collect().toMap
+    hits shouldBe Map(1L -> 2L, 2L -> 1L, 4L -> 1L)
+  }
 }
