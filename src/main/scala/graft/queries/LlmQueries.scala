@@ -771,6 +771,46 @@ object LlmQueries {
        |    '$PiiDigitRun', '#', 'g') AS clean_props
        |FROM events""".stripMargin
 
+  // --------------------------------------------------------- q66
+  /** Token-budget mixing: cap every source at ~[[MixTargetTokens]]
+    * training tokens by computing a per-source keep rate from the
+    * actual token totals, then sampling deterministically (salted md5,
+    * reproducible across engines and retries). Shape: one
+    * partial-aggregated groupBy produces the rate table — bounded by
+    * the number of SOURCES, so it broadcasts — and the corpus itself
+    * sees one map-side join + filter: no shuffle of the 100 TB side.
+    * The rate division is a single IEEE op on exact integers, so the
+    * keep/drop cut line is bit-identical in the oracle. */
+  private val MixTargetTokens = 600.0
+  private def q66(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        size(Dedup.words(col("text"))).cast("long").as("n_toks"))
+    val rates = toks.groupBy(col("source"))
+      .agg(sum(col("n_toks")).as("src_toks"))
+      .select(col("source"),
+        least(lit(1.0), lit(MixTargetTokens) / col("src_toks").cast("double"))
+          .as("rate"))
+    val bucket = conv(
+      substring(md5(concat(col("doc_id").cast("string"), lit(":budget"))),
+        1, 15), 16, 10).cast("long") % 10000
+    toks.join(broadcast(rates), "source")
+      .filter(bucket.cast("double") / lit(10000.0) < col("rate"))
+      .select(col("doc_id"), col("source"), col("n_toks"))
+  }
+  private val q66Sql =
+    s"""WITH toks AS (SELECT doc_id, source,
+       |    CAST(len($WsSplit) AS BIGINT) AS n_toks FROM documents),
+       |tot AS (SELECT source, CAST(SUM(n_toks) AS BIGINT) AS src_toks
+       |        FROM toks GROUP BY 1),
+       |rates AS (SELECT source,
+       |    least(1.0::DOUBLE, $MixTargetTokens / src_toks::DOUBLE) AS rate
+       |    FROM tot)
+       |SELECT t.doc_id, t.source, t.n_toks
+       |FROM toks t JOIN rates r USING (source)
+       |WHERE (('0x' || substr(md5(t.doc_id::VARCHAR || ':budget'), 1, 15))::BIGINT
+       |       % 10000) / 10000.0 < r.rate""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q26_dedup_exact" -> q26 _,
     "q27_minhash_bands" -> q27 _,
@@ -798,7 +838,8 @@ object LlmQueries {
     "q57_hash_split" -> q57 _,
     "q59_repetition" -> q59 _,
     "q61_decontaminate" -> q61 _,
-    "q62_redact_pii" -> q62 _)
+    "q62_redact_pii" -> q62 _,
+    "q66_token_budget" -> q66 _)
 
   val oracles: Map[String, String] = Map(
     "q26_dedup_exact" -> q26Sql,
@@ -827,5 +868,6 @@ object LlmQueries {
     "q57_hash_split" -> q57Sql,
     "q59_repetition" -> q59Sql,
     "q61_decontaminate" -> q61Sql,
-    "q62_redact_pii" -> q62Sql)
+    "q62_redact_pii" -> q62Sql,
+    "q66_token_budget" -> q66Sql)
 }

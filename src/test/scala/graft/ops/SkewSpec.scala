@@ -1,0 +1,53 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SkewSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 900 rows of one hot key + a long tail, joined to a 4-row dim
+  private def fixtures = {
+    val fact = ((1 to 900).map(i => (i.toLong, "hot")) ++
+      (901 to 960).map(i => (i.toLong, s"k${i % 3}")))
+      .toDF("row_id", "key")
+    val dim = Seq(("hot", 10), ("k0", 20), ("k1", 30), ("k2", 40))
+      .toDF("key", "weight")
+    (fact, dim)
+  }
+
+  test("saltedJoin returns exactly the unsalted inner join") {
+    val (fact, dim) = fixtures
+    val plain = fact.join(dim, "key")
+      .select("row_id", "key", "weight").as[(Long, String, Int)]
+      .collect().sorted.toSeq
+    val salted = Skew.saltedJoin(fact, dim, "key", salts = 8,
+        spreadOn = Seq("row_id"))
+      .select("row_id", "key", "weight").as[(Long, String, Int)]
+      .collect().sorted.toSeq
+    salted shouldBe plain
+  }
+
+  test("the hot key actually spreads across salt buckets") {
+    val (fact, _) = fixtures
+    val saltCol = pmod(xxhash64(col("key"), col("row_id")), lit(8L))
+    val buckets = fact.filter(col("key") === "hot")
+      .select(saltCol.as("salt")).distinct().count()
+    buckets should be > 4L // 900 rows over 8 buckets: all 8 in practice
+  }
+
+  test("salting is deterministic: re-evaluation yields identical salts") {
+    val (fact, dim) = fixtures
+    val a = Skew.saltedJoin(fact, dim, "key", 8, Seq("row_id")).collect()
+    val b = Skew.saltedJoin(fact, dim, "key", 8, Seq("row_id")).collect()
+    a.sortBy(_.getLong(1)).toSeq shouldBe b.sortBy(_.getLong(1)).toSeq
+  }
+
+  test("hotKeys surfaces only keys at or above the threshold") {
+    val (fact, _) = fixtures
+    val hot = Skew.hotKeys(fact, "key", threshold = 100)
+      .as[(String, Long)].collect().toMap
+    hot shouldBe Map("hot" -> 900L)
+  }
+}
