@@ -811,6 +811,60 @@ object LlmQueries {
        |WHERE (('0x' || substr(md5(t.doc_id::VARCHAR || ':budget'), 1, 15))::BIGINT
        |       % 10000) / 10000.0 < r.rate""".stripMargin
 
+  // --------------------------------------------------------- q67
+  /** The composed cleaning pass — what an actual pre-training run
+    * executes, as ONE plan: exact-dedup canonical docs only, quality
+    * score over threshold, eval set held out, and benchmark-contaminated
+    * docs quarantined ([[q61]]'s trigram rule). Composition stays
+    * scale-shaped because each stage is: a window over the content hash
+    * (one keyed shuffle), per-row codegen scoring (zero shuffle), a
+    * broadcast semi/anti join against the bounded eval side. Catalyst
+    * fuses the per-row stages into the same whole-stage codegen span. */
+  private val CleanQualityMin = 0.5
+  private def q67(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val canonical = Dedup.exactDedup(docs, "text", "doc_id")
+      .filter(col("is_canonical")).select(col("doc_id"))
+    val contaminated = Dedup.decontaminate(
+      train = docs.filter(col("doc_id") % 50 =!= 0),
+      bench = docs.filter(col("doc_id") % 50 === 0),
+      textCol = "text", idCol = "doc_id", n = DecontN)
+      .select(col("doc_id"))
+    docs
+      .select(col("doc_id"), col("lang"),
+        TextAnalysis.qualityScore(col("text"), col("n_chars")).as("quality"))
+      .filter(col("doc_id") % 50 =!= 0)
+      .filter(col("quality") >= CleanQualityMin)
+      .join(canonical, Seq("doc_id"), "left_semi")
+      .join(contaminated, Seq("doc_id"), "left_anti")
+  }
+  private val q67Sql =
+    s"""WITH canon AS (SELECT doc_id,
+       |    ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1 AS canonical
+       |  FROM documents),
+       |qual AS (
+       |  SELECT doc_id, round((len_band + word_band + (1.0 - least(punct * 4, 1.0))) / 3.0, 4) AS quality
+       |  FROM (
+       |    SELECT doc_id, n_chars,
+       |      len(list_filter(list_transform($WsSplit, w -> substr(w, 1, 1)),
+       |          c -> NOT regexp_matches(c, '[A-Za-z0-9]')))::DOUBLE
+       |        / greatest(len($WsSplit), 1) AS punct,
+       |      CASE WHEN n_chars BETWEEN 100 AND 400 THEN 1.0
+       |           WHEN n_chars BETWEEN 50 AND 99 OR n_chars BETWEEN 401 AND 600 THEN 0.5
+       |           ELSE 0.0 END AS len_band,
+       |      CASE WHEN n_chars::DOUBLE / greatest(len($WsSplit), 1) BETWEEN 3.0 AND 8.0
+       |           THEN 1.0 ELSE 0.5 END AS word_band
+       |    FROM documents)),
+       |shg AS (SELECT doc_id, list_distinct(${shinglesSqlK(DecontN)}) AS grams FROM documents),
+       |ex AS (SELECT doc_id, unnest(grams) AS gram FROM shg),
+       |bench AS (SELECT DISTINCT gram FROM ex WHERE doc_id % 50 = 0),
+       |hits AS (SELECT DISTINCT e.doc_id FROM ex e JOIN bench USING (gram)
+       |         WHERE e.doc_id % 50 <> 0)
+       |SELECT d.doc_id, d.lang, q.quality
+       |FROM documents d JOIN canon USING (doc_id) JOIN qual q USING (doc_id)
+       |WHERE canonical AND d.doc_id % 50 <> 0 AND q.quality >= $CleanQualityMin
+       |  AND d.doc_id NOT IN (SELECT doc_id FROM hits)""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q26_dedup_exact" -> q26 _,
     "q27_minhash_bands" -> q27 _,
@@ -839,7 +893,8 @@ object LlmQueries {
     "q59_repetition" -> q59 _,
     "q61_decontaminate" -> q61 _,
     "q62_redact_pii" -> q62 _,
-    "q66_token_budget" -> q66 _)
+    "q66_token_budget" -> q66 _,
+    "q67_clean_corpus" -> q67 _)
 
   val oracles: Map[String, String] = Map(
     "q26_dedup_exact" -> q26Sql,
@@ -869,5 +924,6 @@ object LlmQueries {
     "q59_repetition" -> q59Sql,
     "q61_decontaminate" -> q61Sql,
     "q62_redact_pii" -> q62Sql,
-    "q66_token_budget" -> q66Sql)
+    "q66_token_budget" -> q66Sql,
+    "q67_clean_corpus" -> q67Sql)
 }
