@@ -865,6 +865,58 @@ object LlmQueries {
        |WHERE canonical AND d.doc_id % 50 <> 0 AND q.quality >= $CleanQualityMin
        |  AND d.doc_id NOT IN (SELECT doc_id FROM hits)""".stripMargin
 
+  // --------------------------------------------------------- q68
+  /** Recursive CTE (WITH RECURSIVE, new SQL surface in Spark 4): walk
+    * near-dup canonical chains — every doc keeps ONE outgoing edge, its
+    * smallest-id verified near-dup, so the graph is a forest and the
+    * recursion is LINEAR (rows = Σ chain depths; depth ≤ 16 at sf0.1).
+    * That shaping is the point: recursing over the raw pair graph
+    * multiplies clique paths combinatorially (7.3M intermediate rows
+    * from 11k pairs at sf0.1 — measured), so unrestricted transitive
+    * closure belongs to [[graft.ops.Dedup.connectedComponents]] (q50);
+    * the recursive operator is for genuinely hierarchical walks.
+    * Spark's recursion only supports UNION ALL, hence the ascending-id
+    * forest guaranteeing termination (both engines run the identical
+    * recursion). */
+  private def q68(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val bands = Dedup
+      .bandKeys(docs, "text", "doc_id", Bands, RowsPerBand, ShingleK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Dedup.jaccardVerify(Dedup.candidatePairs(bands), docs,
+        "text", "doc_id", JaccardThreshold)
+      .groupBy(col("id_a")).agg(min(col("id_b")).as("id_b"))
+      .createOrReplaceTempView("q68_succ")
+    s.sql("""
+      WITH RECURSIVE walk(root, node, depth) AS (
+        SELECT id_a, id_a, 0 FROM q68_succ
+        WHERE id_a NOT IN (SELECT id_b FROM q68_succ)
+        UNION ALL
+        SELECT w.root, s.id_b, w.depth + 1
+        FROM walk w JOIN q68_succ s ON w.node = s.id_a)
+      SELECT root, node, depth FROM walk""")
+  }
+  private val q68Sql =
+    s"""WITH RECURSIVE $BandsCte,
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+       |sets AS (SELECT doc_id, list_distinct($WsSplit) AS toks FROM documents),
+       |verified AS (
+       |  SELECT id_a, id_b FROM pairs
+       |  JOIN sets sa ON id_a = sa.doc_id JOIN sets sb ON id_b = sb.doc_id
+       |  WHERE len(list_intersect(sa.toks, sb.toks))::DOUBLE /
+       |        len(list_distinct(list_concat(sa.toks, sb.toks))) >= $JaccardThreshold),
+       |succ AS (SELECT id_a, MIN(id_b) AS id_b FROM verified GROUP BY id_a),
+       |walk(root, node, depth) AS (
+       |  SELECT id_a, id_a, 0 FROM succ
+       |  WHERE id_a NOT IN (SELECT id_b FROM succ)
+       |  UNION ALL
+       |  SELECT w.root, s.id_b, w.depth + 1
+       |  FROM walk w JOIN succ s ON w.node = s.id_a)
+       |SELECT root, node, depth FROM walk""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q26_dedup_exact" -> q26 _,
     "q27_minhash_bands" -> q27 _,
@@ -894,7 +946,8 @@ object LlmQueries {
     "q61_decontaminate" -> q61 _,
     "q62_redact_pii" -> q62 _,
     "q66_token_budget" -> q66 _,
-    "q67_clean_corpus" -> q67 _)
+    "q67_clean_corpus" -> q67 _,
+    "q68_dupchain_walk" -> q68 _)
 
   val oracles: Map[String, String] = Map(
     "q26_dedup_exact" -> q26Sql,
@@ -925,5 +978,6 @@ object LlmQueries {
     "q61_decontaminate" -> q61Sql,
     "q62_redact_pii" -> q62Sql,
     "q66_token_budget" -> q66Sql,
-    "q67_clean_corpus" -> q67Sql)
+    "q67_clean_corpus" -> q67Sql,
+    "q68_dupchain_walk" -> q68Sql)
 }
