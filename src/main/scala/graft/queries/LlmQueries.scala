@@ -883,9 +883,15 @@ object LlmQueries {
     val bands = Dedup
       .bandKeys(docs, "text", "doc_id", Bands, RowsPerBand, ShingleK)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialize the successor table BEFORE recursing: each recursion
+    // round re-reads the view, and a lazy plan would re-run the whole
+    // LSH+verify chain per round (16 rounds × full pipeline = 12s at
+    // sf0.1, measured; eager localCheckpoint makes rounds scan ~5k
+    // cached rows instead)
     Dedup.jaccardVerify(Dedup.candidatePairs(bands), docs,
         "text", "doc_id", JaccardThreshold)
       .groupBy(col("id_a")).agg(min(col("id_b")).as("id_b"))
+      .localCheckpoint(true)
       .createOrReplaceTempView("q68_succ")
     s.sql("""
       WITH RECURSIVE walk(root, node, depth) AS (
