@@ -363,6 +363,29 @@ object Dedup {
       .agg(count(lit(1)).as("shared_grams"))
   }
 
+  /** Edit-distance verification of candidate pairs: the third classic
+    * near-dup verify metric (token Jaccard sees reorders, cosine sees
+    * topic drift, Levenshtein sees CHARACTER-level edits — the right
+    * check for titles, URLs, and template-stamped boilerplate).
+    *
+    * Uses Spark's thresholded `levenshtein(l, r, maxDist)`: the banded
+    * O(len·maxDist) dynamic program that bails out (returns -1) the
+    * moment the distance provably exceeds the bound — on long documents
+    * that is the difference between O(L·d) and O(L²) per pair. Cost is
+    * ∝ candidate count (feed it LSH candidates, never a cross join).
+    */
+  def editDistanceVerify(pairs: DataFrame, docs: DataFrame,
+      textCol: String, idCol: String, maxDist: Int): DataFrame = {
+    val a = docs.select(col(idCol).as("id_a"), col(textCol).as("__ta"))
+    val b = docs.select(col(idCol).as("id_b"), col(textCol).as("__tb"))
+    pairs.select(col("id_a"), col("id_b"))
+      .join(a, "id_a").join(b, "id_b")
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("__ta"), col("__tb"), maxDist).cast("long")
+          .as("edit_dist"))
+      .filter(col("edit_dist") >= 0)
+  }
+
   /** Exact set-similarity join by prefix filtering (AllPairs/PPJoin
     * family — Bayardo et al. WWW'07): order every set by ascending
     * global token frequency (rarest first), keep only the first

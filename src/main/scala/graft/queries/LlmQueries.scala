@@ -923,6 +923,34 @@ object LlmQueries {
        |  FROM walk w JOIN succ s ON w.node = s.id_a)
        |SELECT root, node, depth FROM walk""".stripMargin
 
+  // --------------------------------------------------------- q69
+  /** Edit-distance near-dup pairs: LSH candidates verified by
+    * thresholded Levenshtein ([[graft.ops.Dedup.editDistanceVerify]]) —
+    * character-level edits that token Jaccard under-weights. Spark runs
+    * the banded O(len·maxDist) early-exit form; the oracle's full
+    * quadratic levenshtein agrees exactly on every kept pair because
+    * the threshold filter is applied on both sides. */
+  private val EditDistMax = 20
+  private def q69(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val bands = Dedup
+      .bandKeys(docs, "text", "doc_id", Bands, RowsPerBand, ShingleK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Dedup.editDistanceVerify(Dedup.candidatePairs(bands), docs,
+      "text", "doc_id", EditDistMax)
+  }
+  private val q69Sql =
+    s"""WITH $BandsCte,
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
+       |SELECT p.id_a, p.id_b, levenshtein(da.text, db.text) AS edit_dist
+       |FROM pairs p
+       |JOIN documents da ON p.id_a = da.doc_id
+       |JOIN documents db ON p.id_b = db.doc_id
+       |WHERE levenshtein(da.text, db.text) <= $EditDistMax""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q26_dedup_exact" -> q26 _,
     "q27_minhash_bands" -> q27 _,
@@ -953,7 +981,8 @@ object LlmQueries {
     "q62_redact_pii" -> q62 _,
     "q66_token_budget" -> q66 _,
     "q67_clean_corpus" -> q67 _,
-    "q68_dupchain_walk" -> q68 _)
+    "q68_dupchain_walk" -> q68 _,
+    "q69_edit_distance" -> q69 _)
 
   val oracles: Map[String, String] = Map(
     "q26_dedup_exact" -> q26Sql,
@@ -985,5 +1014,6 @@ object LlmQueries {
     "q62_redact_pii" -> q62Sql,
     "q66_token_budget" -> q66Sql,
     "q67_clean_corpus" -> q67Sql,
-    "q68_dupchain_walk" -> q68Sql)
+    "q68_dupchain_walk" -> q68Sql,
+    "q69_edit_distance" -> q69Sql)
 }
