@@ -744,6 +744,31 @@ object Relational {
       |  COUNT(*) FILTER (WHERE lang = 'zh') AS zh
       |FROM documents GROUP BY source""".stripMargin
 
+  // ---------------------------------------------------------------- q70
+  /** Forward-fill (gap filling): carry each user's last purchase value
+    * forward across their event stream — `last_value(... IGNORE NULLS)`
+    * over a running frame. The standard repair for sparse attributes
+    * before featurization; one window shuffle on the user key, values
+    * pass through untouched (no arithmetic to diverge on). The
+    * (ts, event_id) sort is unique, so the fill is deterministic. */
+  private def q70(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"),
+        last(when(col("event_type") === "purchase", col("value")),
+          ignoreNulls = true).over(w).as("last_purchase"))
+  }
+  private val q70Sql =
+    """SELECT event_id, user_id,
+      |  last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+      |    OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase
+      |FROM events""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01 _,
     "q02_filter_project" -> q02 _,
@@ -777,7 +802,8 @@ object Relational {
     "q60_event_gaps" -> q60 _,
     "q63_stratified_sample" -> q63 _,
     "q64_grouping_sets" -> q64 _,
-    "q65_pivot" -> q65 _)
+    "q65_pivot" -> q65 _,
+    "q70_forward_fill" -> q70 _)
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -812,5 +838,6 @@ object Relational {
     "q60_event_gaps" -> q60Sql,
     "q63_stratified_sample" -> q63Sql,
     "q64_grouping_sets" -> q64Sql,
-    "q65_pivot" -> q65Sql)
+    "q65_pivot" -> q65Sql,
+    "q70_forward_fill" -> q70Sql)
 }
