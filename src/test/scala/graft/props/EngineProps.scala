@@ -133,6 +133,43 @@ object EngineProps extends Properties("graft") {
     fps(1L) == fps(2L)
   }
 
+  // decontaminate == brute-force distinct-trigram overlap count
+  property("decontaminateMatchesBruteForce") = Prop.forAllNoShrink(
+    Gen.listOfN(6, textGen), Gen.listOfN(2, textGen)) { (trainT, benchT) =>
+      val s = spark
+      import s.implicits._
+      def grams(t: String): Set[String] =
+        t.split(" ").toSeq.sliding(3).filter(_.size == 3)
+          .map(_.mkString(" ")).toSet
+      val benchGrams = benchT.flatMap(grams).toSet
+      val expected = trainT.zipWithIndex
+        .map { case (t, i) => i.toLong -> (grams(t) & benchGrams).size.toLong }
+        .filter(_._2 > 0).toMap
+      val train = trainT.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val bench = benchT.zipWithIndex.map { case (t, i) => (100L + i, t) }
+        .toDF("doc_id", "text")
+      val got = graft.ops.Dedup.decontaminate(train, bench, "text", "doc_id", 3)
+        .as[(Long, Long)].collect().toMap
+      got == expected
+  }
+
+  // salted join == plain join on random (skewed) key distributions
+  property("saltedJoinMatchesPlainJoin") = Prop.forAllNoShrink(
+    Gen.listOfN(30, Gen.chooseNum(0, 3)), Gen.chooseNum(1, 7)) { (keys, salts) =>
+      val s = spark
+      import s.implicits._
+      val fact = keys.zipWithIndex.map { case (k, i) => (i.toLong, s"k$k") }
+        .toDF("row_id", "key")
+      val dim = (0 to 3).map(k => (s"k$k", k * 10)).toDF("key", "weight")
+      val plain = fact.join(dim, "key")
+        .select("row_id", "weight").as[(Long, Int)].collect().sorted.toSeq
+      val salted = graft.ops.Skew
+        .saltedJoin(fact, dim, "key", salts, Seq("row_id"))
+        .select("row_id", "weight").as[(Long, Int)].collect().sorted.toSeq
+      salted == plain
+  }
+
   // applying the same actions twice converges (idempotent upsert, §2C)
   property("actionReplayIsIdempotent") = Prop.forAllNoShrink(kvMap, kvMap) {
     (oldM, newM) =>
