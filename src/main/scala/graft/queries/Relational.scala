@@ -769,6 +769,29 @@ object Relational {
       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase
       |FROM events""".stripMargin
 
+  // ---------------------------------------------------------------- q71
+  /** LATERAL correlated subquery (new SQL surface in Spark 3.2+): the
+    * 3 longest documents per source — a per-group top-k written the way
+    * Postgres users write it. Catalyst decorrelates the LATERAL into a
+    * ranked window under the hood, so the plan is the same single
+    * shuffle as q08's explicit window; the construct, not the plan, is
+    * what this gates. Tie-break on doc_id keeps the cut deterministic. */
+  private def q71(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT s.source, d.doc_id, d.n_chars
+        |FROM (SELECT DISTINCT source FROM documents) s,
+        |LATERAL (SELECT doc_id, n_chars FROM documents d
+        |         WHERE d.source = s.source
+        |         ORDER BY n_chars DESC, doc_id LIMIT 3) d""".stripMargin)
+  }
+  private val q71Sql =
+    """SELECT s.source, d.doc_id, d.n_chars
+      |FROM (SELECT DISTINCT source FROM documents) s,
+      |LATERAL (SELECT doc_id, n_chars FROM documents d
+      |         WHERE d.source = s.source
+      |         ORDER BY n_chars DESC, doc_id LIMIT 3) d""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01 _,
     "q02_filter_project" -> q02 _,
@@ -803,7 +826,8 @@ object Relational {
     "q63_stratified_sample" -> q63 _,
     "q64_grouping_sets" -> q64 _,
     "q65_pivot" -> q65 _,
-    "q70_forward_fill" -> q70 _)
+    "q70_forward_fill" -> q70 _,
+    "q71_lateral_topk" -> q71 _)
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -839,5 +863,6 @@ object Relational {
     "q63_stratified_sample" -> q63Sql,
     "q64_grouping_sets" -> q64Sql,
     "q65_pivot" -> q65Sql,
-    "q70_forward_fill" -> q70Sql)
+    "q70_forward_fill" -> q70Sql,
+    "q71_lateral_topk" -> q71Sql)
 }
