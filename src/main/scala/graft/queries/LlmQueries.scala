@@ -951,6 +951,48 @@ object LlmQueries {
        |JOIN documents db ON p.id_b = db.doc_id
        |WHERE levenshtein(da.text, db.text) <= $EditDistMax""".stripMargin
 
+  // --------------------------------------------------------- q72
+  /** Unigram LM surprisal (the CCNet-discipline language-model filter,
+    * self-trained): score every document by its mean negative log
+    * probability under the corpus' own unigram distribution — gibberish
+    * and boilerplate land in the tails. Scale shape: the frequency
+    * table is one partial-aggregated groupBy keyed by word (NOT
+    * broadcast — real vocabularies run to hundreds of millions), the
+    * lookup is a keyed equi-join, and the corpus total is a 1-row
+    * broadcast. Double determinism: per-doc log-probs are summed by
+    * POSITION-ORDERED left fold on both engines (`aggregate` HOF here,
+    * `list_reduce` there) — a plain SUM would fold in shuffle order and
+    * flip low bits. */
+  private def q72(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables.documents(s, dir)
+      .select(col("doc_id"), Dedup.words(col("text")).as("ws"))
+    val w = t.select(col("doc_id"), posexplode(col("ws")).as(Seq("pos", "word")))
+    val freq = w.groupBy(col("word")).agg(count(lit(1)).as("c"))
+    val tot = freq.agg(sum(col("c")).as("n"))
+    val lp = w.join(freq, "word").crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("pos"),
+        log(col("c").cast("double") / col("n").cast("double")).as("lpw"))
+    lp.groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("lpw")))).as("arr"),
+        count(lit(1)).as("n_toks"))
+      .select(col("doc_id"), col("n_toks"),
+        (-aggregate(col("arr"), lit(0.0),
+          (acc, x) => acc + x.getField("lpw")) / col("n_toks").cast("double"))
+          .as("surprisal"))
+  }
+  private val q72Sql =
+    s"""WITH t AS (SELECT doc_id, $WsSplit AS ws FROM documents),
+       |w AS (SELECT doc_id, unnest(ws) AS word, generate_subscripts(ws, 1) AS pos FROM t),
+       |freq AS (SELECT word, COUNT(*) AS c FROM w GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM freq),
+       |lp AS (SELECT doc_id, pos, ln(c::DOUBLE / n::DOUBLE) AS lpw
+       |       FROM w JOIN freq USING (word) CROSS JOIN tot),
+       |agg AS (SELECT doc_id,
+       |    list_reduce(list(lpw ORDER BY pos), (a, b) -> a + b) AS s,
+       |    COUNT(*) AS n_toks
+       |  FROM lp GROUP BY doc_id)
+       |SELECT doc_id, n_toks, -s / n_toks::DOUBLE AS surprisal FROM agg""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q26_dedup_exact" -> q26 _,
     "q27_minhash_bands" -> q27 _,
@@ -982,7 +1024,8 @@ object LlmQueries {
     "q66_token_budget" -> q66 _,
     "q67_clean_corpus" -> q67 _,
     "q68_dupchain_walk" -> q68 _,
-    "q69_edit_distance" -> q69 _)
+    "q69_edit_distance" -> q69 _,
+    "q72_unigram_lm" -> q72 _)
 
   val oracles: Map[String, String] = Map(
     "q26_dedup_exact" -> q26Sql,
@@ -1015,5 +1058,6 @@ object LlmQueries {
     "q66_token_budget" -> q66Sql,
     "q67_clean_corpus" -> q67Sql,
     "q68_dupchain_walk" -> q68Sql,
-    "q69_edit_distance" -> q69Sql)
+    "q69_edit_distance" -> q69Sql,
+    "q72_unigram_lm" -> q72Sql)
 }
