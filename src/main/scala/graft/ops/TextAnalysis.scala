@@ -119,6 +119,38 @@ object TextAnalysis {
       token: String = "<PII>"): Column =
     patterns.foldLeft(text)((c, p) => regexp_replace(c, p, token))
 
+  /** Fixed-size token chunking with overlap — how documents become
+    * training sequences / retrieval passages. Each doc explodes into
+    * windows of `chunkTokens` words advancing by `chunkTokens -
+    * overlap`; a trailing partial chunk is kept only when it carries
+    * more than `overlap` NEW tokens (otherwise its content is already
+    * inside the previous chunk). Per-row explode + slice: zero
+    * shuffles, output size ∝ corpus / stride — embarrassingly parallel
+    * at any scale.
+    *
+    * Output: (idCol, chunk_id, start_tok, chunk_text, n_toks).
+    */
+  def chunk(docs: DataFrame, textCol: String, idCol: String,
+      chunkTokens: Int, overlap: Int): DataFrame = {
+    require(chunkTokens > overlap && overlap >= 0,
+      s"need chunkTokens > overlap >= 0, got $chunkTokens/$overlap")
+    val stride = chunkTokens - overlap
+    docs
+      .select(col(idCol), words(col(textCol)).as("__ws"))
+      .select(col(idCol), col("__ws"),
+        explode(sequence(lit(0),
+          greatest(size(col("__ws")) - (overlap + 1), lit(0)),
+          lit(stride))).as("start_tok"))
+      .select(col(idCol),
+        (col("start_tok") / stride).cast("long").as("chunk_id"),
+        col("start_tok").cast("long").as("start_tok"),
+        concat_ws(" ",
+          slice(col("__ws"), col("start_tok") + 1, lit(chunkTokens)))
+          .as("chunk_text"),
+        least(lit(chunkTokens), size(col("__ws")) - col("start_tok"))
+          .cast("long").as("n_toks"))
+  }
+
   /** Composite quality score in [0,1]: length band + punctuation ratio +
     * mean word length band — the standard cheap filters applied before
     * expensive model-based scoring. */

@@ -993,6 +993,27 @@ object LlmQueries {
        |  FROM lp GROUP BY doc_id)
        |SELECT doc_id, n_toks, -s / n_toks::DOUBLE AS surprisal FROM agg""".stripMargin
 
+  // --------------------------------------------------------- q73
+  /** Token chunking: 16-token windows, 4-token overlap (stride 12) —
+    * [[graft.ops.TextAnalysis.chunk]]. Pure per-row explode+slice. */
+  private val ChunkTokens = 16
+  private val ChunkOverlap = 4
+  private def q73(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.chunk(Tables.documents(s, dir), "text", "doc_id",
+      ChunkTokens, ChunkOverlap)
+  private val q73Sql = {
+    val stride = ChunkTokens - ChunkOverlap
+    s"""WITH t AS (SELECT doc_id, $WsSplit AS ws FROM documents),
+       |c AS (SELECT doc_id, ws,
+       |  unnest(range(0, greatest(len(ws) - $ChunkOverlap, 1), $stride)) AS start
+       |  FROM t)
+       |SELECT doc_id, CAST(start // $stride AS BIGINT) AS chunk_id,
+       |  CAST(start AS BIGINT) AS start_tok,
+       |  array_to_string(ws[start + 1 : start + $ChunkTokens], ' ') AS chunk_text,
+       |  CAST(least($ChunkTokens, len(ws) - start) AS BIGINT) AS n_toks
+       |FROM c""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q26_dedup_exact" -> q26 _,
     "q27_minhash_bands" -> q27 _,
@@ -1025,7 +1046,8 @@ object LlmQueries {
     "q67_clean_corpus" -> q67 _,
     "q68_dupchain_walk" -> q68 _,
     "q69_edit_distance" -> q69 _,
-    "q72_unigram_lm" -> q72 _)
+    "q72_unigram_lm" -> q72 _,
+    "q73_chunking" -> q73 _)
 
   val oracles: Map[String, String] = Map(
     "q26_dedup_exact" -> q26Sql,
@@ -1059,5 +1081,6 @@ object LlmQueries {
     "q67_clean_corpus" -> q67Sql,
     "q68_dupchain_walk" -> q68Sql,
     "q69_edit_distance" -> q69Sql,
-    "q72_unigram_lm" -> q72Sql)
+    "q72_unigram_lm" -> q72Sql,
+    "q73_chunking" -> q73Sql)
 }
