@@ -792,6 +792,32 @@ object Relational {
       |         WHERE d.source = s.source
       |         ORDER BY n_chars DESC, doc_id LIMIT 3) d""".stripMargin
 
+  // ---------------------------------------------------------------- q74
+  /** RANGE-INTERVAL window frame: trailing-hour event count and spend
+    * per user — the event-time sliding aggregate (rate limits, velocity
+    * features) that ROWS frames can't express. One keyed window
+    * shuffle; the sum rides the cents-as-BIGINT discipline so both
+    * engines aggregate exact integers. Per-user timestamps are unique
+    * in this data, so the RANGE frame is deterministic. */
+  private def q74(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT event_id, user_id,
+        |  COUNT(*) OVER w AS n_last_hour,
+        |  SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w AS cents_last_hour
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)"""
+        .stripMargin)
+  }
+  private val q74Sql =
+    """SELECT event_id, user_id,
+      |  COUNT(*) OVER w AS n_last_hour,
+      |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w AS BIGINT) AS cents_last_hour
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+      |             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01 _,
     "q02_filter_project" -> q02 _,
@@ -827,7 +853,8 @@ object Relational {
     "q64_grouping_sets" -> q64 _,
     "q65_pivot" -> q65 _,
     "q70_forward_fill" -> q70 _,
-    "q71_lateral_topk" -> q71 _)
+    "q71_lateral_topk" -> q71 _,
+    "q74_range_frame" -> q74 _)
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -864,5 +891,6 @@ object Relational {
     "q64_grouping_sets" -> q64Sql,
     "q65_pivot" -> q65Sql,
     "q70_forward_fill" -> q70Sql,
-    "q71_lateral_topk" -> q71Sql)
+    "q71_lateral_topk" -> q71Sql,
+    "q74_range_frame" -> q74Sql)
 }
