@@ -967,7 +967,11 @@ object LlmQueries {
     val t = Tables.documents(s, dir)
       .select(col("doc_id"), Dedup.words(col("text")).as("ws"))
     val w = t.select(col("doc_id"), posexplode(col("ws")).as(Seq("pos", "word")))
+    // persist the vocabulary: it feeds both the lookup join and the
+    // corpus total, and Catalyst would otherwise re-scan the corpus to
+    // rebuild it for each consumer (three full passes instead of two)
     val freq = w.groupBy(col("word")).agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tot = freq.agg(sum(col("c")).as("n"))
     val lp = w.join(freq, "word").crossJoin(broadcast(tot))
       .select(col("doc_id"), col("pos"),
