@@ -79,6 +79,37 @@ object Dedup {
       .withColumn("is_canonical", row_number().over(w) === 1)
   }
 
+  /** Incremental exact dedup — the form a CONTINUOUSLY-INGESTED corpus
+    * needs: dedupe each arriving batch against everything already
+    * accepted without re-scanning history. `seen` is the accumulated
+    * state table of content keys (one row per distinct `content_key`);
+    * the batch deduplicates internally (min-id canonical, same rule as
+    * [[exactDedup]]), anti-joins the state, and returns
+    * `(fresh, seenNext)`: the genuinely new canonical docs and the
+    * grown state.
+    *
+    * Scale shape: both the in-batch window and the anti-join key on
+    * `content_key`, so cost ∝ batch size + matched keys — never the
+    * corpus. In production the state table lives bucketed by
+    * `content_key` ([[graft.sink.BucketedParquetIndex]] discipline) so
+    * the anti-join is co-located and shuffle-free; replaying a batch is
+    * idempotent (its keys are all in `seen`, so `fresh` is empty) —
+    * at-least-once delivery upstream needs nothing extra.
+    */
+  def incrementalExactDedup(batch: DataFrame, seen: DataFrame,
+      textCol: String, idCol: String): (DataFrame, DataFrame) = {
+    val w = Window.partitionBy(col("content_key")).orderBy(col(idCol).asc)
+    val canonical = batch
+      .withColumn("content_key", md5(col(textCol)))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    val fresh = canonical
+      .join(seen.select(col("content_key")), Seq("content_key"), "left_anti")
+    val seenNext = seen.select(col("content_key"))
+      .union(fresh.select(col("content_key")))
+    (fresh, seenNext)
+  }
+
   // ------------------------------------------------------ fingerprint
   /** Order- and multiplicity-insensitive content fingerprint: md5 of the
     * sorted distinct token set. Docs with the same token set collide. */

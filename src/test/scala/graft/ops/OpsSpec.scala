@@ -352,6 +352,25 @@ class OpsSpec extends SparkSpec {
       "no pii here at all")
   }
 
+  test("incrementalExactDedup: fresh per batch, idempotent on replay") {
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("content_key", StringType))))
+    val b1 = Seq((1L, "aaa"), (2L, "aaa"), (3L, "bbb")).toDF("doc_id", "text")
+    val (f1, s1) = Dedup.incrementalExactDedup(b1, empty, "text", "doc_id")
+    f1.select("doc_id").as[Long].collect().sorted.toSeq shouldBe Seq(1L, 3L)
+    // batch 2: one repeat of history, one in-batch dup, one new
+    val b2 = Seq((4L, "bbb"), (5L, "ccc"), (6L, "ccc")).toDF("doc_id", "text")
+    val (f2, s2) = Dedup.incrementalExactDedup(b2, s1, "text", "doc_id")
+    f2.select("doc_id").as[Long].collect().sorted.toSeq shouldBe Seq(5L)
+    s2.count() shouldBe 3L // aaa, bbb, ccc
+    // replay of batch 2 is a no-op: at-least-once upstream is safe
+    val (f3, s3) = Dedup.incrementalExactDedup(b2, s2, "text", "doc_id")
+    f3.count() shouldBe 0L
+    s3.count() shouldBe 3L
+  }
+
   test("decontaminate counts distinct shared n-grams vs the bench set only") {
     val train = Seq(
       (1L, "alpha beta gamma delta"),      // shares "alpha beta gamma" + "beta gamma delta"
