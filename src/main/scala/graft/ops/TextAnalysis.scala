@@ -122,9 +122,10 @@ object TextAnalysis {
   /** Fixed-size token chunking with overlap — how documents become
     * training sequences / retrieval passages. Each doc explodes into
     * windows of `chunkTokens` words advancing by `chunkTokens -
-    * overlap`; a trailing partial chunk is kept only when it carries
-    * more than `overlap` NEW tokens (otherwise its content is already
-    * inside the previous chunk). Per-row explode + slice: zero
+    * overlap`; a trailing partial chunk is emitted whenever it carries
+    * at least one token beyond the previous chunk's coverage (no token
+    * is ever dropped), and suppressed when it would hold only the
+    * overlap region already present. Per-row explode + slice: zero
     * shuffles, output size ∝ corpus / stride — embarrassingly parallel
     * at any scale.
     *

@@ -352,6 +352,30 @@ class OpsSpec extends SparkSpec {
       "no pii here at all")
   }
 
+  test("chunk: boundaries — overlap honored, no token lost, short docs kept") {
+    val docs = Seq(
+      (1L, (1 to 30).map(i => s"w$i").mkString(" ")), // 30 toks: chunks at 0,12,24
+      (2L, (1 to 16).map(i => s"w$i").mkString(" ")), // exactly one chunk
+      (3L, (1 to 20).map(i => s"w$i").mkString(" ")), // trailing chunk holds 4 new toks
+      (4L, "a b"),                                    // shorter than overlap: kept whole
+      (5L, (1 to 17).map(i => s"w$i").mkString(" "))) // tail = 1 new tok -> chunk at 12
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.chunk(docs, "text", "doc_id", chunkTokens = 16, overlap = 4)
+      .select("doc_id", "chunk_id", "start_tok", "n_toks")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    out shouldBe Set(
+      (1L, 0L, 0L, 16L), (1L, 1L, 12L, 16L), (1L, 2L, 24L, 6L),
+      (2L, 0L, 0L, 16L), // exactly chunkTokens: NO empty tail chunk
+      (3L, 0L, 0L, 16L), (3L, 1L, 12L, 8L), // w17-w20 would be lost otherwise
+      (4L, 0L, 0L, 2L),
+      (5L, 0L, 0L, 16L), (5L, 1L, 12L, 5L))
+    // reconstructed text matches the slice
+    val texts = TextAnalysis.chunk(docs, "text", "doc_id", 16, 4)
+      .filter(col("doc_id") === 1L && col("chunk_id") === 2L)
+      .select("chunk_text").as[String].head()
+    texts shouldBe (25 to 30).map(i => s"w$i").mkString(" ")
+  }
+
   test("incrementalExactDedup: fresh per batch, idempotent on replay") {
     import org.apache.spark.sql.types.{StringType, StructField, StructType}
     val empty = spark.createDataFrame(
