@@ -1,0 +1,38 @@
+package graft
+
+/** Plan-shape regression guard: no query in the CORRECTNESS gate may
+  * plan a Cartesian product, and nested-loop broadcast joins are
+  * allowed only where the design INTENDS a bounded broadcast (a 1-row
+  * stats aggregate, a parameter-bounded query/codebook side). A change
+  * that silently turns a keyed join into an all-pairs join — the
+  * classic 100 TB killer — fails here before it ever reaches a
+  * cluster. Plans are inspected at sf0.001 without executing the
+  * queries (join strategy is visible pre-execution; AQE can only
+  * IMPROVE an exchange, not introduce a cross join).
+  */
+class PlanGuardSpec extends SparkSpec {
+
+  /** Queries whose plan legitimately carries a BroadcastNestedLoopJoin:
+    * the broadcast side is bounded by construction, not by the corpus. */
+  private val allowedNestedLoop = Set(
+    "q31_ann_cosine",    // query side: vec_id < 10, broadcast by design
+    "q43_ann_ivf",       // centroid codebook: bounded by nClusters
+    "q49_bm25",          // corpus stats: exactly one aggregate row
+    "q66_token_budget",  // rate table: one row per SOURCE
+    "q72_unigram_lm")    // corpus total: exactly one aggregate row
+
+  test("no query plans a cartesian product; nested loops only where bounded") {
+    val dir = "/root/testdata/sf0.001"
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val plan = fn(spark, dir).queryExecution.executedPlan.toString
+        val cartesian = plan.contains("CartesianProduct")
+        val nlj = plan.contains("BroadcastNestedLoopJoin") &&
+          !allowedNestedLoop.contains(name)
+        if (cartesian) Some(s"$name: CartesianProduct")
+        else if (nlj) Some(s"$name: unexpected BroadcastNestedLoopJoin")
+        else None
+    }
+    offenders shouldBe empty
+  }
+}
