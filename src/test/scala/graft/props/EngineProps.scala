@@ -170,6 +170,27 @@ object EngineProps extends Properties("graft") {
       salted == plain
   }
 
+  // chunking never loses a token and never emits overlap-only tails
+  property("chunkCoversEveryTokenExactlyOnceBeyondOverlap") =
+    Prop.forAllNoShrink(
+      Gen.chooseNum(1, 60), Gen.chooseNum(2, 12), Gen.chooseNum(0, 6)) {
+      (nToks, chunkToks, rawOverlap) =>
+        val overlap = math.min(rawOverlap, chunkToks - 1)
+        val s = spark
+        import s.implicits._
+        val text = (1 to nToks).map(i => s"w$i").mkString(" ")
+        val chunks = graft.ops.TextAnalysis
+          .chunk(Seq((1L, text)).toDF("doc_id", "text"),
+            "text", "doc_id", chunkToks, overlap)
+          .select("start_tok", "n_toks").as[(Long, Long)]
+          .collect().sortBy(_._1).toSeq
+        val stride = chunkToks - overlap
+        val covered = chunks.flatMap { case (st, n) => st until (st + n) }.toSet
+        val strided = chunks.map(_._1) == chunks.indices.map(_.toLong * stride)
+        val noTail = chunks.dropRight(1).forall(_._2 == chunkToks.toLong)
+        covered == (0L until nToks.toLong).toSet && strided && noTail
+    }
+
   // applying the same actions twice converges (idempotent upsert, §2C)
   property("actionReplayIsIdempotent") = Prop.forAllNoShrink(kvMap, kvMap) {
     (oldM, newM) =>
