@@ -1018,6 +1018,42 @@ object LlmQueries {
        |FROM c""".stripMargin
   }
 
+  // --------------------------------------------------------- q75
+  /** Per-source curation report — the dashboard a data-quality owner
+    * watches: doc counts, exact-dup counts, and total quality mass per
+    * source, in ONE partial-aggregated pass. The quality mean rides an
+    * integer trick: each rounded score becomes an exact
+    * `ROUND(q*10000)` BIGINT, so the SUM is order-independent and
+    * hash-identical (a double SUM would fold in shuffle order);
+    * consumers divide by `n_docs` at display time. */
+  private def q75(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("source"), md5(col("text")).as("ck"),
+        TextAnalysis.qualityScore(col("text"), col("n_chars")).as("quality"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        (count(lit(1)) - countDistinct(col("ck"))).as("n_dups"),
+        sum(round(col("quality") * 10000).cast("long")).as("quality_dmil"))
+  private val q75Sql =
+    s"""WITH q AS (
+       |  SELECT doc_id, source, md5(text) AS ck,
+       |    round((len_band + word_band + (1.0 - least(punct * 4, 1.0))) / 3.0, 4) AS quality
+       |  FROM (
+       |    SELECT doc_id, source, text, n_chars,
+       |      len(list_filter(list_transform($WsSplit, w -> substr(w, 1, 1)),
+       |          c -> NOT regexp_matches(c, '[A-Za-z0-9]')))::DOUBLE
+       |        / greatest(len($WsSplit), 1) AS punct,
+       |      CASE WHEN n_chars BETWEEN 100 AND 400 THEN 1.0
+       |           WHEN n_chars BETWEEN 50 AND 99 OR n_chars BETWEEN 401 AND 600 THEN 0.5
+       |           ELSE 0.0 END AS len_band,
+       |      CASE WHEN n_chars::DOUBLE / greatest(len($WsSplit), 1) BETWEEN 3.0 AND 8.0
+       |           THEN 1.0 ELSE 0.5 END AS word_band
+       |    FROM documents))
+       |SELECT source, COUNT(*) AS n_docs,
+       |  CAST(COUNT(*) - COUNT(DISTINCT ck) AS BIGINT) AS n_dups,
+       |  CAST(SUM(CAST(ROUND(quality * 10000) AS BIGINT)) AS BIGINT) AS quality_dmil
+       |FROM q GROUP BY source""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q26_dedup_exact" -> q26 _,
     "q27_minhash_bands" -> q27 _,
@@ -1051,7 +1087,8 @@ object LlmQueries {
     "q68_dupchain_walk" -> q68 _,
     "q69_edit_distance" -> q69 _,
     "q72_unigram_lm" -> q72 _,
-    "q73_chunking" -> q73 _)
+    "q73_chunking" -> q73 _,
+    "q75_curation_report" -> q75 _)
 
   val oracles: Map[String, String] = Map(
     "q26_dedup_exact" -> q26Sql,
@@ -1086,5 +1123,6 @@ object LlmQueries {
     "q68_dupchain_walk" -> q68Sql,
     "q69_edit_distance" -> q69Sql,
     "q72_unigram_lm" -> q72Sql,
-    "q73_chunking" -> q73Sql)
+    "q73_chunking" -> q73Sql,
+    "q75_curation_report" -> q75Sql)
 }
