@@ -376,6 +376,29 @@ class OpsSpec extends SparkSpec {
     texts shouldBe (25 to 30).map(i => s"w$i").mkString(" ")
   }
 
+  test("decontaminate shuffle path (broadcastBench=false) equals broadcast path") {
+    val train = Seq((1L, "alpha beta gamma delta"),
+      (2L, "beta gamma delta epsilon"), (3L, "zeta eta theta iota"))
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val bc = Dedup.decontaminate(train, bench, "text", "doc_id", 3)
+      .as[(Long, Long)].collect().toMap
+    val sh = Dedup.decontaminate(train, bench, "text", "doc_id", 3,
+        broadcastBench = false)
+      .as[(Long, Long)].collect().toMap
+    sh shouldBe bc
+    bc shouldBe Map(1L -> 2L, 2L -> 1L)
+  }
+
+  test("editDistanceVerify: classic distances kept, over-threshold pairs cut") {
+    val docs = Seq((1L, "kitten"), (2L, "sitting"), (3L, "kitten"),
+      (4L, "completely unrelated string")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("id_a", "id_b")
+    val out = Dedup.editDistanceVerify(pairs, docs, "text", "doc_id", maxDist = 5)
+      .as[(Long, Long, Long)].collect().toSet
+    out shouldBe Set((1L, 2L, 3L), (1L, 3L, 0L)) // kitten->sitting = 3 edits
+  }
+
   test("incrementalExactDedup: fresh per batch, idempotent on replay") {
     import org.apache.spark.sql.types.{StringType, StructField, StructType}
     val empty = spark.createDataFrame(
