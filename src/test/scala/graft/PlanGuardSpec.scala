@@ -35,4 +35,25 @@ class PlanGuardSpec extends SparkSpec {
     }
     offenders shouldBe empty
   }
+
+  test("q02's filter reaches the parquet scan and columns are pruned") {
+    val plan = SparkEntry.queries("q02_filter_project")(
+      spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+    // predicate pushdown: the quantity filter must appear in PushedFilters,
+    // not only as a post-scan Filter node
+    plan should include regex "PushedFilters: \\[.*GreaterThan\\(l_quantity"
+    // column pruning: a 5-column projection over the 16-column lineitem
+    // table must not read the full schema (scan keeps file column order)
+    plan should include("ReadSchema: struct<l_orderkey:bigint,l_partkey:bigint")
+    plan should not include "l_comment"
+  }
+
+  test("q63's sampling predicate is evaluated in the scan, not a shuffle later") {
+    val plan = SparkEntry.queries("q63_stratified_sample")(
+      spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+    // the md5 predicate can't prune row groups, but it must run as a
+    // scan-level DataFilter (one pass, zero exchanges in the whole plan)
+    plan should include("DataFilters: [")
+    plan should not include "Exchange"
+  }
 }
