@@ -818,6 +818,34 @@ object Relational {
       |WINDOW w AS (PARTITION BY user_id ORDER BY ts
       |             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)""".stripMargin
 
+  // ---------------------------------------------------------------- q76
+  /** Distribution ranking functions: ntile/percent_rank/cume_dist spend
+    * quartiles per order priority. Partitioned window (keyed shuffle) —
+    * the scale-honest form; a global rank would serialize through one
+    * reducer. Sort key is cents-as-BIGINT + unique tie-break, and
+    * percent_rank/cume_dist are single divisions of exact integers, so
+    * both engines emit identical doubles. */
+  private def q76(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("cents").asc, col("o_orderkey").asc)
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        ntile(4).over(w).cast("long").as("spend_quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"))
+  }
+  private val q76Sql =
+    """SELECT o_orderkey, o_orderpriority,
+      |  ntile(4) OVER w AS spend_quartile,
+      |  percent_rank() OVER w AS pct_rank,
+      |  cume_dist() OVER w AS cume
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_orderpriority
+      |             ORDER BY CAST(ROUND(o_totalprice * 100) AS BIGINT) ASC,
+      |                      o_orderkey ASC)""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01 _,
     "q02_filter_project" -> q02 _,
@@ -854,7 +882,8 @@ object Relational {
     "q65_pivot" -> q65 _,
     "q70_forward_fill" -> q70 _,
     "q71_lateral_topk" -> q71 _,
-    "q74_range_frame" -> q74 _)
+    "q74_range_frame" -> q74 _,
+    "q76_rank_dist" -> q76 _)
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -892,5 +921,6 @@ object Relational {
     "q65_pivot" -> q65Sql,
     "q70_forward_fill" -> q70Sql,
     "q71_lateral_topk" -> q71Sql,
-    "q74_range_frame" -> q74Sql)
+    "q74_range_frame" -> q74Sql,
+    "q76_rank_dist" -> q76Sql)
 }
