@@ -140,6 +140,52 @@ class StreamingOpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("foreachBatch + incrementalExactDedup: continuous corpus ingest dedups across micro-batches") {
+    // the batch-incremental dedup op composed with Structured Streaming:
+    // each micro-batch anti-joins the accumulated content-key state, so
+    // replays and cross-batch duplicates never reach the corpus sink
+    implicit val enc: Encoder[(Long, String)] = Encoders.product[(Long, String)]
+    val stream = MemoryStream[(Long, String)](enc, spark)
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("graft_dedup_state").toString
+    val sinkRows = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    // seed empty state table on disk (content_key only)
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("content_key",
+          org.apache.spark.sql.types.StringType))))
+      .write.mode("overwrite").parquet(stateDir)
+    val query = stream.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val seen = spark.read.parquet(stateDir)
+        val (fresh, seenNext) = graft.ops.Dedup
+          .incrementalExactDedup(batch, seen, "text", "doc_id")
+        sinkRows.synchronized {
+          sinkRows ++= fresh.select("doc_id", "text")
+            .as[(Long, String)](enc).collect()
+        }
+        // two-step write: seenNext reads stateDir lazily, so materialize
+        // to a sibling then swap (same discipline as the CAS snapshot
+        // store; a plain overwrite would read-while-truncating)
+        val next = stateDir + "_next"
+        seenNext.write.mode("overwrite").parquet(next)
+        spark.read.parquet(next).write.mode("overwrite").parquet(stateDir)
+        ()
+      }
+      .start()
+    try {
+      stream.addData((1L, "aaa"), (2L, "aaa"), (3L, "bbb"))
+      query.processAllAvailable()
+      stream.addData((4L, "bbb"), (5L, "ccc"))  // bbb is a cross-batch dup
+      query.processAllAvailable()
+      stream.addData((6L, "ccc"))               // replayed content
+      query.processAllAvailable()
+      sinkRows.map(_._1).sorted.toSeq shouldBe Seq(1L, 3L, 5L)
+      spark.read.parquet(stateDir).count() shouldBe 3L
+    } finally query.stop()
+  }
+
   test("mapGroupsWithState keeps running per-key state across batches") {
     implicit val enc: Encoder[(String, Long)] = Encoders.product[(String, Long)]
     val stream = MemoryStream[(String, Long)](enc, spark)
