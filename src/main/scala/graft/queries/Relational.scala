@@ -846,6 +846,59 @@ object Relational {
       |             ORDER BY CAST(ROUND(o_totalprice * 100) AS BIGINT) ASC,
       |                      o_orderkey ASC)""".stripMargin
 
+  // ---------------------------------------------------------------- q77
+  /** Percent-of-total (ratio_to_report): each nation's share of its
+    * region's revenue — aggregate first (25 rows), THEN window over the
+    * tiny aggregate; the corpus-sized input sees only the groupBy
+    * shuffle, never a window. Shares are one exact-integer division. */
+  private def q77(s: SparkSession, dir: String): DataFrame = {
+    val nrev = Tables.orders(s, dir)
+      .join(Tables.customer(s, dir),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"), col("r_name"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+    nrev.select(col("n_name"), col("r_name"), col("cents"),
+      (col("cents").cast("double") /
+        sum(col("cents")).over(Window.partitionBy(col("r_name")))
+          .cast("double")).as("region_share"))
+  }
+  private val q77Sql =
+    """WITH nrev AS (
+      |  SELECT n.n_name, r.r_name,
+      |    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM orders o JOIN customer c ON o_custkey = c_custkey
+      |  JOIN nation n ON c_nationkey = n_nationkey
+      |  JOIN region r ON n_regionkey = r_regionkey
+      |  GROUP BY 1, 2)
+      |SELECT n_name, r_name, cents,
+      |  cents::DOUBLE /
+      |    CAST(SUM(cents) OVER (PARTITION BY r_name) AS BIGINT)::DOUBLE AS region_share
+      |FROM nrev""".stripMargin
+
+  // ---------------------------------------------------------------- q78
+  /** FILTER-clause aggregation: one pass computing several predicated
+    * aggregates side by side — no self-joins, no second scan; exactly
+    * the conditional-count pattern pivot (q65) generalizes. */
+  private def q78(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(when(col("o_orderstatus") === "F", 1)).as("n_finished"),
+        count(when(col("o_orderstatus") === "O", 1)).as("n_open"),
+        sum(when(col("o_orderstatus") === "F",
+          round(col("o_totalprice") * 100).cast("long"))).as("cents_finished"))
+  private val q78Sql =
+    """SELECT o_orderpriority,
+      |  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+      |  COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+      |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+      |       FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS cents_finished
+      |FROM orders GROUP BY o_orderpriority""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01 _,
     "q02_filter_project" -> q02 _,
@@ -883,7 +936,9 @@ object Relational {
     "q70_forward_fill" -> q70 _,
     "q71_lateral_topk" -> q71 _,
     "q74_range_frame" -> q74 _,
-    "q76_rank_dist" -> q76 _)
+    "q76_rank_dist" -> q76 _,
+    "q77_region_share" -> q77 _,
+    "q78_filter_agg" -> q78 _)
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -922,5 +977,7 @@ object Relational {
     "q70_forward_fill" -> q70Sql,
     "q71_lateral_topk" -> q71Sql,
     "q74_range_frame" -> q74Sql,
-    "q76_rank_dist" -> q76Sql)
+    "q76_rank_dist" -> q76Sql,
+    "q77_region_share" -> q77Sql,
+    "q78_filter_agg" -> q78Sql)
 }
