@@ -46,6 +46,8 @@ object Skew {
       spreadOn: Seq[String]): DataFrame = {
     require(salts >= 1, s"salts must be >= 1, got $salts")
     require(spreadOn.nonEmpty, "spreadOn needs at least one fact column")
+    require(!fact.columns.contains("__salt") && !dim.columns.contains("__salt"),
+      "saltedJoin reserves the __salt column name")
     val saltCol = pmod(
       xxhash64((key +: spreadOn).map(col): _*), lit(salts.toLong))
     val saltedFact = fact.withColumn("__salt", saltCol)
