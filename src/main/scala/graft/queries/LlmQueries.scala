@@ -1054,6 +1054,52 @@ object LlmQueries {
        |  CAST(SUM(CAST(ROUND(quality * 10000) AS BIGINT)) AS BIGINT) AS quality_dmil
        |FROM q GROUP BY source""".stripMargin
 
+  // --------------------------------------------------------- q79
+  /** Export shard planning: deterministic shard assignment (salted md5,
+    * reproducible anywhere) with per-shard doc and token totals — the
+    * manifest a sharded training-data export (WebDataset-style) is cut
+    * from. One partial-aggregated groupBy; token counts are exact
+    * integers. */
+  private val ExportShards = 8
+  private def q79(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(
+        (conv(substring(md5(concat(col("doc_id").cast("string"),
+          lit(":shard"))), 1, 15), 16, 10).cast("long") % ExportShards)
+          .as("shard_id"),
+        size(Dedup.words(col("text"))).cast("long").as("toks"))
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
+  private val q79Sql =
+    s"""SELECT ('0x' || substr(md5(doc_id::VARCHAR || ':shard'), 1, 15))::BIGINT
+       |    % $ExportShards AS shard_id,
+       |  COUNT(*) AS n_docs,
+       |  CAST(SUM(CAST(len($WsSplit) AS BIGINT)) AS BIGINT) AS n_tokens
+       |FROM documents GROUP BY 1""".stripMargin
+
+  // --------------------------------------------------------- q80
+  /** Embedding-run backlog: which documents still lack a vector after a
+    * partial embedding pass (simulated here as vec_id < 400), counted
+    * per language — the work-scheduling query an embedding pipeline
+    * runs between batches. Anti-join keyed on the id; the vector BYTES
+    * are never read, only the id column (column pruning does the rest).
+    */
+  private val EmbeddedUpTo = 400
+  private def q80(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .join(Tables.embeddings(s, dir)
+          .filter(col("vec_id") < EmbeddedUpTo)
+          .select(col("vec_id").as("doc_id")),
+        Seq("doc_id"), "left_anti")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_missing"), min(col("doc_id")).as("next_doc"))
+  private val q80Sql =
+    s"""SELECT lang, COUNT(*) AS n_missing, MIN(doc_id) AS next_doc
+       |FROM documents d
+       |WHERE NOT EXISTS (SELECT 1 FROM embeddings e
+       |                  WHERE e.vec_id < $EmbeddedUpTo AND e.vec_id = d.doc_id)
+       |GROUP BY lang""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q26_dedup_exact" -> q26 _,
     "q27_minhash_bands" -> q27 _,
@@ -1088,7 +1134,9 @@ object LlmQueries {
     "q69_edit_distance" -> q69 _,
     "q72_unigram_lm" -> q72 _,
     "q73_chunking" -> q73 _,
-    "q75_curation_report" -> q75 _)
+    "q75_curation_report" -> q75 _,
+    "q79_shard_manifest" -> q79 _,
+    "q80_embed_backlog" -> q80 _)
 
   val oracles: Map[String, String] = Map(
     "q26_dedup_exact" -> q26Sql,
@@ -1124,5 +1172,7 @@ object LlmQueries {
     "q69_edit_distance" -> q69Sql,
     "q72_unigram_lm" -> q72Sql,
     "q73_chunking" -> q73Sql,
-    "q75_curation_report" -> q75Sql)
+    "q75_curation_report" -> q75Sql,
+    "q79_shard_manifest" -> q79Sql,
+    "q80_embed_backlog" -> q80Sql)
 }
