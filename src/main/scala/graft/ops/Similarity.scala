@@ -52,6 +52,40 @@ object Similarity {
         round(col("cos"), 6).as("cos_sim"))
   }
 
+  /** Exact top-k cosine with a candidate predicate evaluated BEFORE the
+    * similarity math (pre-filter ANN — the semantics vector stores call
+    * "filtered search", as opposed to post-filtering a top-k that can
+    * then come back short). `keep` may reference corpus columns and any
+    * extra query attributes (queries carry `q_id`, `q_vec`, plus
+    * whatever attribute columns the predicate needs).
+    *
+    * Hard-negative mining for contrastive training is the canonical
+    * use: `keep = col("label") =!= col("q_label")` returns each query's
+    * most-similar vectors with a DIFFERENT label.
+    *
+    * Scale shape: identical to [[topKNeighbors]] — the query side
+    * broadcasts, the corpus streams once; the predicate prunes
+    * candidates before the dot product runs, so a selective filter cuts
+    * the similarity work proportionally. Compose with [[lshBuckets]] /
+    * IVF for sub-linear candidate generation when the query set grows. */
+  def topKNeighborsWhere(corpus: DataFrame, queries: DataFrame, k: Int,
+      keep: Column): DataFrame = {
+    graft.functions.GraftExtensions.ensureRegistered(corpus.sparkSession)
+    val joined = corpus
+      .withColumn("v", toDouble(col("embedding")))
+      .crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("q_id") && keep)
+      .withColumn("q", toDouble(col("q_vec")))
+      .withColumn("cos", graft.functions.CosineSimilarity(col("q"), col("v")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    joined
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("vec_id"),
+        round(col("cos"), 6).as("cos_sim"))
+  }
+
   /** Deterministic pseudo-random hyperplane weights for plane `p` over
     * `dims` dimensions: the classic shader-noise construction
     * `sin(p·12.9898 + d·78.233)` — uniform-ish in [-1, 1], reproducible

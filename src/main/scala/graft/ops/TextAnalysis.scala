@@ -99,6 +99,44 @@ object TextAnalysis {
     scored.select(col(idCol), col("dl"), score.as("score"))
   }
 
+  /** Top-`topN` TF-IDF terms per document — the classic keyword
+    * extractor (salient-term summaries, topic tagging, index pruning).
+    *
+    * 100 TB shape:
+    *  - term frequencies are ONE (id, word) groupBy over the exploded
+    *    corpus (partial aggregation collapses repeats map-side);
+    *  - document frequencies reuse that tf table (a second keyed
+    *    groupBy over doc-distinct terms — never a re-scan of the raw
+    *    text), so the vocabulary stays distributed, exactly like the
+    *    unigram-LM path (q72);
+    *  - the corpus doc count is a 1-row broadcast;
+    *  - top-N per doc is a per-doc window, partitioned by the id.
+    *
+    * Determinism: score = tf · ln(N/df) — an exact BIGINT times one
+    * libm `ln` call on the same double in any engine; ties rank by term
+    * text ascending.
+    *
+    * Output: (idCol, term, tf, rank, score). */
+  def tfidfTopTerms(docs: DataFrame, textCol: String, idCol: String,
+      topN: Int): DataFrame = {
+    val tf = docs
+      .select(col(idCol), explode(words(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("score").desc, col("term").asc)
+    tf.join(df, "term").crossJoin(broadcast(n))
+      .withColumn("score",
+        col("tf").cast("double") *
+          log(col("n_docs").cast("double") / col("df").cast("double")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topN)
+      .select(col(idCol), col("term"), col("tf"),
+        col("rank"), round(col("score"), 6).as("score"))
+  }
+
   /** PII scrubbing patterns, ordered most- to least-specific so one
     * pass per pattern composes safely (an email is redacted before its
     * digit run could be). All three stay inside RE2-compatible syntax

@@ -1100,6 +1100,56 @@ object LlmQueries {
        |                  WHERE e.vec_id < $EmbeddedUpTo AND e.vec_id = d.doc_id)
        |GROUP BY lang""".stripMargin
 
+  // --------------------------------------------------------- q81
+  /** Hard-negative mining: each query vector's top-k most-similar
+    * corpus vectors with a DIFFERENT label — the batch that contrastive
+    * / embedding training loops feed beside each positive pair.
+    * Pre-filter ANN ([[Similarity.topKNeighborsWhere]]): the label
+    * predicate prunes candidates BEFORE any similarity math, so k
+    * results always come back (post-filtering a top-k can come back
+    * short) and the filter cuts the dot-product work proportionally. */
+  private def q81(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+        col("label").as("q_label"))
+    Similarity.topKNeighborsWhere(emb, queries, AnnK,
+      col("label") =!= col("q_label"))
+  }
+  private val q81Sql =
+    s"""WITH q AS (SELECT vec_id AS q_id, label AS q_label,
+       |            embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+       |c AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+       |SELECT q_id, CAST(rn AS INT) AS rank, vec_id, round(cos, 6) AS cos_sim FROM (
+       |  SELECT q_id, vec_id, $CosSql AS cos,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY $CosSql DESC, vec_id) AS rn
+       |  FROM q, c WHERE vec_id <> q_id AND label <> q_label)
+       |WHERE rn <= $AnnK""".stripMargin
+
+  // --------------------------------------------------------- q82
+  /** Top-3 TF-IDF terms per document ([[TextAnalysis.tfidfTopTerms]]):
+    * keyword extraction over the corpus. The df table reuses the tf
+    * aggregate (no second corpus scan) and N is a 1-row broadcast;
+    * score = tf·ln(N/df) is exact-integer × one libm ln, ties break on
+    * term text — fully reproducible in the oracle. */
+  private val TfidfTopN = 3
+  private def q82(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tfidfTopTerms(Tables.documents(s, dir), "text", "doc_id",
+      TfidfTopN)
+  private val q82Sql =
+    s"""WITH w AS (SELECT doc_id, unnest($WsSplit) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM w GROUP BY 1, 2),
+       |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+       |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+       |s AS (SELECT doc_id, term, tf,
+       |    tf::DOUBLE * ln(n_docs::DOUBLE / df::DOUBLE) AS score,
+       |    ROW_NUMBER() OVER (PARTITION BY doc_id
+       |      ORDER BY tf::DOUBLE * ln(n_docs::DOUBLE / df::DOUBLE) DESC, term) AS rn
+       |  FROM tf JOIN df USING (term) CROSS JOIN n)
+       |SELECT doc_id, term, tf, CAST(rn AS INT) AS rank,
+       |  round(score, 6) AS score
+       |FROM s WHERE rn <= $TfidfTopN""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q26_dedup_exact" -> q26 _,
     "q27_minhash_bands" -> q27 _,
@@ -1136,7 +1186,9 @@ object LlmQueries {
     "q73_chunking" -> q73 _,
     "q75_curation_report" -> q75 _,
     "q79_shard_manifest" -> q79 _,
-    "q80_embed_backlog" -> q80 _)
+    "q80_embed_backlog" -> q80 _,
+    "q81_hard_negatives" -> q81 _,
+    "q82_tfidf_terms" -> q82 _)
 
   val oracles: Map[String, String] = Map(
     "q26_dedup_exact" -> q26Sql,
@@ -1174,5 +1226,7 @@ object LlmQueries {
     "q73_chunking" -> q73Sql,
     "q75_curation_report" -> q75Sql,
     "q79_shard_manifest" -> q79Sql,
-    "q80_embed_backlog" -> q80Sql)
+    "q80_embed_backlog" -> q80Sql,
+    "q81_hard_negatives" -> q81Sql,
+    "q82_tfidf_terms" -> q82Sql)
 }

@@ -899,6 +899,77 @@ object Relational {
       |       FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS cents_finished
       |FROM orders GROUP BY o_orderpriority""".stripMargin
 
+  // ---------------------------------------------------------------- q83
+  /** CUBE totals: every subset of (status, priority) — the full
+    * cross-dimensional summary a BI layer asks for. Like ROLLUP (q41)
+    * and GROUPING SETS (q64), Catalyst expands the 4 grouping sets into
+    * ONE expand + ONE shuffle, with partial aggregation ahead of it;
+    * money sums ride the exact-cents BIGINT trick (q78). */
+  private def q83(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("cents"),
+        grouping(col("o_orderstatus")).cast("int").as("g_status"),
+        grouping(col("o_orderpriority")).cast("int").as("g_prio"))
+      .select(col("o_orderstatus"), col("o_orderpriority"),
+        col("n"), col("cents"), col("g_status"), col("g_prio"))
+  private val q83Sql =
+    """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+      |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+      |  CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+      |  CAST(GROUPING(o_orderpriority) AS INT) AS g_prio
+      |FROM orders
+      |GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin
+
+  // ---------------------------------------------------------------- q84
+  /** Ordered funnel with a conversion window: users who viewed, then
+    * clicked within 12 h AFTER their first view, then purchased within
+    * 12 h AFTER that first qualifying click — the sequential-pattern
+    * query behind conversion analysis. Each stage is one keyed
+    * aggregation (min ts per user) plus one keyed join against the
+    * previous stage; after partial aggregation only user-level rows
+    * shuffle, so a K-stage funnel over 100 TB of events costs K
+    * user-keyed passes, never a per-event self-join. */
+  private def q84(s: SparkSession, dir: String): DataFrame = {
+    val win = expr("INTERVAL 12 HOURS")
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .join(views, "user_id")
+      .filter(col("ts") > col("t_view") && col("ts") <= col("t_view") + win)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+    val buys = ev.filter(col("event_type") === "purchase")
+      .join(clicks, "user_id")
+      .filter(col("ts") > col("t_click") && col("ts") <= col("t_click") + win)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_buy"))
+    def stage(n: Int, name: String, d: DataFrame): DataFrame =
+      d.agg(count(lit(1)).as("n_users"))
+        .select(lit(n).cast("int").as("stage"),
+          lit(name).as("event_type"), col("n_users"))
+    stage(1, "view", views)
+      .unionAll(stage(2, "click", clicks))
+      .unionAll(stage(3, "purchase", buys))
+  }
+  private val q84Sql =
+    """WITH v AS (SELECT user_id, MIN(ts) AS t_view FROM events
+      |           WHERE event_type = 'view' GROUP BY 1),
+      |c AS (SELECT e.user_id, MIN(e.ts) AS t_click FROM events e
+      |      JOIN v ON e.user_id = v.user_id
+      |      WHERE e.event_type = 'click' AND e.ts > v.t_view
+      |        AND e.ts <= v.t_view + INTERVAL 12 HOURS GROUP BY 1),
+      |p AS (SELECT e.user_id, MIN(e.ts) AS t_buy FROM events e
+      |      JOIN c ON e.user_id = c.user_id
+      |      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+      |        AND e.ts <= c.t_click + INTERVAL 12 HOURS GROUP BY 1)
+      |SELECT CAST(1 AS INT) AS stage, 'view' AS event_type, COUNT(*) AS n_users FROM v
+      |UNION ALL
+      |SELECT CAST(2 AS INT), 'click', COUNT(*) FROM c
+      |UNION ALL
+      |SELECT CAST(3 AS INT), 'purchase', COUNT(*) FROM p""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01 _,
     "q02_filter_project" -> q02 _,
@@ -938,7 +1009,9 @@ object Relational {
     "q74_range_frame" -> q74 _,
     "q76_rank_dist" -> q76 _,
     "q77_region_share" -> q77 _,
-    "q78_filter_agg" -> q78 _)
+    "q78_filter_agg" -> q78 _,
+    "q83_cube" -> q83 _,
+    "q84_funnel" -> q84 _)
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -979,5 +1052,7 @@ object Relational {
     "q74_range_frame" -> q74Sql,
     "q76_rank_dist" -> q76Sql,
     "q77_region_share" -> q77Sql,
-    "q78_filter_agg" -> q78Sql)
+    "q78_filter_agg" -> q78Sql,
+    "q83_cube" -> q83Sql,
+    "q84_funnel" -> q84Sql)
 }

@@ -19,7 +19,9 @@ class PlanGuardSpec extends SparkSpec {
     "q43_ann_ivf",       // centroid codebook: bounded by nClusters
     "q49_bm25",          // corpus stats: exactly one aggregate row
     "q66_token_budget",  // rate table: one row per SOURCE
-    "q72_unigram_lm")    // corpus total: exactly one aggregate row
+    "q72_unigram_lm",    // corpus total: exactly one aggregate row
+    "q81_hard_negatives", // query side: vec_id < 10, broadcast by design
+    "q82_tfidf_terms")   // corpus doc count: exactly one aggregate row
 
   test("no query plans a cartesian product; nested loops only where bounded") {
     val dir = "/root/testdata/sf0.001"

@@ -223,6 +223,46 @@ class OpsSpec extends SparkSpec {
     top(1)._3 shouldBe 3L
   }
 
+  test("filtered topK: predicate prunes candidates, k still filled") {
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f), 0), (2L, Array(0.9f, 0.1f), 0),
+      (3L, Array(0.8f, 0.2f), 1), (4L, Array(0.0f, 1.0f), 1),
+      (5L, Array(-1.0f, 0.0f), 1)).toDF("vec_id", "embedding", "label")
+    val queries = Seq((1L, Array(1.0f, 0.0f), 0))
+      .toDF("q_id", "q_vec", "q_label")
+    val top = Similarity.topKNeighborsWhere(corpus, queries, 2,
+      col("label") =!= col("q_label"))
+      .orderBy("rank").as[(Long, Int, Long, Double)].collect()
+    // vec 2 (same label) is the nearest overall but must be excluded
+    top.map(_._3).toSeq shouldBe Seq(3L, 4L)
+    // an always-true predicate reproduces the unfiltered operator
+    val unfiltered = Similarity.topKNeighbors(
+      corpus.select("vec_id", "embedding"),
+      queries.select("q_id", "q_vec"), 2)
+      .orderBy("rank").as[(Long, Int, Long, Double)].collect()
+    val allPass = Similarity.topKNeighborsWhere(corpus, queries, 2, lit(true))
+      .orderBy("rank").as[(Long, Int, Long, Double)].collect()
+    allPass.toSeq shouldBe unfiltered.toSeq
+  }
+
+  test("tfidf: corpus-wide terms score zero, rare terms rank first") {
+    val docs = Seq(
+      (1L, "common rare1 rare1 common"),
+      (2L, "common mid x"),
+      (3L, "common mid y")).toDF("doc_id", "text")
+    val top = TextAnalysis.tfidfTopTerms(docs, "text", "doc_id", 2)
+      .as[(Long, String, Long, Int, Double)].collect()
+      .groupBy(_._1).map { case (k, v) => k -> v.sortBy(_._4) }
+    // doc 1: rare1 (tf=2, df=1) far outranks common (in all docs, idf=0)
+    top(1L).head._2 shouldBe "rare1"
+    top(1L).head._5 shouldBe (2.0 * math.log(3.0)) +- 1e-6
+    // common appears in every doc -> ln(3/3) = 0 exactly
+    val common = top(1L).find(_._2 == "common")
+    common.foreach(_._5 shouldBe 0.0)
+    // ties (mid/x at tf=1: df 2 vs 1) rank by score then term text
+    top(2L).map(_._2).toSeq shouldBe Seq("x", "mid")
+  }
+
   test("LSH buckets: identical vectors share a bucket, opposites don't") {
     val corpus = Seq(
       (1L, Array.fill(8)(0.5f)), (2L, Array.fill(8)(0.5f)),
