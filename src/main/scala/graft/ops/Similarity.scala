@@ -277,6 +277,107 @@ object Similarity {
         round(col("cos"), 6).as("cos_sim"))
   }
 
+  /** Product-quantization codebook: per subspace, the sub-vectors of
+    * the `k` lowest-id corpus vectors (sample-as-codewords — the same
+    * deterministic initialization [[ivfTopKFixed]] uses for its coarse
+    * quantizer, skipping the k-means refinement a production build
+    * would run offline). Bounded by k·dims doubles — the structure
+    * every PQ engine broadcasts. Returns, per subspace, the k codeword
+    * sub-vectors in code order. */
+  private def pqCodebook(corpus: DataFrame, m: Int, k: Int,
+      dsub: Int): IndexedSeq[IndexedSeq[Seq[Double]]] = {
+    val rows = corpus
+      .orderBy(col("vec_id")).limit(k)
+      .select(col("vec_id"), toDouble(col("embedding")).as("c"))
+      .collect()
+      .sortBy(_.getLong(0))
+    require(rows.length == k, s"PQ codebook needs $k vectors, got ${rows.length}")
+    (0 until m).map { mi =>
+      rows.toIndexedSeq.map(_.getSeq[Double](1).slice(mi * dsub, (mi + 1) * dsub))
+    }
+  }
+
+  /** Product-quantization encode: split each vector into `m` subspaces
+    * and store, per subspace, the index of the nearest codeword
+    * (squared euclidean, ties to the lowest code) — 64 raw floats
+    * become `m` small ints. This is the compression layer of IVF-PQ,
+    * the layout 100 TB vector indexes actually ship: at m=4, k=16 a
+    * 256-byte vector rides in 4 bytes, so a billion-vector index fits
+    * in executor memory instead of spilling per probe.
+    *
+    * Scale shape: the codebook is a bounded collect (k·dims doubles)
+    * baked into a literal; assignment is one pure per-row
+    * `nearest_centroid` kernel per subspace — zero shuffles, zero
+    * joins, the whole encode is a projection over one corpus scan.
+    *
+    * Output: (vec_id, subspace, code) — oracle-gated (q85). */
+  def pqEncode(corpus: DataFrame, m: Int, k: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    graft.functions.GraftExtensions.ensureRegistered(spark)
+    val dims = embDims(corpus)
+    require(m > 0 && dims % m == 0, s"dims $dims must split evenly into $m subspaces")
+    val dsub = dims / m
+    val cb = pqCodebook(corpus, m, k, dsub)
+    val codeIds = (0L until k.toLong).toSeq
+    val v = toDouble(col("embedding"))
+    val codeCols = (0 until m).map { mi =>
+      call_function("nearest_centroid",
+        slice(v, mi * dsub + 1, dsub),
+        typedLit(codeIds), typedLit(cb(mi))).cast("int").as(s"code$mi")
+    }
+    val stackArgs = (0 until m)
+      .map(mi => s"$mi, code$mi").mkString(s"stack($m, ", ", ", ") AS (subspace, code)")
+    corpus.select(col("vec_id") +: codeCols: _*)
+      .select(col("vec_id"), expr(stackArgs))
+  }
+
+  /** PQ asymmetric-distance top-k: corpus vectors are represented ONLY
+    * by their PQ codes; each query scores a candidate as the sum of
+    * per-subspace squared distances to the candidate's codewords. The
+    * scan side carries m small ints per vector instead of the raw
+    * embedding — the memory/bandwidth win that makes exhaustive ADC
+    * scans viable where raw-vector scans spill.
+    *
+    * The per-subspace distance here is recomputed per row from the
+    * literal codebook (still codegen'd, k·dsub multiply-adds); a
+    * production kernel would precompute the m×k lookup table per query
+    * — an engine-level optimization with identical semantics.
+    * Approximate by construction (quantization error), so spec-gated
+    * by recall vs the exact scan, like [[ivfTopK]]. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      m: Int, ksub: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    graft.functions.GraftExtensions.ensureRegistered(spark)
+    val dims = embDims(corpus)
+    require(m > 0 && dims % m == 0, s"dims $dims must split evenly into $m subspaces")
+    val dsub = dims / m
+    val cb = pqCodebook(corpus, m, ksub, dsub)
+    val codeIds = (0L until ksub.toLong).toSeq
+    val v = toDouble(col("embedding"))
+    val codeCols = (0 until m).map { mi =>
+      call_function("nearest_centroid",
+        slice(v, mi * dsub + 1, dsub),
+        typedLit(codeIds), typedLit(cb(mi))).cast("int").as(s"code$mi")
+    }
+    // the codes table is all the corpus state the scan needs
+    val codes = corpus.select(col("vec_id") +: codeCols: _*)
+    val q = queries.select(col("q_id"), toDouble(col("q_vec")).as("q"))
+    val approx = (0 until m).map { mi =>
+      val qSub = slice(col("q"), mi * dsub + 1, dsub)
+      val cw = element_at(typedLit(cb(mi)), col(s"code$mi") + 1)
+      sqDist(qSub, cw)
+    }.reduce(_ + _)
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("adist").asc, col("vec_id").asc)
+    codes.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("adist", approx)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("vec_id"),
+        round(col("adist"), 6).as("approx_dist"))
+  }
+
   /** Approximate top-k: candidates share the query's bucket; exact
     * cosine + window only within buckets. The equi-join on `bucket`
     * replaces the cross join — at N corpus vectors and B buckets the

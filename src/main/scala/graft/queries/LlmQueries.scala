@@ -1150,6 +1150,36 @@ object LlmQueries {
        |  round(score, 6) AS score
        |FROM s WHERE rn <= $TfidfTopN""".stripMargin
 
+  // --------------------------------------------------------- q85
+  /** Product-quantization encode ([[Similarity.pqEncode]]): each
+    * 64-dim vector → 4 codes (nearest codeword per 16-dim subspace,
+    * codebook = the 16 lowest-id vectors). The compression layer of
+    * IVF-PQ — the layout a 100 TB vector index ships. Zero shuffles:
+    * the codebook is a bounded literal, assignment is one per-row
+    * codegen kernel per subspace. */
+  private val PqM = 4
+  private val PqK = 16
+  private def q85(s: SparkSession, dir: String): DataFrame =
+    Similarity.pqEncode(Tables.embeddings(s, dir), PqM, PqK)
+  private val q85Sql = {
+    val dsub = 64 / PqM
+    s"""WITH cb AS (SELECT vec_id AS code, embedding::DOUBLE[] AS cv
+       |            FROM embeddings WHERE vec_id < $PqK),
+       |v AS (SELECT vec_id, embedding::DOUBLE[] AS vv FROM embeddings),
+       |ms AS (SELECT unnest(range(0, $PqM)) AS m),
+       |sv AS (SELECT vec_id, m, vv[m*$dsub+1 : (m+1)*$dsub] AS s FROM v CROSS JOIN ms),
+       |sc AS (SELECT code, m, cv[m*$dsub+1 : (m+1)*$dsub] AS c FROM cb CROSS JOIN ms),
+       |d AS (SELECT vec_id, sv.m AS m, code,
+       |        list_dot_product(s, s) - 2 * list_dot_product(s, c)
+       |          + list_dot_product(c, c) AS dist
+       |      FROM sv JOIN sc ON sv.m = sc.m),
+       |r AS (SELECT vec_id, m, code,
+       |        ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dist, code) AS rn
+       |      FROM d)
+       |SELECT vec_id, CAST(m AS INT) AS subspace, CAST(code AS INT) AS code
+       |FROM r WHERE rn = 1""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q26_dedup_exact" -> q26 _,
     "q27_minhash_bands" -> q27 _,
@@ -1188,7 +1218,8 @@ object LlmQueries {
     "q79_shard_manifest" -> q79 _,
     "q80_embed_backlog" -> q80 _,
     "q81_hard_negatives" -> q81 _,
-    "q82_tfidf_terms" -> q82 _)
+    "q82_tfidf_terms" -> q82 _,
+    "q85_pq_codes" -> q85 _)
 
   val oracles: Map[String, String] = Map(
     "q26_dedup_exact" -> q26Sql,
@@ -1228,5 +1259,6 @@ object LlmQueries {
     "q79_shard_manifest" -> q79Sql,
     "q80_embed_backlog" -> q80Sql,
     "q81_hard_negatives" -> q81Sql,
-    "q82_tfidf_terms" -> q82Sql)
+    "q82_tfidf_terms" -> q82Sql,
+    "q85_pq_codes" -> q85Sql)
 }

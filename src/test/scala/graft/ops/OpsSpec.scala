@@ -289,6 +289,40 @@ class OpsSpec extends SparkSpec {
     again shouldBe ivf
   }
 
+  test("PQ encode: codebook vectors quantize to their own code") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val codes = Similarity.pqEncode(emb, m = 4, k = 16)
+      .filter(col("vec_id") < 16)
+      .as[(Long, Int, Int)].collect()
+    codes should have length (16 * 4)
+    // a codeword's nearest codeword in every subspace is itself
+    codes.foreach { case (id, _, code) => code.toLong shouldBe id }
+  }
+
+  test("PQ ADC topK: reasonable recall vs the exact L2 scan") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val exact = emb.select(col("vec_id"), Similarity.toDouble(col("embedding")).as("v"))
+      .crossJoin(broadcast(queries.select(col("q_id"),
+        Similarity.toDouble(col("q_vec")).as("q"))))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("d", Similarity.sqDist(col("q"), col("v")))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
+          .orderBy(col("d").asc, col("vec_id").asc)))
+      .filter(col("rank") <= 10)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val pq = Similarity.pqTopK(emb, queries, 10, m = 4, ksub = 16)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & pq).size.toDouble / exact.size
+    assert(recall >= 0.3, s"PQ recall too low: $recall")
+    // deterministic: same codebook, same codes, same ranking
+    val again = Similarity.pqTopK(emb, queries, 10, m = 4, ksub = 16)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    again shouldBe pq
+  }
+
   test("winnowing: overlap guarantee — a shared (w+k-1)-char run shares a fingerprint") {
     val k = 8; val w = 4
     val common = "the quick brown fox jumps over the lazy dog" // >> w+k-1 chars
