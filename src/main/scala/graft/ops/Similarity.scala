@@ -297,6 +297,30 @@ object Similarity {
     }
   }
 
+  /** The per-subspace PQ code columns (`code0..code{m-1}`): one
+    * `nearest_centroid` codegen kernel per subspace over a slice of the
+    * embedding. */
+  private def pqCodeCols(cb: IndexedSeq[IndexedSeq[Seq[Double]]], m: Int,
+      ksub: Int, dsub: Int): Seq[Column] = {
+    val codeIds = (0L until ksub.toLong).toSeq
+    val v = toDouble(col("embedding"))
+    (0 until m).map { mi =>
+      call_function("nearest_centroid",
+        slice(v, mi * dsub + 1, dsub),
+        typedLit(codeIds), typedLit(cb(mi))).cast("int").as(s"code$mi")
+    }
+  }
+
+  /** Asymmetric PQ distance: sum over subspaces of the squared distance
+    * from the query's sub-vector (column `q`) to the candidate's
+    * codeword (looked up from the literal codebook by `code{mi}`). */
+  private def adcDist(cb: IndexedSeq[IndexedSeq[Seq[Double]]], m: Int,
+      dsub: Int): Column =
+    (0 until m).map { mi =>
+      sqDist(slice(col("q"), mi * dsub + 1, dsub),
+        element_at(typedLit(cb(mi)), col(s"code$mi") + 1))
+    }.reduce(_ + _)
+
   /** Product-quantization encode: split each vector into `m` subspaces
     * and store, per subspace, the index of the nearest codeword
     * (squared euclidean, ties to the lowest code) — 64 raw floats
@@ -318,13 +342,7 @@ object Similarity {
     require(m > 0 && dims % m == 0, s"dims $dims must split evenly into $m subspaces")
     val dsub = dims / m
     val cb = pqCodebook(corpus, m, k, dsub)
-    val codeIds = (0L until k.toLong).toSeq
-    val v = toDouble(col("embedding"))
-    val codeCols = (0 until m).map { mi =>
-      call_function("nearest_centroid",
-        slice(v, mi * dsub + 1, dsub),
-        typedLit(codeIds), typedLit(cb(mi))).cast("int").as(s"code$mi")
-    }
+    val codeCols = pqCodeCols(cb, m, k, dsub)
     val stackArgs = (0 until m)
       .map(mi => s"$mi, code$mi").mkString(s"stack($m, ", ", ", ") AS (subspace, code)")
     corpus.select(col("vec_id") +: codeCols: _*)
@@ -352,27 +370,68 @@ object Similarity {
     require(m > 0 && dims % m == 0, s"dims $dims must split evenly into $m subspaces")
     val dsub = dims / m
     val cb = pqCodebook(corpus, m, ksub, dsub)
-    val codeIds = (0L until ksub.toLong).toSeq
-    val v = toDouble(col("embedding"))
-    val codeCols = (0 until m).map { mi =>
-      call_function("nearest_centroid",
-        slice(v, mi * dsub + 1, dsub),
-        typedLit(codeIds), typedLit(cb(mi))).cast("int").as(s"code$mi")
-    }
     // the codes table is all the corpus state the scan needs
-    val codes = corpus.select(col("vec_id") +: codeCols: _*)
+    val codes = corpus.select(col("vec_id") +: pqCodeCols(cb, m, ksub, dsub): _*)
     val q = queries.select(col("q_id"), toDouble(col("q_vec")).as("q"))
-    val approx = (0 until m).map { mi =>
-      val qSub = slice(col("q"), mi * dsub + 1, dsub)
-      val cw = element_at(typedLit(cb(mi)), col(s"code$mi") + 1)
-      sqDist(qSub, cw)
-    }.reduce(_ + _)
+    val approx = adcDist(cb, m, dsub)
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("adist").asc, col("vec_id").asc)
     codes.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("adist", approx)
       .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("vec_id"),
+        round(col("adist"), 6).as("approx_dist"))
+  }
+
+  /** IVF-PQ: the composed layout 100 TB vector indexes actually ship.
+    * Coarse routing (deterministic sample centroids, as in
+    * [[ivfTopKFixed]]) restricts each query to `nProbe` cells; within
+    * the probed cells candidates are scored by PQ asymmetric distance
+    * over their codes only ([[pqTopK]]'s scoring). The scan state per
+    * vector is (cluster, m codes) — a few bytes — and per-query work is
+    * ~nProbe/nClusters of the corpus with no raw-vector reads at all.
+    * Doubly approximate (routing + quantization), so spec-gated by
+    * recall + determinism like the other approximate tiers. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nClusters: Int, nProbe: Int, m: Int, ksub: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    graft.functions.GraftExtensions.ensureRegistered(spark)
+    val dims = embDims(corpus)
+    require(m > 0 && dims % m == 0, s"dims $dims must split evenly into $m subspaces")
+    val dsub = dims / m
+    // coarse quantizer: bounded by nClusters (the broadcastable codebook)
+    val centRows = corpus
+      .orderBy(col("vec_id")).limit(nClusters)
+      .select(col("vec_id"), toDouble(col("embedding")).as("c"))
+      .collect()
+      .sortBy(_.getLong(0))
+    val cids = centRows.map(_.getLong(0)).toSeq
+    val cvecs = centRows.map(_.getSeq[Double](1)).toSeq
+    import spark.implicits._
+    val cents = cids.zip(cvecs).toDF("cluster", "c")
+    val cb = pqCodebook(corpus, m, ksub, dsub)
+    // ONE corpus projection pass emits cluster + codes together
+    val codes = corpus.select(
+      col("vec_id") +:
+        call_function("nearest_centroid", toDouble(col("embedding")),
+          typedLit(cids), typedLit(cvecs)).as("cluster") +:
+        pqCodeCols(cb, m, ksub, dsub): _*)
+    val wProbe = Window.partitionBy(col("q_id"))
+      .orderBy(col("cdist").asc, col("cluster").asc)
+    val probes = queries.select(col("q_id"), toDouble(col("q_vec")).as("q"))
+      .crossJoin(broadcast(cents))
+      .withColumn("cdist", sqDist(col("q"), col("c")))
+      .withColumn("prank", row_number().over(wProbe))
+      .filter(col("prank") <= nProbe)
+      .select(col("q_id"), col("q"), col("cluster"))
+    val wk = Window.partitionBy(col("q_id"))
+      .orderBy(col("adist").asc, col("vec_id").asc)
+    codes.join(broadcast(probes), Seq("cluster"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("adist", adcDist(cb, m, dsub))
+      .withColumn("rank", row_number().over(wk))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("vec_id"),
         round(col("adist"), 6).as("approx_dist"))

@@ -970,6 +970,31 @@ object Relational {
       |UNION ALL
       |SELECT CAST(3 AS INT), 'purchase', COUNT(*) FROM p""".stripMargin
 
+  // ---------------------------------------------------------------- q86
+  /** Z-order (Morton) clustering key over (customer, order day) —
+    * [[graft.ops.Layout.zValue2]]. Writing a table range-partitioned +
+    * sorted on this value makes parquet row-group min/max stats prune
+    * scans filtered on EITHER dimension (the lakehouse multi-dim
+    * clustering layout); the value itself is pure codegen'd bit
+    * arithmetic, recomputed identically by the oracle's shifts. The
+    * layout machinery (range partition + sort) is spec-gated
+    * (LayoutSpec); this gates the curve arithmetic. */
+  private val ZBits = 16
+  private def q86(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir).select(col("o_orderkey"),
+      graft.ops.Layout.zValue2(col("o_custkey"),
+        unix_date(col("o_orderdate").cast("date")), ZBits).as("z"))
+  private val q86Sql = {
+    val mask = (1L << ZBits) - 1
+    def dim(e: String, off: Int) = (0 until ZBits)
+      .map(i => s"((((($e) & $mask) >> $i) & 1) << ${2 * i + off})")
+      .mkString(" | ")
+    val days = "date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))"
+    s"""SELECT o_orderkey,
+       |  CAST((${dim("o_custkey", 0)}) | (${dim(days, 1)}) AS BIGINT) AS z
+       |FROM orders""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01 _,
     "q02_filter_project" -> q02 _,
@@ -1011,7 +1036,8 @@ object Relational {
     "q77_region_share" -> q77 _,
     "q78_filter_agg" -> q78 _,
     "q83_cube" -> q83 _,
-    "q84_funnel" -> q84 _)
+    "q84_funnel" -> q84 _,
+    "q86_zorder" -> q86 _)
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -1054,5 +1080,6 @@ object Relational {
     "q77_region_share" -> q77Sql,
     "q78_filter_agg" -> q78Sql,
     "q83_cube" -> q83Sql,
-    "q84_funnel" -> q84Sql)
+    "q84_funnel" -> q84Sql,
+    "q86_zorder" -> q86Sql)
 }

@@ -1,0 +1,72 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def refZ(a: Long, b: Long, bits: Int): Long = {
+    var z = 0L
+    for (i <- 0 until bits) {
+      z |= ((a >> i) & 1L) << (2 * i)
+      z |= ((b >> i) & 1L) << (2 * i + 1)
+    }
+    z
+  }
+
+  test("zValue2 matches the bit-interleave reference, masking high bits") {
+    val cases = Seq((0L, 0L), (1L, 0L), (0L, 1L), (12345L, 54321L),
+      (65535L, 65535L), (70000L, 3L), (3L, 70000L))
+    val got = cases.toDF("a", "b")
+      .select(Layout.zValue2(col("a"), col("b"), 16).as("z"))
+      .as[Long].collect().toSeq
+    got shouldBe cases.map { case (a, b) => refZ(a & 65535L, b & 65535L, 16) }
+  }
+
+  test("zorder: partition z-ranges are disjoint and BOTH dims prune") {
+    // balanced 8-bit × 8-bit grid: both dims occupy the same bit width,
+    // the precondition zValue2/scaleTo document
+    val grid = spark.range(256L * 256L)
+      .select((col("id") / 256).cast("long").as("a"),
+        (col("id") % 256).cast("long").as("b"))
+    val laid = Layout.zorder(grid, col("a"), col("b"), 8, 16)
+    val ranges = laid
+      .withColumn("z2", Layout.zValue2(col("a"), col("b"), 8))
+      .withColumn("pid", spark_partition_id())
+      .groupBy("pid")
+      .agg(min("z2").as("lo"), max("z2").as("hi"),
+        min("a").as("alo"), min("b").as("blo"))
+      .orderBy("pid")
+      .as[(Int, Long, Long, Long, Long)].collect()
+    ranges.length shouldBe 16
+    // range partitioning: ascending, non-overlapping z intervals
+    ranges.sliding(2).foreach {
+      case Array(prev, next) => assert(prev._3 <= next._2,
+        s"z ranges overlap: partition ${prev._1} hi=${prev._3} vs ${next._1} lo=${next._2}")
+      case _ =>
+    }
+    // pruning on EITHER dimension: a 1/16 slice of each dim touches a
+    // strict subset of partitions (a date-sorted layout would spread a
+    // key slice across every partition)
+    def touched(dim: String, cut: Long): Long = laid
+      .withColumn("pid", spark_partition_id())
+      .filter(col(dim) < cut)
+      .select(countDistinct(col("pid"))).as[Long].first()
+    val aHits = touched("a", 16)
+    val bHits = touched("b", 16)
+    assert(aHits < 16, s"a-slice touched all partitions ($aHits)")
+    assert(bHits < 16, s"b-slice touched all partitions ($bHits)")
+  }
+
+  test("scaleTo: clamps and spreads a numeric range onto the bit budget") {
+    val vals = Seq(-5.0, 0.0, 50.0, 100.0, 250.0).toDF("v")
+      .select(Layout.scaleTo(col("v"), 0.0, 100.0, 8).as("s"))
+      .as[Long].collect().toSeq
+    vals.head shouldBe 0L    // below lo clamps
+    vals.last shouldBe 255L  // above hi clamps
+    vals(2) shouldBe 127L    // midpoint lands mid-range
+    assert(vals == vals.sorted, "scaling must be monotonic")
+  }
+}

@@ -323,6 +323,31 @@ class OpsSpec extends SparkSpec {
     again shouldBe pq
   }
 
+  test("IVF-PQ: codes-only routed search attains reasonable recall, deterministic") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val exact = emb.select(col("vec_id"), Similarity.toDouble(col("embedding")).as("v"))
+      .crossJoin(broadcast(queries.select(col("q_id"),
+        Similarity.toDouble(col("q_vec")).as("q"))))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("d", Similarity.sqDist(col("q"), col("v")))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
+          .orderBy(col("d").asc, col("vec_id").asc)))
+      .filter(col("rank") <= 10)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val ivfpq = Similarity.ivfPqTopK(emb, queries, 10,
+      nClusters = 8, nProbe = 4, m = 4, ksub = 16)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & ivfpq).size.toDouble / exact.size
+    assert(recall >= 0.2, s"IVF-PQ recall too low: $recall")
+    val again = Similarity.ivfPqTopK(emb, queries, 10,
+      nClusters = 8, nProbe = 4, m = 4, ksub = 16)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    again shouldBe ivfpq
+  }
+
   test("winnowing: overlap guarantee — a shared (w+k-1)-char run shares a fingerprint") {
     val k = 8; val w = 4
     val common = "the quick brown fox jumps over the lazy dog" // >> w+k-1 chars
