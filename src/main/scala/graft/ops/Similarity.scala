@@ -321,6 +321,43 @@ object Similarity {
         element_at(typedLit(cb(mi)), col(s"code$mi") + 1))
     }.reduce(_ + _)
 
+  /** A trained PQ codebook: `cents(mi)(code)` is the codeword
+    * sub-vector for subspace `mi`. Kept as a first-class value so a
+    * STREAMING encode can reuse a codebook trained offline — codes are
+    * only comparable across batches when they come from one codebook;
+    * re-deriving it per micro-batch would silently re-map code space. */
+  case class PqCodebook(m: Int, dsub: Int,
+      cents: IndexedSeq[IndexedSeq[Seq[Double]]]) {
+    def ksub: Int = cents.head.length
+  }
+
+  /** Train (sample-as-codewords) a PQ codebook from a batch corpus:
+    * bounded collect of the `k` lowest-id vectors, split into `m`
+    * subspaces. */
+  def pqCodebookOf(corpus: DataFrame, m: Int, k: Int): PqCodebook = {
+    val dims = embDims(corpus)
+    require(m > 0 && dims % m == 0, s"dims $dims must split evenly into $m subspaces")
+    val dsub = dims / m
+    PqCodebook(m, dsub, pqCodebook(corpus, m, k, dsub))
+  }
+
+  /** Encode (vec_id, embedding) rows against an EXISTING codebook —
+    * a pure stateless per-row projection (one `nearest_centroid`
+    * codegen kernel per subspace, then an unpivot), so it applies
+    * unchanged to a Structured Streaming DataFrame: new vectors
+    * arriving on a stream get codes append-only, and the index grows
+    * incrementally without touching old rows (StreamingOpsSpec).
+    *
+    * Output: (vec_id, subspace, code). */
+  def pqEncodeWith(df: DataFrame, cb: PqCodebook): DataFrame = {
+    graft.functions.GraftExtensions.ensureRegistered(df.sparkSession)
+    val codeCols = pqCodeCols(cb.cents, cb.m, cb.ksub, cb.dsub)
+    val stackArgs = (0 until cb.m)
+      .map(mi => s"$mi, code$mi").mkString(s"stack(${cb.m}, ", ", ", ") AS (subspace, code)")
+    df.select(col("vec_id") +: codeCols: _*)
+      .select(col("vec_id"), expr(stackArgs))
+  }
+
   /** Product-quantization encode: split each vector into `m` subspaces
     * and store, per subspace, the index of the nearest codeword
     * (squared euclidean, ties to the lowest code) — 64 raw floats
@@ -335,19 +372,8 @@ object Similarity {
     * joins, the whole encode is a projection over one corpus scan.
     *
     * Output: (vec_id, subspace, code) — oracle-gated (q85). */
-  def pqEncode(corpus: DataFrame, m: Int, k: Int): DataFrame = {
-    val spark = corpus.sparkSession
-    graft.functions.GraftExtensions.ensureRegistered(spark)
-    val dims = embDims(corpus)
-    require(m > 0 && dims % m == 0, s"dims $dims must split evenly into $m subspaces")
-    val dsub = dims / m
-    val cb = pqCodebook(corpus, m, k, dsub)
-    val codeCols = pqCodeCols(cb, m, k, dsub)
-    val stackArgs = (0 until m)
-      .map(mi => s"$mi, code$mi").mkString(s"stack($m, ", ", ", ") AS (subspace, code)")
-    corpus.select(col("vec_id") +: codeCols: _*)
-      .select(col("vec_id"), expr(stackArgs))
-  }
+  def pqEncode(corpus: DataFrame, m: Int, k: Int): DataFrame =
+    pqEncodeWith(corpus, pqCodebookOf(corpus, m, k))
 
   /** PQ asymmetric-distance top-k: corpus vectors are represented ONLY
     * by their PQ codes; each query scores a candidate as the sum of

@@ -186,6 +186,42 @@ class StreamingOpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming PQ encode: stream codes match the batch encode exactly") {
+    // the embedding-index maintenance path: the codebook is trained
+    // offline ONCE (codes are only comparable within one codebook), and
+    // pqEncodeWith is a stateless per-row projection, so it applies to
+    // a stream unchanged — new vectors append codes incrementally
+    // without touching old index rows
+    import graft.ops.Similarity
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cb = Similarity.pqCodebookOf(emb, m = 4, k = 16)
+    implicit val enc: Encoder[(Long, Array[Float])] =
+      Encoders.product[(Long, Array[Float])]
+    val stream = MemoryStream[(Long, Array[Float])](enc, spark)
+    val encoded = Similarity.pqEncodeWith(
+      stream.toDF().toDF("vec_id", "embedding"), cb)
+    val query = encoded.writeStream
+      .format("memory").queryName("pq_stream")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      val rows = emb.select("vec_id", "embedding")
+        .as[(Long, Array[Float])].collect()
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      stream.addData(b1.toSeq: _*)
+      query.processAllAvailable()
+      // append-only growth: first batch contributes m rows per vector
+      spark.table("pq_stream").count() shouldBe b1.length * 4L
+      stream.addData(b2.toSeq: _*)
+      query.processAllAvailable()
+      val got = spark.table("pq_stream")
+        .as[(Long, Int, Int)].collect().toSet
+      val want = Similarity.pqEncodeWith(emb, cb)
+        .as[(Long, Int, Int)].collect().toSet
+      got shouldBe want
+    } finally query.stop()
+  }
+
   test("mapGroupsWithState keeps running per-key state across batches") {
     implicit val enc: Encoder[(String, Long)] = Encoders.product[(String, Long)]
     val stream = MemoryStream[(String, Long)](enc, spark)
