@@ -995,6 +995,45 @@ object Relational {
        |FROM orders""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q87
+  /** Salted fact-dim join under the oracle gate: revenue by order
+    * priority through [[graft.ops.Skew.saltedJoin]] (fact keys fanned
+    * over 8 reducers, dim replicated 8×). The oracle is the PLAIN join
+    * — the gate proves salting is semantically invisible, which is the
+    * whole contract (SkewSpec proves it against the unsalted plan;
+    * this proves it against a second engine). Deterministic xxhash64
+    * salt, so retries/speculation can't re-salt rows differently. */
+  private val Salts = 8
+  private def q87(s: SparkSession, dir: String): DataFrame = {
+    val fact = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("okey"), col("l_partkey"),
+        col("l_extendedprice"))
+    val dim = Tables.orders(s, dir)
+      .select(col("o_orderkey").as("okey"), col("o_orderpriority"))
+    graft.ops.Skew.saltedJoin(fact, dim, "okey", Salts, Seq("l_partkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(dbl(sum(dP(col("l_extendedprice")))).as("revenue"),
+        count(lit(1)).as("n"))
+  }
+  private val q87Sql =
+    """SELECT o_orderpriority,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------- q88
+  /** Hot-key probe ([[graft.ops.Skew.hotKeys]]): per-key row counts at
+    * or above a threshold — the measurement that decides whether a join
+    * needs salting at all. One partial-aggregated groupBy; output is
+    * bounded by the number of genuinely hot keys. */
+  private val HotThreshold = 70L
+  private def q88(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Skew.hotKeys(Tables.events(s, dir), "user_id", HotThreshold)
+  private val q88Sql =
+    s"""SELECT user_id, COUNT(*) AS n_rows FROM events
+       |GROUP BY user_id HAVING COUNT(*) >= $HotThreshold""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01 _,
     "q02_filter_project" -> q02 _,
@@ -1037,7 +1076,9 @@ object Relational {
     "q78_filter_agg" -> q78 _,
     "q83_cube" -> q83 _,
     "q84_funnel" -> q84 _,
-    "q86_zorder" -> q86 _)
+    "q86_zorder" -> q86 _,
+    "q87_salted_join" -> q87 _,
+    "q88_hot_keys" -> q88 _)
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -1081,5 +1122,7 @@ object Relational {
     "q78_filter_agg" -> q78Sql,
     "q83_cube" -> q83Sql,
     "q84_funnel" -> q84Sql,
-    "q86_zorder" -> q86Sql)
+    "q86_zorder" -> q86Sql,
+    "q87_salted_join" -> q87Sql,
+    "q88_hot_keys" -> q88Sql)
 }
