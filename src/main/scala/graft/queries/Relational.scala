@@ -372,7 +372,7 @@ object Relational {
       .select(col("c_nationkey").as("nationkey"), lit("customer").as("kind"))
     val p = Tables.supplier(s, dir)
       .select(col("s_nationkey").as("nationkey"), lit("supplier").as("kind"))
-    c.unionAll(p).groupBy(col("nationkey"), col("kind"))
+    c.union(p).groupBy(col("nationkey"), col("kind"))
       .agg(count(lit(1)).as("n"))
   }
   private val q16Sql =
@@ -950,8 +950,8 @@ object Relational {
         .select(lit(n).cast("int").as("stage"),
           lit(name).as("event_type"), col("n_users"))
     stage(1, "view", views)
-      .unionAll(stage(2, "click", clicks))
-      .unionAll(stage(3, "purchase", buys))
+      .union(stage(2, "click", clicks))
+      .union(stage(3, "purchase", buys))
   }
   private val q84Sql =
     """WITH v AS (SELECT user_id, MIN(ts) AS t_view FROM events
