@@ -1180,6 +1180,54 @@ object LlmQueries {
        |FROM r WHERE rn = 1""".stripMargin
   }
 
+  // --------------------------------------------------------- q89
+  /** Cluster survivorship merge: the decision record a dedup pass
+    * hands downstream — per transitive near-dup cluster (q50's
+    * connected components), the canonical id (cluster min), member
+    * count, the longest member's length (keep-longest policy input)
+    * and provenance breadth. One keyed join of the cluster map against
+    * the corpus plus one aggregation; cluster count, not corpus size,
+    * bounds the output. */
+  private def q89(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val bands = Dedup
+      .bandKeys(docs, "text", "doc_id", Bands, RowsPerBand, ShingleK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = Dedup
+      .jaccardVerify(Dedup.candidatePairs(bands), docs, "text", "doc_id",
+        JaccardThreshold)
+      .select(col("id_a"), col("id_b"))
+    Dedup.connectedComponents(pairs)
+      .select(col("node").as("doc_id"), col("cluster").as("cluster_id"))
+      .join(docs.select(col("doc_id"), col("n_chars"), col("source")), "doc_id")
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("n_chars")).as("max_chars"),
+        countDistinct(col("source")).as("n_sources"))
+  }
+  private val q89Sql =
+    s"""WITH RECURSIVE $BandsCte,
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+       |sets AS (SELECT doc_id, list_distinct($WsSplit) AS toks FROM documents),
+       |vpairs AS (
+       |  SELECT id_a, id_b
+       |  FROM pairs JOIN sets sa ON id_a = sa.doc_id JOIN sets sb ON id_b = sb.doc_id
+       |  WHERE len(list_intersect(sa.toks, sb.toks))::DOUBLE /
+       |        len(list_distinct(list_concat(sa.toks, sb.toks))) >= $JaccardThreshold),
+       |edges AS (SELECT id_a AS s, id_b AS d FROM vpairs
+       |          UNION ALL SELECT id_b, id_a FROM vpairs),
+       |reach AS (SELECT DISTINCT s AS node, s AS r FROM edges
+       |          UNION
+       |          SELECT e.s, r.r FROM edges e JOIN reach r ON r.node = e.d),
+       |cl AS (SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node)
+       |SELECT cluster_id, COUNT(*) AS n_docs, MAX(n_chars) AS max_chars,
+       |  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+       |FROM cl JOIN documents USING (doc_id)
+       |GROUP BY cluster_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q26_dedup_exact" -> q26 _,
     "q27_minhash_bands" -> q27 _,
@@ -1219,7 +1267,8 @@ object LlmQueries {
     "q80_embed_backlog" -> q80 _,
     "q81_hard_negatives" -> q81 _,
     "q82_tfidf_terms" -> q82 _,
-    "q85_pq_codes" -> q85 _)
+    "q85_pq_codes" -> q85 _,
+    "q89_cluster_merge" -> q89 _)
 
   val oracles: Map[String, String] = Map(
     "q26_dedup_exact" -> q26Sql,
@@ -1260,5 +1309,6 @@ object LlmQueries {
     "q80_embed_backlog" -> q80Sql,
     "q81_hard_negatives" -> q81Sql,
     "q82_tfidf_terms" -> q82Sql,
-    "q85_pq_codes" -> q85Sql)
+    "q85_pq_codes" -> q85Sql,
+    "q89_cluster_merge" -> q89Sql)
 }
