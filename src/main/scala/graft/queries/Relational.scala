@@ -1034,6 +1034,22 @@ object Relational {
     s"""SELECT user_id, COUNT(*) AS n_rows FROM events
        |GROUP BY user_id HAVING COUNT(*) >= $HotThreshold""".stripMargin
 
+  // ---------------------------------------------------------------- q90
+  /** Deterministic keyset-style pagination: page 3 of the price-ranked
+    * order book via OFFSET+LIMIT over a total order with a unique
+    * tie-break. Spark plans offset+limit after a sort as
+    * TakeOrderedAndProject (top-(offset+limit) per partition, merge on
+    * the driver) — no global sort, the same shape as q03's top-k. */
+  private def q90(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .offset(20).limit(10)
+  private val q90Sql =
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey
+      |LIMIT 10 OFFSET 20""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01 _,
     "q02_filter_project" -> q02 _,
@@ -1078,7 +1094,8 @@ object Relational {
     "q84_funnel" -> q84 _,
     "q86_zorder" -> q86 _,
     "q87_salted_join" -> q87 _,
-    "q88_hot_keys" -> q88 _)
+    "q88_hot_keys" -> q88 _,
+    "q90_pagination" -> q90 _)
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -1124,5 +1141,6 @@ object Relational {
     "q84_funnel" -> q84Sql,
     "q86_zorder" -> q86Sql,
     "q87_salted_join" -> q87Sql,
-    "q88_hot_keys" -> q88Sql)
+    "q88_hot_keys" -> q88Sql,
+    "q90_pagination" -> q90Sql)
 }

@@ -18,7 +18,8 @@ class LayoutSpec extends SparkSpec {
 
   test("zValue2 matches the bit-interleave reference, masking high bits") {
     val cases = Seq((0L, 0L), (1L, 0L), (0L, 1L), (12345L, 54321L),
-      (65535L, 65535L), (70000L, 3L), (3L, 70000L))
+      (65535L, 65535L), (70000L, 3L), (3L, 70000L),
+      (-1L, 0L), (-5L, -7L)) // negatives degrade to their low bits too
     val got = cases.toDF("a", "b")
       .select(Layout.zValue2(col("a"), col("b"), 16).as("z"))
       .as[Long].collect().toSeq
