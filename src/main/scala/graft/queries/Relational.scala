@@ -1050,6 +1050,42 @@ object Relational {
       |ORDER BY o_totalprice DESC, o_orderkey
       |LIMIT 10 OFFSET 20""".stripMargin
 
+  // ---------------------------------------------------------------- q91
+  /** Sorted-distinct string aggregation (Postgres `string_agg` — a
+    * denormalization-SQL staple the reference's MV layer leans on):
+    * `collect_set` is a partial-aggregating hash set, sorted once per
+    * group at output, so the string is deterministic under any
+    * partitioning — never aggregate strings in shuffle order. */
+  private def q91(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        array_join(array_sort(collect_set(col("o_orderstatus"))), ",")
+          .as("statuses"),
+        count(lit(1)).as("n"))
+  private val q91Sql =
+    """SELECT o_orderpriority,
+      |  array_to_string(list_sort(list_distinct(list(o_orderstatus))), ',') AS statuses,
+      |  COUNT(*) AS n
+      |FROM orders GROUP BY o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------- q92
+  /** ISO-weekday seasonality: Spark's `weekday` (Mon=0) + 1 equals
+    * DuckDB/Postgres `isodow` (Mon=1..7) — the explicit mapping matters
+    * because `dayofweek` (Sun=1) silently disagrees across engines;
+    * the exact-cents trick keeps money order-independent. */
+  private def q92(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy((weekday(col("o_orderdate").cast("date")) + 1).cast("long")
+        .as("dow"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+  private val q92Sql =
+    """SELECT CAST(isodow(CAST(o_orderdate AS DATE)) AS BIGINT) AS dow,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      |FROM orders GROUP BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01 _,
     "q02_filter_project" -> q02 _,
@@ -1095,7 +1131,9 @@ object Relational {
     "q86_zorder" -> q86 _,
     "q87_salted_join" -> q87 _,
     "q88_hot_keys" -> q88 _,
-    "q90_pagination" -> q90 _)
+    "q90_pagination" -> q90 _,
+    "q91_string_agg" -> q91 _,
+    "q92_weekday" -> q92 _)
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -1142,5 +1180,7 @@ object Relational {
     "q86_zorder" -> q86Sql,
     "q87_salted_join" -> q87Sql,
     "q88_hot_keys" -> q88Sql,
-    "q90_pagination" -> q90Sql)
+    "q90_pagination" -> q90Sql,
+    "q91_string_agg" -> q91Sql,
+    "q92_weekday" -> q92Sql)
 }
