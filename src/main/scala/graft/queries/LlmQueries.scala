@@ -1228,6 +1228,43 @@ object LlmQueries {
        |FROM cl JOIN documents USING (doc_id)
        |GROUP BY cluster_id""".stripMargin
 
+  // --------------------------------------------------------- q93
+  /** Robust per-source outlier filter: median absolute deviation (MAD)
+    * over document lengths — the curation-pipeline outlier rule that,
+    * unlike mean±k·σ, a handful of giant documents can't drag. Exact
+    * grouped medians (`percentile` — bit-matches DuckDB `quantile_cont`
+    * per q51), two keyed aggregations + two keyed joins; at 100 TB
+    * unbounded-cardinality profiling swaps in the approx_percentile
+    * sketch (ops/Sketches) with identical plumbing. */
+  private val MadK = 3.0
+  private def q93(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("source"), col("n_chars"))
+    val med = docs.groupBy(col("source"))
+      .agg(expr("percentile(n_chars, 0.5)").as("med"))
+    val dev = docs.join(med, "source")
+      .select(col("source"), col("n_chars"), col("med"),
+        abs(col("n_chars") - col("med")).as("dev"))
+    val mad = dev.groupBy(col("source"))
+      .agg(expr("percentile(dev, 0.5)").as("mad"))
+    dev.join(mad, "source")
+      .groupBy(col("source"), col("med"), col("mad"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("dev") > lit(MadK) * col("mad"), 1)).as("n_outliers"))
+      .select(col("source"), col("n_docs"), col("n_outliers"),
+        col("med").as("median_chars"), col("mad"))
+  }
+  private val q93Sql =
+    s"""WITH med AS (SELECT source, quantile_cont(n_chars, 0.5) AS med
+       |            FROM documents GROUP BY 1),
+       |dev AS (SELECT d.source, m.med, abs(d.n_chars - m.med) AS dev
+       |        FROM documents d JOIN med m USING (source)),
+       |mad AS (SELECT source, quantile_cont(dev, 0.5) AS mad FROM dev GROUP BY 1)
+       |SELECT dev.source, COUNT(*) AS n_docs,
+       |  COUNT(*) FILTER (WHERE dev > $MadK * x.mad) AS n_outliers,
+       |  dev.med AS median_chars, x.mad AS mad
+       |FROM dev JOIN mad x USING (source)
+       |GROUP BY dev.source, dev.med, x.mad""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q26_dedup_exact" -> q26 _,
     "q27_minhash_bands" -> q27 _,
@@ -1268,7 +1305,8 @@ object LlmQueries {
     "q81_hard_negatives" -> q81 _,
     "q82_tfidf_terms" -> q82 _,
     "q85_pq_codes" -> q85 _,
-    "q89_cluster_merge" -> q89 _)
+    "q89_cluster_merge" -> q89 _,
+    "q93_mad_outliers" -> q93 _)
 
   val oracles: Map[String, String] = Map(
     "q26_dedup_exact" -> q26Sql,
@@ -1310,5 +1348,6 @@ object LlmQueries {
     "q81_hard_negatives" -> q81Sql,
     "q82_tfidf_terms" -> q82Sql,
     "q85_pq_codes" -> q85Sql,
-    "q89_cluster_merge" -> q89Sql)
+    "q89_cluster_merge" -> q89Sql,
+    "q93_mad_outliers" -> q93Sql)
 }
