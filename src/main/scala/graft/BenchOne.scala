@@ -10,10 +10,14 @@ import graft.core.GraftSession
   */
 object BenchOne {
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: BenchOne <queryName> [sfDir] [runs] [explain]")
+    val usage = "usage: BenchOne <queryName> [sfDir] [runs>0] [explain]"
+    require(args.nonEmpty, usage)
     val name = args(0)
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
-    val runs = if (args.length > 2) args(2).toInt else 3
+    val runs =
+      if (args.length > 2) args(2).toIntOption.getOrElse(sys.error(s"runs must be an int; $usage"))
+      else 3
+    require(runs > 0, s"runs must be positive; $usage")
     val explain = args.length > 3 && args(3) == "explain"
     val fn = SparkEntry.queries.getOrElse(name,
       sys.error(s"unknown query $name; known: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}"))

@@ -61,6 +61,7 @@ object Layout {
     * at scale pick ~target-file-size × cluster parallelism. */
   def zorder(df: DataFrame, a: Column, b: Column, bits: Int = 16,
       partitions: Int = 0): DataFrame = {
+    require(!df.columns.contains("__z"), "zorder reserves the __z column name")
     val n = if (partitions > 0) partitions
       else df.sparkSession.sessionState.conf.numShufflePartitions
     df.withColumn("__z", zValue2(a, b, bits))

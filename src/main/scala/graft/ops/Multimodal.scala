@@ -26,11 +26,14 @@ case class MediaFeatures(
   * blobs at a time, amortizing model/codec setup), and a typed
   * `Dataset[MediaFeatures]` result.
   *
-  * The DECODE ITSELF IS A STUB: this container has no image/audio
-  * codecs, so [[decodeBatchStub]] derives deterministic fake
-  * dimensions/features from the bytes. A real deployment replaces that
-  * one function with JavaCPP/FFmpeg/ImageIO calls — nothing else
-  * changes.
+  * IMAGE decode is REAL: `image/…` mimes go through
+  * `javax.imageio.ImageIO` (PNG/JPEG/GIF/BMP readers ship in the JDK),
+  * producing true dimensions and an 8-dim color-statistics feature
+  * vector — see [[decodeImage]]. AUDIO/VIDEO decode remains a stub
+  * ([[decodeBatchStub]]: deterministic fake dimensions/features from
+  * the bytes) because this container has no audio/video codecs; a real
+  * deployment replaces that one function with JavaCPP/FFmpeg calls —
+  * nothing else changes.
   */
 object Multimodal {
 
@@ -43,8 +46,63 @@ object Multimodal {
       concat(lit("application/x-src-"), col("source")).as("mime"),
       col("text").cast("binary").as("blob"))
 
-  /** STUB decoder — deterministic fake. Real impl: decode image/audio,
-    * measure dimensions, run a feature extractor over the batch. */
+  /** Real image decode via the JDK's ImageIO (PNG/JPEG/GIF/BMP).
+    * Output: true pixel dimensions + an 8-dim feature vector of color
+    * statistics in [0,1] — mean R/G/B/luma over all pixels, plus the
+    * mean luma of each 2×2 spatial quadrant (a tiny spatial signature,
+    * deterministic for a given image). Undecodable `image/…` bytes
+    * (truncated file, unsupported subformat) yield `width = height = -1`
+    * and zero features rather than poisoning the batch — at 100 TB some
+    * corrupt blobs are a certainty and one bad file must not kill a
+    * 10^6-row partition task. */
+  private[ops] def decodeImage(m: MediaBlob): MediaFeatures = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.blob))
+      catch { case _: java.io.IOException => null }
+    if (img == null)
+      MediaFeatures(m.id, m.mime, m.blob.length, -1, -1, new Array[Float](8))
+    else {
+      val w = img.getWidth
+      val h = img.getHeight
+      var r = 0.0; var g = 0.0; var b = 0.0
+      val quadLuma = new Array[Double](4)
+      val quadN = new Array[Long](4)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val pr = (rgb >> 16) & 0xff; val pg = (rgb >> 8) & 0xff; val pb = rgb & 0xff
+          r += pr; g += pg; b += pb
+          val q = (if (y * 2 >= h) 2 else 0) + (if (x * 2 >= w) 1 else 0)
+          quadLuma(q) += 0.299 * pr + 0.587 * pg + 0.114 * pb
+          quadN(q) += 1
+          x += 1
+        }
+        y += 1
+      }
+      val n = w.toLong * h
+      val features = Array(
+        (r / n / 255.0).toFloat, (g / n / 255.0).toFloat, (b / n / 255.0).toFloat,
+        ((0.299 * r + 0.587 * g + 0.114 * b) / n / 255.0).toFloat,
+        (if (quadN(0) == 0) 0.0 else quadLuma(0) / quadN(0) / 255.0).toFloat,
+        (if (quadN(1) == 0) 0.0 else quadLuma(1) / quadN(1) / 255.0).toFloat,
+        (if (quadN(2) == 0) 0.0 else quadLuma(2) / quadN(2) / 255.0).toFloat,
+        (if (quadN(3) == 0) 0.0 else quadLuma(3) / quadN(3) / 255.0).toFloat)
+      MediaFeatures(m.id, m.mime, m.blob.length, w, h, features)
+    }
+  }
+
+  /** Batch dispatch: real ImageIO decode for `image/…`, stub for
+    * everything else (audio/video — no codecs in this container). */
+  private def decodeBatch(batch: Seq[MediaBlob]): Seq[MediaFeatures] = {
+    val (images, rest) = batch.partition(_.mime.startsWith("image/"))
+    images.map(decodeImage) ++ decodeBatchStub(rest)
+  }
+
+  /** STUB decoder for audio/video mimes — deterministic fake. Real
+    * impl: decode, measure dimensions, run a feature extractor over the
+    * batch. */
   private def decodeBatchStub(batch: Seq[MediaBlob]): Seq[MediaFeatures] =
     batch.map { m =>
       val len = m.blob.length
@@ -66,7 +124,7 @@ object Multimodal {
     media
       .repartition(parts, col("id"))
       .as[MediaBlob]
-      .mapPartitions(it => it.grouped(batchSize).flatMap(decodeBatchStub))
+      .mapPartitions(it => it.grouped(batchSize).flatMap(decodeBatch))
   }
 
   /** Uniform FRAME SAMPLING over the raw byte stream — the video-style

@@ -54,10 +54,15 @@ object Similarity {
 
   /** Exact top-k cosine with a candidate predicate evaluated BEFORE the
     * similarity math (pre-filter ANN — the semantics vector stores call
-    * "filtered search", as opposed to post-filtering a top-k that can
-    * then come back short). `keep` may reference corpus columns and any
-    * extra query attributes (queries carry `q_id`, `q_vec`, plus
-    * whatever attribute columns the predicate needs).
+    * "filtered search"): each query's k fills whenever ≥ k candidates
+    * satisfy the predicate; a query whose predicate eliminates (almost)
+    * all candidates returns fewer — or zero — rows, by design, rather
+    * than padding with post-filter leftovers. `keep` may reference
+    * corpus columns and any extra query attributes (queries carry
+    * `q_id`, `q_vec`, plus whatever attribute columns the predicate
+    * needs). Query-side attribute columns must NOT share a name with a
+    * corpus column (rename them `q_*`) — the predicate would otherwise
+    * hit an ambiguous-reference error on the joined frame.
     *
     * Hard-negative mining for contrastive training is the canonical
     * use: `keep = col("label") =!= col("q_label")` returns each query's

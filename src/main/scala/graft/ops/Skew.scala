@@ -63,4 +63,41 @@ object Skew {
   def hotKeys(df: DataFrame, key: String, threshold: Long): DataFrame =
     df.groupBy(col(key)).agg(count(lit(1)).as("n_rows"))
       .filter(col("n_rows") >= threshold)
+
+  /** Split `df` into (rows whose `key` is in `hot`, the rest). `hot` is
+    * bounded by construction (≤ n/threshold keys can be hot), so both
+    * probes are broadcast joins — no shuffle of `df`. */
+  private[ops] def splitByHot(df: DataFrame, key: String, hot: DataFrame)
+      : (DataFrame, DataFrame) = {
+    val hotKeysOnly = broadcast(hot.select(col(key)))
+    (df.join(hotKeysOnly, Seq(key), "left_semi"),
+     df.join(hotKeysOnly, Seq(key), "left_anti"))
+  }
+
+  /** TARGETED salted join — the 100×-scale version of [[saltedJoin]]:
+    * salt ONLY the keys whose fact-side row count reaches
+    * `hotThreshold`; everything else takes the plain equi-join. The
+    * uniform variant pays the `salts`× dim replication for every key;
+    * at production skew (a handful of hot keys over billions of cold
+    * ones) that blow-up is almost entirely waste. Here the replicated
+    * dim subset is bounded by the hot-key count (≤ fact_rows /
+    * hotThreshold keys can be hot), so replication cost is proportional
+    * to the skew actually present.
+    *
+    * Cost shape: one partial-aggregated counting pass over the fact
+    * side ([[hotKeys]] — its output is small enough to broadcast by
+    * construction), two broadcast semi/anti probes per input (no extra
+    * shuffle), then one salted join over the hot slice + one plain join
+    * over the cold slice, unioned. Result is exactly
+    * `fact.join(dim, key)` — spec-gated in SkewSpec against the plain
+    * plan and oracle-gated (q94) against a second engine. */
+  def saltedJoinHotOnly(fact: DataFrame, dim: DataFrame, key: String,
+      salts: Int, spreadOn: Seq[String], hotThreshold: Long): DataFrame = {
+    require(hotThreshold >= 1, s"hotThreshold must be >= 1, got $hotThreshold")
+    val hot = hotKeys(fact, key, hotThreshold)
+    val (factHot, factCold) = splitByHot(fact, key, hot)
+    val (dimHot, dimCold) = splitByHot(dim, key, hot)
+    saltedJoin(factHot, dimHot, key, salts, spreadOn)
+      .unionByName(factCold.join(dimCold, Seq(key)))
+  }
 }

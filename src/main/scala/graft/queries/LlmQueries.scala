@@ -1163,8 +1163,13 @@ object LlmQueries {
     Similarity.pqEncode(Tables.embeddings(s, dir), PqM, PqK)
   private val q85Sql = {
     val dsub = 64 / PqM
-    s"""WITH cb AS (SELECT vec_id AS code, embedding::DOUBLE[] AS cv
-       |            FROM embeddings WHERE vec_id < $PqK),
+    // codes are POSITIONAL (rank of vec_id among the k lowest, 0-based)
+    // to mirror pqCodebook exactly — NOT raw vec_id values, which only
+    // coincide when ids happen to be contiguous from 0 (ADVICE r5)
+    s"""WITH cbv AS (SELECT vec_id, embedding::DOUBLE[] AS cv
+       |             FROM embeddings ORDER BY vec_id LIMIT $PqK),
+       |cb AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code, cv
+       |       FROM cbv),
        |v AS (SELECT vec_id, embedding::DOUBLE[] AS vv FROM embeddings),
        |ms AS (SELECT unnest(range(0, $PqM)) AS m),
        |sv AS (SELECT vec_id, m, vv[m*$dsub+1 : (m+1)*$dsub] AS s FROM v CROSS JOIN ms),

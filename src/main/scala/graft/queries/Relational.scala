@@ -1034,6 +1034,34 @@ object Relational {
     s"""SELECT user_id, COUNT(*) AS n_rows FROM events
        |GROUP BY user_id HAVING COUNT(*) >= $HotThreshold""".stripMargin
 
+  // ---------------------------------------------------------------- q94
+  /** TARGETED salted join ([[graft.ops.Skew.saltedJoinHotOnly]]) under
+    * the oracle gate: same contract as q87 — the oracle is the PLAIN
+    * join, proving hot-key-only salting is semantically invisible — but
+    * here only keys with ≥ `HotOnlyThreshold` fact rows pay the salts×
+    * dim replication; the cold tail takes the plain equi-join and is
+    * never replicated (SkewSpec proves the split). This is the variant
+    * that survives 100×: replication cost ∝ actual skew, not dim size. */
+  private val HotOnlyThreshold = 5L
+  private def q94(s: SparkSession, dir: String): DataFrame = {
+    val fact = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("okey"), col("l_partkey"),
+        col("l_extendedprice"))
+    val dim = Tables.orders(s, dir)
+      .select(col("o_orderkey").as("okey"), col("o_orderstatus"))
+    graft.ops.Skew.saltedJoinHotOnly(fact, dim, "okey", Salts,
+        Seq("l_partkey"), HotOnlyThreshold)
+      .groupBy(col("o_orderstatus"))
+      .agg(dbl(sum(dP(col("l_extendedprice")))).as("revenue"),
+        count(lit(1)).as("n"))
+  }
+  private val q94Sql =
+    """SELECT o_orderstatus,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderstatus""".stripMargin
+
   // ---------------------------------------------------------------- q90
   /** Deterministic keyset-style pagination: page 3 of the price-ranked
     * order book via OFFSET+LIMIT over a total order with a unique
@@ -1132,6 +1160,7 @@ object Relational {
     "q87_salted_join" -> q87 _,
     "q88_hot_keys" -> q88 _,
     "q90_pagination" -> q90 _,
+    "q94_salted_hot_join" -> q94 _,
     "q91_string_agg" -> q91 _,
     "q92_weekday" -> q92 _)
 
@@ -1181,6 +1210,7 @@ object Relational {
     "q87_salted_join" -> q87Sql,
     "q88_hot_keys" -> q88Sql,
     "q90_pagination" -> q90Sql,
+    "q94_salted_hot_join" -> q94Sql,
     "q91_string_agg" -> q91Sql,
     "q92_weekday" -> q92Sql)
 }

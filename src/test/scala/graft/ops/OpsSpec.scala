@@ -438,6 +438,48 @@ class OpsSpec extends SparkSpec {
     again.map(_.features.toSeq).toSeq shouldBe rows.map(_.features.toSeq).toSeq
   }
 
+  test("multimodal: real ImageIO decode reads true PNG dimensions and color stats") {
+    // synthesize a REAL PNG: 8x6, left half pure red, right half pure blue
+    val img = new java.awt.image.BufferedImage(8, 6, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 6; x <- 0 until 8)
+      img.setRGB(x, y, if (x < 4) 0xff0000 else 0x0000ff)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val png = baos.toByteArray
+
+    val media = Seq(
+      (1L, "image/png", png),
+      (2L, "image/png", Array[Byte](1, 2, 3)),            // corrupt image bytes
+      (3L, "application/x-src-a", "hello world".getBytes)) // stub path
+      .toDF("id", "mime", "blob")
+    val feats = Multimodal.extractFeatures(spark, media, batchSize = 2)
+      .collect().map(f => f.id -> f).toMap
+
+    // true dimensions from the decoder, not the stub's len-derived fake
+    feats(1L).width shouldBe 8
+    feats(1L).height shouldBe 6
+    feats(1L).byte_len shouldBe png.length
+    // color statistics: half red half blue
+    val f = feats(1L).features
+    f(0) shouldBe 0.5f +- 1e-3f  // mean R
+    f(1) shouldBe 0.0f +- 1e-3f  // mean G
+    f(2) shouldBe 0.5f +- 1e-3f  // mean B
+    // quadrant lumas: left quadrants pure red (0.299), right pure blue (0.114)
+    f(4) shouldBe 0.299f +- 1e-3f // top-left
+    f(5) shouldBe 0.114f +- 1e-3f // top-right
+    f(6) shouldBe 0.299f +- 1e-3f // bottom-left
+    f(7) shouldBe 0.114f +- 1e-3f // bottom-right
+
+    // corrupt image/* bytes degrade to (-1,-1), never a thrown task
+    feats(2L).width shouldBe -1
+    feats(2L).height shouldBe -1
+    feats(2L).features.toSeq shouldBe Seq.fill(8)(0f)
+
+    // non-image mimes still take the deterministic stub path
+    feats(3L).byte_len shouldBe 11
+    feats(3L).features.length shouldBe 8
+  }
+
   test("redactPii scrubs emails, phones, and digit runs; order protects emails") {
     val df = Seq(
       "contact bob.smith+x@corp.example.com or +1 (555) 123-4567",

@@ -50,4 +50,40 @@ class SkewSpec extends SparkSpec {
       .as[(String, Long)].collect().toMap
     hot shouldBe Map("hot" -> 900L)
   }
+
+  test("saltedJoinHotOnly returns exactly the unsalted inner join") {
+    val (fact, dim) = fixtures
+    val plain = fact.join(dim, "key")
+      .select("row_id", "key", "weight").as[(Long, String, Int)]
+      .collect().sorted.toSeq
+    val targeted = Skew.saltedJoinHotOnly(fact, dim, "key", salts = 8,
+        spreadOn = Seq("row_id"), hotThreshold = 100)
+      .select("row_id", "key", "weight").as[(Long, String, Int)]
+      .collect().sorted.toSeq
+    targeted shouldBe plain
+  }
+
+  test("saltedJoinHotOnly replicates only the hot slice of the dim") {
+    val (fact, dim) = fixtures
+    // only "hot" (900 rows) crosses threshold=100; k0/k1/k2 stay cold
+    val hot = Skew.hotKeys(fact, "key", threshold = 100)
+    val (dimHot, dimCold) = Skew.splitByHot(dim, "key", hot)
+    // the slice that pays the salts-x replication is 1 row, not 4
+    dimHot.count() shouldBe 1L
+    dimHot.select("key").as[String].collect().toSeq shouldBe Seq("hot")
+    // the cold 3/4 of the dim takes the plain join, unreplicated
+    dimCold.count() shouldBe 3L
+  }
+
+  test("saltedJoinHotOnly with no hot keys degenerates to the plain join") {
+    val (fact, dim) = fixtures
+    val out = Skew.saltedJoinHotOnly(fact, dim, "key", salts = 8,
+        spreadOn = Seq("row_id"), hotThreshold = 100000)
+      .select("row_id", "key", "weight").as[(Long, String, Int)]
+      .collect().sorted.toSeq
+    val plain = fact.join(dim, "key")
+      .select("row_id", "key", "weight").as[(Long, String, Int)]
+      .collect().sorted.toSeq
+    out shouldBe plain
+  }
 }
