@@ -18,9 +18,11 @@ import org.apache.spark.sql.types._
   * or unparseable JSON. Scalar leaf values are accepted as-is (ES
   * coerces leaf types; structure is what `strict` polices).
   *
-  * Validation runs distributed (a deserialization UDF at the sink edge —
-  * the same place the reference does row-wise Python work), so no doc
-  * ever funnels through the driver.
+  * Validation runs distributed at the sink edge (the same place the
+  * reference does row-wise Python work) via the codegen'd
+  * [[graft.functions.StrictViolations]] expression, so no doc ever
+  * funnels through the driver and the sink projection stays inside
+  * whole-stage codegen.
   */
 object SchemaViolationException {
   def apply(index: String, samples: Seq[(String, Seq[String])]): IllegalArgumentException =
@@ -35,10 +37,20 @@ object StrictSchema {
 
   /** Unknown/mis-shaped field paths of `doc` vs the declared schema;
     * empty = valid. */
-  def violations(doc: String, schema: StructType): Seq[String] = {
-    val node =
-      try mapper.readTree(doc)
-      catch { case _: Exception => return Seq("<malformed json>") }
+  def violations(doc: String, schema: StructType): Seq[String] =
+    collect(try mapper.readTree(doc)
+            catch { case _: Exception => return Seq("<malformed json>") },
+      schema)
+
+  /** [[violations]] straight from utf-8 bytes — the zero-String-copy
+    * entry the [[graft.functions.StrictViolations]] codegen kernel
+    * calls. */
+  def violationsBytes(doc: Array[Byte], schema: StructType): Seq[String] =
+    collect(try mapper.readTree(doc)
+            catch { case _: Exception => return Seq("<malformed json>") },
+      schema)
+
+  private def collect(node: JsonNode, schema: StructType): Seq[String] = {
     val buf = mutable.ArrayBuffer[String]()
     walk(node, schema, "", buf)
     buf.toSeq
@@ -86,12 +98,19 @@ object StrictSchema {
   }
 
   /** Fail-fast batch validation: throws with up to 3 sample violations
-    * if any `index` action's doc doesn't fit the mapping. */
+    * if any `index` action's doc doesn't fit the mapping. Validation is
+    * a native codegen'd expression ([[graft.functions.StrictViolations]]
+    * — not a Scala UDF, so the sink projection stays one whole-stage
+    * codegen span); a null doc is malformed, matching the reference's
+    * treatment of an index action without a body. */
   def validate(actions: DataFrame, schema: StructType, index: String): Unit = {
-    val violUdf = udf((doc: String) => violations(doc, schema))
+    graft.functions.GraftExtensions.ensureRegistered(actions.sparkSession)
+    val viol = when(col("doc").isNull, array(lit("<malformed json>")))
+      .otherwise(call_function("strict_violations",
+        col("doc"), lit(schema.toDDL)))
     val bad = actions
       .filter(col("op") === "index")
-      .select(col("id"), violUdf(col("doc")).as("viol"))
+      .select(col("id"), viol.as("viol"))
       .filter(size(col("viol")) > 0)
       .take(3)
     if (bad.nonEmpty)

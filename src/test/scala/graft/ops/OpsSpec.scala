@@ -348,6 +348,46 @@ class OpsSpec extends SparkSpec {
     again shouldBe ivfpq
   }
 
+  test("PQ trained codebook: k-means refinement matches or beats the sampled codebook") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val exact = emb.select(col("vec_id"), Similarity.toDouble(col("embedding")).as("v"))
+      .crossJoin(broadcast(queries.select(col("q_id"),
+        Similarity.toDouble(col("q_vec")).as("q"))))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("d", Similarity.sqDist(col("q"), col("v")))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
+          .orderBy(col("d").asc, col("vec_id").asc)))
+      .filter(col("rank") <= 10)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val sampled = Similarity.pqTopK(emb, queries, 10, m = 4, ksub = 16)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val cb = Similarity.pqCodebookTrainedOf(emb, m = 4, k = 16,
+      iters = 10, trainSize = 2000)
+    val trained = Similarity.pqTopKWith(emb, queries, 10, cb)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recallSampled = (exact & sampled).size.toDouble / exact.size
+    val recallTrained = (exact & trained).size.toDouble / exact.size
+    assert(recallTrained >= recallSampled,
+      s"trained-codebook recall $recallTrained fell below sampled $recallSampled")
+    // determinism: seeded sample + fixed-iteration Lloyd's — bitwise-equal codebooks
+    val cb2 = Similarity.pqCodebookTrainedOf(emb, m = 4, k = 16,
+      iters = 10, trainSize = 2000)
+    cb2 shouldBe cb
+    // trained codebook slots into the composed IVF-PQ path deterministically
+    val ivfpq = Similarity.ivfPqTopK(emb, queries, 10,
+      nClusters = 8, nProbe = 4, m = 4, ksub = 16, codebook = Some(cb))
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val ivfpqAgain = Similarity.ivfPqTopK(emb, queries, 10,
+      nClusters = 8, nProbe = 4, m = 4, ksub = 16, codebook = Some(cb))
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    ivfpqAgain shouldBe ivfpq
+    assert((exact & ivfpq).size.toDouble / exact.size >= 0.2,
+      "IVF-PQ with trained codebook lost too much recall")
+  }
+
   test("winnowing: overlap guarantee — a shared (w+k-1)-char run shares a fingerprint") {
     val k = 8; val w = 4
     val common = "the quick brown fox jumps over the lazy dog" // >> w+k-1 chars
