@@ -137,4 +137,86 @@ object Temporal {
       .agg(first(col("__lts")).as(leftTs),
         count(col("__rus")).as("n_matches"))
   }
+
+  /** Peak number of concurrently-open intervals per `key` — the
+    * sweep-line classic (capacity planning, session-overlap audits,
+    * rate-limit sizing). Each interval `[start, end)` contributes a +1
+    * point at `start` and a −1 at `end`; one running sum per key over
+    * the time-ordered points is the live-interval count, and its max is
+    * the peak. Half-open semantics: an interval ending exactly when
+    * another starts does NOT overlap it (the −1 sorts before the +1 at
+    * an equal timestamp).
+    *
+    * Determinism under ties: rows tied on `(t, delta)` carry EQUAL
+    * deltas, so any intra-tie order produces the same multiset of
+    * running sums — the per-key max is order-independent even though a
+    * ROWS frame over duplicate sort keys is not.
+    *
+    * Scale shape: a 2× row explode (narrow), then exactly one shuffle
+    * (partition by key) and a single window pass — the same cost as any
+    * keyed window; never a self-join, never a range join. Output:
+    * (key, peak). */
+  def sweepMaxConcurrent(df: DataFrame, key: String,
+      startCol: String, endCol: String): DataFrame = {
+    val pts = df.select(col(key), explode(array(
+        struct(col(startCol).as("t"), lit(1).as("delta")),
+        struct(col(endCol).as("t"), lit(-1).as("delta")))).as("p"))
+      .select(col(key), col("p.t").as("t"), col("p.delta").as("delta"))
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("t").asc, col("delta").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pts.withColumn("c", sum(col("delta")).over(w))
+      .groupBy(col(key))
+      .agg(max(col("c")).cast("long").as("peak"))
+  }
+
+  /** Total time covered by the UNION of intervals per `key` (uptime /
+    * listening-time / coverage accounting — overlaps must count once).
+    * Same sweep as [[sweepMaxConcurrent]], read differently: between
+    * consecutive sweep points the live count `c` is constant, so the
+    * union length is the sum of segment widths where `c > 0`.
+    *
+    * Deterministic under ties for the same reason as the peak: only the
+    * LAST row of a tie group gets a nonzero segment width, and its
+    * running sum is the full prefix through that timestamp — invariant
+    * to intra-tie order on any engine.
+    *
+    * `startCol`/`endCol` must be TIMESTAMP columns; the result is exact
+    * integer microseconds (`covered_us`) — no second-truncation edge
+    * cases between engines. One shuffle, two functions over one window
+    * sort. Output: (key, covered_us). */
+  def sweepCoverage(df: DataFrame, key: String,
+      startCol: String, endCol: String): DataFrame = {
+    val pts = df.select(col(key), explode(array(
+        struct(col(startCol).as("t"), lit(1).as("delta")),
+        struct(col(endCol).as("t"), lit(-1).as("delta")))).as("p"))
+      .select(col(key), col("p.t").as("t"), col("p.delta").as("delta"))
+    val ord = Window.partitionBy(col(key))
+      .orderBy(col("t").asc, col("delta").asc)
+    val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pts
+      .withColumn("c", sum(col("delta")).over(run))
+      .withColumn("nxt", lead(col("t"), 1).over(ord))
+      .groupBy(col(key))
+      .agg(sum(when(col("c") > 0 && col("nxt").isNotNull,
+          unix_micros(col("nxt")) - unix_micros(col("t")))
+        .otherwise(0L)).as("covered_us"))
+  }
+
+  /** Cohort retention matrix: users bucketed by their FIRST active day,
+    * counted per (cohort, days-since-first-activity) cell — the
+    * engagement report every event pipeline ships. Two keyed
+    * aggregations (distinct activity days, first day per user) and one
+    * keyed join; the output is bounded by cohorts × horizon, never by
+    * events. Output: (cohort_day — the day-truncated TIMESTAMP, kept a
+    * timestamp for engine-portable dtypes — day_k, n_users). */
+  def cohortRetention(df: DataFrame, idCol: String, tsCol: String): DataFrame = {
+    val act = df.select(col(idCol).as("uid"),
+      date_trunc("day", col(tsCol)).as("d")).distinct()
+    val coh = act.groupBy(col("uid")).agg(min(col("d")).as("d0"))
+    act.join(coh, "uid")
+      .groupBy(col("d0").as("cohort_day"),
+        datediff(col("d"), col("d0")).cast("long").as("day_k"))
+      .agg(count_distinct(col("uid")).as("n_users"))
+  }
 }

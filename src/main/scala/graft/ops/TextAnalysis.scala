@@ -137,6 +137,74 @@ object TextAnalysis {
         col("rank"), round(col("score"), 6).as("score"))
   }
 
+  /** Bigram collocations by pointwise mutual information — the
+    * phrase-mining pass a tokenizer-training / vocab-curation pipeline
+    * runs over a corpus: PMI(w1,w2) = ln( p(w1,w2) / (p(w1)·p(w2)) )
+    * with bigram probability over all bigrams and unigram probabilities
+    * over all tokens. `minCount` guards the low-count PMI explosion (a
+    * hapax pair has near-maximal PMI by construction); `topN` returns
+    * the strongest collocations, ties broken by the words.
+    *
+    * Scale shape: two keyed aggregations (bigram counts, unigram
+    * counts) over one corpus pass each, the two corpus totals ride a
+    * 1-row broadcast, and the unigram re-joins are keyed by word —
+    * vocabulary-sized, never corpus-sized. Top-N plans as
+    * TakeOrderedAndProject (per-partition top, driver merge).
+    *
+    * Determinism: counts are exact BIGINTs; the PMI double is one
+    * division tree plus one libm `ln` — bit-identical across engines on
+    * the same expression shape (the q49/q72/q82 discipline); ordering
+    * uses the ROUNDED score so oracle sorts can't diverge on sub-1e-6
+    * noise, then (w1, w2).
+    *
+    * Output: (w1, w2, c12, pmi), strongest first. */
+  def bigramPmi(docs: DataFrame, textCol: String,
+      minCount: Long, topN: Int): DataFrame = {
+    val ws = words(col(textCol))
+    val uni = docs.select(explode(ws).as("wd"))
+      .groupBy(col("wd")).agg(count(lit(1)).as("cu"))
+    val bg = docs.select(ws.as("ws"))
+      .select(explode(expr(
+        """CASE WHEN size(ws) >= 2
+          | THEN transform(sequence(0, size(ws) - 2),
+          |        i -> struct(ws[i] AS w1, ws[i + 1] AS w2))
+          | ELSE CAST(array() AS array<struct<w1:string,w2:string>>)
+          | END""".stripMargin)).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val bc = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= minCount)
+    // corpus totals: one row, broadcast
+    val tot = bg.agg(count(lit(1)).as("nb"))
+      .crossJoin(uni.agg(sum(col("cu")).as("nw")))
+    bc
+      .join(uni.select(col("wd").as("w1"), col("cu").as("cu1")), Seq("w1"))
+      .join(uni.select(col("wd").as("w2"), col("cu").as("cu2")), Seq("w2"))
+      .crossJoin(broadcast(tot))
+      .withColumn("pmi", round(log(
+        (col("c12").cast("double") / col("nb").cast("double")) /
+          ((col("cu1").cast("double") / col("nw").cast("double")) *
+            (col("cu2").cast("double") / col("nw").cast("double")))), 6))
+      .orderBy(col("pmi").desc, col("w1").asc, col("w2").asc)
+      .limit(topN)
+      .select(col("w1"), col("w2"), col("c12"), col("pmi"))
+  }
+
+  /** Per-source document-length histogram — the length-distribution
+    * report every curation run ships (and the input to length-based
+    * quality cuts): counts per `bucketWidth`-char bucket plus the
+    * bucket's observed min/max. Exact integer bucket arithmetic
+    * (`div`, not floating floor — no double-rounding flicker at bucket
+    * edges); one partial-aggregated groupBy, output bounded by
+    * sources × buckets. */
+  def lengthHistogram(docs: DataFrame, lenCol: String, groupCol: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    docs.groupBy(col(groupCol),
+        expr(s"$lenCol div $bucketWidth * $bucketWidth").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col(lenCol)).as("lo"), max(col(lenCol)).as("hi"))
+  }
+
   /** PII scrubbing patterns, ordered most- to least-specific so one
     * pass per pattern composes safely (an email is redacted before its
     * digit run could be). All three stay inside RE2-compatible syntax

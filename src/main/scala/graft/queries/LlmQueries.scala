@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Graphs, Multimodal, Similarity, TextAnalysis}
 
 /** Training-data-pipeline operators under the CORRECTNESS gate: dedup
   * (exact, fingerprint, MinHash-LSH, SimHash), similarity search (brute
@@ -1270,6 +1270,82 @@ object LlmQueries {
        |FROM dev JOIN mad x USING (source)
        |GROUP BY dev.source, dev.med, x.mad""".stripMargin
 
+  // --------------------------------------------------------- q96
+  /** Bigram PMI collocations ([[TextAnalysis.bigramPmi]]): the
+    * phrase-mining pass behind tokenizer/vocab curation. Exact BIGINT
+    * counts, one division tree + one libm ln (the q49/q72/q82
+    * determinism discipline), ordering on the rounded score. */
+  private val PmiMinCount = 5L
+  private val PmiTopN = 20
+  private def q96(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bigramPmi(Tables.documents(s, dir), "text",
+      PmiMinCount, PmiTopN)
+  private val q96Sql =
+    s"""WITH w AS (SELECT $WsSplit AS ws FROM documents),
+       |bg AS (SELECT ws[i] AS w1, ws[i+1] AS w2
+       |       FROM w, UNNEST(range(1, len(ws))) AS t(i)),
+       |uni AS (SELECT ws[i] AS wd, COUNT(*) AS cu
+       |        FROM w, UNNEST(range(1, len(ws)+1)) AS t(i) GROUP BY 1),
+       |bc AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2
+       |       HAVING COUNT(*) >= $PmiMinCount),
+       |tot AS (SELECT (SELECT COUNT(*) FROM bg) AS nb,
+       |               (SELECT SUM(cu) FROM uni) AS nw),
+       |s AS (SELECT w1, w2, c12,
+       |   round(ln((c12::DOUBLE / nb::DOUBLE) /
+       |     ((u1.cu::DOUBLE / nw::DOUBLE) * (u2.cu::DOUBLE / nw::DOUBLE))), 6) AS pmi
+       |   FROM bc JOIN uni u1 ON bc.w1 = u1.wd JOIN uni u2 ON bc.w2 = u2.wd
+       |   CROSS JOIN tot)
+       |SELECT w1, w2, c12, pmi FROM s
+       |ORDER BY pmi DESC, w1, w2 LIMIT $PmiTopN""".stripMargin
+
+  // --------------------------------------------------------- q97
+  /** Triangles of the verified near-dup graph ([[Graphs.triangles]]):
+    * how cliquish the q28 pair set is — the transitivity audit that
+    * tells a dedup pipeline whether its candidate families are tight
+    * clusters or loose chains. Ordered orientation (a < b < c) emits
+    * each triangle once via two keyed equi-joins; the oracle replays
+    * the same wedge-close joins over the same verified edge set. */
+  private def q97(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val bands = Dedup
+      .bandKeys(docs, "text", "doc_id", Bands, RowsPerBand, ShingleK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = Dedup
+      .jaccardVerify(Dedup.candidatePairs(bands), docs, "text", "doc_id",
+        JaccardThreshold)
+      .select(col("id_a"), col("id_b"))
+    Graphs.triangles(pairs)
+  }
+  private val q97Sql =
+    s"""WITH $BandsCte,
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+       |sets AS (SELECT doc_id, list_distinct($WsSplit) AS toks FROM documents),
+       |e AS (SELECT id_a AS u, id_b AS v
+       |  FROM pairs JOIN sets sa ON id_a = sa.doc_id JOIN sets sb ON id_b = sb.doc_id
+       |  WHERE len(list_intersect(sa.toks, sb.toks))::DOUBLE /
+       |        len(list_distinct(list_concat(sa.toks, sb.toks))) >= $JaccardThreshold)
+       |SELECT e1.u AS a, e1.v AS b, e2.v AS c
+       |FROM e e1 JOIN e e2 ON e1.v = e2.u
+       |JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v""".stripMargin
+
+  // --------------------------------------------------------- q98
+  /** Per-source doc-length histogram ([[TextAnalysis.lengthHistogram]]):
+    * the curation length-distribution report. Integer `div` bucketing —
+    * no floating floor at bucket edges. */
+  private val HistBucket = 200L
+  private def q98(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.lengthHistogram(Tables.documents(s, dir),
+      "n_chars", "source", HistBucket)
+  private val q98Sql =
+    s"""SELECT source,
+       |  CAST(n_chars // $HistBucket * $HistBucket AS BIGINT) AS bucket,
+       |  COUNT(*) AS n,
+       |  CAST(MIN(n_chars) AS BIGINT) AS lo, CAST(MAX(n_chars) AS BIGINT) AS hi
+       |FROM documents GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q26_dedup_exact" -> q26 _,
     "q27_minhash_bands" -> q27 _,
@@ -1311,7 +1387,10 @@ object LlmQueries {
     "q82_tfidf_terms" -> q82 _,
     "q85_pq_codes" -> q85 _,
     "q89_cluster_merge" -> q89 _,
-    "q93_mad_outliers" -> q93 _)
+    "q93_mad_outliers" -> q93 _,
+    "q96_bigram_pmi" -> q96 _,
+    "q97_neardup_triangles" -> q97 _,
+    "q98_length_histogram" -> q98 _)
 
   val oracles: Map[String, String] = Map(
     "q26_dedup_exact" -> q26Sql,
@@ -1354,5 +1433,8 @@ object LlmQueries {
     "q82_tfidf_terms" -> q82Sql,
     "q85_pq_codes" -> q85Sql,
     "q89_cluster_merge" -> q89Sql,
-    "q93_mad_outliers" -> q93Sql)
+    "q93_mad_outliers" -> q93Sql,
+    "q96_bigram_pmi" -> q96Sql,
+    "q97_neardup_triangles" -> q97Sql,
+    "q98_length_histogram" -> q98Sql)
 }

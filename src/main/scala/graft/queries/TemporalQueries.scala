@@ -93,13 +93,91 @@ object TemporalQueries {
        |  CASE WHEN c.ts - p.ts <= INTERVAL $TolSec SECONDS THEN p.ts END AS p_ts
        |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND p.ts <= c.ts""".stripMargin
 
+  // --------------------------------------------------------- q95
+  /** Peak concurrency per event type ([[Temporal.sweepMaxConcurrent]]):
+    * every event opens a 5-minute interval; the sweep-line (+1/−1
+    * points, one keyed running sum) finds the max simultaneously-open
+    * count — capacity planning without a self-join or range join. The
+    * oracle replays the identical sweep in SQL; half-open intervals
+    * (−1 sorts before +1 at an equal timestamp) keep the tie semantics
+    * engine-independent. */
+  private val ConcWindowSec = 300L
+  private def q95(s: SparkSession, dir: String): DataFrame = {
+    val iv = Tables.events(s, dir).select(col("event_type"),
+      col("ts").as("start_ts"),
+      (col("ts") + expr(s"INTERVAL $ConcWindowSec SECONDS")).as("end_ts"))
+    Temporal.sweepMaxConcurrent(iv, "event_type", "start_ts", "end_ts")
+  }
+  private val q95Sql =
+    s"""WITH pts AS (
+       |  SELECT event_type, ts AS t, 1 AS delta FROM events
+       |  UNION ALL
+       |  SELECT event_type, ts + INTERVAL $ConcWindowSec SECOND AS t, -1 AS delta
+       |  FROM events),
+       |run AS (SELECT event_type,
+       |    SUM(delta) OVER (PARTITION BY event_type ORDER BY t, delta
+       |      ROWS UNBOUNDED PRECEDING) AS c
+       |  FROM pts)
+       |SELECT event_type, CAST(MAX(c) AS BIGINT) AS peak
+       |FROM run GROUP BY event_type""".stripMargin
+
+  // --------------------------------------------------------- q99
+  /** Union-coverage accounting ([[Temporal.sweepCoverage]]): total time
+    * covered by the union of each type's 5-minute activity intervals —
+    * overlaps count once. Exact integer microseconds; the oracle
+    * replays the identical sweep + segment sum. */
+  private def q99(s: SparkSession, dir: String): DataFrame = {
+    val iv = Tables.events(s, dir).select(col("event_type"),
+      col("ts").as("start_ts"),
+      (col("ts") + expr(s"INTERVAL $ConcWindowSec SECONDS")).as("end_ts"))
+    Temporal.sweepCoverage(iv, "event_type", "start_ts", "end_ts")
+  }
+  private val q99Sql =
+    s"""WITH pts AS (
+       |  SELECT event_type, ts AS t, 1 AS delta FROM events
+       |  UNION ALL
+       |  SELECT event_type, ts + INTERVAL $ConcWindowSec SECOND AS t, -1 AS delta
+       |  FROM events),
+       |run AS (SELECT event_type, t, delta,
+       |    SUM(delta) OVER (PARTITION BY event_type ORDER BY t, delta
+       |      ROWS UNBOUNDED PRECEDING) AS c,
+       |    LEAD(t) OVER (PARTITION BY event_type ORDER BY t, delta) AS nxt
+       |  FROM pts)
+       |SELECT event_type,
+       |  CAST(SUM(CASE WHEN c > 0 AND nxt IS NOT NULL
+       |    THEN date_diff('microsecond', t, nxt) ELSE 0 END) AS BIGINT)
+       |    AS covered_us
+       |FROM run GROUP BY event_type""".stripMargin
+
+  // --------------------------------------------------------- q100
+  /** Cohort retention matrix ([[Temporal.cohortRetention]]): users by
+    * first active day × days-since-first-activity, distinct-counted.
+    * Output bounded by cohorts × horizon, never by event volume. */
+  private def q100(s: SparkSession, dir: String): DataFrame =
+    Temporal.cohortRetention(Tables.events(s, dir), "user_id", "ts")
+  private val q100Sql =
+    """WITH act AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS d
+      |             FROM events),
+      |coh AS (SELECT user_id, MIN(d) AS d0 FROM act GROUP BY 1)
+      |SELECT d0 AS cohort_day,
+      |  CAST(date_diff('day', d0, d) AS BIGINT) AS day_k,
+      |  CAST(COUNT(DISTINCT act.user_id) AS BIGINT) AS n_users
+      |FROM act JOIN coh ON act.user_id = coh.user_id
+      |GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q46_asof_join" -> q46 _,
     "q47_range_join" -> q47 _,
-    "q58_asof_tolerance" -> q58 _)
+    "q58_asof_tolerance" -> q58 _,
+    "q95_peak_concurrency" -> q95 _,
+    "q99_interval_coverage" -> q99 _,
+    "q100_cohort_retention" -> q100 _)
 
   val oracles: Map[String, String] = Map(
     "q46_asof_join" -> q46Sql,
     "q47_range_join" -> q47Sql,
-    "q58_asof_tolerance" -> q58Sql)
+    "q58_asof_tolerance" -> q58Sql,
+    "q95_peak_concurrency" -> q95Sql,
+    "q99_interval_coverage" -> q99Sql,
+    "q100_cohort_retention" -> q100Sql)
 }

@@ -520,6 +520,52 @@ class OpsSpec extends SparkSpec {
     feats(3L).features.length shouldBe 8
   }
 
+  test("Graphs.triangles: K4 yields all 4 oriented triangles; chains none") {
+    // K4 on {1,2,3,4} (some edges reversed + one duplicate: canonicalization)
+    val k4 = Seq((1L, 2L), (3L, 1L), (1L, 4L), (2L, 3L), (4L, 2L), (3L, 4L),
+      (2L, 1L)).toDF("id_a", "id_b")
+    val tris = Graphs.triangles(k4).as[(Long, Long, Long)].collect().toSet
+    tris shouldBe Set((1L, 2L, 3L), (1L, 2L, 4L), (1L, 3L, 4L), (2L, 3L, 4L))
+    // a chain has wedges but no closures
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("id_a", "id_b")
+    Graphs.triangles(chain).count() shouldBe 0L
+    // self-loops never fabricate triangles
+    val loops = Seq((1L, 1L), (1L, 2L), (2L, 3L), (1L, 3L)).toDF("id_a", "id_b")
+    Graphs.triangles(loops).as[(Long, Long, Long)].collect().toSet shouldBe
+      Set((1L, 2L, 3L))
+    Graphs.degrees(k4).as[(Long, Long)].collect().toMap shouldBe
+      Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L)
+  }
+
+  test("bigramPmi: hand-computed PMI on a tiny corpus, minCount guard") {
+    // one doc "a b a b": bigrams (a,b) (b,a) (a,b) -> c12(a,b)=2, nb=3;
+    // unigrams a:2 b:2, nw=4. PMI(a,b) = ln((2/3)/((2/4)*(2/4))) = ln(8/3)
+    val docs = Seq((1L, "a b a b")).toDF("doc_id", "text")
+    val rows = TextAnalysis.bigramPmi(docs, "text", minCount = 2, topN = 5)
+      .as[(String, String, Long, Double)].collect().toSeq
+    rows shouldBe Seq(("a", "b", 2L, BigDecimal(math.log(8.0 / 3.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    // minCount filters the hapax pair (b,a)
+    TextAnalysis.bigramPmi(docs, "text", minCount = 1, topN = 5)
+      .count() shouldBe 2L
+    // single-token and empty docs contribute no bigrams and don't throw
+    val tiny = Seq((1L, "solo"), (2L, "a b")).toDF("doc_id", "text")
+    TextAnalysis.bigramPmi(tiny, "text", minCount = 1, topN = 5)
+      .count() shouldBe 1L
+  }
+
+  test("lengthHistogram: exact integer buckets with per-bucket extremes") {
+    val docs = Seq(
+      ("s1", 0L), ("s1", 199L), ("s1", 200L), ("s1", 399L), ("s2", 1000L))
+      .toDF("source", "n_chars")
+    val got = TextAnalysis.lengthHistogram(docs, "n_chars", "source", 200L)
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    got shouldBe Set(
+      ("s1", 0L, 2L, 0L, 199L),
+      ("s1", 200L, 2L, 200L, 399L),
+      ("s2", 1000L, 1L, 1000L, 1000L))
+  }
+
   test("redactPii scrubs emails, phones, and digit runs; order protects emails") {
     val df = Seq(
       "contact bob.smith+x@corp.example.com or +1 (555) 123-4567",

@@ -127,4 +127,51 @@ class TemporalSpec extends SparkSpec {
     fast.exceptAll(brute).count() shouldBe 0
     brute.exceptAll(fast).count() shouldBe 0
   }
+
+  test("sweepMaxConcurrent: overlap counted, touching intervals are not") {
+    // key A: [0,10) [5,15) [10,20) — peak 2 ([5,10) holds two; the
+    // interval ending at 10 does NOT overlap the one starting at 10)
+    // key B: three copies of [0,5) — peak 3
+    // key C: [0,1) [2,3) — disjoint, peak 1
+    val iv = Seq(
+      ("A", 0L, 10L), ("A", 5L, 15L), ("A", 10L, 20L),
+      ("B", 0L, 5L), ("B", 0L, 5L), ("B", 0L, 5L),
+      ("C", 0L, 1L), ("C", 2L, 3L))
+      .toDF("k", "s", "e")
+    val got = Temporal.sweepMaxConcurrent(iv, "k", "s", "e")
+      .as[(String, Long)].collect().toMap
+    got shouldBe Map("A" -> 2L, "B" -> 3L, "C" -> 1L)
+  }
+
+  test("sweepCoverage: overlapping intervals count once, gaps excluded") {
+    def ts(sec: Long) = new Timestamp(sec * 1000L)
+    // A: [0,10) ∪ [5,15) ∪ [20,25) -> 15 + 5 = 20 s
+    // B: [0,5) three times -> 5 s
+    // C: [0,1), [1,2) touching -> 2 s (no double count, no gap)
+    val iv = Seq(
+      ("A", ts(0), ts(10)), ("A", ts(5), ts(15)), ("A", ts(20), ts(25)),
+      ("B", ts(0), ts(5)), ("B", ts(0), ts(5)), ("B", ts(0), ts(5)),
+      ("C", ts(0), ts(1)), ("C", ts(1), ts(2)))
+      .toDF("k", "s", "e")
+    val got = Temporal.sweepCoverage(iv, "k", "s", "e")
+      .as[(String, Long)].collect().toMap
+    got shouldBe Map(
+      "A" -> 20000000L, "B" -> 5000000L, "C" -> 2000000L)
+  }
+
+  test("cohortRetention: first-day cohorts with distinct-user cells") {
+    def ts(day: Int, hour: Int) =
+      Timestamp.valueOf(f"2024-01-${day}%02d $hour%02d:00:00")
+    val ev = Seq(
+      (1L, ts(1, 9)), (1L, ts(1, 17)), (1L, ts(3, 9)),   // u1: day0, day2
+      (2L, ts(1, 12)),                                    // u2: day0 only
+      (3L, ts(2, 8)), (3L, ts(3, 8)))                     // u3: cohort day2, k0+k1
+      .toDF("user_id", "ts")
+    val got = Temporal.cohortRetention(ev, "user_id", "ts")
+      .as[(Timestamp, Long, Long)].collect()
+      .map { case (d, k, n) => (d.toString.take(10), k, n) }.toSet
+    got shouldBe Set(
+      ("2024-01-01", 0L, 2L), ("2024-01-01", 2L, 1L),
+      ("2024-01-02", 0L, 1L), ("2024-01-02", 1L, 1L))
+  }
 }
