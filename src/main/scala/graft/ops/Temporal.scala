@@ -138,6 +138,76 @@ object Temporal {
         count(col("__rus")).as("n_matches"))
   }
 
+  /** Keyed INTERVAL-OVERLAP join: pairs of left/right rows of the same
+    * `key` whose half-open intervals `[ls, le)` and `[rs, re)` overlap
+    * (`ls < re AND rs < le`) — attribution windows, ad-session overlap,
+    * conflict detection. The naive form is a range join (quadratic per
+    * key); here right intervals are bounded by `maxRightSpanSec` and
+    * anchored at their START's time bucket (width = the span bound),
+    * the left side explodes to the buckets where an overlapping right
+    * START can live (`[ls − span, le]`), and the exact overlap
+    * predicate rides as a residual on the `(key, bucket)` equi-join.
+    * Each right row lives in exactly ONE bucket, so no post-join dedup.
+    * The span contract is enforced per row with a codegen'd
+    * `assert_true` — a violating right row fails the job loudly instead
+    * of silently losing matches.
+    *
+    * Work ∝ rows per (key, bucket) — true temporal locality — never
+    * |L|×|R|; left explode factor is `(left span / span bound) + 2`.
+    * Output: (key, leftId, rightId, overlap_us). */
+  def intervalOverlapJoin(left: DataFrame, right: DataFrame, key: String,
+      leftId: String, leftStart: String, leftEnd: String,
+      rightId: String, rightStart: String, rightEnd: String,
+      maxRightSpanSec: Long): DataFrame = {
+    require(maxRightSpanSec > 0, "maxRightSpanSec must be positive")
+    val w = maxRightSpanSec * 1000000L
+    def bucketOf(c: Column): Column = c - pmod(c, lit(w))
+    val l = left.select(col(key), col(leftId),
+        unix_micros(col(leftStart)).as("__ls"),
+        unix_micros(col(leftEnd)).as("__le"))
+      .withColumn("__bucket", explode(sequence(
+        bucketOf(col("__ls") - lit(w)), bucketOf(col("__le")), lit(w))))
+    val r = right.select(col(key).as("__rkey"), col(rightId),
+        unix_micros(col(rightStart)).as("__rs"),
+        unix_micros(col(rightEnd)).as("__re"))
+      // filter on assert_true (null on success → isNull keeps the row):
+      // an unused projected column would be PRUNED and never evaluated
+      .filter(assert_true(col("__re") - col("__rs") <= w,
+        lit(s"intervalOverlapJoin: right interval exceeds maxRightSpanSec=$maxRightSpanSec"))
+        .isNull)
+      .withColumn("__bucket", bucketOf(col("__rs")))
+    l.join(r,
+        col(key) === col("__rkey") && l("__bucket") === r("__bucket") &&
+          col("__ls") < col("__re") && col("__rs") < col("__le"))
+      .select(col(key), col(leftId), col(rightId),
+        (least(col("__le"), col("__re")) -
+          greatest(col("__ls"), col("__rs"))).as("overlap_us"))
+  }
+
+  /** Rolling `windowDays`-day distinct actives per observed day — the
+    * WAU/MAU-style engagement series. Windowed COUNT DISTINCT doesn't
+    * fit a frame-based window function at scale; the scale shape is the
+    * contribution explode: each distinct (user, day) activity
+    * contributes to the `windowDays` window-end days it can count
+    * toward, then one distinct-count per day. Explode factor =
+    * `windowDays` over the (already day-deduped) activity table —
+    * bounded and small, and the output is bounded by the day horizon.
+    * Only days observed in the data are emitted. Output: (day — the
+    * day-truncated TIMESTAMP — n_active). */
+  def rollingActiveUsers(df: DataFrame, idCol: String, tsCol: String,
+      windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
+    val act = df.select(col(idCol).as("uid"),
+      date_trunc("day", col(tsCol)).as("d")).distinct()
+    val days = act.select(col("d").as("day")).distinct()
+    val contrib = act.withColumn("day", explode(sequence(
+      col("d"), col("d") + expr(s"INTERVAL ${windowDays - 1} DAYS"),
+      expr("INTERVAL 1 DAY"))))
+    contrib.join(days, Seq("day"))
+      .groupBy(col("day"))
+      .agg(count_distinct(col("uid")).as("n_active"))
+  }
+
   /** Peak number of concurrently-open intervals per `key` — the
     * sweep-line classic (capacity planning, session-overlap audits,
     * rate-limit sizing). Each interval `[start, end)` contributes a +1

@@ -165,13 +165,63 @@ object TemporalQueries {
       |FROM act JOIN coh ON act.user_id = coh.user_id
       |GROUP BY 1, 2""".stripMargin
 
+  // --------------------------------------------------------- q101
+  /** Keyed interval-overlap join ([[Temporal.intervalOverlapJoin]]):
+    * click attribution windows (5 min) overlapping purchase windows
+    * (2 min) per user. The oracle is the PLAIN overlap join — the
+    * bucket rewrite must be semantically invisible, the q87/q94
+    * contract applied to range joins. */
+  private val RightSpanSec = 120L
+  private def q101(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("c_start"),
+        (col("ts") + expr(s"INTERVAL $ConcWindowSec SECONDS")).as("c_end"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("p_start"),
+        (col("ts") + expr(s"INTERVAL $RightSpanSec SECONDS")).as("p_end"))
+    Temporal.intervalOverlapJoin(clicks, purchases, "user_id",
+      "click_id", "c_start", "c_end",
+      "purchase_id", "p_start", "p_end", RightSpanSec)
+  }
+  private val q101Sql =
+    s"""WITH c AS (SELECT event_id AS click_id, user_id, ts AS ls,
+       |             ts + INTERVAL $ConcWindowSec SECOND AS le
+       |           FROM events WHERE event_type = 'click'),
+       |p AS (SELECT event_id AS purchase_id, user_id, ts AS rs,
+       |        ts + INTERVAL $RightSpanSec SECOND AS re
+       |      FROM events WHERE event_type = 'purchase')
+       |SELECT c.user_id, click_id, purchase_id,
+       |  CAST(date_diff('microsecond', greatest(ls, rs), least(le, re))
+       |    AS BIGINT) AS overlap_us
+       |FROM c JOIN p ON c.user_id = p.user_id AND ls < re AND rs < le""".stripMargin
+
+  // --------------------------------------------------------- q102
+  /** Rolling 7-day distinct actives ([[Temporal.rollingActiveUsers]]):
+    * windowed COUNT DISTINCT via the contribution explode (no
+    * frame-window distinct exists at scale); the oracle is the direct
+    * range-join formulation — the rewrite must match it exactly. */
+  private def q102(s: SparkSession, dir: String): DataFrame =
+    Temporal.rollingActiveUsers(Tables.events(s, dir), "user_id", "ts", 7)
+  private val q102Sql =
+    """WITH act AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS d
+      |             FROM events),
+      |days AS (SELECT DISTINCT d FROM act)
+      |SELECT days.d AS day, CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_active
+      |FROM days JOIN act a ON a.d BETWEEN days.d - INTERVAL 6 DAY AND days.d
+      |GROUP BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q46_asof_join" -> q46 _,
     "q47_range_join" -> q47 _,
     "q58_asof_tolerance" -> q58 _,
     "q95_peak_concurrency" -> q95 _,
     "q99_interval_coverage" -> q99 _,
-    "q100_cohort_retention" -> q100 _)
+    "q100_cohort_retention" -> q100 _,
+    "q101_interval_overlap" -> q101 _,
+    "q102_rolling_actives" -> q102 _)
 
   val oracles: Map[String, String] = Map(
     "q46_asof_join" -> q46Sql,
@@ -179,5 +229,7 @@ object TemporalQueries {
     "q58_asof_tolerance" -> q58Sql,
     "q95_peak_concurrency" -> q95Sql,
     "q99_interval_coverage" -> q99Sql,
-    "q100_cohort_retention" -> q100Sql)
+    "q100_cohort_retention" -> q100Sql,
+    "q101_interval_overlap" -> q101Sql,
+    "q102_rolling_actives" -> q102Sql)
 }

@@ -159,6 +159,54 @@ class TemporalSpec extends SparkSpec {
       "A" -> 20000000L, "B" -> 5000000L, "C" -> 2000000L)
   }
 
+  test("intervalOverlapJoin matches the brute-force overlap join") {
+    def t(sec: Long) = new Timestamp(sec * 1000L)
+    val rnd = new scala.util.Random(7)
+    val left = (1 to 200).map { i =>
+      val s = rnd.nextInt(100000).toLong
+      (i.toLong % 5, i.toLong, t(s), t(s + 1 + rnd.nextInt(600)))
+    }.toDF("k", "lid", "ls", "le")
+    val right = (1 to 200).map { i =>
+      val s = rnd.nextInt(100000).toLong
+      (i.toLong % 5, i.toLong, t(s), t(s + 1 + rnd.nextInt(120)))
+    }.toDF("k", "rid", "rs", "re")
+    val fast = Temporal.intervalOverlapJoin(left, right, "k",
+        "lid", "ls", "le", "rid", "rs", "re", maxRightSpanSec = 120L)
+      .select("k", "lid", "rid", "overlap_us")
+    val brute = left.join(right.withColumnRenamed("k", "k2"),
+        col("k") === col("k2") && col("ls") < col("re") && col("rs") < col("le"))
+      .select(col("k"), col("lid"), col("rid"),
+        (unix_micros(least(col("le"), col("re"))) -
+          unix_micros(greatest(col("ls"), col("rs")))).as("overlap_us"))
+    fast.exceptAll(brute).count() shouldBe 0
+    brute.exceptAll(fast).count() shouldBe 0
+    fast.count() should be > 0L
+    // span-contract violations fail loudly, not silently
+    val bad = Seq((1L, 1L, t(0), t(500))).toDF("k", "rid", "rs", "re")
+    val e = intercept[Exception] {
+      Temporal.intervalOverlapJoin(left, bad, "k",
+        "lid", "ls", "le", "rid", "rs", "re", maxRightSpanSec = 120L).count()
+    }
+    e.getMessage should include("maxRightSpanSec")
+  }
+
+  test("rollingActiveUsers: window counts each user once, observed days only") {
+    def ts(day: Int) = Timestamp.valueOf(f"2024-01-${day}%02d 09:00:00")
+    val ev = Seq(
+      (1L, ts(1)), (1L, ts(2)),   // u1 active days 1,2
+      (2L, ts(1)),                // u2 day 1
+      (3L, ts(10)))               // u3 far later: day 10 window excludes 1-2
+      .toDF("user_id", "ts")
+    val got = Temporal.rollingActiveUsers(ev, "user_id", "ts", windowDays = 7)
+      .as[(Timestamp, Long)].collect()
+      .map { case (d, n) => (d.toString.take(10), n) }.toMap
+    // observed days only: 1, 2, 10
+    got shouldBe Map(
+      "2024-01-01" -> 2L,  // u1, u2
+      "2024-01-02" -> 2L,  // u1 (counted once despite 2 active days), u2 within window
+      "2024-01-10" -> 1L)  // only u3
+  }
+
   test("cohortRetention: first-day cohorts with distinct-user cells") {
     def ts(day: Int, hour: Int) =
       Timestamp.valueOf(f"2024-01-${day}%02d $hour%02d:00:00")
