@@ -120,6 +120,9 @@ object GraftExtensions {
     (new FunctionIdentifier("simhash16"),
       new ExpressionInfo(classOf[Simhash16].getName, "simhash16"),
       (children: Seq[Expression]) => Simhash16(children.head)),
+    (new FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (children: Seq[Expression]) => NfcNormalize(children.head)),
     (new FunctionIdentifier("strict_violations"),
       new ExpressionInfo(classOf[StrictViolations].getName, "strict_violations"),
       (children: Seq[Expression]) => StrictViolations.fromFunctionArgs(children)),

@@ -205,6 +205,28 @@ object TextAnalysis {
         min(col(lenCol)).as("lo"), max(col(lenCol)).as("hi"))
   }
 
+  /** Accent-strip translate table: NFC-composed Latin accents common
+    * in web corpora → ASCII. Applied AFTER NFC (so decomposed
+    * e+combining-acute first composes to é, then strips to e) and
+    * AFTER lower (one case to map). Characters outside the table pass
+    * through unchanged. */
+  val AccentFrom = "àáâãäåèéêëìíîïòóôõöùúûüçñ"
+  val AccentTo = "aaaaaaeeeeiiiiooooouuuucn"
+
+  /** Canonical text normalization — the first pass of every dedup /
+    * curation pipeline (é-as-one-codepoint and é-as-e+accent must hash
+    * identically): lowercase → Unicode NFC (native codegen kernel
+    * [[graft.functions.NfcNormalize]] with an ASCII fast path) →
+    * accent strip (one `translate`) → whitespace collapse → trim.
+    * Entirely per-row codegen'd expressions, zero shuffle — composes
+    * in front of a corpus scan for free. Engine-portable: DuckDB
+    * spells the identical chain with its own `nfc_normalize` (oracle
+    * q103). */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      translate(graft.functions.NfcNormalize(lower(text)), AccentFrom, AccentTo),
+      "\\s+", " "))
+
   /** PII scrubbing patterns, ordered most- to least-specific so one
     * pass per pattern composes safely (an email is redacted before its
     * digit run could be). All three stay inside RE2-compatible syntax

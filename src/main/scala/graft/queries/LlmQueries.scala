@@ -1346,6 +1346,28 @@ object LlmQueries {
        |  CAST(MIN(n_chars) AS BIGINT) AS lo, CAST(MAX(n_chars) AS BIGINT) AS hi
        |FROM documents GROUP BY 1, 2""".stripMargin
 
+  // --------------------------------------------------------- q103
+  /** Canonical text normalization ([[TextAnalysis.normalizeText]]):
+    * lower → Unicode NFC (native `nfc_normalize` codegen kernel) →
+    * accent strip → whitespace collapse → trim, per-row and
+    * shuffle-free. The synthetic corpus is ASCII, so the query injects
+    * a fixed suffix with accents and doubled spaces — DELIBERATELY
+    * composed (é) on the Spark side and decomposed (e + chr 769) in
+    * the oracle: the gate passes only if both engines' NFC converges
+    * the two encodings to identical bytes through the whole chain,
+    * proving the normalization itself, not just the ASCII fast path. */
+  private def q103(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(col("doc_id"),
+      TextAnalysis.normalizeText(
+        concat(col("text"), lit(" Café  ÈCOLE  Ångström")))
+        .as("norm"))
+  private val q103Sql =
+    s"""SELECT doc_id, trim(regexp_replace(translate(nfc_normalize(lower(
+       |  text || ' Cafe' || chr(769) || '  ÈCOLE  Ångström')),
+       |  '${TextAnalysis.AccentFrom}', '${TextAnalysis.AccentTo}'),
+       |  '\\s+', ' ', 'g')) AS norm
+       |FROM documents""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q26_dedup_exact" -> q26 _,
     "q27_minhash_bands" -> q27 _,
@@ -1390,7 +1412,8 @@ object LlmQueries {
     "q93_mad_outliers" -> q93 _,
     "q96_bigram_pmi" -> q96 _,
     "q97_neardup_triangles" -> q97 _,
-    "q98_length_histogram" -> q98 _)
+    "q98_length_histogram" -> q98 _,
+    "q103_normalize_text" -> q103 _)
 
   val oracles: Map[String, String] = Map(
     "q26_dedup_exact" -> q26Sql,
@@ -1436,5 +1459,6 @@ object LlmQueries {
     "q93_mad_outliers" -> q93Sql,
     "q96_bigram_pmi" -> q96Sql,
     "q97_neardup_triangles" -> q97Sql,
-    "q98_length_histogram" -> q98Sql)
+    "q98_length_histogram" -> q98Sql,
+    "q103_normalize_text" -> q103Sql)
 }

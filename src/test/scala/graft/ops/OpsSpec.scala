@@ -566,6 +566,25 @@ class OpsSpec extends SparkSpec {
       ("s2", 1000L, 1L, 1000L, 1000L))
   }
 
+  test("normalizeText: NFC converges composed/decomposed, strips accents, collapses ws") {
+    val df = Seq(
+      "Café  du   Monde",          // composed é + runs of spaces
+      "Café du Monde",            // decomposed e + combining acute
+      "  ÈCOLE\tfrançaise\n", // case, cedilla, mixed whitespace
+      "plain ascii text").toDF("text")
+    val out = df.select(TextAnalysis.normalizeText(col("text")).as("t"))
+      .as[String].collect().toSeq
+    out shouldBe Seq(
+      "cafe du monde",
+      "cafe du monde", // decomposed input converges to the same bytes
+      "ecole francaise",
+      "plain ascii text")
+    // the ASCII fast path returns the input buffer untouched
+    import org.apache.spark.unsafe.types.UTF8String
+    val ascii = UTF8String.fromString("already ascii")
+    graft.functions.NfcNormalize.compute(ascii) should be theSameInstanceAs ascii
+  }
+
   test("redactPii scrubs emails, phones, and digit runs; order protects emails") {
     val df = Seq(
       "contact bob.smith+x@corp.example.com or +1 (555) 123-4567",
