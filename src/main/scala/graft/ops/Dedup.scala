@@ -110,6 +110,32 @@ object Dedup {
     (fresh, seenNext)
   }
 
+  /** Passage-level exact dedup (the CCNet discipline: drop REPEATED
+    * passages — boilerplate, headers, licence blocks — while keeping
+    * the documents that carry them). Docs chunk into fixed
+    * `passageTokens`-word windows ([[TextAnalysis.chunk]], stride =
+    * window, per-row and shuffle-free), then one window function keyed
+    * on the passage text marks the globally-first occurrence (ties
+    * broken by (doc, chunk) — fully deterministic), and a per-doc
+    * rollup reports survival: (idCol, n_passages, n_kept).
+    *
+    * Scale shape: two shuffles, both keyed — one wide on passage text
+    * (at 100 TB hash the passage to a 128-bit key first; same plan,
+    * narrower rows), one on doc id whose input is already ∝ passages.
+    * No driver state, no skew hazard beyond a degenerate all-equal
+    * corpus (the boilerplate key itself is the hot key — cap or salt
+    * as [[graft.ops.Skew]] documents if one passage dominates). */
+  def passageDedupStats(docs: DataFrame, textCol: String, idCol: String,
+      passageTokens: Int): DataFrame = {
+    val w = Window.partitionBy(col("chunk_text"))
+      .orderBy(col(idCol).asc, col("chunk_id").asc)
+    TextAnalysis.chunk(docs, textCol, idCol, passageTokens, 0)
+      .withColumn("__first", row_number().over(w) === 1)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_passages"),
+        sum(when(col("__first"), 1L).otherwise(0L)).as("n_kept"))
+  }
+
   // ------------------------------------------------------ fingerprint
   /** Order- and multiplicity-insensitive content fingerprint: md5 of the
     * sorted distinct token set. Docs with the same token set collide. */

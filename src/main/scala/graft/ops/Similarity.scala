@@ -217,6 +217,37 @@ object Similarity {
   def sqDist(a: Column, b: Column): Column =
     dot(a, a) - lit(2.0d) * dot(a, b) + dot(b, b)
 
+  /** Element-wise mean embedding per group — the E-step primitive every
+    * k-means / IVF / PQ training loop runs, exposed as a first-class
+    * op. Floating-point sums are order-dependent, so a naive
+    * `avg(element)` differs run-to-run as partial-aggregation order
+    * shifts; this instead sums EXACT scaled integers (`round(v·10⁶)` as
+    * long — associative, so any shuffle/combine order yields identical
+    * bits) and divides once at the end. The same discipline a
+    * production pipeline needs for reproducible checkpointed training
+    * stats.
+    *
+    * Scale shape: `posexplode` is per-row (no shuffle, output = rows ×
+    * dims); the single shuffle keys on (group, pos) and map-side
+    * combine collapses traffic to |groups| × dims records per input
+    * partition — independent of corpus size. At 100 TB the reduce side
+    * holds |groups| × dims longs: trivially small.
+    *
+    * Output: (groupCol, pos, sum_scaled, cnt, centroid), one row per
+    * group × dimension, `centroid` rounded to 6 places.
+    */
+  def labelCentroids(corpus: DataFrame, embCol: String,
+      groupCol: String): DataFrame =
+    corpus
+      .select(col(groupCol), posexplode(col(embCol)).as(Seq("pos", "v")))
+      .groupBy(col(groupCol), col("pos").cast("int").as("pos"))
+      .agg(
+        sum(round(col("v").cast("double") * 1000000d, 0).cast("long"))
+          .as("sum_scaled"),
+        count(lit(1)).as("cnt"))
+      .select(col(groupCol), col("pos"), col("sum_scaled"), col("cnt"),
+        round(col("sum_scaled") / col("cnt") / 1000000d, 6).as("centroid"))
+
   /** IVF with DETERMINISTIC coarse centroids: the `nClusters`
     * lowest-id corpus vectors serve as the quantizer (sample-as-
     * centroids — the standard IVF *initialization*, skipping the

@@ -1368,6 +1368,50 @@ object LlmQueries {
        |  '\\s+', ' ', 'g')) AS norm
        |FROM documents""".stripMargin
 
+  // --------------------------------------------------------- q104
+  /** Per-label mean embedding ([[Similarity.labelCentroids]]) — the
+    * k-means/IVF E-step as a gated op. Exact scaled-integer sums make
+    * the result bit-identical regardless of partial-aggregation order;
+    * the oracle replays the identical integer arithmetic so the gate
+    * proves the reproducible-training-stats discipline itself. */
+  private def q104(s: SparkSession, dir: String): DataFrame =
+    Similarity.labelCentroids(
+      Tables.embeddings(s, dir), "embedding", "label")
+  private val q104Sql =
+    """SELECT label, CAST(pos - 1 AS INT) AS pos,
+      |  CAST(SUM(CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS sum_scaled,
+      |  CAST(COUNT(*) AS BIGINT) AS cnt,
+      |  round(CAST(SUM(CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT)
+      |        / COUNT(*) / 1000000.0, 6) AS centroid
+      |FROM (SELECT label, unnest(embedding) AS v,
+      |             generate_subscripts(embedding, 1) AS pos FROM embeddings)
+      |GROUP BY 1, 2""".stripMargin
+
+  // --------------------------------------------------------- q105
+  /** Passage-level exact dedup ([[Dedup.passageDedupStats]], CCNet
+    * discipline): 16-token windows, globally-first occurrence kept,
+    * per-doc survival counts. The oracle rebuilds the same passages
+    * with ordered string_agg and the same (doc, chunk) tie-break. */
+  private def q105(s: SparkSession, dir: String): DataFrame =
+    Dedup.passageDedupStats(Tables.documents(s, dir), "text", "doc_id", 16)
+  private val q105Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+      |         generate_subscripts(string_split(text, ' '), 1) AS idx
+      |  FROM documents),
+      |passages AS (
+      |  SELECT doc_id, (idx - 1) // 16 AS chunk_idx,
+      |         string_agg(tok, ' ' ORDER BY idx) AS passage
+      |  FROM toks GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT doc_id,
+      |         row_number() OVER (PARTITION BY passage
+      |                            ORDER BY doc_id, chunk_idx) AS rn
+      |  FROM passages)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_passages,
+      |       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+      |FROM ranked GROUP BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q26_dedup_exact" -> q26 _,
     "q27_minhash_bands" -> q27 _,
@@ -1413,7 +1457,9 @@ object LlmQueries {
     "q96_bigram_pmi" -> q96 _,
     "q97_neardup_triangles" -> q97 _,
     "q98_length_histogram" -> q98 _,
-    "q103_normalize_text" -> q103 _)
+    "q103_normalize_text" -> q103 _,
+    "q104_label_centroids" -> q104 _,
+    "q105_passage_dedup" -> q105 _)
 
   val oracles: Map[String, String] = Map(
     "q26_dedup_exact" -> q26Sql,
@@ -1460,5 +1506,7 @@ object LlmQueries {
     "q96_bigram_pmi" -> q96Sql,
     "q97_neardup_triangles" -> q97Sql,
     "q98_length_histogram" -> q98Sql,
-    "q103_normalize_text" -> q103Sql)
+    "q103_normalize_text" -> q103Sql,
+    "q104_label_centroids" -> q104Sql,
+    "q105_passage_dedup" -> q105Sql)
 }

@@ -566,6 +566,43 @@ class OpsSpec extends SparkSpec {
       ("s2", 1000L, 1L, 1000L, 1000L))
   }
 
+  test("labelCentroids: exact scaled-integer means, partition-order-invariant") {
+    val df = Seq(
+      (0, Seq(1.0f, -2.0f)),
+      (0, Seq(3.0f, 4.0f)),
+      (1, Seq(0.5f, 0.25f))).toDF("label", "embedding")
+    val out = Similarity.labelCentroids(df, "embedding", "label")
+      .orderBy("label", "pos")
+      .select("label", "pos", "sum_scaled", "cnt", "centroid")
+      .as[(Int, Int, Long, Long, Double)].collect().toSeq
+    out shouldBe Seq(
+      (0, 0, 4000000L, 2L, 2.0),
+      (0, 1, 2000000L, 2L, 1.0),
+      (1, 0, 500000L, 1L, 0.5),
+      (1, 1, 250000L, 1L, 0.25))
+    // repartitioning (different partial-agg order) yields identical bits
+    val re = Similarity.labelCentroids(df.repartition(7), "embedding", "label")
+      .orderBy("label", "pos")
+      .select("label", "pos", "sum_scaled", "cnt", "centroid")
+      .as[(Int, Int, Long, Long, Double)].collect().toSeq
+    re shouldBe out
+  }
+
+  test("passageDedupStats: first occurrence survives, later copies counted as dropped") {
+    val boiler = (1 to 16).map(i => s"b$i").mkString(" ")
+    val uniq = (1 to 16).map(i => s"u$i").mkString(" ")
+    val df = Seq(
+      (1L, s"$boiler $uniq"),          // chunk0 = boiler (first), chunk1 = uniq
+      (2L, s"$boiler tail words only") // chunk0 = boiler (dup), chunk1 = partial
+    ).toDF("doc_id", "text")
+    val out = Dedup.passageDedupStats(df, "text", "doc_id", 16)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    out shouldBe Seq(
+      (1L, 2L, 2L),  // both passages globally first
+      (2L, 2L, 1L))  // boiler already seen in doc 1; partial tail kept
+  }
+
   test("normalizeText: NFC converges composed/decomposed, strips accents, collapses ws") {
     val df = Seq(
       "Café  du   Monde",          // composed é + runs of spaces
