@@ -29,9 +29,12 @@ case class MediaFeatures(
   * IMAGE decode is REAL: `image/…` mimes go through
   * `javax.imageio.ImageIO` (PNG/JPEG/GIF/BMP readers ship in the JDK),
   * producing true dimensions and an 8-dim color-statistics feature
-  * vector — see [[decodeImage]]. AUDIO/VIDEO decode remains a stub
+  * vector — see [[decodeImage]]. AUDIO decode is REAL for the formats
+  * the JDK ships (PCM WAV/AIFF/AU via `javax.sound.sampled`): true
+  * sample rate / channel count and an 8-segment RMS energy envelope —
+  * see [[decodeAudio]]. Only VIDEO decode remains a stub
   * ([[decodeBatchStub]]: deterministic fake dimensions/features from
-  * the bytes) because this container has no audio/video codecs; a real
+  * the bytes) because this container has no video codecs; a real
   * deployment replaces that one function with JavaCPP/FFmpeg calls —
   * nothing else changes.
   */
@@ -93,12 +96,71 @@ object Multimodal {
     }
   }
 
-  /** Batch dispatch: real ImageIO decode for `image/…`, stub for
-    * everything else (audio/video — no codecs in this container). */
-  private def decodeBatch(batch: Seq[MediaBlob]): Seq[MediaFeatures] = {
-    val (images, rest) = batch.partition(_.mime.startsWith("image/"))
-    images.map(decodeImage) ++ decodeBatchStub(rest)
+  /** Real audio decode via the JDK's `javax.sound.sampled` (PCM
+    * WAV/AIFF/AU readers ship in the JDK — no external codec needed).
+    * Field mapping for audio: `width` = sample rate in Hz, `height` =
+    * channel count; `features` = the 8-segment RMS energy envelope
+    * (root-mean-square amplitude of each eighth of the clip, normalized
+    * to [0,1]) — the standard cheap fingerprint for silence trimming /
+    * clip dedup before an expensive model pass. Undecodable bytes yield
+    * `width = height = -1` and zero features (same corrupt-blob
+    * containment as [[decodeImage]]). Only 8/16-bit PCM is read here;
+    * other encodings report format metadata with a zero envelope. */
+  private[ops] def decodeAudio(m: MediaBlob): MediaFeatures = {
+    import javax.sound.sampled.AudioSystem
+    val in =
+      try AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(m.blob))
+      catch { case _: Exception => null }
+    if (in == null)
+      MediaFeatures(m.id, m.mime, m.blob.length, -1, -1, new Array[Float](8))
+    else {
+      val fmt = in.getFormat
+      val bytes = in.readAllBytes()
+      in.close()
+      val bps = fmt.getSampleSizeInBits
+      val frameSz = fmt.getFrameSize
+      val nFrames = if (frameSz > 0) bytes.length / frameSz else 0
+      val features = new Array[Float](8)
+      if (nFrames > 0 && (bps == 8 || bps == 16)) {
+        val sumSq = new Array[Double](8)
+        val cnt = new Array[Long](8)
+        var f = 0
+        while (f < nFrames) {
+          val seg = math.min((f * 8L / nFrames).toInt, 7)
+          // first channel only: the envelope is a fingerprint, not a mix
+          val off = f * frameSz
+          val s =
+            if (bps == 8) ((bytes(off) & 0xff) - 128) / 128.0
+            else {
+              val s16 =
+                if (fmt.isBigEndian) ((bytes(off) << 8) | (bytes(off + 1) & 0xff)).toShort
+                else ((bytes(off + 1) << 8) | (bytes(off) & 0xff)).toShort
+              s16 / 32768.0
+            }
+          sumSq(seg) += s * s
+          cnt(seg) += 1
+          f += 1
+        }
+        var i = 0
+        while (i < 8) {
+          if (cnt(i) > 0) features(i) = math.sqrt(sumSq(i) / cnt(i)).toFloat
+          i += 1
+        }
+      }
+      MediaFeatures(m.id, m.mime, m.blob.length,
+        fmt.getSampleRate.toInt, fmt.getChannels, features)
+    }
   }
+
+  /** Batch dispatch: real ImageIO decode for `image/…`, real
+    * javax.sound decode for `audio/…`, stub for the rest (video — no
+    * codecs in this container). */
+  private def decodeBatch(batch: Seq[MediaBlob]): Seq[MediaFeatures] =
+    batch.map { m =>
+      if (m.mime.startsWith("image/")) decodeImage(m)
+      else if (m.mime.startsWith("audio/")) decodeAudio(m)
+      else decodeBatchStub(Seq(m)).head
+    }
 
   /** STUB decoder for audio/video mimes — deterministic fake. Real
     * impl: decode, measure dimensions, run a feature extractor over the

@@ -520,6 +520,46 @@ class OpsSpec extends SparkSpec {
     feats(3L).features.length shouldBe 8
   }
 
+  test("multimodal: real javax.sound WAV decode reads format and RMS envelope") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    // synthesize a REAL 16-bit mono PCM WAV at 8 kHz: 0.8 s where the
+    // first half is silence and the second half a full-scale square wave
+    val sr = 8000
+    val n = 6400
+    val pcm = new Array[Byte](n * 2)
+    for (f <- n / 2 until n) {
+      val v: Short = if ((f / 8) % 2 == 0) 30000 else -30000
+      pcm(f * 2) = (v & 0xff).toByte           // little-endian
+      pcm(f * 2 + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val fmt = new AudioFormat(sr.toFloat, 16, 1, true, false)
+    val baos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(
+      new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, n.toLong),
+      AudioFileFormat.Type.WAVE, baos)
+    val wav = baos.toByteArray
+
+    val media = Seq(
+      (1L, "audio/wav", wav),
+      (2L, "audio/wav", Array[Byte](9, 9, 9)),     // corrupt audio bytes
+      (3L, "video/mp4", "framesframes".getBytes))  // stub path survives
+      .toDF("id", "mime", "blob")
+    val feats = Multimodal.extractFeatures(spark, media, batchSize = 2)
+      .collect().map(f => f.id -> f).toMap
+
+    // real format metadata, not the stub's len-derived fake
+    feats(1L).width shouldBe sr   // sample rate
+    feats(1L).height shouldBe 1   // channels
+    val env = feats(1L).features
+    // silence half: segments 0-3 ~ 0; square half: segments 4-7 ~ 30000/32768
+    for (i <- 0 until 4) env(i) shouldBe 0.0f +- 1e-4f
+    for (i <- 4 until 8) env(i) shouldBe (30000f / 32768f) +- 1e-3f
+
+    feats(2L).width shouldBe -1
+    feats(2L).features.toSeq shouldBe Seq.fill(8)(0f)
+    feats(3L).features.length shouldBe 8
+  }
+
   test("Graphs.triangles: K4 yields all 4 oriented triangles; chains none") {
     // K4 on {1,2,3,4} (some edges reversed + one duplicate: canonicalization)
     val k4 = Seq((1L, 2L), (3L, 1L), (1L, 4L), (2L, 3L), (4L, 2L), (3L, 4L),
