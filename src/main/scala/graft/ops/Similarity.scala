@@ -217,6 +217,57 @@ object Similarity {
   def sqDist(a: Column, b: Column): Column =
     dot(a, a) - lit(2.0d) * dot(a, b) + dot(b, b)
 
+  /** Per-group centroid-distance outliers — the embedding-cleaning pass
+    * that drops mislabeled / off-distribution vectors before training:
+    * for each group, the `k` vectors farthest from the group centroid.
+    *
+    * Arithmetic is EXACT end-to-end: with `vi = round(v·10⁶)` (integer)
+    * and the group centroid `Σvi / cnt`, the scaled deviation
+    * `vi·cnt − Σvi` is an integer, so `dist2_scaled = Σ_pos (vi·cnt −
+    * Σvi)²` is an order-free integer sum — identical bits under any
+    * plan. The readable `dist` (= √dist2_scaled / (cnt·10⁶), the true
+    * Euclidean distance to the centroid) derives from it in one
+    * deterministic double expression.
+    *
+    * Scale shape: centroids from [[labelCentroids]] roll up to one row
+    * per group (array-packed, sorted by pos — collect_list order never
+    * leaks) and BROADCAST; the corpus side is one pass of per-row
+    * zip_with/aggregate codegen plus a per-group top-k window. No
+    * corpus-sized shuffle beyond the window's group partitioning.
+    *
+    * Output: (groupCol, rank 1..k, idCol, dist2_scaled, dist). */
+  def centroidOutliers(corpus: DataFrame, embCol: String, idCol: String,
+      groupCol: String, k: Int): DataFrame = {
+    val cents = labelCentroids(corpus, embCol, groupCol)
+      .groupBy(col(groupCol))
+      .agg(
+        array_sort(collect_list(struct(col("pos"), col("sum_scaled"))))
+          .as("__cs"),
+        max(col("cnt")).as("__cnt"))
+      .select(col(groupCol),
+        transform(col("__cs"), _.getField("sum_scaled")).as("__sums"),
+        col("__cnt"))
+    val vi = transform(col(embCol),
+      v => round(v.cast("double") * 1000000d, 0).cast("long"))
+    val d2 = aggregate(
+      zip_with(col("__vi"), col("__sums"), (a, b) => {
+        val d = a * col("__cnt") - b
+        d * d
+      }),
+      lit(0L), _ + _)
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("dist2_scaled").desc, col(idCol).asc)
+    corpus
+      .select(col(idCol), col(groupCol), vi.as("__vi"))
+      .join(broadcast(cents), Seq(groupCol))
+      .select(col(idCol), col(groupCol), d2.as("dist2_scaled"), col("__cnt"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(groupCol), col("rank"), col(idCol), col("dist2_scaled"),
+        round(sqrt(col("dist2_scaled")) / (col("__cnt") * lit(1000000d)), 6)
+          .as("dist"))
+  }
+
   /** Element-wise mean embedding per group — the E-step primitive every
     * k-means / IVF / PQ training loop runs, exposed as a first-class
     * op. Floating-point sums are order-dependent, so a naive

@@ -1412,6 +1412,35 @@ object LlmQueries {
       |       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
       |FROM ranked GROUP BY 1""".stripMargin
 
+  // --------------------------------------------------------- q106
+  /** Per-label centroid-distance outliers
+    * ([[Similarity.centroidOutliers]]): the 5 vectors farthest from
+    * their label centroid, exact scaled-integer distances (vi·cnt −
+    * Σvi is an integer, so the squared sum is order-free) — the
+    * embedding-cleaning pass before training. */
+  private def q106(s: SparkSession, dir: String): DataFrame =
+    Similarity.centroidOutliers(
+      Tables.embeddings(s, dir), "embedding", "vec_id", "label", 5)
+  private val q106Sql =
+    """WITH ex AS (
+      |  SELECT vec_id, label,
+      |         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS vi,
+      |         generate_subscripts(embedding, 1) AS pos
+      |  FROM embeddings),
+      |cent AS (
+      |  SELECT label, pos, CAST(SUM(vi) AS BIGINT) AS s, COUNT(*) AS c
+      |  FROM ex GROUP BY 1, 2),
+      |d AS (
+      |  SELECT ex.vec_id, ex.label,
+      |         CAST(SUM((vi * c - s) * (vi * c - s)) AS BIGINT) AS dist2_scaled,
+      |         MAX(c) AS c
+      |  FROM ex JOIN cent USING (label, pos) GROUP BY 1, 2)
+      |SELECT label, CAST(rn AS INT) AS rank, vec_id, dist2_scaled,
+      |       round(sqrt(dist2_scaled) / (c * 1000000.0), 6) AS dist
+      |FROM (SELECT *, row_number() OVER (PARTITION BY label
+      |        ORDER BY dist2_scaled DESC, vec_id) AS rn FROM d) t
+      |WHERE rn <= 5""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q26_dedup_exact" -> q26 _,
     "q27_minhash_bands" -> q27 _,
@@ -1459,7 +1488,8 @@ object LlmQueries {
     "q98_length_histogram" -> q98 _,
     "q103_normalize_text" -> q103 _,
     "q104_label_centroids" -> q104 _,
-    "q105_passage_dedup" -> q105 _)
+    "q105_passage_dedup" -> q105 _,
+    "q106_centroid_outliers" -> q106 _)
 
   val oracles: Map[String, String] = Map(
     "q26_dedup_exact" -> q26Sql,
@@ -1508,5 +1538,6 @@ object LlmQueries {
     "q98_length_histogram" -> q98Sql,
     "q103_normalize_text" -> q103Sql,
     "q104_label_centroids" -> q104Sql,
-    "q105_passage_dedup" -> q105Sql)
+    "q105_passage_dedup" -> q105Sql,
+    "q106_centroid_outliers" -> q106Sql)
 }

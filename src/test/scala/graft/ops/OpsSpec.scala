@@ -628,6 +628,25 @@ class OpsSpec extends SparkSpec {
     re shouldBe out
   }
 
+  test("centroidOutliers: farthest-from-centroid ranking with exact integer distances") {
+    // label 0 centroid is (1.5, 0): distances 1.5, 0.5, 0.5, 1.5 —
+    // the d=1.5 tie between vecs 1 and 4 breaks by vec_id.
+    val df = Seq(
+      (1L, 0, Seq(0.0f, 0.0f)),
+      (2L, 0, Seq(1.0f, 0.0f)),
+      (3L, 0, Seq(2.0f, 0.0f)),
+      (4L, 0, Seq(3.0f, 0.0f)),
+      (5L, 1, Seq(10.0f, 10.0f))).toDF("vec_id", "label", "embedding")
+    val out = Similarity.centroidOutliers(df, "embedding", "vec_id", "label", 2)
+      .orderBy("label", "rank")
+      .select("label", "rank", "vec_id", "dist")
+      .as[(Int, Int, Long, Double)].collect().toSeq
+    out shouldBe Seq(
+      (0, 1, 1L, 1.5),  // d=1.5, min vec_id wins the tie with vec 4
+      (0, 2, 4L, 1.5),
+      (1, 1, 5L, 0.0))  // singleton group: distance zero
+  }
+
   test("passageDedupStats: first occurrence survives, later copies counted as dropped") {
     val boiler = (1 to 16).map(i => s"b$i").mkString(" ")
     val uniq = (1 to 16).map(i => s"u$i").mkString(" ")
