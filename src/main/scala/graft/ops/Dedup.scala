@@ -136,6 +136,35 @@ object Dedup {
         sum(when(col("__first"), 1L).otherwise(0L)).as("n_kept"))
   }
 
+  /** Incremental [[passageDedupStats]] — passage-level dedup for a
+    * CONTINUOUSLY-INGESTED corpus, mirroring [[incrementalExactDedup]]:
+    * each arriving batch chunks per-row, dedups its own passages
+    * (first occurrence by (doc, chunk) — same rule as the batch op),
+    * anti-joins the accumulated passage-key state, and returns
+    * `(fresh, seenNext)`: the genuinely new passages (with their
+    * originating doc/chunk) and the grown state.
+    *
+    * Scale shape: chunking is per-row; the window and anti-join both
+    * key on the md5 passage key, so per-batch cost ∝ batch passages +
+    * matched keys, never the corpus. State is one row per distinct
+    * passage — bucketed by `passage_key` on disk, the anti-join is
+    * co-located and shuffle-free. Replay is idempotent (replayed keys
+    * are all in `seen`, so `fresh` is empty). */
+  def incrementalPassageDedup(batch: DataFrame, seen: DataFrame,
+      textCol: String, idCol: String, passageTokens: Int)
+      : (DataFrame, DataFrame) = {
+    val w = Window.partitionBy(col("passage_key"))
+      .orderBy(col(idCol).asc, col("chunk_id").asc)
+    val fresh = TextAnalysis.chunk(batch, textCol, idCol, passageTokens, 0)
+      .withColumn("passage_key", md5(col("chunk_text")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+      .join(seen.select(col("passage_key")), Seq("passage_key"), "left_anti")
+    val seenNext = seen.select(col("passage_key"))
+      .union(fresh.select(col("passage_key")))
+    (fresh, seenNext)
+  }
+
   // ------------------------------------------------------ fingerprint
   /** Order- and multiplicity-insensitive content fingerprint: md5 of the
     * sorted distinct token set. Docs with the same token set collide. */

@@ -186,6 +186,51 @@ class StreamingOpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("foreachBatch + incrementalPassageDedup: boilerplate passages dedup across micro-batches") {
+    // passage-level variant of the incremental dedup loop: a boilerplate
+    // passage arriving in batch 2 inside a NEW document is dropped
+    // because batch 1 already registered its key
+    implicit val enc: Encoder[(Long, String)] = Encoders.product[(Long, String)]
+    val boiler = (1 to 4).map(i => s"b$i").mkString(" ")
+    val stream = MemoryStream[(Long, String)](enc, spark)
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("graft_passage_state").toString
+    val sinkRows = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("passage_key",
+          org.apache.spark.sql.types.StringType))))
+      .write.mode("overwrite").parquet(stateDir)
+    val query = stream.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val seen = spark.read.parquet(stateDir)
+        val (fresh, seenNext) = graft.ops.Dedup
+          .incrementalPassageDedup(batch, seen, "text", "doc_id", 4)
+        sinkRows.synchronized {
+          sinkRows ++= fresh.select("doc_id", "chunk_text")
+            .as[(Long, String)](enc).collect()
+        }
+        val next = stateDir + "_next"
+        seenNext.write.mode("overwrite").parquet(next)
+        spark.read.parquet(next).write.mode("overwrite").parquet(stateDir)
+        ()
+      }
+      .start()
+    try {
+      stream.addData((1L, s"$boiler u1 u2 u3 u4"))
+      query.processAllAvailable()
+      stream.addData((2L, s"$boiler v1 v2 v3 v4"), (3L, s"$boiler u1 u2 u3 u4"))
+      query.processAllAvailable()
+      // batch 1: doc 1 contributes boiler + u-passage. batch 2: doc 2's
+      // boiler is a cross-batch dup (dropped), its v-passage is fresh;
+      // doc 3 is a full replay (nothing fresh).
+      sinkRows.sortBy(r => (r._1, r._2)).toSeq shouldBe Seq(
+        (1L, boiler), (1L, "u1 u2 u3 u4"), (2L, "v1 v2 v3 v4"))
+      spark.read.parquet(stateDir).count() shouldBe 3L
+    } finally query.stop()
+  }
+
   test("streaming PQ encode: stream codes match the batch encode exactly") {
     // the embedding-index maintenance path: the codebook is trained
     // offline ONCE (codes are only comparable within one codebook), and
