@@ -217,6 +217,34 @@ object Similarity {
   def sqDist(a: Column, b: Column): Column =
     dot(a, a) - lit(2.0d) * dot(a, b) + dot(b, b)
 
+  /** SEMANTIC decontamination — the embedding-space complement of the
+    * n-gram eval-leak check ([[Dedup.decontaminate]]): a training
+    * vector is contaminated when ANY benchmark vector sits within
+    * `threshold` cosine of it (paraphrases and translations leak past
+    * n-gram overlap; embeddings catch them). Emits every corpus row
+    * with its max benchmark similarity and the flag, so the caller can
+    * quarantine, hard-filter, or audit the margin distribution.
+    *
+    * Scale shape: same asymmetry as [[Dedup.decontaminate]] — the
+    * benchmark side is bounded by construction, so it BROADCASTS and
+    * the 100 TB training side streams once through the codegen'd
+    * `cosine_sim` kernel; max-per-row partial-aggregates map-side
+    * (max is order-free, no float-sum nondeterminism). Never shuffles
+    * the corpus. Compose with [[lshBuckets]]/IVF candidate generation
+    * if the benchmark suite ever outgrows broadcast size. */
+  def semanticDecontaminate(corpus: DataFrame, bench: DataFrame,
+      idCol: String, embCol: String, threshold: Double): DataFrame = {
+    graft.functions.GraftExtensions.ensureRegistered(corpus.sparkSession)
+    corpus
+      .select(col(idCol), toDouble(col(embCol)).as("__v"))
+      .crossJoin(broadcast(bench.select(toDouble(col(embCol)).as("__bv"))))
+      .select(col(idCol),
+        graft.functions.CosineSimilarity(col("__bv"), col("__v")).as("__cos"))
+      .groupBy(col(idCol))
+      .agg(round(max(col("__cos")), 6).as("max_cos"))
+      .withColumn("contaminated", col("max_cos") >= threshold)
+  }
+
   /** Per-group centroid-distance outliers — the embedding-cleaning pass
     * that drops mislabeled / off-distribution vectors before training:
     * for each group, the `k` vectors farthest from the group centroid.

@@ -1441,6 +1441,26 @@ object LlmQueries {
       |        ORDER BY dist2_scaled DESC, vec_id) AS rn FROM d) t
       |WHERE rn <= 5""".stripMargin
 
+  // --------------------------------------------------------- q107
+  /** Semantic decontamination ([[Similarity.semanticDecontaminate]]):
+    * label 9 plays the held-out benchmark suite; every other vector
+    * reports its max benchmark cosine and a >= 0.35 contamination
+    * flag. Bench side broadcasts; corpus streams once. */
+  private def q107(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.semanticDecontaminate(
+      emb.filter(col("label") =!= 9), emb.filter(col("label") === 9),
+      "vec_id", "embedding", 0.35)
+  }
+  private val q107Sql =
+    s"""WITH b AS (SELECT embedding::DOUBLE[] AS bv FROM embeddings WHERE label = 9),
+       |c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE label <> 9)
+       |SELECT vec_id, max_cos, max_cos >= 0.35 AS contaminated FROM (
+       |  SELECT c.vec_id, round(max(
+       |    list_dot_product(bv, v) /
+       |    (sqrt(list_dot_product(bv, bv)) * sqrt(list_dot_product(v, v)))), 6) AS max_cos
+       |  FROM c, b GROUP BY c.vec_id)""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q26_dedup_exact" -> q26 _,
     "q27_minhash_bands" -> q27 _,
@@ -1489,7 +1509,8 @@ object LlmQueries {
     "q103_normalize_text" -> q103 _,
     "q104_label_centroids" -> q104 _,
     "q105_passage_dedup" -> q105 _,
-    "q106_centroid_outliers" -> q106 _)
+    "q106_centroid_outliers" -> q106 _,
+    "q107_semantic_decontaminate" -> q107 _)
 
   val oracles: Map[String, String] = Map(
     "q26_dedup_exact" -> q26Sql,
@@ -1539,5 +1560,6 @@ object LlmQueries {
     "q103_normalize_text" -> q103Sql,
     "q104_label_centroids" -> q104Sql,
     "q105_passage_dedup" -> q105Sql,
-    "q106_centroid_outliers" -> q106Sql)
+    "q106_centroid_outliers" -> q106Sql,
+    "q107_semantic_decontaminate" -> q107Sql)
 }

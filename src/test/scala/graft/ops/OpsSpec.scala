@@ -647,6 +647,23 @@ class OpsSpec extends SparkSpec {
       (1, 1, 5L, 0.0))  // singleton group: distance zero
   }
 
+  test("semanticDecontaminate: max bench cosine flags near-bench vectors only") {
+    val corpus = Seq(
+      (1L, Seq(1.0f, 0.0f)),   // parallel to bench vec: cos = 1
+      (2L, Seq(1.0f, 1.0f)),   // 45 degrees: cos ~ 0.707107
+      (3L, Seq(0.0f, 1.0f)))   // orthogonal: cos = 0
+      .toDF("vec_id", "embedding")
+    val bench = Seq((9L, Seq(2.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.semanticDecontaminate(
+      corpus, bench, "vec_id", "embedding", 0.9)
+      .orderBy("vec_id")
+      .as[(Long, Double, Boolean)].collect().toSeq
+    out shouldBe Seq(
+      (1L, 1.0, true),
+      (2L, 0.707107, false),
+      (3L, 0.0, false))
+  }
+
   test("passageDedupStats: first occurrence survives, later copies counted as dropped") {
     val boiler = (1 to 16).map(i => s"b$i").mkString(" ")
     val uniq = (1 to 16).map(i => s"u$i").mkString(" ")
