@@ -280,6 +280,26 @@ object TextAnalysis {
           .cast("long").as("n_toks"))
   }
 
+  /** The high-frequency function words every quality heuristic keys on:
+    * natural English prose carries a stable share of them; machine
+    * gibberish, keyword stuffing, and non-prose (tables, code, logs)
+    * carry almost none. */
+  val Stopwords: Seq[String] = Seq(
+    "a", "the", "of", "to", "and", "in", "is", "it", "that", "for")
+
+  /** Stopword ratio — the Gopher-rule prose filter ([[qualityScore]]
+    * covers length/punct/word-length bands; this adds the
+    * function-word signal): fraction of whitespace tokens that are
+    * [[Stopwords]]. Per-row codegen'd array filter over an inline
+    * literal list (10 entries — no broadcast, no shuffle); composes
+    * into any corpus scan for free. */
+  def stopwordRatio(text: Column): Column = {
+    val stops = array(Stopwords.map(lit): _*)
+    round(
+      size(filter(words(text), t => array_contains(stops, t)))
+        .cast("double") / size(words(text)), 6)
+  }
+
   /** Composite quality score in [0,1]: length band + punctuation ratio +
     * mean word length band — the standard cheap filters applied before
     * expensive model-based scoring. */

@@ -1461,6 +1461,32 @@ object LlmQueries {
        |    (sqrt(list_dot_product(bv, bv)) * sqrt(list_dot_product(v, v)))), 6) AS max_cos
        |  FROM c, b GROUP BY c.vec_id)""".stripMargin
 
+  // --------------------------------------------------------- q108
+  /** Stopword ratio ([[TextAnalysis.stopwordRatio]]) — the Gopher-rule
+    * prose/function-word filter, plus the raw counts it derives from.
+    * Entirely per-row codegen; zero shuffle. */
+  private def q108(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextAnalysis.words(col("text"))
+    val stops = array(TextAnalysis.Stopwords.map(lit): _*)
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      size(toks).cast("long").as("n_tokens"),
+      size(filter(toks, t => array_contains(stops, t))).cast("long")
+        .as("n_stop"),
+      TextAnalysis.stopwordRatio(col("text")).as("stop_ratio"))
+  }
+  private val q108Sql = {
+    val list = TextAnalysis.Stopwords.map(w => s"'$w'").mkString(", ")
+    s"""SELECT doc_id,
+       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |  CAST(len(list_filter(string_split(text, ' '),
+       |       t -> list_contains([$list], t))) AS BIGINT) AS n_stop,
+       |  round(CAST(len(list_filter(string_split(text, ' '),
+       |       t -> list_contains([$list], t))) AS DOUBLE)
+       |       / len(string_split(text, ' ')), 6) AS stop_ratio
+       |FROM documents""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q26_dedup_exact" -> q26 _,
     "q27_minhash_bands" -> q27 _,
@@ -1510,7 +1536,8 @@ object LlmQueries {
     "q104_label_centroids" -> q104 _,
     "q105_passage_dedup" -> q105 _,
     "q106_centroid_outliers" -> q106 _,
-    "q107_semantic_decontaminate" -> q107 _)
+    "q107_semantic_decontaminate" -> q107 _,
+    "q108_stopword_ratio" -> q108 _)
 
   val oracles: Map[String, String] = Map(
     "q26_dedup_exact" -> q26Sql,
@@ -1561,5 +1588,6 @@ object LlmQueries {
     "q104_label_centroids" -> q104Sql,
     "q105_passage_dedup" -> q105Sql,
     "q106_centroid_outliers" -> q106Sql,
-    "q107_semantic_decontaminate" -> q107Sql)
+    "q107_semantic_decontaminate" -> q107Sql,
+    "q108_stopword_ratio" -> q108Sql)
 }

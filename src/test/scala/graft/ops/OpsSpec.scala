@@ -647,6 +647,16 @@ class OpsSpec extends SparkSpec {
       (1, 1, 5L, 0.0))  // singleton group: distance zero
   }
 
+  test("stopwordRatio: function-word share separates prose from keyword soup") {
+    val df = Seq(
+      "the cat sat on the mat and it was a good day for naps",
+      "buy cheap widgets discount widgets best widgets deal").toDF("text")
+    val out = df.select(TextAnalysis.stopwordRatio(col("text")).as("r"))
+      .as[Double].collect().toSeq
+    out.head should be > 0.3   // prose: the/and/it/a/for all hit
+    out(1) shouldBe 0.0        // keyword stuffing: zero function words
+  }
+
   test("semanticDecontaminate: max bench cosine flags near-bench vectors only") {
     val corpus = Seq(
       (1L, Seq(1.0f, 0.0f)),   // parallel to bench vec: cos = 1
