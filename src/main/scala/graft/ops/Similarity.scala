@@ -231,7 +231,11 @@ object Similarity {
     * `cosine_sim` kernel; max-per-row partial-aggregates map-side
     * (max is order-free, no float-sum nondeterminism). Never shuffles
     * the corpus. Compose with [[lshBuckets]]/IVF candidate generation
-    * if the benchmark suite ever outgrows broadcast size. */
+    * if the benchmark suite ever outgrows broadcast size.
+    *
+    * An EMPTY benchmark set yields an empty result (no row has a max
+    * to report), not an all-false flag column — callers guarding a
+    * conditional eval suite should check `bench.isEmpty` first. */
   def semanticDecontaminate(corpus: DataFrame, bench: DataFrame,
       idCol: String, embCol: String, threshold: Double): DataFrame = {
     graft.functions.GraftExtensions.ensureRegistered(corpus.sparkSession)

@@ -154,6 +154,32 @@ object EngineProps extends Properties("graft") {
       got == expected
   }
 
+  // passage dedup == brute-force first-occurrence bookkeeping, and the
+  // kept count across docs conserves the distinct-passage total
+  property("passageDedupMatchesBruteForce") = Prop.forAllNoShrink(
+    Gen.listOfN(6, textGen), Gen.chooseNum(2, 5)) { (texts, w) =>
+      val s = spark
+      import s.implicits._
+      val all = texts.zipWithIndex.flatMap { case (t, i) =>
+        t.split(" ").toSeq.grouped(w).zipWithIndex
+          .map { case (p, c) => (i.toLong, c.toLong, p.mkString(" ")) }
+      }
+      val firstOf = all.groupBy(_._3)
+        .map { case (p, occ) => p -> occ.minBy(o => (o._1, o._2)) }
+      val expected = texts.indices.map { i =>
+        val mine = all.filter(_._1 == i.toLong)
+        i.toLong -> ((mine.size.toLong,
+          mine.count(o => firstOf(o._3) == o).toLong))
+      }.toMap
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = graft.ops.Dedup.passageDedupStats(df, "text", "doc_id", w)
+        .as[(Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      got == expected &&
+        got.values.map(_._2).sum == all.map(_._3).distinct.size
+  }
+
   // salted join == plain join on random (skewed) key distributions
   property("saltedJoinMatchesPlainJoin") = Prop.forAllNoShrink(
     Gen.listOfN(30, Gen.chooseNum(0, 3)), Gen.chooseNum(1, 7)) { (keys, salts) =>
