@@ -397,6 +397,34 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
 
+  /** Verify candidate pairs with exact ASYMMETRIC containment (Broder):
+    * `contain_ab = |A∩B| / |A|` and the reverse. Containment catches
+    * what Jaccard structurally can't: a short document quoted whole
+    * inside a long one scores `contain_ab ≈ 1` while Jaccard stays near
+    * `|A|/|B|` — wrapper pages, quote posts, and boilerplate-plus-
+    * payload docs all live there. A pair survives when EITHER direction
+    * clears `threshold` (containment ≥ Jaccard always, so this returns
+    * a superset of the Jaccard verify at the same threshold). Same
+    * keyed-join shape and cost as [[jaccardVerify]]: work ∝ candidate
+    * pairs, never corpus². */
+  def containmentVerify(pairs: DataFrame, docs: DataFrame, textCol: String,
+      idCol: String, threshold: Double): DataFrame = {
+    val sets = docs.select(col(idCol).as("jid"),
+      array_distinct(words(col(textCol))).as("toks"))
+    pairs
+      .join(sets.withColumnRenamed("toks", "toks_a"), col("id_a") === col("jid"))
+      .drop("jid")
+      .join(sets.withColumnRenamed("toks", "toks_b"), col("id_b") === col("jid"))
+      .withColumn("__inter",
+        size(array_intersect(col("toks_a"), col("toks_b"))).cast("double"))
+      .withColumn("contain_ab", col("__inter") / size(col("toks_a")))
+      .withColumn("contain_ba", col("__inter") / size(col("toks_b")))
+      .filter(greatest(col("contain_ab"), col("contain_ba")) >= threshold)
+      .select(col("id_a"), col("id_b"),
+        round(col("contain_ab"), 4).as("contain_ab"),
+        round(col("contain_ba"), 4).as("contain_ba"))
+  }
+
   /** Verify candidate pairs with exact token-set Jaccard. */
   def jaccardVerify(pairs: DataFrame, docs: DataFrame, textCol: String,
       idCol: String, threshold: Double): DataFrame =

@@ -1487,6 +1487,35 @@ object LlmQueries {
        |FROM documents""".stripMargin
   }
 
+  // --------------------------------------------------------- q109
+  /** Asymmetric containment pairs ([[Dedup.containmentVerify]]): same
+    * LSH candidates as q28, verified with Broder containment in both
+    * directions — catches short-doc-quoted-in-long-doc relations whose
+    * Jaccard stays under the q28 threshold. */
+  private def q109(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val bands = Dedup
+      .bandKeys(docs, "text", "doc_id", Bands, RowsPerBand, ShingleK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Dedup.containmentVerify(
+      Dedup.candidatePairs(bands), docs, "text", "doc_id", JaccardThreshold)
+  }
+  private val q109Sql =
+    s"""WITH $BandsCte,
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+       |sets AS (SELECT doc_id, list_distinct($WsSplit) AS toks FROM documents),
+       |sc AS (
+       |  SELECT id_a, id_b,
+       |    len(list_intersect(sa.toks, sb.toks))::DOUBLE / len(sa.toks) AS contain_ab,
+       |    len(list_intersect(sa.toks, sb.toks))::DOUBLE / len(sb.toks) AS contain_ba
+       |  FROM pairs JOIN sets sa ON id_a = sa.doc_id JOIN sets sb ON id_b = sb.doc_id)
+       |SELECT id_a, id_b, round(contain_ab, 4) AS contain_ab,
+       |       round(contain_ba, 4) AS contain_ba
+       |FROM sc WHERE greatest(contain_ab, contain_ba) >= $JaccardThreshold""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q26_dedup_exact" -> q26 _,
     "q27_minhash_bands" -> q27 _,
@@ -1537,7 +1566,8 @@ object LlmQueries {
     "q105_passage_dedup" -> q105 _,
     "q106_centroid_outliers" -> q106 _,
     "q107_semantic_decontaminate" -> q107 _,
-    "q108_stopword_ratio" -> q108 _)
+    "q108_stopword_ratio" -> q108 _,
+    "q109_containment_pairs" -> q109 _)
 
   val oracles: Map[String, String] = Map(
     "q26_dedup_exact" -> q26Sql,
@@ -1589,5 +1619,6 @@ object LlmQueries {
     "q105_passage_dedup" -> q105Sql,
     "q106_centroid_outliers" -> q106Sql,
     "q107_semantic_decontaminate" -> q107Sql,
-    "q108_stopword_ratio" -> q108Sql)
+    "q108_stopword_ratio" -> q108Sql,
+    "q109_containment_pairs" -> q109Sql)
 }

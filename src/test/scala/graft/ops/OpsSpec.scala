@@ -647,6 +647,22 @@ class OpsSpec extends SparkSpec {
       (1, 1, 5L, 0.0))  // singleton group: distance zero
   }
 
+  test("containmentVerify: short doc quoted in long doc clears containment, not Jaccard") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),                         // A: 4 tokens
+      (2L, "alpha beta gamma delta x1 x2 x3 x4 x5 x6 x7 x8"), // B contains A
+      (3L, "zeta eta theta iota")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+    val out = Dedup.containmentVerify(pairs, docs, "text", "doc_id", 0.9)
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    // A fully inside B: contain_ab = 1.0 while Jaccard = 4/12 = 0.33;
+    // the disjoint pair never survives
+    out shouldBe Seq((1L, 2L, 1.0, 0.3333))
+    // same pair fails the Jaccard verify at the same threshold
+    Dedup.jaccardVerify(pairs, docs, "text", "doc_id", 0.9)
+      .count() shouldBe 0L
+  }
+
   test("stopwordRatio: function-word share separates prose from keyword soup") {
     val df = Seq(
       "the cat sat on the mat and it was a good day for naps",
