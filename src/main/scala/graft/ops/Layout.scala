@@ -59,6 +59,41 @@ object Layout {
     * small rectangle in (a, b) space — so predicate pushdown on either
     * dimension skips row groups. `partitions` sizes the output files;
     * at scale pick ~target-file-size × cluster parallelism. */
+  /** Token-balanced shard assignment for training-data export: docs
+    * sort by (token count DESC, id) and deal round-robin onto `shards`,
+    * so every shard's token total lands within one max-doc of the rest
+    * (the deterministic alternative to greedy bin packing, which is
+    * inherently sequential). Hash sharding balances COUNTS; long-doc
+    * skew still unbalances tokens — this balances the tokens
+    * themselves, which is what training-step time follows.
+    *
+    * Scale shape: the global rank the deal needs is NOT a
+    * single-partition window (the classic bottleneck) — it's the
+    * zipWithIndex discipline: one range exchange orders partitions,
+    * per-partition counts collect to the driver (numPartitions longs),
+    * and each row's rank = local index + its partition's offset. Two
+    * passes over the data, no global sort through one task.
+    *
+    * Output: one row per doc — (idCol, n_tokens, shard). Aggregate for
+    * the balance report; write partitioned by `shard` for the export. */
+  def tokenBalancedShards(docs: DataFrame, textCol: String, idCol: String,
+      shards: Int): DataFrame = {
+    require(shards > 0, s"shards must be positive, got $shards")
+    val spark = docs.sparkSession
+    val sorted = docs
+      .select(col(idCol),
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .repartitionByRange(col("n_tokens").desc, col(idCol).asc)
+      .sortWithinPartitions(col("n_tokens").desc, col(idCol).asc)
+    val schema = sorted.schema
+      .add(org.apache.spark.sql.types.StructField("shard",
+        org.apache.spark.sql.types.IntegerType, nullable = false))
+    val indexed = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i % shards).toInt)
+    }
+    spark.createDataFrame(indexed, schema)
+  }
+
   def zorder(df: DataFrame, a: Column, b: Column, bits: Int = 16,
       partitions: Int = 0): DataFrame = {
     require(!df.columns.contains("__z"), "zorder reserves the __z column name")

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.ops.{Dedup, Graphs, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Graphs, Layout, Multimodal, Similarity, TextAnalysis}
 
 /** Training-data-pipeline operators under the CORRECTNESS gate: dedup
   * (exact, fingerprint, MinHash-LSH, SimHash), similarity search (brute
@@ -1516,6 +1516,30 @@ object LlmQueries {
        |       round(contain_ba, 4) AS contain_ba
        |FROM sc WHERE greatest(contain_ab, contain_ba) >= $JaccardThreshold""".stripMargin
 
+  // --------------------------------------------------------- q110
+  /** Token-balanced shard report ([[Layout.tokenBalancedShards]]):
+    * docs deal round-robin in (tokens DESC, id) order onto 8 shards;
+    * the per-shard rollup shows token totals within one max-doc of
+    * each other — the export balance training-step time follows. */
+  private def q110(s: SparkSession, dir: String): DataFrame =
+    Layout.tokenBalancedShards(Tables.documents(s, dir), "text", "doc_id", 8)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        max(col("n_tokens")).as("max_tokens"))
+  private val q110Sql =
+    """WITH t AS (
+      |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |a AS (
+      |  SELECT doc_id, n_tokens,
+      |         CAST((row_number() OVER (ORDER BY n_tokens DESC, doc_id) - 1) % 8 AS INT) AS shard
+      |  FROM t)
+      |SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+      |       CAST(MAX(n_tokens) AS BIGINT) AS max_tokens
+      |FROM a GROUP BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q26_dedup_exact" -> q26 _,
     "q27_minhash_bands" -> q27 _,
@@ -1567,7 +1591,8 @@ object LlmQueries {
     "q106_centroid_outliers" -> q106 _,
     "q107_semantic_decontaminate" -> q107 _,
     "q108_stopword_ratio" -> q108 _,
-    "q109_containment_pairs" -> q109 _)
+    "q109_containment_pairs" -> q109 _,
+    "q110_balanced_shards" -> q110 _)
 
   val oracles: Map[String, String] = Map(
     "q26_dedup_exact" -> q26Sql,
@@ -1620,5 +1645,6 @@ object LlmQueries {
     "q106_centroid_outliers" -> q106Sql,
     "q107_semantic_decontaminate" -> q107Sql,
     "q108_stopword_ratio" -> q108Sql,
-    "q109_containment_pairs" -> q109Sql)
+    "q109_containment_pairs" -> q109Sql,
+    "q110_balanced_shards" -> q110Sql)
 }

@@ -647,6 +647,24 @@ class OpsSpec extends SparkSpec {
       (1, 1, 5L, 0.0))  // singleton group: distance zero
   }
 
+  test("tokenBalancedShards: round-robin deal bounds the per-shard token spread") {
+    // 12 docs with token counts 12..1 onto 3 shards: ranks deal
+    // 12,9,6,3 / 11,8,5,2 / 10,7,4,1 -> totals 30, 26, 22
+    val docs = (1 to 12).map { i =>
+      (i.toLong, (1 to (13 - i)).map(j => s"w$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    val out = graft.ops.Layout.tokenBalancedShards(docs, "text", "doc_id", 3)
+    out.count() shouldBe 12L
+    val totals = out.groupBy("shard")
+      .agg(sum("n_tokens").as("t")).orderBy("shard")
+      .as[(Int, Long)].collect().toSeq
+    totals shouldBe Seq((0, 30L), (1, 26L), (2, 22L))
+    // every doc keeps exactly one shard, and the deal is deterministic
+    val again = graft.ops.Layout.tokenBalancedShards(docs, "text", "doc_id", 3)
+      .orderBy("doc_id").as[(Long, Long, Int)].collect().toSeq
+    again shouldBe out.orderBy("doc_id").as[(Long, Long, Int)].collect().toSeq
+  }
+
   test("containmentVerify: short doc quoted in long doc clears containment, not Jaccard") {
     val docs = Seq(
       (1L, "alpha beta gamma delta"),                         // A: 4 tokens
