@@ -60,4 +60,32 @@ class PlanGuardSpec extends SparkSpec {
     plan should include("DataFilters: [")
     plan should not include "Exchange"
   }
+
+  test("q103's normalization chain is one exchange-free codegen pass") {
+    val plan = SparkEntry.queries("q103_normalize_text")(
+      spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+    // per-row kernels compose into the scan's projection: no shuffle at
+    // all, and the projection runs inside whole-stage codegen (the `*(n)`
+    // marker in the plan string)
+    plan should not include "Exchange"
+    plan should include("*(1) Project")
+  }
+
+  test("q104's centroid aggregation partial-aggregates before its single exchange") {
+    val exec = SparkEntry.queries("q104_label_centroids")(
+      spark, "/root/testdata/sf0.001").queryExecution.executedPlan
+    val plan = exec.toString
+    // exactly one shuffle (the keyed (label, pos) exchange) and a
+    // map-side partial HashAggregate below it — the order-free integer
+    // sums are what make that partial aggregation safe
+    "(?<!Broadcast)Exchange".r.findAllIn(plan).size shouldBe 1
+    plan should include("HashAggregate")
+  }
+
+  test("q106's centroid join broadcasts; top-k is a WindowGroupLimit, not a global sort") {
+    val plan = SparkEntry.queries("q106_centroid_outliers")(
+      spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+    plan should include("BroadcastHashJoin")
+    plan should include("WindowGroupLimit")
+  }
 }
