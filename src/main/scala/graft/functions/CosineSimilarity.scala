@@ -123,6 +123,9 @@ object GraftExtensions {
     (new FunctionIdentifier("nfc_normalize"),
       new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
       (children: Seq[Expression]) => NfcNormalize(children.head)),
+    (new FunctionIdentifier("char_entropy"),
+      new ExpressionInfo(classOf[CharEntropy].getName, "char_entropy"),
+      (children: Seq[Expression]) => CharEntropy(children.head)),
     (new FunctionIdentifier("strict_violations"),
       new ExpressionInfo(classOf[StrictViolations].getName, "strict_violations"),
       (children: Seq[Expression]) => StrictViolations.fromFunctionArgs(children)),

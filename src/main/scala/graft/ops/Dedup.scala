@@ -811,4 +811,41 @@ object Dedup {
       .agg(count(lit(1)).as("cluster_size"), min(col("id")).as("canonical_doc"))
       .filter(col("cluster_size") > 1)
   }
+
+  /** Bloom-prefiltered anti-join — the shuffle-killer for incremental
+    * dedup of a small batch against a huge state table. A Bloom filter
+    * over the state keys (driver-side, sized by `expectedItems`/`fpp` —
+    * ~1.2 MB per million keys at 1%, bounded by the PARAMETERS, never
+    * the data) splits the batch per-row, shuffle-free:
+    *
+    *  - definite-new rows (filter says "absent" — Bloom filters have no
+    *    false negatives) are kept WITHOUT touching the state table;
+    *  - possible-dup rows (filter says "maybe") go through the exact
+    *    `left_anti` join, so false positives cost a join row, never a
+    *    wrongly dropped document.
+    *
+    * Result is row-for-row identical to the plain anti-join (the spec
+    * proves it on corpora with real duplicates); what changes is the
+    * 100 TB shape: the state-table shuffle now carries only the
+    * suspect fraction (≈ true-dup rate + fpp) of the batch instead of
+    * all of it. Spark's own runtime row-level filtering does this for
+    * equi-joins it can see through; this op applies the same discipline
+    * where dedup composes with upstream transforms the optimizer won't
+    * cross.
+    *
+    * The membership probe is a scalar UDF (Spark exposes no public
+    * `might_contain`): one xxhash-based sketch lookup per row at the
+    * scan edge — cost ∝ batch rows, shape-neutral, and far cheaper than
+    * the shuffle it avoids. */
+  def bloomPrefilteredAntiJoin(batch: DataFrame, state: DataFrame,
+      keyCol: String, expectedItems: Long = 1000000L,
+      fpp: Double = 0.01): DataFrame = {
+    val bf = state.stat.bloomFilter(keyCol, expectedItems, fpp)
+    val bcast = batch.sparkSession.sparkContext.broadcast(bf)
+    val mightContain = udf((k: String) => k != null && bcast.value.mightContainString(k))
+    val definiteNew = batch.filter(!mightContain(col(keyCol)))
+    val suspects = batch.filter(mightContain(col(keyCol)))
+      .join(state.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
+    definiteNew.unionByName(suspects)
+  }
 }

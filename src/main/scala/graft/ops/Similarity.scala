@@ -694,4 +694,32 @@ object Similarity {
       .select(col("q_id"), col("rank"), col("vec_id"),
         round(col("cos"), 6).as("cos_sim"))
   }
+
+  /** Symmetric max-abs int8 quantization — the storage layout a 100 TB
+    * embedding corpus actually ships (4× smaller than float32, and the
+    * format GPU inference kernels consume directly). Per vector:
+    * `scale = max(|vᵢ|)` and `codeᵢ = ⌊vᵢ/scale·127 + 0.5⌋ ∈ [−127,127]`.
+    * Zero shuffle: scale and codes are array expressions inside the
+    * scan's projection; `posexplode` emits the long-form (vec_id, pos,
+    * code) layout the q112 oracle checks (same shape q85 uses for PQ
+    * codes). `⌊x+0.5⌋` rather than `round` because floor of an
+    * identical IEEE double agrees across engines while round-half
+    * conventions differ; the 1e-12 floor keeps the all-zero vector
+    * defined (codes 0) instead of NaN.
+    *
+    * At scale the exploded form is for the gate only — a production
+    * writer keeps `codes` as the array column (see the q112 scaladoc).
+    */
+  def maxAbsQuantize(corpus: DataFrame, vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    val vd = toDouble(col(vecCol))
+    val scale = greatest(array_max(transform(vd, x => abs(x))), lit(1e-12))
+    corpus
+      .select(col(idCol), round(scale, 6).as("scale"),
+        transform(vd, x => floor(x / scale * 127 + lit(0.5)).cast("int"))
+          .as("codes"))
+      .select(col(idCol), col("scale"), posexplode(col("codes")))
+      .select(col(idCol), col("pos").cast("int").as("pos"),
+        col("col").as("code"), col("scale"))
+  }
 }

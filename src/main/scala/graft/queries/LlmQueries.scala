@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -1540,6 +1541,101 @@ object LlmQueries {
       |       CAST(MAX(n_tokens) AS BIGINT) AS max_tokens
       |FROM a GROUP BY 1""".stripMargin
 
+  // --------------------------------------------------------- q111
+  /** Per-source document cap — the C4/RefinedWeb "max N documents per
+    * domain" anti-spam policy: within each source, keep the first
+    * `SourceCap` docs in PORTABLE-hash order (Knuth multiplicative on
+    * doc_id mod 2³²), so the sample is unbiased w.r.t. crawl/insert
+    * order yet any engine reproduces it bit-for-bit — no RNG, no
+    * engine-specific hash (the q57 discipline applied to a window).
+    * One keyed window on `source`; at 100 TB the per-source row_number
+    * never materializes the over-cap tail past the filter. */
+  private val SourceCap = 10
+  private def q111(s: SparkSession, dir: String): DataFrame = {
+    val h = pmod(col("doc_id") * lit(2654435761L), lit(4294967296L))
+    val w = Window.partitionBy(col("source")).orderBy(h.asc, col("doc_id").asc)
+    Tables.documents(s, dir)
+      .withColumn("kept_rank", row_number().over(w).cast("int"))
+      .filter(col("kept_rank") <= SourceCap)
+      .select(col("doc_id"), col("source"), col("kept_rank"))
+  }
+  private val q111Sql =
+    s"""SELECT doc_id, source, CAST(rn AS INT) AS kept_rank FROM (
+       |  SELECT doc_id, source,
+       |         ROW_NUMBER() OVER (PARTITION BY source
+       |           ORDER BY (doc_id*2654435761)%4294967296, doc_id) AS rn
+       |  FROM documents) WHERE rn <= $SourceCap""".stripMargin
+
+  // --------------------------------------------------------- q112
+  /** Int8 embedding quantization ([[Similarity.maxAbsQuantize]]):
+    * per-vector max-abs scale + 127-step codes in the long (vec_id,
+    * pos, code) form the gate can hash. The float-array→int8 compression
+    * every vector store runs before shipping; zero shuffles (scale and
+    * codes live in the scan's projection). */
+  private def q112(s: SparkSession, dir: String): DataFrame =
+    Similarity.maxAbsQuantize(Tables.embeddings(s, dir))
+  private val q112Sql =
+    """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vv FROM embeddings),
+      |s AS (SELECT vec_id, vv,
+      |        GREATEST(list_max(list_transform(vv, x -> abs(x))), 1e-12) AS scale
+      |      FROM v)
+      |SELECT vec_id, CAST(generate_subscripts(vv, 1) - 1 AS INT) AS pos,
+      |       CAST(FLOOR(unnest(vv)/scale*127 + 0.5) AS INT) AS code,
+      |       round(scale, 6) AS scale
+      |FROM s""".stripMargin
+
+  // --------------------------------------------------------- q113
+  /** Bloom-prefiltered incremental dedup
+    * ([[Dedup.bloomPrefilteredAntiJoin]]): the batch (doc_id ≡ 0 mod 3)
+    * dedups against the state corpus (the rest) on a 2-hex-char content
+    * fingerprint — coarse on purpose, so the gate exercises BOTH paths
+    * (definite-new keeps AND suspect→anti-join drops) on a corpus with
+    * no exact dup texts. The oracle is the PLAIN anti-join (`NOT
+    * EXISTS`), proving the Bloom split is semantically invisible — the
+    * q87 salting discipline applied to dedup. BloomDedupSpec adds the
+    * equality proof on synthetic corpora with real duplicate texts. */
+  private def q113(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .withColumn("fp", substring(md5(col("text")), 1, 2))
+    val batch = docs.filter(col("doc_id") % 3 === 0)
+    val state = docs.filter(col("doc_id") % 3 =!= 0)
+    Dedup.bloomPrefilteredAntiJoin(batch, state, "fp",
+        expectedItems = 10000L, fpp = 0.01)
+      .select(col("doc_id"), col("source"), col("fp"))
+  }
+  private val q113Sql =
+    """SELECT b.doc_id, b.source, substr(md5(b.text), 1, 2) AS fp
+      |FROM documents b
+      |WHERE b.doc_id % 3 = 0 AND NOT EXISTS (
+      |  SELECT 1 FROM documents s
+      |  WHERE s.doc_id % 3 <> 0
+      |    AND substr(md5(s.text), 1, 2) = substr(md5(b.text), 1, 2))""".stripMargin
+
+  // --------------------------------------------------------- q114
+  /** Character-entropy quality filter ([[graft.functions.CharEntropy]]):
+    * Shannon bits/char per doc — near 0 for `aaaa…` spam, ~4.2 for
+    * prose, ~6 for random blobs; the one-pass gibberish detector in the
+    * Gopher/C4 family. The kernel and the oracle share the order-free
+    * scaled-integer formula (Σ round(c·ln c·1e6) over per-char counts),
+    * so the gate is exact. Per-row codegen, zero shuffle. */
+  private def q114(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    graft.functions.GraftExtensions.ensureRegistered(s)
+    docs.select(col("doc_id"),
+      length(col("text")).cast("long").as("len_chars"),
+      round(graft.functions.CharEntropy(col("text")), 6).as("entropy_bits"))
+  }
+  private val q114Sql =
+    """WITH chars AS (
+      |  SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
+      |cc AS (SELECT doc_id, ch, count(*)::BIGINT AS c FROM chars GROUP BY 1, 2),
+      |tot AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+      |          CAST(sum(CAST(round(c * ln(c) * 1e6) AS BIGINT)) AS BIGINT) AS sclogc
+      |        FROM cc GROUP BY 1)
+      |SELECT doc_id, n AS len_chars,
+      |       round((ln(n) - (sclogc/1e6)/n) / ln(2), 6) AS entropy_bits
+      |FROM tot""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q26_dedup_exact" -> q26 _,
     "q27_minhash_bands" -> q27 _,
@@ -1592,7 +1688,11 @@ object LlmQueries {
     "q107_semantic_decontaminate" -> q107 _,
     "q108_stopword_ratio" -> q108 _,
     "q109_containment_pairs" -> q109 _,
-    "q110_balanced_shards" -> q110 _)
+    "q110_balanced_shards" -> q110 _,
+    "q111_source_cap" -> q111 _,
+    "q112_int8_quant" -> q112 _,
+    "q113_bloom_dedup" -> q113 _,
+    "q114_char_entropy" -> q114 _)
 
   val oracles: Map[String, String] = Map(
     "q26_dedup_exact" -> q26Sql,
@@ -1646,5 +1746,9 @@ object LlmQueries {
     "q107_semantic_decontaminate" -> q107Sql,
     "q108_stopword_ratio" -> q108Sql,
     "q109_containment_pairs" -> q109Sql,
-    "q110_balanced_shards" -> q110Sql)
+    "q110_balanced_shards" -> q110Sql,
+    "q111_source_cap" -> q111Sql,
+    "q112_int8_quant" -> q112Sql,
+    "q113_bloom_dedup" -> q113Sql,
+    "q114_char_entropy" -> q114Sql)
 }
