@@ -88,4 +88,20 @@ class PlanGuardSpec extends SparkSpec {
     plan should include("BroadcastHashJoin")
     plan should include("WindowGroupLimit")
   }
+
+  test("q112 quantization and q114 entropy are exchange-free scan projections") {
+    Seq("q112_int8_quant", "q114_char_entropy").foreach { q =>
+      val plan = SparkEntry.queries(q)(
+        spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+      withClue(s"$q: ") { plan should not include "Exchange" }
+    }
+  }
+
+  test("q111's cap is one keyed exchange feeding a WindowGroupLimit") {
+    val plan = SparkEntry.queries("q111_source_cap")(
+      spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+    "(?<!Broadcast)Exchange".r.findAllIn(plan).size shouldBe 1
+    // rank<=cap prunes map-side before the window exchange
+    plan should include("WindowGroupLimit")
+  }
 }
