@@ -94,6 +94,37 @@ object Layout {
     spark.createDataFrame(indexed, schema)
   }
 
+  /** `ntile(tiles) OVER (ORDER BY orderCols)` without the single-task
+    * global window: a range exchange plus per-partition sort gives the
+    * total order, `zipWithIndex` the global 0-based rank, and the tile
+    * follows from ntile's own arithmetic (the first `n % tiles` tiles
+    * carry one extra row). Quality-bucket mixing, decile reports and
+    * curriculum ordering all need this at corpus scale — the naive
+    * window funnels 100 TB through one task; this is two linear passes
+    * (one count, one rank) with no single-task stage. Row-identical to
+    * the window form (LayoutSpec proves it, including ragged n%tiles;
+    * `orderCols` must be a total order or ties make BOTH forms
+    * nondeterministic). */
+  def globalNtile(df: DataFrame, tiles: Int, orderCols: Column*): DataFrame = {
+    require(tiles > 0, s"tiles must be positive, got $tiles")
+    val spark = df.sparkSession
+    val n = df.count()
+    val sorted = df.repartitionByRange(orderCols: _*)
+      .sortWithinPartitions(orderCols: _*)
+    val size = n / tiles
+    val rem = n % tiles
+    val cut = rem * (size + 1)
+    val schema = sorted.schema
+      .add(org.apache.spark.sql.types.StructField("tile",
+        org.apache.spark.sql.types.IntegerType, nullable = false))
+    val indexed = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      val tile = if (i < cut) i / (size + 1) + 1
+        else rem + (i - cut) / size + 1
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ tile.toInt)
+    }
+    spark.createDataFrame(indexed, schema)
+  }
+
   def zorder(df: DataFrame, a: Column, b: Column, bits: Int = 16,
       partitions: Int = 0): DataFrame = {
     require(!df.columns.contains("__z"), "zorder reserves the __z column name")

@@ -1636,6 +1636,88 @@ object LlmQueries {
       |       round((ln(n) - (sclogc/1e6)/n) / ln(2), 6) AS entropy_bits
       |FROM tot""".stripMargin
 
+  // --------------------------------------------------------- q115
+  /** Mixture weights to a target distribution (the data-mixing step of
+    * every pretraining recipe, DoReMi-style): given per-language token
+    * availability and target shares, the feasible budget is set by the
+    * BINDING language (min availᵢ/shareᵢ — no upsampling), and every
+    * language's sampling rate follows. Shape: one groupBy bounded by
+    * |languages|, a broadcast weights join, and a 1-row broadcast min —
+    * the corpus is read once; the rate table is what the downstream
+    * sampler (q66's salted-hash discipline) consumes. All divisions are
+    * single IEEE ops on exact integer totals, so rates are bit-identical
+    * cross-engine. */
+  private val MixShares =
+    Seq(("en", 0.40), ("de", 0.15), ("es", 0.15), ("fr", 0.15), ("zh", 0.15))
+  private def q115(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = MixShares.toDF("lang", "share")
+    val avail = Tables.documents(s, dir)
+      .groupBy(col("lang"))
+      .agg(sum(size(Dedup.words(col("text"))).cast("long")).as("avail_tokens"))
+    val lim = avail.join(broadcast(w), "lang")
+      .withColumn("limit_b", col("avail_tokens").cast("double") / col("share"))
+    val b = lim.agg(min(col("limit_b")).as("budget"))
+    lim.crossJoin(broadcast(b))
+      .select(col("lang"), col("avail_tokens"), col("share").as("target_share"),
+        round((col("budget") * col("share")) / col("avail_tokens").cast("double"), 6)
+          .as("rate"),
+        floor(col("budget") * col("share")).cast("long").as("take_tokens"))
+  }
+  private val q115Sql = {
+    val values = MixShares
+      .map { case (l, p) => s"('$l', ${p}::DOUBLE)" }.mkString(", ")
+    s"""WITH w(lang, share) AS (VALUES $values),
+       |avail AS (SELECT lang, CAST(SUM(len($WsSplit)) AS BIGINT) AS avail_tokens
+       |          FROM documents GROUP BY 1),
+       |lim AS (SELECT a.lang, a.avail_tokens, w.share,
+       |          a.avail_tokens::DOUBLE / w.share AS limit_b
+       |        FROM avail a JOIN w USING (lang)),
+       |b AS (SELECT MIN(limit_b) AS budget FROM lim)
+       |SELECT lang, avail_tokens, share AS target_share,
+       |       round((budget * share) / avail_tokens::DOUBLE, 6) AS rate,
+       |       CAST(FLOOR(budget * share) AS BIGINT) AS take_tokens
+       |FROM lim CROSS JOIN b""".stripMargin
+  }
+
+  // --------------------------------------------------------- q116
+  /** Quality-decile mixing report: docs decile'd by char entropy
+    * ([[graft.functions.CharEntropy]]) with per-decile size, entropy
+    * range and mean length — the bucket table a quality-mixed sampler
+    * (Llama/Falcon-style "mix by quality band") draws from. The decile
+    * assignment is [[Layout.globalNtile]] — ntile semantics WITHOUT the
+    * single-task global window (two-pass rank; see SCALE.md). Mean
+    * length divides two exact integers once, so every double is one
+    * IEEE op from ints. */
+  private def q116(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftExtensions.ensureRegistered(s)
+    val e = Tables.documents(s, dir).select(col("doc_id"),
+      length(col("text")).cast("long").as("n"),
+      round(graft.functions.CharEntropy(col("text")), 6).as("ent"))
+    Layout.globalNtile(e, 10, col("ent").asc, col("doc_id").asc)
+      .groupBy(col("tile"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("ent")).as("min_entropy"), max(col("ent")).as("max_entropy"),
+        round(sum(col("n")).cast("double") / count(lit(1)).cast("double"), 6)
+          .as("avg_len"))
+      .withColumnRenamed("tile", "decile")
+  }
+  private val q116Sql =
+    """WITH chars AS (
+      |  SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
+      |cc AS (SELECT doc_id, ch, count(*)::BIGINT AS c FROM chars GROUP BY 1, 2),
+      |tot AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+      |          CAST(sum(CAST(round(c * ln(c) * 1e6) AS BIGINT)) AS BIGINT) AS s
+      |        FROM cc GROUP BY 1),
+      |e AS (SELECT doc_id, n, round((ln(n) - (s/1e6)/n) / ln(2), 6) AS ent FROM tot),
+      |d AS (SELECT doc_id, n, ent,
+      |        ntile(10) OVER (ORDER BY ent, doc_id) AS decile FROM e)
+      |SELECT CAST(decile AS INT) AS decile,
+      |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |       MIN(ent) AS min_entropy, MAX(ent) AS max_entropy,
+      |       round(CAST(SUM(n) AS BIGINT) / CAST(COUNT(*) AS DOUBLE), 6) AS avg_len
+      |FROM d GROUP BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q26_dedup_exact" -> q26 _,
     "q27_minhash_bands" -> q27 _,
@@ -1692,7 +1774,9 @@ object LlmQueries {
     "q111_source_cap" -> q111 _,
     "q112_int8_quant" -> q112 _,
     "q113_bloom_dedup" -> q113 _,
-    "q114_char_entropy" -> q114 _)
+    "q114_char_entropy" -> q114 _,
+    "q115_mixture_weights" -> q115 _,
+    "q116_quality_deciles" -> q116 _)
 
   val oracles: Map[String, String] = Map(
     "q26_dedup_exact" -> q26Sql,
@@ -1750,5 +1834,7 @@ object LlmQueries {
     "q111_source_cap" -> q111Sql,
     "q112_int8_quant" -> q112Sql,
     "q113_bloom_dedup" -> q113Sql,
-    "q114_char_entropy" -> q114Sql)
+    "q114_char_entropy" -> q114Sql,
+    "q115_mixture_weights" -> q115Sql,
+    "q116_quality_deciles" -> q116Sql)
 }

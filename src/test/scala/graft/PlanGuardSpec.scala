@@ -23,7 +23,8 @@ class PlanGuardSpec extends SparkSpec {
     "q81_hard_negatives", // query side: vec_id < 10, broadcast by design
     "q82_tfidf_terms",   // corpus doc count: exactly one aggregate row
     "q96_bigram_pmi",    // corpus totals: exactly one aggregate row
-    "q107_semantic_decontaminate") // bench side: bounded by construction
+    "q107_semantic_decontaminate", // bench side: bounded by construction
+    "q115_mixture_weights") // feasible-budget min: exactly one aggregate row
 
   test("no query plans a cartesian product; nested loops only where bounded") {
     val dir = "/root/testdata/sf0.001"

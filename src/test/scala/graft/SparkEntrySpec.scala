@@ -14,6 +14,6 @@ class SparkEntrySpec extends SparkSpec {
 
   test("every query is oracle-gated and keys line up exactly") {
     SparkEntry.queries.keySet shouldBe SparkEntry.oracleSql.keySet
-    SparkEntry.queries.size shouldBe 114
+    SparkEntry.queries.size shouldBe 116
   }
 }

@@ -61,6 +61,26 @@ class LayoutSpec extends SparkSpec {
     assert(bHits < 16, s"b-slice touched all partitions ($bHits)")
   }
 
+  test("globalNtile matches the window ntile exactly, ragged remainders included") {
+    import org.apache.spark.sql.expressions.Window
+    // 103 % 10 = 3: the first three tiles must carry the extra row
+    val df = (0 until 103).map(i => ((i * 37) % 103, i.toLong)).toDF("v", "id")
+    for (tiles <- Seq(1, 4, 10)) {
+      val fast = Layout.globalNtile(df, tiles, col("v").asc, col("id").asc)
+        .select(col("id"), col("tile"))
+      val window = df.select(col("id"),
+        ntile(tiles).over(Window.orderBy(col("v").asc, col("id").asc)).as("tile"))
+      withClue(s"tiles=$tiles: ") {
+        fast.exceptAll(window).count() shouldBe 0
+        window.exceptAll(fast).count() shouldBe 0
+      }
+    }
+    // fewer rows than tiles: every row its own tile, like ntile
+    val tiny = (0 until 3).map(i => (i, i.toLong)).toDF("v", "id")
+    Layout.globalNtile(tiny, 10, col("v").asc).select("tile")
+      .as[Int].collect().sorted shouldBe Array(1, 2, 3)
+  }
+
   test("scaleTo: clamps and spreads a numeric range onto the bit budget") {
     val vals = Seq(-5.0, 0.0, 50.0, 100.0, 250.0).toDF("v")
       .select(Layout.scaleTo(col("v"), 0.0, 100.0, 8).as("s"))
