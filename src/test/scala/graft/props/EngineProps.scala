@@ -229,4 +229,41 @@ object EngineProps extends Properties("graft") {
       }
       apply1(apply1(oldM)) == apply1(oldM)
   }
+
+  // bloom prefilter is semantically invisible: equality with the plain
+  // anti-join under arbitrary batch/state overlap and any fpp
+  property("bloomPrefilteredAntiJoinMatchesPlainAntiJoin") = Prop.forAllNoShrink(
+    Gen.listOfN(25, Gen.chooseNum(0, 15)),
+    Gen.listOfN(25, Gen.chooseNum(0, 15)),
+    Gen.oneOf(0.01, 0.1, 0.5)) { (batchKs, stateKs, fpp) =>
+      val s = spark
+      import s.implicits._
+      val batch = batchKs.zipWithIndex
+        .map { case (k, i) => (i.toLong, s"k$k") }.toDF("row_id", "key")
+      val state = stateKs.distinct.map(k => Tuple1(s"k$k")).toDF("key")
+      val plain = batch.join(state, Seq("key"), "left_anti")
+        .select("row_id").as[Long].collect().sorted.toSeq
+      val bloomed = graft.ops.Dedup
+        .bloomPrefilteredAntiJoin(batch, state, "key", 100L, fpp)
+        .select("row_id").as[Long].collect().sorted.toSeq
+      bloomed == plain
+  }
+
+  // two-pass globalNtile is row-identical to the window ntile for any
+  // (n, tiles) shape, ragged or degenerate
+  property("globalNtileMatchesWindowNtile") = Prop.forAllNoShrink(
+    Gen.chooseNum(1, 60), Gen.chooseNum(1, 12)) { (n, tiles) =>
+      val s = spark
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions.{col, ntile}
+      val df = (0 until n).map(i => ((i * 31) % n, i.toLong)).toDF("v", "id")
+      val fast = graft.ops.Layout
+        .globalNtile(df, tiles, col("v").asc, col("id").asc)
+        .select("id", "tile").as[(Long, Int)].collect().sorted.toSeq
+      val window = df.select(col("id"),
+          ntile(tiles).over(Window.orderBy(col("v").asc, col("id").asc)).as("t"))
+        .as[(Long, Int)].collect().sorted.toSeq
+      fast == window
+  }
 }
