@@ -165,6 +165,42 @@ object Dedup {
     (fresh, seenNext)
   }
 
+  /** Boilerplate-passage detection (the C4/CCNet template filter):
+    * a passage whose text recurs in >= `minDocs` DISTINCT documents is
+    * boilerplate — headers, licence blocks, navigation chrome — and
+    * documents dominated by such passages are template pages, not
+    * prose. Docs chunk into fixed `passageTokens`-word windows
+    * ([[TextAnalysis.chunk]], stride = window, per-row and
+    * shuffle-free); one aggregation keyed on the passage text computes
+    * its document frequency; a join back on the same key flags each
+    * chunk; a per-doc rollup reports `(idCol, n_passages, n_boiler,
+    * boiler_frac)` — the score a keep/drop policy thresholds on.
+    *
+    * Scale shape: two shuffles on the passage text (at 100 TB hash the
+    * passage to a 128-bit key first — same plan, narrower exchange
+    * rows) and one on doc id. The DF aggregate partial-aggregates
+    * map-side; the flag join is equi-keyed on the same column the
+    * aggregate just shuffled on, so AQE reuses the exchange. The one
+    * true hot key IS the boilerplate passage itself — its DF row is a
+    * single long, and the flag join fans it out read-only, so no salt
+    * is needed. */
+  def boilerplateStats(docs: DataFrame, textCol: String, idCol: String,
+      passageTokens: Int, minDocs: Int): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val chunks = TextAnalysis.chunk(docs, textCol, idCol, passageTokens, 0)
+      .select(col(idCol), col("chunk_text"))
+    val docFreq = chunks
+      .groupBy(col("chunk_text"))
+      .agg(countDistinct(col(idCol)).as("__df"))
+    chunks.join(docFreq, Seq("chunk_text"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_passages"),
+        sum(when(col("__df") >= minDocs, 1L).otherwise(0L)).as("n_boiler"))
+      .withColumn("boiler_frac",
+        round(col("n_boiler").cast("double") / col("n_passages"), 6))
+  }
+
   // ------------------------------------------------------ fingerprint
   /** Order- and multiplicity-insensitive content fingerprint: md5 of the
     * sorted distinct token set. Docs with the same token set collide. */

@@ -396,6 +396,52 @@ object Similarity {
         round(col("cos"), 6).as("cos_sim"))
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540) candidate pairs:
+    * WITHIN-CORPUS semantic near-duplicates via the cluster-then-prune
+    * discipline — coarse-quantize every vector to its nearest centroid
+    * (the same deterministic lowest-id-rank quantizer as
+    * [[ivfTopKFixed]], so the op is SQL-reproducible and oracle-gated),
+    * then compare pairs ONLY inside each cell and keep those with
+    * cosine >= `threshold`. Output `(id_a, id_b, cos_sim)` with
+    * id_a < id_b; feed it to [[Dedup.connectedComponents]] + a keep
+    * policy for the full SemDeDup prune, exactly as the text-side LSH
+    * pairs feed q50/q89.
+    *
+    * Scale shape: centroids are a bounded broadcastable literal;
+    * assignment is one per-row codegen pass (no shuffle); the pair
+    * join is a single self-equi-join keyed on `cluster`, so comparison
+    * cost is Σ|cell|², never N² — the entire point of the cluster
+    * step. Cell skew is the known hazard: at 100 TB run the k-means-
+    * refined quantizer offline (cells balance toward N/k) and cap
+    * degenerate cells the way [[Dedup.candidatePairs]] caps LSH
+    * buckets. */
+  def semDedupPairs(corpus: DataFrame, nClusters: Int,
+      threshold: Double): DataFrame = {
+    val spark = corpus.sparkSession
+    graft.functions.GraftExtensions.ensureRegistered(spark)
+    val centRows = corpus
+      .orderBy(col("vec_id")).limit(nClusters)
+      .select(col("vec_id"), toDouble(col("embedding")).as("c"))
+      .collect()
+      .sortBy(_.getLong(0))
+    val ids = centRows.map(_.getLong(0)).toSeq
+    val cvecs = centRows.map(_.getSeq[Double](1)).toSeq
+    val assigned = corpus
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .withColumn("cluster", call_function("nearest_centroid",
+        col("v"), typedLit(ids), typedLit(cvecs)))
+    val left = assigned
+      .select(col("cluster"), col("vec_id").as("id_a"), col("v").as("va"))
+    val right = assigned
+      .select(col("cluster"), col("vec_id").as("id_b"), col("v").as("vb"))
+    left.join(right, Seq("cluster"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos",
+        graft.functions.CosineSimilarity(col("va"), col("vb")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos_sim"))
+  }
+
   /** Product-quantization codebook: per subspace, the sub-vectors of
     * the `k` lowest-id corpus vectors (sample-as-codewords — the same
     * deterministic initialization [[ivfTopKFixed]] uses for its coarse

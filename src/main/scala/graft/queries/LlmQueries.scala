@@ -1718,6 +1718,70 @@ object LlmQueries {
       |       round(CAST(SUM(n) AS BIGINT) / CAST(COUNT(*) AS DOUBLE), 6) AS avg_len
       |FROM d GROUP BY 1""".stripMargin
 
+  // --------------------------------------------------------- q117
+  /** Boilerplate-passage detection ([[Dedup.boilerplateStats]], the
+    * C4/CCNet template filter): passages recurring in >= 2 distinct
+    * docs are boilerplate; each doc reports its passage count and
+    * boilerplate fraction. Same 16-token passages as q105 — the oracle
+    * rebuilds them with ordered string_agg — plus a doc-frequency
+    * aggregation and a flag join keyed on the passage text. */
+  private val BoilerMinDocs = 2
+  private def q117(s: SparkSession, dir: String): DataFrame =
+    Dedup.boilerplateStats(Tables.documents(s, dir), "text", "doc_id",
+      16, BoilerMinDocs)
+  private val q117Sql =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+       |         generate_subscripts(string_split(text, ' '), 1) AS idx
+       |  FROM documents),
+       |passages AS (
+       |  SELECT doc_id, (idx - 1) // 16 AS chunk_idx,
+       |         string_agg(tok, ' ' ORDER BY idx) AS passage
+       |  FROM toks GROUP BY 1, 2),
+       |df AS (
+       |  SELECT passage, count(DISTINCT doc_id) AS df
+       |  FROM passages GROUP BY 1)
+       |SELECT p.doc_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_passages,
+       |  CAST(SUM(CASE WHEN df >= $BoilerMinDocs THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_boiler,
+       |  round(CAST(SUM(CASE WHEN df >= $BoilerMinDocs THEN 1 ELSE 0 END)
+       |          AS DOUBLE) / COUNT(*), 6) AS boiler_frac
+       |FROM passages p JOIN df USING (passage)
+       |GROUP BY 1""".stripMargin
+
+  // --------------------------------------------------------- q118
+  /** SemDeDup within-corpus semantic near-dup pairs
+    * ([[Similarity.semDedupPairs]], Abbas et al. 2023): every vector
+    * coarse-quantized to its nearest of the 8 lowest-id embeddings
+    * (q43's deterministic quantizer), cosine compared ONLY inside its
+    * cell, pairs >= 0.35 reported with id_a < id_b. Comparison cost is
+    * sum over cells of |cell|^2, never N^2 — the oracle replays the
+    * assignment and the within-cell pair join verbatim. */
+  private val SemDedupTau = 0.35
+  private def q118(s: SparkSession, dir: String): DataFrame =
+    Similarity.semDedupPairs(Tables.embeddings(s, dir), IvfClusters,
+      SemDedupTau)
+  private val q118Sql =
+    s"""WITH cents AS (SELECT vec_id AS cluster, embedding::DOUBLE[] AS c
+       |               FROM embeddings ORDER BY vec_id LIMIT $IvfClusters),
+       |base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |assigned AS (
+       |  SELECT vec_id, v, cluster FROM (
+       |    SELECT b.vec_id, b.v, cents.cluster,
+       |      ROW_NUMBER() OVER (PARTITION BY b.vec_id
+       |        ORDER BY ${distSql("b.v", "cents.c")} ASC, cents.cluster ASC)
+       |        AS rn
+       |    FROM base b, cents) WHERE rn = 1)
+       |SELECT id_a, id_b, round(cos, 6) AS cos_sim FROM (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |    list_dot_product(a.v, b.v) /
+       |      (sqrt(list_dot_product(a.v, a.v)) *
+       |       sqrt(list_dot_product(b.v, b.v))) AS cos
+       |  FROM assigned a JOIN assigned b
+       |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id)
+       |WHERE cos >= $SemDedupTau""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q26_dedup_exact" -> q26 _,
     "q27_minhash_bands" -> q27 _,
@@ -1776,7 +1840,9 @@ object LlmQueries {
     "q113_bloom_dedup" -> q113 _,
     "q114_char_entropy" -> q114 _,
     "q115_mixture_weights" -> q115 _,
-    "q116_quality_deciles" -> q116 _)
+    "q116_quality_deciles" -> q116 _,
+    "q117_boilerplate" -> q117 _,
+    "q118_semdedup_pairs" -> q118 _)
 
   val oracles: Map[String, String] = Map(
     "q26_dedup_exact" -> q26Sql,
@@ -1836,5 +1902,7 @@ object LlmQueries {
     "q113_bloom_dedup" -> q113Sql,
     "q114_char_entropy" -> q114Sql,
     "q115_mixture_weights" -> q115Sql,
-    "q116_quality_deciles" -> q116Sql)
+    "q116_quality_deciles" -> q116Sql,
+    "q117_boilerplate" -> q117Sql,
+    "q118_semdedup_pairs" -> q118Sql)
 }

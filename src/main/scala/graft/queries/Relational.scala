@@ -1114,6 +1114,101 @@ object Relational {
       |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
       |FROM orders GROUP BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q119
+  /** Market-basket pairs ([[graft.ops.Cooccur.pairCounts]]): the 20
+    * part pairs most often ordered together. The op expands each
+    * order's bounded distinct-part set into i<j combinations per-row
+    * (no fact self-join — the fact is read and shuffled once), counts
+    * support with a partial-aggregated groupBy, and takes the top-k as
+    * `TakeOrderedAndProject` under a full (support, a, b) tie-break.
+    * The oracle is the naive self-join formulation — two independent
+    * shapes, one answer. */
+  private val BasketTopK = 20
+  private def q119(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Cooccur.pairCounts(
+      Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey")),
+      "l_orderkey", "l_partkey", BasketTopK)
+  private val q119Sql =
+    s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+       |SELECT a.l_partkey AS item_a, b.l_partkey AS item_b,
+       |  CAST(COUNT(*) AS BIGINT) AS n_groups
+       |FROM li a JOIN li b
+       |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |GROUP BY 1, 2
+       |ORDER BY n_groups DESC, item_a, item_b
+       |LIMIT $BasketTopK""".stripMargin
+
+  // ---------------------------------------------------------------- q120
+  /** Exact correlation / regression-slope analytics: per event type,
+    * the Pearson correlation between spend (in exact cents) and
+    * hour-of-day, plus the regression slope of cents per hour. All six
+    * moments (n, Σx, Σy, Σxy, Σx², Σy²) are exact BIGINT sums —
+    * associative, so any shuffle order produces identical bits — and
+    * the corr/slope formulas are one double expression over those
+    * integers, rounded once. One partial-aggregated groupBy, zero
+    * joins. At 100 TB the same moments accumulate in DECIMAL(38,0)
+    * to dodge BIGINT overflow; the plan is unchanged. */
+  private def q120(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select(
+      col("event_type"),
+      round(col("value") * 100d, 0).cast("long").as("x"),
+      hour(col("ts")).cast("long").as("y"))
+    e.groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("event_type"), col("n"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+           sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))), 6)
+          .as("corr_cents_hour"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("n") * col("syy") - col("sy") * col("sy")).cast("double"), 6)
+          .as("slope_cents_per_hour"))
+  }
+  private val q120Sql =
+    """WITH m AS (
+      |  SELECT event_type,
+      |    CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sx,
+      |    CAST(SUM(CAST(hour(ts) AS BIGINT)) AS BIGINT) AS sy,
+      |    CAST(SUM(CAST(round(value * 100) AS BIGINT) * CAST(hour(ts) AS BIGINT)) AS BIGINT) AS sxy,
+      |    CAST(SUM(CAST(round(value * 100) AS BIGINT) * CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sxx,
+      |    CAST(SUM(CAST(hour(ts) AS BIGINT) * CAST(hour(ts) AS BIGINT)) AS BIGINT) AS syy
+      |  FROM events GROUP BY 1)
+      |SELECT event_type, n,
+      |  round(CAST(n * sxy - sx * sy AS DOUBLE) /
+      |    (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+      |     sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS corr_cents_hour,
+      |  round(CAST(n * sxy - sx * sy AS DOUBLE) /
+      |    CAST(n * syy - sy * sy AS DOUBLE), 6) AS slope_cents_per_hour
+      |FROM m""".stripMargin
+
+  // ---------------------------------------------------------------- q121
+  /** Multi-distinct aggregation: per event type, distinct users,
+    * distinct active days, and total events in ONE aggregate. Spark
+    * plans multiple COUNT(DISTINCT ...) via Expand (one replicated
+    * stream per distinct set, then a two-phase aggregate) — the
+    * standard shape for audience/reach reporting. At 100 TB swap in
+    * approx_count_distinct (HLL++) when ±2% error is acceptable and
+    * the Expand fan-out is not. */
+  private def q121(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        countDistinct(col("user_id")).as("n_users"),
+        countDistinct(to_date(col("ts"))).as("n_days"),
+        count(lit(1)).as("n_events"))
+  private val q121Sql =
+    """SELECT event_type,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+      |  CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events
+      |FROM events GROUP BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01 _,
     "q02_filter_project" -> q02 _,
@@ -1162,7 +1257,10 @@ object Relational {
     "q90_pagination" -> q90 _,
     "q94_salted_hot_join" -> q94 _,
     "q91_string_agg" -> q91 _,
-    "q92_weekday" -> q92 _)
+    "q92_weekday" -> q92 _,
+    "q119_basket_pairs" -> q119 _,
+    "q120_corr_stats" -> q120 _,
+    "q121_multi_distinct" -> q121 _)
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -1212,5 +1310,8 @@ object Relational {
     "q90_pagination" -> q90Sql,
     "q94_salted_hot_join" -> q94Sql,
     "q91_string_agg" -> q91Sql,
-    "q92_weekday" -> q92Sql)
+    "q92_weekday" -> q92Sql,
+    "q119_basket_pairs" -> q119Sql,
+    "q120_corr_stats" -> q120Sql,
+    "q121_multi_distinct" -> q121Sql)
 }
