@@ -114,7 +114,26 @@ object Bench {
     val flakyJson = flaky.map { case (k, v) => s"${jq(k)}:${jq(v)}" }.mkString("{", ",", "}")
     val throttledJson = throttled.map(jq).mkString("[", ",", "]")
     val total = allResults.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$RUNS,"queries":$qs,"min":$minJson,"spread":$spreadJson,"throttled":$throttledJson,"errors":$errJson,"flaky":$flakyJson,"sf":"$sfDir"}""")
+
+    // Artifact-capture discipline (VERDICT r6 item 2): the driver keeps
+    // only the LAST ~2000 chars of stdout, so a single line carrying
+    // per-query medians for 122 queries truncates to the tail of the
+    // spread map and the round records NO medians. Therefore: the FULL
+    // record (all medians/min/spread) goes to a committed file, and the
+    // one stdout line is a compact summary — total, the slowest
+    // medians, throttle/error flags, and a pointer to the full file —
+    // guaranteed to fit the capture window.
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","runs":$RUNS,"queries":$qs,"min":$minJson,"spread":$spreadJson,"throttled":$throttledJson,"errors":$errJson,"flaky":$flakyJson,"sf":"$sfDir"}"""
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
+      "bench/BENCH_full_latest.json")
+    val p = java.nio.file.Paths.get(fullPath)
+    Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    java.nio.file.Files.write(p,
+      (fullJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+    val slowest = allResults.filter(_._2 >= 0).sortBy(-_._2).take(12)
+      .map { case (k, v) => s"${jq(k)}:$v" }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$RUNS,"queries":$slowest,"n_queries":${allResults.size},"throttled":$throttledJson,"errors":$errJson,"flaky":$flakyJson,"sf":"$sfDir","full":${jq(fullPath)}}""")
     spark.stop()
   }
 

@@ -129,6 +129,9 @@ object GraftExtensions {
     (new FunctionIdentifier("strict_violations"),
       new ExpressionInfo(classOf[StrictViolations].getName, "strict_violations"),
       (children: Seq[Expression]) => StrictViolations.fromFunctionArgs(children)),
+    (new FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(classOf[BloomMightContain].getName, "bloom_might_contain"),
+      (children: Seq[Expression]) => BloomMightContain.fromFunctionArgs(children)),
     (new FunctionIdentifier("winnow_fp"),
       new ExpressionInfo(classOf[WinnowFp].getName, "winnow_fp"),
       (children: Seq[Expression]) => WinnowFp.fromFunctionArgs(children)),

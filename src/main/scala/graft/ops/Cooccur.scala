@@ -10,10 +10,9 @@ import org.apache.spark.sql.functions._
   * recommendation candidates and co-citation graphs.
   *
   * Shape: one partial-aggregated `groupBy(group)` collects each
-  * group's DISTINCT item set (bounded by the domain's max basket
-  * size — TPC-H orders carry <= 7 lineitems; a real pipeline caps or
-  * pre-filters pathological groups the way [[Dedup.candidatePairs]]
-  * caps LSH buckets), a per-row higher-order-function expansion emits
+  * group's DISTINCT item set, `maxBasket` bounds it (the knob that
+  * bounds the whole job — see [[pairCounts]]), a per-row
+  * higher-order-function expansion emits
   * the sorted i<j combinations WITHOUT a self-join (the naive
   * `fact JOIN fact ON group` reads and shuffles the fact twice; this
   * reads it once), and a second keyed aggregation counts support per
@@ -28,13 +27,37 @@ object Cooccur {
 
   /** Sorted i<j item pairs per group with their group support,
     * descending; ties broken by (item_a, item_b) so the top-k cut is
-    * fully deterministic. Output: (item_a, item_b, n_groups). */
+    * fully deterministic. Output: (item_a, item_b, n_groups).
+    *
+    * `maxBasket` caps the quadratic per-group blow-up: a group's pair
+    * output is C(|basket|,2), so one pathological basket (a crawler
+    * session touching 100k items) emits 5·10⁹ rows from a single
+    * aggregate row. Baskets over the cap keep their `maxBasket`
+    * SMALLEST items (a deterministic `slice` of the sorted set — same
+    * discipline as [[Dedup.candidatePairs]]'s `maxBucket`), and every
+    * truncated basket is logged with its group and size (the log scan
+    * runs over the already-aggregated |groups|-row side, never the
+    * fact). */
   def pairCounts(df: DataFrame, groupCol: String, itemCol: String,
-      topK: Int): DataFrame = {
+      topK: Int, maxBasket: Int = Int.MaxValue): DataFrame = {
     require(topK > 0, s"topK must be positive, got $topK")
-    val items = df
+    require(maxBasket > 1, s"maxBasket must be > 1, got $maxBasket")
+    val full = df
       .groupBy(col(groupCol))
       .agg(array_sort(collect_set(col(itemCol))).as("__items"))
+    val items =
+      if (maxBasket == Int.MaxValue) full
+      else {
+        val over = full.filter(size(col("__items")) > maxBasket)
+          .select(col(groupCol), size(col("__items")).as("n"))
+          .agg(count(lit(1)).as("groups"), max(col("n")).as("largest"))
+          .collect()(0)
+        if (over.getLong(0) > 0)
+          System.err.println(s"Cooccur.pairCounts: ${over.getLong(0)} " +
+            s"baskets over $maxBasket items (largest ${over.getInt(1)}); " +
+            s"truncating to the $maxBasket smallest items each")
+        full.withColumn("__items", slice(col("__items"), 1, maxBasket))
+      }
     val pairs = items.select(explode(flatten(transform(
       col("__items"),
       (x, i) => transform(

@@ -869,18 +869,35 @@ object Dedup {
     * where dedup composes with upstream transforms the optimizer won't
     * cross.
     *
-    * The membership probe is a scalar UDF (Spark exposes no public
-    * `might_contain`): one xxhash-based sketch lookup per row at the
-    * scan edge — cost ∝ batch rows, shape-neutral, and far cheaper than
-    * the shuffle it avoids. */
+    * The membership probe is a native codegen'd expression
+    * ([[graft.functions.BloomMightContain]] — Spark exposes no public
+    * `might_contain`, and a Scala UDF here would cut whole-stage
+    * codegen at the batch scan): one sketch lookup per row at the scan
+    * edge — cost ∝ batch rows, shape-neutral, and far cheaper than the
+    * shuffle it avoids. Key types are restricted to string and
+    * integral columns — the two domains `stat.bloomFilter` actually
+    * inserts (strings as UTF-8 bytes, integrals as longs); anything
+    * else is rejected up front rather than silently probed in the
+    * wrong hash domain. */
   def bloomPrefilteredAntiJoin(batch: DataFrame, state: DataFrame,
       keyCol: String, expectedItems: Long = 1000000L,
       fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.types._
+    val dt = batch.schema(keyCol).dataType
+    require(dt == state.schema(keyCol).dataType,
+      s"bloomPrefilteredAntiJoin: batch/state key dtypes differ " +
+        s"(${dt.catalogString} vs ${state.schema(keyCol).dataType.catalogString})")
+    require(Seq(StringType, ByteType, ShortType, IntegerType, LongType).contains(dt),
+      s"bloomPrefilteredAntiJoin supports string and integral keys " +
+        s"(stat.bloomFilter's insert domains), got ${dt.catalogString}")
+    graft.functions.GraftExtensions.ensureRegistered(batch.sparkSession)
     val bf = state.stat.bloomFilter(keyCol, expectedItems, fpp)
-    val bcast = batch.sparkSession.sparkContext.broadcast(bf)
-    val mightContain = udf((k: String) => k != null && bcast.value.mightContainString(k))
-    val definiteNew = batch.filter(!mightContain(col(keyCol)))
-    val suspects = batch.filter(mightContain(col(keyCol)))
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    val mightContain =
+      call_function("bloom_might_contain", col(keyCol), lit(bos.toByteArray))
+    val definiteNew = batch.filter(!mightContain)
+    val suspects = batch.filter(mightContain)
       .join(state.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
     definiteNew.unionByName(suspects)
   }

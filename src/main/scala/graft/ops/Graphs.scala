@@ -22,27 +22,53 @@ object Graphs {
       .filter(col("u") =!= col("v"))
       .distinct()
 
-  /** Every triangle of the undirected graph, one row per triangle,
-    * oriented `a < b < c` so each is emitted exactly once. Two keyed
-    * equi-joins over the ordered edge list: `(a,b) ⋈ (b,c)` builds the
-    * open wedges, `(a,c)` membership closes them — never an all-pairs
-    * product.
-    *
-    * Scale shape: wedge count is Σ_v C(deg⁺(v), 2) over ORDERED
-    * degrees, the standard bound that keeps node-ordered triangle
-    * enumeration tractable (ordering by id caps every node's effective
-    * out-degree at its ordered neighbors). The near-dup graphs this
-    * engine emits are additionally degree-capped upstream
-    * ([[Dedup.candidatePairs]]'s `maxBucket` kills the B² bucket storms
-    * before they become high-degree nodes). For adversarial degree
-    * distributions the refinement is orienting low-degree → high-degree
-    * instead of by id — same plan shape, one extra degree join. */
-  def triangles(pairs: DataFrame): DataFrame = {
+  /** DEGREE-ordered orientation of the canonical edge set: each edge
+    * points low-degree → high-degree, ties broken by id — a strict
+    * total order, so every edge orients exactly one way. This is the
+    * standard skew-proof preparation for triangle enumeration
+    * (Chiba–Nishizeki / Schank–Wagner): a hub of degree d has ~zero
+    * OUT-degree under this order (all its edges point INTO it unless
+    * the neighbor's degree is higher), bounding every node's
+    * out-degree by O(√m), so the path-wedge count Σ_v in(v)·out(v)
+    * is ≤ O(m^1.5) regardless of the degree distribution —
+    * id-ordering instead leaves a low-id hub with out-degree d and
+    * ~d² wedges. Two degree joins (keyed on each endpoint) buy that
+    * bound. Output: (src, dst). */
+  def orientByDegree(pairs: DataFrame): DataFrame = {
     val e = canonicalEdges(pairs)
-    val wedges = e.select(col("u").as("a"), col("v").as("b"))
-      .join(e.select(col("u").as("b"), col("v").as("c")), Seq("b"))
-    wedges.join(e.select(col("u").as("a"), col("v").as("c")), Seq("a", "c"))
-      .select(col("a"), col("b"), col("c"))
+    val deg = e.select(col("u").as("node"))
+      .unionByName(e.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    e.join(deg.select(col("node").as("u"), col("deg").as("du")), Seq("u"))
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), Seq("v"))
+      .select(
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")),
+          struct(col("u").as("src"), col("v").as("dst")))
+          .otherwise(struct(col("v").as("src"), col("u").as("dst")))
+          .as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+  }
+
+  /** Every triangle of the undirected graph, one row per triangle,
+    * output id-ordered `a < b < c` so each appears exactly once. Two
+    * keyed equi-joins over the DEGREE-oriented edge list
+    * ([[orientByDegree]]): `(x→y) ⋈ (y→z)` builds the open wedges,
+    * `(x→z)` membership closes them — never an all-pairs product, and
+    * never a hub-driven wedge storm (a pure star builds ZERO wedges —
+    * its hub has out-degree 0 — where id-ordering could build
+    * C(deg,2)). The orientation is internal:
+    * the final projection re-sorts each triple into id order, so
+    * results are independent of the degree profile. */
+  def triangles(pairs: DataFrame): DataFrame = {
+    val e = orientByDegree(pairs)
+    val wedges = e.select(col("src").as("x"), col("dst").as("y"))
+      .join(e.select(col("src").as("y"), col("dst").as("z")), Seq("y"))
+    wedges.join(e.select(col("src").as("x"), col("dst").as("z")), Seq("x", "z"))
+      .select(array_sort(array(col("x"), col("y"), col("z"))).as("t"))
+      .select(element_at(col("t"), 1).as("a"),
+        element_at(col("t"), 2).as("b"),
+        element_at(col("t"), 3).as("c"))
   }
 
   /** Per-node degree of the canonical undirected graph. */

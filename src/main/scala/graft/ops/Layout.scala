@@ -88,7 +88,13 @@ object Layout {
     val schema = sorted.schema
       .add(org.apache.spark.sql.types.StructField("shard",
         org.apache.spark.sql.types.IntegerType, nullable = false))
-    val indexed = sorted.rdd.zipWithIndex().map { case (r, i) =>
+    // persist before zipWithIndex: its size-scan job and its data pass
+    // must observe ONE materialization, or a nondeterministic upstream
+    // (sample, unordered limit) silently misaligns offsets (ADVICE r6).
+    // The ContextCleaner unpersists the RDD once it goes out of scope.
+    val srdd = sorted.rdd.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val indexed = srdd.zipWithIndex().map { case (r, i) =>
       org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i % shards).toInt)
     }
     spark.createDataFrame(indexed, schema)
@@ -108,16 +114,24 @@ object Layout {
   def globalNtile(df: DataFrame, tiles: Int, orderCols: Column*): DataFrame = {
     require(tiles > 0, s"tiles must be positive, got $tiles")
     val spark = df.sparkSession
-    val n = df.count()
     val sorted = df.repartitionByRange(orderCols: _*)
       .sortWithinPartitions(orderCols: _*)
+    // persist so n (the count job), zipWithIndex's size scan and its
+    // data pass all observe ONE materialization — unpersisted, a
+    // nondeterministic upstream (sample, unordered limit) can make n
+    // disagree with the ranked pass and silently mis-size every tile
+    // (ADVICE r6). ContextCleaner reclaims the RDD when it drops out
+    // of scope.
+    val srdd = sorted.rdd.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = srdd.count()
     val size = n / tiles
     val rem = n % tiles
     val cut = rem * (size + 1)
     val schema = sorted.schema
       .add(org.apache.spark.sql.types.StructField("tile",
         org.apache.spark.sql.types.IntegerType, nullable = false))
-    val indexed = sorted.rdd.zipWithIndex().map { case (r, i) =>
+    val indexed = srdd.zipWithIndex().map { case (r, i) =>
       val tile = if (i < cut) i / (size + 1) + 1
         else rem + (i - cut) / size + 1
       org.apache.spark.sql.Row.fromSeq(r.toSeq :+ tile.toInt)

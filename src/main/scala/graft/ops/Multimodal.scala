@@ -59,9 +59,13 @@ object Multimodal {
     * corrupt blobs are a certainty and one bad file must not kill a
     * 10^6-row partition task. */
   private[ops] def decodeImage(m: MediaBlob): MediaFeatures = {
+    // NonFatal, not just IOException: ImageIO readers throw
+    // RuntimeExceptions on malformed input (IllegalArgument, CMM,
+    // index-out-of-bounds in the JPEG/BMP readers) — same containment
+    // as decodeAudio
     val img =
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.blob))
-      catch { case _: java.io.IOException => null }
+      catch { case scala.util.control.NonFatal(_) => null }
     if (img == null)
       MediaFeatures(m.id, m.mime, m.blob.length, -1, -1, new Array[Float](8))
     else {

@@ -1421,7 +1421,11 @@ object LlmQueries {
     * embedding-cleaning pass before training. */
   private def q106(s: SparkSession, dir: String): DataFrame =
     Similarity.centroidOutliers(
-      Tables.embeddings(s, dir), "embedding", "vec_id", "label", 5)
+        Tables.embeddings(s, dir), "embedding", "vec_id", "label", 5)
+      // the op reports dist2_scaled as exact DECIMAL(38,0) (r7
+      // overflow fix); the gate compares as double because DuckDB's
+      // pandas bridge folds DECIMAL(38,0)/HUGEINT to float64 anyway
+      .withColumn("dist2_scaled", col("dist2_scaled").cast("double"))
   private val q106Sql =
     """WITH ex AS (
       |  SELECT vec_id, label,
@@ -1433,7 +1437,9 @@ object LlmQueries {
       |  FROM ex GROUP BY 1, 2),
       |d AS (
       |  SELECT ex.vec_id, ex.label,
-      |         CAST(SUM((vi * c - s) * (vi * c - s)) AS BIGINT) AS dist2_scaled,
+      |         CAST(SUM((CAST(vi AS HUGEINT) * c - s) *
+      |                  (CAST(vi AS HUGEINT) * c - s)) AS DOUBLE)
+      |           AS dist2_scaled,
       |         MAX(c) AS c
       |  FROM ex JOIN cent USING (label, pos) GROUP BY 1, 2)
       |SELECT label, CAST(rn AS INT) AS rank, vec_id, dist2_scaled,

@@ -98,6 +98,42 @@ class PlanGuardSpec extends SparkSpec {
     }
   }
 
+  test("q113's bloom probe is a native scan-level filter, not a UDF") {
+    val plan = SparkEntry.queries("q113_bloom_dedup")(
+      spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+    // the membership probe must evaluate inside the batch scan's
+    // DataFilters (whole-stage codegen) — the r6 Scala UDF cut the
+    // codegen span exactly there
+    plan should include regex "DataFilters: \\[.*bloommightcontain"
+    plan should not include "UDF"
+  }
+
+  test("q119 reads the fact once and plans its top-k as TakeOrderedAndProject") {
+    val plan = SparkEntry.queries("q119_basket_pairs")(
+      spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+    // per-group combination expansion, NOT the oracle's self-join: one
+    // lineitem scan; top-k as per-partition heads + driver merge of k
+    "lineitem\\.parquet".r.findAllIn(plan).size shouldBe 1
+    plan should include("TakeOrderedAndProject")
+    plan should not include "SortMergeJoin"
+  }
+
+  test("q121 plans multi-distinct via Expand, one exchange per phase") {
+    val plan = SparkEntry.queries("q121_multi_distinct")(
+      spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+    plan should include("Expand")
+    plan should include("HashAggregate")
+  }
+
+  test("q117's flag join reuses the passage key the aggregate shuffled on") {
+    val plan = SparkEntry.queries("q117_boilerplate")(
+      spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+    // both sides hash-partition on the chunk text — no extra exchange
+    // beyond the three keyed ones (passage agg, flag join, doc rollup)
+    plan should not include "CartesianProduct"
+    "(?<!Broadcast)Exchange".r.findAllIn(plan).size should be <= 4
+  }
+
   test("q111's cap is one keyed exchange feeding a WindowGroupLimit") {
     val plan = SparkEntry.queries("q111_source_cap")(
       spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString

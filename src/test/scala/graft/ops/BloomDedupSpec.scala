@@ -47,6 +47,28 @@ class BloomDedupSpec extends SparkSpec {
     out.count() shouldBe 0L
   }
 
+  test("long keys probe the long hash domain: equality with the plain anti-join") {
+    // r6 ADVICE: the UDF-era probe cast numeric keys to string and
+    // hashed the wrong domain — every member looked 'definitely new'
+    // and duplicates survived. The native probe branches on dtype.
+    val state = (0 until 500).map(i => (i.toLong, i.toLong * 7)).toDF("sid", "k")
+    val batch = (0 until 1000).map(i => (i.toLong + 10000, i.toLong * 7))
+      .toDF("bid", "k")
+    val plain = batch.join(state.select("k").distinct(), Seq("k"), "left_anti")
+    val bloomed = Dedup.bloomPrefilteredAntiJoin(batch, state, "k",
+      expectedItems = 500L, fpp = 0.01)
+    bloomed.count() shouldBe plain.count()
+    bloomed.select("bid").exceptAll(plain.select("bid")).count() shouldBe 0
+    plain.select("bid").exceptAll(bloomed.select("bid")).count() shouldBe 0
+  }
+
+  test("non-string, non-integral keys are rejected up front") {
+    val state = Seq((1L, 1.5d)).toDF("sid", "k")
+    val batch = Seq((2L, 2.5d)).toDF("bid", "k")
+    an[IllegalArgumentException] should be thrownBy
+      Dedup.bloomPrefilteredAntiJoin(batch, state, "k")
+  }
+
   test("the suspect fraction tracks true-dup rate + fpp, so the prefilter pays") {
     // 10% true dups at 1% fpp: the exact anti-join should see ~11% of
     // the batch, not all of it — the shuffle the op exists to avoid

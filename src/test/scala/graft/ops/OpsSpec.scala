@@ -577,6 +577,100 @@ class OpsSpec extends SparkSpec {
       Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L)
   }
 
+  test("orientByDegree: a hub graph builds zero hub wedges, triangles still exact") {
+    // worst case for id-ordering: the hub has the LOWEST id (0), so an
+    // id-oriented edge list would give it out-degree 50 → C(50,2)
+    // wedges; degree orientation points every spoke INTO the hub
+    val star = (1L to 50L).map(i => (0L, i))
+    val edges = (star :+ ((1L, 2L))).toDF("id_a", "id_b")
+    val oriented = Graphs.orientByDegree(edges)
+    val outDeg = oriented.groupBy("src").agg(count(lit(1)).as("d"))
+      .as[(Long, Long)].collect().toMap
+    outDeg.getOrElse(0L, 0L) shouldBe 0L  // all spokes point at the hub
+    outDeg.values.max should be <= 2L     // leaves carry the out-edges
+    // the one triangle (0,1,2) survives, id-ordered in the output
+    Graphs.triangles(edges).as[(Long, Long, Long)].collect().toSet shouldBe
+      Set((0L, 1L, 2L))
+  }
+
+  test("semDedupPairs maxCell truncates a degenerate cell deterministically") {
+    // 12 near-identical vectors -> ONE cell (nClusters=1): uncapped
+    // pair count is C(12,2); capped, the cell keeps its 4 lowest ids
+    val storm = (1L to 12L).map(i =>
+      (i, Seq(1.0f, (0.001f * i), 0.0f)))
+    val df = storm.toDF("vec_id", "embedding")
+    Similarity.semDedupPairs(df, 1, -1.0).count() shouldBe 12L * 11 / 2
+    val capped = Similarity.semDedupPairs(df, 1, -1.0, maxCell = 4)
+    capped.count() shouldBe 4L * 3 / 2
+    capped.select("id_a", "id_b").as[(Long, Long)].collect().toSet shouldBe
+      Set((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    // non-degenerate data (every cell under the cap): capped == uncapped
+    val spread2 = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f)), (2L, Seq(0.0f, 1.0f, 0.0f)),
+      (3L, Seq(0.9f, 0.1f, 0.0f)), (4L, Seq(0.1f, 0.9f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val plain = Similarity.semDedupPairs(spread2, 2, 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    Similarity.semDedupPairs(spread2, 2, 0.5, maxCell = 3)
+      .as[(Long, Long, Double)].collect().toSet shouldBe plain
+  }
+
+  test("Cooccur.pairCounts maxBasket bounds a pathological basket") {
+    // group 1 is a 40-item storm (C(40,2)=780 pairs uncapped); group 2
+    // is a genuine 2-item basket repeated nowhere
+    val storm = (1L to 40L).map(i => (1L, i))
+    val df = (storm ++ Seq((2L, 1L), (2L, 2L))).toDF("g", "item")
+    Cooccur.pairCounts(df, "g", "item", 10000).count() shouldBe 780L + 0L
+    val capped = Cooccur.pairCounts(df, "g", "item", 10000, maxBasket = 5)
+      .as[(Long, Long, Long)].collect().toSet
+    // storm truncated to items 1..5 -> C(5,2)=10 pairs; (1,2) counted
+    // in BOTH groups
+    capped should have size 10
+    capped should contain((1L, 2L, 2L))
+    capped.foreach { case (a, b, _) => b should be <= 5L }
+    // baskets under the cap are untouched: capped == uncapped
+    val small = Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 1L), (2L, 2L))
+      .toDF("g", "item")
+    Cooccur.pairCounts(small, "g", "item", 100, maxBasket = 5)
+      .as[(Long, Long, Long)].collect().toSet shouldBe
+      Cooccur.pairCounts(small, "g", "item", 100)
+        .as[(Long, Long, Long)].collect().toSet
+  }
+
+  test("boilerplateStats matches a brute-force recount on a seeded random corpus") {
+    // seeded corpus: 30 docs, 8-60 tokens each; a third open with the
+    // same 8-token boilerplate header (chunk-aligned by construction)
+    val rnd = new scala.util.Random(42)
+    val vocab = (0 until 25).map(i => s"w$i")
+    val boiler = "hdr0 hdr1 hdr2 hdr3 hdr4 hdr5 hdr6 hdr7"
+    val docs = (1 to 30).map { i =>
+      val body = Seq.fill(8 + rnd.nextInt(53))(vocab(rnd.nextInt(25)))
+      val text = if (i % 3 == 0) (boiler +: body).mkString(" ")
+        else body.mkString(" ")
+      (i.toLong, text)
+    }
+    val got = Dedup.boilerplateStats(docs.toDF("doc_id", "text"),
+        "text", "doc_id", 8, 2)
+      .select("doc_id", "n_passages", "n_boiler", "boiler_frac")
+      .as[(Long, Long, Long, Double)].collect()
+      .map { case (id, np, nb, f) => id -> ((np, nb, f)) }.toMap
+    // brute force with the same fixed-window chunking
+    val chunksOf = docs.map { case (id, t) =>
+      id -> t.split(" ").grouped(8).map(_.mkString(" ")).toSeq
+    }.toMap
+    val df = chunksOf.values.flatten.toSeq
+      .groupBy(identity).map { case (p, _) =>
+        p -> chunksOf.count { case (_, cs) => cs.contains(p) }
+      }
+    val expect = chunksOf.map { case (id, cs) =>
+      val boilerN = cs.count(c => df(c) >= 2)
+      id -> ((cs.size.toLong, boilerN.toLong,
+        BigDecimal(boilerN.toDouble / cs.size)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    }
+    got shouldBe expect
+  }
+
   test("bigramPmi: hand-computed PMI on a tiny corpus, minCount guard") {
     // one doc "a b a b": bigrams (a,b) (b,a) (a,b) -> c12(a,b)=2, nb=3;
     // unigrams a:2 b:2, nw=4. PMI(a,b) = ln((2/3)/((2/4)*(2/4))) = ln(8/3)
