@@ -35,7 +35,12 @@ object Graphs {
     * ~d² wedges. Two degree joins (keyed on each endpoint) buy that
     * bound. Output: (src, dst). */
   def orientByDegree(pairs: DataFrame): DataFrame = {
+    // persist: the canonical edge list feeds BOTH the degree aggregate
+    // and the orientation join, and upstream pair generation (LSH
+    // verify chains) is far too expensive to recompute per consumer.
+    // ContextCleaner reclaims the block once the plan is gone.
     val e = canonicalEdges(pairs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val deg = e.select(col("u").as("node"))
       .unionByName(e.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
@@ -61,7 +66,10 @@ object Graphs {
     * the final projection re-sorts each triple into id order, so
     * results are independent of the degree profile. */
   def triangles(pairs: DataFrame): DataFrame = {
+    // the oriented list is scanned three times (two wedge sides + the
+    // closing membership join) — persist once
     val e = orientByDegree(pairs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val wedges = e.select(col("src").as("x"), col("dst").as("y"))
       .join(e.select(col("src").as("y"), col("dst").as("z")), Seq("y"))
     wedges.join(e.select(col("src").as("x"), col("dst").as("z")), Seq("x", "z"))

@@ -471,6 +471,28 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos_sim"))
   }
 
+  /** The full SemDeDup prune decision (pairs → transitive clusters →
+    * keep policy): vectors whose cosine-similarity graph connects them
+    * form one semantic-duplicate cluster; the lowest id is kept, the
+    * rest are marked for drop — exactly how the text-side LSH pairs
+    * feed q50/q89. Output `(vec_id, cluster_rep, kept)` for every
+    * CLUSTERED vector; singletons never appear (they are implicitly
+    * kept, and materializing a corpus-sized "kept" column would dwarf
+    * the duplicate set it reports on).
+    *
+    * Scale shape: [[semDedupPairs]] bounds the pair volume
+    * (Σ|cell|², `maxCell`-capped); [[Dedup.connectedComponents]]
+    * resolves clusters driver-side under `maxDriverEdges` and falls
+    * back to large-star/small-star contraction above it. */
+  def semDedupKeep(corpus: DataFrame, nClusters: Int, threshold: Double,
+      maxCell: Int = Int.MaxValue): DataFrame = {
+    val pairs = semDedupPairs(corpus, nClusters, threshold, maxCell)
+      .select(col("id_a"), col("id_b"))
+    Dedup.connectedComponents(pairs)
+      .select(col("node").as("vec_id"), col("cluster").as("cluster_rep"),
+        (col("node") === col("cluster")).as("kept"))
+  }
+
   /** Product-quantization codebook: per subspace, the sub-vectors of
     * the `k` lowest-id corpus vectors (sample-as-codewords — the same
     * deterministic initialization [[ivfTopKFixed]] uses for its coarse

@@ -289,4 +289,47 @@ object Temporal {
         datediff(col("d"), col("d0")).cast("long").as("day_k"))
       .agg(count_distinct(col("uid")).as("n_users"))
   }
+
+  /** Trailing-window count-anomaly detection: each (key, day)'s event
+    * count z-scored against the `trailing` PRECEDING observed days —
+    * the drop/spike monitor every ingest pipeline runs over its own
+    * volumes. The frame is ROWS-based over observed days (gaps
+    * collapse, which is what volume monitoring wants: "the last 7
+    * reports", not calendar positions).
+    *
+    * Determinism discipline: the window accumulates exact INTEGER
+    * moments (n, Σcnt, Σcnt²) — associative, any partial order gives
+    * identical bits — and the z-score `(cnt − s/n) / √((ss − s²/n) /
+    * (n−1))` (sample std) is ONE double expression over them, rounded
+    * once. A naive windowed avg/stddev sums doubles in frame order and
+    * is not portable bit-for-bit across engines. Days with fewer than
+    * `minPrev` trailing observations, or zero variance, report a null
+    * z-score rather than NaN/∞.
+    *
+    * Scale shape: one keyed aggregation (events → daily counts, output
+    * ∝ keys × days) and one keyed window over that small frame — the
+    * raw event table never enters a window. Output: (keyCol, day —
+    * day-truncated TIMESTAMP, cnt, zscore). */
+  def countAnomaly(df: DataFrame, keyCol: String, tsCol: String,
+      trailing: Int = 7, minPrev: Int = 2): DataFrame = {
+    require(trailing >= 2, s"trailing must be >= 2, got $trailing")
+    require(minPrev >= 2, s"minPrev must be >= 2 (a std needs 2 points)")
+    val daily = df
+      .groupBy(col(keyCol), date_trunc("day", col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val tw = Window.partitionBy(col(keyCol)).orderBy(col("day"))
+      .rowsBetween(-trailing, -1)
+    daily
+      .withColumn("__n", count(col("cnt")).over(tw))
+      .withColumn("__s", sum(col("cnt")).over(tw))
+      .withColumn("__ss", sum(col("cnt") * col("cnt")).over(tw))
+      .select(col(keyCol), col("day"), col("cnt"),
+        when(col("__n") >= minPrev &&
+            col("__n") * col("__ss") - col("__s") * col("__s") > 0,
+          round((col("cnt") - col("__s").cast("double") / col("__n")) /
+            sqrt((col("__ss").cast("double") -
+              col("__s").cast("double") * col("__s") / col("__n")) /
+              (col("__n") - 1)), 6))
+          .otherwise(lit(null).cast("double")).as("zscore"))
+  }
 }

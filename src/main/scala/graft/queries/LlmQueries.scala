@@ -1788,6 +1788,71 @@ object LlmQueries {
        |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id)
        |WHERE cos >= $SemDedupTau""".stripMargin
 
+  // --------------------------------------------------------- q122
+  /** SemDeDup keep policy ([[Similarity.semDedupKeep]]): the q118
+    * pair graph resolved to transitive clusters (the same
+    * connected-components machinery as q50), lowest id kept per
+    * cluster — the actual prune decision SemDeDup ships. The oracle
+    * replays the pair CTE chain and closes it with a recursive
+    * reachability CTE, exactly the q50 discipline. */
+  private def q122(s: SparkSession, dir: String): DataFrame =
+    Similarity.semDedupKeep(Tables.embeddings(s, dir), IvfClusters,
+      SemDedupTau)
+  private val q122Sql =
+    s"""WITH RECURSIVE cents AS (SELECT vec_id AS cluster, embedding::DOUBLE[] AS c
+       |               FROM embeddings ORDER BY vec_id LIMIT $IvfClusters),
+       |base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |assigned AS (
+       |  SELECT vec_id, v, cluster FROM (
+       |    SELECT b.vec_id, b.v, cents.cluster,
+       |      ROW_NUMBER() OVER (PARTITION BY b.vec_id
+       |        ORDER BY ${distSql("b.v", "cents.c")} ASC, cents.cluster ASC)
+       |        AS rn
+       |    FROM base b, cents) WHERE rn = 1),
+       |vpairs AS (
+       |  SELECT id_a, id_b FROM (
+       |    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |      list_dot_product(a.v, b.v) /
+       |        (sqrt(list_dot_product(a.v, a.v)) *
+       |         sqrt(list_dot_product(b.v, b.v))) AS cos
+       |    FROM assigned a JOIN assigned b
+       |      ON a.cluster = b.cluster AND a.vec_id < b.vec_id)
+       |  WHERE cos >= $SemDedupTau),
+       |edges AS (SELECT id_a AS s, id_b AS d FROM vpairs
+       |          UNION ALL SELECT id_b, id_a FROM vpairs),
+       |reach AS (SELECT DISTINCT s AS node, s AS r FROM edges
+       |          UNION
+       |          SELECT e.s, r.r FROM edges e JOIN reach r ON r.node = e.d)
+       |SELECT node AS vec_id, CAST(MIN(r) AS BIGINT) AS cluster_rep,
+       |       node = MIN(r) AS kept
+       |FROM reach GROUP BY node""".stripMargin
+
+  // --------------------------------------------------------- q123
+  /** Near-dup candidate-graph degree histogram
+    * ([[graft.ops.Graphs.degrees]] over q27's LSH candidate pairs):
+    * how many docs have how many near-dup candidates — the shape
+    * report that tells a dedup operator whether banding is producing
+    * tight families (degree 1-2) or storm clusters (heavy tail). */
+  private def q123(s: SparkSession, dir: String): DataFrame = {
+    val bands = Dedup.bandKeys(Tables.documents(s, dir), "text", "doc_id",
+      Bands, RowsPerBand, ShingleK)
+    graft.ops.Graphs.degrees(Dedup.candidatePairs(bands))
+      .groupBy(col("degree"))
+      .agg(count(lit(1)).as("n_nodes"))
+  }
+  private val q123Sql =
+    s"""WITH $BandsCte,
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+       |deg AS (
+       |  SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+       |    SELECT id_a AS node FROM pairs UNION ALL SELECT id_b FROM pairs)
+       |  GROUP BY node)
+       |SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
+       |FROM deg GROUP BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q26_dedup_exact" -> q26 _,
     "q27_minhash_bands" -> q27 _,
@@ -1848,7 +1913,9 @@ object LlmQueries {
     "q115_mixture_weights" -> q115 _,
     "q116_quality_deciles" -> q116 _,
     "q117_boilerplate" -> q117 _,
-    "q118_semdedup_pairs" -> q118 _)
+    "q118_semdedup_pairs" -> q118 _,
+    "q122_semdedup_keep" -> q122 _,
+    "q123_neardup_degrees" -> q123 _)
 
   val oracles: Map[String, String] = Map(
     "q26_dedup_exact" -> q26Sql,
@@ -1910,5 +1977,7 @@ object LlmQueries {
     "q115_mixture_weights" -> q115Sql,
     "q116_quality_deciles" -> q116Sql,
     "q117_boilerplate" -> q117Sql,
-    "q118_semdedup_pairs" -> q118Sql)
+    "q118_semdedup_pairs" -> q118Sql,
+    "q122_semdedup_keep" -> q122Sql,
+    "q123_neardup_degrees" -> q123Sql)
 }

@@ -213,6 +213,36 @@ object TemporalQueries {
       |FROM days JOIN act a ON a.d BETWEEN days.d - INTERVAL 6 DAY AND days.d
       |GROUP BY 1""".stripMargin
 
+  // --------------------------------------------------------- q124
+  /** Trailing-7-day volume anomaly ([[Temporal.countAnomaly]]): each
+    * event type's daily count z-scored against its previous 7 observed
+    * days — the ingest-drop/spike monitor. Exact integer moments
+    * (n, Σ, Σ²) in the window, ONE double expression for z (both
+    * engines evaluate the identical tree), null below 2 observations
+    * or at zero variance. */
+  private def q124(s: SparkSession, dir: String): DataFrame =
+    Temporal.countAnomaly(Tables.events(s, dir), "event_type", "ts", 7, 2)
+  private val q124Sql =
+    """WITH daily AS (
+      |  SELECT event_type, date_trunc('day', ts) AS day,
+      |         CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |w AS (
+      |  SELECT event_type, day, cnt,
+      |    CAST(COUNT(cnt) OVER tw AS BIGINT) AS n,
+      |    CAST(SUM(cnt) OVER tw AS BIGINT) AS s,
+      |    CAST(SUM(cnt * cnt) OVER tw AS BIGINT) AS ss
+      |  FROM daily
+      |  WINDOW tw AS (PARTITION BY event_type ORDER BY day
+      |                ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+      |SELECT event_type, day, cnt,
+      |  CASE WHEN n >= 2 AND n * ss - s * s > 0
+      |    THEN round((cnt - CAST(s AS DOUBLE) / n) /
+      |           sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n) /
+      |                (n - 1)), 6)
+      |    ELSE NULL END AS zscore
+      |FROM w""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q46_asof_join" -> q46 _,
     "q47_range_join" -> q47 _,
@@ -221,7 +251,8 @@ object TemporalQueries {
     "q99_interval_coverage" -> q99 _,
     "q100_cohort_retention" -> q100 _,
     "q101_interval_overlap" -> q101 _,
-    "q102_rolling_actives" -> q102 _)
+    "q102_rolling_actives" -> q102 _,
+    "q124_count_anomaly" -> q124 _)
 
   val oracles: Map[String, String] = Map(
     "q46_asof_join" -> q46Sql,
@@ -231,5 +262,6 @@ object TemporalQueries {
     "q99_interval_coverage" -> q99Sql,
     "q100_cohort_retention" -> q100Sql,
     "q101_interval_overlap" -> q101Sql,
-    "q102_rolling_actives" -> q102Sql)
+    "q102_rolling_actives" -> q102Sql,
+    "q124_count_anomaly" -> q124Sql)
 }

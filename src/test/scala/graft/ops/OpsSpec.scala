@@ -615,6 +615,21 @@ class OpsSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().toSet shouldBe plain
   }
 
+  test("semDedupKeep: lowest id survives each transitive cluster, singletons absent") {
+    // two tight families far apart; nClusters=1 puts everything in one
+    // cell, so only the cosine threshold separates them
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(1.0f, 0.01f)), (3L, Seq(1.0f, 0.02f)),
+      (4L, Seq(0.0f, 1.0f)), (5L, Seq(0.01f, 1.0f)),
+      (9L, Seq(-1.0f, -1.0f)))  // singleton: similar to nothing
+      .toDF("vec_id", "embedding")
+    val got = Similarity.semDedupKeep(df, 1, 0.9)
+      .as[(Long, Long, Boolean)].collect().toSet
+    got shouldBe Set(
+      (1L, 1L, true), (2L, 1L, false), (3L, 1L, false),
+      (4L, 4L, true), (5L, 4L, false))
+  }
+
   test("Cooccur.pairCounts maxBasket bounds a pathological basket") {
     // group 1 is a 40-item storm (C(40,2)=780 pairs uncapped); group 2
     // is a genuine 2-item basket repeated nowhere

@@ -222,4 +222,26 @@ class TemporalSpec extends SparkSpec {
       ("2024-01-01", 0L, 2L), ("2024-01-01", 2L, 1L),
       ("2024-01-02", 0L, 1L), ("2024-01-02", 1L, 1L))
   }
+
+  test("countAnomaly: hand-computed z, nulls below minPrev and at zero variance") {
+    def ts(day: Int, i: Int) =
+      Timestamp.valueOf(f"2024-01-${day}%02d 00:${i / 60}%02d:${i % 60}%02d")
+    // daily counts for key "a": 10, 10, 16, 4
+    val ev = (
+      (0 until 10).map(i => ("a", ts(1, i))) ++
+      (0 until 10).map(i => ("a", ts(2, i))) ++
+      (0 until 16).map(i => ("a", ts(3, i))) ++
+      (0 until 4).map(i => ("a", ts(4, i)))).toDF("k", "ts")
+    val got = Temporal.countAnomaly(ev, "k", "ts", trailing = 7, minPrev = 2)
+      .as[(String, Timestamp, Long, Option[Double])].collect()
+      .map { case (_, d, c, z) => (d.toString.take(10), c, z) }.toSet
+    // day1: no history; day2: one point (< minPrev); day3: prev {10,10}
+    // has zero variance; day4: prev {10,10,16} -> mean 12, sample
+    // var (456-432)/2 = 12 -> z = (4-12)/sqrt(12) = -2.309401
+    got shouldBe Set(
+      ("2024-01-01", 10L, None),
+      ("2024-01-02", 10L, None),
+      ("2024-01-03", 16L, None),
+      ("2024-01-04", 4L, Some(-2.309401)))
+  }
 }
