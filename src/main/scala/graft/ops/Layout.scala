@@ -139,6 +139,37 @@ object Layout {
     spark.createDataFrame(indexed, schema)
   }
 
+  /** Deterministic weighted sample of `k` rows (Efraimidis–Spirakis
+    * 2006 priority sampling): each row draws a pseudo-uniform
+    * u ∈ (0, 1] from the md5 of its id (seed-free, engine- and
+    * partitioning-independent — the q57/q63 hash-sampling discipline)
+    * and ranks by `ln(u) / w` descending, which orders identically to
+    * the classic u^(1/w) key but avoids cross-engine `pow`. Higher
+    * weight → higher selection probability, exactly the
+    * weighted-reservoir semantics a training-data mixer needs for
+    * token-mass-proportional corpus draws — made reproducible.
+    *
+    * Scale shape: one scan computes the score per row (hash + one ln,
+    * all inside codegen) and the top-k plans as
+    * `TakeOrderedAndProject` — per-partition heads, driver merge of k
+    * rows, never a global sort. Score ties (p < 10⁻¹⁴ per pair) break
+    * by id, so the drawn set is total-order stable.
+    *
+    * Output: (idCol, weightCol, score), score rounded to 6 so the
+    * ORDER BY and any oracle compare the same rounded value. */
+  def weightedPrioritySample(df: DataFrame, idCol: String,
+      weightCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val h = conv(substring(md5(col(idCol).cast("string")), 1, 12), 16, 10)
+      .cast("long")
+    df.filter(col(weightCol) > 0)
+      .select(col(idCol), col(weightCol),
+        round(log((h + 1) / lit(281474976710656.0)) / col(weightCol), 6)
+          .as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   def zorder(df: DataFrame, a: Column, b: Column, bits: Int = 16,
       partitions: Int = 0): DataFrame = {
     require(!df.columns.contains("__z"), "zorder reserves the __z column name")

@@ -300,6 +300,50 @@ object TextAnalysis {
         .cast("double") / size(words(text)), 6)
   }
 
+  /** N-gram novelty: the fraction of a document's DISTINCT word
+    * `k`-shingles whose corpus-wide FIRST owner (minimum doc id) is
+    * this document — ≈1 for original prose, →0 for quote posts,
+    * mirrors, and template chains. The curation-side complement to
+    * pairwise near-dup detection: no pairs are ever materialized, so
+    * cost is linear in shingle volume even when duplication is rampant.
+    *
+    * Scale shape: shingling is per-row codegen (explode of a
+    * transform/slice chain); the first-owner table is one
+    * shingle-keyed aggregation (`min` partial-aggregates map-side —
+    * a boilerplate shingle's row is a single long); the flag join
+    * re-keys on the shingle the aggregate just shuffled, then one
+    * doc-keyed rollup. Same inverted-index discipline as
+    * [[graft.ops.Dedup.boilerplateStats]]; at 100 TB hash the shingle
+    * to a 64-bit key before the wide exchanges.
+    *
+    * Output: (idCol, n_shingles, novelty_frac) — docs shorter than
+    * `k` tokens carry no shingles and are absent. */
+  def ngramNovelty(docs: DataFrame, textCol: String, idCol: String,
+      k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    // stage the split as a materialized column first — the lambda
+    // re-eval trap: a `words(...)` expression closed over by the
+    // transform lambda re-splits the text per shingle
+    val ws = col("__ws")
+    val grams = when(size(ws) >= k,
+      transform(sequence(lit(1), size(ws) - (k - 1)),
+        i => concat_ws(" ", slice(ws, i, lit(k)))))
+      .otherwise(array().cast("array<string>"))
+    val sh = docs
+      .select(col(idCol), words(col(textCol)).as("__ws"))
+      .select(col(idCol), explode(array_distinct(grams)).as("g"))
+    val own = sh.groupBy(col("g")).agg(min(col(idCol)).as("__first"))
+    sh.join(own, Seq("g"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("__first") === col(idCol), 1L).otherwise(0L))
+          .as("__own"))
+      .select(col(idCol), col("n_shingles"),
+        round(col("__own").cast("double") / col("n_shingles"), 6)
+          .as("novelty_frac"))
+  }
+
   /** Composite quality score in [0,1]: length band + punctuation ratio +
     * mean word length band — the standard cheap filters applied before
     * expensive model-based scoring. */

@@ -1853,6 +1853,49 @@ object LlmQueries {
        |SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
        |FROM deg GROUP BY 1""".stripMargin
 
+  // --------------------------------------------------------- q125
+  /** Deterministic weighted corpus draw
+    * ([[graft.ops.Layout.weightedPrioritySample]]): the 20 documents
+    * drawn with probability ∝ token count — Efraimidis–Spirakis
+    * priority sampling with a seed-free md5 uniform, so the drawn set
+    * is reproducible on any engine or partitioning. Scores are the
+    * rank key `ln(u)/w`, rounded BEFORE the top-k cut (q96 rule). */
+  private val SampleK = 20
+  private def q125(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("doc_id"),
+      graft.ops.TextAnalysis.tokenCount(col("text")).cast("long")
+        .as("n_tokens"))
+    graft.ops.Layout.weightedPrioritySample(d, "doc_id", "n_tokens", SampleK)
+  }
+  private val q125Sql =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT AS h
+       |  FROM documents),
+       |s AS (
+       |  SELECT doc_id, n_tokens,
+       |    round(ln((h + 1) / 281474976710656.0) / n_tokens, 6) AS score
+       |  FROM d WHERE n_tokens > 0)
+       |SELECT doc_id, n_tokens, score FROM s
+       |ORDER BY score DESC, doc_id LIMIT $SampleK""".stripMargin
+
+  // --------------------------------------------------------- q127
+  /** N-gram novelty scores ([[TextAnalysis.ngramNovelty]]): per doc,
+    * the fraction of its distinct 3-shingles first owned (min doc id)
+    * by itself — the pairless originality metric. Oracle rebuilds the
+    * inverted first-owner index verbatim. */
+  private def q127(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.ngramNovelty(Tables.documents(s, dir), "text", "doc_id", 3)
+  private val q127Sql =
+    s"""WITH sh AS (
+       |  SELECT DISTINCT doc_id, unnest($ShinglesSql) AS g FROM documents),
+       |own AS (SELECT g, MIN(doc_id) AS first_doc FROM sh GROUP BY 1)
+       |SELECT sh.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       |  round(CAST(SUM(CASE WHEN first_doc = sh.doc_id THEN 1 ELSE 0 END)
+       |          AS DOUBLE) / COUNT(*), 6) AS novelty_frac
+       |FROM sh JOIN own USING (g) GROUP BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q26_dedup_exact" -> q26 _,
     "q27_minhash_bands" -> q27 _,
@@ -1915,7 +1958,9 @@ object LlmQueries {
     "q117_boilerplate" -> q117 _,
     "q118_semdedup_pairs" -> q118 _,
     "q122_semdedup_keep" -> q122 _,
-    "q123_neardup_degrees" -> q123 _)
+    "q123_neardup_degrees" -> q123 _,
+    "q125_weighted_sample" -> q125 _,
+    "q127_ngram_novelty" -> q127 _)
 
   val oracles: Map[String, String] = Map(
     "q26_dedup_exact" -> q26Sql,
@@ -1979,5 +2024,7 @@ object LlmQueries {
     "q117_boilerplate" -> q117Sql,
     "q118_semdedup_pairs" -> q118Sql,
     "q122_semdedup_keep" -> q122Sql,
-    "q123_neardup_degrees" -> q123Sql)
+    "q123_neardup_degrees" -> q123Sql,
+    "q125_weighted_sample" -> q125Sql,
+    "q127_ngram_novelty" -> q127Sql)
 }

@@ -1209,6 +1209,37 @@ object Relational {
       |  CAST(COUNT(*) AS BIGINT) AS n_events
       |FROM events GROUP BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q126
+  /** Per-type winsorization of event values at the exact p05/p95
+    * quantiles — the robust-stats outlier clamp applied before any
+    * mean-based metric (the value-column sibling of q93's MAD filter).
+    * Spark `percentile` bit-matches DuckDB `quantile_cont` (the q51
+    * precedent), so the clamp thresholds — and therefore every
+    * boundary comparison — are identical across engines. Plan: the
+    * quantile side reads only the (event_type, value) projection and
+    * aggregates to |event_type| rows, which broadcast back over the
+    * fact scan — the fact side itself never shuffles. */
+  private def q126(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val p = ev.groupBy(col("event_type")).agg(
+      expr("percentile(value, 0.05)").as("__p05"),
+      expr("percentile(value, 0.95)").as("__p95"))
+    ev.select(col("event_id"), col("event_type"), col("value"))
+      .join(broadcast(p), Seq("event_type"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        round(least(greatest(col("value"), col("__p05")), col("__p95")), 6)
+          .as("winsorized"))
+  }
+  private val q126Sql =
+    """WITH p AS (
+      |  SELECT event_type,
+      |    quantile_cont(value, 0.05) AS p05,
+      |    quantile_cont(value, 0.95) AS p95
+      |  FROM events GROUP BY 1)
+      |SELECT event_id, e.event_type, value,
+      |  round(least(greatest(value, p05), p95), 6) AS winsorized
+      |FROM events e JOIN p ON e.event_type = p.event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01 _,
     "q02_filter_project" -> q02 _,
@@ -1260,7 +1291,8 @@ object Relational {
     "q92_weekday" -> q92 _,
     "q119_basket_pairs" -> q119 _,
     "q120_corr_stats" -> q120 _,
-    "q121_multi_distinct" -> q121 _)
+    "q121_multi_distinct" -> q121 _,
+    "q126_winsorize" -> q126 _)
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -1313,5 +1345,6 @@ object Relational {
     "q92_weekday" -> q92Sql,
     "q119_basket_pairs" -> q119Sql,
     "q120_corr_stats" -> q120Sql,
-    "q121_multi_distinct" -> q121Sql)
+    "q121_multi_distinct" -> q121Sql,
+    "q126_winsorize" -> q126Sql)
 }

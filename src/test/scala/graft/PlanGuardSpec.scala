@@ -134,6 +134,22 @@ class PlanGuardSpec extends SparkSpec {
     "(?<!Broadcast)Exchange".r.findAllIn(plan).size should be <= 4
   }
 
+  test("q125's weighted draw is an exchange-free TakeOrderedAndProject") {
+    val plan = SparkEntry.queries("q125_weighted_sample")(
+      spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+    // score is scan-side codegen; top-k = per-partition heads + driver
+    // merge of k — no shuffle anywhere
+    plan should include("TakeOrderedAndProject")
+    plan should not include "Exchange"
+  }
+
+  test("q126's quantile thresholds broadcast; the fact side never shuffles") {
+    val plan = SparkEntry.queries("q126_winsorize")(
+      spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+    plan should include("BroadcastHashJoin")
+    plan should not include "SortMergeJoin"
+  }
+
   test("q111's cap is one keyed exchange feeding a WindowGroupLimit") {
     val plan = SparkEntry.queries("q111_source_cap")(
       spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString

@@ -90,4 +90,30 @@ class LayoutSpec extends SparkSpec {
     vals(2) shouldBe 127L    // midpoint lands mid-range
     assert(vals == vals.sorted, "scaling must be monotonic")
   }
+
+  test("weightedPrioritySample matches the brute-force rank and is reproducible") {
+    val docs = (1L to 200L).map(i => (i, 1L + (i * 7) % 50))
+      .toDF("id", "w")
+    val got = Layout.weightedPrioritySample(docs, "id", "w", 10)
+      .as[(Long, Long, Double)].collect().toSeq
+    // brute force with the identical hash → uniform → ln(u)/w chain
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def score(id: Long, w: Long): Double = {
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(12)
+      val h = java.lang.Long.parseLong(hex, 16)
+      BigDecimal(math.log((h + 1) / 281474976710656.0) / w)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val expect = (1L to 200L).map(i => (i, 1L + (i * 7) % 50))
+      .map { case (i, w) => (i, w, score(i, w)) }
+      .sortBy { case (i, _, s) => (-s, i) }.take(10)
+    got shouldBe expect
+    // deterministic: a second run draws the identical set
+    Layout.weightedPrioritySample(docs, "id", "w", 10)
+      .as[(Long, Long, Double)].collect().toSeq shouldBe got
+    // bias sanity: mean weight of the draw exceeds the population mean
+    val popMean = (1L to 200L).map(i => 1L + (i * 7) % 50).sum / 200.0
+    got.map(_._2).sum / 10.0 should be > popMean
+  }
 }

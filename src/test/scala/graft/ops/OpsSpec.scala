@@ -652,6 +652,18 @@ class OpsSpec extends SparkSpec {
         .as[(Long, Long, Long)].collect().toSet
   }
 
+  test("ngramNovelty: originals score 1, copies 0, partial quotes in between") {
+    val docs = Seq(
+      (1L, "a b c d"),    // shingles: "a b c", "b c d" — both first-owned
+      (2L, "a b c d"),    // verbatim copy: owns nothing
+      (3L, "a b c x"),    // quotes "a b c" (owned by 1), owns "b c x"
+      (4L, "a b"))        // under k tokens: no shingles, absent
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.ngramNovelty(docs, "text", "doc_id", 3)
+      .as[(Long, Long, Double)].collect().toSet
+    got shouldBe Set((1L, 2L, 1.0), (2L, 2L, 0.0), (3L, 2L, 0.5))
+  }
+
   test("boilerplateStats matches a brute-force recount on a seeded random corpus") {
     // seeded corpus: 30 docs, 8-60 tokens each; a third open with the
     // same 8-token boilerplate header (chunk-aligned by construction)
