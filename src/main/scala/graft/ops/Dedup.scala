@@ -901,4 +901,46 @@ object Dedup {
       .join(state.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
     definiteNew.unionByName(suspects)
   }
+
+  /** Exact n-gram decontamination, fraction edition — the PaLM/GPT-4
+    * policy ("drop docs with ≥ X% of their n-grams seen in an eval
+    * set"), where [[decontaminate]] is the GPT-3 policy ("drop on any
+    * shared n-gram"). The two differ in the decision surface, so both
+    * exist: this one LEFT-joins and keeps every training doc, adding
+    * total shingle count and hit fraction — the report a curation run
+    * thresholds and audits — while [[decontaminate]] inner-joins down
+    * to the violators only. The lexical complement of
+    * [[graft.ops.Similarity.semanticDecontaminate]] — paraphrase
+    * leakage needs the embedding side, verbatim leakage needs this.
+    *
+    * Scale shape: benchmark suites are MBs against a 100 TB train
+    * side, so the distinct eval-shingle set broadcasts (hash each
+    * shingle to a 64-bit key first at real scale — q105 discipline)
+    * and the train side streams through scan → explode → one
+    * doc-keyed aggregation: a single shuffle, no shingle-keyed
+    * exchange at all. The hit test rides the broadcast hash join
+    * inside codegen; cost is linear in train shingle volume.
+    *
+    * Output: (idCol, n_shingles, n_hits, hit_frac) — one row per
+    * train doc carrying at least `k` tokens (shingle-less docs have
+    * nothing to leak and are absent, the q127 convention). */
+  def ngramDecontaminate(train: DataFrame, eval: DataFrame,
+      textCol: String, idCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    def docShingles(df: DataFrame) = df
+      .select(col(idCol), words(col(textCol)).as("__ws"))
+      .select(col(idCol),
+        explode(array_distinct(shinglesOfWords(col("__ws"), k))).as("g"))
+    val evalSet = docShingles(eval).select(col("g")).distinct()
+      .withColumn("__hit", lit(1))
+    docShingles(train)
+      .join(broadcast(evalSet), Seq("g"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("__hit"), lit(0))).cast("long").as("n_hits"))
+      .select(col(idCol), col("n_shingles"), col("n_hits"),
+        round(col("n_hits").cast("double") / col("n_shingles"), 6)
+          .as("hit_frac"))
+  }
 }

@@ -86,4 +86,52 @@ object Graphs {
       .unionByName(e.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("degree"))
   }
+
+  /** DETERMINISTIC PageRank over the undirected pair graph — which
+    * documents sit at the center of a near-dup family (keep the hub,
+    * or flag it as a template farm), scored by the same random-surfer
+    * recursion every graph engine uses, made bit-reproducible: scores
+    * live as 10¹²-scaled longs, every per-edge contribution is
+    * rounded to a long BEFORE the sum, and long addition is
+    * associative — so any partitioning, shuffle order, or engine
+    * produces identical bits (a double-summed PageRank is not even
+    * run-to-run stable). Floating point appears only inside the fixed
+    * per-edge expression `round(s·d/outdeg)`, identical on both
+    * engines.
+    *
+    * Scale shape: textbook bulk-synchronous iteration, `iters` × (one
+    * src-keyed join + one dst-keyed aggregation), all keyed shuffles;
+    * the edge list and degree table persist once and are re-scanned
+    * per iteration. State per node is one long — nothing collects to
+    * the driver but the node COUNT. Isolated documents never enter
+    * the pair graph; every node here has degree ≥ 1, so there is no
+    * dangling-mass term.
+    *
+    * Output: (node, rank) with Σ rank ≈ 1. */
+  def pageRank(pairs: DataFrame, iters: Int,
+      damping: Double = 0.85): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters must be in [1,50], got $iters")
+    val Scale = 1000000000000.0
+    val e = canonicalEdges(pairs)
+    val edges = e.select(col("u").as("src"), col("v").as("dst"))
+      .unionByName(e.select(col("v").as("src"), col("u").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = edges.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("outdeg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = deg.count()
+    val base = math.round((1.0 - damping) * Scale / n)
+    var pr = deg.select(col("node"), col("outdeg"),
+      lit(math.round(Scale / n)).as("s"))
+    for (_ <- 1 to iters) {
+      val contrib = edges
+        .join(pr.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node"),
+          round(col("s") * damping / col("outdeg"), 0).cast("long").as("c"))
+      pr = contrib.groupBy(col("node"))
+        .agg((sum(col("c")) + lit(base)).as("s"))
+        .join(deg, Seq("node"))
+    }
+    pr.select(col("node"), round(col("s") / Scale, 6).as("rank"))
+  }
 }

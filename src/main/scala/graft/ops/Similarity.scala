@@ -337,6 +337,41 @@ object Similarity {
       .select(col(groupCol), col("pos"), col("sum_scaled"), col("cnt"),
         round(col("sum_scaled") / col("cnt") / 1000000d, 6).as("centroid"))
 
+  /** Exact per-dimension mean and population variance over an
+    * embedding column — the statistics a whitening / standardization
+    * pass (or a drift monitor comparing corpus snapshots) consumes.
+    * Values are scaled to integers at the scan (`round(v·10⁶)` — the
+    * q104/q106 trick) so both moment sums are exact and associative:
+    * any partitioning, any shuffle order, any engine produces the
+    * same bits. The variance is then one fixed double expression over
+    * the two exact sums (computed as E[x²]−E[x]², each term divided
+    * before combining, so no intermediate exceeds the scaled-square
+    * range).
+    *
+    * Scale shape: one corpus scan, explode ∝ N·dims, and a single
+    * aggregation whose state is `dims` rows of two longs — nothing
+    * grows with N. At trillion-vector scale the scaled-square sum
+    * approaches Long range; swap the two sums to DECIMAL(38,0) (the
+    * q120 note) — the shape is unchanged.
+    *
+    * Output: (dim, n, mean, variance), one row per dimension. */
+  def dimensionStats(corpus: DataFrame, embCol: String): DataFrame =
+    corpus
+      .select(posexplode(col(embCol)).as(Seq("dim", "v")))
+      .select(col("dim").cast("long").as("dim"),
+        round(col("v").cast("double") * 1000000d, 0).cast("long").as("sv"))
+      .groupBy(col("dim"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("sv")).as("__s"),
+        sum(col("sv") * col("sv")).as("__ss"))
+      .select(col("dim"), col("n"),
+        round(col("__s").cast("double") / col("n") / 1000000d, 6).as("mean"),
+        round((col("__ss").cast("double") / col("n") -
+            (col("__s").cast("double") / col("n")) *
+            (col("__s").cast("double") / col("n"))) / 1000000000000d, 6)
+          .as("variance"))
+
   /** IVF with DETERMINISTIC coarse centroids: the `nClusters`
     * lowest-id corpus vectors serve as the quantizer (sample-as-
     * centroids — the standard IVF *initialization*, skipping the

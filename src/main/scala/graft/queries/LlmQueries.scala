@@ -1896,6 +1896,98 @@ object LlmQueries {
        |          AS DOUBLE) / COUNT(*), 6) AS novelty_frac
        |FROM sh JOIN own USING (g) GROUP BY 1""".stripMargin
 
+  // --------------------------------------------------------- q128
+  /** Fraction-based n-gram decontamination
+    * ([[Dedup.ngramDecontaminate]] — the PaLM ≥X%-of-n-grams policy,
+    * vs q61's GPT-3 any-hit policy): source `src0` plays the held-out
+    * benchmark suite (the q107 convention, lexical edition); every
+    * other document reports its distinct-5-shingle count, benchmark
+    * hits, and hit fraction. k=5 on this corpus flags only genuine
+    * cross-source duplicates. */
+  private val DecontamK = 5
+  private def q128(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    Dedup.ngramDecontaminate(
+      d.filter(col("source") =!= "src0"), d.filter(col("source") === "src0"),
+      "text", "doc_id", DecontamK)
+  }
+  private val q128Sql =
+    s"""WITH tsh AS (
+       |  SELECT DISTINCT doc_id, unnest(${shinglesSqlK(DecontamK)}) AS g
+       |  FROM documents WHERE source <> 'src0'),
+       |esh AS (
+       |  SELECT DISTINCT unnest(${shinglesSqlK(DecontamK)}) AS g
+       |  FROM documents WHERE source = 'src0')
+       |SELECT tsh.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       |  CAST(SUM(CASE WHEN esh.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_hits,
+       |  round(CAST(SUM(CASE WHEN esh.g IS NOT NULL THEN 1 ELSE 0 END)
+       |          AS DOUBLE) / COUNT(*), 6) AS hit_frac
+       |FROM tsh LEFT JOIN esh ON tsh.g = esh.g GROUP BY 1""".stripMargin
+
+  // --------------------------------------------------------- q129
+  /** Per-dimension embedding statistics
+    * ([[Similarity.dimensionStats]]): exact mean and population
+    * variance for each of the 64 dimensions — the whitening /
+    * standardization inputs. Scaled-integer moment sums keep the
+    * result bit-identical across engines and partitionings; the
+    * oracle rebuilds the identical E[x²]−E[x]² double expression. */
+  private def q129(s: SparkSession, dir: String): DataFrame =
+    Similarity.dimensionStats(Tables.embeddings(s, dir), "embedding")
+  private val q129Sql =
+    """WITH x AS (
+      |  SELECT CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+      |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000, 0) AS BIGINT)
+      |      AS sv
+      |  FROM embeddings)
+      |SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+      |  round(CAST(SUM(sv) AS DOUBLE) / COUNT(*) / 1000000.0, 6) AS mean,
+      |  round((CAST(SUM(sv * sv) AS DOUBLE) / COUNT(*) -
+      |      (CAST(SUM(sv) AS DOUBLE) / COUNT(*)) *
+      |      (CAST(SUM(sv) AS DOUBLE) / COUNT(*))) / 1000000000000.0, 6)
+      |    AS variance
+      |FROM x GROUP BY 1""".stripMargin
+
+  // --------------------------------------------------------- q130
+  /** Deterministic PageRank ([[graft.ops.Graphs.pageRank]]) over the
+    * LSH candidate graph (q27's bands → q28's pairs): which documents
+    * hub their near-dup families. Scores are 10¹²-scaled longs with
+    * per-edge rounding, so the oracle — the same recursion unrolled
+    * as one CTE per iteration — reproduces them bit-for-bit. */
+  private val PrIters = 5
+  private def q130(s: SparkSession, dir: String): DataFrame = {
+    val bands = Dedup.bandKeys(Tables.documents(s, dir), "text", "doc_id",
+      Bands, RowsPerBand, ShingleK)
+    graft.ops.Graphs.pageRank(Dedup.candidatePairs(bands), PrIters)
+  }
+  private val q130Sql = {
+    val iterCtes = (1 to PrIters).map { i =>
+      s"""p$i AS (
+         |  SELECT ed.dst AS node, d.outdeg,
+         |    CAST((SELECT CAST(round(0.15 * 1000000000000.0 / n.n, 0) AS BIGINT) FROM n)
+         |      + SUM(CAST(round(p.s * 0.85 / p.outdeg, 0) AS BIGINT)) AS BIGINT) AS s
+         |  FROM ed JOIN p${i - 1} p ON ed.src = p.node
+         |    JOIN deg d ON ed.dst = d.node
+         |  GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $BandsCte,
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+       |ed AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |       UNION ALL SELECT id_b, id_a FROM pairs),
+       |deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS outdeg
+       |        FROM ed GROUP BY 1),
+       |n AS (SELECT COUNT(*) AS n FROM deg),
+       |p0 AS (SELECT node, outdeg,
+       |         CAST(round(1000000000000.0 / n.n, 0) AS BIGINT) AS s
+       |       FROM deg, n),
+       |$iterCtes
+       |SELECT node, round(s / 1000000000000.0, 6) AS rank
+       |FROM p$PrIters""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q26_dedup_exact" -> q26 _,
     "q27_minhash_bands" -> q27 _,
@@ -1960,7 +2052,10 @@ object LlmQueries {
     "q122_semdedup_keep" -> q122 _,
     "q123_neardup_degrees" -> q123 _,
     "q125_weighted_sample" -> q125 _,
-    "q127_ngram_novelty" -> q127 _)
+    "q127_ngram_novelty" -> q127 _,
+    "q128_ngram_decontam" -> q128 _,
+    "q129_dimension_stats" -> q129 _,
+    "q130_pagerank" -> q130 _)
 
   val oracles: Map[String, String] = Map(
     "q26_dedup_exact" -> q26Sql,
@@ -2026,5 +2121,8 @@ object LlmQueries {
     "q122_semdedup_keep" -> q122Sql,
     "q123_neardup_degrees" -> q123Sql,
     "q125_weighted_sample" -> q125Sql,
-    "q127_ngram_novelty" -> q127Sql)
+    "q127_ngram_novelty" -> q127Sql,
+    "q128_ngram_decontam" -> q128Sql,
+    "q129_dimension_stats" -> q129Sql,
+    "q130_pagerank" -> q130Sql)
 }

@@ -150,6 +150,16 @@ class PlanGuardSpec extends SparkSpec {
     plan should not include "SortMergeJoin"
   }
 
+  test("q128's eval shingle set broadcasts; train side never shuffles on the shingle") {
+    val plan = SparkEntry.queries("q128_ngram_decontam")(
+      spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+    plan should include("BroadcastHashJoin")
+    plan should not include "SortMergeJoin"
+    // one exchange distincts the (tiny) eval side, one feeds the
+    // doc-keyed rollup — the train shingle stream itself never shuffles
+    "(?<!Broadcast)Exchange".r.findAllIn(plan).size should be <= 2
+  }
+
   test("q111's cap is one keyed exchange feeding a WindowGroupLimit") {
     val plan = SparkEntry.queries("q111_source_cap")(
       spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString

@@ -652,6 +652,46 @@ class OpsSpec extends SparkSpec {
         .as[(Long, Long, Long)].collect().toSet
   }
 
+  test("pageRank matches a driver-side reference and is partition-order-invariant") {
+    // path + triangle + bridge: 1-2, 2-3, 3-4, 4-5, 5-3
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 3L))
+      .toDF("id_a", "id_b")
+    val iters = 5; val d = 0.85; val scale = 1e12
+    // reference: same scaled-integer recursion, sequential
+    val adj = Map(1L -> Seq(2L), 2L -> Seq(1L, 3L), 3L -> Seq(2L, 4L, 5L),
+      4L -> Seq(3L, 5L), 5L -> Seq(4L, 3L))
+    val n = adj.size
+    val base = math.round((1 - d) * scale / n)
+    var s = adj.keys.map(_ -> math.round(scale / n)).toMap
+    for (_ <- 1 to iters)
+      s = adj.keys.map(v => v -> (base + adj.filter(_._2.contains(v))
+        .keys.toSeq.map(u => math.round(s(u) * d / adj(u).size)).sum)).toMap
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expect = s.map { case (v, sv) => (v, r6(sv / scale)) }.toSet
+    val got = Graphs.pageRank(pairs, iters, d)
+      .as[(Long, Double)].collect().toSet
+    got shouldBe expect
+    // hub 3 (degree 3) must outrank leaf 1 (degree 1)
+    val m = got.toMap
+    m(3L) should be > m(1L)
+    Graphs.pageRank(pairs.repartition(7), iters, d)
+      .as[(Long, Double)].collect().toSet shouldBe got
+  }
+
+  test("ngramDecontaminate counts eval-overlapping shingles exactly") {
+    val train = Seq(
+      (1L, "a b c d e f"),   // 5-shingles: "a b c d e", "b c d e f"
+      (2L, "x y z w v"),     // single shingle, present in the eval doc
+      (3L, "p q r"))         // under k tokens: absent from the output
+      .toDF("doc_id", "text")
+    val ev = Seq((100L, "x y z w v u"), (101L, "m n o p q"))
+      .toDF("doc_id", "text")
+    val got = Dedup.ngramDecontaminate(train, ev, "text", "doc_id", 5)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    got shouldBe Set((1L, 2L, 0L, 0.0), (2L, 1L, 1L, 1.0))
+  }
+
   test("ngramNovelty: originals score 1, copies 0, partial quotes in between") {
     val docs = Seq(
       (1L, "a b c d"),    // shingles: "a b c", "b c d" — both first-owned
@@ -746,6 +786,30 @@ class OpsSpec extends SparkSpec {
       .orderBy("label", "pos")
       .select("label", "pos", "sum_scaled", "cnt", "centroid")
       .as[(Int, Int, Long, Long, Double)].collect().toSeq
+    re shouldBe out
+  }
+
+  test("dimensionStats: exact per-dim moments, partition-order-invariant") {
+    val df = Seq(
+      Seq(1.0f, -2.0f), Seq(3.0f, 4.0f), Seq(0.5f, 0.25f))
+      .toDF("embedding")
+    def expect(vs: Seq[Double]): (Long, Double, Double) = {
+      val sv = vs.map(v => math.round(v * 1e6))
+      val n = sv.size
+      val s = sv.sum.toDouble; val ss = sv.map(x => x * x).sum.toDouble
+      def r6(x: Double) =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (n.toLong, r6(s / n / 1e6), r6((ss / n - (s / n) * (s / n)) / 1e12))
+    }
+    val out = Similarity.dimensionStats(df, "embedding")
+      .orderBy("dim").as[(Long, Long, Double, Double)].collect().toSeq
+    out shouldBe Seq(0, 1).map { d =>
+      val (n, m, v) = expect(Seq(1.0, 3.0, 0.5, -2.0, 4.0, 0.25)
+        .grouped(3).toSeq(d))
+      (d.toLong, n, m, v)
+    }
+    val re = Similarity.dimensionStats(df.repartition(5), "embedding")
+      .orderBy("dim").as[(Long, Long, Double, Double)].collect().toSeq
     re shouldBe out
   }
 
