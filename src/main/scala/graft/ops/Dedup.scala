@@ -902,6 +902,82 @@ object Dedup {
     definiteNew.unionByName(suspects)
   }
 
+  /** EXACT all-pairs Jaccard similarity join via prefix filtering
+    * (Bayardo et al. 2007 "Scaling Up All Pairs", Xiao et al. PPJoin)
+    * — every pair of documents whose distinct `n`-gram Jaccard clears
+    * `threshold`, with a NO-FALSE-NEGATIVES guarantee. The exactness
+    * complement of [[candidatePairs]]: MinHash banding is probabilistic
+    * (a pair above threshold can miss every band), this is provably
+    * complete — the contract a legal/compliance dedup or a
+    * "guaranteed decontamination" pass needs.
+    *
+    * The filter: order all n-grams rare-first (ascending document
+    * frequency, gram tie-break — a deterministic global total order),
+    * and keep each doc's first `|T| − ⌈t·|T|⌉ + 1` sorted grams as its
+    * prefix. Any pair with `J ≥ t` MUST share a prefix gram (if the
+    * prefixes were disjoint, the overlap is confined to the suffixes,
+    * which are too short to reach `t`) — so candidates = equi-join on
+    * prefix grams, then [[ngramJaccardVerify]] keeps the true
+    * positives.
+    *
+    * Scale shape: candidate cost is Σ_g df_prefix(g)² over PREFIX
+    * occurrences only — and because the order is rare-first, prefixes
+    * hold precisely the lowest-df grams in the corpus, so the join
+    * fans out on the tokens least able to explode (boilerplate grams
+    * with huge df land in suffixes and never generate candidates).
+    * One df aggregation, one per-doc sort (array_sort inside the
+    * row), one gram-keyed self-join, verify ∝ candidates.
+    *
+    * Output: (id_a, id_b, jaccard), id_a < id_b, jaccard rounded 4. */
+  def prefixFilterPairs(docs: DataFrame, textCol: String, idCol: String,
+      n: Int, threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0,1], got $threshold")
+    // the gram-set and exploded-gram frames each feed multiple branches
+    // (df count + order join; both verify sides) — persist them, or one
+    // pass recomputes the scan→shingle chain five times
+    val sets = ngramSets(docs, textCol, idCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tok = sets.select(col("jid"), explode(col("toks")).as("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfreq = tok.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val ordered = tok.join(dfreq, Seq("w"))
+      .groupBy(col("jid"))
+      .agg(array_sort(collect_list(struct(col("df"), col("w")))).as("ts"))
+    val prefixLen =
+      (size(col("ts")) - ceil(lit(threshold) * size(col("ts"))) + 1).cast("int")
+    // keep 1-based prefix POSITIONS: the PPJoin length and positional
+    // filters below prune candidates the bound arithmetic proves can't
+    // reach the threshold — both are conservative (length via monotone
+    // ratio rounding, positional with 0.5 slack on integer-scale
+    // bounds), so completeness is untouched; the property spec and the
+    // brute-force oracle re-prove it
+    // both sides of the candidate self-join scan this — persist, or the
+    // whole tok→df→sort chain (two shuffles + a per-doc sort) runs twice
+    val prefix = ordered
+      .select(col("jid"), size(col("ts")).as("n"),
+        posexplode(slice(col("ts"), lit(1), prefixLen)).as(Seq("p", "pt")))
+      .select(col("jid"), col("n"), (col("p") + 1).as("p"),
+        col("pt.w").as("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = prefix
+      .select(col("w"), col("jid").as("id_a"), col("n").as("na"),
+        col("p").as("pa"))
+      .join(prefix.select(col("w"), col("jid").as("id_b"),
+        col("n").as("nb"), col("p").as("pb")), Seq("w"))
+      .filter(col("id_a") < col("id_b"))
+      // length filter: J ≥ t ⟹ min/max ≥ t (∩ ≤ min, ∪ ≥ max)
+      .filter(least(col("na"), col("nb")).cast("double") /
+        greatest(col("na"), col("nb")) >= threshold)
+      // positional filter: overlap ≤ 1 + min(na−pa, nb−pb); J ≥ t
+      // needs overlap·(1+t) ≥ t·(na+nb)
+      .filter((lit(1) + least(col("na") - col("pa"), col("nb") - col("pb")))
+        .cast("double") * (1.0 + threshold) >=
+        lit(threshold) * (col("na") + col("nb")) - 0.5)
+      .select(col("id_a"), col("id_b")).distinct()
+    verifySets(cand, sets, threshold)
+  }
+
   /** Exact n-gram decontamination, fraction edition — the PaLM/GPT-4
     * policy ("drop docs with ≥ X% of their n-grams seen in an eval
     * set"), where [[decontaminate]] is the GPT-3 policy ("drop on any

@@ -170,6 +170,42 @@ object Layout {
       .limit(k)
   }
 
+  /** Source-mixture drift between two corpus snapshots: per group
+    * (source, domain, shard …), the weight share in snapshot `a` vs
+    * snapshot `b` and the KL(B‖A) contribution `s_b·ln(s_b/s_a)` — the
+    * monitor a training-data pipeline runs between crawls to catch a
+    * source silently exploding or vanishing before it skews the
+    * mixture (summing `kl_term` gives the total divergence). Only
+    * groups present in BOTH snapshots are emitted (KL needs absolute
+    * continuity); totals are taken over those common groups so the
+    * shares each sum to 1 and the divergence is well-defined.
+    *
+    * Determinism: weights aggregate as exact longs; shares and the KL
+    * term are one fixed double expression over those longs (same libm
+    * `ln` both engines — the q49/q72 precedent), rounded at the edge.
+    *
+    * Scale shape: two group-keyed aggregations (map-side partials),
+    * one equi-join on the group key, and a 1-row totals broadcast —
+    * state is |groups|, never corpus-sized.
+    *
+    * Output: (groupCol, toks_a, toks_b, share_a, share_b, kl_term). */
+  def sourceDrift(a: DataFrame, b: DataFrame, groupCol: String,
+      weightCol: String): DataFrame = {
+    val pa = a.groupBy(col(groupCol))
+      .agg(sum(col(weightCol)).cast("long").as("toks_a"))
+    val pb = b.groupBy(col(groupCol))
+      .agg(sum(col(weightCol)).cast("long").as("toks_b"))
+    val per = pa.join(pb, Seq(groupCol))
+      .filter(col("toks_a") > 0 && col("toks_b") > 0)
+    val tot = per.agg(sum(col("toks_a")).as("ta"), sum(col("toks_b")).as("tb"))
+    val sa = col("toks_a").cast("double") / col("ta")
+    val sb = col("toks_b").cast("double") / col("tb")
+    per.crossJoin(broadcast(tot))
+      .select(col(groupCol), col("toks_a"), col("toks_b"),
+        round(sa, 6).as("share_a"), round(sb, 6).as("share_b"),
+        round(sb * log(sb / sa), 6).as("kl_term"))
+  }
+
   def zorder(df: DataFrame, a: Column, b: Column, bits: Int = 16,
       partitions: Int = 0): DataFrame = {
     require(!df.columns.contains("__z"), "zorder reserves the __z column name")

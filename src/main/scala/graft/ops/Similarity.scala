@@ -337,6 +337,33 @@ object Similarity {
       .select(col(groupCol), col("pos"), col("sum_scaled"), col("cnt"),
         round(col("sum_scaled") / col("cnt") / 1000000d, 6).as("centroid"))
 
+  /** Reciprocal-rank fusion (Cormack et al.) of N ranked candidate
+    * lists — the standard way a hybrid retrieval stack merges lexical
+    * (BM25) and semantic (ANN) evidence without score calibration:
+    * each list contributes `1/(kRrf + rank)`, absent docs contribute
+    * 0. Inputs carry (idCol, rankCol); ranks should be computed over
+    * ROUNDED scores with an id tie-break (the q96 rule) so the fused
+    * order is engine-reproducible.
+    *
+    * Scale shape: candidate lists are top-N cuts — parameter-bounded,
+    * a few hundred rows each — so the full-outer join chain is
+    * driver-trivial regardless of corpus size; all the heavy lifting
+    * happened in the retrievers that produced the lists.
+    *
+    * Output: (idCol, r_0 … r_{n-1}, rrf), ranks null where absent. */
+  def rrfFuse(lists: Seq[DataFrame], idCol: String, rankCol: String,
+      kRrf: Int = 60): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse needs at least one ranked list")
+    val terms = lists.zipWithIndex.map { case (df, i) =>
+      df.select(col(idCol), col(rankCol).cast("long").as(s"r_$i")) }
+    val joined = terms.reduce((l, r) => l.join(r, Seq(idCol), "full_outer"))
+    val score = terms.indices
+      .map(i => coalesce(lit(1.0) / (lit(kRrf) + col(s"r_$i")), lit(0.0)))
+      .reduce(_ + _)
+    joined.select(col(idCol) +: terms.indices.map(i => col(s"r_$i")) :+
+      round(score, 6).as("rrf"): _*)
+  }
+
   /** Exact per-dimension mean and population variance over an
     * embedding column — the statistics a whitening / standardization
     * pass (or a drift monitor comparing corpus snapshots) consumes.

@@ -562,7 +562,9 @@ object LlmQueries {
       .select(col("doc_id"), col("dl"), round(col("score"), 6).as("score"))
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(Bm25TopK)
-  private val q49Sql = {
+  /** BM25 scoring CTE chain — ends in `bm(doc_id, dl, score)`; shared
+    * by q49 (plain retrieval) and q131 (hybrid RRF fusion). */
+  private val Bm25CoreSql = {
     def termScore(i: Int) =
       s"""ln(((n_docs - df$i) + 0.5) / (df$i + 0.5) + 1.0) *
          |  ((tf$i * (1.2 + 1.0)) /
@@ -573,15 +575,18 @@ object LlmQueries {
     val dfCols = Bm25Terms.indices
       .map(i => s"count(*) FILTER (tf$i > 0) AS df$i").mkString(", ")
     val scoreExpr = Bm25Terms.indices.map(termScore).mkString(" + ")
-    s"""WITH tf AS (
+    s"""tf AS (
        |  SELECT doc_id, len($WsSplit)::BIGINT AS dl, $tfCols FROM documents),
        |stats AS (
        |  SELECT count(*) AS n_docs, SUM(dl)::DOUBLE / count(*) AS avgdl, $dfCols
-       |  FROM tf)
-       |SELECT doc_id, dl, round($scoreExpr, 6) AS score
-       |FROM tf, stats
-       |ORDER BY score DESC, doc_id ASC LIMIT $Bm25TopK""".stripMargin
+       |  FROM tf),
+       |bm AS (
+       |  SELECT doc_id, dl, round($scoreExpr, 6) AS score FROM tf, stats)""".stripMargin
   }
+  private val q49Sql =
+    s"""WITH $Bm25CoreSql
+       |SELECT doc_id, dl, score FROM bm
+       |ORDER BY score DESC, doc_id ASC LIMIT $Bm25TopK""".stripMargin
 
   // --------------------------------------------------------- q50
   /** Transitive near-dup clusters: verified LSH pairs → connected
@@ -1988,6 +1993,116 @@ object LlmQueries {
        |FROM p$PrIters""".stripMargin
   }
 
+  // --------------------------------------------------------- q131
+  /** Hybrid retrieval with reciprocal-rank fusion
+    * ([[Similarity.rrfFuse]]): the q49 BM25 list and a cosine list
+    * against probe vector 0, each cut to the top `RrfN` by ROUNDED
+    * score with id tie-break (q96 rule), fused as Σ 1/(60+rank).
+    * The rank windows run over parameter-bounded candidate lists
+    * (≤ RrfN rows after TakeOrderedAndProject), never the corpus. */
+  private val RrfN = 50
+  private val RrfTopK = 15
+  private def q131(s: SparkSession, dir: String): DataFrame = {
+    val lexN = TextAnalysis.bm25(Tables.documents(s, dir), "text", "doc_id",
+        Bm25Terms)
+      .select(col("doc_id"), round(col("score"), 6).as("s"))
+      .orderBy(col("s").desc, col("doc_id")).limit(RrfN)
+    val lex = lexN.select(col("doc_id"), row_number()
+      .over(Window.orderBy(col("s").desc, col("doc_id"))).as("rank"))
+    val emb = Tables.embeddings(s, dir)
+    val probe = emb.filter(col("vec_id") === 0)
+      .select(Similarity.toDouble(col("embedding")).as("qv"))
+    val semN = emb.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(probe))
+      .select(col("vec_id").as("doc_id"),
+        round(Similarity.cosine(Similarity.toDouble(col("embedding")),
+          col("qv")), 6).as("c"))
+      .orderBy(col("c").desc, col("doc_id")).limit(RrfN)
+    val sem = semN.select(col("doc_id"), row_number()
+      .over(Window.orderBy(col("c").desc, col("doc_id"))).as("rank"))
+    Similarity.rrfFuse(Seq(lex, sem), "doc_id", "rank")
+      .withColumnRenamed("r_0", "r_lex").withColumnRenamed("r_1", "r_sem")
+      .orderBy(col("rrf").desc, col("doc_id")).limit(RrfTopK)
+  }
+  private val q131Sql =
+    s"""WITH $Bm25CoreSql,
+       |lexn AS (SELECT doc_id, score FROM bm
+       |         ORDER BY score DESC, doc_id LIMIT $RrfN),
+       |lex AS (SELECT doc_id, CAST(ROW_NUMBER() OVER
+       |          (ORDER BY score DESC, doc_id) AS BIGINT) AS r_lex FROM lexn),
+       |qv AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+       |c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |      WHERE vec_id <> 0),
+       |cosv AS (SELECT vec_id AS doc_id, round($CosSql, 6) AS c FROM c, qv),
+       |semn AS (SELECT doc_id, c FROM cosv ORDER BY c DESC, doc_id LIMIT $RrfN),
+       |sem AS (SELECT doc_id, CAST(ROW_NUMBER() OVER
+       |          (ORDER BY c DESC, doc_id) AS BIGINT) AS r_sem FROM semn)
+       |SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id, r_lex, r_sem,
+       |  round(COALESCE(1.0 / (60 + r_lex), 0.0) +
+       |        COALESCE(1.0 / (60 + r_sem), 0.0), 6) AS rrf
+       |FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+       |ORDER BY rrf DESC, COALESCE(lex.doc_id, sem.doc_id) LIMIT $RrfTopK""".stripMargin
+
+  // --------------------------------------------------------- q132
+  /** Source-mixture drift report ([[Layout.sourceDrift]]): even
+    * doc_ids play the previous crawl snapshot, odd the current one;
+    * per source, exact token masses, shares, and the KL(B‖A) term.
+    * One fixed double tree over exact longs — bit-identical ranks. */
+  private def q132(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("source"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("t"))
+    Layout.sourceDrift(
+      d.filter(col("doc_id") % 2 === 0), d.filter(col("doc_id") % 2 =!= 0),
+      "source", "t")
+  }
+  private val q132Sql =
+    """WITH pa AS (
+      |  SELECT source,
+      |    CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT)
+      |      AS toks_a
+      |  FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+      |pb AS (
+      |  SELECT source,
+      |    CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT)
+      |      AS toks_b
+      |  FROM documents WHERE doc_id % 2 <> 0 GROUP BY 1),
+      |per AS (
+      |  SELECT pa.source, toks_a, toks_b FROM pa JOIN pb ON pa.source = pb.source
+      |  WHERE toks_a > 0 AND toks_b > 0),
+      |tot AS (
+      |  SELECT CAST(SUM(toks_a) AS BIGINT) AS ta,
+      |    CAST(SUM(toks_b) AS BIGINT) AS tb FROM per)
+      |SELECT source, toks_a, toks_b,
+      |  round(CAST(toks_a AS DOUBLE) / ta, 6) AS share_a,
+      |  round(CAST(toks_b AS DOUBLE) / tb, 6) AS share_b,
+      |  round((CAST(toks_b AS DOUBLE) / tb) *
+      |    ln((CAST(toks_b AS DOUBLE) / tb) / (CAST(toks_a AS DOUBLE) / ta)), 6)
+      |    AS kl_term
+      |FROM per, tot""".stripMargin
+
+  // --------------------------------------------------------- q133
+  /** EXACT all-pairs 3-gram Jaccard join ([[Dedup.prefixFilterPairs]],
+    * AllPairs/PPJoin prefix filtering): every pair ≥ 0.5, provably
+    * complete — the oracle is the brute-force all-pairs join, so the
+    * gate itself proves the no-false-negatives contract that LSH
+    * (q28) can only approximate. */
+  private def q133(s: SparkSession, dir: String): DataFrame =
+    Dedup.prefixFilterPairs(Tables.documents(s, dir), "text", "doc_id",
+      ShingleK, JaccardThreshold)
+  private val q133Sql =
+    s"""WITH tok AS (
+       |  SELECT DISTINCT doc_id, unnest($ShinglesSql) AS w FROM documents),
+       |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY 1),
+       |inter AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS c
+       |  FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT id_a, id_b,
+       |  round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 4) AS jaccard
+       |FROM inter JOIN sz sa ON inter.id_a = sa.doc_id
+       |  JOIN sz sb ON inter.id_b = sb.doc_id
+       |WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= $JaccardThreshold""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q26_dedup_exact" -> q26 _,
     "q27_minhash_bands" -> q27 _,
@@ -2055,7 +2170,10 @@ object LlmQueries {
     "q127_ngram_novelty" -> q127 _,
     "q128_ngram_decontam" -> q128 _,
     "q129_dimension_stats" -> q129 _,
-    "q130_pagerank" -> q130 _)
+    "q130_pagerank" -> q130 _,
+    "q131_hybrid_rrf" -> q131 _,
+    "q132_source_drift" -> q132 _,
+    "q133_exact_jaccard_join" -> q133 _)
 
   val oracles: Map[String, String] = Map(
     "q26_dedup_exact" -> q26Sql,
@@ -2124,5 +2242,8 @@ object LlmQueries {
     "q127_ngram_novelty" -> q127Sql,
     "q128_ngram_decontam" -> q128Sql,
     "q129_dimension_stats" -> q129Sql,
-    "q130_pagerank" -> q130Sql)
+    "q130_pagerank" -> q130Sql,
+    "q131_hybrid_rrf" -> q131Sql,
+    "q132_source_drift" -> q132Sql,
+    "q133_exact_jaccard_join" -> q133Sql)
 }

@@ -24,7 +24,9 @@ class PlanGuardSpec extends SparkSpec {
     "q82_tfidf_terms",   // corpus doc count: exactly one aggregate row
     "q96_bigram_pmi",    // corpus totals: exactly one aggregate row
     "q107_semantic_decontaminate", // bench side: bounded by construction
-    "q115_mixture_weights") // feasible-budget min: exactly one aggregate row
+    "q115_mixture_weights", // feasible-budget min: exactly one aggregate row
+    "q131_hybrid_rrf",   // probe vector: exactly one broadcast row
+    "q132_source_drift") // snapshot totals: exactly one aggregate row
 
   test("no query plans a cartesian product; nested loops only where bounded") {
     val dir = "/root/testdata/sf0.001"
@@ -158,6 +160,14 @@ class PlanGuardSpec extends SparkSpec {
     // one exchange distincts the (tiny) eval side, one feeds the
     // doc-keyed rollup — the train shingle stream itself never shuffles
     "(?<!Broadcast)Exchange".r.findAllIn(plan).size should be <= 2
+  }
+
+  test("q129's moment aggregation is a single dim-keyed exchange") {
+    val plan = SparkEntry.queries("q129_dimension_stats")(
+      spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+    // explode + scaled projection stay in the scan stage; partial
+    // aggregates shuffle once on dim
+    "(?<!Broadcast)Exchange".r.findAllIn(plan).size shouldBe 1
   }
 
   test("q111's cap is one keyed exchange feeding a WindowGroupLimit") {

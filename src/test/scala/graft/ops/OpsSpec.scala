@@ -652,6 +652,36 @@ class OpsSpec extends SparkSpec {
         .as[(Long, Long, Long)].collect().toSet
   }
 
+  test("rrfFuse merges ranked lists with 1/(k+r) and nulls for absentees") {
+    val lex = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("id", "rank")
+    val sem = Seq((20L, 1), (40L, 2)).toDF("id", "rank")
+    val got = Similarity.rrfFuse(Seq(lex, sem), "id", "rank")
+      .as[(Long, Option[Long], Option[Long], Double)].collect().toSet
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    got shouldBe Set(
+      (10L, Some(1L), None, r6(1.0 / 61)),
+      (20L, Some(2L), Some(1L), r6(1.0 / 62 + 1.0 / 61)),
+      (30L, Some(3L), None, r6(1.0 / 63)),
+      (40L, None, Some(2L), r6(1.0 / 62)))
+  }
+
+  test("sourceDrift reports exact masses, shares, and KL terms over common groups") {
+    val a = Seq(("s1", 60L), ("s1", 40L), ("s2", 100L), ("s3", 5L))
+      .toDF("source", "t")
+    val b = Seq(("s1", 50L), ("s2", 150L))  // s3 vanished -> excluded
+      .toDF("source", "t")
+    val got = Layout.sourceDrift(a, b, "source", "t")
+      .as[(String, Long, Long, Double, Double, Double)].collect().toSet
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val (ta, tb) = (200.0, 200.0)
+    def row(s: String, xa: Long, xb: Long) =
+      (s, xa, xb, r6(xa / ta), r6(xb / tb),
+        r6(xb / tb * math.log((xb / tb) / (xa / ta))))
+    got shouldBe Set(row("s1", 100L, 50L), row("s2", 100L, 150L))
+  }
+
   test("pageRank matches a driver-side reference and is partition-order-invariant") {
     // path + triangle + bridge: 1-2, 2-3, 3-4, 4-5, 5-3
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 3L))
@@ -702,6 +732,40 @@ class OpsSpec extends SparkSpec {
     val got = TextAnalysis.ngramNovelty(docs, "text", "doc_id", 3)
       .as[(Long, Long, Double)].collect().toSet
     got shouldBe Set((1L, 2L, 1.0), (2L, 2L, 0.0), (3L, 2L, 0.5))
+  }
+
+  test("prefixFilterPairs equals the brute-force all-pairs join (no false negatives)") {
+    // seeded corpus with planted near-dups: ~a third are light edits
+    // of an earlier doc, the rest random — the LSH-hostile mix where
+    // exactness matters
+    val rnd = new scala.util.Random(7)
+    val vocab = (0 until 40).map(i => s"w$i")
+    val texts = scala.collection.mutable.ArrayBuffer[String]()
+    (0 until 40).foreach { i =>
+      if (i % 3 == 2 && texts.nonEmpty) {
+        val base = texts(rnd.nextInt(texts.size)).split(" ").toBuffer
+        base(rnd.nextInt(base.size)) = vocab(rnd.nextInt(40))   // one edit
+        texts += base.mkString(" ")
+      } else texts += Seq.fill(6 + rnd.nextInt(20))(
+        vocab(rnd.nextInt(40))).mkString(" ")
+    }
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toSeq
+    val n = 3; val t = 0.5
+    val got = Dedup.prefixFilterPairs(docs.toDF("doc_id", "text"),
+        "text", "doc_id", n, t)
+      .as[(Long, Long, Double)].collect().toSet
+    // brute force over every pair
+    def grams(s: String) = s.split(" ").sliding(n).filter(_.size == n)
+      .map(_.mkString(" ")).toSet
+    val gs = docs.map { case (id, s) => id -> grams(s) }
+    val expect = (for {
+      (ia, ga) <- gs; (ib, gb) <- gs if ia < ib
+      c = (ga & gb).size; u = (ga | gb).size
+      if u > 0 && c.toDouble / u >= t
+    } yield (ia, ib, BigDecimal(c.toDouble / u)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)).toSet
+    got shouldBe expect
+    expect.size should be > 3  // the planted edits must actually surface
   }
 
   test("boilerplateStats matches a brute-force recount on a seeded random corpus") {
