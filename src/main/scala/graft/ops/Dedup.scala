@@ -1019,4 +1019,41 @@ object Dedup {
         round(col("n_hits").cast("double") / col("n_shingles"), 6)
           .as("hit_frac"))
   }
+
+  /** Sorted-neighborhood blocking (Hernández–Stolfo 1995) — the
+    * entity-resolution candidate generator: sort the corpus by a
+    * blocking key and pair every row with the `window` rows that
+    * follow it in the total order. Complements [[candidatePairs]]
+    * (set-similarity LSH) and [[prefixFilterPairs]] (exact
+    * set-similarity) with the ORDER-based family: near-identical
+    * names, codes, or addresses sort adjacently even when their
+    * token sets differ.
+    *
+    * Scale shape: the total order comes from [[Layout.globalRank]]
+    * (range exchange + zipWithIndex — no single-task window), and the
+    * neighborhood pairing is a BLOCK equi-join, not a rank-range theta
+    * join: with block = ⌈rank/window⌉, any pair within `window` spans
+    * adjacent blocks, so the right side is emitted twice (own block and
+    * predecessor) and joined on the block id — per-key fan-in is
+    * ≤ 2·window rows regardless of corpus size. Output pair count is
+    * ≤ window·n by construction — linear, not quadratic.
+    *
+    * Output: (id_a, id_b, key_a, key_b), rank(a) < rank(b). */
+  def sortedNeighborhoodPairs(df: DataFrame, idCol: String,
+      keyCol: String, window: Int): DataFrame = {
+    require(window > 0, s"window must be positive, got $window")
+    val ranked = Layout.globalRank(
+      df.select(col(idCol).as("id"), col(keyCol).as("k")),
+      col("k"), col("id"))
+    val blk = ((col("rank") - 1) / window).cast("long")
+    val left = ranked.select(col("id").as("id_a"), col("k").as("key_a"),
+      col("rank").as("ra"), blk.as("b"))
+    val right = ranked.select(col("id").as("id_b"), col("k").as("key_b"),
+        col("rank").as("rb"), blk.as("b0"))
+      .select(col("id_b"), col("key_b"), col("rb"),
+        explode(array(col("b0"), col("b0") - 1)).as("b"))
+    left.join(right, Seq("b"))
+      .filter(col("rb") - col("ra") >= 1 && col("rb") - col("ra") <= window)
+      .select(col("id_a"), col("id_b"), col("key_a"), col("key_b"))
+  }
 }

@@ -139,6 +139,31 @@ object Layout {
     spark.createDataFrame(indexed, schema)
   }
 
+  /** `row_number() OVER (ORDER BY orderCols)` without the single-task
+    * global window — the same two-pass shape as [[globalNtile]]: range
+    * exchange + per-partition sort for the total order, `zipWithIndex`
+    * for the exact 1-based global rank. The building block for
+    * sorted-neighborhood blocking, curriculum ordering and any "give
+    * every row its global position" pass at corpus scale. `orderCols`
+    * must be a total order or the rank is nondeterministic (same
+    * caveat as the window form). Appends a `rank` LONG column. */
+  def globalRank(df: DataFrame, orderCols: Column*): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df.repartitionByRange(orderCols: _*)
+      .sortWithinPartitions(orderCols: _*)
+    // persisted for the same reason as globalNtile: zipWithIndex's
+    // size scan and its data pass must observe one materialization
+    val srdd = sorted.rdd.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val schema = sorted.schema
+      .add(org.apache.spark.sql.types.StructField("rank",
+        org.apache.spark.sql.types.LongType, nullable = false))
+    val indexed = srdd.zipWithIndex().map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L))
+    }
+    spark.createDataFrame(indexed, schema)
+  }
+
   /** Deterministic weighted sample of `k` rows (Efraimidis–Spirakis
     * 2006 priority sampling): each row draws a pseudo-uniform
     * u ∈ (0, 1] from the md5 of its id (seed-free, engine- and

@@ -337,6 +337,62 @@ object Similarity {
       .select(col(groupCol), col("pos"), col("sum_scaled"), col("cnt"),
         round(col("sum_scaled") / col("cnt") / 1000000d, 6).as("centroid"))
 
+  /** Deterministic distributed k-means (Lloyd's) — the full clustering
+    * loop as a gated operator, not just the E-step (q104) or the
+    * offline codebook path ([[pqCodebookTrainedOf]]). Per iteration:
+    * the E-step rides the scan as a [[graft.functions.NearestCentroid]]
+    * projection (codebook broadcast as literals — no N×k join, no
+    * shuffle), and the M-step is ONE keyed aggregation of exact
+    * scaled-integer moments ([[labelCentroids]]: Σ round(vᵢ·10⁶) longs
+    * — associative, identical on any partitioning). Between iterations
+    * the k·dims moment rows collect to the driver (the bounded-collect
+    * codebook rule) and the next codebook is `s/n/10⁶` in one fixed
+    * division order.
+    *
+    * Deterministic end to end: seeds are the k lowest-id vectors (the
+    * [[ivfTopKFixed]] rule), assignment ties break to the lowest
+    * cluster id (strict-< scan in the kernel), and every float enters
+    * the moments through the same round-half-away scaling both engines
+    * share — so a DuckDB oracle can unroll the recursion CTE-per-
+    * iteration (the q130 PageRank pattern) and match bit-for-bit.
+    * Clusters that lose all members drop out of the codebook (both
+    * engines identically).
+    *
+    * Output after `iters` assignments: (cluster, pos, sum_scaled, cnt,
+    * centroid) — the refreshed centroid table of the FINAL E-step. */
+  def kmeans(corpus: DataFrame, vecCol: String, idCol: String, k: Int,
+      iters: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(iters > 0, s"iters must be positive, got $iters")
+    graft.functions.GraftExtensions.ensureRegistered(corpus.sparkSession)
+    // seeds: the k lowest-id vectors, cluster ids 0..k-1 in id order
+    var cents: Seq[(Long, Seq[Double])] = corpus.orderBy(col(idCol)).limit(k)
+      .select(toDouble(col(vecCol)).as("c"))
+      .collect().zipWithIndex
+      .map { case (r, i) => (i.toLong, r.getSeq[Double](0)) }
+    var moments: DataFrame = null
+    for (it <- 1 to iters) {
+      val assigned = corpus.select(
+        call_function("nearest_centroid", col(vecCol),
+          typedLit(cents.map(_._1)), typedLit(cents.map(_._2))).as("cluster"),
+        col(vecCol))
+      moments = labelCentroids(assigned, vecCol, "cluster")
+      if (it < iters) {
+        // bounded collect: ≤ k·dims moment rows rebuild the codebook;
+        // unrounded s/n/1e6 — rounding is for the OUTPUT edge only
+        cents = moments.select(col("cluster"), col("pos"),
+            (col("sum_scaled").cast("double") / col("cnt") / lit(1000000d))
+              .as("c"))
+          .collect()
+          .groupBy(_.getLong(0)).toSeq
+          .map { case (cl, rows) =>
+            (cl, rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq) }
+          .sortBy(_._1)
+      }
+    }
+    moments
+  }
+
   /** Reciprocal-rank fusion (Cormack et al.) of N ranked candidate
     * lists — the standard way a hybrid retrieval stack merges lexical
     * (BM25) and semantic (ANN) evidence without score calibration:
@@ -880,5 +936,42 @@ object Similarity {
       .select(col(idCol), col("scale"), posexplode(col("codes")))
       .select(col(idCol), col("pos").cast("int").as("pos"),
         col("col").as("code"), col("scale"))
+  }
+
+  /** Linear-classifier inference over an embedding column — the
+    * fastText/logreg-style quality- or domain-classifier scoring pass
+    * every curation pipeline runs over its full corpus (CCNet's quality
+    * LM, Llama's Wikipedia-likeness classifier). The model (per-class
+    * weight vectors + biases) is broadcast as literals into the scan's
+    * projection: per row, C dot products, a max, and a first-strict-max
+    * argmax — zero shuffle, whole-stage codegen, no UDF. Softmax is
+    * monotone so argmax and max-score ranking don't need it.
+    *
+    * Returns `(pred, score)` as a struct column: `pred` = the LOWEST
+    * class index attaining the max (left-scan, replaced only on strict
+    * improvement — deterministic on exact ties), `score` = the winning
+    * raw margin. Reproducible across engines when weights are exact
+    * binary fractions: float→double widening is exact, each product
+    * rounds once, and the sum is left-to-right in both the unrolled
+    * chain here and DuckDB's sequential list_dot_product.
+    *
+    * The dot products are UNROLLED into per-element `element_at`
+    * products instead of [[dot]]'s `aggregate(zip_with(...))`:
+    * higher-order functions are CodegenFallback expressions, and a
+    * fallback in the hot projection would drop the whole scan stage
+    * out of whole-stage codegen (PlanGuardSpec pins the span). */
+  def linearArgmax(vec: Column, weights: Seq[Seq[Double]],
+      bias: Seq[Double]): Column = {
+    require(weights.nonEmpty && weights.size == bias.size,
+      s"need one bias per class: ${weights.size} weight rows, ${bias.size} biases")
+    val scores = weights.zip(bias).map { case (w, b) =>
+      w.zipWithIndex
+        .map { case (wi, i) => element_at(vec, i + 1).cast("double") * lit(wi) }
+        .reduceLeft(_ + _) + lit(b)
+    }
+    val best = scores.zipWithIndex
+      .map { case (s, c) => struct(s.as("s"), lit(c).as("c")) }
+      .reduceLeft((a, b) => when(b("s") > a("s"), b).otherwise(a))
+    struct(best("c").as("pred"), best("s").as("score"))
   }
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.ops.{Dedup, Graphs, Layout, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Freq, Graphs, Layout, Multimodal, Similarity, TextAnalysis}
 
 /** Training-data-pipeline operators under the CORRECTNESS gate: dedup
   * (exact, fingerprint, MinHash-LSH, SimHash), similarity search (brute
@@ -2103,6 +2103,196 @@ object LlmQueries {
        |  JOIN sz sb ON inter.id_b = sb.doc_id
        |WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= $JaccardThreshold""".stripMargin
 
+  // --------------------------------------------------------- q134
+  /** Exact heavy-hitter tokens ([[Freq.exactHeavyHitters]], two-pass
+    * Misra–Gries): every token with count ≥ max(10, N/1000), exact —
+    * vocabulary pruning / stopword discovery without a full-vocabulary
+    * shuffle. Pass 1 is a driver-bounded mergeable sketch (4096
+    * counters, provable candidate superset since the threshold clears
+    * N/(k+1)); pass 2 recounts only candidate occurrences. The
+    * order-sensitive sketch never reaches the output, so the result is
+    * deterministic and the oracle is the plain GROUP BY ... HAVING. */
+  private val HhSummaryK = 4096
+  private def q134(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(explode(TextAnalysis.words(col("text"))).as("w"))
+    Freq.exactHeavyHitters(toks, "w", HhSummaryK)(n => math.max(10L, n / 1000))
+      .select(col("w").as("token"), col("cnt"))
+  }
+  private val q134Sql =
+    s"""WITH tok AS (SELECT unnest($WsSplit) AS w FROM documents),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tok)
+       |SELECT w AS token, CAST(count(*) AS BIGINT) AS cnt
+       |FROM tok, tot GROUP BY w, n
+       |HAVING count(*) >= greatest(10, n // 1000)""".stripMargin
+
+  // --------------------------------------------------------- q135
+  /** Linear-classifier inference ([[Similarity.linearArgmax]]): a
+    * 4-class fastText/logreg-style head scored over every embedding —
+    * the corpus-wide quality/domain classification pass (CCNet, Llama
+    * wiki-likeness). Weights are exact binary fractions (eighths and
+    * quarters) from a fixed integer formula, inlined as literals in
+    * BOTH engines, so each dot product is bit-identical and the argmax
+    * can compare unrounded doubles. Zero shuffle — the whole model
+    * rides the scan projection. */
+  private val ClfClasses = 4
+  private val ClfDims = 64
+  private val ClfWeights: Seq[Seq[Double]] = (0 until ClfClasses).map(c =>
+    (0 until ClfDims).map(d => ((c * 31 + d * 17) % 13 - 6) / 8.0))
+  private val ClfBias: Seq[Double] =
+    (0 until ClfClasses).map(c => ((c * 7) % 5 - 2) / 4.0)
+  private def q135(s: SparkSession, dir: String): DataFrame = {
+    // raw float column — linearArgmax casts per element, keeping the
+    // projection codegen'd (toDouble's transform() is CodegenFallback)
+    val r = Similarity.linearArgmax(col("embedding"), ClfWeights, ClfBias)
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"),
+        r.getField("pred").cast("int").as("pred"),
+        round(r.getField("score"), 6).as("score"))
+  }
+  private val q135Sql = {
+    def wlist(c: Int) = ClfWeights(c).mkString("[", ", ", "]")
+    val sCols = (0 until ClfClasses).map(c =>
+      s"list_dot_product(v, ${wlist(c)}) + ${ClfBias(c)} AS s$c").mkString(",\n|    ")
+    // first-strict-max argmax: class i wins iff it strictly beats every
+    // lower class — same tie rule as linearArgmax's left-scan
+    s"""WITH v AS (
+       |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+       |s AS (SELECT vec_id, label,
+       |    $sCols
+       |  FROM v)
+       |SELECT vec_id, label,
+       |  CAST(CASE WHEN s3 > greatest(s0, s1, s2) THEN 3
+       |            WHEN s2 > greatest(s0, s1) THEN 2
+       |            WHEN s1 > s0 THEN 1 ELSE 0 END AS INT) AS pred,
+       |  round(greatest(s0, s1, s2, s3), 6) AS score
+       |FROM s""".stripMargin
+  }
+
+  // --------------------------------------------------------- q136
+  /** Sorted-neighborhood blocking ([[Dedup.sortedNeighborhoodPairs]],
+    * Hernández–Stolfo): customers sorted by name, each paired with the
+    * next `SnWindow` in the order, kept when the names are within
+    * edit distance `SnMaxLev` — the order-based candidate generator for
+    * entity resolution. The oracle rebuilds it as the single-task
+    * ROW_NUMBER window + rank-range self-join this op exists to avoid. */
+  private val SnWindow = 2
+  private val SnMaxLev = 1
+  private def q136(s: SparkSession, dir: String): DataFrame =
+    Dedup.sortedNeighborhoodPairs(
+      Tables.customer(s, dir).select(col("c_custkey"), col("c_name")),
+      "c_custkey", "c_name", SnWindow)
+    .withColumn("lev", levenshtein(col("key_a"), col("key_b")).cast("long"))
+    .filter(col("lev") <= SnMaxLev)
+    .select(col("id_a"), col("id_b"), col("lev"))
+  private val q136Sql =
+    s"""WITH r AS (
+       |  SELECT c_custkey, c_name,
+       |    ROW_NUMBER() OVER (ORDER BY c_name, c_custkey) AS rn
+       |  FROM customer)
+       |SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+       |  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS lev
+       |FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + $SnWindow
+       |WHERE levenshtein(a.c_name, b.c_name) <= $SnMaxLev""".stripMargin
+
+  // --------------------------------------------------------- q137
+  /** Distributed k-means ([[Similarity.kmeans]]): 2 Lloyd iterations,
+    * k=4, lowest-id seeds — the full clustering loop gate-exact. The
+    * oracle unrolls both iterations CTE-by-CTE (q130's pattern):
+    * cross-join + rank-1 window for each E-step (the kernel's
+    * v·v − 2v·c + c·c in the same fold order), scaled-integer moment
+    * sums for each M-step, `s/n/10⁶` codebook rebuild in the same
+    * division order. */
+  private val KmK = 4
+  private val KmIters = 2
+  private def q137(s: SparkSession, dir: String): DataFrame =
+    Similarity.kmeans(Tables.embeddings(s, dir), "embedding", "vec_id",
+      KmK, KmIters)
+  private val q137Sql = {
+    def estep(centsRel: String) =
+      s"""SELECT vec_id, v, cl AS cluster FROM (
+         |    SELECT e.vec_id, e.v, $centsRel.cl,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${distSql("e.v", s"$centsRel.c")} ASC,
+         |          $centsRel.cl ASC) AS rn
+         |    FROM e, $centsRel) WHERE rn = 1""".stripMargin
+    def mstep(assignRel: String) =
+      s"""SELECT cluster, pos,
+         |    CAST(SUM(CAST(round(vel * 1000000) AS BIGINT)) AS BIGINT) AS s,
+         |    CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM (SELECT cluster, unnest(v) AS vel,
+         |          generate_subscripts(v, 1) AS pos FROM $assignRel)
+         |  GROUP BY 1, 2""".stripMargin
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |seed AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl, v AS c
+       |         FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $KmK)),
+       |a1 AS (${estep("seed")}),
+       |m1 AS (${mstep("a1")}),
+       |c2 AS (SELECT cluster AS cl,
+       |         list(CAST(s AS DOUBLE) / n / 1000000.0 ORDER BY pos) AS c
+       |       FROM m1 GROUP BY 1),
+       |a2 AS (${estep("c2")}),
+       |m2 AS (${mstep("a2")})
+       |SELECT cluster, CAST(pos - 1 AS INT) AS pos, s AS sum_scaled,
+       |  n AS cnt, round(CAST(s AS DOUBLE) / n / 1000000.0, 6) AS centroid
+       |FROM m2""".stripMargin
+  }
+
+  // --------------------------------------------------------- q138
+  /** Cross-source near-dup overlap matrix: per source pair, how many
+    * distinct 8-token-prefix fingerprints they share — the cross-crawl
+    * contamination diagnostic run before mixing sources (a high count
+    * means two "independent" sources are republishing the same
+    * content). Distinct (source, fp) first (one keyed shuffle), then a
+    * fingerprint equi-join and a |sources|²-bounded aggregation —
+    * never a doc×doc comparison. */
+  private val XsPrefixTokens = 8
+  private def q138(s: SparkSession, dir: String): DataFrame = {
+    val h = Tables.documents(s, dir).select(col("source"),
+        md5(concat_ws(" ",
+          slice(TextAnalysis.words(col("text")), 1, XsPrefixTokens)))
+          .as("h"))
+      .distinct()
+    h.as("a").join(h.as("b"),
+        col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+  private val q138Sql =
+    s"""WITH h AS (
+       |  SELECT DISTINCT source,
+       |    md5(array_to_string($WsSplit[1:$XsPrefixTokens], ' ')) AS h
+       |  FROM documents)
+       |SELECT a.source AS source_a, b.source AS source_b,
+       |  CAST(count(*) AS BIGINT) AS n_shared
+       |FROM h a JOIN h b ON a.h = b.h AND a.source < b.source
+       |GROUP BY 1, 2""".stripMargin
+
+  // --------------------------------------------------------- q139
+  /** Per-source modal language: the most frequent lang per source with
+    * its count — the majority-vote roll-up (cluster labeling, shard
+    * routing) WITHOUT a window: two keyed aggregations, the argmax as
+    * `min(struct(-cnt, lang))` so the struct order (highest count,
+    * lowest lang on ties) is total and engine-reproducible. The oracle
+    * is the rank-1 window this formulation avoids at scale. */
+  private def q139(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("source"))
+      .agg(min(struct((-col("cnt")).as("nc"), col("lang").as("lang"))).as("m"))
+      .select(col("source"), col("m.lang").as("lang"),
+        (-col("m.nc")).as("cnt"))
+  private val q139Sql =
+    """WITH c AS (
+      |  SELECT source, lang, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM documents GROUP BY 1, 2)
+      |SELECT source, lang, cnt FROM (
+      |  SELECT source, lang, cnt,
+      |    ROW_NUMBER() OVER (PARTITION BY source
+      |                       ORDER BY cnt DESC, lang ASC) AS rn
+      |  FROM c) WHERE rn = 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q26_dedup_exact" -> q26 _,
     "q27_minhash_bands" -> q27 _,
@@ -2173,7 +2363,13 @@ object LlmQueries {
     "q130_pagerank" -> q130 _,
     "q131_hybrid_rrf" -> q131 _,
     "q132_source_drift" -> q132 _,
-    "q133_exact_jaccard_join" -> q133 _)
+    "q133_exact_jaccard_join" -> q133 _,
+    "q134_heavy_hitters" -> q134 _,
+    "q135_linear_classifier" -> q135 _,
+    "q136_blocking_pairs" -> q136 _,
+    "q137_kmeans" -> q137 _,
+    "q138_xsource_overlap" -> q138 _,
+    "q139_modal_lang" -> q139 _)
 
   val oracles: Map[String, String] = Map(
     "q26_dedup_exact" -> q26Sql,
@@ -2245,5 +2441,11 @@ object LlmQueries {
     "q130_pagerank" -> q130Sql,
     "q131_hybrid_rrf" -> q131Sql,
     "q132_source_drift" -> q132Sql,
-    "q133_exact_jaccard_join" -> q133Sql)
+    "q133_exact_jaccard_join" -> q133Sql,
+    "q134_heavy_hitters" -> q134Sql,
+    "q135_linear_classifier" -> q135Sql,
+    "q136_blocking_pairs" -> q136Sql,
+    "q137_kmeans" -> q137Sql,
+    "q138_xsource_overlap" -> q138Sql,
+    "q139_modal_lang" -> q139Sql)
 }

@@ -100,6 +100,18 @@ class PlanGuardSpec extends SparkSpec {
     }
   }
 
+  test("q135 classifier inference is an exchange-free codegen'd scan projection") {
+    val plan = SparkEntry.queries("q135_linear_classifier")(
+      spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+    // the whole model (4 dot products + argmax) must ride the scan's
+    // projection — no shuffle, no UDF object row, and the projection
+    // stays inside whole-stage codegen (the `*(n)` marker; unrolled
+    // element_at products, not CodegenFallback HOFs)
+    plan should not include "Exchange"
+    plan should not include "BatchEvalPython"
+    plan should include("*(1) Project")
+  }
+
   test("q113's bloom probe is a native scan-level filter, not a UDF") {
     val plan = SparkEntry.queries("q113_bloom_dedup")(
       spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
@@ -168,6 +180,17 @@ class PlanGuardSpec extends SparkSpec {
     // explode + scaled projection stay in the scan stage; partial
     // aggregates shuffle once on dim
     "(?<!Broadcast)Exchange".r.findAllIn(plan).size shouldBe 1
+  }
+
+  test("q137's final M-step is one keyed exchange over a scan-side E-step") {
+    val plan = SparkEntry.queries("q137_kmeans")(
+      spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+    // the E-step is a nearest_centroid projection in the scan stage (no
+    // N×k join), so the returned plan holds exactly one shuffle: the
+    // (cluster, pos) moment aggregation
+    "(?<!Broadcast)Exchange".r.findAllIn(plan).size shouldBe 1
+    plan should include("HashAggregate")
+    plan should not include "CartesianProduct"
   }
 
   test("q111's cap is one keyed exchange feeding a WindowGroupLimit") {

@@ -768,6 +768,55 @@ class OpsSpec extends SparkSpec {
     expect.size should be > 3  // the planted edits must actually surface
   }
 
+  test("kmeans matches a driver-side Lloyd reference and is repartition-invariant") {
+    val rnd = new scala.util.Random(5)
+    // three well-separated blobs in 4 dims; ids 0,1,2 seed one blob each
+    val pts = (0 until 60).map { i =>
+      val c = i % 3
+      val base = Array(c * 10.0, -c * 5.0, c * 2.0, 3.0 - c)
+      (i.toLong, base.map(x => (x + rnd.nextGaussian() * 0.3).toFloat).toSeq)
+    }
+    val df = pts.toDF("vec_id", "embedding")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Similarity.kmeans(d, "embedding", "vec_id", k = 3, iters = 2)
+        .select("cluster", "pos", "sum_scaled", "cnt")
+        .as[(Long, Int, Long, Long)].collect().toSet
+    val got = run(df)
+    // driver reference replicating the exact arithmetic: strict-< argmin
+    // over v·v − 2v·c + c·c, HALF_UP scaled-integer moments, s/n/1e6
+    def scaled(x: Double) =
+      BigDecimal(x * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val vecs = pts.map { case (id, v) => id -> v.map(_.toDouble).toArray }.toMap
+    def assign(cents: Seq[(Long, Array[Double])], v: Array[Double]): Long = {
+      var best = Double.PositiveInfinity; var bestId = -1L
+      cents.foreach { case (cl, c) =>
+        var vv = 0.0; var vc = 0.0; var cc = 0.0
+        v.indices.foreach { i => vv += v(i) * v(i); vc += v(i) * c(i); cc += c(i) * c(i) }
+        val d = vv - 2.0 * vc + cc
+        if (d < best) { best = d; bestId = cl }
+      }
+      bestId
+    }
+    var cents: Seq[(Long, Array[Double])] =
+      (0L until 3L).map(i => i -> vecs(i))
+    var moments: Map[(Long, Int), (Long, Long)] = Map.empty
+    (1 to 2).foreach { it =>
+      val byCluster = vecs.toSeq.map { case (_, v) => assign(cents, v) -> v }
+        .groupBy(_._1)
+      moments = byCluster.flatMap { case (cl, vs) =>
+        (0 until 4).map { p =>
+          (cl, p) -> (vs.map(x => scaled(x._2(p))).sum, vs.size.toLong) }
+      }
+      if (it < 2) cents = byCluster.keys.toSeq.sorted.map { cl =>
+        cl -> (0 until 4).map { p =>
+          val (s, n) = moments((cl, p)); s.toDouble / n / 1e6 }.toArray
+      }
+    }
+    val expect = moments.map { case ((cl, p), (s, n)) => (cl, p, s, n) }.toSet
+    got shouldBe expect
+    run(df.repartition(7)) shouldBe got
+  }
+
   test("boilerplateStats matches a brute-force recount on a seeded random corpus") {
     // seeded corpus: 30 docs, 8-60 tokens each; a third open with the
     // same 8-token boilerplate header (chunk-aligned by construction)
@@ -1081,5 +1130,65 @@ class OpsSpec extends SparkSpec {
     val hits = Dedup.decontaminate(train, bench, "text", "doc_id", n = 3)
       .as[(Long, Long)].collect().toMap
     hits shouldBe Map(1L -> 2L, 2L -> 1L, 4L -> 1L)
+  }
+
+  test("exactHeavyHitters matches the brute-force groupBy on a skewed corpus") {
+    // zipf-ish: item i drawn with weight ~ 1/(i+1); tiny summaryK so
+    // the sketch is under real pressure and pass-2 must do the work
+    val rnd = new scala.util.Random(11)
+    val draws = (0 until 5000).map { _ =>
+      val r = rnd.nextDouble()
+      val i = math.min((1.0 / (r + 0.002) - 1).toInt, 999)
+      s"item$i"
+    }
+    val df = draws.toDF("w")
+    // distinct items (several hundred) exceed summaryK, so the sketch
+    // actually evicts; threshold 50 clears the N/(k+1)=19 bound
+    val thresholdOf: Long => Long = n => math.max(20L, n / 100)
+    val got = Freq.exactHeavyHitters(df, "w", summaryK = 256)(thresholdOf)
+      .as[(String, Long)].collect().toSet
+    val n = draws.size.toLong
+    val expect = draws.groupBy(identity).view.mapValues(_.size.toLong)
+      .filter(_._2 >= thresholdOf(n)).toSet
+    got shouldBe expect
+    got.size should be > 3 // the skewed head must actually surface
+  }
+
+  test("exactHeavyHitters refuses thresholds below the Misra-Gries bound") {
+    val df = (0 until 1000).map(i => s"x$i").toDF("w")
+    // k=9 -> bound N/(k+1) = 100; a threshold of 50 loses completeness
+    val ex = intercept[IllegalArgumentException] {
+      Freq.exactHeavyHitters(df, "w", summaryK = 9)(_ => 50L)
+    }
+    ex.getMessage should include("Misra-Gries bound")
+  }
+
+  test("linearArgmax scores match manual dot products; ties pick the lowest class") {
+    val w = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0), Seq(1.0, 0.0)) // class 2 duplicates class 0
+    val b = Seq(0.0, 0.0, 0.0)
+    val vecs = Seq((1L, Seq(3.0f, 1.0f)), (2L, Seq(1.0f, 5.0f)))
+      .toDF("id", "v")
+    val r = Similarity.linearArgmax(col("v"), w, b)
+    val got = vecs.select(col("id"), r.getField("pred").as("pred"),
+        r.getField("score").as("score"))
+      .as[(Long, Int, Double)].collect().toSet
+    // id 1: s0 = 3, s1 = 1, s2 = 3 -> tie 0 vs 2 -> lowest class 0
+    // id 2: s1 = 5 wins outright
+    got shouldBe Set((1L, 0, 3.0), (2L, 1, 5.0))
+  }
+
+  test("sortedNeighborhoodPairs equals the rank-window brute force, any n and window") {
+    val rnd = new scala.util.Random(23)
+    for (n <- Seq(1, 7, 40); w <- Seq(1, 3)) {
+      val rows = (0 until n).map(i => (i.toLong, f"k${rnd.nextInt(30)}%03d"))
+      val df = rows.toDF("id", "key")
+      val got = Dedup.sortedNeighborhoodPairs(df, "id", "key", w)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      val order = rows.sortBy { case (id, k) => (k, id) }.map(_._1)
+      val expect = (for {
+        i <- order.indices; j <- (i + 1) until math.min(i + w + 1, order.size)
+      } yield (order(i), order(j))).toSet
+      withClue(s"n=$n w=$w: ") { got shouldBe expect }
+    }
   }
 }
