@@ -164,6 +164,47 @@ object Layout {
     spark.createDataFrame(indexed, schema)
   }
 
+  /** `SUM(valueCol) OVER (ORDER BY orderCols)` — inclusive global
+    * running sum — without the single-task window: range exchange +
+    * per-partition sort for the total order, then ONE tiny driver
+    * round-trip (one long per partition — the per-partition totals)
+    * turns per-partition running sums into global ones via broadcast
+    * offsets. The backbone of sequence packing, curriculum budgeting
+    * and any "cut the corpus at cumulative-token boundaries" pass.
+    * `valueCol` must be LONG (exact; doubles would make the result
+    * partitioning-dependent); `orderCols` must be a total order.
+    * Appends a `cumsum` LONG column. */
+  def globalCumsum(df: DataFrame, valueCol: String,
+      orderCols: Column*): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df.repartitionByRange(orderCols: _*)
+      .sortWithinPartitions(orderCols: _*)
+    require(sorted.schema(valueCol).dataType ==
+        org.apache.spark.sql.types.LongType,
+      s"globalCumsum needs a LONG $valueCol, got " +
+        sorted.schema(valueCol).dataType.simpleString)
+    val vIdx = sorted.schema.fieldIndex(valueCol)
+    // persist: the totals pass and the data pass must observe ONE
+    // materialization (the globalNtile rule)
+    val srdd = sorted.rdd.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val partTotals = srdd.mapPartitionsWithIndex { (pid, it) =>
+      var s = 0L; it.foreach(r => s += r.getLong(vIdx)); Iterator((pid, s))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = partTotals.scanLeft(0L)(_ + _) // exclusive prefix per partition
+    val schema = sorted.schema
+      .add(org.apache.spark.sql.types.StructField("cumsum",
+        org.apache.spark.sql.types.LongType, nullable = false))
+    val out = srdd.mapPartitionsWithIndex { (pid, it) =>
+      var run = offsets(pid)
+      it.map { r =>
+        run += r.getLong(vIdx)
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ run)
+      }
+    }
+    spark.createDataFrame(out, schema)
+  }
+
   /** Deterministic weighted sample of `k` rows (Efraimidis–Spirakis
     * 2006 priority sampling): each row draws a pseudo-uniform
     * u ∈ (0, 1] from the md5 of its id (seed-free, engine- and

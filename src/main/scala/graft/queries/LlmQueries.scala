@@ -2293,6 +2293,133 @@ object LlmQueries {
       |                       ORDER BY cnt DESC, lang ASC) AS rn
       |  FROM c) WHERE rn = 1""".stripMargin
 
+  // --------------------------------------------------------- q140
+  /** Weighted score fusion — the OTHER standard hybrid-retrieval
+    * merge (Vespa/Weaviate "alpha" fusion) next to q131's RRF: each
+    * candidate list is min-max normalized over ITS OWN top-N cut
+    * (1-row stats broadcast), then fused as α·lex + (1−α)·sem with
+    * absent-list terms contributing 0. Same bounded shape as q131 —
+    * the corpus is scanned once per retriever, windows and stats only
+    * ever see ≤ N candidate rows. Ranks over the ROUNDED fused score
+    * with id tie-break (q96 rule). */
+  private val FuseAlpha = 0.7
+  private val FuseBeta = 0.3 // 1 − α, spelled exactly (1-0.7 ≠ 0.3 in binary)
+  private def q140(s: SparkSession, dir: String): DataFrame = {
+    val lexN = TextAnalysis.bm25(Tables.documents(s, dir), "text", "doc_id",
+        Bm25Terms)
+      .select(col("doc_id"), round(col("score"), 6).as("sc"))
+      .orderBy(col("sc").desc, col("doc_id")).limit(RrfN)
+    val emb = Tables.embeddings(s, dir)
+    val probe = emb.filter(col("vec_id") === 0)
+      .select(Similarity.toDouble(col("embedding")).as("qv"))
+    val semN = emb.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(probe))
+      .select(col("vec_id").as("doc_id"),
+        round(Similarity.cosine(Similarity.toDouble(col("embedding")),
+          col("qv")), 6).as("cs"))
+      .orderBy(col("cs").desc, col("doc_id")).limit(RrfN)
+    val lex = lexN.crossJoin(broadcast(
+        lexN.agg(min(col("sc")).as("lo"), max(col("sc")).as("hi"))))
+      .select(col("doc_id"),
+        ((col("sc") - col("lo")) / nullif(col("hi") - col("lo"), lit(0.0)))
+          .as("nl"))
+    val sem = semN.crossJoin(broadcast(
+        semN.agg(min(col("cs")).as("lo"), max(col("cs")).as("hi"))))
+      .select(col("doc_id"),
+        ((col("cs") - col("lo")) / nullif(col("hi") - col("lo"), lit(0.0)))
+          .as("ns"))
+    lex.join(sem, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        round(coalesce(lit(FuseAlpha) * col("nl"), lit(0.0)) +
+          coalesce(lit(FuseBeta) * col("ns"), lit(0.0)), 6).as("fused"))
+      .orderBy(col("fused").desc, col("doc_id")).limit(RrfTopK)
+  }
+  private val q140Sql =
+    s"""WITH $Bm25CoreSql,
+       |lexn AS (SELECT doc_id, score AS sc FROM bm
+       |         ORDER BY sc DESC, doc_id LIMIT $RrfN),
+       |qv AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+       |cv AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |       WHERE vec_id <> 0),
+       |semn AS (SELECT doc_id, cs FROM (
+       |           SELECT vec_id AS doc_id, round($CosSql, 6) AS cs FROM cv c, qv)
+       |         ORDER BY cs DESC, doc_id LIMIT $RrfN),
+       |lex AS (SELECT doc_id,
+       |          (sc - (SELECT min(sc) FROM lexn)) /
+       |            NULLIF((SELECT max(sc) FROM lexn) -
+       |                   (SELECT min(sc) FROM lexn), 0.0) AS nl
+       |        FROM lexn),
+       |sem AS (SELECT doc_id,
+       |          (cs - (SELECT min(cs) FROM semn)) /
+       |            NULLIF((SELECT max(cs) FROM semn) -
+       |                   (SELECT min(cs) FROM semn), 0.0) AS ns
+       |        FROM semn)
+       |SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+       |  round(COALESCE($FuseAlpha * nl, 0.0) +
+       |        COALESCE($FuseBeta * ns, 0.0), 6) AS fused
+       |FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+       |ORDER BY fused DESC, COALESCE(lex.doc_id, sem.doc_id)
+       |LIMIT $RrfTopK""".stripMargin
+
+  // --------------------------------------------------------- q141
+  /** Deterministic per-group sample: k docs per source by the
+    * seed-free md5 uniform (q57/q125 discipline), rank-1..k inside
+    * each group — the per-stratum eyeball/eval sample every curation
+    * run exports. The per-group top-k plans as a WindowGroupLimit
+    * (per-partition heads, q111 precedent), never a global sort. */
+  private val GroupSampleK = 5
+  private def q141(s: SparkSession, dir: String): DataFrame = {
+    val h = conv(substring(md5(col("doc_id").cast("string")), 1, 12), 16, 10)
+      .cast("long")
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("h").asc, col("doc_id").asc)
+    Tables.documents(s, dir).select(col("source"), col("doc_id"), h.as("h"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= GroupSampleK)
+      .select(col("source"), col("doc_id"), col("rn"))
+  }
+  private val q141Sql =
+    s"""WITH d AS (
+       |  SELECT source, doc_id,
+       |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT AS h
+       |  FROM documents)
+       |SELECT source, doc_id, CAST(rn AS INT) AS rn FROM (
+       |  SELECT source, doc_id,
+       |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY h, doc_id) AS rn
+       |  FROM d) WHERE rn <= $GroupSampleK""".stripMargin
+
+  // --------------------------------------------------------- q142
+  /** Sequence packing ([[Layout.globalCumsum]]): concatenate the corpus
+    * in doc_id order and chop into fixed `CtxTokens`-token training
+    * contexts — per doc, its global start offset, first context id and
+    * how many contexts it spans (the GPT-style pack-and-chop layout).
+    * Pure integer arithmetic over the windowless running sum, so the
+    * oracle's single-task `SUM() OVER` window is reproduced exactly by
+    * the two-pass offsets. */
+  private val CtxTokens = 64
+  private def q142(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables.documents(s, dir).select(col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+    Layout.globalCumsum(t, "n_tokens", col("doc_id").asc)
+      .select(col("doc_id"), col("n_tokens"),
+        (col("cumsum") - col("n_tokens")).as("start_offset"),
+        expr(s"(cumsum - n_tokens) div $CtxTokens").as("ctx_id"),
+        expr(s"((cumsum - 1) div $CtxTokens) - " +
+          s"((cumsum - n_tokens) div $CtxTokens) + 1").as("n_spanned"))
+  }
+  private val q142Sql =
+    s"""WITH t AS (
+       |  SELECT doc_id, CAST(len($WsSplit) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |c AS (SELECT doc_id, n_tokens,
+       |        SUM(n_tokens) OVER (ORDER BY doc_id) AS cum FROM t)
+       |SELECT doc_id, n_tokens,
+       |  CAST(cum - n_tokens AS BIGINT) AS start_offset,
+       |  CAST((cum - n_tokens) // $CtxTokens AS BIGINT) AS ctx_id,
+       |  CAST(((cum - 1) // $CtxTokens) -
+       |       ((cum - n_tokens) // $CtxTokens) + 1 AS BIGINT) AS n_spanned
+       |FROM c""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q26_dedup_exact" -> q26 _,
     "q27_minhash_bands" -> q27 _,
@@ -2369,7 +2496,10 @@ object LlmQueries {
     "q136_blocking_pairs" -> q136 _,
     "q137_kmeans" -> q137 _,
     "q138_xsource_overlap" -> q138 _,
-    "q139_modal_lang" -> q139 _)
+    "q139_modal_lang" -> q139 _,
+    "q140_score_fusion" -> q140 _,
+    "q141_group_sample" -> q141 _,
+    "q142_context_packing" -> q142 _)
 
   val oracles: Map[String, String] = Map(
     "q26_dedup_exact" -> q26Sql,
@@ -2447,5 +2577,8 @@ object LlmQueries {
     "q136_blocking_pairs" -> q136Sql,
     "q137_kmeans" -> q137Sql,
     "q138_xsource_overlap" -> q138Sql,
-    "q139_modal_lang" -> q139Sql)
+    "q139_modal_lang" -> q139Sql,
+    "q140_score_fusion" -> q140Sql,
+    "q141_group_sample" -> q141Sql,
+    "q142_context_packing" -> q142Sql)
 }

@@ -26,7 +26,8 @@ class PlanGuardSpec extends SparkSpec {
     "q107_semantic_decontaminate", // bench side: bounded by construction
     "q115_mixture_weights", // feasible-budget min: exactly one aggregate row
     "q131_hybrid_rrf",   // probe vector: exactly one broadcast row
-    "q132_source_drift") // snapshot totals: exactly one aggregate row
+    "q132_source_drift", // snapshot totals: exactly one aggregate row
+    "q140_score_fusion") // probe vector + per-list min/max: 1-row sides
 
   test("no query plans a cartesian product; nested loops only where bounded") {
     val dir = "/root/testdata/sf0.001"

@@ -768,6 +768,22 @@ class OpsSpec extends SparkSpec {
     expect.size should be > 3  // the planted edits must actually surface
   }
 
+  test("globalCumsum equals the driver running sum on any partitioning") {
+    val rnd = new scala.util.Random(17)
+    val rows = (0 until 500).map(i => (i.toLong, rnd.nextInt(50).toLong))
+    val df = rows.toDF("id", "v").repartition(13)
+    val got = Layout.globalCumsum(df, "v", col("id").asc)
+      .select("id", "cumsum").as[(Long, Long)].collect().toSet
+    var run = 0L
+    val expect = rows.sortBy(_._1).map { case (id, v) => run += v; (id, run) }
+    got shouldBe expect.toSet
+    // non-long value columns are refused, not silently lossy
+    intercept[IllegalArgumentException] {
+      Layout.globalCumsum(rows.toDF("id", "v")
+        .select(col("id"), col("v").cast("double").as("v")), "v", col("id"))
+    }
+  }
+
   test("kmeans matches a driver-side Lloyd reference and is repartition-invariant") {
     val rnd = new scala.util.Random(5)
     // three well-separated blobs in 4 dims; ids 0,1,2 seed one blob each
