@@ -1020,6 +1020,56 @@ object Dedup {
           .as("hit_frac"))
   }
 
+  /** Substring-duplication statistics (the Lee et al. 2022
+    * "Deduplicating Training Data Makes Language Models Better"
+    * metric, re-expressed relationally): a position is DUPLICATED when
+    * its stride-1 `w`-token window also occurs in at least one OTHER
+    * document; per doc this reports how many positions are duplicated
+    * and the longest duplicated run — `max_run + w − 1` is the length
+    * of the doc's longest substring shared verbatim with the corpus.
+    * Exact-substring dedup over suffix automata reduces, on a cluster,
+    * to exactly this: stride-1 window fingerprints (a duplicated
+    * ≥w-token substring ⟺ a duplicated w-token window), one keyed
+    * doc-frequency aggregation, and per-doc gaps-and-islands.
+    *
+    * Scale shape: windows are md5-hashed before the shuffle (rows stay
+    * ~50 bytes), the doc-frequency aggregation map-side combines, and
+    * the islands window partitions by doc — never global. Window count
+    * is ~token count, so the pass costs one extra corpus-sized shuffle
+    * over q105's strided passages; that is the honest price of
+    * stride-1 exactness (Lee et al. pay suffix-array construction for
+    * the same contract single-node).
+    *
+    * Output: (idCol, n_windows, n_dup, max_dup_len) for docs with at
+    * least one duplicated position. */
+  def substringDupStats(docs: DataFrame, textCol: String, idCol: String,
+      w: Int): DataFrame = {
+    require(w > 0, s"window must be positive, got $w")
+    val win = docs
+      .select(col(idCol).as("jid"), words(col(textCol)).as("a"))
+      .filter(size(col("a")) >= w)
+      .select(col("jid"), posexplode(expr(
+        s"transform(sequence(1, size(a) - $w + 1), " +
+          s"i -> md5(array_join(slice(a, i, $w), ' ')))")).as(Seq("p0", "wh")))
+      .select(col("jid"), (col("p0") + 1).as("pos"), col("wh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nw = win.groupBy(col("jid")).agg(count(lit(1)).as("n_windows"))
+    val dw = win.select(col("wh"), col("jid")).distinct()
+      .groupBy(col("wh")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2).select(col("wh"))
+    val dup = win.join(dw, Seq("wh")).select(col("jid"), col("pos"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val runs = dup
+      .withColumn("isl", col("pos") -
+        row_number().over(Window.partitionBy(col("jid")).orderBy(col("pos"))))
+      .groupBy(col("jid"), col("isl")).agg(count(lit(1)).as("rl"))
+    val mx = runs.groupBy(col("jid")).agg(max(col("rl")).as("max_run"))
+    val nd = dup.groupBy(col("jid")).agg(count(lit(1)).as("n_dup"))
+    nw.join(nd, Seq("jid")).join(mx, Seq("jid"))
+      .select(col("jid").as(idCol), col("n_windows"), col("n_dup"),
+        (col("max_run") + lit(w) - 1).cast("long").as("max_dup_len"))
+  }
+
   /** Sorted-neighborhood blocking (Hernández–Stolfo 1995) — the
     * entity-resolution candidate generator: sort the corpus by a
     * blocking key and pair every row with the `window` rows that

@@ -938,6 +938,53 @@ object Similarity {
         col("col").as("code"), col("scale"))
   }
 
+  /** EXACT Hamming-≤`maxHam` neighbor search over 16-bit SimHash codes
+    * via pigeonhole banding: split each code into 4 nibbles; any pair
+    * within Hamming distance 3 MUST agree on at least one nibble (3
+    * flips cannot touch all 4 bands), so candidates = equi-join on
+    * (band, nibble) and the `bit_count(xor)` verify keeps the true
+    * positives — complete by pigeonhole for `maxHam ≤ 3`, no recall
+    * loss. The bitwise sibling of [[graft.ops.Dedup.candidatePairs]]
+    * (probabilistic) and [[graft.ops.Dedup.prefixFilterPairs]]
+    * (set-exact): near-dup search when the representation is a
+    * fingerprint, at 4 bytes of state per document.
+    *
+    * Scale shape: corpus side explodes ×4 into (band, nibble) keys —
+    * all integer arithmetic in the scan projection; the query side
+    * broadcasts; verify ∝ candidates. Per-query top-k is a window over
+    * candidate rows only.
+    *
+    * Output: (qIdCol, rank, idCol, hamming), rank 1..k by (hamming,
+    * id). */
+  def hammingNeighbors(codes: DataFrame, idCol: String, codeCol: String,
+      queries: DataFrame, qIdCol: String, qCodeCol: String,
+      k: Int, maxHam: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(maxHam >= 0 && maxHam <= 3,
+      s"pigeonhole banding over 4 nibbles is complete only for maxHam <= 3, got $maxHam")
+    def banded(df: DataFrame, id: String, code: String, pfx: String) = df
+      .select(col(id), col(code).cast("long").as(s"${pfx}code"))
+      .select(col(id), col(s"${pfx}code"), posexplode(array(
+        (0 until 4).map(b =>
+          shiftright(col(s"${pfx}code"), 4 * b).bitwiseAND(lit(15L))): _*))
+        .as(Seq("band", "nib")))
+    val c = banded(codes, idCol, codeCol, "c_")
+    val q = banded(queries, qIdCol, qCodeCol, "q_")
+    val w = Window.partitionBy(col(qIdCol))
+      .orderBy(col("hamming").asc, col(idCol).asc)
+    c.join(broadcast(q), Seq("band", "nib"))
+      .filter(col(idCol) =!= col(qIdCol))
+      .select(col(qIdCol), col(idCol), col("q_code"), col("c_code"))
+      .distinct() // a pair can agree on several bands
+      .withColumn("hamming",
+        bit_count(col("q_code").bitwiseXOR(col("c_code"))).cast("long"))
+      .filter(col("hamming") <= maxHam)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(qIdCol), col("rank").cast("int").as("rank"),
+        col(idCol), col("hamming"))
+  }
+
   /** Linear-classifier inference over an embedding column — the
     * fastText/logreg-style quality- or domain-classifier scoring pass
     * every curation pipeline runs over its full corpus (CCNet's quality

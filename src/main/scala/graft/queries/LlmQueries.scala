@@ -2420,6 +2420,124 @@ object LlmQueries {
        |       ((cum - n_tokens) // $CtxTokens) + 1 AS BIGINT) AS n_spanned
        |FROM c""".stripMargin
 
+  // --------------------------------------------------------- q143
+  /** Substring-duplication stats ([[Dedup.substringDupStats]], the
+    * Lee et al. exact-substring-dedup metric): per doc, duplicated
+    * stride-1 8-token window positions and the longest verbatim run
+    * shared with another document. The oracle rebuilds the windows,
+    * doc frequencies and gaps-and-islands in SQL. */
+  private val SubDupW = 8
+  private def q143(s: SparkSession, dir: String): DataFrame =
+    Dedup.substringDupStats(Tables.documents(s, dir), "text", "doc_id",
+      SubDupW)
+  private val q143Sql =
+    s"""WITH sp AS (SELECT doc_id, $WsSplit AS a FROM documents),
+       |w AS (
+       |  SELECT doc_id, pos,
+       |    md5(array_to_string(a[pos:pos+$SubDupW-1], ' ')) AS wh
+       |  FROM (SELECT doc_id, a, unnest(range(1, len(a) - $SubDupW + 2)) AS pos
+       |        FROM sp WHERE len(a) >= $SubDupW)),
+       |nw AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows
+       |       FROM w GROUP BY 1),
+       |dw AS (SELECT wh FROM (
+       |         SELECT wh, count(DISTINCT doc_id) AS ndocs FROM w GROUP BY 1)
+       |       WHERE ndocs >= 2),
+       |dup AS (SELECT w.doc_id, w.pos FROM w JOIN dw USING (wh)),
+       |runs AS (
+       |  SELECT doc_id,
+       |    pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+       |  FROM dup),
+       |mx AS (SELECT doc_id, CAST(MAX(rl) AS BIGINT) AS max_run FROM (
+       |         SELECT doc_id, isl, count(*) AS rl FROM runs GROUP BY 1, 2)
+       |       GROUP BY 1),
+       |nd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup
+       |       FROM dup GROUP BY 1)
+       |SELECT nw.doc_id, n_windows, n_dup,
+       |  CAST(max_run + $SubDupW - 1 AS BIGINT) AS max_dup_len
+       |FROM nw JOIN nd USING (doc_id) JOIN mx USING (doc_id)""".stripMargin
+
+  // --------------------------------------------------------- q144
+  /** MinHash-LSH parameter planner: the collision-probability S-curve
+    * `p = 1 − (1 − j^r)^b` over a (bands, rows, similarity) grid — the
+    * table an engineer reads to pick q27/q28's banding before a 100 TB
+    * run. Powers are spelled as explicit multiplication chains (the
+    * same left-associated text parsed by BOTH engines), never libm
+    * `pow`, so the doubles match bit-for-bit. */
+  private val LshBandsGrid = Seq(2, 4, 8, 16)
+  private val LshRowsGrid = Seq(2, 4, 8)
+  private def powChain(base: String, n: Int): String =
+    Seq.fill(n)(s"($base)").mkString(" * ")
+  private def lshPlanExprs: (String, String) = {
+    // `rpb` = rows per band ("rows" is reserved in both SQL dialects)
+    val jr = LshRowsGrid.map(r =>
+      s"WHEN rpb = $r THEN ${powChain("j", r)}").mkString(
+      "CASE ", " ", " END")
+    val p = LshBandsGrid.map(b =>
+      s"WHEN bands = $b THEN 1 - ${powChain("miss", b)}").mkString(
+      "CASE ", " ", " END")
+    (jr, p)
+  }
+  private def q144(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val grid = for { b <- LshBandsGrid; r <- LshRowsGrid; i <- 1 to 9 }
+      yield (b, r, i)
+    val (jrExpr, pExpr) = lshPlanExprs
+    grid.toDF("bands", "rpb", "j10")
+      .withColumn("j", col("j10") / lit(10.0))
+      .withColumn("jr", expr(jrExpr))
+      .withColumn("miss", lit(1.0) - col("jr"))
+      .select(col("bands"), col("rpb"), col("j10"),
+        round(expr(pExpr), 6).as("collision_p"))
+  }
+  private val q144Sql = {
+    val (jrExpr, pExpr) = lshPlanExprs
+    s"""WITH grid AS (
+       |  SELECT CAST(b.b AS INT) AS bands, CAST(r.r AS INT) AS rpb,
+       |    CAST(i.i AS INT) AS j10
+       |  FROM (SELECT unnest(${LshBandsGrid.mkString("[", ", ", "]")}) AS b) b,
+       |       (SELECT unnest(${LshRowsGrid.mkString("[", ", ", "]")}) AS r) r,
+       |       (SELECT unnest(range(1, 10)) AS i) i),
+       |j AS (SELECT bands, rpb, j10, j10 / 10.0 AS j FROM grid),
+       |jr AS (SELECT bands, rpb, j10, ($jrExpr) AS jr FROM j),
+       |m AS (SELECT bands, rpb, j10, 1.0 - jr AS miss FROM jr)
+       |SELECT bands, rpb, j10, round($pExpr, 6) AS collision_p
+       |FROM m""".stripMargin
+  }
+
+  // --------------------------------------------------------- q145
+  /** Exact Hamming-≤3 SimHash neighbors
+    * ([[Similarity.hammingNeighbors]]): q30's 16-bit codes, pigeonhole
+    * nibble banding (complete for distance ≤ 3 — no recall loss),
+    * `bit_count(xor)` verify, top-5 per probe doc. The oracle is the
+    * brute-force probe×corpus Hamming rank over the same q30 code
+    * fragment, so the gate proves the banding's completeness claim. */
+  private val HamK = 5
+  private val HamMax = 3
+  private def q145(s: SparkSession, dir: String): DataFrame = {
+    val base = Dedup.spread(
+      Tables.documents(s, dir).select(col("doc_id"), col("text")))
+    val codes = base.select(col("doc_id"),
+      Dedup.simhash16Native(base, Dedup.words(col("text"))).as("code"))
+    val probes = codes.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("q_id"), col("code").as("q_code0"))
+    Similarity.hammingNeighbors(codes, "doc_id", "code",
+      probes, "q_id", "q_code0", HamK, HamMax)
+  }
+  private val q145Sql = {
+    s"""WITH sh AS ($q30Sql),
+       |q AS (SELECT doc_id AS q_id, simhash AS qh FROM sh WHERE doc_id < 5),
+       |cand AS (
+       |  SELECT q_id, doc_id,
+       |    CAST(bit_count(xor(qh, simhash)) AS BIGINT) AS hamming
+       |  FROM q, sh WHERE doc_id <> q_id)
+       |SELECT q_id, CAST(rn AS INT) AS rank, doc_id, hamming FROM (
+       |  SELECT q_id, doc_id, hamming,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id
+       |                       ORDER BY hamming, doc_id) AS rn
+       |  FROM cand WHERE hamming <= $HamMax)
+       |WHERE rn <= $HamK""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q26_dedup_exact" -> q26 _,
     "q27_minhash_bands" -> q27 _,
@@ -2499,7 +2617,10 @@ object LlmQueries {
     "q139_modal_lang" -> q139 _,
     "q140_score_fusion" -> q140 _,
     "q141_group_sample" -> q141 _,
-    "q142_context_packing" -> q142 _)
+    "q142_context_packing" -> q142 _,
+    "q143_substring_dedup" -> q143 _,
+    "q144_lsh_planner" -> q144 _,
+    "q145_hamming_neighbors" -> q145 _)
 
   val oracles: Map[String, String] = Map(
     "q26_dedup_exact" -> q26Sql,
@@ -2580,5 +2701,8 @@ object LlmQueries {
     "q139_modal_lang" -> q139Sql,
     "q140_score_fusion" -> q140Sql,
     "q141_group_sample" -> q141Sql,
-    "q142_context_packing" -> q142Sql)
+    "q142_context_packing" -> q142Sql,
+    "q143_substring_dedup" -> q143Sql,
+    "q144_lsh_planner" -> q144Sql,
+    "q145_hamming_neighbors" -> q145Sql)
 }

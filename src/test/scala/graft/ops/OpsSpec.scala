@@ -833,6 +833,71 @@ class OpsSpec extends SparkSpec {
     run(df.repartition(7)) shouldBe got
   }
 
+  test("hammingNeighbors equals the brute-force Hamming rank (pigeonhole completeness)") {
+    val rnd = new scala.util.Random(31)
+    val codes = (0 until 200).map(i => (i.toLong, rnd.nextInt(65536).toLong))
+    val df = codes.toDF("doc_id", "code")
+    val probes = codes.take(6).toDF("q_id", "qc")
+    val got = Similarity.hammingNeighbors(df, "doc_id", "code",
+        probes, "q_id", "qc", k = 4, maxHam = 3)
+      .as[(Long, Int, Long, Long)].collect().toSet
+    val expect = codes.take(6).flatMap { case (q, qc) =>
+      codes.filter(_._1 != q)
+        .map { case (id, c) => (id, java.lang.Long.bitCount(qc ^ c).toLong) }
+        .filter(_._2 <= 3)
+        .sortBy { case (id, h) => (h, id) }
+        .take(4).zipWithIndex
+        .map { case ((id, h), r) => (q, r + 1, id, h) }
+    }.toSet
+    got shouldBe expect
+    got.nonEmpty shouldBe true // at 200 random 16-bit codes some pairs land <= 3
+  }
+
+  test("substringDupStats matches a brute-force window recount") {
+    val rnd = new scala.util.Random(41)
+    val vocab = (0 until 30).map(i => s"w$i")
+    // random docs; every third doc appends a 10-token span copied from
+    // an earlier doc, planting cross-doc duplicated substrings
+    val texts = scala.collection.mutable.ArrayBuffer[String]()
+    (0 until 30).foreach { i =>
+      val base = Seq.fill(12 + rnd.nextInt(15))(vocab(rnd.nextInt(30)))
+      val t = if (i % 3 == 2 && texts.nonEmpty) {
+        val src = texts(rnd.nextInt(texts.size)).split(" ")
+        (base ++ src.slice(0, math.min(10, src.length))).mkString(" ")
+      } else base.mkString(" ")
+      texts += t
+    }
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toSeq
+    val w = 4
+    val got = Dedup.substringDupStats(docs.toDF("doc_id", "text"),
+        "text", "doc_id", w)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val wins = docs.map { case (id, t) =>
+      val a = t.split(" ")
+      id -> (0 to a.length - w).map(p => a.slice(p, p + w).mkString(" "))
+    }.toMap
+    val docsPerWin = wins.toSeq
+      .flatMap { case (id, ws) => ws.distinct.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+    val expect = wins.flatMap { case (id, ws) =>
+      val dupPos = ws.zipWithIndex
+        .filter { case (x, _) => docsPerWin(x) >= 2 }.map(_._2)
+      if (dupPos.isEmpty) None
+      else {
+        var best = 1; var cur = 1
+        dupPos.sorted.sliding(2).foreach {
+          case Seq(a, b) =>
+            if (b == a + 1) { cur += 1; best = math.max(best, cur) }
+            else cur = 1
+          case _ => ()
+        }
+        Some((id, ws.size.toLong, dupPos.size.toLong, (best + w - 1).toLong))
+      }
+    }.toSet
+    got shouldBe expect
+    expect.size should be > 5 // the planted spans must actually surface
+  }
+
   test("boilerplateStats matches a brute-force recount on a seeded random corpus") {
     // seeded corpus: 30 docs, 8-60 tokens each; a third open with the
     // same 8-token boilerplate header (chunk-aligned by construction)
