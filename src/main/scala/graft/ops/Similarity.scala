@@ -1009,16 +1009,32 @@ object Similarity {
     * out of whole-stage codegen (PlanGuardSpec pins the span). */
   def linearArgmax(vec: Column, weights: Seq[Seq[Double]],
       bias: Seq[Double]): Column = {
+    val best = argmaxStruct(linearScores(vec, weights, bias))
+    struct(best("c").as("pred"), best("s").as("score"))
+  }
+
+  /** The per-class unrolled score expressions of [[linearArgmax]],
+    * exposed separately so a caller can materialize them as columns in
+    * a FIRST projection and run [[argmaxStruct]] over cheap column
+    * refs in a second — the argmax chain references each score ~2^C
+    * times, and inlining the 64-term dots at every reference bloats
+    * the generated code (q135 does the two-step split). */
+  def linearScores(vec: Column, weights: Seq[Seq[Double]],
+      bias: Seq[Double]): Seq[Column] = {
     require(weights.nonEmpty && weights.size == bias.size,
       s"need one bias per class: ${weights.size} weight rows, ${bias.size} biases")
-    val scores = weights.zip(bias).map { case (w, b) =>
+    weights.zip(bias).map { case (w, b) =>
       w.zipWithIndex
         .map { case (wi, i) => element_at(vec, i + 1).cast("double") * lit(wi) }
         .reduceLeft(_ + _) + lit(b)
     }
-    val best = scores.zipWithIndex
+  }
+
+  /** First-strict-max scan over score columns: (s, c) struct per class,
+    * replaced only on strict improvement — lowest class wins exact
+    * ties. */
+  def argmaxStruct(scores: Seq[Column]): Column =
+    scores.zipWithIndex
       .map { case (s, c) => struct(s.as("s"), lit(c).as("c")) }
       .reduceLeft((a, b) => when(b("s") > a("s"), b).otherwise(a))
-    struct(best("c").as("pred"), best("s").as("score"))
-  }
 }

@@ -2142,13 +2142,20 @@ object LlmQueries {
   private val ClfBias: Seq[Double] =
     (0 until ClfClasses).map(c => ((c * 7) % 5 - 2) / 4.0)
   private def q135(s: SparkSession, dir: String): DataFrame = {
-    // raw float column — linearArgmax casts per element, keeping the
-    // projection codegen'd (toDouble's transform() is CodegenFallback)
-    val r = Similarity.linearArgmax(col("embedding"), ClfWeights, ClfBias)
-    Tables.embeddings(s, dir)
-      .select(col("vec_id"), col("label"),
-        r.getField("pred").cast("int").as("pred"),
-        round(r.getField("score"), 6).as("score"))
+    // two-step: materialize the 64-term scores as columns first, then
+    // argmax over cheap refs — inlining them at every argmax reference
+    // multiplies the generated code ~2^C times (raw float column in;
+    // linearScores casts per element, keeping the projection codegen'd)
+    val scoreCols = Similarity.linearScores(col("embedding"),
+      ClfWeights, ClfBias)
+    val scored = Tables.embeddings(s, dir).select(
+      col("vec_id") +: col("label") +:
+        scoreCols.zipWithIndex.map { case (c, i) => c.as(s"s$i") }: _*)
+    val best = Similarity.argmaxStruct(
+      (0 until ClfClasses).map(i => col(s"s$i")))
+    scored.select(col("vec_id"), col("label"),
+      best.getField("c").cast("int").as("pred"),
+      round(best.getField("s"), 6).as("score"))
   }
   private val q135Sql = {
     def wlist(c: Int) = ClfWeights(c).mkString("[", ", ", "]")
