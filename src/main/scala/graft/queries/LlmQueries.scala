@@ -2545,6 +2545,111 @@ object LlmQueries {
        |WHERE rn <= $HamK""".stripMargin
   }
 
+  // --------------------------------------------------------- q146
+  /** Per-doc cross-entropy under an add-α smoothed corpus BIGRAM model
+    * — the CCNet/KenLM-style fluency filter one order above q72's
+    * unigram surprisal: histories and bigrams counted exactly over the
+    * corpus, `lp = ln((c12 + α)/(c1 + α·V))` per position, per-doc sum
+    * via the q72 position-ordered fold (collect sorted by pos, fold
+    * left) so the float total is engine- and partition-independent.
+    * α = 0.5 exactly (binary fraction). Docs need ≥ 2 tokens. */
+  private val BgAlpha = 0.5
+  private def q146(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables.documents(s, dir)
+      .select(col("doc_id"), Dedup.words(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 2)
+    val w = t.select(col("doc_id"),
+      posexplode(col("ws")).as(Seq("pos", "w2")))
+    val bi = w
+      .withColumn("w1", lag(col("w2"), 1).over(
+        Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+      .filter(col("w1").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val c12 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val c1 = bi.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val vocab = w.agg(countDistinct(col("w2")).as("v"))
+    val lp = bi.join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"), col("pos"),
+        log((col("c12") + lit(BgAlpha)) /
+          (col("c1") + lit(BgAlpha) * col("v"))).as("lpw"))
+    lp.groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("lpw")))).as("arr"),
+        count(lit(1)).as("n_bigrams"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(-aggregate(col("arr"), lit(0.0),
+          (acc, x) => acc + x.getField("lpw")) /
+          col("n_bigrams").cast("double"), 6).as("xent"))
+  }
+  private val q146Sql =
+    s"""WITH t AS (SELECT doc_id, $WsSplit AS ws FROM documents
+       |           WHERE len($WsSplit) >= 2),
+       |w AS (SELECT doc_id, unnest(ws) AS w2,
+       |        generate_subscripts(ws, 1) AS pos FROM t),
+       |bi AS (SELECT doc_id, pos, w2,
+       |         lag(w2, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w1
+       |       FROM w QUALIFY w1 IS NOT NULL),
+       |c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bi GROUP BY 1, 2),
+       |c1 AS (SELECT w1, COUNT(*) AS c1 FROM bi GROUP BY 1),
+       |vocab AS (SELECT CAST(COUNT(DISTINCT w2) AS BIGINT) AS v FROM w),
+       |lp AS (SELECT doc_id, pos,
+       |         ln((c12 + $BgAlpha) / (c1 + $BgAlpha * v)) AS lpw
+       |       FROM bi JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+       |       CROSS JOIN vocab),
+       |agg AS (SELECT doc_id,
+       |    list_reduce(list(lpw ORDER BY pos), (a, b) -> a + b) AS s,
+       |    COUNT(*) AS n_bigrams
+       |  FROM lp GROUP BY doc_id)
+       |SELECT doc_id, n_bigrams,
+       |  round(-s / n_bigrams::DOUBLE, 6) AS xent FROM agg""".stripMargin
+
+  // --------------------------------------------------------- q147
+  /** Per-source datasheet — the "datasheets for datasets" report card
+    * every corpus release ships: doc/token masses, exact mean length,
+    * language spread, and the exact-duplicate rate (docs whose full
+    * text recurs anywhere in the corpus). All exact integers plus two
+    * edge-rounded ratios; the dup flag is one hash doc-frequency join
+    * (md5 computed in the scan, the q26 discipline). */
+  private def q147(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("source"),
+      col("lang"), md5(col("text")).as("h"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dupHashes = d.groupBy(col("h")).agg(count(lit(1)).as("nh"))
+      .filter(col("nh") >= 2).select(col("h"))
+    val flagged = d.join(dupHashes, Seq("h"), "left_semi")
+      .select(col("doc_id")).withColumn("isdup", lit(1L))
+    d.join(flagged.select(col("doc_id"), col("isdup")), Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("toks")).cast("long").as("n_tokens"),
+        round(sum(col("toks")).cast("double") / count(lit(1)), 6)
+          .as("avg_tokens"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(coalesce(col("isdup"), lit(0L))).cast("long").as("n_dup_docs"))
+      .withColumn("dup_frac",
+        round(col("n_dup_docs").cast("double") / col("n_docs"), 6))
+  }
+  private val q147Sql =
+    s"""WITH d AS (
+       |  SELECT doc_id, source, lang, md5(text) AS h,
+       |    CAST(len($WsSplit) AS BIGINT) AS toks
+       |  FROM documents),
+       |dh AS (SELECT h FROM (SELECT h, COUNT(*) AS nh FROM d GROUP BY 1)
+       |       WHERE nh >= 2),
+       |f AS (SELECT doc_id, CAST(1 AS BIGINT) AS isdup FROM d
+       |      WHERE h IN (SELECT h FROM dh))
+       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(toks) AS BIGINT) AS n_tokens,
+       |  round(CAST(SUM(toks) AS BIGINT) / CAST(COUNT(*) AS DOUBLE), 6)
+       |    AS avg_tokens,
+       |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       |  CAST(SUM(COALESCE(isdup, 0)) AS BIGINT) AS n_dup_docs,
+       |  round(CAST(SUM(COALESCE(isdup, 0)) AS BIGINT) /
+       |        CAST(COUNT(*) AS DOUBLE), 6) AS dup_frac
+       |FROM d LEFT JOIN f USING (doc_id)
+       |GROUP BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q26_dedup_exact" -> q26 _,
     "q27_minhash_bands" -> q27 _,
@@ -2627,7 +2732,9 @@ object LlmQueries {
     "q142_context_packing" -> q142 _,
     "q143_substring_dedup" -> q143 _,
     "q144_lsh_planner" -> q144 _,
-    "q145_hamming_neighbors" -> q145 _)
+    "q145_hamming_neighbors" -> q145 _,
+    "q146_bigram_xent" -> q146 _,
+    "q147_source_datasheet" -> q147 _)
 
   val oracles: Map[String, String] = Map(
     "q26_dedup_exact" -> q26Sql,
@@ -2711,5 +2818,7 @@ object LlmQueries {
     "q142_context_packing" -> q142Sql,
     "q143_substring_dedup" -> q143Sql,
     "q144_lsh_planner" -> q144Sql,
-    "q145_hamming_neighbors" -> q145Sql)
+    "q145_hamming_neighbors" -> q145Sql,
+    "q146_bigram_xent" -> q146Sql,
+    "q147_source_datasheet" -> q147Sql)
 }
