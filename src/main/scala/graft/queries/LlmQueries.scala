@@ -2650,6 +2650,138 @@ object LlmQueries {
        |FROM d LEFT JOIN f USING (doc_id)
        |GROUP BY 1""".stripMargin
 
+  // --------------------------------------------------------- q148
+  /** Per-source Zipf slope: OLS fit of ln(freq) on ln(rank) over each
+    * source's top-100 vocabulary — the corpus-health fingerprint
+    * (natural prose ≈ −1; templated/boilerplate sources flatten or
+    * steepen). Every ln term is rounded to a scaled long BEFORE
+    * summing (the q104 discipline), so the four regression sums are
+    * associative integer adds — identical on any partitioning — and
+    * the slope is one fixed double expression over exact longs. */
+  private val ZipfTopR = 100
+  private val ZipfMinTerms = 10
+  private def q148(s: SparkSession, dir: String): DataFrame = {
+    val w = Tables.documents(s, dir)
+      .select(col("source"), explode(Dedup.words(col("text"))).as("w"))
+    val vocab = w.groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("freq"))
+    val win = Window.partitionBy(col("source"))
+      .orderBy(col("freq").desc, col("w").asc)
+    val ranked = vocab.withColumn("rank", row_number().over(win))
+      .filter(col("rank") <= ZipfTopR)
+    val terms = ranked.select(col("source"),
+      round(log(col("rank").cast("double")) * 1e6).cast("long").as("x"),
+      round(log(col("freq").cast("double")) * 1e6).cast("long").as("y"),
+      round(log(col("rank").cast("double")) *
+        log(col("freq").cast("double")) * 1e12).cast("long").as("xy"),
+      round(log(col("rank").cast("double")) *
+        log(col("rank").cast("double")) * 1e12).cast("long").as("xx"))
+    terms.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("xy")).as("sxy"),
+        sum(col("xx")).as("sxx"))
+      .filter(col("n_terms") >= ZipfMinTerms)
+      .select(col("source"), col("n_terms"),
+        round(((col("n_terms") * col("sxy")) / lit(1e12) -
+          (col("sx") / lit(1e6)) * (col("sy") / lit(1e6))) /
+          ((col("n_terms") * col("sxx")) / lit(1e12) -
+            (col("sx") / lit(1e6)) * (col("sx") / lit(1e6))), 6)
+          .as("zipf_slope"))
+  }
+  private val q148Sql =
+    s"""WITH w AS (SELECT source, unnest($WsSplit) AS w FROM documents),
+       |vocab AS (SELECT source, w, CAST(count(*) AS BIGINT) AS freq
+       |          FROM w GROUP BY 1, 2),
+       |ranked AS (SELECT source, freq, rank FROM (
+       |    SELECT source, freq,
+       |      ROW_NUMBER() OVER (PARTITION BY source
+       |                         ORDER BY freq DESC, w ASC) AS rank
+       |    FROM vocab) WHERE rank <= $ZipfTopR),
+       |terms AS (SELECT source,
+       |    CAST(round(ln(CAST(rank AS DOUBLE)) * 1e6) AS BIGINT) AS x,
+       |    CAST(round(ln(CAST(freq AS DOUBLE)) * 1e6) AS BIGINT) AS y,
+       |    CAST(round(ln(CAST(rank AS DOUBLE)) *
+       |               ln(CAST(freq AS DOUBLE)) * 1e12) AS BIGINT) AS xy,
+       |    CAST(round(ln(CAST(rank AS DOUBLE)) *
+       |               ln(CAST(rank AS DOUBLE)) * 1e12) AS BIGINT) AS xx
+       |  FROM ranked),
+       |agg AS (SELECT source, CAST(count(*) AS BIGINT) AS n_terms,
+       |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+       |    CAST(SUM(xy) AS BIGINT) AS sxy, CAST(SUM(xx) AS BIGINT) AS sxx
+       |  FROM terms GROUP BY 1)
+       |SELECT source, n_terms,
+       |  round(((n_terms * sxy) / 1e12 - (sx / 1e6) * (sy / 1e6)) /
+       |        ((n_terms * sxx) / 1e12 - (sx / 1e6) * (sx / 1e6)), 6)
+       |    AS zipf_slope
+       |FROM agg WHERE n_terms >= $ZipfMinTerms""".stripMargin
+
+  // --------------------------------------------------------- q149
+  /** Sparse lexical doc-similarity: TF-IDF cosine top-k neighbors of
+    * probe docs via the inverted index — postings join on the term,
+    * partial products summed per (probe, doc). Every tf-idf weight is
+    * a scaled long (`round(tf·ln(N/df)·10⁶)`), so dots and norms² are
+    * EXACT integer sums (associative — partitioning-independent) and
+    * the cosine is one double expression over exact longs. The sparse
+    * sibling of q31's dense embedding cosine; at 100 TB the weights
+    * would move to DECIMAL(38,0) (the q120 note). */
+  private val TfidfSimK = 5
+  private def q149(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val w = docs.select(col("doc_id"), explode(Dedup.words(col("text"))).as("w"))
+    val tf = w.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n"))
+    val post = tf.join(dfreq, Seq("w")).crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("w"),
+        round(col("tf") * log(col("n").cast("double") / col("df")) * 1e6)
+          .cast("long").as("s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val norms = post.groupBy(col("doc_id"))
+      .agg(sum(col("s") * col("s")).as("n2"))
+    val probes = post.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("q_id"), col("w"), col("s").as("qs"))
+    val dots = post.join(broadcast(probes), Seq("w"))
+      .filter(col("doc_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(sum(col("qs") * col("s")).as("dot"))
+    val win = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("doc_id").asc)
+    dots.join(norms, Seq("doc_id"))
+      .join(norms.select(col("doc_id").as("q_id"), col("n2").as("qn2")),
+        Seq("q_id"))
+      .select(col("q_id"), col("doc_id"),
+        round(col("dot") / (sqrt(col("n2")) * sqrt(col("qn2"))), 6)
+          .as("cos_sim"))
+      .withColumn("rank", row_number().over(win))
+      .filter(col("rank") <= TfidfSimK)
+      .select(col("q_id"), col("rank").cast("int").as("rank"),
+        col("doc_id"), col("cos_sim"))
+  }
+  private val q149Sql =
+    s"""WITH w AS (SELECT doc_id, unnest($WsSplit) AS w FROM documents),
+       |tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+       |       FROM w GROUP BY 1, 2),
+       |dfreq AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+       |post AS (SELECT doc_id, w,
+       |    CAST(round(tf * ln(CAST(n AS DOUBLE) / df) * 1e6) AS BIGINT) AS s
+       |  FROM tf JOIN dfreq USING (w) CROSS JOIN n),
+       |norms AS (SELECT doc_id, CAST(SUM(s * s) AS BIGINT) AS n2
+       |          FROM post GROUP BY 1),
+       |probes AS (SELECT doc_id AS q_id, w, s AS qs FROM post WHERE doc_id < 3),
+       |dots AS (SELECT q_id, doc_id, CAST(SUM(qs * s) AS BIGINT) AS dot
+       |  FROM post JOIN probes USING (w) WHERE doc_id <> q_id
+       |  GROUP BY 1, 2),
+       |cosv AS (SELECT q_id, dots.doc_id,
+       |    round(dot / (sqrt(n2) * sqrt(qn2)), 6) AS cos_sim
+       |  FROM dots JOIN norms ON dots.doc_id = norms.doc_id
+       |  JOIN (SELECT doc_id AS q_id, n2 AS qn2 FROM norms) qn USING (q_id))
+       |SELECT q_id, CAST(rn AS INT) AS rank, doc_id, cos_sim FROM (
+       |  SELECT q_id, doc_id, cos_sim,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id
+       |                       ORDER BY cos_sim DESC, doc_id ASC) AS rn
+       |  FROM cosv) WHERE rn <= $TfidfSimK""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q26_dedup_exact" -> q26 _,
     "q27_minhash_bands" -> q27 _,
@@ -2734,7 +2866,9 @@ object LlmQueries {
     "q144_lsh_planner" -> q144 _,
     "q145_hamming_neighbors" -> q145 _,
     "q146_bigram_xent" -> q146 _,
-    "q147_source_datasheet" -> q147 _)
+    "q147_source_datasheet" -> q147 _,
+    "q148_zipf_slope" -> q148 _,
+    "q149_tfidf_neighbors" -> q149 _)
 
   val oracles: Map[String, String] = Map(
     "q26_dedup_exact" -> q26Sql,
@@ -2820,5 +2954,7 @@ object LlmQueries {
     "q144_lsh_planner" -> q144Sql,
     "q145_hamming_neighbors" -> q145Sql,
     "q146_bigram_xent" -> q146Sql,
-    "q147_source_datasheet" -> q147Sql)
+    "q147_source_datasheet" -> q147Sql,
+    "q148_zipf_slope" -> q148Sql,
+    "q149_tfidf_neighbors" -> q149Sql)
 }

@@ -28,7 +28,8 @@ class PlanGuardSpec extends SparkSpec {
     "q131_hybrid_rrf",   // probe vector: exactly one broadcast row
     "q132_source_drift", // snapshot totals: exactly one aggregate row
     "q140_score_fusion", // probe vector + per-list min/max: 1-row sides
-    "q146_bigram_xent")  // vocab size: exactly one aggregate row
+    "q146_bigram_xent",  // vocab size: exactly one aggregate row
+    "q149_tfidf_neighbors") // corpus doc count: exactly one aggregate row
 
   test("no query plans a cartesian product; nested loops only where bounded") {
     val dir = "/root/testdata/sf0.001"
