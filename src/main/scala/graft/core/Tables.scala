@@ -19,22 +19,38 @@ object Tables {
     if (name == "events") events(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events.parquet carries TIMESTAMP(NANOS) which Spark's parquet reader
-    * rejects. `spark.sql.legacy.parquet.nanosAsLong=true` (set once at
-    * session build — GraftSession) reads nanos as long; floor to
-    * microseconds here — the same truncation DuckDB/pandas apply when
-    * downcasting ns→µs. Integer `div` (not `/`) because ~1.7e18 ns
-    * exceeds double precision. */
+  /** events.parquet's `ts` column has shipped in two physical encodings:
+    * TIMESTAMP(NANOS) (surfaced as long via
+    * `spark.sql.legacy.parquet.nanosAsLong=true`, set at session build —
+    * GraftSession) and TIMESTAMP(MICROS) with isAdjustedToUTC=false
+    * (surfaced as TIMESTAMP_NTZ). A loader hard-coded to one encoding
+    * breaks every downstream query when the data lake re-encodes, so
+    * branch on the schema Spark actually read and normalize both arms to
+    * the session TimestampType — the session timezone is UTC
+    * (GraftSession), making the NTZ→TZ cast value-identical and keeping
+    * the engine's results aligned with the DuckDB oracle's naive
+    * timestamps.
+    *
+    * Nanos arm: floor to microseconds — the same truncation DuckDB/pandas
+    * apply when downcasting ns→µs. Integer `div` (not `/`) because
+    * ~1.7e18 ns exceeds double precision. */
   private def eventsDf(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     // idempotent guard for sessions not built via GraftSession (an
     // embedding application's own session): the conf only ever moves
     // false->true and nothing in the engine needs it false, so this is
     // not the order-dependent mutation the round-1 review flagged
     if (!s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$d/events.parquet")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val df = s.read.parquet(s"$d/events.parquet")
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType    => df
+      case other => throw new IllegalStateException(
+        s"events.ts: unsupported parquet-surfaced type $other (expected LONG nanos, TIMESTAMP, or TIMESTAMP_NTZ)")
+    }
   }
 
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
