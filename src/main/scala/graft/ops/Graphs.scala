@@ -105,12 +105,19 @@ object Graphs {
     * per iteration. State per node is one long — nothing collects to
     * the driver but the node COUNT. Isolated documents never enter
     * the pair graph; every node here has degree ≥ 1, so there is no
-    * dangling-mass term.
+    * dangling-mass term. Every `checkpointEvery` iterations the score
+    * frame is eagerly `localCheckpoint`ed and REBUILT from the
+    * materialized RDD — the same lineage-truncation discipline as
+    * [[Dedup.connectedComponents]]: without it the self-referential
+    * plan deepens by two joins per iteration, and checkpointing
+    * without the rebuild carries the child's size statistics, which
+    * iterative self-joins square into driver-hanging BigIntegers.
     *
     * Output: (node, rank) with Σ rank ≈ 1. */
   def pageRank(pairs: DataFrame, iters: Int,
-      damping: Double = 0.85): DataFrame = {
+      damping: Double = 0.85, checkpointEvery: Int = 5): DataFrame = {
     require(iters >= 1 && iters <= 50, s"iters must be in [1,50], got $iters")
+    require(checkpointEvery >= 1, s"checkpointEvery must be >= 1")
     val Scale = 1000000000000.0
     val e = canonicalEdges(pairs)
     val edges = e.select(col("u").as("src"), col("v").as("dst"))
@@ -123,7 +130,8 @@ object Graphs {
     val base = math.round((1.0 - damping) * Scale / n)
     var pr = deg.select(col("node"), col("outdeg"),
       lit(math.round(Scale / n)).as("s"))
-    for (_ <- 1 to iters) {
+    val spark = pairs.sparkSession
+    for (i <- 1 to iters) {
       val contrib = edges
         .join(pr.withColumnRenamed("node", "src"), Seq("src"))
         .select(col("dst").as("node"),
@@ -131,6 +139,8 @@ object Graphs {
       pr = contrib.groupBy(col("node"))
         .agg((sum(col("c")) + lit(base)).as("s"))
         .join(deg, Seq("node"))
+      if (i % checkpointEvery == 0 && i < iters)
+        pr = spark.createDataFrame(pr.localCheckpoint(true).rdd, pr.schema)
     }
     pr.select(col("node"), round(col("s") / Scale, 6).as("rank"))
   }
