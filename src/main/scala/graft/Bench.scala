@@ -38,6 +38,16 @@ object Bench {
     * data-dependent variance (GC, file cache) stays well under 3x on
     * these sizes; only external CPU starvation produces more. */
   private val THROTTLE_RATIO = 3.0
+  /** Contention detector (VERDICT r7 item 7): round 7's q97 ran
+    * median 8.96 s / min 3.0 s / spread 30 s — ratio 2.99, sailing just
+    * under THROTTLE_RATIO with an empty `throttled` list, so the noisy
+    * median entered the official record unflagged. A wide spread
+    * RELATIVE to the median is the same external-starvation signature
+    * even when the median itself stayed lucky; flag it separately. The
+    * absolute floor keeps honest sub-second jitter (GC on a 0.3 s
+    * query) out of the list. */
+  private val CONTENTION_SPREAD_RATIO = 2.0
+  private val CONTENTION_SPREAD_FLOOR_SEC = 1.0
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -88,6 +98,7 @@ object Bench {
     val spreads = scala.collection.mutable.LinkedHashMap[String, Double]()
     val mins = scala.collection.mutable.LinkedHashMap[String, Double]()
     val throttled = scala.collection.mutable.ListBuffer[String]()
+    val contended = scala.collection.mutable.ListBuffer[String]()
     val allResults = (names :+ LIFECYCLE).map { name =>
       val ts = times(name)
       if (ts.isEmpty) name -> -1.0
@@ -95,9 +106,12 @@ object Bench {
         if (errors.contains(name)) { flaky(name) = errors(name); errors.remove(name) }
         val sorted = ts.sorted
         val median = sorted(sorted.length / 2)
-        spreads(name) = sorted.last - sorted.head
+        val spread = sorted.last - sorted.head
+        spreads(name) = spread
         mins(name) = sorted.head
         if (sorted.head > 0 && median / sorted.head > THROTTLE_RATIO) throttled += name
+        else if (median > 0 && spread / median > CONTENTION_SPREAD_RATIO &&
+          spread > CONTENTION_SPREAD_FLOOR_SEC) contended += name
         name -> median
       }
     }
@@ -113,6 +127,7 @@ object Bench {
     val spreadJson = spreads.map { case (k, v) => s"${jq(k)}:$v" }.mkString("{", ",", "}")
     val flakyJson = flaky.map { case (k, v) => s"${jq(k)}:${jq(v)}" }.mkString("{", ",", "}")
     val throttledJson = throttled.map(jq).mkString("[", ",", "]")
+    val contendedJson = contended.map(jq).mkString("[", ",", "]")
     val total = allResults.collect { case (_, v) if v >= 0 => v }.sum
 
     // Artifact-capture discipline (VERDICT r6 item 2): the driver keeps
@@ -123,7 +138,7 @@ object Bench {
     // one stdout line is a compact summary — total, the slowest
     // medians, throttle/error flags, and a pointer to the full file —
     // guaranteed to fit the capture window.
-    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","runs":$RUNS,"queries":$qs,"min":$minJson,"spread":$spreadJson,"throttled":$throttledJson,"errors":$errJson,"flaky":$flakyJson,"sf":"$sfDir"}"""
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","runs":$RUNS,"queries":$qs,"min":$minJson,"spread":$spreadJson,"throttled":$throttledJson,"contended":$contendedJson,"errors":$errJson,"flaky":$flakyJson,"sf":"$sfDir"}"""
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
       "bench/BENCH_full_latest.json")
     val p = java.nio.file.Paths.get(fullPath)
@@ -133,7 +148,15 @@ object Bench {
 
     val slowest = allResults.filter(_._2 >= 0).sortBy(-_._2).take(12)
       .map { case (k, v) => s"${jq(k)}:$v" }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$RUNS,"queries":$slowest,"n_queries":${allResults.size},"throttled":$throttledJson,"errors":$errJson,"flaky":$flakyJson,"sf":"$sfDir","full":${jq(fullPath)}}""")
+    // slowest-10 by MIN — the steady-state ranking a contended sandbox
+    // cannot distort (a throttle window raises medians, never the
+    // warm-run floor), so the compact tail stays meaningful even on a
+    // noisy run. NOTE: q133_exact_jaccard_join is the EXPECTED slowest
+    // query by design (exact all-pairs Jaccard, ~12 s min at sf0.1) —
+    // judge its regressions against its own baseline, not the fleet's.
+    val slowestMin = mins.toSeq.sortBy(-_._2).take(10)
+      .map { case (k, v) => s"${jq(k)}:$v" }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$RUNS,"queries":$slowest,"slowest_min":$slowestMin,"n_queries":${allResults.size},"throttled":$throttledJson,"contended":$contendedJson,"errors":$errJson,"flaky":$flakyJson,"sf":"$sfDir","full":${jq(fullPath)}}""")
     spark.stop()
   }
 
