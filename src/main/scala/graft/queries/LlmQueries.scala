@@ -2782,6 +2782,266 @@ object LlmQueries {
        |                       ORDER BY cos_sim DESC, doc_id ASC) AS rn
        |  FROM cosv) WHERE rn <= $TfidfSimK""".stripMargin
 
+  // --------------------------------------------------------- q150
+  /** DSIR importance log-weights (Xie et al. 2023, "Data Selection via
+    * Importance Resampling"): score every document by how much more
+    * likely its bigrams are under a TARGET domain's bigram LM than
+    * under the rest-of-corpus model — the per-doc importance weight a
+    * domain-targeted sampler resamples by. Target = source 'src0';
+    * both LMs are add-1 smoothed over the SHARED bigram vocabulary,
+    * counted exactly; per-position log-ratio, per-doc mean via the
+    * q72/q146 position-ordered fold so the float total is engine- and
+    * partition-independent.
+    *
+    * Scale shape: one gram-keyed count aggregation (vocabulary-sized,
+    * never collected), a 1-row totals broadcast, one gram-keyed join
+    * back to the doc stream, one doc-keyed fold. At 100 TB the gram
+    * key hashes to 64 bits first (the q105 discipline). */
+  private val DsirTarget = "src0"
+  private def q150(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables.documents(s, dir)
+      .select(col("doc_id"), (col("source") === DsirTarget).as("tgt"),
+        Dedup.words(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 2)
+    val w = t.select(col("doc_id"), col("tgt"),
+      posexplode(col("ws")).as(Seq("pos", "w2")))
+    val bi = w
+      .withColumn("w1", lag(col("w2"), 1).over(
+        Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+      .filter(col("w1").isNotNull)
+      .select(col("doc_id"), col("tgt"), col("pos"),
+        concat_ws(" ", col("w1"), col("w2")).as("g"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = bi.groupBy(col("g")).agg(
+      sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"),
+      sum(when(!col("tgt"), 1L).otherwise(0L)).as("cr"))
+    val tot = counts.agg(sum(col("ct")).as("nt"), sum(col("cr")).as("nr"),
+      count(lit(1)).as("v"))
+    val lp = bi.join(counts, Seq("g")).crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("pos"),
+        (log((col("ct") + lit(1L)).cast("double") /
+            (col("nt") + col("v")).cast("double")) -
+          log((col("cr") + lit(1L)).cast("double") /
+            (col("nr") + col("v")).cast("double"))).as("lr"))
+    lp.groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("lr")))).as("arr"),
+        count(lit(1)).as("n_bigrams"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(aggregate(col("arr"), lit(0.0),
+          (acc, x) => acc + x.getField("lr")) /
+          col("n_bigrams").cast("double"), 6).as("dsir_logweight"))
+  }
+  private val q150Sql =
+    s"""WITH t AS (SELECT doc_id, source = '$DsirTarget' AS tgt,
+       |             $WsSplit AS ws FROM documents
+       |           WHERE len($WsSplit) >= 2),
+       |w AS (SELECT doc_id, tgt, unnest(ws) AS w2,
+       |        generate_subscripts(ws, 1) AS pos FROM t),
+       |bi AS (SELECT doc_id, tgt, pos, w1 || ' ' || w2 AS g FROM (
+       |         SELECT doc_id, tgt, pos, w2,
+       |           lag(w2, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w1
+       |         FROM w QUALIFY w1 IS NOT NULL)),
+       |counts AS (SELECT g,
+       |    CAST(SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+       |    CAST(SUM(CASE WHEN NOT tgt THEN 1 ELSE 0 END) AS BIGINT) AS cr
+       |  FROM bi GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(ct) AS BIGINT) AS nt,
+       |    CAST(SUM(cr) AS BIGINT) AS nr,
+       |    CAST(COUNT(*) AS BIGINT) AS v FROM counts),
+       |lp AS (SELECT doc_id, pos,
+       |    ln(CAST(ct + 1 AS DOUBLE) / CAST(nt + v AS DOUBLE)) -
+       |      ln(CAST(cr + 1 AS DOUBLE) / CAST(nr + v AS DOUBLE)) AS lr
+       |  FROM bi JOIN counts USING (g) CROSS JOIN tot),
+       |agg AS (SELECT doc_id,
+       |    list_reduce(list(lr ORDER BY pos), (a, b) -> a + b) AS sm,
+       |    CAST(COUNT(*) AS BIGINT) AS n_bigrams
+       |  FROM lp GROUP BY doc_id)
+       |SELECT doc_id, n_bigrams,
+       |  round(sm / n_bigrams::DOUBLE, 6) AS dsir_logweight FROM agg""".stripMargin
+
+  // --------------------------------------------------------- q151
+  /** α-temperature sampling shares (the XLM-R / mT5 multilingual
+    * discipline): flatten the language distribution by exponentiating
+    * natural shares, q_l ∝ p_l^α — the standard low-resource
+    * upweighting, vs q115's budget-constrained mixture table. α = 1/4
+    * exactly, so p^α = sqrt(sqrt(p)) — two correctly-rounded IEEE
+    * sqrts, bit-identical cross-engine where pow would not be. The
+    * share normalizer sums 1e12-scaled LONGS (the q130 discipline), so
+    * no float-summation order can flicker the output. Shape: one
+    * groupBy bounded by |languages| + two 1-row broadcasts. */
+  private def q151(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(s, dir).groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"))
+    val tot = counts.agg(sum(col("n_docs")).as("n"))
+    val scored = counts.crossJoin(broadcast(tot))
+      .withColumn("p", col("n_docs").cast("double") / col("n"))
+      .withColumn("pi",
+        round(sqrt(sqrt(col("p"))) * lit(1e12), 0).cast("long"))
+    val z = scored.agg(sum(col("pi")).as("z"))
+    scored.crossJoin(broadcast(z))
+      .select(col("lang"), col("n_docs"),
+        round(col("p"), 6).as("nat_share"),
+        round(col("pi").cast("double") / col("z"), 6).as("samp_share"))
+  }
+  private val q151Sql =
+    """WITH counts AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+      |                FROM documents GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n FROM counts),
+      |scored AS (SELECT lang, n_docs,
+      |    n_docs::DOUBLE / n AS p,
+      |    CAST(round(sqrt(sqrt(n_docs::DOUBLE / n)) * 1e12) AS BIGINT) AS pi
+      |  FROM counts CROSS JOIN tot),
+      |z AS (SELECT CAST(SUM(pi) AS BIGINT) AS z FROM scored)
+      |SELECT lang, n_docs, round(p, 6) AS nat_share,
+      |  round(pi::DOUBLE / z, 6) AS samp_share
+      |FROM scored CROSS JOIN z""".stripMargin
+
+  // --------------------------------------------------------- q152
+  /** Sentence-level exact cross-doc duplication report (the RefinedWeb
+    * / CCNet line-dedup pass, sentence edition — this corpus has no
+    * newlines): normalized sentences keyed across the corpus, a
+    * sentence occurrence counts as duplicated when its key appears in
+    * ≥ 2 DISTINCT documents, rolled up per source — the
+    * boilerplate-contamination figure a curation report ships per
+    * provenance. Shape: two sentence-keyed shuffles (group + join
+    * back), one source-keyed rollup; at 100 TB the sentence key
+    * hashes to 64 bits first (q105 discipline). */
+  private val SentMinChars = 20
+  private def q152(s: SparkSession, dir: String): DataFrame = {
+    val sent = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        explode(TextAnalysis.words(col("text"), ". ")).as("s0"))
+      .select(col("doc_id"), col("source"), lower(trim(col("s0"))).as("k"))
+      .filter(length(col("k")) >= SentMinChars)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val groups = sent.groupBy(col("k"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+    sent.join(groups, Seq("k"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_sentences"),
+        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_cross_dup"))
+      .select(col("source"), col("n_sentences"), col("n_cross_dup"),
+        round(col("n_cross_dup").cast("double") / col("n_sentences"), 6)
+          .as("dup_frac"))
+  }
+  private val q152Sql =
+    s"""WITH sent AS (
+       |  SELECT doc_id, source, lower(trim(s0)) AS k
+       |  FROM (SELECT doc_id, source,
+       |          unnest(string_split(text, '. ')) AS s0 FROM documents)
+       |  WHERE len(lower(trim(s0))) >= $SentMinChars),
+       |groups AS (SELECT k, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS nd
+       |           FROM sent GROUP BY 1)
+       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_sentences,
+       |  CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_cross_dup,
+       |  round(CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+       |    / CAST(COUNT(*) AS DOUBLE), 6) AS dup_frac
+       |FROM sent JOIN groups USING (k) GROUP BY 1""".stripMargin
+
+  // --------------------------------------------------------- q153
+  /** Tokenizer fertility per language — BPE-ish subword tokens per
+    * whitespace word, the standard multilingual tokenizer-efficiency
+    * diagnostic (a high-fertility language pays more sequence length
+    * per word, which q115/q151-style mixers must budget for). Exact
+    * integer token counts per row ride the scan projection; one
+    * lang-keyed partial-aggregated groupBy; a single division at the
+    * end. */
+  private def q153(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("lang"),
+        TextAnalysis.tokenCountRegex(col("text")).cast("long").as("bpe"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("wsc"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("bpe")).as("n_bpe_tokens"),
+        sum(col("wsc")).as("n_ws_tokens"))
+      .select(col("lang"), col("n_docs"), col("n_bpe_tokens"),
+        col("n_ws_tokens"),
+        round(col("n_bpe_tokens").cast("double") / col("n_ws_tokens"), 6)
+          .as("fertility"))
+  private val q153Sql =
+    s"""WITH t AS (SELECT lang,
+       |    CAST(len(regexp_extract_all(text, '${TextAnalysis.BpeTokenPattern}')) AS BIGINT) AS bpe,
+       |    CAST(len($WsSplit) AS BIGINT) AS wsc
+       |  FROM documents)
+       |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(bpe) AS BIGINT) AS n_bpe_tokens,
+       |  CAST(SUM(wsc) AS BIGINT) AS n_ws_tokens,
+       |  round(CAST(SUM(bpe) AS BIGINT)
+       |    / CAST(CAST(SUM(wsc) AS BIGINT) AS DOUBLE), 6) AS fertility
+       |FROM t GROUP BY 1""".stripMargin
+
+  // --------------------------------------------------------- q154
+  /** Calibration (reliability-diagram) bins for the q135 linear
+    * classifier: confidence = softmax max-probability, binned by
+    * tenths, vs agreement with the (range-folded) label — the
+    * quality-classifier calibration audit a filtering pipeline runs
+    * before trusting scores as sampling weights. The softmax is the
+    * max-subtracted 4-term sum in a FIXED left-to-right order
+    * (identical tree both engines); per-bin mean confidence sums
+    * 1e9-scaled longs (q130 discipline) so no float-summation order
+    * leaks in. Zero-shuffle scoring on the scan + one bin-keyed
+    * aggregation bounded by 10 rows. */
+  private def q154(s: SparkSession, dir: String): DataFrame = {
+    val scoreCols = Similarity.linearScores(col("embedding"),
+      ClfWeights, ClfBias)
+    val scored = Tables.embeddings(s, dir).select(
+      col("vec_id") +: col("label") +:
+        scoreCols.zipWithIndex.map { case (c, i) => c.as(s"s$i") }: _*)
+    val best = Similarity.argmaxStruct(
+      (0 until ClfClasses).map(i => col(s"s$i")))
+    val smax = greatest((0 until ClfClasses).map(i => col(s"s$i")): _*)
+    val denom = (0 until ClfClasses)
+      .map(i => exp(col(s"s$i") - col("smax"))).reduce(_ + _)
+    scored
+      .withColumn("smax", smax)
+      .withColumn("prob", lit(1.0) / denom)
+      .select(
+        least(floor(col("prob") * 10), lit(9L)).cast("int").as("bin"),
+        (best.getField("c").cast("int") === col("label") % 4)
+          .cast("long").as("hit"),
+        round(col("prob") * lit(1e9), 0).cast("long").as("pi"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("hit")).as("n_correct"),
+        sum(col("pi")).as("spi"))
+      .select(col("bin"), col("n"), col("n_correct"),
+        round(col("n_correct").cast("double") / col("n"), 6).as("accuracy"),
+        round(col("spi").cast("double") / col("n") / lit(1e9), 6)
+          .as("avg_conf"))
+  }
+  private val q154Sql = {
+    def wlist(c: Int) = ClfWeights(c).mkString("[", ", ", "]")
+    val sCols = (0 until ClfClasses).map(c =>
+      s"list_dot_product(v, ${wlist(c)}) + ${ClfBias(c)} AS s$c")
+      .mkString(",\n|    ")
+    s"""WITH v AS (
+       |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+       |s AS (SELECT vec_id, label,
+       |    $sCols
+       |  FROM v),
+       |m AS (SELECT vec_id, label, s0, s1, s2, s3,
+       |    greatest(s0, s1, s2, s3) AS smax FROM s),
+       |p AS (SELECT vec_id, label,
+       |    CAST(CASE WHEN s3 > greatest(s0, s1, s2) THEN 3
+       |              WHEN s2 > greatest(s0, s1) THEN 2
+       |              WHEN s1 > s0 THEN 1 ELSE 0 END AS INT) AS pred,
+       |    1.0 / (exp(s0 - smax) + exp(s1 - smax) + exp(s2 - smax)
+       |           + exp(s3 - smax)) AS prob
+       |  FROM m),
+       |b AS (SELECT
+       |    CAST(least(floor(prob * 10), 9) AS INT) AS bin,
+       |    CASE WHEN pred = label % 4 THEN 1 ELSE 0 END AS hit,
+       |    CAST(round(prob * 1e9) AS BIGINT) AS pi
+       |  FROM p)
+       |SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+       |  CAST(SUM(hit) AS BIGINT) AS n_correct,
+       |  round(CAST(SUM(hit) AS BIGINT) / CAST(COUNT(*) AS DOUBLE), 6)
+       |    AS accuracy,
+       |  round(CAST(SUM(pi) AS BIGINT)::DOUBLE / COUNT(*) / 1e9, 6)
+       |    AS avg_conf
+       |FROM b GROUP BY 1""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q26_dedup_exact" -> q26 _,
     "q27_minhash_bands" -> q27 _,
@@ -2868,7 +3128,12 @@ object LlmQueries {
     "q146_bigram_xent" -> q146 _,
     "q147_source_datasheet" -> q147 _,
     "q148_zipf_slope" -> q148 _,
-    "q149_tfidf_neighbors" -> q149 _)
+    "q149_tfidf_neighbors" -> q149 _,
+    "q150_dsir_weights" -> q150 _,
+    "q151_temperature_mix" -> q151 _,
+    "q152_sentence_dedup" -> q152 _,
+    "q153_tokenizer_fertility" -> q153 _,
+    "q154_calibration_bins" -> q154 _)
 
   val oracles: Map[String, String] = Map(
     "q26_dedup_exact" -> q26Sql,
@@ -2956,5 +3221,10 @@ object LlmQueries {
     "q146_bigram_xent" -> q146Sql,
     "q147_source_datasheet" -> q147Sql,
     "q148_zipf_slope" -> q148Sql,
-    "q149_tfidf_neighbors" -> q149Sql)
+    "q149_tfidf_neighbors" -> q149Sql,
+    "q150_dsir_weights" -> q150Sql,
+    "q151_temperature_mix" -> q151Sql,
+    "q152_sentence_dedup" -> q152Sql,
+    "q153_tokenizer_fertility" -> q153Sql,
+    "q154_calibration_bins" -> q154Sql)
 }

@@ -243,6 +243,40 @@ object TemporalQueries {
       |    ELSE NULL END AS zscore
       |FROM w""".stripMargin
 
+  // --------------------------------------------------------- q155
+  /** Exponentially time-decayed per-user activity (recency-weighted
+    * engagement, τ = 7 days): score_u = Σ exp(−Δt/τ) over the user's
+    * events, anchored at the corpus max timestamp (a 1-row broadcast).
+    * Each term rounds to a 1e-9-scaled long BEFORE the sum — long
+    * addition is associative, so any partitioning or engine produces
+    * identical bits (the q130 scaled-integer discipline); exp's
+    * argument is one exact-integer microsecond difference over an
+    * exact constant, the same IEEE tree in both engines. One user-keyed
+    * aggregation; nothing driver-side. */
+  private val DecayTauUs = 7.0 * 86400.0 * 1e6
+  private def q155(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val anchor = ev.agg(max(col("ts")).as("tmax"))
+    ev.crossJoin(broadcast(anchor))
+      .select(col("user_id"),
+        round(exp((unix_micros(col("tmax")) - unix_micros(col("ts")))
+            .cast("double") / lit(-DecayTauUs)) * lit(1e9), 0)
+          .cast("long").as("c"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("c")).as("sc"))
+      .select(col("user_id"), col("n_events"),
+        round(col("sc").cast("double") / lit(1e9), 6).as("decay_score"))
+  }
+  private val q155Sql =
+    s"""WITH anchor AS (SELECT max(ts) AS tmax FROM events),
+       |c AS (SELECT user_id,
+       |    CAST(round(exp(CAST(epoch_us(tmax) - epoch_us(ts) AS DOUBLE)
+       |      / ${-DecayTauUs}) * 1e9) AS BIGINT) AS c
+       |  FROM events CROSS JOIN anchor)
+       |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+       |  round(CAST(SUM(c) AS BIGINT)::DOUBLE / 1e9, 6) AS decay_score
+       |FROM c GROUP BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q46_asof_join" -> q46 _,
     "q47_range_join" -> q47 _,
@@ -252,7 +286,8 @@ object TemporalQueries {
     "q100_cohort_retention" -> q100 _,
     "q101_interval_overlap" -> q101 _,
     "q102_rolling_actives" -> q102 _,
-    "q124_count_anomaly" -> q124 _)
+    "q124_count_anomaly" -> q124 _,
+    "q155_decay_activity" -> q155 _)
 
   val oracles: Map[String, String] = Map(
     "q46_asof_join" -> q46Sql,
@@ -263,5 +298,6 @@ object TemporalQueries {
     "q100_cohort_retention" -> q100Sql,
     "q101_interval_overlap" -> q101Sql,
     "q102_rolling_actives" -> q102Sql,
-    "q124_count_anomaly" -> q124Sql)
+    "q124_count_anomaly" -> q124Sql,
+    "q155_decay_activity" -> q155Sql)
 }

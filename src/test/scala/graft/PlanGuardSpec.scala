@@ -29,7 +29,10 @@ class PlanGuardSpec extends SparkSpec {
     "q132_source_drift", // snapshot totals: exactly one aggregate row
     "q140_score_fusion", // probe vector + per-list min/max: 1-row sides
     "q146_bigram_xent",  // vocab size: exactly one aggregate row
-    "q149_tfidf_neighbors") // corpus doc count: exactly one aggregate row
+    "q149_tfidf_neighbors", // corpus doc count: exactly one aggregate row
+    "q150_dsir_weights", // LM totals: exactly one aggregate row
+    "q151_temperature_mix", // corpus total + normalizer: 1-row sides
+    "q155_decay_activity") // anchor timestamp: exactly one aggregate row
 
   test("no query plans a cartesian product; nested loops only where bounded") {
     val dir = "/root/testdata/sf0.001"
@@ -165,6 +168,42 @@ class PlanGuardSpec extends SparkSpec {
       spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
     plan should include("BroadcastHashJoin")
     plan should not include "SortMergeJoin"
+  }
+
+  test("q124's anomaly window rides two keyed exchanges, no join at all") {
+    // daily-count aggregation shuffles on (event_type, day); the
+    // trailing-moments window re-keys on event_type alone — exactly two
+    // keyed exchanges, the z-score itself is pure per-row arithmetic
+    val plan = SparkEntry.queries("q124_count_anomaly")(
+      spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+    plan should include("Window")
+    plan should not include "Join"
+    "(?<!Broadcast)Exchange".r.findAllIn(plan).size should be <= 2
+  }
+
+  test("q133's prefix self-join stays a gram-keyed equi-join over persisted frames") {
+    // the expected-slowest query by design (exact all-pairs Jaccard) —
+    // its cost must stay the published PPJoin shape, not degrade into
+    // an all-pairs product or a re-derived shingle chain:
+    //  - candidates come from an equi-join keyed on the prefix gram `w`
+    //    (never cartesian/nested-loop — a regression here is the
+    //    100 TB killer hiding inside an already-big number);
+    //  - the shingle-set, exploded-gram, and prefix frames are
+    //    persisted (InMemoryTableScan), so the scan→shingle chain runs
+    //    once, not once per consumer;
+    //  - verification rides the candidate frame (jaccard is computed
+    //    AFTER the prefix join, visible as intersection arithmetic over
+    //    the cached sets, not a second documents scan).
+    val plan = SparkEntry.queries("q133_exact_jaccard_join")(
+      spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+    plan should include regex "(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[w#"
+    // the sets/tok/prefix caches appear as InMemoryTableScans (each
+    // cached plan's text still prints its own file scan, so a raw
+    // scan count over the plan STRING would overcount — the cache
+    // nodes themselves are the single-scan evidence)
+    "InMemoryTableScan".r.findAllIn(plan).size should be >= 4
   }
 
   test("q128's eval shingle set broadcasts; train side never shuffles on the shingle") {
