@@ -3042,6 +3042,139 @@ object LlmQueries {
        |FROM b GROUP BY 1""".stripMargin
   }
 
+  // --------------------------------------------------------- q156
+  /** Gopher rule-by-rule quality report (Rae et al. 2021, §A1.1
+    * adapted to this corpus): per source, how many documents fail each
+    * of five structural rules — word count outside [50, 100k], mean
+    * word length outside [3, 10], >10% of words starting with a
+    * non-alphanumeric mark (the q34 punct definition), fewer than 2
+    * distinct function words (union of the per-language stopword
+    * lists), and <80% of words containing an ASCII letter (an
+    * en-centric rule kept as published; zh documents fail it by
+    * construction, which is exactly what the per-source report is for
+    * — it shows WHERE a rule misfires). All five flags are per-row
+    * array math on the scan (zero shuffle); one source-keyed rollup.
+    * Complements q34 (a composite score) and q75 (mass report): this
+    * is the per-rule diagnostic a filter-tuning pass reads. */
+  private def q156(s: SparkSession, dir: String): DataFrame = {
+    val allStops = TextAnalysis.StopwordSets.flatMap(_._2).distinct.sorted
+    val ws = Dedup.words(col("text"))
+    val nw = size(ws)
+    val sumLen = aggregate(transform(ws, w => length(w).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    val meanLen = sumLen.cast("double") / nw.cast("double")
+    val punct = size(filter(ws,
+      w => !substring(w, 1, 1).rlike("[A-Za-z0-9]"))).cast("double") /
+      nw.cast("double")
+    val nStops = size(array_intersect(ws,
+      array(allStops.map(lit): _*)))
+    val alphaFrac = size(filter(ws, w => w.rlike("[A-Za-z]")))
+      .cast("double") / nw.cast("double")
+    Tables.documents(s, dir)
+      .select(col("source"),
+        (nw < 50 || nw > 100000).cast("long").as("f_nwords"),
+        (meanLen < 3.0 || meanLen > 10.0).cast("long").as("f_wordlen"),
+        (punct > 0.1).cast("long").as("f_punct"),
+        (nStops < 2).cast("long").as("f_stopword"),
+        (alphaFrac < 0.8).cast("long").as("f_alpha"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("f_nwords")).as("n_fail_nwords"),
+        sum(col("f_wordlen")).as("n_fail_wordlen"),
+        sum(col("f_punct")).as("n_fail_punct"),
+        sum(col("f_stopword")).as("n_fail_stopword"),
+        sum(col("f_alpha")).as("n_fail_alpha"),
+        sum(when(col("f_nwords") + col("f_wordlen") + col("f_punct") +
+          col("f_stopword") + col("f_alpha") === 0, 1L).otherwise(0L))
+          .as("n_pass_all"))
+  }
+  private val q156Sql = {
+    val stopList = TextAnalysis.StopwordSets.flatMap(_._2).distinct.sorted
+      .map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH f AS (SELECT source,
+       |    CASE WHEN len($WsSplit) < 50 OR len($WsSplit) > 100000
+       |         THEN 1 ELSE 0 END AS f_nwords,
+       |    CASE WHEN list_sum(list_transform($WsSplit, w -> len(w)))
+       |             / CAST(len($WsSplit) AS DOUBLE) < 3.0
+       |           OR list_sum(list_transform($WsSplit, w -> len(w)))
+       |             / CAST(len($WsSplit) AS DOUBLE) > 10.0
+       |         THEN 1 ELSE 0 END AS f_wordlen,
+       |    CASE WHEN len(list_filter($WsSplit, w ->
+       |             NOT regexp_matches(substr(w, 1, 1), '[A-Za-z0-9]')))
+       |             / CAST(len($WsSplit) AS DOUBLE) > 0.1
+       |         THEN 1 ELSE 0 END AS f_punct,
+       |    CASE WHEN len(list_intersect($WsSplit, $stopList)) < 2
+       |         THEN 1 ELSE 0 END AS f_stopword,
+       |    CASE WHEN len(list_filter($WsSplit, w ->
+       |             regexp_matches(w, '[A-Za-z]')))
+       |             / CAST(len($WsSplit) AS DOUBLE) < 0.8
+       |         THEN 1 ELSE 0 END AS f_alpha
+       |  FROM documents)
+       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(f_nwords) AS BIGINT) AS n_fail_nwords,
+       |  CAST(SUM(f_wordlen) AS BIGINT) AS n_fail_wordlen,
+       |  CAST(SUM(f_punct) AS BIGINT) AS n_fail_punct,
+       |  CAST(SUM(f_stopword) AS BIGINT) AS n_fail_stopword,
+       |  CAST(SUM(f_alpha) AS BIGINT) AS n_fail_alpha,
+       |  CAST(SUM(CASE WHEN f_nwords + f_wordlen + f_punct + f_stopword
+       |                     + f_alpha = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_pass_all
+       |FROM f GROUP BY 1""".stripMargin
+  }
+
+  // --------------------------------------------------------- q158
+  /** Vocabulary coverage curve: the fraction of total token mass
+    * covered by the top-k most frequent tokens, k ∈ {100, 1000,
+    * 10000} — the diagnostic a tokenizer-vocab design reads (how much
+    * of the corpus does a k-entry vocabulary already explain?). Global
+    * frequency rank comes from [[Layout.globalRank]] — the two-pass
+    * range-exchange rank, NOT a single-task global window — and the
+    * coverage sums are exact BIGINT conditional sums over the ranked
+    * vocab; one final 1-row division per k. */
+  private val CoverageKs = Seq(100, 1000, 10000)
+  private def q158(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val vocab = Tables.documents(s, dir)
+      .select(explode(Dedup.words(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    val ranked = Layout.globalRank(vocab, col("freq").desc, col("w").asc)
+    val aggCols = count(lit(1)).as("n_vocab") +:
+      sum(col("freq")).as("total") +:
+      CoverageKs.map(k =>
+        sum(when(col("rank") <= k, col("freq")).otherwise(0L)).as(s"m$k"))
+    val sums = ranked.agg(aggCols.head, aggCols.tail: _*)
+    val ks = CoverageKs.map(_.toLong).toDF("k")
+    ks.crossJoin(broadcast(sums))
+      .select(col("k"), col("n_vocab"), col("total").as("total_tokens"),
+        round(CoverageKs.foldRight(lit(0.0)) { (kk, acc) =>
+          when(col("k") === kk, col(s"m$kk").cast("double") / col("total"))
+            .otherwise(acc)
+        }, 6).as("coverage"))
+  }
+  private val q158Sql = {
+    val mCols = CoverageKs.map(k =>
+      s"CAST(SUM(CASE WHEN rank <= $k THEN freq ELSE 0 END) AS BIGINT) AS m$k")
+      .mkString(",\n|    ")
+    val kRows = CoverageKs.map(k => s"(${k}::BIGINT)").mkString(", ")
+    val cover = CoverageKs.map(k =>
+      s"WHEN k = $k THEN m$k / CAST(total AS DOUBLE)")
+      .mkString("CASE ", " ", " ELSE 0.0 END")
+    s"""WITH vocab AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest($WsSplit) AS w FROM documents) GROUP BY 1),
+       |ranked AS (SELECT freq,
+       |    ROW_NUMBER() OVER (ORDER BY freq DESC, w ASC) AS rank
+       |  FROM vocab),
+       |sums AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vocab,
+       |    CAST(SUM(freq) AS BIGINT) AS total,
+       |    $mCols
+       |  FROM ranked),
+       |ks(k) AS (VALUES $kRows)
+       |SELECT k, n_vocab, total AS total_tokens,
+       |  round($cover, 6) AS coverage
+       |FROM ks CROSS JOIN sums""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q26_dedup_exact" -> q26 _,
     "q27_minhash_bands" -> q27 _,
@@ -3133,7 +3266,9 @@ object LlmQueries {
     "q151_temperature_mix" -> q151 _,
     "q152_sentence_dedup" -> q152 _,
     "q153_tokenizer_fertility" -> q153 _,
-    "q154_calibration_bins" -> q154 _)
+    "q154_calibration_bins" -> q154 _,
+    "q156_gopher_rules" -> q156 _,
+    "q158_vocab_coverage" -> q158 _)
 
   val oracles: Map[String, String] = Map(
     "q26_dedup_exact" -> q26Sql,
@@ -3226,5 +3361,7 @@ object LlmQueries {
     "q151_temperature_mix" -> q151Sql,
     "q152_sentence_dedup" -> q152Sql,
     "q153_tokenizer_fertility" -> q153Sql,
-    "q154_calibration_bins" -> q154Sql)
+    "q154_calibration_bins" -> q154Sql,
+    "q156_gopher_rules" -> q156Sql,
+    "q158_vocab_coverage" -> q158Sql)
 }

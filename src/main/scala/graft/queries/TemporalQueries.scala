@@ -277,6 +277,49 @@ object TemporalQueries {
        |  round(CAST(SUM(c) AS BIGINT)::DOUBLE / 1e9, 6) AS decay_score
        |FROM c GROUP BY 1""".stripMargin
 
+  // --------------------------------------------------------- q157
+  /** Per-type inter-event gap profile: count, exact mean, and exact
+    * interpolated p50/p90 of the microsecond gaps between consecutive
+    * events of the same type — the arrival-process fingerprint an
+    * ingest monitor baselines before alerting on it (q124 flags
+    * volume anomalies; this profiles cadence). Deterministic lag order
+    * is (ts, event_id); gaps are exact BIGINT microseconds, the mean
+    * divides two exact integers once, and the percentile pairing
+    * (Spark `percentile` ↔ DuckDB `quantile_cont`, both linear
+    * interpolation on the sorted set) is the q93-proven one. One keyed
+    * window + one keyed aggregation. */
+  private def q157(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    val gaps = Tables.events(s, dir)
+      .select(col("event_type"), col("ts"), col("event_id"))
+      .withColumn("prev", lag(col("ts"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("event_type"),
+        (unix_micros(col("ts")) - unix_micros(col("prev"))).as("gap_us"))
+    gaps.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_gaps"), sum(col("gap_us")).as("sum_us"),
+        expr("percentile(gap_us, 0.5D)").as("p50_us"),
+        expr("percentile(gap_us, 0.9D)").as("p90_us"))
+      .select(col("event_type"), col("n_gaps"),
+        round(col("sum_us").cast("double") / col("n_gaps") / lit(1e6), 6)
+          .as("mean_gap_s"),
+        round(col("p50_us") / lit(1e6), 6).as("p50_gap_s"),
+        round(col("p90_us") / lit(1e6), 6).as("p90_gap_s"))
+  }
+  private val q157Sql =
+    """WITH g AS (
+      |  SELECT event_type,
+      |    epoch_us(ts) - epoch_us(lag(ts, 1) OVER (
+      |      PARTITION BY event_type ORDER BY ts, event_id)) AS gap_us
+      |  FROM events QUALIFY gap_us IS NOT NULL)
+      |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+      |  round(CAST(SUM(gap_us) AS BIGINT)::DOUBLE / COUNT(*) / 1e6, 6)
+      |    AS mean_gap_s,
+      |  round(quantile_cont(gap_us, 0.5) / 1e6, 6) AS p50_gap_s,
+      |  round(quantile_cont(gap_us, 0.9) / 1e6, 6) AS p90_gap_s
+      |FROM g GROUP BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q46_asof_join" -> q46 _,
     "q47_range_join" -> q47 _,
@@ -287,7 +330,8 @@ object TemporalQueries {
     "q101_interval_overlap" -> q101 _,
     "q102_rolling_actives" -> q102 _,
     "q124_count_anomaly" -> q124 _,
-    "q155_decay_activity" -> q155 _)
+    "q155_decay_activity" -> q155 _,
+    "q157_interevent_gaps" -> q157 _)
 
   val oracles: Map[String, String] = Map(
     "q46_asof_join" -> q46Sql,
@@ -299,5 +343,6 @@ object TemporalQueries {
     "q101_interval_overlap" -> q101Sql,
     "q102_rolling_actives" -> q102Sql,
     "q124_count_anomaly" -> q124Sql,
-    "q155_decay_activity" -> q155Sql)
+    "q155_decay_activity" -> q155Sql,
+    "q157_interevent_gaps" -> q157Sql)
 }

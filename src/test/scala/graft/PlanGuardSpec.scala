@@ -32,7 +32,8 @@ class PlanGuardSpec extends SparkSpec {
     "q149_tfidf_neighbors", // corpus doc count: exactly one aggregate row
     "q150_dsir_weights", // LM totals: exactly one aggregate row
     "q151_temperature_mix", // corpus total + normalizer: 1-row sides
-    "q155_decay_activity") // anchor timestamp: exactly one aggregate row
+    "q155_decay_activity", // anchor timestamp: exactly one aggregate row
+    "q158_vocab_coverage") // coverage sums: exactly one aggregate row
 
   test("no query plans a cartesian product; nested loops only where bounded") {
     val dir = "/root/testdata/sf0.001"
