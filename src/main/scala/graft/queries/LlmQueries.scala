@@ -3056,7 +3056,9 @@ object LlmQueries {
     * array math on the scan (zero shuffle); one source-keyed rollup.
     * Complements q34 (a composite score) and q75 (mass report): this
     * is the per-rule diagnostic a filter-tuning pass reads. */
-  private def q156(s: SparkSession, dir: String): DataFrame = {
+  /** The five Gopher rule FAIL flags as (name, 0/1 column) — shared by
+    * q156 (per-rule report) and q159 (funnel stage 1). */
+  private def gopherFailCols: Seq[(String, org.apache.spark.sql.Column)] = {
     val allStops = TextAnalysis.StopwordSets.flatMap(_._2).distinct.sorted
     val ws = Dedup.words(col("text"))
     val nw = size(ws)
@@ -3070,13 +3072,40 @@ object LlmQueries {
       array(allStops.map(lit): _*)))
     val alphaFrac = size(filter(ws, w => w.rlike("[A-Za-z]")))
       .cast("double") / nw.cast("double")
+    Seq(
+      "f_nwords" -> (nw < 50 || nw > 100000).cast("long"),
+      "f_wordlen" -> (meanLen < 3.0 || meanLen > 10.0).cast("long"),
+      "f_punct" -> (punct > 0.1).cast("long"),
+      "f_stopword" -> (nStops < 2).cast("long"),
+      "f_alpha" -> (alphaFrac < 0.8).cast("long"))
+  }
+  /** DuckDB mirrors of [[gopherFailCols]], same names and order. */
+  private def gopherFailSql: Seq[(String, String)] = {
+    val stopList = TextAnalysis.StopwordSets.flatMap(_._2).distinct.sorted
+      .map(w => s"'$w'").mkString("[", ", ", "]")
+    Seq(
+      "f_nwords" -> s"""CASE WHEN len($WsSplit) < 50 OR len($WsSplit) > 100000
+         THEN 1 ELSE 0 END""",
+      "f_wordlen" -> s"""CASE WHEN list_sum(list_transform($WsSplit, w -> len(w)))
+             / CAST(len($WsSplit) AS DOUBLE) < 3.0
+           OR list_sum(list_transform($WsSplit, w -> len(w)))
+             / CAST(len($WsSplit) AS DOUBLE) > 10.0
+         THEN 1 ELSE 0 END""",
+      "f_punct" -> s"""CASE WHEN len(list_filter($WsSplit, w ->
+             NOT regexp_matches(substr(w, 1, 1), '[A-Za-z0-9]')))
+             / CAST(len($WsSplit) AS DOUBLE) > 0.1
+         THEN 1 ELSE 0 END""",
+      "f_stopword" -> s"""CASE WHEN len(list_intersect($WsSplit, $stopList)) < 2
+         THEN 1 ELSE 0 END""",
+      "f_alpha" -> s"""CASE WHEN len(list_filter($WsSplit, w ->
+             regexp_matches(w, '[A-Za-z]')))
+             / CAST(len($WsSplit) AS DOUBLE) < 0.8
+         THEN 1 ELSE 0 END""")
+  }
+  private def q156(s: SparkSession, dir: String): DataFrame = {
     Tables.documents(s, dir)
-      .select(col("source"),
-        (nw < 50 || nw > 100000).cast("long").as("f_nwords"),
-        (meanLen < 3.0 || meanLen > 10.0).cast("long").as("f_wordlen"),
-        (punct > 0.1).cast("long").as("f_punct"),
-        (nStops < 2).cast("long").as("f_stopword"),
-        (alphaFrac < 0.8).cast("long").as("f_alpha"))
+      .select(col("source") +:
+        gopherFailCols.map { case (n, c) => c.as(n) }: _*)
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("f_nwords")).as("n_fail_nwords"),
@@ -3089,26 +3118,10 @@ object LlmQueries {
           .as("n_pass_all"))
   }
   private val q156Sql = {
-    val stopList = TextAnalysis.StopwordSets.flatMap(_._2).distinct.sorted
-      .map(w => s"'$w'").mkString("[", ", ", "]")
+    val flagCols = gopherFailSql
+      .map { case (n, sql) => s"$sql AS $n" }.mkString(",\n|    ")
     s"""WITH f AS (SELECT source,
-       |    CASE WHEN len($WsSplit) < 50 OR len($WsSplit) > 100000
-       |         THEN 1 ELSE 0 END AS f_nwords,
-       |    CASE WHEN list_sum(list_transform($WsSplit, w -> len(w)))
-       |             / CAST(len($WsSplit) AS DOUBLE) < 3.0
-       |           OR list_sum(list_transform($WsSplit, w -> len(w)))
-       |             / CAST(len($WsSplit) AS DOUBLE) > 10.0
-       |         THEN 1 ELSE 0 END AS f_wordlen,
-       |    CASE WHEN len(list_filter($WsSplit, w ->
-       |             NOT regexp_matches(substr(w, 1, 1), '[A-Za-z0-9]')))
-       |             / CAST(len($WsSplit) AS DOUBLE) > 0.1
-       |         THEN 1 ELSE 0 END AS f_punct,
-       |    CASE WHEN len(list_intersect($WsSplit, $stopList)) < 2
-       |         THEN 1 ELSE 0 END AS f_stopword,
-       |    CASE WHEN len(list_filter($WsSplit, w ->
-       |             regexp_matches(w, '[A-Za-z]')))
-       |             / CAST(len($WsSplit) AS DOUBLE) < 0.8
-       |         THEN 1 ELSE 0 END AS f_alpha
+       |    $flagCols
        |  FROM documents)
        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
        |  CAST(SUM(f_nwords) AS BIGINT) AS n_fail_nwords,
@@ -3174,6 +3187,147 @@ object LlmQueries {
        |  round($cover, 6) AS coverage
        |FROM ks CROSS JOIN sums""".stripMargin
   }
+
+  // --------------------------------------------------------- q159
+  /** Filter funnel — the stage-by-stage survival report every curation
+    * run publishes before committing a policy: per source, how many
+    * documents survive (1) the Gopher structural rules, (2) AND
+    * exact-dup first-occurrence keep (md5 canonical, min doc_id wins),
+    * (3) AND a quality-score floor. Stages are CUMULATIVE — the
+    * waterfall a policy owner reads to see which stage costs which
+    * source. Flags are scan-side row math; the dedup stage is one
+    * hash-keyed aggregation + keyed join; one source rollup. */
+  private val FunnelQualityFloor = 0.5
+  private def q159(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        (gopherFailCols.map(_._2).reduce(_ + _) === 0).as("gopher_ok"),
+        md5(col("text")).as("ck"),
+        (TextAnalysis.qualityScore(col("text"), col("n_chars"))
+          >= FunnelQualityFloor).as("quality_ok"))
+    val firsts = docs.groupBy(col("ck")).agg(min(col("doc_id")).as("keep_id"))
+    docs.join(firsts, Seq("ck"))
+      .select(col("source"), col("gopher_ok"),
+        (col("doc_id") === col("keep_id")).as("first_ok"), col("quality_ok"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("gopher_ok"), 1L).otherwise(0L)).as("n_after_gopher"),
+        sum(when(col("gopher_ok") && col("first_ok"), 1L).otherwise(0L))
+          .as("n_after_dedup"),
+        sum(when(col("gopher_ok") && col("first_ok") && col("quality_ok"),
+          1L).otherwise(0L)).as("n_after_quality"))
+  }
+  private val q159Sql = {
+    val failSum = gopherFailSql.map(_._2).mkString("(", " + ", ")")
+    s"""WITH d AS (SELECT doc_id, source,
+       |    $failSum = 0 AS gopher_ok,
+       |    md5(text) AS ck,
+       |    round((len_band + word_band + (1.0 - least(punct * 4, 1.0))) / 3.0, 4)
+       |      >= $FunnelQualityFloor AS quality_ok
+       |  FROM (
+       |    SELECT doc_id, source, text,
+       |      len(list_filter(list_transform($WsSplit, w -> substr(w, 1, 1)),
+       |          c -> NOT regexp_matches(c, '[A-Za-z0-9]')))::DOUBLE
+       |        / greatest(len($WsSplit), 1) AS punct,
+       |      CASE WHEN n_chars BETWEEN 100 AND 400 THEN 1.0
+       |           WHEN n_chars BETWEEN 50 AND 99 OR n_chars BETWEEN 401 AND 600 THEN 0.5
+       |           ELSE 0.0 END AS len_band,
+       |      CASE WHEN n_chars::DOUBLE / greatest(len($WsSplit), 1) BETWEEN 3.0 AND 8.0
+       |           THEN 1.0 ELSE 0.5 END AS word_band
+       |    FROM documents)),
+       |firsts AS (SELECT ck, MIN(doc_id) AS keep_id FROM d GROUP BY 1)
+       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(CASE WHEN gopher_ok THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_after_gopher,
+       |  CAST(SUM(CASE WHEN gopher_ok AND doc_id = keep_id
+       |                THEN 1 ELSE 0 END) AS BIGINT) AS n_after_dedup,
+       |  CAST(SUM(CASE WHEN gopher_ok AND doc_id = keep_id AND quality_ok
+       |                THEN 1 ELSE 0 END) AS BIGINT) AS n_after_quality
+       |FROM d JOIN firsts USING (ck) GROUP BY 1""".stripMargin
+  }
+
+  // --------------------------------------------------------- q160
+  /** Shard-skew report: split the corpus into 32 md5-hash shards (the
+    * q57 deterministic bucketing at export fan-out width) and report
+    * the token-mass balance — min/max shard mass and the max/mean skew
+    * ratio. The health check a shard-layout owner reads before a
+    * training run: skew ≈ 1 means every writer finishes together. One
+    * scan-side bucket projection, one 32-key aggregation, one 1-row
+    * rollup; skew is one double division over exact integer masses. */
+  private val SkewShards = 32
+  private def q160(s: SparkSession, dir: String): DataFrame = {
+    val bucket = conv(substring(md5(col("text")), 1, 6), 16, 10)
+      .cast("long") % SkewShards
+    val shards = Tables.documents(s, dir)
+      .select(bucket.as("shard"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("toks"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
+    shards.agg(count(lit(1)).as("n_shards"),
+        min(col("n_tokens")).as("min_tokens"),
+        max(col("n_tokens")).as("max_tokens"),
+        sum(col("n_tokens")).as("total_tokens"))
+      .select(col("n_shards"), col("min_tokens"), col("max_tokens"),
+        col("total_tokens"),
+        round((col("max_tokens") * col("n_shards")).cast("double") /
+          col("total_tokens"), 6).as("skew"))
+  }
+  private val q160Sql =
+    s"""WITH shards AS (
+       |  SELECT ('0x' || substr(md5(text), 1, 6))::BIGINT % $SkewShards AS shard,
+       |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(len($WsSplit)) AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY 1)
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_shards,
+       |  CAST(MIN(n_tokens) AS BIGINT) AS min_tokens,
+       |  CAST(MAX(n_tokens) AS BIGINT) AS max_tokens,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       |  round(CAST(MAX(n_tokens) * COUNT(*) AS DOUBLE)
+       |    / CAST(SUM(n_tokens) AS BIGINT), 6) AS skew
+       |FROM shards""".stripMargin
+
+  // --------------------------------------------------------- q161
+  /** Near-dup cluster size histogram: the q50 transitive clusters
+    * rolled up to (cluster size → number of clusters) — the one-table
+    * summary that says whether near-duplication is pairwise noise
+    * (all size 2) or template farms (fat clusters), and the sanity
+    * gauge for LSH parameter choices (q144). Adds two tiny keyed
+    * aggregations on top of the q50 component labels. */
+  private def q161(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val bands = Dedup
+      .bandKeys(docs, "text", "doc_id", Bands, RowsPerBand, ShingleK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = Dedup
+      .jaccardVerify(Dedup.candidatePairs(bands), docs, "text", "doc_id",
+        JaccardThreshold)
+      .select(col("id_a"), col("id_b"))
+    Dedup.connectedComponents(pairs)
+      .groupBy(col("cluster")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+  }
+  private val q161Sql =
+    s"""WITH RECURSIVE $BandsCte,
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+       |sets AS (SELECT doc_id, list_distinct($WsSplit) AS toks FROM documents),
+       |vpairs AS (
+       |  SELECT id_a, id_b
+       |  FROM pairs JOIN sets sa ON id_a = sa.doc_id JOIN sets sb ON id_b = sb.doc_id
+       |  WHERE len(list_intersect(sa.toks, sb.toks))::DOUBLE /
+       |        len(list_distinct(list_concat(sa.toks, sb.toks))) >= $JaccardThreshold),
+       |edges AS (SELECT id_a AS s, id_b AS d FROM vpairs
+       |          UNION ALL SELECT id_b, id_a FROM vpairs),
+       |reach AS (SELECT DISTINCT s AS node, s AS r FROM edges
+       |          UNION
+       |          SELECT e.s, r.r FROM edges e JOIN reach r ON r.node = e.d),
+       |labels AS (SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node),
+       |sizes AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+       |          FROM labels GROUP BY 1)
+       |SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
+       |FROM sizes GROUP BY 1""".stripMargin
 
   val queries: Map[String, Q] = Map(
     "q26_dedup_exact" -> q26 _,
@@ -3268,7 +3422,10 @@ object LlmQueries {
     "q153_tokenizer_fertility" -> q153 _,
     "q154_calibration_bins" -> q154 _,
     "q156_gopher_rules" -> q156 _,
-    "q158_vocab_coverage" -> q158 _)
+    "q158_vocab_coverage" -> q158 _,
+    "q159_filter_funnel" -> q159 _,
+    "q160_shard_skew" -> q160 _,
+    "q161_cluster_size_hist" -> q161 _)
 
   val oracles: Map[String, String] = Map(
     "q26_dedup_exact" -> q26Sql,
@@ -3363,5 +3520,8 @@ object LlmQueries {
     "q153_tokenizer_fertility" -> q153Sql,
     "q154_calibration_bins" -> q154Sql,
     "q156_gopher_rules" -> q156Sql,
-    "q158_vocab_coverage" -> q158Sql)
+    "q158_vocab_coverage" -> q158Sql,
+    "q159_filter_funnel" -> q159Sql,
+    "q160_shard_skew" -> q160Sql,
+    "q161_cluster_size_hist" -> q161Sql)
 }
