@@ -3329,6 +3329,35 @@ object LlmQueries {
        |SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
        |FROM sizes GROUP BY 1""".stripMargin
 
+  // --------------------------------------------------------- q162
+  /** Language-id confusion matrix: the q33 stopword-argmax predictor
+    * cross-tabulated against the labeled lang column — the audit that
+    * says WHERE the cheap classifier misfires (and the q154 pattern
+    * applied to the lexical side of the house). One scan-side
+    * prediction + one (label, pred)-keyed aggregation bounded by
+    * |langs|² + 1 rows. */
+  private def q162(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("lang"), TextAnalysis.langId(col("text")).as("lang_pred"))
+      .groupBy(col("lang"), col("lang_pred"))
+      .agg(count(lit(1)).as("n_docs"))
+  private val q162Sql = {
+    val scoreCols = TextAnalysis.StopwordSets.map { case (lang, sw) =>
+      val swList = sw.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"len(list_filter($WsSplit, w -> list_contains($swList, w)))::DOUBLE / greatest(len($WsSplit), 1) AS s_$lang"
+    }
+    val langsDesc = TextAnalysis.StopwordSets.map(_._1).sorted.reverse
+    val best = s"greatest(${TextAnalysis.StopwordSets.map(l => s"s_${l._1}").mkString(", ")})"
+    val pick = langsDesc.init
+      .map(l => s"WHEN s_$l = $best THEN '$l'")
+      .mkString(" ")
+    s"""WITH p AS (SELECT lang,
+       |    CASE WHEN $best = 0 THEN 'und' $pick ELSE '${langsDesc.last}' END AS lang_pred
+       |  FROM (SELECT lang, ${scoreCols.mkString(", ")} FROM documents))
+       |SELECT lang, lang_pred, CAST(COUNT(*) AS BIGINT) AS n_docs
+       |FROM p GROUP BY 1, 2""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q26_dedup_exact" -> q26 _,
     "q27_minhash_bands" -> q27 _,
@@ -3425,7 +3454,8 @@ object LlmQueries {
     "q158_vocab_coverage" -> q158 _,
     "q159_filter_funnel" -> q159 _,
     "q160_shard_skew" -> q160 _,
-    "q161_cluster_size_hist" -> q161 _)
+    "q161_cluster_size_hist" -> q161 _,
+    "q162_langid_confusion" -> q162 _)
 
   val oracles: Map[String, String] = Map(
     "q26_dedup_exact" -> q26Sql,
@@ -3523,5 +3553,6 @@ object LlmQueries {
     "q158_vocab_coverage" -> q158Sql,
     "q159_filter_funnel" -> q159Sql,
     "q160_shard_skew" -> q160Sql,
-    "q161_cluster_size_hist" -> q161Sql)
+    "q161_cluster_size_hist" -> q161Sql,
+    "q162_langid_confusion" -> q162Sql)
 }

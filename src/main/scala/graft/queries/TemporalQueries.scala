@@ -320,6 +320,86 @@ object TemporalQueries {
       |  round(quantile_cont(gap_us, 0.9) / 1e6, 6) AS p90_gap_s
       |FROM g GROUP BY 1""".stripMargin
 
+  // --------------------------------------------------------- q163
+  /** Per-type daily burstiness (Fano factor — variance over mean of
+    * the daily counts): the dispersion diagnostic next to q124 (flags
+    * single-day anomalies) and q157 (profiles gaps) — a Poisson-like
+    * ingest sits near 1, batchy/bursty feeds blow past it. Daily
+    * counts are exact BIGINTs; n/Σ/Σ² make both moments in one more
+    * aggregation, and the Fano value is ONE fixed double expression
+    * over exact integers (the q124 z-score discipline). Needs ≥ 2
+    * observed days and nonzero mass. */
+  private def q163(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"), sum(col("cnt")).as("s"),
+        sum(col("cnt") * col("cnt")).as("ss"))
+      .filter(col("n_days") >= 2 && col("s") > 0)
+      .select(col("event_type"), col("n_days"), col("s").as("n_events"),
+        round(((col("ss") - (col("s") * col("s")).cast("double") /
+          col("n_days")) / (col("n_days") - 1)) /
+          (col("s").cast("double") / col("n_days")), 6).as("fano"))
+  }
+  private val q163Sql =
+    """WITH daily AS (
+      |  SELECT event_type, date_trunc('day', ts) AS day,
+      |         CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+      |        CAST(SUM(cnt) AS BIGINT) AS s,
+      |        CAST(SUM(cnt * cnt) AS BIGINT) AS ss
+      |      FROM daily GROUP BY 1)
+      |SELECT event_type, n_days, s AS n_events,
+      |  round(((ss - (s * s)::DOUBLE / n_days) / (n_days - 1)) /
+      |        (s::DOUBLE / n_days), 6) AS fano
+      |FROM m WHERE n_days >= 2 AND s > 0""".stripMargin
+
+  // --------------------------------------------------------- q164
+  /** Cross-type user-overlap matrix: Jaccard of the DISTINCT user sets
+    * between every pair of event types — the co-engagement diagnostic
+    * (do purchasers also click?) and the same inclusion–exclusion
+    * shape a cross-dataset contamination check runs on user ids. One
+    * distinct pass, one user-keyed self-join that only pairs
+    * type_a < type_b, two |types|-sized broadcast joins; Jaccard is
+    * one double division over exact integers. */
+  private def q164(s: SparkSession, dir: String): DataFrame = {
+    val sets = Tables.events(s, dir)
+      .select(col("event_type"), col("user_id")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = sets.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("sz"))
+    val inter = sets.select(col("event_type").as("type_a"), col("user_id"))
+      .join(sets.select(col("event_type").as("type_b"), col("user_id")),
+        Seq("user_id"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(broadcast(sizes.select(col("event_type").as("type_a"),
+        col("sz").as("sz_a"))), Seq("type_a"))
+      .join(broadcast(sizes.select(col("event_type").as("type_b"),
+        col("sz").as("sz_b"))), Seq("type_b"))
+      .select(col("type_a"), col("type_b"), col("n_common"),
+        round(col("n_common").cast("double") /
+          (col("sz_a") + col("sz_b") - col("n_common")), 6).as("jaccard"))
+  }
+  private val q164Sql =
+    """WITH sets AS (SELECT DISTINCT event_type, user_id FROM events),
+      |sizes AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS sz
+      |          FROM sets GROUP BY 1),
+      |inter AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |    CAST(COUNT(*) AS BIGINT) AS n_common
+      |  FROM sets a JOIN sets b ON a.user_id = b.user_id
+      |    AND a.event_type < b.event_type
+      |  GROUP BY 1, 2)
+      |SELECT type_a, type_b, n_common,
+      |  round(n_common::DOUBLE / (sa.sz + sb.sz - n_common), 6) AS jaccard
+      |FROM inter
+      |JOIN sizes sa ON sa.event_type = type_a
+      |JOIN sizes sb ON sb.event_type = type_b""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q46_asof_join" -> q46 _,
     "q47_range_join" -> q47 _,
@@ -331,7 +411,9 @@ object TemporalQueries {
     "q102_rolling_actives" -> q102 _,
     "q124_count_anomaly" -> q124 _,
     "q155_decay_activity" -> q155 _,
-    "q157_interevent_gaps" -> q157 _)
+    "q157_interevent_gaps" -> q157 _,
+    "q163_burstiness" -> q163 _,
+    "q164_user_overlap" -> q164 _)
 
   val oracles: Map[String, String] = Map(
     "q46_asof_join" -> q46Sql,
@@ -344,5 +426,7 @@ object TemporalQueries {
     "q102_rolling_actives" -> q102Sql,
     "q124_count_anomaly" -> q124Sql,
     "q155_decay_activity" -> q155Sql,
-    "q157_interevent_gaps" -> q157Sql)
+    "q157_interevent_gaps" -> q157Sql,
+    "q163_burstiness" -> q163Sql,
+    "q164_user_overlap" -> q164Sql)
 }
