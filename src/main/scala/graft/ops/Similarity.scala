@@ -1037,4 +1037,49 @@ object Similarity {
     scores.zipWithIndex
       .map { case (s, c) => struct(s.as("s"), lit(c).as("c")) }
       .reduceLeft((a, b) => when(b("s") > a("s"), b).otherwise(a))
+
+  /** Leading principal direction of the (uncentered) Gram matrix XᵀX
+    * by DISTRIBUTED power iteration — the dimensionality-reduction /
+    * whitening primitive a 100 TB embedding store runs without ever
+    * materializing a d×d matrix: each round is one corpus pass
+    * computing, per row, the scalar s = x·v (an unrolled literal dot
+    * in the scan projection — the q135 [[linearScores]] shape) and,
+    * per dimension, t_j = Σ_rows x_j·s. Nothing but the d-vector ever
+    * reaches the driver (the k-means codebook discipline).
+    *
+    * Determinism (the q130/q137 discipline): every per-row
+    * contribution x_j·s is rounded to a 1e6-scaled long BEFORE the
+    * per-dimension sum — long addition is associative, so t is
+    * bit-identical on any partitioning — and the normalization
+    * divides exact longs by `sqrt(Σ t²)` computed in BigInt, one
+    * fixed double expression an oracle replays. Init is the uniform
+    * unit vector 1/√d (exactly representable when d is a power of
+    * two), so runs are seed-free reproducible.
+    *
+    * Output: (pos, loading) — the unit-norm component after `iters`
+    * rounds, pos 0-based, loading rounded 6. */
+  def powerIterationPC1(corpus: DataFrame, vecCol: String, dims: Int,
+      iters: Int): DataFrame = {
+    require(dims > 0, s"dims must be positive, got $dims")
+    require(iters >= 1 && iters <= 10, s"iters must be in [1,10], got $iters")
+    var v: Seq[Double] = Seq.fill(dims)(1.0 / math.sqrt(dims.toDouble))
+    for (_ <- 1 to iters) {
+      val s = linearScores(col(vecCol), Seq(v), Seq(0.0)).head
+      val ts = corpus
+        .select(toDouble(col(vecCol)).as("xv"), s.as("s"))
+        .select(col("s"), posexplode(col("xv")).as(Seq("pos", "x")))
+        .select(col("pos"),
+          round(col("x") * col("s") * lit(1e6), 0).cast("long").as("c"))
+        .groupBy(col("pos")).agg(sum(col("c")).as("t"))
+        .collect()                       // bounded: exactly `dims` rows
+        .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1).map(_._2).toSeq
+      val nrm = math.sqrt(ts.map(t => BigInt(t) * BigInt(t)).sum.toDouble)
+      v = ts.map(_.toDouble / nrm)
+    }
+    val sp = corpus.sparkSession
+    import sp.implicits._
+    v.zipWithIndex.map { case (l, p) =>
+      (p, BigDecimal(l).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toDF("pos", "loading")
+  }
 }

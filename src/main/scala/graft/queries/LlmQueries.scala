@@ -3358,6 +3358,75 @@ object LlmQueries {
        |FROM p GROUP BY 1, 2""".stripMargin
   }
 
+  // --------------------------------------------------------- q165
+  /** Leading principal direction of the embedding Gram matrix by
+    * distributed power iteration ([[Similarity.powerIterationPC1]],
+    * 2 rounds, uniform 1/√64 init — exactly 0.125, a binary
+    * fraction): the PCA primitive a whitening / dim-reduction pass
+    * runs at corpus scale with nothing but a 64-vector on the
+    * driver. The oracle unrolls both rounds CTE-by-CTE (the q137
+    * discipline): per-row dot, 1e6-scaled-long per-dimension sums,
+    * BigInt/HUGEINT norm, one double division. */
+  private val PowerIters = 2
+  private def q165(s: SparkSession, dir: String): DataFrame =
+    Similarity.powerIterationPC1(Tables.embeddings(s, dir), "embedding",
+      ClfDims, PowerIters)
+  private val q165Sql = {
+    val v0 = Seq.fill(ClfDims)("0.125").mkString("[", ", ", "]")
+    s"""WITH x AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+       |s1 AS (SELECT v, list_dot_product(v, $v0) AS s FROM x),
+       |c1 AS (SELECT p, CAST(round(v[p + 1] * s * 1e6) AS BIGINT) AS c
+       |       FROM s1, generate_series(0, ${ClfDims - 1}) AS g(p)),
+       |t1 AS (SELECT p, CAST(SUM(c) AS BIGINT) AS t FROM c1 GROUP BY 1),
+       |n1 AS (SELECT sqrt(CAST(SUM(t * t) AS DOUBLE)) AS nrm FROM t1),
+       |v1 AS (SELECT p, CAST(t AS DOUBLE) / nrm AS vj
+       |       FROM t1 CROSS JOIN n1),
+       |v1l AS (SELECT list(vj ORDER BY p) AS vl FROM v1),
+       |s2 AS (SELECT x.v, list_dot_product(x.v, v1l.vl) AS s
+       |       FROM x CROSS JOIN v1l),
+       |c2 AS (SELECT p, CAST(round(v[p + 1] * s * 1e6) AS BIGINT) AS c
+       |       FROM s2, generate_series(0, ${ClfDims - 1}) AS g(p)),
+       |t2 AS (SELECT p, CAST(SUM(c) AS BIGINT) AS t FROM c2 GROUP BY 1),
+       |n2 AS (SELECT sqrt(CAST(SUM(t * t) AS DOUBLE)) AS nrm FROM t2)
+       |SELECT CAST(p AS INT) AS pos,
+       |  round(CAST(t AS DOUBLE) / nrm, 6) AS loading
+       |FROM t2 CROSS JOIN n2""".stripMargin
+  }
+
+  // --------------------------------------------------------- q166
+  /** Johnson–Lindenstrauss sign projection: embeddings down-projected
+    * 64 → 8 dims through a SEED-FREE ±1/√8 sign matrix (sign of the
+    * first md5 byte of "jl_k_j" — any engine rebuilds the identical
+    * matrix from the names alone, the q57/q63 md5 discipline). The
+    * cheap-ANN front end: distances are preserved in expectation, the
+    * projection is pure scan-side codegen (8 unrolled literal dots,
+    * zero shuffle, the q135 shape), and the matrix ships as 512
+    * literals — no driver state at all. */
+  private val JlOutDims = 8
+  private val JlSigns: Seq[Seq[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val scale = 1.0 / math.sqrt(JlOutDims.toDouble)
+    (0 until JlOutDims).map(k => (0 until ClfDims).map { j =>
+      val h = md.digest(s"jl_${k}_$j".getBytes("UTF-8"))
+      if ((h(0) & 0x01) == 0) scale else -scale
+    })
+  }
+  private def q166(s: SparkSession, dir: String): DataFrame = {
+    val ys = Similarity.linearScores(col("embedding"), JlSigns,
+      Seq.fill(JlOutDims)(0.0))
+    Tables.embeddings(s, dir).select(
+      col("vec_id") +: ys.zipWithIndex.map { case (c, k) =>
+        round(c, 6).as(s"y$k") }: _*)
+  }
+  private val q166Sql = {
+    val yCols = JlSigns.zipWithIndex.map { case (row, k) =>
+      s"round(list_dot_product(v, ${row.mkString("[", ", ", "]")}), 6) AS y$k"
+    }.mkString(",\n|  ")
+    s"""SELECT vec_id,
+       |  $yCols
+       |FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q26_dedup_exact" -> q26 _,
     "q27_minhash_bands" -> q27 _,
@@ -3455,7 +3524,9 @@ object LlmQueries {
     "q159_filter_funnel" -> q159 _,
     "q160_shard_skew" -> q160 _,
     "q161_cluster_size_hist" -> q161 _,
-    "q162_langid_confusion" -> q162 _)
+    "q162_langid_confusion" -> q162 _,
+    "q165_power_iteration" -> q165 _,
+    "q166_jl_projection" -> q166 _)
 
   val oracles: Map[String, String] = Map(
     "q26_dedup_exact" -> q26Sql,
@@ -3554,5 +3625,7 @@ object LlmQueries {
     "q159_filter_funnel" -> q159Sql,
     "q160_shard_skew" -> q160Sql,
     "q161_cluster_size_hist" -> q161Sql,
-    "q162_langid_confusion" -> q162Sql)
+    "q162_langid_confusion" -> q162Sql,
+    "q165_power_iteration" -> q165Sql,
+    "q166_jl_projection" -> q166Sql)
 }

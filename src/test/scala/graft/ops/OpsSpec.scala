@@ -1272,4 +1272,48 @@ class OpsSpec extends SparkSpec {
       withClue(s"n=$n w=$w: ") { got shouldBe expect }
     }
   }
+
+  test("powerIterationPC1 matches a driver-side reference, finds the dominant " +
+      "direction, and is partition-order-invariant") {
+    // 8 vectors: strong mass along dim 0, a little along dim 2
+    val rows = Seq(
+      Seq(4.0f, 0.5f, 0.0f, 0.0f), Seq(3.5f, -0.5f, 1.0f, 0.0f),
+      Seq(4.5f, 0.0f, -1.0f, 0.5f), Seq(3.0f, 0.5f, 0.5f, -0.5f),
+      Seq(-4.0f, 0.5f, 1.0f, 0.0f), Seq(-3.5f, 0.0f, 0.5f, 0.5f),
+      Seq(0.5f, 2.0f, 3.0f, 0.0f), Seq(0.0f, -2.0f, 2.5f, 0.5f))
+    val df = rows.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("vec_id", "embedding")
+    val iters = 2; val d = 4
+
+    // sequential reference: same scaled-long recursion
+    var v = Seq.fill(d)(1.0 / math.sqrt(d.toDouble))
+    for (_ <- 1 to iters) {
+      // HALF_UP (away from zero), the round(col, 0) rule — math.round
+      // would disagree on exact negative .5 ties these fixtures can hit
+      val ts = (0 until d).map { j =>
+        rows.map { x =>
+          val s = x.zip(v).map { case (xi, vi) => xi.toDouble * vi }.sum
+          BigDecimal(x(j).toDouble * s * 1e6)
+            .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+        }.sum
+      }
+      val nrm = math.sqrt(ts.map(t => BigInt(t) * BigInt(t)).sum.toDouble)
+      v = ts.map(_.toDouble / nrm)
+    }
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expect = v.zipWithIndex.map { case (l, p) => (p, r6(l)) }.toSet
+
+    val got = Similarity.powerIterationPC1(df, "embedding", d, iters)
+      .as[(Int, Double)].collect().toSet
+    got shouldBe expect
+    // the unit vector points dominantly along dim 0
+    val m = got.toMap
+    math.abs(m(0)) should be > math.abs(m(1))
+    math.abs(m(0)) should be > math.abs(m(3))
+    math.abs(math.sqrt(m.values.map(x => x * x).sum) - 1.0) should be < 1e-5
+    // partitioning must not change a single bit
+    Similarity.powerIterationPC1(df.repartition(7), "embedding", d, iters)
+      .as[(Int, Double)].collect().toSet shouldBe got
+  }
 }
