@@ -3427,6 +3427,50 @@ object LlmQueries {
        |FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)""".stripMargin
   }
 
+  // --------------------------------------------------------- q167
+  /** Jaccard histogram over ALL LSH candidate pairs (no verify
+    * threshold): similarity mass bucketed in 0.05 steps — the curve a
+    * threshold-tuning pass reads next to q144's S-curve planner (how
+    * many pairs would each cut keep?) and the empirical check on the
+    * banding's candidate quality. The bucket is EXACT integer
+    * arithmetic — `(20·|∩|) div |∪|` — so no float edge can flicker a
+    * pair across buckets. Same band equi-join as q28; two keyed set
+    * joins; output bounded by 21 rows. */
+  private def q167(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val bands = Dedup
+      .bandKeys(docs, "text", "doc_id", Bands, RowsPerBand, ShingleK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sets = docs.select(col("doc_id"),
+      array_distinct(Dedup.words(col("text"))).as("toks"))
+    Dedup.candidatePairs(bands)
+      .join(sets.select(col("doc_id").as("id_a"), col("toks").as("ta")),
+        Seq("id_a"))
+      .join(sets.select(col("doc_id").as("id_b"), col("toks").as("tb")),
+        Seq("id_b"))
+      .select(expr("(20L * size(array_intersect(ta, tb))) div " +
+        "size(array_union(ta, tb))").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .select(col("bucket"), round(col("bucket") / lit(20.0), 2).as("jaccard_lo"),
+        col("n_pairs"))
+  }
+  private val q167Sql =
+    s"""WITH $BandsCte,
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+       |sets AS (SELECT doc_id, list_distinct($WsSplit) AS toks FROM documents),
+       |b AS (SELECT (20 * len(list_intersect(sa.toks, sb.toks)))
+       |        // len(list_distinct(list_concat(sa.toks, sb.toks))) AS bucket
+       |      FROM pairs JOIN sets sa ON id_a = sa.doc_id
+       |        JOIN sets sb ON id_b = sb.doc_id)
+       |SELECT CAST(bucket AS BIGINT) AS bucket,
+       |  round(bucket / 20.0, 2) AS jaccard_lo,
+       |  CAST(COUNT(*) AS BIGINT) AS n_pairs
+       |FROM b GROUP BY bucket""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q26_dedup_exact" -> q26 _,
     "q27_minhash_bands" -> q27 _,
@@ -3526,7 +3570,8 @@ object LlmQueries {
     "q161_cluster_size_hist" -> q161 _,
     "q162_langid_confusion" -> q162 _,
     "q165_power_iteration" -> q165 _,
-    "q166_jl_projection" -> q166 _)
+    "q166_jl_projection" -> q166 _,
+    "q167_jaccard_histogram" -> q167 _)
 
   val oracles: Map[String, String] = Map(
     "q26_dedup_exact" -> q26Sql,
@@ -3627,5 +3672,6 @@ object LlmQueries {
     "q161_cluster_size_hist" -> q161Sql,
     "q162_langid_confusion" -> q162Sql,
     "q165_power_iteration" -> q165Sql,
-    "q166_jl_projection" -> q166Sql)
+    "q166_jl_projection" -> q166Sql,
+    "q167_jaccard_histogram" -> q167Sql)
 }
