@@ -26,10 +26,15 @@ object Tables {
     * (surfaced as TIMESTAMP_NTZ). A loader hard-coded to one encoding
     * breaks every downstream query when the data lake re-encodes, so
     * branch on the schema Spark actually read and normalize both arms to
-    * the session TimestampType — the session timezone is UTC
-    * (GraftSession), making the NTZ→TZ cast value-identical and keeping
-    * the engine's results aligned with the DuckDB oracle's naive
-    * timestamps.
+    * TimestampType holding the instant whose UTC wall clock equals the
+    * stored naive value — matching the DuckDB oracle's naive timestamps.
+    * The NTZ arm routes through `convert_timezone('UTC', sessionTz, ts)`
+    * before the cast so the result is correct in ANY session timezone
+    * (a bare NTZ→TZ cast interprets the wall clock in the session zone:
+    * identical under GraftSession's UTC, silently shifted by hours in an
+    * embedding application's local-zone session — and the nanos arm's
+    * `timestamp_micros` is already zone-independent, so the two arms
+    * would otherwise disagree exactly when sessions go non-UTC).
     *
     * Nanos arm: floor to microseconds — the same truncation DuckDB/pandas
     * apply when downcasting ns→µs. Integer `div` (not `/`) because
@@ -46,7 +51,14 @@ object Tables {
     val df = s.read.parquet(s"$d/events.parquet")
     df.schema("ts").dataType match {
       case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampNTZType =>
+        val sessionTz = s.conf.get("spark.sql.session.timeZone",
+          java.util.TimeZone.getDefault.getID)
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.convert_timezone(
+            org.apache.spark.sql.functions.lit("UTC"),
+            org.apache.spark.sql.functions.lit(sessionTz),
+            col("ts")).cast(TimestampType))
       case TimestampType    => df
       case other => throw new IllegalStateException(
         s"events.ts: unsupported parquet-surfaced type $other (expected LONG nanos, TIMESTAMP, or TIMESTAMP_NTZ)")

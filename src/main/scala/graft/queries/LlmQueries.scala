@@ -2870,8 +2870,12 @@ object LlmQueries {
     * no float-summation order can flicker the output. Shape: one
     * groupBy bounded by |languages| + two 1-row broadcasts. */
   private def q151(s: SparkSession, dir: String): DataFrame = {
+    // the |languages|-row counts frame feeds tot, the z normalizer AND
+    // the final projection — persist it, or each consumer re-runs the
+    // full documents scan (~4 corpus reads for a 5-row table)
     val counts = Tables.documents(s, dir).groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tot = counts.agg(sum(col("n_docs")).as("n"))
     val scored = counts.crossJoin(broadcast(tot))
       .withColumn("p", col("n_docs").cast("double") / col("n"))
@@ -3192,11 +3196,14 @@ object LlmQueries {
   /** Filter funnel — the stage-by-stage survival report every curation
     * run publishes before committing a policy: per source, how many
     * documents survive (1) the Gopher structural rules, (2) AND
-    * exact-dup first-occurrence keep (md5 canonical, min doc_id wins),
-    * (3) AND a quality-score floor. Stages are CUMULATIVE — the
-    * waterfall a policy owner reads to see which stage costs which
-    * source. Flags are scan-side row math; the dedup stage is one
-    * hash-keyed aggregation + keyed join; one source rollup. */
+    * exact-dup first-occurrence keep (md5 canonical, min doc_id wins
+    * AMONG STAGE-1 SURVIVORS — deduping against already-discarded
+    * copies would silently drop a text entirely when its lowest-id
+    * copy failed a rule), (3) AND a quality-score floor. Stages are
+    * CUMULATIVE — the waterfall a policy owner reads to see which
+    * stage costs which source. Flags are scan-side row math; the
+    * dedup stage is one hash-keyed aggregation + keyed join; one
+    * source rollup. */
   private val FunnelQualityFloor = 0.5
   private def q159(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
@@ -3205,8 +3212,10 @@ object LlmQueries {
         md5(col("text")).as("ck"),
         (TextAnalysis.qualityScore(col("text"), col("n_chars"))
           >= FunnelQualityFloor).as("quality_ok"))
-    val firsts = docs.groupBy(col("ck")).agg(min(col("doc_id")).as("keep_id"))
-    docs.join(firsts, Seq("ck"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val firsts = docs.filter(col("gopher_ok"))
+      .groupBy(col("ck")).agg(min(col("doc_id")).as("keep_id"))
+    docs.join(firsts, Seq("ck"), "left_outer")
       .select(col("source"), col("gopher_ok"),
         (col("doc_id") === col("keep_id")).as("first_ok"), col("quality_ok"))
       .groupBy(col("source"))
@@ -3235,7 +3244,8 @@ object LlmQueries {
        |      CASE WHEN n_chars::DOUBLE / greatest(len($WsSplit), 1) BETWEEN 3.0 AND 8.0
        |           THEN 1.0 ELSE 0.5 END AS word_band
        |    FROM documents)),
-       |firsts AS (SELECT ck, MIN(doc_id) AS keep_id FROM d GROUP BY 1)
+       |firsts AS (SELECT ck, MIN(doc_id) AS keep_id FROM d
+       |           WHERE gopher_ok GROUP BY 1)
        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
        |  CAST(SUM(CASE WHEN gopher_ok THEN 1 ELSE 0 END) AS BIGINT)
        |    AS n_after_gopher,
@@ -3243,7 +3253,7 @@ object LlmQueries {
        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_after_dedup,
        |  CAST(SUM(CASE WHEN gopher_ok AND doc_id = keep_id AND quality_ok
        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_after_quality
-       |FROM d JOIN firsts USING (ck) GROUP BY 1""".stripMargin
+       |FROM d LEFT JOIN firsts USING (ck) GROUP BY 1""".stripMargin
   }
 
   // --------------------------------------------------------- q160
@@ -3378,7 +3388,8 @@ object LlmQueries {
        |c1 AS (SELECT p, CAST(round(v[p + 1] * s * 1e6) AS BIGINT) AS c
        |       FROM s1, generate_series(0, ${ClfDims - 1}) AS g(p)),
        |t1 AS (SELECT p, CAST(SUM(c) AS BIGINT) AS t FROM c1 GROUP BY 1),
-       |n1 AS (SELECT sqrt(CAST(SUM(t * t) AS DOUBLE)) AS nrm FROM t1),
+       |n1 AS (SELECT sqrt(CAST(SUM(CAST(t AS HUGEINT) * t) AS DOUBLE)) AS nrm
+       |       FROM t1),
        |v1 AS (SELECT p, CAST(t AS DOUBLE) / nrm AS vj
        |       FROM t1 CROSS JOIN n1),
        |v1l AS (SELECT list(vj ORDER BY p) AS vl FROM v1),
@@ -3387,7 +3398,8 @@ object LlmQueries {
        |c2 AS (SELECT p, CAST(round(v[p + 1] * s * 1e6) AS BIGINT) AS c
        |       FROM s2, generate_series(0, ${ClfDims - 1}) AS g(p)),
        |t2 AS (SELECT p, CAST(SUM(c) AS BIGINT) AS t FROM c2 GROUP BY 1),
-       |n2 AS (SELECT sqrt(CAST(SUM(t * t) AS DOUBLE)) AS nrm FROM t2)
+       |n2 AS (SELECT sqrt(CAST(SUM(CAST(t AS HUGEINT) * t) AS DOUBLE)) AS nrm
+       |       FROM t2)
        |SELECT CAST(p AS INT) AS pos,
        |  round(CAST(t AS DOUBLE) / nrm, 6) AS loading
        |FROM t2 CROSS JOIN n2""".stripMargin

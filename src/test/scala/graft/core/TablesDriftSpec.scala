@@ -72,6 +72,27 @@ class TablesDriftSpec extends SparkSpec {
     tz.select(unix_micros(col("ts"))).head().getLong(0) shouldBe micros
   }
 
+  test("NTZ arm preserves the instant in a NON-UTC session (no silent shift)") {
+    // an embedding application's own session may run in a local zone; a
+    // bare NTZ→TZ cast would shift every event by the zone offset there
+    val micros = 1709296496789012L
+    val dir = Files.createTempDirectory("events_tz").toFile
+    dir.deleteOnExit()
+    val path = dir.getAbsolutePath
+    spark.range(1).select(
+        timestamp_micros(lit(micros)).cast(TimestampNTZType).as("ts"),
+        lit(1L).as("event_id"))
+      .write.mode("overwrite").parquet(s"$path/events.parquet")
+    val tzKey = "spark.sql.session.timeZone"
+    val saved = spark.conf.get(tzKey)
+    try {
+      spark.conf.set(tzKey, "America/New_York")
+      val got = Tables.events(spark, path)
+        .select(unix_micros(col("ts"))).head().getLong(0)
+      got shouldBe micros
+    } finally spark.conf.set(tzKey, saved)
+  }
+
   test("loader rejects an unconvertible ts encoding loudly") {
     val dir = Files.createTempDirectory("events_bad").toFile
     dir.deleteOnExit()
