@@ -57,10 +57,19 @@ object Verify {
     errors.toMap
   }
 
+  /** args: sfDir outDir [comma-separated query-name filter]. The filter
+    * is a local-iteration convenience (tools/check.py on a subset); the
+    * driver always runs the full surface. */
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir) = (args(0), args(1))
+    val keep: Map[String, (SparkSession, String) => DataFrame] =
+      if (args.length > 2) {
+        val names = args(2).split(",").toSet
+        SparkEntry.queries.view.filterKeys(names).toMap
+      } else SparkEntry.queries
     val spark = graft.core.GraftSession.get()
-    run(spark, sfDir, outDir, SparkEntry.queries, SparkEntry.oracleSql)
+    run(spark, sfDir, outDir, keep,
+      SparkEntry.oracleSql.view.filterKeys(keep.keySet).toMap)
     spark.stop()
   }
 }

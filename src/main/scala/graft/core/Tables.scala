@@ -52,6 +52,15 @@ object Tables {
     df.schema("ts").dataType match {
       case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case TimestampNTZType =>
+        // CONTRACT: the session timezone must be stable between this
+        // load and any action on the returned frame. The zone is read
+        // HERE (construction time), but the trailing NTZ→TIMESTAMP
+        // cast resolves the session zone at execution — changing
+        // spark.sql.session.timeZone in between would shift every
+        // instant by the zone delta. GraftSession pins UTC, so this
+        // only concerns embedding applications that mutate the conf
+        // mid-query; DST-ambiguous wall clocks in non-UTC sessions
+        // round-trip per convert_timezone's documented resolution.
         val sessionTz = s.conf.get("spark.sql.session.timeZone",
           java.util.TimeZone.getDefault.getID)
         df.withColumn("ts",

@@ -637,10 +637,6 @@ object Dedup {
     require(aType == bType,
       s"connectedComponents: id_a ($aType) and id_b ($bType) must have the same type")
     val spark = pairs.sparkSession
-    val edgeSchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("u", aType),
-      org.apache.spark.sql.types.StructField("v", aType)))
-
     // one pass over the (possibly expensive) upstream pipeline: nodes
     // and the initial edge set both read this cached frame. Null ids
     // are not nodes — dropped up front so both paths agree (the join
@@ -700,13 +696,16 @@ object Dedup {
     // base.unpersist() at the end of this method
     nodes.count()
 
-    // canonical directed edges, larger endpoint -> smaller, no self-loops
-    var edges = spark.createDataFrame(
+    // canonical directed edges, larger endpoint -> smaller, no
+    // self-loops. The chain truncates lineage each round AND releases
+    // the previous round's materialized blocks — one retained copy,
+    // not one per round.
+    val chain = new CheckpointChain(spark)
+    var edges = chain.truncate(
       base.filter(col("id_a") =!= col("id_b"))
         .select(greatest(col("id_a"), col("id_b")).as("u"),
           least(col("id_a"), col("id_b")).as("v"))
-        .distinct()
-        .localCheckpoint(true).rdd, edgeSchema)
+        .distinct())
     var cnt = edges.count() // trivial: RDD is materialized
 
     // Both phases use a window min over the node key — ONE exchange per
@@ -758,8 +757,7 @@ object Dedup {
     val debug = sys.props.contains("graft.cc.debug")
     while (!done && iter < maxIter) {
       val t0 = System.nanoTime()
-      val next = spark.createDataFrame(
-        smallStar(largeStar(edges)).localCheckpoint(true).rdd, edgeSchema)
+      val next = chain.truncate(smallStar(largeStar(edges)))
       val t1 = System.nanoTime()
       // a still-contracting edge set can't be a star forest: gate the
       // check behind a trivial count of the materialized RDD

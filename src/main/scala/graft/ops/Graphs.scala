@@ -106,12 +106,11 @@ object Graphs {
     * the driver but the node COUNT. Isolated documents never enter
     * the pair graph; every node here has degree ≥ 1, so there is no
     * dangling-mass term. Every `checkpointEvery` iterations the score
-    * frame is eagerly `localCheckpoint`ed and REBUILT from the
-    * materialized RDD — the same lineage-truncation discipline as
-    * [[Dedup.connectedComponents]]: without it the self-referential
-    * plan deepens by two joins per iteration, and checkpointing
-    * without the rebuild carries the child's size statistics, which
-    * iterative self-joins square into driver-hanging BigIntegers.
+    * frame runs through a [[CheckpointChain]] — eager local checkpoint,
+    * stats-resetting rebuild, and unpersist of the PREVIOUS round's
+    * blocks, so the loop retains exactly one materialized score copy
+    * (the same lineage-truncation discipline as
+    * [[Dedup.connectedComponents]]).
     *
     * Output: (node, rank) with Σ rank ≈ 1. */
   def pageRank(pairs: DataFrame, iters: Int,
@@ -130,7 +129,7 @@ object Graphs {
     val base = math.round((1.0 - damping) * Scale / n)
     var pr = deg.select(col("node"), col("outdeg"),
       lit(math.round(Scale / n)).as("s"))
-    val spark = pairs.sparkSession
+    val chain = new CheckpointChain(pairs.sparkSession)
     for (i <- 1 to iters) {
       val contrib = edges
         .join(pr.withColumnRenamed("node", "src"), Seq("src"))
@@ -140,7 +139,7 @@ object Graphs {
         .agg((sum(col("c")) + lit(base)).as("s"))
         .join(deg, Seq("node"))
       if (i % checkpointEvery == 0 && i < iters)
-        pr = spark.createDataFrame(pr.localCheckpoint(true).rdd, pr.schema)
+        pr = chain.truncate(pr)
     }
     pr.select(col("node"), round(col("s") / Scale, 6).as("rank"))
   }

@@ -173,9 +173,10 @@ object TextAnalysis {
       .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
     val bc = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
       .filter(col("c12") >= minCount)
-    // corpus totals: one row, broadcast
+    // corpus totals: one row, broadcast (explicit hint so the plan
+    // shape doesn't depend on AQE detecting the 1-row side)
     val tot = bg.agg(count(lit(1)).as("nb"))
-      .crossJoin(uni.agg(sum(col("cu")).as("nw")))
+      .crossJoin(broadcast(uni.agg(sum(col("cu")).as("nw"))))
     bc
       .join(uni.select(col("wd").as("w1"), col("cu").as("cu1")), Seq("w1"))
       .join(uni.select(col("wd").as("w2"), col("cu").as("cu2")), Seq("w2"))

@@ -901,7 +901,7 @@ object LlmQueries {
       .createOrReplaceTempView("q68_succ")
     s.sql("""
       WITH RECURSIVE walk(root, node, depth) AS (
-        SELECT id_a, id_a, 0 FROM q68_succ
+        SELECT id_a AS root, id_a AS node, 0 AS depth FROM q68_succ
         WHERE id_a NOT IN (SELECT id_b FROM q68_succ)
         UNION ALL
         SELECT w.root, s.id_b, w.depth + 1
@@ -2908,8 +2908,10 @@ object LlmQueries {
     * ≥ 2 DISTINCT documents, rolled up per source — the
     * boilerplate-contamination figure a curation report ships per
     * provenance. Shape: two sentence-keyed shuffles (group + join
-    * back), one source-keyed rollup; at 100 TB the sentence key
-    * hashes to 64 bits first (q105 discipline). */
+    * back), one source-keyed rollup; the shuffle key is xxhash64 of
+    * the sentence (q105 discipline) — only 8 bytes cross the wire
+    * per row instead of the full sentence text, and nothing
+    * downstream needs the text itself. */
   private val SentMinChars = 20
   private def q152(s: SparkSession, dir: String): DataFrame = {
     val sent = Tables.documents(s, dir)
@@ -2917,10 +2919,11 @@ object LlmQueries {
         explode(TextAnalysis.words(col("text"), ". ")).as("s0"))
       .select(col("doc_id"), col("source"), lower(trim(col("s0"))).as("k"))
       .filter(length(col("k")) >= SentMinChars)
+      .select(col("doc_id"), col("source"), xxhash64(col("k")).as("hk"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val groups = sent.groupBy(col("k"))
+    val groups = sent.groupBy(col("hk"))
       .agg(countDistinct(col("doc_id")).as("nd"))
-    sent.join(groups, Seq("k"))
+    sent.join(groups, Seq("hk"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_sentences"),
         sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_cross_dup"))

@@ -338,7 +338,7 @@ object TemporalQueries {
         sum(col("cnt") * col("cnt")).as("ss"))
       .filter(col("n_days") >= 2 && col("s") > 0)
       .select(col("event_type"), col("n_days"), col("s").as("n_events"),
-        round(((col("ss") - (col("s") * col("s")).cast("double") /
+        round(((col("ss") - col("s").cast("double") * col("s").cast("double") /
           col("n_days")) / (col("n_days") - 1)) /
           (col("s").cast("double") / col("n_days")), 6).as("fano"))
   }
@@ -352,7 +352,7 @@ object TemporalQueries {
       |        CAST(SUM(cnt * cnt) AS BIGINT) AS ss
       |      FROM daily GROUP BY 1)
       |SELECT event_type, n_days, s AS n_events,
-      |  round(((ss - (s * s)::DOUBLE / n_days) / (n_days - 1)) /
+      |  round(((ss - s::DOUBLE * s::DOUBLE / n_days) / (n_days - 1)) /
       |        (s::DOUBLE / n_days), 6) AS fano
       |FROM m WHERE n_days >= 2 AND s > 0""".stripMargin
 
