@@ -1058,19 +1058,29 @@ object Similarity {
     *
     * Output: (pos, loading) — the unit-norm component after `iters`
     * rounds, pos 0-based, loading rounded 6. */
+  /** One power-iteration round BEFORE its collect: the (pos, t)
+    * aggregate frame — per-row scalar s = x·v in the scan projection,
+    * scaled-long contributions, one pos-keyed aggregation. Exposed
+    * separately so PlanGuardSpec can pin the round's shape (exactly
+    * one exchange; output bounded by `dims` rows). */
+  private[graft] def powerIterationRound(corpus: DataFrame, vecCol: String,
+      v: Seq[Double]): DataFrame = {
+    val s = linearScores(col(vecCol), Seq(v), Seq(0.0)).head
+    corpus
+      .select(toDouble(col(vecCol)).as("xv"), s.as("s"))
+      .select(col("s"), posexplode(col("xv")).as(Seq("pos", "x")))
+      .select(col("pos"),
+        round(col("x") * col("s") * lit(1e6), 0).cast("long").as("c"))
+      .groupBy(col("pos")).agg(sum(col("c")).as("t"))
+  }
+
   def powerIterationPC1(corpus: DataFrame, vecCol: String, dims: Int,
       iters: Int): DataFrame = {
     require(dims > 0, s"dims must be positive, got $dims")
     require(iters >= 1 && iters <= 10, s"iters must be in [1,10], got $iters")
     var v: Seq[Double] = Seq.fill(dims)(1.0 / math.sqrt(dims.toDouble))
     for (_ <- 1 to iters) {
-      val s = linearScores(col(vecCol), Seq(v), Seq(0.0)).head
-      val ts = corpus
-        .select(toDouble(col(vecCol)).as("xv"), s.as("s"))
-        .select(col("s"), posexplode(col("xv")).as(Seq("pos", "x")))
-        .select(col("pos"),
-          round(col("x") * col("s") * lit(1e6), 0).cast("long").as("c"))
-        .groupBy(col("pos")).agg(sum(col("c")).as("t"))
+      val ts = powerIterationRound(corpus, vecCol, v)
         .collect()                       // bounded: exactly `dims` rows
         .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1).map(_._2).toSeq
       val nrm = math.sqrt(ts.map(t => BigInt(t) * BigInt(t)).sum.toDouble)

@@ -236,6 +236,62 @@ class PlanGuardSpec extends SparkSpec {
     plan should not include "CartesianProduct"
   }
 
+  test("q160's shard bucket is scan-side: two keyed exchanges, no join") {
+    // md5-bucket + token count ride the scan projection; one 32-key
+    // aggregation, one single-partition rollup — and never a join
+    val plan = SparkEntry.queries("q160_shard_skew")(
+      spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+    plan should not include "Join"
+    plan should include("HashAggregate")
+    "(?<!Broadcast)Exchange".r.findAllIn(plan).size should be <= 2
+  }
+
+  test("q162's predictor is scan-side: exactly one exchange, no join") {
+    // the stopword-argmax prediction is a codegen projection in the
+    // scan stage; the only shuffle is the (lang, pred)-keyed aggregate
+    val plan = SparkEntry.queries("q162_langid_confusion")(
+      spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+    plan should not include "Join"
+    plan should include("HashAggregate")
+    "(?<!Broadcast)Exchange".r.findAllIn(plan).size shouldBe 1
+  }
+
+  test("q165's power-iteration round is one keyed exchange, dims-bounded output") {
+    // the round frame (scalar s in the scan projection, posexplode,
+    // pos-keyed scaled-long aggregation) must shuffle exactly once —
+    // that pre-collect frame is ALL that runs per round, and its
+    // output is bounded by the dimension count, never the corpus
+    val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val round = graft.ops.Similarity.powerIterationRound(
+      emb, "embedding", Seq.fill(64)(0.125))
+    val plan = round.queryExecution.executedPlan.toString
+    plan should not include "Join"
+    "(?<!Broadcast)Exchange".r.findAllIn(plan).size shouldBe 1
+    round.count() should be <= 64L
+  }
+
+  test("q166's JL projection is an exchange-free codegen'd scan projection") {
+    // all 8 output dims are unrolled ±1/√8 literal dots riding the
+    // scan's projection inside whole-stage codegen (the q135 pattern)
+    val plan = SparkEntry.queries("q166_jl_projection")(
+      spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+    plan should not include "Exchange"
+    plan should not include "BatchEvalPython"
+    plan should include("*(1) Project")
+  }
+
+  test("q167's candidate pairs come from the band equi-join, never a product") {
+    // the histogram sweeps ALL candidate pairs, but candidates must
+    // still be generated by the (band, band_key) equi-join over the
+    // persisted band frame — a cartesian here is the 100 TB killer
+    val plan = SparkEntry.queries("q167_jaccard_histogram")(
+      spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+    plan should include regex "(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[band"
+    "InMemoryTableScan".r.findAllIn(plan).size should be >= 1
+  }
+
   test("q111's cap is one keyed exchange feeding a WindowGroupLimit") {
     val plan = SparkEntry.queries("q111_source_cap")(
       spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
