@@ -1,0 +1,189 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{GraftSession, Tables}
+import graft.ops.Dedup
+
+/** Scale-evidence soak (VERDICT r8, next-round item 1): every 100 TB
+  * claim in SCALE.md rested on sf0.1 measurements alone, so this main
+  * synthesizes larger corpora LOCALLY (no driver involvement) and
+  * measures how the structurally-risky query family actually grows.
+  *
+  * Corpus synthesis — a re-keyed union of sf0.1, NOT a naive copy:
+  * naively unioning N identical copies gives every document N exact
+  * clones, which inflates the near-dup pair count quadratically and
+  * would make every LSH/similarity query look super-linear for a
+  * data-construction reason, not an algorithmic one. Instead each copy
+  * i > 0 is salted so copies are mutually dissimilar while keeping the
+  * same per-copy length/frequency SHAPE the algorithms key on:
+  *  - documents: every token gets a copy-specific prefix (`s3x`), so
+  *    shingle sets across copies are disjoint — near-dup structure is
+  *    exactly N disjoint replicas of the base corpus's structure;
+  *  - embeddings: a deterministic per-copy, per-dimension offset keeps
+  *    vectors in the same range but off the clone diagonal;
+  *  - events: user/event ids are re-keyed into disjoint ranges so
+  *    sessions and per-user series replicate instead of merging.
+  * TPC-H tables are byte-copied (the risky family doesn't read them,
+  * but queries must be runnable against the dir unchanged).
+  *
+  * Measurement: each (scale, query) runs `RUNS` interleaved rounds
+  * (same throttle discipline as [[Bench]]); the reported statistic is
+  * the MIN — the warm-run floor sandbox contention cannot raise. The
+  * growth exponent is the least-squares slope of log(time) vs
+  * log(scale): ~1.0 = linear, and anything materially above the
+  * query's documented contract is a bug, not noise.
+  *
+  * Output: one JSON line to stdout + the full record at
+  * `bench/SCALE_soak.json` (same artifact-capture discipline as Bench).
+  */
+object ScaleSoak {
+  private val RUNS = 2
+  private val Scales = Seq(1, 3, 10)
+  private val IdStride = 10000000L
+
+  /** The structurally-risky family named by the r8 verdict: iterative
+    * (pagerank, recursive walk, CC), super-linear-by-contract (exact
+    * all-pairs Jaccard), and fan-out-heavy (substring/sentence dedup,
+    * triangles). Everything else in the registry is single-keyed-shuffle
+    * linear and is covered by the per-round bench. */
+  private val Risky = Seq(
+    "q130_pagerank",
+    "q133_exact_jaccard_join",
+    "q143_substring_dedup",
+    "q97_neardup_triangles",
+    "q68_dupchain_walk",
+    "q152_sentence_dedup",
+    "q161_cluster_size_hist")
+
+  def main(args: Array[String]): Unit = {
+    val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val workRoot = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "target/scale")
+    val spark = GraftSession.get()
+    spark.range(1000).selectExpr("sum(id) as s")
+      .write.format("noop").mode("overwrite").save()
+
+    val dirs: Map[Int, String] = Scales.map { n =>
+      val out = s"$workRoot/x$n"
+      if (n == 1) n -> base
+      else { synthesize(spark, base, n, out); n -> out }
+    }.toMap
+
+    // confirm the corpora actually scale (and prime the file cache so
+    // scale-1 reads aren't unfairly warm relative to freshly-written dirs)
+    val rows = dirs.toSeq.sortBy(_._1).map { case (n, d) =>
+      n -> Seq("documents", "embeddings", "events")
+        .map(t => Tables.table(spark, d, t).count()).sum
+    }
+    rows.foreach { case (n, r) => println(s"scale x$n: $r rows (docs+emb+events)") }
+
+    // cc_contraction: the distributed large/small-star arm of
+    // connectedComponents, which the registry queries only exercise
+    // when edges exceed maxDriverEdges — force it here so BOTH arms
+    // have measured growth, per the verdict's "CC both arms".
+    val bodies: Seq[(String, (SparkSession, String) => DataFrame)] =
+      Risky.map(n => n -> SparkEntry.queries(n)) :+
+        ("cc_contraction_arm" -> { (s: SparkSession, d: String) =>
+          val bands = Dedup.bandKeys(Tables.documents(s, d), "text", "doc_id", 4, 4, 3)
+          Dedup.connectedComponents(Dedup.candidatePairs(bands), maxDriverEdges = 0L)
+        })
+
+    val times = scala.collection.mutable.LinkedHashMap[(String, Int), List[Double]]()
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    (1 to RUNS).foreach { _ =>
+      for ((name, fn) <- bodies; n <- Scales) {
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, dirs(n)).write.format("noop").mode("overwrite").save()
+          val el = (System.nanoTime() - t0) / 1e9
+          times((name, n)) = times.getOrElse((name, n), Nil) :+ el
+        } catch { case e: Throwable =>
+          errors(s"$name@x$n") =
+            s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}"
+        }
+        spark.catalog.clearCache()
+      }
+    }
+
+    def jq(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+      } + "\""
+    val perQuery = bodies.map(_._1).map { name =>
+      val mins = Scales.flatMap { n =>
+        times.get((name, n)).map(ts => n -> ts.min)
+      }
+      // least-squares slope of log(t) on log(scale)
+      val exponent =
+        if (mins.size < 2) Double.NaN
+        else {
+          val pts = mins.map { case (n, t) => (math.log(n.toDouble), math.log(math.max(t, 1e-3))) }
+          val mx = pts.map(_._1).sum / pts.size
+          val my = pts.map(_._2).sum / pts.size
+          val num = pts.map { case (x, y) => (x - mx) * (y - my) }.sum
+          val den = pts.map { case (x, _) => (x - mx) * (x - mx) }.sum
+          if (den == 0) Double.NaN else num / den
+        }
+      val minsJson = mins.map { case (n, t) => s""""x$n":${f"$t%.3f"}""" }.mkString("{", ",", "}")
+      name -> s"""{"min_sec":$minsJson,"exponent":${if (exponent.isNaN) "null" else f"$exponent%.3f"}}"""
+    }
+    val qJson = perQuery.map { case (k, v) => s"${jq(k)}:$v" }.mkString("{", ",", "}")
+    val errJson = errors.map { case (k, v) => s"${jq(k)}:${jq(v)}" }.mkString("{", ",", "}")
+    val rowsJson = rows.map { case (n, r) => s""""x$n":$r""" }.mkString("{", ",", "}")
+    val out = s"""{"metric":"scale_soak","scales":[${Scales.mkString(",")}],"runs":$RUNS,"rows":$rowsJson,"queries":$qJson,"errors":$errJson,"base":${jq(base)}}"""
+    val p = Paths.get("bench/SCALE_soak.json")
+    Option(p.getParent).foreach(Files.createDirectories(_))
+    Files.write(p, (out + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(out)
+    spark.stop()
+  }
+
+  /** Write a salted N-times corpus of documents/embeddings/events to
+    * `out`, byte-copying the TPC-H tables. Deterministic: no RNG, the
+    * salt is a pure function of the copy index. */
+  def synthesize(spark: SparkSession, base: String, n: Int, out: String): Unit = {
+    Files.createDirectories(Paths.get(out))
+    for (t <- Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")) {
+      Files.copy(Paths.get(s"$base/$t.parquet"), Paths.get(s"$out/$t.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    val docs = Tables.documents(spark, base)
+    (0 until n).map { i =>
+      if (i == 0) docs
+      else docs.selectExpr(
+        s"doc_id + ${i}L * $IdStride AS doc_id",
+        s"array_join(transform(split(text, ' '), t -> concat('s${i}x', t)), ' ') AS text",
+        "lang", "source", "length(array_join(transform(split(text, ' '), " +
+          s"t -> concat('s${i}x', t)), ' ')) AS n_chars")
+    }.reduce(_ unionByName _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    val emb = Tables.embeddings(spark, base)
+    (0 until n).map { i =>
+      if (i == 0) emb
+      else emb.selectExpr(
+        s"vec_id + ${i}L * $IdStride AS vec_id",
+        s"transform(embedding, (x, j) -> cast(x + 0.05 * sin($i * 2.1 + j * 0.37) as float)) AS embedding",
+        "label")
+    }.reduce(_ unionByName _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
+    val ev = Tables.events(spark, base)
+    (0 until n).map { i =>
+      if (i == 0) ev
+      else ev.selectExpr(
+        s"event_id + ${i}L * $IdStride AS event_id",
+        "ts",
+        s"user_id + ${i}L * $IdStride AS user_id",
+        "event_type", "value", "props")
+    }.reduce(_ unionByName _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+  }
+}
