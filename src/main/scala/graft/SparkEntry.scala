@@ -10,10 +10,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ PipelineQueries.queries ++ LlmQueries.queries ++ TemporalQueries.queries
+    Relational.queries ++ PipelineQueries.queries ++ LlmQueries.queries ++
+      TemporalQueries.queries ++ CurationQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ PipelineQueries.oracles ++ LlmQueries.oracles ++ TemporalQueries.oracles
+    Relational.oracles ++ PipelineQueries.oracles ++ LlmQueries.oracles ++
+      TemporalQueries.oracles ++ CurationQueries.oracleSql
 }

@@ -1,0 +1,469 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.ops.{Dedup, TextAnalysis}
+import graft.queries.LlmQueries.{Bands, BandsCte, JaccardThreshold, RowsPerBand,
+  ShingleK, ShinglesSql, WsSplit}
+
+/** Round-9 curation/evaluation surface: sketch calibration (KMV
+  * distinct, MinHash-vs-exact error), dedup keep policies, dataset
+  * splitting, corpus regressions, and pipeline-evaluation metrics
+  * (LSH recall/precision against the exact all-pairs truth) — the
+  * measurement layer a production curation run wraps around the
+  * operators in [[LlmQueries]]. Every query is oracle-gated; double
+  * aggregations quantize to scaled integers first (the q120
+  * discipline) so sums are order-independent across engines.
+  */
+object CurationQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // --------------------------------------------------------- q168
+  /** KMV (k-minimum-values) distinct-count sketch per event type,
+    * scored against the exact distinct count. The sketch is the
+    * mergeable cardinality estimator a 1000-executor fleet keeps per
+    * shard (k smallest 48-bit hashes; estimate (k−1)·2⁴⁸/h_k) — here
+    * both the sketch and the truth are computed so the oracle verifies
+    * the estimator's arithmetic, not just its plumbing. Scale shape:
+    * the only wide op is one distinct + per-type top-k window over
+    * DISTINCT HASHES (≤ |users| rows, not |events|); the exact side is
+    * a two-key aggregate. */
+  private val KmvK = 64
+  private def q168(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val h = conv(substring(md5(col("user_id").cast("string")), 1, 12), 16, 10)
+      .cast("long")
+    val hashes = ev.select(col("event_type"), h.as("h")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = hashes.groupBy("event_type").agg(count(lit(1)).as("ch"))
+    val kth = hashes
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("event_type")).orderBy(col("h"))))
+      .filter(col("rk") <= KmvK)
+      .groupBy("event_type").agg(max(col("h")).as("kth"))
+    val exact = ev.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    val est = when(col("ch") <= KmvK, col("ch").cast("double"))
+      .otherwise(lit((KmvK - 1).toDouble) * lit(281474976710656.0) / col("kth"))
+    exact.join(totals, "event_type").join(kth, "event_type")
+      .select(col("event_type"), col("n_exact"),
+        round(est, 4).as("kmv_est"),
+        round(abs(est - col("n_exact")) / col("n_exact"), 4).as("rel_err"))
+  }
+  private val q168Sql =
+    s"""WITH h AS (SELECT DISTINCT event_type,
+       |    ('0x' || substr(md5(user_id::VARCHAR), 1, 12))::BIGINT AS h
+       |  FROM events),
+       |tot AS (SELECT event_type, CAST(count(*) AS BIGINT) AS ch FROM h GROUP BY 1),
+       |rk AS (SELECT event_type, h,
+       |         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk FROM h),
+       |kth AS (SELECT event_type, max(h) AS kth FROM rk WHERE rk <= $KmvK GROUP BY 1),
+       |ex AS (SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+       |       FROM events GROUP BY 1),
+       |j AS (SELECT ex.event_type, n_exact,
+       |        CASE WHEN tot.ch <= $KmvK THEN tot.ch::DOUBLE
+       |             ELSE CAST(${KmvK - 1} AS DOUBLE) * CAST(281474976710656 AS DOUBLE)
+       |                  / kth.kth END AS est
+       |      FROM ex JOIN tot ON ex.event_type = tot.event_type
+       |        JOIN kth ON ex.event_type = kth.event_type)
+       |SELECT event_type, n_exact, round(est, 4) AS kmv_est,
+       |  round(abs(est - n_exact) / n_exact, 4) AS rel_err FROM j""".stripMargin
+
+  // --------------------------------------------------------- q169
+  /** MinHash estimator calibration: for every LSH candidate pair, the
+    * 16-hash signature agreement rate (the MinHash Jaccard ESTIMATE)
+    * next to the exact shingle Jaccard and their absolute error — the
+    * measurement that tells a curation run whether its band/row budget
+    * is adequate before scaling to the full corpus. One signature pass
+    * (persisted), band equi-join candidates, then a pair-keyed join
+    * back to signatures; zip_with keeps the agreement count inside
+    * codegen. */
+  private def q169(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftExtensions.ensureRegistered(s)
+    val docs = Tables.documents(s, dir)
+    val nh = Bands * RowsPerBand
+    val withSig = Dedup.spread(docs.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), Dedup.words(col("text")).as("ws"))
+      .select(col("doc_id"),
+        call_function("minhash_sig", col("ws"), lit(ShingleK), lit(nh),
+          lit("md5")).as("sig"),
+        array_distinct(Dedup.shinglesOfWords(col("ws"), ShingleK)).as("toks"))
+      .filter(col("sig").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = Dedup.candidatePairs(
+      Dedup.bandKeys(docs, "text", "doc_id", Bands, RowsPerBand, ShingleK))
+    val estRaw = expr(s"aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)")
+      .cast("double") / lit(nh.toDouble)
+    val exactRaw = size(array_intersect(col("toks_a"), col("toks_b"))).cast("double") /
+      size(array_union(col("toks_a"), col("toks_b")))
+    pairs
+      .join(withSig.select(col("doc_id").as("id_a"), col("sig").as("sig_a"),
+        col("toks").as("toks_a")), "id_a")
+      .join(withSig.select(col("doc_id").as("id_b"), col("sig").as("sig_b"),
+        col("toks").as("toks_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(estRaw, 4).as("mh_est"),
+        round(exactRaw, 4).as("jaccard"),
+        round(abs(estRaw - exactRaw), 4).as("abs_err"))
+  }
+  private val q169Sql = {
+    val nh = Bands * RowsPerBand
+    val matches = (0 until nh)
+      .map(h => s"(CASE WHEN ma.mh$h = mb.mh$h THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH $BandsCte,
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+       |sets AS (SELECT doc_id, list_distinct($ShinglesSql) AS toks FROM documents),
+       |raw AS (
+       |  SELECT id_a, id_b,
+       |    ($matches)::DOUBLE / $nh.0 AS est,
+       |    len(list_intersect(sa.toks, sb.toks))::DOUBLE /
+       |      len(list_distinct(list_concat(sa.toks, sb.toks))) AS exact
+       |  FROM pairs JOIN mh ma ON id_a = ma.doc_id JOIN mh mb ON id_b = mb.doc_id
+       |    JOIN sets sa ON id_a = sa.doc_id JOIN sets sb ON id_b = sb.doc_id)
+       |SELECT id_a, id_b, round(est, 4) AS mh_est, round(exact, 4) AS jaccard,
+       |  round(abs(est - exact), 4) AS abs_err FROM raw""".stripMargin
+  }
+
+  // --------------------------------------------------------- q170
+  /** Quality-argmax dedup keep policy: near-dup clusters (LSH → verify
+    * → connected components, the q50 graph) keep their HIGHEST-QUALITY
+    * member (distinct-token ratio; doc_id tie-break) instead of the
+    * min-id convention — the keep rule real curation uses, since the
+    * canonical copy should be the cleanest one, not the first-crawled
+    * one. Per-cluster argmax is one row_number window partitioned by
+    * cluster — no global sort. */
+  private def q170(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val bands = Dedup
+      .bandKeys(docs, "text", "doc_id", Bands, RowsPerBand, ShingleK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vpairs = Dedup
+      .jaccardVerify(Dedup.candidatePairs(bands), docs, "text", "doc_id",
+        JaccardThreshold)
+      .select(col("id_a"), col("id_b"))
+    val scored = docs.select(col("doc_id"),
+      (size(array_distinct(Dedup.words(col("text")))).cast("double") /
+        size(Dedup.words(col("text")))).as("score"))
+    val cc = Dedup.connectedComponents(vpairs)
+    val w = Window.partitionBy(col("cluster"))
+    val j = cc.join(scored, cc("node") === scored("doc_id"))
+      .withColumn("rn", row_number().over(
+        w.orderBy(col("score").desc, col("node").asc)))
+      .withColumn("n_members", count(lit(1)).over(w))
+    j.filter(col("rn") === 1)
+      .select(col("cluster").as("cluster_id"), col("node").as("kept_doc"),
+        col("n_members"), round(col("score"), 4).as("best_score"))
+  }
+  private val q170Sql =
+    s"""WITH RECURSIVE $BandsCte,
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+       |jsets AS (SELECT doc_id, list_distinct($WsSplit) AS toks FROM documents),
+       |vpairs AS (
+       |  SELECT id_a, id_b
+       |  FROM pairs JOIN jsets sa ON id_a = sa.doc_id JOIN jsets sb ON id_b = sb.doc_id
+       |  WHERE len(list_intersect(sa.toks, sb.toks))::DOUBLE /
+       |        len(list_distinct(list_concat(sa.toks, sb.toks))) >= $JaccardThreshold),
+       |edges AS (SELECT id_a AS s, id_b AS d FROM vpairs
+       |          UNION ALL SELECT id_b, id_a FROM vpairs),
+       |reach AS (SELECT DISTINCT s AS node, s AS r FROM edges
+       |          UNION
+       |          SELECT e.s, r.r FROM edges e JOIN reach r ON r.node = e.d),
+       |cc AS (SELECT node, MIN(r) AS cluster FROM reach GROUP BY node),
+       |sc AS (SELECT doc_id, len(list_distinct($WsSplit))::DOUBLE /
+       |         len($WsSplit) AS score FROM documents),
+       |r AS (SELECT cc.cluster, cc.node, sc.score,
+       |        row_number() OVER (PARTITION BY cc.cluster
+       |          ORDER BY sc.score DESC, cc.node ASC) AS rn,
+       |        count(*) OVER (PARTITION BY cc.cluster) AS n_members
+       |      FROM cc JOIN sc ON cc.node = sc.doc_id)
+       |SELECT cluster AS cluster_id, node AS kept_doc,
+       |  CAST(n_members AS BIGINT) AS n_members, round(score, 4) AS best_score
+       |FROM r WHERE rn = 1""".stripMargin
+
+  // --------------------------------------------------------- q171
+  /** Deterministic stratified train/val/test split report: every doc
+    * hashes to a stable 8/1/1 bucket (md5 of its id — reshuffling the
+    * corpus or adding shards never moves a doc between splits), and
+    * the report shows per-language split fractions so stratification
+    * drift is visible. Scale: one scan + a two-key aggregate; the
+    * fraction window partitions by language (bounded cardinality). */
+  private def q171(s: SparkSession, dir: String): DataFrame = {
+    val b = conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10)
+      .cast("long") % 10
+    val split = when(b <= 7, "train").when(b === 8, "val").otherwise("test")
+    Tables.documents(s, dir)
+      .select(col("lang"), split.as("split"))
+      .groupBy("lang", "split").agg(count(lit(1)).as("n"))
+      .select(col("lang"), col("split"), col("n"),
+        round(col("n").cast("double") /
+          sum(col("n")).over(Window.partitionBy(col("lang"))), 4).as("frac"))
+  }
+  private val q171Sql =
+    """WITH s AS (SELECT lang,
+      |    CASE WHEN b <= 7 THEN 'train' WHEN b = 8 THEN 'val' ELSE 'test' END AS split
+      |  FROM (SELECT lang,
+      |          ('0x' || substr(md5(doc_id::VARCHAR), 1, 6))::BIGINT % 10 AS b
+      |        FROM documents)),
+      |g AS (SELECT lang, split, CAST(count(*) AS BIGINT) AS n FROM s GROUP BY 1, 2)
+      |SELECT lang, split, n,
+      |  round(n::DOUBLE / sum(n) OVER (PARTITION BY lang), 4) AS frac FROM g""".stripMargin
+
+  // --------------------------------------------------------- q172
+  /** Per-source least-squares regression of lexical diversity
+    * (distinct-token ratio) on log document length — the corpus
+    * diagnostic behind "longer docs on this source get template-y".
+    * Both variables quantize to 1e4-scaled integers BEFORE summing
+    * (the q120 discipline: integer sums are exact and
+    * order-independent, so a 1000-executor aggregation reproduces the
+    * oracle bit-for-bit); slope/intercept/r² come from the closed-form
+    * sums, cast to double only at the final expression. Exact while
+    * n·Σx² stays under 2⁶³ — ~1e9 rows per source at these scales;
+    * beyond that, widen to the decimal(38) sums. */
+  private def q172(s: SparkSession, dir: String): DataFrame = {
+    val ws = Dedup.words(col("text"))
+    val xq = round(log(greatest(col("n_chars"), lit(1)).cast("double")) * 10000, 0)
+      .cast("long")
+    val yq = round(size(array_distinct(ws)).cast("double") / size(ws) * 10000, 0)
+      .cast("long")
+    val m = Tables.documents(s, dir)
+      .select(col("source"), xq.as("x"), yq.as("y"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+    val num = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+    val denX = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    val denY = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+    val slope = num / denX
+    m.select(col("source"), col("n"),
+      round(slope, 6).as("slope"),
+      round((col("sy").cast("double") - slope * col("sx").cast("double")) /
+        (col("n").cast("double") * 10000.0), 6).as("intercept"),
+      round(num * num / (denX * denY), 6).as("r2"))
+  }
+  private val q172Sql =
+    s"""WITH m AS (
+       |  SELECT source,
+       |    CAST(count(*) AS BIGINT) AS n,
+       |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+       |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+       |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+       |    CAST(SUM(y * y) AS BIGINT) AS syy
+       |  FROM (SELECT source,
+       |          CAST(round(ln(greatest(n_chars, 1)::DOUBLE) * 10000) AS BIGINT) AS x,
+       |          CAST(round(len(list_distinct($WsSplit))::DOUBLE /
+       |            len($WsSplit) * 10000) AS BIGINT) AS y
+       |        FROM documents)
+       |  GROUP BY source)
+       |SELECT source, n,
+       |  round(CAST(n * sxy - sx * sy AS DOUBLE) /
+       |    CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
+       |  round((sy::DOUBLE - (CAST(n * sxy - sx * sy AS DOUBLE) /
+       |      CAST(n * sxx - sx * sx AS DOUBLE)) * sx::DOUBLE) /
+       |    (n::DOUBLE * 10000.0), 6) AS intercept,
+       |  round(CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE) /
+       |    (CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)),
+       |    6) AS r2
+       |FROM m""".stripMargin
+
+  // --------------------------------------------------------- q173
+  /** First-order Markov transition matrix over per-user event
+    * sequences: lag(event_type) within each user's (ts, event_id)
+    * order, then transition counts and row-normalized probabilities —
+    * the session-model feature behind next-event prediction and bot
+    * detection. Scale: ONE shuffle on user_id for the lag window (the
+    * same partitioning sessionization uses), then a |types|²-bounded
+    * aggregate; the probability window partitions by prev_type
+    * (bounded cardinality). */
+  private def q173(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("prev_type"), col("event_type").as("next_type"), col("cnt"),
+        round(col("cnt").cast("double") /
+          sum(col("cnt")).over(Window.partitionBy(col("prev_type"))), 4)
+          .as("prob"))
+  }
+  private val q173Sql =
+    """WITH t AS (
+      |  SELECT user_id, event_type,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS prev_type
+      |  FROM events),
+      |g AS (SELECT prev_type, event_type AS next_type,
+      |        CAST(count(*) AS BIGINT) AS cnt
+      |      FROM t WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT prev_type, next_type, cnt,
+      |  round(cnt::DOUBLE / sum(cnt) OVER (PARTITION BY prev_type), 4) AS prob
+      |FROM g""".stripMargin
+
+  // --------------------------------------------------------- q174
+  /** Hapax-legomena profile: per document, how many of its distinct
+    * tokens occur exactly once in the WHOLE corpus — the
+    * rare-token/noise signal curation uses to spot OCR garbage and
+    * mojibake (high hapax ratio) vs boilerplate (near zero). Two keyed
+    * shuffles: token-frequency aggregate, then a token-keyed join back
+    * — the inverted-index shape, never all-pairs. */
+  private def q174(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(Dedup.words(col("text"))).as("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hapax = tok.groupBy("w").agg(count(lit(1)).as("cw"))
+      .filter(col("cw") === 1).select("w")
+    val dtok = tok.distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val perdoc = dtok.groupBy("doc_id").agg(count(lit(1)).as("n_distinct"))
+    val hap = dtok.join(hapax, "w")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hapax"))
+    perdoc.join(hap, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_distinct"),
+        coalesce(col("n_hapax"), lit(0L)).as("n_hapax"),
+        round(coalesce(col("n_hapax"), lit(0L)).cast("double") /
+          col("n_distinct"), 4).as("hapax_ratio"))
+  }
+  private val q174Sql =
+    s"""WITH tok AS (SELECT doc_id, unnest($WsSplit) AS w FROM documents),
+       |hapax AS (SELECT w FROM tok GROUP BY w HAVING count(*) = 1),
+       |dtok AS (SELECT DISTINCT doc_id, w FROM tok),
+       |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_distinct
+       |       FROM dtok GROUP BY 1),
+       |hp AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hapax
+       |       FROM dtok JOIN hapax USING (w) GROUP BY 1)
+       |SELECT pd.doc_id, n_distinct,
+       |  CAST(COALESCE(n_hapax, 0) AS BIGINT) AS n_hapax,
+       |  round(COALESCE(n_hapax, 0)::DOUBLE / n_distinct, 4) AS hapax_ratio
+       |FROM pd LEFT JOIN hp ON pd.doc_id = hp.doc_id""".stripMargin
+
+  // --------------------------------------------------------- q175
+  /** LSH pipeline evaluation: recall and precision of the banded
+    * MinHash candidate set against the EXACT all-pairs shingle-Jaccard
+    * truth (q133's PPJoin) — the one-number answer to "is 4×4 banding
+    * enough at this threshold?" before committing a 100 TB sweep.
+    * Truth and candidates are both bounded pair sets; the comparison
+    * is an equi-join on the pair key and three 1-row aggregates
+    * (broadcast cross-joined — no driver collect). */
+  private def q175(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val truth = Dedup
+      .prefixFilterPairs(docs, "text", "doc_id", ShingleK, JaccardThreshold)
+      .select(col("id_a"), col("id_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = Dedup.candidatePairs(
+        Dedup.bandKeys(docs, "text", "doc_id", Bands, RowsPerBand, ShingleK))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hit = cand.join(truth, Seq("id_a", "id_b"))
+    truth.agg(count(lit(1)).as("n_truth"))
+      .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_cand"))))
+      .crossJoin(broadcast(hit.agg(count(lit(1)).as("n_hit"))))
+      .select(col("n_truth"), col("n_cand"), col("n_hit"),
+        round(col("n_hit").cast("double") /
+          greatest(col("n_truth"), lit(1L)), 4).as("recall"),
+        round(col("n_hit").cast("double") /
+          greatest(col("n_cand"), lit(1L)), 4).as("precision"))
+  }
+  private val q175Sql =
+    s"""WITH $BandsCte,
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+       |tok AS (SELECT DISTINCT doc_id, unnest($ShinglesSql) AS w FROM documents),
+       |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY 1),
+       |inter AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS c
+       |  FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |truth AS (
+       |  SELECT id_a, id_b FROM inter
+       |    JOIN sz sa ON inter.id_a = sa.doc_id
+       |    JOIN sz sb ON inter.id_b = sb.doc_id
+       |  WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= $JaccardThreshold),
+       |hit AS (SELECT c.id_a, c.id_b FROM cand c
+       |        JOIN truth t ON c.id_a = t.id_a AND c.id_b = t.id_b),
+       |m AS (SELECT
+       |    (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_cand,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM hit) AS n_hit)
+       |SELECT n_truth, n_cand, n_hit,
+       |  round(n_hit::DOUBLE / greatest(n_truth, 1), 4) AS recall,
+       |  round(n_hit::DOUBLE / greatest(n_cand, 1), 4) AS precision
+       |FROM m""".stripMargin
+
+  // --------------------------------------------------------- q176
+  /** Sentence-level language profile: sentence-split each doc, run the
+    * q33 stopword-argmax language id per SENTENCE, and report how many
+    * determined languages each document's sentences disagree across —
+    * `is_mixed` marks the code-switching/boilerplate-header docs a
+    * monolingual filter misses when it scores whole documents. Scale:
+    * explode + one doc-keyed aggregate; the per-sentence predictor is
+    * pure per-row codegen. */
+  private def q176(s: SparkSession, dir: String): DataFrame = {
+    val sents = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), "\\. ")).as("sent"))
+    sents
+      .select(col("doc_id"), TextAnalysis.langId(col("sent")).as("pred"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_sents"),
+        countDistinct(when(col("pred") =!= "und", col("pred"))).as("n_langs"))
+      .select(col("doc_id"), col("n_sents"), col("n_langs"),
+        (col("n_langs") >= 2).as("is_mixed"))
+  }
+  private val q176Sql = {
+    val scoreCols = TextAnalysis.StopwordSets.map { case (lang, sw) =>
+      val swList = sw.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"len(list_filter(string_split(sent, ' '), w -> list_contains($swList, w)))::DOUBLE / greatest(len(string_split(sent, ' ')), 1) AS s_$lang"
+    }
+    val langsDesc = TextAnalysis.StopwordSets.map(_._1).sorted.reverse
+    val best = s"greatest(${TextAnalysis.StopwordSets.map(l => s"s_${l._1}").mkString(", ")})"
+    val pick = langsDesc.init.map(l => s"WHEN s_$l = $best THEN '$l'").mkString(" ")
+    s"""WITH sents AS (
+       |  SELECT doc_id, unnest(string_split(text, '. ')) AS sent FROM documents),
+       |scored AS (SELECT doc_id, ${scoreCols.mkString(", ")} FROM sents),
+       |pred AS (SELECT doc_id,
+       |    CASE WHEN $best = 0 THEN 'und' $pick ELSE '${langsDesc.last}' END AS pred
+       |  FROM scored)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sents,
+       |  CAST(count(DISTINCT CASE WHEN pred <> 'und' THEN pred END) AS BIGINT)
+       |    AS n_langs,
+       |  count(DISTINCT CASE WHEN pred <> 'und' THEN pred END) >= 2 AS is_mixed
+       |FROM pred GROUP BY 1""".stripMargin
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q168_kmv_distinct" -> q168 _,
+    "q169_minhash_error" -> q169 _,
+    "q170_quality_keep" -> q170 _,
+    "q171_stratified_split" -> q171 _,
+    "q172_diversity_regression" -> q172 _,
+    "q173_event_markov" -> q173 _,
+    "q174_hapax_ratio" -> q174 _,
+    "q175_lsh_recall" -> q175 _,
+    "q176_mixed_lang" -> q176 _)
+
+  val oracleSql: Map[String, String] = Map(
+    "q168_kmv_distinct" -> q168Sql,
+    "q169_minhash_error" -> q169Sql,
+    "q170_quality_keep" -> q170Sql,
+    "q171_stratified_split" -> q171Sql,
+    "q172_diversity_regression" -> q172Sql,
+    "q173_event_markov" -> q173Sql,
+    "q174_hapax_ratio" -> q174Sql,
+    "q175_lsh_recall" -> q175Sql,
+    "q176_mixed_lang" -> q176Sql)
+}

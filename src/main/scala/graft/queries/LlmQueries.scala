@@ -17,23 +17,23 @@ object LlmQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
-  private val Bands = 4
-  private val RowsPerBand = 4
-  private val ShingleK = 3
-  private val JaccardThreshold = 0.5
+  private[queries] val Bands = 4
+  private[queries] val RowsPerBand = 4
+  private[queries] val ShingleK = 3
+  private[queries] val JaccardThreshold = 0.5
   private val AnnK = 5
   private val LshPlanes = 6
 
   // shared oracle fragments ------------------------------------------------
-  private val WsSplit = "string_split(text, ' ')"
+  private[queries] val WsSplit = "string_split(text, ' ')"
   /** DuckDB word k-shingle list (guarded like the Spark side). */
-  private def shinglesSqlK(k: Int): String = {
+  private[queries] def shinglesSqlK(k: Int): String = {
     val terms = (0 until k).map(j => s"$WsSplit[i+$j]").mkString(" || ' ' || ")
     s"""CASE WHEN len($WsSplit) >= $k
        | THEN list_transform(range(1, len($WsSplit) - ${k - 2}), i -> $terms)
        | ELSE [] END""".stripMargin.replace("\n", " ")
   }
-  private val ShinglesSql = shinglesSqlK(ShingleK)
+  private[queries] val ShinglesSql = shinglesSqlK(ShingleK)
   private def minhashSql(h: Int) =
     s"list_min(list_transform(hs, p -> p[1] + $h * p[2]))"
   private def bandKeySql(b: Int) = {
@@ -41,7 +41,7 @@ object LlmQueries {
     s"md5(${parts.mkString(" || '|' || ")})"
   }
   /** The full minhash-banding CTE chain over `k`-shingles. */
-  private def bandsCteK(k: Int): String = {
+  private[queries] def bandsCteK(k: Int): String = {
     val mhCols = (0 until Bands * RowsPerBand)
       .map(h => s"${minhashSql(h)} AS mh$h").mkString(", ")
     val bandSelects = (0 until Bands).map(b =>
@@ -55,7 +55,7 @@ object LlmQueries {
        |mh AS (SELECT doc_id, $mhCols FROM hp),
        |bands AS ($bandSelects)""".stripMargin
   }
-  private val BandsCte = bandsCteK(ShingleK)
+  private[queries] val BandsCte = bandsCteK(ShingleK)
 
   // --------------------------------------------------------- q26
   /** Exact dedup: content hash + canonical flag (min id per hash). */
