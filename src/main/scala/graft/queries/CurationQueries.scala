@@ -5,9 +5,9 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.ops.{Dedup, TextAnalysis}
-import graft.queries.LlmQueries.{Bands, BandsCte, JaccardThreshold, RowsPerBand,
-  ShingleK, ShinglesSql, WsSplit}
+import graft.ops.{Dedup, Similarity, TextAnalysis}
+import graft.queries.LlmQueries.{AnnK, Bands, BandsCte, BucketSql, CosSql,
+  JaccardThreshold, LshPlanes, RowsPerBand, ShingleK, ShinglesSql, WsSplit}
 
 /** Round-9 curation/evaluation surface: sketch calibration (KMV
   * distinct, MinHash-vs-exact error), dedup keep policies, dataset
@@ -94,9 +94,14 @@ object CurationQueries {
         array_distinct(Dedup.shinglesOfWords(col("ws"), ShingleK)).as("toks"))
       .filter(col("sig").isNotNull)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val pairs = Dedup.candidatePairs(
-      Dedup.bandKeys(docs, "text", "doc_id", Bands, RowsPerBand, ShingleK))
-    val estRaw = expr(s"aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)")
+    // persist the band keys: the candidate self-join reads them twice,
+    // and each unpersisted read recomputes all 16 minhashes per doc
+    // (the q28 discipline — dominant cost is the signature pass)
+    val bands = Dedup
+      .bandKeys(docs, "text", "doc_id", Bands, RowsPerBand, ShingleK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = Dedup.candidatePairs(bands)
+    val estRaw =expr(s"aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)")
       .cast("double") / lit(nh.toDouble)
     val exactRaw = size(array_intersect(col("toks_a"), col("toks_b"))).cast("double") /
       size(array_union(col("toks_a"), col("toks_b")))
@@ -364,8 +369,9 @@ object CurationQueries {
       .prefixFilterPairs(docs, "text", "doc_id", ShingleK, JaccardThreshold)
       .select(col("id_a"), col("id_b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cand = Dedup.candidatePairs(
-        Dedup.bandKeys(docs, "text", "doc_id", Bands, RowsPerBand, ShingleK))
+    val cand = Dedup.candidatePairs(Dedup
+        .bandKeys(docs, "text", "doc_id", Bands, RowsPerBand, ShingleK)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val hit = cand.join(truth, Seq("id_a", "id_b"))
     truth.agg(count(lit(1)).as("n_truth"))
@@ -445,6 +451,325 @@ object CurationQueries {
        |FROM pred GROUP BY 1""".stripMargin
   }
 
+  // --------------------------------------------------------- q177
+  /** ANN recall@k: the hyperplane-LSH top-k (q32's index) scored
+    * against the brute-force cosine truth (q31) per query vector — the
+    * recall curve point that decides whether the bucketed index can
+    * replace the exact scan at corpus scale. Truth and approx lists
+    * are both k-bounded per query, so the comparison join is tiny;
+    * everything upstream reuses the production operators unchanged. */
+  private def q177(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val qs = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val truth = Similarity.topKNeighbors(emb, qs, AnnK)
+      .select(col("q_id"), col("vec_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val approx = Similarity.topKNeighborsLsh(emb, qs, AnnK, LshPlanes)
+      .select(col("q_id"), col("vec_id"))
+    val hits = approx.join(truth, Seq("q_id", "vec_id"))
+      .groupBy("q_id").agg(count(lit(1)).as("n_hits"))
+    truth.groupBy("q_id").agg(count(lit(1)).as("n_truth"))
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(coalesce(col("n_hits"), lit(0L)).cast("double") /
+          col("n_truth"), 4).as("recall"))
+  }
+  private val q177Sql =
+    s"""WITH base AS (SELECT vec_id, embedding AS e, embedding::DOUBLE[] AS vd FROM embeddings),
+       |b AS (SELECT vec_id, vd, $BucketSql AS bucket FROM base),
+       |q AS (SELECT vec_id AS q_id, vd AS qv, bucket FROM b WHERE vec_id < 10),
+       |c AS (SELECT vec_id, vd AS v, bucket FROM b),
+       |truth AS (SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY $CosSql DESC, vec_id) AS rn
+       |    FROM q, c WHERE vec_id <> q_id)
+       |  WHERE rn <= $AnnK),
+       |approx AS (SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY $CosSql DESC, vec_id) AS rn
+       |    FROM q JOIN c USING (bucket) WHERE vec_id <> q_id)
+       |  WHERE rn <= $AnnK),
+       |t2 AS (SELECT q_id, CAST(count(*) AS BIGINT) AS n_truth FROM truth GROUP BY 1),
+       |h AS (SELECT t.q_id, CAST(count(*) AS BIGINT) AS n_hits
+       |      FROM truth t JOIN approx a ON t.q_id = a.q_id AND t.vec_id = a.vec_id
+       |      GROUP BY 1)
+       |SELECT t2.q_id, CAST(COALESCE(n_hits, 0) AS BIGINT) AS n_hits,
+       |  round(COALESCE(n_hits, 0)::DOUBLE / n_truth, 4) AS recall
+       |FROM t2 LEFT JOIN h ON t2.q_id = h.q_id""".stripMargin
+
+  // --------------------------------------------------------- q178
+  /** Dedup funnel: the corpus pass a curation run reports — exact
+    * (content-hash) → fingerprint (token-set) → near-dup (LSH + verify
+    * + connected components, min-id keep), each stage applied to the
+    * PREVIOUS stage's survivors, with doc/char counts and the
+    * fraction of the original corpus surviving. Every stage is one
+    * keyed aggregate or the already-bucketed near-dup pipeline; the
+    * four stage rows are 1-row aggregates broadcast-joined to the
+    * stage-0 totals. */
+  private def q178(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), col("n_chars"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def stageAgg(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+        .select(lit(name).as("stage"), col("n_docs"), col("n_chars"))
+    val exactKeep = docs
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
+      .filter(col("rn") === 1).drop("rn")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val fpKeep = exactKeep
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(
+          md5(concat_ws(" ", array_sort(array_distinct(Dedup.words(col("text")))))))
+          .orderBy(col("doc_id"))))
+      .filter(col("rn") === 1).drop("rn")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bands = Dedup
+      .bandKeys(fpKeep, "text", "doc_id", Bands, RowsPerBand, ShingleK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vpairs = Dedup
+      .jaccardVerify(Dedup.candidatePairs(bands), fpKeep, "text", "doc_id",
+        JaccardThreshold)
+      .select(col("id_a"), col("id_b"))
+    val cc = Dedup.connectedComponents(vpairs)
+    val nearKeep = fpKeep.join(cc, fpKeep("doc_id") === cc("node"), "left")
+      .filter(col("cluster").isNull || col("cluster") === col("doc_id"))
+    val total = docs.agg(count(lit(1)).as("n0"))
+    stageAgg("0_all", docs)
+      .unionByName(stageAgg("1_exact", exactKeep))
+      .unionByName(stageAgg("2_fingerprint", fpKeep))
+      .unionByName(stageAgg("3_neardup", nearKeep))
+      .crossJoin(broadcast(total))
+      .select(col("stage"), col("n_docs"), col("n_chars"),
+        round(col("n_docs").cast("double") / col("n0"), 4).as("pct_docs"))
+  }
+  private val q178Sql =
+    s"""WITH RECURSIVE d0 AS (SELECT doc_id, text, n_chars FROM documents),
+       |e1 AS (SELECT doc_id, text, n_chars FROM (
+       |    SELECT d0.*, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+       |    FROM d0) WHERE rn = 1),
+       |f1 AS (SELECT doc_id, text, n_chars FROM (
+       |    SELECT e1.*, row_number() OVER (
+       |      PARTITION BY md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+       |      ORDER BY doc_id) AS rn
+       |    FROM e1) WHERE rn = 1),
+       |sh AS (SELECT doc_id, $ShinglesSql AS sh FROM f1),
+       |hp AS (SELECT doc_id, list_transform(sh, s ->
+       |         [('0x' || substr(md5(s), 1, 12))::BIGINT,
+       |          ('0x' || substr(md5(s), 13, 12))::BIGINT]) AS hs
+       |       FROM sh WHERE len(sh) > 0),
+       |mh AS (SELECT doc_id, ${(0 until 16).map(h => s"list_min(list_transform(hs, p -> p[1] + $h * p[2])) AS mh$h").mkString(", ")} FROM hp),
+       |bands AS (${(0 until 4).map(b => {
+           val parts = (0 until 4).map(r => s"mh${b * 4 + r}::VARCHAR")
+           s"SELECT doc_id, $b AS band, md5(${parts.mkString(" || '|' || ")}) AS band_key FROM mh"
+         }).mkString(" UNION ALL ")}),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+       |jsets AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM f1),
+       |vpairs AS (
+       |  SELECT id_a, id_b
+       |  FROM pairs JOIN jsets sa ON id_a = sa.doc_id JOIN jsets sb ON id_b = sb.doc_id
+       |  WHERE len(list_intersect(sa.toks, sb.toks))::DOUBLE /
+       |        len(list_distinct(list_concat(sa.toks, sb.toks))) >= $JaccardThreshold),
+       |edges AS (SELECT id_a AS s, id_b AS d FROM vpairs
+       |          UNION ALL SELECT id_b, id_a FROM vpairs),
+       |reach AS (SELECT DISTINCT s AS node, s AS r FROM edges
+       |          UNION
+       |          SELECT e.s, r.r FROM edges e JOIN reach r ON r.node = e.d),
+       |cc AS (SELECT node, MIN(r) AS cluster FROM reach GROUP BY node),
+       |n1 AS (SELECT f1.* FROM f1 LEFT JOIN cc ON f1.doc_id = cc.node
+       |       WHERE cc.cluster IS NULL OR cc.cluster = f1.doc_id),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS n0 FROM d0),
+       |stages AS (
+       |  SELECT '0_all' AS stage, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(n_chars) AS BIGINT) AS n_chars FROM d0
+       |  UNION ALL SELECT '1_exact', CAST(count(*) AS BIGINT),
+       |    CAST(sum(n_chars) AS BIGINT) FROM e1
+       |  UNION ALL SELECT '2_fingerprint', CAST(count(*) AS BIGINT),
+       |    CAST(sum(n_chars) AS BIGINT) FROM f1
+       |  UNION ALL SELECT '3_neardup', CAST(count(*) AS BIGINT),
+       |    CAST(sum(n_chars) AS BIGINT) FROM n1)
+       |SELECT stage, n_docs, n_chars,
+       |  round(n_docs::DOUBLE / tot.n0, 4) AS pct_docs
+       |FROM stages, tot""".stripMargin
+
+  // --------------------------------------------------------- q179
+  /** Source copy matrix: verified near-dup pairs bucketed by the
+    * (source, source) pair — which sources plagiarize/mirror which.
+    * The off-diagonal cells are the cross-source contamination a
+    * mixture designer has to know before weighting sources
+    * independently. Pair sources are least/greatest-normalized so the
+    * matrix is upper-triangular. */
+  private def q179(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val bands = Dedup
+      .bandKeys(docs, "text", "doc_id", Bands, RowsPerBand, ShingleK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vpairs = Dedup
+      .jaccardVerify(Dedup.candidatePairs(bands), docs, "text", "doc_id",
+        JaccardThreshold)
+      .select(col("id_a"), col("id_b"))
+    val src = docs.select(col("doc_id"), col("source"))
+    vpairs
+      .join(src.select(col("doc_id").as("id_a"), col("source").as("sa")), "id_a")
+      .join(src.select(col("doc_id").as("id_b"), col("source").as("sb")), "id_b")
+      .groupBy(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+  private val q179Sql =
+    s"""WITH $BandsCte,
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+       |jsets AS (SELECT doc_id, list_distinct($WsSplit) AS toks FROM documents),
+       |vpairs AS (
+       |  SELECT id_a, id_b
+       |  FROM pairs JOIN jsets sa ON id_a = sa.doc_id JOIN jsets sb ON id_b = sb.doc_id
+       |  WHERE len(list_intersect(sa.toks, sb.toks))::DOUBLE /
+       |        len(list_distinct(list_concat(sa.toks, sb.toks))) >= $JaccardThreshold)
+       |SELECT least(da.source, db.source) AS source_a,
+       |  greatest(da.source, db.source) AS source_b,
+       |  CAST(count(*) AS BIGINT) AS n_pairs
+       |FROM vpairs JOIN documents da ON id_a = da.doc_id
+       |  JOIN documents db ON id_b = db.doc_id
+       |GROUP BY 1, 2""".stripMargin
+
+  // --------------------------------------------------------- q180
+  /** Heaps'-law fit: vocabulary size V vs token count N per source,
+    * least-squares in log-log space across sources — V ≈ k·N^β, the
+    * growth law that predicts tokenizer vocabulary pressure when the
+    * corpus scales 100×. Per-source (N, V) is one token-keyed
+    * aggregate; the fit runs over |sources| quantized points (the
+    * q120/q172 integer-sum discipline). */
+  private def q180(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(s, dir)
+      .select(col("source"), explode(Dedup.words(col("text"))).as("w"))
+    val perSource = tok.groupBy("source")
+      .agg(count(lit(1)).as("nTok"), countDistinct(col("w")).as("vTok"))
+      .select(
+        round(log(col("nTok").cast("double")) * 10000, 0).cast("long").as("x"),
+        round(log(col("vTok").cast("double")) * 10000, 0).cast("long").as("y"))
+    val m = perSource.agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"))
+    val num = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+    val denX = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    val slope = num / denX
+    m.select(col("n").as("n_sources"),
+      round(slope, 6).as("beta"),
+      round((col("sy").cast("double") - slope * col("sx").cast("double")) /
+        (col("n").cast("double") * 10000.0), 6).as("log_k"))
+  }
+  private val q180Sql =
+    s"""WITH tok AS (SELECT source, unnest($WsSplit) AS w FROM documents),
+       |ps AS (SELECT source, CAST(count(*) AS BIGINT) AS ntok,
+       |         CAST(count(DISTINCT w) AS BIGINT) AS vtok
+       |       FROM tok GROUP BY 1),
+       |pts AS (SELECT CAST(round(ln(ntok::DOUBLE) * 10000) AS BIGINT) AS x,
+       |          CAST(round(ln(vtok::DOUBLE) * 10000) AS BIGINT) AS y FROM ps),
+       |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |        CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+       |        CAST(SUM(x * y) AS BIGINT) AS sxy,
+       |        CAST(SUM(x * x) AS BIGINT) AS sxx
+       |      FROM pts)
+       |SELECT n AS n_sources,
+       |  round(CAST(n * sxy - sx * sy AS DOUBLE) /
+       |    CAST(n * sxx - sx * sx AS DOUBLE), 6) AS beta,
+       |  round((sy::DOUBLE - (CAST(n * sxy - sx * sy AS DOUBLE) /
+       |      CAST(n * sxx - sx * sx AS DOUBLE)) * sx::DOUBLE) /
+       |    (n::DOUBLE * 10000.0), 6) AS log_k
+       |FROM m""".stripMargin
+
+  // --------------------------------------------------------- q181
+  /** Source-level MinHash similarity matrix: a source's sketch is the
+    * component-wise MIN of its documents' 16-hash signatures — exactly
+    * the MinHash of the source's UNION of shingle sets, because min
+    * distributes over union. Sketches are |sources|×16 (bytes, not
+    * corpus-sized), so the pairwise comparison is a trivially bounded
+    * |sources|² nested loop over broadcast rows — the corpus is read
+    * ONCE. The estimate approximates the shingle-set Jaccard between
+    * whole sources: the "how much do these crawls overlap" number that
+    * decides whether two sources should be mixed independently. */
+  private def q181(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftExtensions.ensureRegistered(s)
+    val nh = Bands * RowsPerBand
+    val sigs = Dedup.spread(
+        Tables.documents(s, dir).select(col("source"), col("text")))
+      .select(col("source"), Dedup.words(col("text")).as("ws"))
+      .select(col("source"),
+        call_function("minhash_sig", col("ws"), lit(ShingleK), lit(nh),
+          lit("md5")).as("sig"))
+      .filter(col("sig").isNotNull)
+    val minCols = (0 until nh).map(i =>
+      min(element_at(col("sig"), i + 1)).as(s"mh$i"))
+    val perSource = sigs.groupBy("source")
+      .agg(minCols.head, minCols.tail: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = perSource.select(col("source").as("source_a") +:
+      (0 until nh).map(i => col(s"mh$i").as(s"a$i")): _*)
+    val b = perSource.select(col("source").as("source_b") +:
+      (0 until nh).map(i => col(s"mh$i").as(s"b$i")): _*)
+    val matches = (0 until nh)
+      .map(i => when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    a.join(b, col("source_a") < col("source_b"))
+      .select(col("source_a"), col("source_b"),
+        round(matches.cast("double") / nh, 4).as("est_jaccard"))
+  }
+  private val q181Sql = {
+    val nh = Bands * RowsPerBand
+    val mins = (0 until nh).map(h => s"min(mh$h) AS mh$h").mkString(", ")
+    val matches = (0 until nh)
+      .map(h => s"(CASE WHEN a.mh$h = b.mh$h THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH $BandsCte,
+       |ds AS (SELECT m.doc_id, d.source, ${(0 until nh).map(h => s"m.mh$h").mkString(", ")}
+       |       FROM mh m JOIN documents d ON m.doc_id = d.doc_id),
+       |ps AS (SELECT source, $mins FROM ds GROUP BY source)
+       |SELECT a.source AS source_a, b.source AS source_b,
+       |  round(($matches)::DOUBLE / $nh, 4) AS est_jaccard
+       |FROM ps a JOIN ps b ON a.source < b.source""".stripMargin
+  }
+
+  // --------------------------------------------------------- q182
+  /** Per-user behavioral entropy: Shannon entropy (bits) of each
+    * user's event-type distribution — the bot/power-user separator
+    * (bots repeat one action: entropy ≈ 0; organic users spread).
+    * Uses the q114 identity H = ln(n) − (Σ c·ln c)/n with the Σ term
+    * quantized to integers BEFORE summing, so the aggregation is
+    * order-independent and reproduces across engines and executor
+    * counts. Two keyed aggregates, both on user_id. */
+  private def q182(s: SparkSession, dir: String): DataFrame = {
+    val cc = Tables.events(s, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+    cc.groupBy("user_id")
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("n_types"),
+        sum(round(col("c").cast("double") * log(col("c").cast("double")) * 1e6, 0)
+          .cast("long")).as("sclogc"))
+      .select(col("user_id"), col("n").as("n_events"), col("n_types"),
+        round((log(col("n").cast("double")) -
+          (col("sclogc").cast("double") / 1e6) / col("n")) / lit(math.log(2.0)), 6)
+          .as("entropy_bits"))
+  }
+  private val q182Sql =
+    """WITH cc AS (SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+      |            FROM events GROUP BY 1, 2),
+      |tot AS (SELECT user_id, CAST(sum(c) AS BIGINT) AS n,
+      |          CAST(count(*) AS BIGINT) AS n_types,
+      |          CAST(sum(CAST(round(c * ln(c) * 1e6) AS BIGINT)) AS BIGINT) AS sclogc
+      |        FROM cc GROUP BY 1)
+      |SELECT user_id, n AS n_events, n_types,
+      |  round((ln(n) - (sclogc / 1e6) / n) / ln(2), 6) AS entropy_bits
+      |FROM tot""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q168_kmv_distinct" -> q168 _,
     "q169_minhash_error" -> q169 _,
@@ -454,7 +779,13 @@ object CurationQueries {
     "q173_event_markov" -> q173 _,
     "q174_hapax_ratio" -> q174 _,
     "q175_lsh_recall" -> q175 _,
-    "q176_mixed_lang" -> q176 _)
+    "q176_mixed_lang" -> q176 _,
+    "q177_ann_recall" -> q177 _,
+    "q178_dedup_funnel" -> q178 _,
+    "q179_source_copy_matrix" -> q179 _,
+    "q180_heaps_law" -> q180 _,
+    "q181_source_similarity" -> q181 _,
+    "q182_user_entropy" -> q182 _)
 
   val oracleSql: Map[String, String] = Map(
     "q168_kmv_distinct" -> q168Sql,
@@ -465,5 +796,11 @@ object CurationQueries {
     "q173_event_markov" -> q173Sql,
     "q174_hapax_ratio" -> q174Sql,
     "q175_lsh_recall" -> q175Sql,
-    "q176_mixed_lang" -> q176Sql)
+    "q176_mixed_lang" -> q176Sql,
+    "q177_ann_recall" -> q177Sql,
+    "q178_dedup_funnel" -> q178Sql,
+    "q179_source_copy_matrix" -> q179Sql,
+    "q180_heaps_law" -> q180Sql,
+    "q181_source_similarity" -> q181Sql,
+    "q182_user_entropy" -> q182Sql)
 }

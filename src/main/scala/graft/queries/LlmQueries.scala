@@ -21,8 +21,8 @@ object LlmQueries {
   private[queries] val RowsPerBand = 4
   private[queries] val ShingleK = 3
   private[queries] val JaccardThreshold = 0.5
-  private val AnnK = 5
-  private val LshPlanes = 6
+  private[queries] val AnnK = 5
+  private[queries] val LshPlanes = 6
 
   // shared oracle fragments ------------------------------------------------
   private[queries] val WsSplit = "string_split(text, ' ')"
@@ -141,7 +141,7 @@ object LlmQueries {
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
     Similarity.topKNeighbors(emb, queries, AnnK)
   }
-  private val CosSql =
+  private[queries] val CosSql =
     "list_dot_product(qv, v) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v)))"
   private val q31Sql =
     s"""WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
@@ -161,7 +161,7 @@ object LlmQueries {
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
     Similarity.topKNeighborsLsh(emb, queries, AnnK, LshPlanes)
   }
-  private val BucketSql = {
+  private[queries] val BucketSql = {
     val bits = (1 to LshPlanes).map { p =>
       s"""CASE WHEN list_sum(list_transform(range(0, len(e)),
          | d -> e[d + 1]::DOUBLE * sin($p * 12.9898 + d * 78.233))) >= 0

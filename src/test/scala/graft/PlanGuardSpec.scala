@@ -33,7 +33,11 @@ class PlanGuardSpec extends SparkSpec {
     "q150_dsir_weights", // LM totals: exactly one aggregate row
     "q151_temperature_mix", // corpus total + normalizer: 1-row sides
     "q155_decay_activity", // anchor timestamp: exactly one aggregate row
-    "q158_vocab_coverage") // coverage sums: exactly one aggregate row
+    "q158_vocab_coverage", // coverage sums: exactly one aggregate row
+    "q175_lsh_recall",   // truth/cand/hit counts: three 1-row aggregates
+    "q177_ann_recall",   // query side: vec_id < 10, broadcast by design (q31)
+    "q178_dedup_funnel", // stage-0 total: exactly one aggregate row
+    "q181_source_similarity") // |sources|x16 sketches: bounded by construction
 
   test("no query plans a cartesian product; nested loops only where bounded") {
     val dir = "/root/testdata/sf0.001"
