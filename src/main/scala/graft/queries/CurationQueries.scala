@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.ops.{Dedup, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Layout, Similarity, TextAnalysis}
 import graft.queries.LlmQueries.{AnnK, Bands, BandsCte, BucketSql, CosSql,
   JaccardThreshold, LshPlanes, RowsPerBand, ShingleK, ShinglesSql, WsSplit}
 
@@ -770,6 +770,147 @@ object CurationQueries {
       |  round((ln(n) - (sclogc / 1e6) / n) / ln(2), 6) AS entropy_bits
       |FROM tot""".stripMargin
 
+  // --------------------------------------------------------- q183
+  /** Click→purchase conversion latency: per user, the first purchase
+    * at-or-after the first click, with exact integer microsecond
+    * latencies aggregated to count/mean/p50/p90 (the q157
+    * percentile ↔ quantile_cont pairing). Funnel TIMING, complementing
+    * q84's funnel COUNTS. Two keyed aggregates + one user-keyed join;
+    * the purchase side is filtered before the join, so the shuffle
+    * carries only the two event types involved. */
+  private def q183(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val clicks = e.filter(col("event_type") === "click")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("ct"))
+    val conv = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"))
+      .join(clicks, "user_id")
+      .filter(col("ts") >= col("ct"))
+      .groupBy(col("user_id"), col("ct")).agg(min(col("ts")).as("pt"))
+      .select((unix_micros(col("pt")) - unix_micros(col("ct"))).as("lat_us"))
+    conv.agg(count(lit(1)).as("n_converted"), sum(col("lat_us")).as("sum_us"),
+        expr("percentile(lat_us, 0.5D)").as("p50_us"),
+        expr("percentile(lat_us, 0.9D)").as("p90_us"))
+      .select(col("n_converted"),
+        round(col("sum_us").cast("double") / col("n_converted") / lit(1e6), 6)
+          .as("mean_s"),
+        round(col("p50_us") / lit(1e6), 6).as("p50_s"),
+        round(col("p90_us") / lit(1e6), 6).as("p90_s"))
+  }
+  private val q183Sql =
+    """WITH c AS (SELECT user_id, min(ts) AS ct FROM events
+      |           WHERE event_type = 'click' GROUP BY 1),
+      |conv AS (
+      |  SELECT e.user_id, epoch_us(min(e.ts)) - epoch_us(c.ct) AS lat_us
+      |  FROM events e JOIN c ON e.user_id = c.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts >= c.ct
+      |  GROUP BY e.user_id, c.ct)
+      |SELECT CAST(count(*) AS BIGINT) AS n_converted,
+      |  round(CAST(sum(lat_us) AS BIGINT)::DOUBLE / count(*) / 1e6, 6) AS mean_s,
+      |  round(quantile_cont(lat_us, 0.5) / 1e6, 6) AS p50_s,
+      |  round(quantile_cont(lat_us, 0.9) / 1e6, 6) AS p90_s
+      |FROM conv""".stripMargin
+
+  // --------------------------------------------------------- q184
+  /** Duplication rate by quality decile: do low-quality documents
+    * duplicate more? Exact-dup flags (content-hash first-occurrence)
+    * joined onto scale-safe global deciles of lexical diversity
+    * ([[Layout.globalNtile]] — two-pass rank, never a single-task
+    * window). The report that justifies "dedup before quality filter"
+    * orderings in a curation recipe. */
+  private def q184(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val ws = Dedup.words(col("text"))
+    val base = docs.select(col("doc_id"), md5(col("text")).as("ck"),
+      (size(array_distinct(ws)).cast("double") / size(ws)).as("qual"))
+    val flagged = base.withColumn("is_dup",
+      row_number().over(
+        Window.partitionBy(col("ck")).orderBy(col("doc_id"))) > 1)
+    Layout.globalNtile(flagged, 10, col("qual").asc, col("doc_id").asc)
+      .groupBy(col("tile"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("is_dup").cast("long")).as("n_dups"))
+      .select(col("tile").as("decile"), col("n_docs"), col("n_dups"),
+        round(col("n_dups").cast("double") / col("n_docs"), 4).as("dup_rate"))
+  }
+  private val q184Sql =
+    s"""WITH base AS (
+       |  SELECT doc_id, md5(text) AS ck,
+       |    len(list_distinct($WsSplit))::DOUBLE / len($WsSplit) AS qual
+       |  FROM documents),
+       |f AS (SELECT doc_id, qual,
+       |        row_number() OVER (PARTITION BY ck ORDER BY doc_id) > 1 AS is_dup
+       |      FROM base),
+       |d AS (SELECT qual, is_dup, doc_id,
+       |        ntile(10) OVER (ORDER BY qual, doc_id) AS decile FROM f)
+       |SELECT CAST(decile AS INT) AS decile, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
+       |  round(sum(CASE WHEN is_dup THEN 1 ELSE 0 END)::DOUBLE / count(*), 4)
+       |    AS dup_rate
+       |FROM d GROUP BY 1""".stripMargin
+
+  // --------------------------------------------------------- q185
+  /** Embedding L2-norm statistics per label: mean and sample standard
+    * deviation of vector norms — the normalization sanity check run
+    * before cosine-based ops (un-normalized islands break IVF cell
+    * balance). The per-row norm is a fixed left-to-right fold
+    * (identical IEEE order in both engines); norms quantize to 1e6
+    * integers before the moment sums (the q120 discipline). One scan,
+    * one label-keyed aggregate. */
+  private def q185(s: SparkSession, dir: String): DataFrame = {
+    val nq = round(
+      sqrt(expr("aggregate(cast(embedding as array<double>), 0D, (acc, x) -> acc + x * x)"))
+        * 1e6, 0).cast("long")
+    val m = Tables.embeddings(s, dir)
+      .select(col("label"), nq.as("nq"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"), sum(col("nq")).as("s"),
+        sum(col("nq") * col("nq")).as("sq"))
+    m.select(col("label"), col("n"),
+      round(col("s").cast("double") / col("n") / 1e6, 6).as("mean_norm"),
+      round(sqrt((col("n") * col("sq") - col("s") * col("s")).cast("double") /
+        (col("n").cast("double") * (col("n") - 1).cast("double"))) / 1e6, 6)
+        .as("std_norm"))
+  }
+  private val q185Sql =
+    """WITH v AS (
+      |  SELECT label,
+      |    CAST(round(sqrt(list_sum(list_transform(embedding::DOUBLE[],
+      |      x -> x * x))) * 1e6) AS BIGINT) AS nq
+      |  FROM embeddings),
+      |m AS (SELECT label, CAST(count(*) AS BIGINT) AS n,
+      |        CAST(sum(nq) AS BIGINT) AS s,
+      |        CAST(sum(nq * nq) AS BIGINT) AS sq
+      |      FROM v GROUP BY 1)
+      |SELECT label, n,
+      |  round(s::DOUBLE / n / 1e6, 6) AS mean_norm,
+      |  round(sqrt(CAST(n * sq - s * s AS DOUBLE) /
+      |    (n::DOUBLE * (n - 1)::DOUBLE)) / 1e6, 6) AS std_norm
+      |FROM m""".stripMargin
+
+  // --------------------------------------------------------- q186
+  /** Template-prefix clusters: documents sharing their first 5 tokens
+    * — the "generated from the same template" signal that catches
+    * form letters and scraped listings whose BODIES differ enough to
+    * evade whole-doc fingerprints (q29) and near-dup Jaccard (q28).
+    * One hash-keyed aggregate over a constant-size prefix key. */
+  private val PrefixTokens = 5
+  private def q186(s: SparkSession, dir: String): DataFrame = {
+    val ws = Dedup.words(col("text"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        md5(concat_ws(" ", slice(ws, 1, PrefixTokens))).as("prefix_key"))
+      .groupBy("prefix_key")
+      .agg(count(lit(1)).as("cluster_size"), min(col("doc_id")).as("canonical_doc"))
+      .filter(col("cluster_size") > 1)
+  }
+  private val q186Sql =
+    s"""SELECT md5(array_to_string(list_slice($WsSplit, 1, $PrefixTokens), ' '))
+       |    AS prefix_key,
+       |  CAST(count(*) AS BIGINT) AS cluster_size,
+       |  MIN(doc_id) AS canonical_doc
+       |FROM documents GROUP BY 1 HAVING count(*) > 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q168_kmv_distinct" -> q168 _,
     "q169_minhash_error" -> q169 _,
@@ -785,7 +926,11 @@ object CurationQueries {
     "q179_source_copy_matrix" -> q179 _,
     "q180_heaps_law" -> q180 _,
     "q181_source_similarity" -> q181 _,
-    "q182_user_entropy" -> q182 _)
+    "q182_user_entropy" -> q182 _,
+    "q183_conversion_latency" -> q183 _,
+    "q184_dup_by_quality" -> q184 _,
+    "q185_norm_by_label" -> q185 _,
+    "q186_prefix_clusters" -> q186 _)
 
   val oracleSql: Map[String, String] = Map(
     "q168_kmv_distinct" -> q168Sql,
@@ -802,5 +947,9 @@ object CurationQueries {
     "q179_source_copy_matrix" -> q179Sql,
     "q180_heaps_law" -> q180Sql,
     "q181_source_similarity" -> q181Sql,
-    "q182_user_entropy" -> q182Sql)
+    "q182_user_entropy" -> q182Sql,
+    "q183_conversion_latency" -> q183Sql,
+    "q184_dup_by_quality" -> q184Sql,
+    "q185_norm_by_label" -> q185Sql,
+    "q186_prefix_clusters" -> q186Sql)
 }

@@ -296,6 +296,51 @@ class PlanGuardSpec extends SparkSpec {
     "InMemoryTableScan".r.findAllIn(plan).size should be >= 1
   }
 
+  test("q173's lag rides one user_id exchange; transition aggs stay keyed") {
+    // the ONLY corpus-sized shuffle is the user_id exchange feeding the
+    // lag window; everything after aggregates on |types|²-bounded keys
+    val plan = SparkEntry.queries("q173_event_markov")(
+      spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+    plan should not include "Join"
+    plan should include regex "Exchange hashpartitioning\\(user_id"
+    "(?<!Broadcast)Exchange".r.findAllIn(plan).size should be <= 3
+  }
+
+  test("q181 reads the corpus ONCE; sketches aggregate on source") {
+    // the per-source sketch (min of doc signatures) must come from a
+    // single parquet pass — the |sources|² comparison joins the
+    // persisted sketch frame against itself, never the corpus
+    val plan = SparkEntry.queries("q181_source_similarity")(
+      spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+    // both |sources|² comparison sides read the PERSISTED sketch frame
+    // (InMemoryTableScan ×2); the plan string prints the cached
+    // lineage's parquet scan per reference, but at runtime the cache
+    // materializes once — so the guard pins the cache reads, plus the
+    // single source-keyed exchange that builds the sketches
+    plan should include regex "Exchange hashpartitioning\\(source"
+    "InMemoryTableScan".r.findAllIn(plan).size should be >= 2
+  }
+
+  test("q182's entropy is two keyed exchanges, no join, no window") {
+    // (user_id, event_type) counts then user_id totals — the quantized
+    // Σ c·ln c identity needs no second pass over events and no join
+    val plan = SparkEntry.queries("q182_user_entropy")(
+      spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+    plan should not include "Join"
+    plan should not include "Window"
+    "(?<!Broadcast)Exchange".r.findAllIn(plan).size shouldBe 2
+  }
+
+  test("q171's split bucket is scan-side; one aggregate plus the lang window") {
+    // the md5 bucket is a codegen projection in the scan stage — a
+    // join or global window here would be a rewrite regression
+    val plan = SparkEntry.queries("q171_stratified_split")(
+      spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+    plan should not include "Join"
+    "(?<!Broadcast)Exchange".r.findAllIn(plan).size should be <= 2
+    plan should include("Window")
+  }
+
   test("q111's cap is one keyed exchange feeding a WindowGroupLimit") {
     val plan = SparkEntry.queries("q111_source_cap")(
       spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
