@@ -42,7 +42,10 @@ import graft.ops.Dedup
   */
 object ScaleSoak {
   private val RUNS = 2
-  private val Scales = Seq(1, 3, 10)
+  /** Override with SPARK_GRAFT_SCALES, e.g. "1,10,30". */
+  private val Scales: Seq[Int] = sys.env.get("SPARK_GRAFT_SCALES")
+    .map(_.split(",").toSeq.map(_.trim.toInt))
+    .getOrElse(Seq(1, 3, 10))
   private val IdStride = 10000000L
 
   /** The structurally-risky family named by the r8 verdict: iterative

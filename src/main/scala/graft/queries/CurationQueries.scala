@@ -911,6 +911,252 @@ object CurationQueries {
        |  MIN(doc_id) AS canonical_doc
        |FROM documents GROUP BY 1 HAVING count(*) > 1""".stripMargin
 
+  // --------------------------------------------------------- q187
+  /** Incremental cluster assignment — the STREAMING shape of near-dup
+    * dedup: cluster the existing corpus once (the q50 graph over the
+    * base 80%), then assign an arriving batch (the held-out 20%) to
+    * existing clusters via band-key candidates + Jaccard verify,
+    * argmax per new doc. At 100 TB this is the nightly-ingest path: no
+    * re-clustering of the base, only (new × matching-band) work — cost
+    * tracks the BATCH, not the corpus. Unmatched new docs are absent
+    * (they found no cluster ≥ threshold and seed their own). */
+  private def q187(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val base = docs.filter(col("doc_id") % 5 =!= 4)
+    val newb = docs.filter(col("doc_id") % 5 === 4)
+    val bb = Dedup.bandKeys(base, "text", "doc_id", Bands, RowsPerBand, ShingleK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nb = Dedup.bandKeys(newb, "text", "doc_id", Bands, RowsPerBand, ShingleK)
+    val basePairs = Dedup
+      .jaccardVerify(Dedup.candidatePairs(bb), base, "text", "doc_id",
+        JaccardThreshold)
+      .select(col("id_a"), col("id_b"))
+    val cc = Dedup.connectedComponents(basePairs)
+    val cand = nb.select(col("band"), col("band_key"), col("id").as("id_a"))
+      .join(bb.select(col("band"), col("band_key"), col("id").as("id_b")),
+        Seq("band", "band_key"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val ver = Dedup.jaccardVerify(cand, docs, "text", "doc_id", JaccardThreshold)
+    ver.join(cc, ver("id_b") === cc("node"), "left")
+      .select(col("id_a"), coalesce(col("cluster"), col("id_b")).as("cl"),
+        col("jaccard"), col("id_b"))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("id_a"))
+        .orderBy(col("jaccard").desc, col("cl").asc, col("id_b").asc)))
+      .filter(col("rn") === 1)
+      .select(col("id_a").as("doc_id"), col("cl").as("assigned_cluster"),
+        col("jaccard"))
+  }
+  private val q187Sql =
+    s"""WITH RECURSIVE $BandsCte,
+       |bb AS (SELECT * FROM bands WHERE doc_id % 5 <> 4),
+       |nb AS (SELECT * FROM bands WHERE doc_id % 5 = 4),
+       |jsets AS (SELECT doc_id, list_distinct($WsSplit) AS toks FROM documents),
+       |bpairs AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bb a JOIN bb b
+       |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+       |bver AS (
+       |  SELECT id_a, id_b FROM bpairs
+       |    JOIN jsets sa ON id_a = sa.doc_id JOIN jsets sb ON id_b = sb.doc_id
+       |  WHERE len(list_intersect(sa.toks, sb.toks))::DOUBLE /
+       |        len(list_distinct(list_concat(sa.toks, sb.toks))) >= $JaccardThreshold),
+       |edges AS (SELECT id_a AS s, id_b AS d FROM bver
+       |          UNION ALL SELECT id_b, id_a FROM bver),
+       |reach AS (SELECT DISTINCT s AS node, s AS r FROM edges
+       |          UNION
+       |          SELECT e.s, r.r FROM edges e JOIN reach r ON r.node = e.d),
+       |cc AS (SELECT node, MIN(r) AS cluster FROM reach GROUP BY node),
+       |cand AS (
+       |  SELECT DISTINCT n.doc_id AS id_a, bse.doc_id AS id_b
+       |  FROM nb n JOIN bb bse
+       |    ON n.band = bse.band AND n.band_key = bse.band_key),
+       |ver AS (
+       |  SELECT id_a, id_b,
+       |    round(len(list_intersect(sa.toks, sb.toks))::DOUBLE /
+       |          len(list_distinct(list_concat(sa.toks, sb.toks))), 4) AS jaccard
+       |  FROM cand JOIN jsets sa ON id_a = sa.doc_id JOIN jsets sb ON id_b = sb.doc_id
+       |  WHERE len(list_intersect(sa.toks, sb.toks))::DOUBLE /
+       |        len(list_distinct(list_concat(sa.toks, sb.toks))) >= $JaccardThreshold),
+       |asg AS (SELECT id_a, COALESCE(cc.cluster, ver.id_b) AS cl, jaccard, id_b
+       |        FROM ver LEFT JOIN cc ON ver.id_b = cc.node)
+       |SELECT id_a AS doc_id, cl AS assigned_cluster, jaccard FROM (
+       |  SELECT id_a, cl, jaccard,
+       |    ROW_NUMBER() OVER (PARTITION BY id_a
+       |      ORDER BY jaccard DESC, cl ASC, id_b ASC) AS rn
+       |  FROM asg) WHERE rn = 1""".stripMargin
+
+  // --------------------------------------------------------- q188
+  /** Multi-probe LSH ANN: each query probes its own hyperplane bucket
+    * PLUS every 1-bit-flip neighbor bucket — the standard recall
+    * recovery for bucketed ANN (a vector near a hyperplane falls on
+    * either side; probing both sides catches it) at (planes+1)× probe
+    * cost instead of 2^planes brute force. Same shape as q32 with the
+    * query side exploded over its probe set; candidates stay a bucket
+    * equi-join. */
+  private def q188(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val b = Similarity.lshBuckets(emb, LshPlanes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vecs = emb.select(col("vec_id"),
+      expr("cast(embedding as array<double>)").as("vd"))
+    val qb = b.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("bucket"))
+    val flips = (1 to LshPlanes).map { i =>
+      concat(substring(col("bucket"), 1, i - 1),
+        when(substring(col("bucket"), i, 1) === "1", "0").otherwise("1"),
+        substring(col("bucket"), i + 1, LshPlanes - i))
+    }
+    val probes = qb.select(col("q_id"),
+      explode(array(col("bucket") +: flips: _*)).as("bucket"))
+    val cand = probes.join(b, "bucket")
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id")).distinct()
+    val scored = cand
+      .join(vecs.select(col("vec_id").as("q_id"), col("vd").as("q")), "q_id")
+      .join(vecs, "vec_id")
+      .withColumn("cos", graft.functions.CosineSimilarity(col("q"), col("vd")))
+    scored
+      .withColumn("rank", row_number().over(Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("vec_id").asc)))
+      .filter(col("rank") <= AnnK)
+      .select(col("q_id"), col("rank"), col("vec_id"),
+        round(col("cos"), 6).as("cos_sim"))
+  }
+  private val q188Sql =
+    s"""WITH base AS (SELECT vec_id, embedding AS e, embedding::DOUBLE[] AS vd FROM embeddings),
+       |b AS (SELECT vec_id, vd, $BucketSql AS bucket FROM base),
+       |q0 AS (SELECT vec_id AS q_id, bucket FROM b WHERE vec_id < 10),
+       |probes AS (
+       |  SELECT q_id, unnest(list_prepend(bucket,
+       |    list_transform(range(1, $LshPlanes + 1), i ->
+       |      substr(bucket, 1, i - 1) ||
+       |      (CASE WHEN substr(bucket, i, 1) = '1' THEN '0' ELSE '1' END) ||
+       |      substr(bucket, i + 1, $LshPlanes - i)))) AS bucket
+       |  FROM q0),
+       |cand AS (SELECT DISTINCT p.q_id, c.vec_id
+       |         FROM probes p JOIN b c USING (bucket) WHERE c.vec_id <> p.q_id),
+       |sc AS (SELECT cand.q_id, cand.vec_id, qq.vd AS qv, cc.vd AS v
+       |       FROM cand JOIN b cc ON cand.vec_id = cc.vec_id
+       |         JOIN b qq ON cand.q_id = qq.vec_id)
+       |SELECT q_id, CAST(rn AS INT) AS rank, vec_id, round(cos, 6) AS cos_sim FROM (
+       |  SELECT q_id, vec_id, $CosSql AS cos,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY $CosSql DESC, vec_id) AS rn
+       |  FROM sc)
+       |WHERE rn <= $AnnK""".stripMargin
+
+  // --------------------------------------------------------- q189
+  /** Near-dup cluster label purity: for every q50 cluster, the
+    * fraction of members sharing the majority language — near-1
+    * purity says clusters track real duplication; low purity says the
+    * banding is gluing unrelated docs (threshold too loose). One
+    * (cluster, lang) aggregate + a per-cluster argmax window. */
+  private def q189(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val bands = Dedup
+      .bandKeys(docs, "text", "doc_id", Bands, RowsPerBand, ShingleK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vpairs = Dedup
+      .jaccardVerify(Dedup.candidatePairs(bands), docs, "text", "doc_id",
+        JaccardThreshold)
+      .select(col("id_a"), col("id_b"))
+    val cc = Dedup.connectedComponents(vpairs)
+    val byLang = cc.join(docs.select(col("doc_id"), col("lang")),
+        cc("node") === col("doc_id"))
+      .groupBy(col("cluster"), col("lang")).agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("cluster"))
+    byLang
+      .withColumn("size", sum(col("c")).over(w))
+      .withColumn("rn", row_number().over(
+        w.orderBy(col("c").desc, col("lang").asc)))
+      .filter(col("rn") === 1)
+      .select(col("cluster").as("cluster_id"), col("size").as("n_members"),
+        col("lang").as("majority_lang"),
+        round(col("c").cast("double") / col("size"), 4).as("purity"))
+  }
+  private val q189Sql =
+    s"""WITH RECURSIVE $BandsCte,
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+       |jsets AS (SELECT doc_id, list_distinct($WsSplit) AS toks FROM documents),
+       |vpairs AS (
+       |  SELECT id_a, id_b
+       |  FROM pairs JOIN jsets sa ON id_a = sa.doc_id JOIN jsets sb ON id_b = sb.doc_id
+       |  WHERE len(list_intersect(sa.toks, sb.toks))::DOUBLE /
+       |        len(list_distinct(list_concat(sa.toks, sb.toks))) >= $JaccardThreshold),
+       |edges AS (SELECT id_a AS s, id_b AS d FROM vpairs
+       |          UNION ALL SELECT id_b, id_a FROM vpairs),
+       |reach AS (SELECT DISTINCT s AS node, s AS r FROM edges
+       |          UNION
+       |          SELECT e.s, r.r FROM edges e JOIN reach r ON r.node = e.d),
+       |cc AS (SELECT node, MIN(r) AS cluster FROM reach GROUP BY node),
+       |bl AS (SELECT cc.cluster, d.lang, CAST(count(*) AS BIGINT) AS c
+       |       FROM cc JOIN documents d ON cc.node = d.doc_id GROUP BY 1, 2),
+       |r AS (SELECT cluster, lang, c,
+       |        sum(c) OVER (PARTITION BY cluster) AS size,
+       |        row_number() OVER (PARTITION BY cluster
+       |          ORDER BY c DESC, lang ASC) AS rn
+       |      FROM bl)
+       |SELECT cluster AS cluster_id, CAST(size AS BIGINT) AS n_members,
+       |  lang AS majority_lang, round(c::DOUBLE / size, 4) AS purity
+       |FROM r WHERE rn = 1""".stripMargin
+
+  // --------------------------------------------------------- q190
+  /** Top-10 three-step event paths within sessions (30-minute
+    * inactivity gap): the sequence-mining summary behind "what do
+    * users actually do" — two lag windows over the SAME user-keyed
+    * sort (one shuffle), a bounded path aggregate, and a
+    * TakeOrderedAndProject top-k (no global sort). Ties break on the
+    * path string so the cut line is deterministic. */
+  private val SessionGapMin = 30
+  private def q190(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val sess = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("new_sess",
+        when(unix_micros(col("ts")) -
+          unix_micros(lag(col("ts"), 1).over(w)) > SessionGapMin * 60000000L, 1)
+          .when(lag(col("ts"), 1).over(w).isNull, 1).otherwise(0))
+      .withColumn("sess_id", sum(col("new_sess")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val sw = Window.partitionBy(col("user_id"), col("sess_id"))
+      .orderBy(col("ts"), col("event_id"))
+    sess
+      .withColumn("e2", lag(col("event_type"), 1).over(sw))
+      .withColumn("e3", lag(col("event_type"), 2).over(sw))
+      .filter(col("e3").isNotNull)
+      .select(concat_ws(">", col("e3"), col("e2"), col("event_type")).as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("path").asc)
+      .limit(10)
+  }
+  private val q190Sql =
+    s"""WITH t AS (
+       |  SELECT user_id, event_type, ts, event_id,
+       |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+       |             IS NULL THEN 1
+       |         WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (
+       |             PARTITION BY user_id ORDER BY ts, event_id))
+       |             > ${SessionGapMin * 60000000L} THEN 1
+       |         ELSE 0 END AS new_sess
+       |  FROM events),
+       |se AS (SELECT user_id, event_type, ts, event_id,
+       |         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |           ROWS UNBOUNDED PRECEDING) AS sess_id
+       |       FROM t),
+       |p AS (SELECT
+       |        lag(event_type, 2) OVER (PARTITION BY user_id, sess_id
+       |          ORDER BY ts, event_id) AS e3,
+       |        lag(event_type, 1) OVER (PARTITION BY user_id, sess_id
+       |          ORDER BY ts, event_id) AS e2,
+       |        event_type
+       |      FROM se)
+       |SELECT e3 || '>' || e2 || '>' || event_type AS path,
+       |  CAST(count(*) AS BIGINT) AS cnt
+       |FROM p WHERE e3 IS NOT NULL
+       |GROUP BY 1 ORDER BY cnt DESC, path ASC LIMIT 10""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q168_kmv_distinct" -> q168 _,
     "q169_minhash_error" -> q169 _,
@@ -930,7 +1176,11 @@ object CurationQueries {
     "q183_conversion_latency" -> q183 _,
     "q184_dup_by_quality" -> q184 _,
     "q185_norm_by_label" -> q185 _,
-    "q186_prefix_clusters" -> q186 _)
+    "q186_prefix_clusters" -> q186 _,
+    "q187_incremental_assign" -> q187 _,
+    "q188_multiprobe_ann" -> q188 _,
+    "q189_cluster_purity" -> q189 _,
+    "q190_top_paths" -> q190 _)
 
   val oracleSql: Map[String, String] = Map(
     "q168_kmv_distinct" -> q168Sql,
@@ -951,5 +1201,9 @@ object CurationQueries {
     "q183_conversion_latency" -> q183Sql,
     "q184_dup_by_quality" -> q184Sql,
     "q185_norm_by_label" -> q185Sql,
-    "q186_prefix_clusters" -> q186Sql)
+    "q186_prefix_clusters" -> q186Sql,
+    "q187_incremental_assign" -> q187Sql,
+    "q188_multiprobe_ann" -> q188Sql,
+    "q189_cluster_purity" -> q189Sql,
+    "q190_top_paths" -> q190Sql)
 }
