@@ -1157,6 +1157,210 @@ object CurationQueries {
        |FROM p WHERE e3 IS NOT NULL
        |GROUP BY 1 ORDER BY cnt DESC, path ASC LIMIT 10""".stripMargin
 
+  // --------------------------------------------------------- q191
+  /** Trigram conditional entropy H(w₃ | w₁w₂) in bits — the
+    * context-given surprise of the corpus (q146's bigram cross-entropy
+    * measures model fit; this measures the corpus's own conditional
+    * uncertainty, the signal that drops when templates dominate).
+    * Identity: H(w₃|w₁w₂) = (Σ_ctx Σ_w c·ln c  over contexts − Σ_tri
+    * c·ln c over trigrams)/N·ln2 … computed as two quantized Σ c·ln c
+    * aggregates (trigram counts and context counts) — exact integer
+    * sums, order-independent (the q114 discipline). One row out. */
+  private def q191(s: SparkSession, dir: String): DataFrame = {
+    val tri = Tables.documents(s, dir)
+      .select(Dedup.words(col("text")).as("ws"))
+      .select(explode(expr(
+        """CASE WHEN size(ws) >= 3
+          | THEN transform(sequence(0, size(ws) - 3),
+          |        i -> struct(ws[i] AS w1, ws[i + 1] AS w2, ws[i + 2] AS w3))
+          | ELSE CAST(array() AS array<struct<w1:string,w2:string,w3:string>>)
+          | END""".stripMargin)).as("t"))
+      .select(col("t.w1"), col("t.w2"), col("t.w3"))
+    val tc = tri.groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val triAgg = tc.agg(sum(col("c")).as("n"),
+      sum(round(col("c").cast("double") * log(col("c").cast("double")) * 1e6, 0)
+        .cast("long")).as("striclogc"))
+    val ctxAgg = tc.groupBy("w1", "w2").agg(sum(col("c")).as("cc"))
+      .agg(sum(round(col("cc").cast("double") * log(col("cc").cast("double")) * 1e6, 0)
+        .cast("long")).as("sctxclogc"))
+    triAgg.crossJoin(broadcast(ctxAgg))
+      .select(col("n").as("n_trigrams"),
+        round(((col("sctxclogc") - col("striclogc")).cast("double") / 1e6 /
+          col("n")) / lit(math.log(2.0)), 6).as("cond_entropy_bits"))
+  }
+  private val q191Sql =
+    s"""WITH ws AS (SELECT $WsSplit AS ws FROM documents),
+       |tri AS (
+       |  SELECT unnest(CASE WHEN len(ws) >= 3
+       |    THEN list_transform(range(1, len(ws) - 1),
+       |           i -> {'w1': ws[i], 'w2': ws[i+1], 'w3': ws[i+2]})
+       |    ELSE [] END) AS t
+       |  FROM ws),
+       |tc AS (SELECT t.w1 AS w1, t.w2 AS w2, t.w3 AS w3,
+       |         CAST(count(*) AS BIGINT) AS c
+       |       FROM tri GROUP BY 1, 2, 3),
+       |ta AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+       |         CAST(sum(CAST(round(c * ln(c) * 1e6) AS BIGINT)) AS BIGINT) AS striclogc
+       |       FROM tc),
+       |cx AS (SELECT w1, w2, CAST(sum(c) AS BIGINT) AS cc FROM tc GROUP BY 1, 2),
+       |ca AS (SELECT CAST(sum(CAST(round(cc * ln(cc) * 1e6) AS BIGINT)) AS BIGINT)
+       |         AS sctxclogc FROM cx)
+       |SELECT n AS n_trigrams,
+       |  round(((sctxclogc - striclogc) / 1e6 / n) / ln(2), 6) AS cond_entropy_bits
+       |FROM ta, ca""".stripMargin
+
+  // --------------------------------------------------------- q192
+  /** Ingest-calendar completeness: for each event type, the covered
+    * day count, the expected span, and the LIST of missing days — the
+    * data-quality report that catches a dead feed before a model
+    * trains on a hole. The calendar explodes from each type's
+    * (min, max) span — |types|·|days| rows, never event-volume. */
+  private def q192(s: SparkSession, dir: String): DataFrame = {
+    val spans = Tables.events(s, dir)
+      .select(col("event_type"), to_date(col("ts")).as("d"))
+      .groupBy("event_type")
+      .agg(min(col("d")).as("d0"), max(col("d")).as("d1"),
+        collect_set(col("d")).as("seen"))
+    spans
+      .select(col("event_type"),
+        (datediff(col("d1"), col("d0")) + 1).cast("long").as("span_days"),
+        size(col("seen")).cast("long").as("covered_days"),
+        array_sort(expr("filter(transform(sequence(d0, d1, interval 1 day), " +
+          "x -> cast(x as date)), x -> NOT array_contains(seen, x))"))
+          .cast("array<string>").as("missing_days"))
+  }
+  private val q192Sql =
+    """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS d FROM events),
+      |sp AS (SELECT event_type, min(d) AS d0, max(d) AS d1,
+      |         list_distinct(list(d)) AS seen,
+      |         CAST(count(DISTINCT d) AS BIGINT) AS covered_days
+      |       FROM d GROUP BY 1)
+      |SELECT event_type,
+      |  CAST(date_diff('day', d0, d1) + 1 AS BIGINT) AS span_days,
+      |  covered_days,
+      |  list_sort(list_transform(
+      |    list_filter(list_transform(range(0, date_diff('day', d0, d1) + 1),
+      |      i -> d0 + to_days(i::INT)),
+      |      x -> NOT list_contains(seen, x)), x -> strftime(x, '%Y-%m-%d')))
+      |    AS missing_days
+      |FROM sp""".stripMargin
+
+  // --------------------------------------------------------- q193
+  /** Per-dimension clip bounds (p1/p99) for embedding winsorization —
+    * the vector-space complement of q126's scalar winsorize: the
+    * bounds table an outlier-robust quantizer loads before encoding.
+    * posexplode → one dim-keyed exact-percentile aggregate (64 keys),
+    * the q157-proven percentile ↔ quantile_cont pairing. */
+  private def q193(s: SparkSession, dir: String): DataFrame = {
+    Tables.embeddings(s, dir)
+      .select(posexplode(expr("cast(embedding as array<double>)"))
+        .as(Seq("dim", "x")))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"),
+        expr("percentile(x, 0.01D)").as("p01"),
+        expr("percentile(x, 0.99D)").as("p99"))
+      .select(col("dim"), col("n"), round(col("p01"), 6).as("p01"),
+        round(col("p99"), 6).as("p99"))
+  }
+  private val q193Sql =
+    """WITH x AS (
+      |  SELECT unnest(range(0, len(embedding))) AS dim,
+      |         unnest(embedding::DOUBLE[]) AS x
+      |  FROM embeddings)
+      |SELECT CAST(dim AS INT) AS dim, CAST(count(*) AS BIGINT) AS n,
+      |  round(quantile_cont(x, 0.01), 6) AS p01,
+      |  round(quantile_cont(x, 0.99), 6) AS p99
+      |FROM x GROUP BY 1""".stripMargin
+
+  // --------------------------------------------------------- q194
+  /** Language-id confidence calibration: the q33 stopword-argmax
+    * predictor's MARGIN (best score − runner-up) bucketed at 0.02,
+    * with per-bucket accuracy against the labeled lang — the
+    * reliability curve that turns a raw classifier into a thresholded
+    * filter (complements q162's confusion matrix and q154's
+    * probability-model calibration). Margins are exact rational
+    * doubles; the bucket edge uses an integer floor of 50·margin so
+    * no float-edge ambiguity exists. */
+  private def q194(s: SparkSession, dir: String): DataFrame = {
+    val scored = TextAnalysis.StopwordSets.map { case (lang, sw) =>
+      TextAnalysis.stopwordRatio(col("text"), sw).as(s"s_$lang")
+    }
+    val scoreCols = TextAnalysis.StopwordSets.map(l => col(s"s_${l._1}"))
+    val best = greatest(scoreCols: _*)
+    // runner-up = max over each score where it is NOT the max... the
+    // two-argmax trick: sort the 5 scores descending, take [1]
+    val second = expr(s"array_sort(array(${TextAnalysis.StopwordSets
+      .map(l => s"s_${l._1}").mkString(", ")}), (a, b) -> CASE WHEN a > b THEN -1 WHEN a < b THEN 1 ELSE 0 END)[1]")
+    val baseCols = Seq(col("doc_id"), col("lang"),
+      TextAnalysis.langId(col("text")).as("pred")) ++ scored :+ col("text")
+    Tables.documents(s, dir)
+      .select(baseCols: _*)
+      .select(col("doc_id"), col("lang"), col("pred"),
+        floor((best - second) * 50).cast("long").as("margin_bucket"))
+      .filter(col("pred") =!= "und")
+      .groupBy("margin_bucket")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("pred") === col("lang"), 1L).otherwise(0L)).as("n_correct"))
+      .select(col("margin_bucket"), col("n"), col("n_correct"),
+        round(col("n_correct").cast("double") / col("n"), 4).as("accuracy"))
+  }
+  private val q194Sql = {
+    val scoreCols = TextAnalysis.StopwordSets.map { case (lang, sw) =>
+      val swList = sw.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"len(list_filter($WsSplit, w -> list_contains($swList, w)))::DOUBLE / greatest(len($WsSplit), 1) AS s_$lang"
+    }
+    val names = TextAnalysis.StopwordSets.map(l => s"s_${l._1}")
+    val langsDesc = TextAnalysis.StopwordSets.map(_._1).sorted.reverse
+    val best = s"greatest(${names.mkString(", ")})"
+    val pick = langsDesc.init.map(l => s"WHEN s_$l = $best THEN '$l'").mkString(" ")
+    s"""WITH sc AS (SELECT doc_id, lang, ${scoreCols.mkString(", ")} FROM documents),
+       |pr AS (SELECT doc_id, lang,
+       |    CASE WHEN $best = 0 THEN 'und' $pick ELSE '${langsDesc.last}' END AS pred,
+       |    floor(($best - list_sort([${names.mkString(", ")}])[-2]) * 50)::BIGINT
+       |      AS margin_bucket
+       |  FROM sc)
+       |SELECT margin_bucket, CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(CASE WHEN pred = lang THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       |  round(sum(CASE WHEN pred = lang THEN 1 ELSE 0 END)::DOUBLE / count(*), 4)
+       |    AS accuracy
+       |FROM pr WHERE pred <> 'und' GROUP BY 1""".stripMargin
+  }
+
+  // --------------------------------------------------------- q195
+  /** Gini coefficient of per-user event counts — the one-number
+    * concentration report ("do 1% of users produce 90% of events?")
+    * that decides whether per-user caps (q111's discipline) are needed
+    * before training on behavioral data. Uses the rank identity
+    * G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n over ascending-sorted counts:
+    * ranks come from [[Layout.globalRank]] (two-pass, no single-task
+    * window), and Σ i·xᵢ is an exact integer sum — deterministic at
+    * any parallelism. */
+  private def q195(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.events(s, dir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("x"))
+    val ranked = Layout.globalRank(counts, col("x").asc, col("user_id").asc)
+    ranked
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("rank") * col("x")).as("six"))
+      .select(col("n").as("n_users"), col("sx").as("n_events"),
+        round(lit(2.0) * col("six").cast("double") /
+          (col("n").cast("double") * col("sx").cast("double")) -
+          (col("n") + 1).cast("double") / col("n").cast("double"), 6)
+          .as("gini"))
+  }
+  private val q195Sql =
+    """WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS x
+      |           FROM events GROUP BY 1),
+      |r AS (SELECT x, row_number() OVER (ORDER BY x, user_id) AS rank FROM c),
+      |m AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+      |        CAST(sum(rank * x) AS BIGINT) AS six
+      |      FROM r)
+      |SELECT n AS n_users, sx AS n_events,
+      |  round(2.0 * six / (n::DOUBLE * sx::DOUBLE) - (n + 1)::DOUBLE / n, 6)
+      |    AS gini
+      |FROM m""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q168_kmv_distinct" -> q168 _,
     "q169_minhash_error" -> q169 _,
@@ -1180,7 +1384,12 @@ object CurationQueries {
     "q187_incremental_assign" -> q187 _,
     "q188_multiprobe_ann" -> q188 _,
     "q189_cluster_purity" -> q189 _,
-    "q190_top_paths" -> q190 _)
+    "q190_top_paths" -> q190 _,
+    "q191_trigram_cond_entropy" -> q191 _,
+    "q192_date_coverage" -> q192 _,
+    "q193_embedding_clip_bounds" -> q193 _,
+    "q194_langid_calibration" -> q194 _,
+    "q195_user_gini" -> q195 _)
 
   val oracleSql: Map[String, String] = Map(
     "q168_kmv_distinct" -> q168Sql,
@@ -1205,5 +1414,10 @@ object CurationQueries {
     "q187_incremental_assign" -> q187Sql,
     "q188_multiprobe_ann" -> q188Sql,
     "q189_cluster_purity" -> q189Sql,
-    "q190_top_paths" -> q190Sql)
+    "q190_top_paths" -> q190Sql,
+    "q191_trigram_cond_entropy" -> q191Sql,
+    "q192_date_coverage" -> q192Sql,
+    "q193_embedding_clip_bounds" -> q193Sql,
+    "q194_langid_calibration" -> q194Sql,
+    "q195_user_gini" -> q195Sql)
 }

@@ -37,6 +37,7 @@ class PlanGuardSpec extends SparkSpec {
     "q175_lsh_recall",   // truth/cand/hit counts: three 1-row aggregates
     "q177_ann_recall",   // query side: vec_id < 10, broadcast by design (q31)
     "q178_dedup_funnel", // stage-0 total: exactly one aggregate row
+    "q191_trigram_cond_entropy", // context-entropy sum: exactly one aggregate row
     "q181_source_similarity") // |sources|x16 sketches: bounded by construction
 
   test("no query plans a cartesian product; nested loops only where bounded") {
