@@ -1361,6 +1361,280 @@ object CurationQueries {
       |    AS gini
       |FROM m""".stripMargin
 
+  // --------------------------------------------------------- q196
+  /** Near-dup exposure per source: the share of each source's docs
+    * that sit in at least one verified near-dup pair — q179 counts
+    * cross-source PAIRS, this reports per-source RISK (the number a
+    * mixture designer thresholds). Pairs come from the standard
+    * bucketed chain; exposure is one semi-join + a source-keyed
+    * aggregate. */
+  private def q196(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val bands = Dedup
+      .bandKeys(docs, "text", "doc_id", Bands, RowsPerBand, ShingleK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vpairs = Dedup
+      .jaccardVerify(Dedup.candidatePairs(bands), docs, "text", "doc_id",
+        JaccardThreshold)
+    val dupped = vpairs.select(col("id_a").as("doc_id"))
+      .unionByName(vpairs.select(col("id_b").as("doc_id"))).distinct()
+    docs.select(col("doc_id"), col("source"))
+      .join(dupped.withColumn("hit", lit(1)), Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("hit"), lit(0))).cast("long").as("n_dupped"))
+      .select(col("source"), col("n_docs"), col("n_dupped"),
+        round(col("n_dupped").cast("double") / col("n_docs"), 4)
+          .as("dup_exposure"))
+  }
+  private val q196Sql =
+    s"""WITH $BandsCte,
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+       |jsets AS (SELECT doc_id, list_distinct($WsSplit) AS toks FROM documents),
+       |vpairs AS (
+       |  SELECT id_a, id_b
+       |  FROM pairs JOIN jsets sa ON id_a = sa.doc_id JOIN jsets sb ON id_b = sb.doc_id
+       |  WHERE len(list_intersect(sa.toks, sb.toks))::DOUBLE /
+       |        len(list_distinct(list_concat(sa.toks, sb.toks))) >= $JaccardThreshold),
+       |dup AS (SELECT DISTINCT doc_id FROM (
+       |  SELECT id_a AS doc_id FROM vpairs UNION ALL SELECT id_b FROM vpairs)),
+       |j AS (SELECT d.source, d.doc_id,
+       |        CASE WHEN dup.doc_id IS NULL THEN 0 ELSE 1 END AS hit
+       |      FROM documents d LEFT JOIN dup ON d.doc_id = dup.doc_id)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(hit) AS BIGINT) AS n_dupped,
+       |  round(sum(hit)::DOUBLE / count(*), 4) AS dup_exposure
+       |FROM j GROUP BY 1""".stripMargin
+
+  // --------------------------------------------------------- q197
+  /** EXACT source-pair vocabulary Jaccard — the ground truth q181's
+    * 16-hash sketch estimates: |V_a ∩ V_b| via a token-keyed
+    * (source, source) pair count (tokens shared by k sources emit
+    * k(k−1)/2 bounded pairs — |sources| is small by construction),
+    * union by inclusion–exclusion from exact per-source vocab sizes.
+    * Running q181 and q197 side by side measures the sketch's error
+    * the same way q169 does for document MinHash. */
+  private def q197(s: SparkSession, dir: String): DataFrame = {
+    val st = Tables.documents(s, dir)
+      .select(col("source"), explode(Dedup.words(col("text"))).as("w"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = st.groupBy("source").agg(count(lit(1)).as("v"))
+    val inter = st.select(col("source").as("sa"), col("w"))
+      .join(st.select(col("source").as("sb"), col("w")), "w")
+      .filter(col("sa") < col("sb"))
+      .groupBy("sa", "sb").agg(count(lit(1)).as("c"))
+    inter
+      .join(sizes.select(col("source").as("sa"), col("v").as("va")), "sa")
+      .join(sizes.select(col("source").as("sb"), col("v").as("vb")), "sb")
+      .select(col("sa").as("source_a"), col("sb").as("source_b"),
+        round(col("c").cast("double") / (col("va") + col("vb") - col("c")), 4)
+          .as("vocab_jaccard"))
+  }
+  private val q197Sql =
+    s"""WITH st AS (SELECT DISTINCT source, unnest($WsSplit) AS w FROM documents),
+       |sz AS (SELECT source, CAST(count(*) AS BIGINT) AS v FROM st GROUP BY 1),
+       |inter AS (
+       |  SELECT a.source AS sa, b.source AS sb, CAST(count(*) AS BIGINT) AS c
+       |  FROM st a JOIN st b ON a.w = b.w AND a.source < b.source
+       |  GROUP BY 1, 2)
+       |SELECT sa AS source_a, sb AS source_b,
+       |  round(c::DOUBLE / (za.v + zb.v - c), 4) AS vocab_jaccard
+       |FROM inter JOIN sz za ON sa = za.source JOIN sz zb ON sb = zb.source""".stripMargin
+
+  // --------------------------------------------------------- q198
+  /** Hour-of-day ingest seasonality: per (event_type, hour) counts,
+    * value means over exact cent-quantized sums (the q120 discipline),
+    * and each hour's share of its type's traffic — the diurnal
+    * profile capacity planning and anomaly baselines start from.
+    * |types|·24-bounded aggregate; one scan. */
+  private def q198(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir)
+      .select(col("event_type"), hour(col("ts")).cast("long").as("hr"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      .groupBy("event_type", "hr")
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sc"))
+      .select(col("event_type"), col("hr"), col("n"),
+        round(col("sc").cast("double") / col("n") / 100.0, 6).as("mean_value"),
+        round(col("n").cast("double") /
+          sum(col("n")).over(Window.partitionBy(col("event_type"))), 4)
+          .as("share"))
+  }
+  private val q198Sql =
+    """WITH g AS (
+      |  SELECT event_type, hour(ts) AS hr, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sc
+      |  FROM events GROUP BY 1, 2)
+      |SELECT event_type, CAST(hr AS BIGINT) AS hr, n,
+      |  round(sc::DOUBLE / n / 100.0, 6) AS mean_value,
+      |  round(n::DOUBLE / sum(n) OVER (PARTITION BY event_type), 4) AS share
+      |FROM g""".stripMargin
+
+  // --------------------------------------------------------- q199
+  /** Nearest-neighbor distance histogram — corpus-level embedding
+    * health: the distribution of each vector's best in-bucket cosine
+    * (hyperplane-LSH buckets, so the scan is bucket-bounded, never
+    * all-pairs). A spike near 1.0 = clone islands; mass near 0 =
+    * isolated/noisy vectors. Bucket edges are integer floors of
+    * 20·cos, so no float-edge ambiguity. Vectors alone in their
+    * bucket are reported in the `-99` bucket (no neighbor found —
+    * itself a health signal). */
+  private def q199(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val b = Similarity.lshBuckets(emb, LshPlanes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vecs = emb.select(col("vec_id"),
+      expr("cast(embedding as array<double>)").as("vd"))
+    val withV = b.join(vecs, "vec_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = withV.select(col("bucket"), col("vec_id"), col("vd"))
+      .join(withV.select(col("bucket"), col("vec_id").as("nb_id"),
+        col("vd").as("nb_vd")), "bucket")
+      .filter(col("vec_id") =!= col("nb_id"))
+      .withColumn("cos", graft.functions.CosineSimilarity(col("vd"), col("nb_vd")))
+    val best = pairs.groupBy("vec_id").agg(max(col("cos")).as("best"))
+    val all = b.select("vec_id").join(best, Seq("vec_id"), "left")
+      .select(when(col("best").isNull, lit(-99L))
+        .otherwise(floor(col("best") * 20).cast("long")).as("cos_bucket"))
+    all.groupBy("cos_bucket").agg(count(lit(1)).as("n_vectors"))
+  }
+  private val q199Sql =
+    s"""WITH base AS (SELECT vec_id, embedding AS e, embedding::DOUBLE[] AS vd FROM embeddings),
+       |b AS (SELECT vec_id, vd, $BucketSql AS bucket FROM base),
+       |pr AS (
+       |  SELECT a.vec_id, list_dot_product(a.vd, c.vd) /
+       |      (sqrt(list_dot_product(a.vd, a.vd)) * sqrt(list_dot_product(c.vd, c.vd)))
+       |      AS cos
+       |  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id),
+       |best AS (SELECT vec_id, max(cos) AS best FROM pr GROUP BY 1),
+       |al AS (SELECT CASE WHEN best.best IS NULL THEN -99
+       |         ELSE floor(best.best * 20)::BIGINT END AS cos_bucket
+       |       FROM b LEFT JOIN best ON b.vec_id = best.vec_id)
+       |SELECT cos_bucket, CAST(count(*) AS BIGINT) AS n_vectors
+       |FROM al GROUP BY 1""".stripMargin
+
+  // --------------------------------------------------------- q200
+  /** The full curation recipe as ONE composed query — the pipeline a
+    * production pretraining run executes, each stage over the previous
+    * stage's survivors: structural rules (Gopher-style length/ratio
+    * floors) → exact dedup (content-hash first-occurrence) → near-dup
+    * dedup (LSH → verify → components, min-id keep) → quality floor
+    * (distinct-token ratio) → per-source cap (md5-ranked, q111's
+    * discipline). Emits the stage waterfall with doc/token counts —
+    * the one table a curation report leads with. Every stage is a
+    * keyed aggregate/join over already-shrunk survivors. */
+  private def q200(s: SparkSession, dir: String): DataFrame = {
+    val ws = Dedup.words(col("text"))
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), col("source"),
+        size(ws).cast("long").as("n_toks"),
+        (size(array_distinct(ws)).cast("double") / size(ws)).as("qual"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def stage(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+        .select(lit(name).as("stage"), col("n_docs"), col("n_tokens"))
+    // 1: structural floors (min 20 tokens, mean word length in [3, 12])
+    // mean word length = (chars − separator spaces) / tokens
+    val rules = docs
+      .filter(col("n_toks") >= 20)
+      .filter(((org.apache.spark.sql.functions.length(col("text")) -
+        (col("n_toks") - 1)).cast("double") / col("n_toks").cast("double"))
+        .between(3.0, 12.0))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // 2: exact dedup
+    val exact = rules.withColumn("rn", row_number().over(
+        Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
+      .filter(col("rn") === 1).drop("rn")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // 3: near-dup keep (min-id per component)
+    val bands = Dedup.bandKeys(exact, "text", "doc_id", Bands, RowsPerBand,
+      ShingleK).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vpairs = Dedup.jaccardVerify(Dedup.candidatePairs(bands), exact,
+      "text", "doc_id", JaccardThreshold).select(col("id_a"), col("id_b"))
+    val cc = Dedup.connectedComponents(vpairs)
+    val near = exact.join(cc, exact("doc_id") === cc("node"), "left")
+      .filter(col("cluster").isNull || col("cluster") === col("doc_id"))
+      .select(exact("doc_id"), col("text"), col("source"), col("n_toks"),
+        col("qual"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // 4: quality floor
+    val quality = near.filter(col("qual") >= 0.3)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // 5: per-source cap at 200 docs by md5 rank (q111 discipline)
+    val capped = quality.withColumn("rk", row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))))
+      .filter(col("rk") <= 200)
+    stage("0_all", docs)
+      .unionByName(stage("1_rules", rules))
+      .unionByName(stage("2_exact", exact))
+      .unionByName(stage("3_neardup", near))
+      .unionByName(stage("4_quality", quality))
+      .unionByName(stage("5_source_cap", capped))
+  }
+  private val q200Sql =
+    s"""WITH RECURSIVE d0 AS (
+       |  SELECT doc_id, text, source,
+       |    CAST(len($WsSplit) AS BIGINT) AS n_toks,
+       |    len(list_distinct($WsSplit))::DOUBLE / len($WsSplit) AS qual
+       |  FROM documents),
+       |r1 AS (SELECT * FROM d0 WHERE n_toks >= 20
+       |       AND (length(text) - (n_toks - 1))::DOUBLE / n_toks
+       |           BETWEEN 3.0 AND 12.0),
+       |e2 AS (SELECT doc_id, text, source, n_toks, qual FROM (
+       |    SELECT r1.*, row_number() OVER (PARTITION BY md5(text)
+       |      ORDER BY doc_id) AS rn FROM r1) WHERE rn = 1),
+       |sh AS (SELECT doc_id, $ShinglesSql AS sh FROM e2),
+       |hp AS (SELECT doc_id, list_transform(sh, s ->
+       |         [('0x' || substr(md5(s), 1, 12))::BIGINT,
+       |          ('0x' || substr(md5(s), 13, 12))::BIGINT]) AS hs
+       |       FROM sh WHERE len(sh) > 0),
+       |mh AS (SELECT doc_id, ${(0 until 16).map(h => s"list_min(list_transform(hs, p -> p[1] + $h * p[2])) AS mh$h").mkString(", ")} FROM hp),
+       |bands AS (${(0 until 4).map(b => {
+           val parts = (0 until 4).map(r => s"mh${b * 4 + r}::VARCHAR")
+           s"SELECT doc_id, $b AS band, md5(${parts.mkString(" || '|' || ")}) AS band_key FROM mh"
+         }).mkString(" UNION ALL ")}),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+       |jsets AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM e2),
+       |vpairs AS (
+       |  SELECT id_a, id_b
+       |  FROM pairs JOIN jsets sa ON id_a = sa.doc_id JOIN jsets sb ON id_b = sb.doc_id
+       |  WHERE len(list_intersect(sa.toks, sb.toks))::DOUBLE /
+       |        len(list_distinct(list_concat(sa.toks, sb.toks))) >= $JaccardThreshold),
+       |edges AS (SELECT id_a AS s, id_b AS d FROM vpairs
+       |          UNION ALL SELECT id_b, id_a FROM vpairs),
+       |reach AS (SELECT DISTINCT s AS node, s AS r FROM edges
+       |          UNION
+       |          SELECT e.s, r.r FROM edges e JOIN reach r ON r.node = e.d),
+       |cc AS (SELECT node, MIN(r) AS cluster FROM reach GROUP BY node),
+       |n3 AS (SELECT e2.* FROM e2 LEFT JOIN cc ON e2.doc_id = cc.node
+       |       WHERE cc.cluster IS NULL OR cc.cluster = e2.doc_id),
+       |q4 AS (SELECT * FROM n3 WHERE qual >= 0.3),
+       |c5 AS (SELECT * FROM (
+       |    SELECT q4.*, row_number() OVER (PARTITION BY source
+       |      ORDER BY md5(doc_id::VARCHAR), doc_id) AS rk FROM q4)
+       |  WHERE rk <= 200),
+       |stages AS (
+       |  SELECT '0_all' AS stage, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(n_toks) AS BIGINT) AS n_tokens FROM d0
+       |  UNION ALL SELECT '1_rules', CAST(count(*) AS BIGINT),
+       |    CAST(sum(n_toks) AS BIGINT) FROM r1
+       |  UNION ALL SELECT '2_exact', CAST(count(*) AS BIGINT),
+       |    CAST(sum(n_toks) AS BIGINT) FROM e2
+       |  UNION ALL SELECT '3_neardup', CAST(count(*) AS BIGINT),
+       |    CAST(sum(n_toks) AS BIGINT) FROM n3
+       |  UNION ALL SELECT '4_quality', CAST(count(*) AS BIGINT),
+       |    CAST(sum(n_toks) AS BIGINT) FROM q4
+       |  UNION ALL SELECT '5_source_cap', CAST(count(*) AS BIGINT),
+       |    CAST(sum(n_toks) AS BIGINT) FROM c5)
+       |SELECT stage, n_docs, n_tokens FROM stages""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q168_kmv_distinct" -> q168 _,
     "q169_minhash_error" -> q169 _,
@@ -1389,7 +1663,12 @@ object CurationQueries {
     "q192_date_coverage" -> q192 _,
     "q193_embedding_clip_bounds" -> q193 _,
     "q194_langid_calibration" -> q194 _,
-    "q195_user_gini" -> q195 _)
+    "q195_user_gini" -> q195 _,
+    "q196_dup_exposure" -> q196 _,
+    "q197_source_vocab_jaccard" -> q197 _,
+    "q198_hourly_profile" -> q198 _,
+    "q199_nn_distance_histogram" -> q199 _,
+    "q200_curation_recipe" -> q200 _)
 
   val oracleSql: Map[String, String] = Map(
     "q168_kmv_distinct" -> q168Sql,
@@ -1419,5 +1698,10 @@ object CurationQueries {
     "q192_date_coverage" -> q192Sql,
     "q193_embedding_clip_bounds" -> q193Sql,
     "q194_langid_calibration" -> q194Sql,
-    "q195_user_gini" -> q195Sql)
+    "q195_user_gini" -> q195Sql,
+    "q196_dup_exposure" -> q196Sql,
+    "q197_source_vocab_jaccard" -> q197Sql,
+    "q198_hourly_profile" -> q198Sql,
+    "q199_nn_distance_histogram" -> q199Sql,
+    "q200_curation_recipe" -> q200Sql)
 }
