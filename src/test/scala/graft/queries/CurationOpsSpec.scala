@@ -1,0 +1,51 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Behavioral invariants for the round-9 curation/eval queries that a
+  * hash-match oracle alone can't state: multi-probe LSH must DOMINATE
+  * single-probe (superset candidates → recall can only go up), and the
+  * one-number reports must stay in their mathematical ranges. */
+class CurationOpsSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("multi-probe ANN dominates single-probe: results are a superset in quality") {
+    // q32 = exact-bucket LSH, q188 = bucket + all 1-bit flips. For
+    // every query id, q188's top-k cosine at each rank is >= q32's at
+    // the same rank (more candidates can only improve the top-k).
+    val single = SparkEntry.queries("q32_ann_lsh")(spark, dir)
+      .select(col("q_id"), col("rank"), col("cos_sim").as("cos_single"))
+    val multi = SparkEntry.queries("q188_multiprobe_ann")(spark, dir)
+      .select(col("q_id"), col("rank"), col("cos_sim").as("cos_multi"))
+    val joined = single.join(multi, Seq("q_id", "rank"))
+    val violations = joined.filter(col("cos_multi") < col("cos_single")).count()
+    violations shouldBe 0L
+    // and multi-probe finds at least as many neighbors overall
+    multi.count() should be >= single.count()
+  }
+
+  test("one-number reports stay in range: gini in [0,1), recall/precision in [0,1]") {
+    val g = SparkEntry.queries("q195_user_gini")(spark, dir).collect()(0)
+    val gini = g.getAs[Double]("gini")
+    gini should be >= 0.0
+    gini should be < 1.0
+    val r = SparkEntry.queries("q175_lsh_recall")(spark, dir).collect()(0)
+    for (c <- Seq("recall", "precision")) {
+      r.getAs[Double](c) should be >= 0.0
+      r.getAs[Double](c) should be <= 1.0
+    }
+  }
+
+  test("curation recipe is a true funnel: every stage shrinks or holds") {
+    val stages = SparkEntry.queries("q200_curation_recipe")(spark, dir)
+      .orderBy("stage").collect()
+    stages.length shouldBe 6
+    val docs = stages.map(_.getAs[Long]("n_docs"))
+    docs.zip(docs.tail).foreach { case (prev, next) =>
+      next should be <= prev
+    }
+  }
+}
