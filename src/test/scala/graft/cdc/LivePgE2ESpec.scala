@@ -109,6 +109,19 @@ class LivePgE2ESpec extends SparkSpec with BeforeAndAfterAll {
       // destructive read truncates; a second read is empty
       conn.getChanges("live_decode")
       conn.getChanges("live_decode") shouldBe empty
+
+      // hardening: a value with an EMBEDDED NEWLINE must round-trip
+      // through the psql transport as ONE WAL record (the 0x1e record
+      // separator, not \n, frames records)
+      psqlc("INSERT INTO public.person (id, name) VALUES " +
+        "('p-8', E'line one\\nline two')")
+      val nl = conn.getChanges("live_decode")
+      val ins = nl.filter(_.data.contains("INSERT"))
+      ins should have size 1
+      ins.head.data should include("line one\nline two")
+      WalDecoder.decode(ins.head.xid, ins.head.lsn, ins.head.data)
+        .map(_.id) shouldBe Some("p-8")
+      psqlc("DELETE FROM public.person WHERE id = 'p-8'")
     } finally conn.dropSlot("live_decode")
   }
 
