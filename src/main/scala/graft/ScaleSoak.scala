@@ -53,14 +53,16 @@ object ScaleSoak {
     * all-pairs Jaccard), and fan-out-heavy (substring/sentence dedup,
     * triangles). Everything else in the registry is single-keyed-shuffle
     * linear and is covered by the per-round bench. */
-  private val Risky = Seq(
-    "q130_pagerank",
-    "q133_exact_jaccard_join",
-    "q143_substring_dedup",
-    "q97_neardup_triangles",
-    "q68_dupchain_walk",
-    "q152_sentence_dedup",
-    "q161_cluster_size_hist")
+  private val Risky: Seq[String] = sys.env.get("SPARK_GRAFT_SOAK_QUERIES")
+    .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+    .getOrElse(Seq(
+      "q130_pagerank",
+      "q133_exact_jaccard_join",
+      "q143_substring_dedup",
+      "q97_neardup_triangles",
+      "q68_dupchain_walk",
+      "q152_sentence_dedup",
+      "q161_cluster_size_hist"))
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1481,7 +1481,11 @@ object CurationQueries {
     * isolated/noisy vectors. Bucket edges are integer floors of
     * 20·cos, so no float-edge ambiguity. Vectors alone in their
     * bucket are reported in the `-99` bucket (no neighbor found —
-    * itself a health signal). */
+    * itself a health signal). Scale contract: with FIXED planes the
+    * per-bucket population grows with the corpus (n²/2^planes pair
+    * work) — production scales `planes ≈ log₂(n / targetBucket)` so
+    * bucket size, and therefore per-vector work, stays constant; the
+    * oracle pins the fixed-planes arithmetic. */
   private def q199(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     val b = Similarity.lshBuckets(emb, LshPlanes)
