@@ -986,8 +986,13 @@ object LlmQueries {
       .agg(array_sort(collect_list(struct(col("pos"), col("lpw")))).as("arr"),
         count(lit(1)).as("n_toks"))
       .select(col("doc_id"), col("n_toks"),
-        (-aggregate(col("arr"), lit(0.0),
-          (acc, x) => acc + x.getField("lpw")) / col("n_toks").cast("double"))
+        // round(· , 6): Java's Math.log and DuckDB's libm ln may differ
+        // by 1 ULP on some inputs (first observed at sf0.1 — 15 of 5000
+        // rows), and an unrounded double output turns that into a hash
+        // mismatch; 6-decimal rounding absorbs it like every other
+        // transcendental output in the registry
+        round(-aggregate(col("arr"), lit(0.0),
+          (acc, x) => acc + x.getField("lpw")) / col("n_toks").cast("double"), 6)
           .as("surprisal"))
   }
   private val q72Sql =
@@ -1001,7 +1006,7 @@ object LlmQueries {
        |    list_reduce(list(lpw ORDER BY pos), (a, b) -> a + b) AS s,
        |    COUNT(*) AS n_toks
        |  FROM lp GROUP BY doc_id)
-       |SELECT doc_id, n_toks, -s / n_toks::DOUBLE AS surprisal FROM agg""".stripMargin
+       |SELECT doc_id, n_toks, round(-s / n_toks::DOUBLE, 6) AS surprisal FROM agg""".stripMargin
 
   // --------------------------------------------------------- q73
   /** Token chunking: 16-token windows, 4-token overlap (stride 12) —

@@ -342,6 +342,26 @@ class PlanGuardSpec extends SparkSpec {
     plan should include("Window")
   }
 
+  test("q198's seasonality is keyed aggregates + a type window, no join") {
+    // one scan; the (type, hour) aggregate and the per-type share
+    // window both key on bounded cardinalities
+    val plan = SparkEntry.queries("q198_hourly_profile")(
+      spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+    plan should not include "Join"
+    "(?<!Broadcast)Exchange".r.findAllIn(plan).size should be <= 2
+  }
+
+  test("q200's recipe stages reuse persisted survivors, never rescanning the corpus") {
+    // each funnel stage aggregates the PREVIOUS stage's persisted
+    // frame: the plan must read caches (InMemoryTableScan) many times
+    // but the parquet documents table only via the first stage's
+    // lineage — and no stage may plan a cartesian
+    val plan = SparkEntry.queries("q200_curation_recipe")(
+      spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+    plan should not include "CartesianProduct"
+    "InMemoryTableScan".r.findAllIn(plan).size should be >= 4
+  }
+
   test("q111's cap is one keyed exchange feeding a WindowGroupLimit") {
     val plan = SparkEntry.queries("q111_source_cap")(
       spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
