@@ -162,29 +162,47 @@ class WalMicroBatchStream(conn: SlotConnection, slot: String, maxLines: Int)
   override def latestOffset(): Offset = throw new UnsupportedOperationException(
     "graft-wal implements SupportsAdmissionControl; use latestOffset(start, limit)")
 
+  /** Per-transaction end position: the max lsn among the xid's lines
+    * (test_decoding serializes txns in commit order, so that is the
+    * COMMIT record's lsn). Batch membership keys on THIS, not the
+    * per-line lsn: on a real server a COMMIT record and the NEXT
+    * transaction's first lines share an lsn (observed live —
+    * LivePgE2ESpec), so a `line.lsn > start` filter silently drops the
+    * next transaction's rows. Keying on the txn-commit lsn mirrors the
+    * slot's own semantics exactly: `pg_replication_slot_advance(lsn)`
+    * skips transactions whose commit lsn is <= the confirmed position
+    * and replays everything after — a txn is in the batch iff the
+    * advance for that batch would consume it. */
+  private def txnEnds(lines: Seq[WalLine]): Map[Long, Long] =
+    lines.groupBy(_.xid).map { case (x, ls) =>
+      x -> ls.map(l => WalSource.lsnValue(l.lsn)).max
+    }
+
   override def latestOffset(startOffset: Offset, limit: ReadLimit): Offset = synchronized {
     val start = WalOffset.parse(startOffset.json())
     cache = conn.peekChanges(slot)
     // the slot's confirmed LSN may LAG the Spark checkpoint (a crash
-    // between checkpoint-commit and advance): count only lines past
-    // the checkpointed start, never behind it
-    val pending = cache.filter(l => WalSource.lsnValue(l.lsn) > start.value)
+    // between checkpoint-commit and advance): count only TRANSACTIONS
+    // past the checkpointed start, never behind it
+    val ends = txnEnds(cache)
+    val pending = cache.filter(l => ends(l.xid) > start.value)
     if (pending.isEmpty) return start
     val cap = limit match {
       case r: ReadMaxRows => math.min(r.maxRows(), Int.MaxValue.toLong).toInt
       case _              => maxLines // allAvailable / composite: option cap
     }
-    // cap, then pull back to the last complete LSN group — unless that
-    // would stall (first group alone >= cap): groups ship whole,
-    // because `advance` confirms whole LSNs and a mid-group cut would
-    // drop the group's tail on the next peek
+    // cap, then align to a whole-TRANSACTION boundary — unless that
+    // would stall (first txn alone >= cap): txns ship whole, because
+    // `advance` confirms whole transactions and a mid-txn cut would
+    // drop the txn's tail on the next peek
     val capIdx = math.min(cap, pending.size) - 1
+    val cutXid = pending(capIdx).xid
     var i = capIdx
-    while (i + 1 < pending.size && pending(i + 1).lsn == pending(i).lsn) i += 1
-    if (i > capIdx) { // cap split a group: prefer ending BEFORE it
+    while (i + 1 < pending.size && pending(i + 1).xid == cutXid) i += 1
+    if (i > capIdx) { // cap split a txn: prefer ending BEFORE it
       var j = capIdx
-      while (j >= 0 && pending(j).lsn == pending(capIdx).lsn) j -= 1
-      if (j >= 0) i = j // else: oversized first group, keep it whole
+      while (j >= 0 && pending(j).xid == cutXid) j -= 1
+      if (j >= 0) i = j // else: oversized first txn, keep it whole
     }
     WalOffset(pending(i).lsn)
   }
@@ -195,8 +213,9 @@ class WalMicroBatchStream(conn: SlotConnection, slot: String, maxLines: Int)
     // slot still holds the batch (commit never ran for a replayed
     // batch), so a re-peek reproduces it
     if (cache.isEmpty) cache = conn.peekChanges(slot)
+    val ends = txnEnds(cache)
     val lines = cache.filter { l =>
-      val v = WalSource.lsnValue(l.lsn); v > s && v <= e
+      val v = ends(l.xid); v > s && v <= e
     }
     Array(WalInputPartition(lines))
   }
@@ -207,7 +226,11 @@ class WalMicroBatchStream(conn: SlotConnection, slot: String, maxLines: Int)
     val e = WalOffset.parse(end.json())
     if (e.value > 0L) {
       conn.advance(slot, e.lsn)
-      cache = cache.filter(l => WalSource.lsnValue(l.lsn) > e.value)
+      // evict whole consumed transactions (same keying as the batch
+      // membership filter — a txn straddling the advance lsn would
+      // otherwise be half-dropped)
+      val ends = txnEnds(cache)
+      cache = cache.filter(l => ends(l.xid) > e.value)
     }
   }
 

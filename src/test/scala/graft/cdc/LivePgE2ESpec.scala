@@ -150,6 +150,46 @@ class LivePgE2ESpec extends SparkSpec with BeforeAndAfterAll {
     } finally conn.dropSlot("live_feed")
   }
 
+  test("DSv2 WAL source streams REAL slot changes with LSN offsets in the checkpoint") {
+    live()
+    import spark.implicits._
+    val conn = new PsqlSlotConnection(work, port)
+    conn.createSlot("live_dsv2")
+    graft.streaming.WalSource.register("livepg-dsv2", conn)
+    try {
+      val ckpt = Files.createTempDirectory("livepg-ckpt").toString
+      val seen = scala.collection.mutable.ArrayBuffer[(Long, String, String)]()
+      val q = spark.readStream
+        .format(classOf[graft.streaming.WalSourceProvider].getName)
+        .option("slot", "live_dsv2")
+        .option("handle", "livepg-dsv2")
+        .load()
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          seen.synchronized { seen ++= df.as[(Long, String, String)].collect() }
+          ()
+        }.start()
+      try {
+        psqlc("UPDATE public.person SET name = 'Stream1' WHERE id = 'p-3'")
+        q.processAllAvailable()
+        seen.synchronized {
+          // the real UPDATE line arrived through Structured Streaming,
+          // BEGIN/COMMIT framing intact (the source is decode-agnostic)
+          seen.exists(_._3.contains("UPDATE: id[text]:'p-3'")) shouldBe true
+          seen.exists(_._3.startsWith("BEGIN")) shouldBe true
+        }
+        psqlc("UPDATE public.person SET name = 'Prof Georgios' WHERE id = 'p-3'")
+        q.processAllAvailable()
+        seen.synchronized {
+          seen.count(_._3.contains("id[text]:'p-3'")) shouldBe 2
+        }
+      } finally q.stop()
+    } finally {
+      graft.streaming.WalSource.unregister("livepg-dsv2")
+      conn.dropSlot("live_dsv2")
+    }
+  }
+
   test("rename cascades into the sink and delete shrinks it (test_e2e.py:99-171 shape)") {
     live()
     val conn = new PsqlSlotConnection(work, port)
