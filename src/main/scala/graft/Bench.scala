@@ -30,7 +30,13 @@ import graft.core.GraftSession
   *  - `min` is reported alongside the median — the warm-run floor a
   *    throttle cannot raise;
   *  - entries whose median/min ratio exceeds THROTTLE_RATIO are listed
-  *    in `throttled`, telling the reader which medians not to trust.
+  *    in `throttled`, telling the reader which medians not to trust;
+  *  - the HEADLINE `value` is the total of per-query MINS (r9 item 2:
+  *    the floor is the one statistic starvation cannot raise); median
+  *    totals ship as `total_median` with a `medians_contaminated`
+  *    flag, and a post-sweep SOLO re-run of the drift-watch trio
+  *    (q133/q134/q143) records per-round floors to bench/ISOLATED.json
+  *    (r9 item 4).
   */
 object Bench {
   private val RUNS = 3
@@ -121,6 +127,30 @@ object Bench {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       } + "\""
+    // ISOLATED floor arm (VERDICT r9 item 4): after the interleaved
+    // sweep, re-run the drift-watch trio SOLO, back-to-back, and record
+    // each one's min-of-3 — the per-round floor record that session
+    // cache pressure and sandbox contention cannot obscure (r9's
+    // official artifact carried q133 at a 31 s mean against a 3.9 s
+    // isolated floor). Written to bench/ISOLATED.json every run and
+    // surfaced as `isolated_min` in both JSON records.
+    val isolatedNames = Seq("q133_exact_jaccard_join", "q134_heavy_hitters",
+      "q143_substring_dedup").filter(SparkEntry.queries.contains)
+    val isolatedMins = scala.collection.mutable.LinkedHashMap[String, Double]()
+    isolatedNames.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      val ts = (1 to RUNS).flatMap { _ =>
+        val t0 = System.nanoTime()
+        val ok = try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true
+        } catch { case _: Throwable => false }
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        if (ok) Some(dt) else None
+      }
+      if (ts.nonEmpty) isolatedMins(name) = ts.min
+    }
+
     val qs = allResults.map { case (k, v) => s"${jq(k)}:$v" }.mkString("{", ",", "}")
     val minJson = mins.map { case (k, v) => s"${jq(k)}:$v" }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s"${jq(k)}:${jq(v)}" }.mkString("{", ",", "}")
@@ -128,7 +158,17 @@ object Bench {
     val flakyJson = flaky.map { case (k, v) => s"${jq(k)}:${jq(v)}" }.mkString("{", ",", "}")
     val throttledJson = throttled.map(jq).mkString("[", ",", "]")
     val contendedJson = contended.map(jq).mkString("[", ",", "]")
-    val total = allResults.collect { case (_, v) if v >= 0 => v }.sum
+    val isolatedJson = isolatedMins.map { case (k, v) => s"${jq(k)}:$v" }
+      .mkString("{", ",", "}")
+    // HEADLINE = total of per-query MINS (VERDICT r9 item 2): the
+    // warm-run floor is the one statistic external CPU starvation
+    // cannot raise, so the number a reader sees first is the engine's
+    // steady-state cost, not the sandbox's. The median total stays in
+    // the record as `total_median`, explicitly demoted whenever the
+    // contention detectors fired (`medians_contaminated`).
+    val total = mins.values.sum
+    val totalMedian = allResults.collect { case (_, v) if v >= 0 => v }.sum
+    val contaminated = throttled.nonEmpty || contended.nonEmpty
 
     // Artifact-capture discipline (VERDICT r6 item 2): the driver keeps
     // only the LAST ~2000 chars of stdout, so a single line carrying
@@ -138,25 +178,31 @@ object Bench {
     // one stdout line is a compact summary — total, the slowest
     // medians, throttle/error flags, and a pointer to the full file —
     // guaranteed to fit the capture window.
-    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","runs":$RUNS,"queries":$qs,"min":$minJson,"spread":$spreadJson,"throttled":$throttledJson,"contended":$contendedJson,"errors":$errJson,"flaky":$flakyJson,"sf":"$sfDir"}"""
+    val fullJson = s"""{"metric":"total_min","value":$total,"unit":"sec","runs":$RUNS,"total_median":$totalMedian,"medians_contaminated":$contaminated,"queries":$qs,"min":$minJson,"spread":$spreadJson,"isolated_min":$isolatedJson,"throttled":$throttledJson,"contended":$contendedJson,"errors":$errJson,"flaky":$flakyJson,"sf":"$sfDir"}"""
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
       "bench/BENCH_full_latest.json")
     val p = java.nio.file.Paths.get(fullPath)
     Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
     java.nio.file.Files.write(p,
       (fullJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // per-round floor record, small enough to diff round-over-round
+    val isoPath = java.nio.file.Paths.get(sys.env.getOrElse(
+      "SPARK_GRAFT_BENCH_ISOLATED", "bench/ISOLATED.json"))
+    Option(isoPath.getParent)
+      .foreach(java.nio.file.Files.createDirectories(_))
+    java.nio.file.Files.write(isoPath,
+      (s"""{"runs":$RUNS,"isolated_min":$isolatedJson,"sf":"$sfDir"}""" +
+        "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
-    val slowest = allResults.filter(_._2 >= 0).sortBy(-_._2).take(12)
-      .map { case (k, v) => s"${jq(k)}:$v" }.mkString("{", ",", "}")
-    // slowest-10 by MIN — the steady-state ranking a contended sandbox
+    // slowest-12 by MIN — the steady-state ranking a contended sandbox
     // cannot distort (a throttle window raises medians, never the
     // warm-run floor), so the compact tail stays meaningful even on a
     // noisy run. NOTE: q133_exact_jaccard_join is the EXPECTED slowest
     // query by design (exact all-pairs Jaccard, ~12 s min at sf0.1) —
     // judge its regressions against its own baseline, not the fleet's.
-    val slowestMin = mins.toSeq.sortBy(-_._2).take(10)
+    val slowestMin = mins.toSeq.sortBy(-_._2).take(12)
       .map { case (k, v) => s"${jq(k)}:$v" }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$RUNS,"queries":$slowest,"slowest_min":$slowestMin,"n_queries":${allResults.size},"throttled":$throttledJson,"contended":$contendedJson,"errors":$errJson,"flaky":$flakyJson,"sf":"$sfDir","full":${jq(fullPath)}}""")
+    println(s"""{"metric":"total_min","value":$total,"unit":"sec","runs":$RUNS,"total_median":$totalMedian,"medians_contaminated":$contaminated,"queries":$slowestMin,"isolated_min":$isolatedJson,"n_queries":${allResults.size},"throttled":$throttledJson,"contended":$contendedJson,"errors":$errJson,"flaky":$flakyJson,"sf":"$sfDir","full":${jq(fullPath)}}""")
     spark.stop()
   }
 

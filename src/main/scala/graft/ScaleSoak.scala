@@ -89,11 +89,25 @@ object ScaleSoak {
     // connectedComponents, which the registry queries only exercise
     // when edges exceed maxDriverEdges — force it here so BOTH arms
     // have measured growth, per the verdict's "CC both arms".
-    val bodies: Seq[(String, (SparkSession, String) => DataFrame)] =
-      Risky.map(n => n -> SparkEntry.queries(n)) :+
-        ("cc_contraction_arm" -> { (s: SparkSession, d: String) =>
+    // q199_planes_scaled: the nn-distance histogram run the way a
+    // deployment runs it — planes grows as log₂(scale) with the corpus
+    // (6 + round(log₂ n)), so per-bucket population and therefore
+    // per-vector pair work stays ~constant; its exponent should sit
+    // near 1.0 where the FIXED-planes registry form measured 0.79
+    // rising (VERDICT r9 item 7). Bodies receive the scale factor so
+    // parameter-scaled arms can derive their parameters from it.
+    val bodies: Seq[(String, (SparkSession, String, Int) => DataFrame)] =
+      Risky.map { n =>
+        val fn = SparkEntry.queries(n)
+        n -> ((s: SparkSession, d: String, _: Int) => fn(s, d))
+      } :+
+        ("cc_contraction_arm" -> { (s: SparkSession, d: String, _: Int) =>
           val bands = Dedup.bandKeys(Tables.documents(s, d), "text", "doc_id", 4, 4, 3)
           Dedup.connectedComponents(Dedup.candidatePairs(bands), maxDriverEdges = 0L)
+        }) :+
+        ("q199_planes_scaled" -> { (s: SparkSession, d: String, n: Int) =>
+          val planes = 6 + math.round(math.log(n.toDouble) / math.log(2.0)).toInt
+          graft.queries.CurationQueries.nnDistanceHistogram(s, d, planes)
         })
 
     val times = scala.collection.mutable.LinkedHashMap[(String, Int), List[Double]]()
@@ -102,7 +116,7 @@ object ScaleSoak {
       for ((name, fn) <- bodies; n <- Scales) {
         val t0 = System.nanoTime()
         try {
-          fn(spark, dirs(n)).write.format("noop").mode("overwrite").save()
+          fn(spark, dirs(n), n).write.format("noop").mode("overwrite").save()
           val el = (System.nanoTime() - t0) / 1e9
           times((name, n)) = times.getOrElse((name, n), Nil) :+ el
         } catch { case e: Throwable =>

@@ -10,8 +10,16 @@ package graft.cdc
   *
   * Wire format: `psql -At` with the ASCII unit separator (0x1f) as the
   * field separator and the record separator (0x1e) for rows, so WAL
-  * text containing commas, pipes, or embedded newlines round-trips.
-  * `test_decoding` lines themselves never contain 0x1e/0x1f.
+  * text containing commas, pipes, or embedded newlines (including
+  * `\r`/`\r\n`, read RAW from the child's stdout — no line
+  * reassembly) round-trips. Framing limitation (inherent to any
+  * in-band separator): a USER VALUE containing the 0x1e/0x1f bytes
+  * themselves, or ending in a bare newline immediately before a
+  * record boundary, cannot be distinguished from the frame — psql's
+  * own `test_decoding` framing never emits them, but such bytes
+  * inside column data would mis-frame. The JDBC transport
+  * ([[JdbcSlotConnection]]) has no such limitation; prefer it when a
+  * driver jar is deployable.
   *
   * Reference parity: the SQL issued here is byte-identical to
   * [[JdbcSlotConnection]]'s (same `pg_create_logical_replication_slot
@@ -32,16 +40,27 @@ class PsqlSlotConnection(
     val cmd = Seq("psql", "-h", host, "-p", port.toString, "-U", user,
       "-d", db, "-v", "ON_ERROR_STOP=1", "-qAt",
       "-F", FieldSep.toString, "-R", RecSep.toString, "-c", sql)
-    val out = new java.lang.StringBuilder
-    val err = new java.lang.StringBuilder
-    import scala.sys.process._
-    val rc = cmd ! ProcessLogger(l => { out.append(l).append('\n') },
-      l => { err.append(l).append('\n') })
-    // records are 0x1e-separated; ProcessLogger re-adds the newlines it
-    // split on, which is correct for WAL values containing newlines
-    // (psql never emits bare \n between -R records)
-    require(rc == 0, s"psql failed (rc=$rc): ${err.toString.take(500)}")
-    out.toString.split(RecSep).toSeq
+    // stdout is read RAW (readAllBytes, no line splitting), so \r and
+    // \r\n bytes inside WAL values survive byte-for-byte — a
+    // ProcessLogger would split on any line terminator and rejoin
+    // with '\n' (ADVICE r9). stderr drains on its own thread so a
+    // chatty child can't deadlock the pipe buffer.
+    val p = new java.lang.ProcessBuilder(cmd: _*).start()
+    p.getOutputStream.close()
+    val errBuf = new java.util.concurrent.atomic.AtomicReference[String]("")
+    val errT = new Thread(() => errBuf.set(
+      new String(p.getErrorStream.readAllBytes,
+        java.nio.charset.StandardCharsets.UTF_8)))
+    errT.setDaemon(true)
+    errT.start()
+    val out = new String(p.getInputStream.readAllBytes,
+      java.nio.charset.StandardCharsets.UTF_8)
+    val rc = p.waitFor()
+    errT.join(10000L)
+    require(rc == 0, s"psql failed (rc=$rc): ${errBuf.get.take(500)}")
+    // psql terminates the final record with one trailing newline; the
+    // stripSuffix removes exactly that artifact per 0x1e-split piece
+    out.split(RecSep).toSeq
       .map(_.stripSuffix("\n"))
       .filter(_.nonEmpty)
       .map(_.split(FieldSep).toSeq)

@@ -101,7 +101,12 @@ object CurationQueries {
       .bandKeys(docs, "text", "doc_id", Bands, RowsPerBand, ShingleK)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = Dedup.candidatePairs(bands)
-    val estRaw =expr(s"aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)")
+    // typed Column form (not a raw expr string) so an upstream rename
+    // of sig_a/sig_b fails analysis loudly at this line
+    val estRaw = aggregate(
+      zip_with(col("sig_a"), col("sig_b"),
+        (x, y) => when(x === y, lit(1)).otherwise(lit(0))),
+      lit(0), (acc, v) => acc + v)
       .cast("double") / lit(nh.toDouble)
     val exactRaw = size(array_intersect(col("toks_a"), col("toks_b"))).cast("double") /
       size(array_union(col("toks_a"), col("toks_b")))
@@ -1212,10 +1217,12 @@ object CurationQueries {
 
   // --------------------------------------------------------- q192
   /** Ingest-calendar completeness: for each event type, the covered
-    * day count, the expected span, and the LIST of missing days — the
-    * data-quality report that catches a dead feed before a model
-    * trains on a hole. The calendar explodes from each type's
-    * (min, max) span — |types|·|days| rows, never event-volume. */
+    * day count, the expected span, and the missing days (a sorted
+    * comma-joined string — scalar, so the oracle harness can hash the
+    * column; an array-typed output cannot be) — the data-quality
+    * report that catches a dead feed before a model trains on a hole.
+    * The calendar explodes from each type's (min, max) span —
+    * |types|·|days| rows, never event-volume. */
   private def q192(s: SparkSession, dir: String): DataFrame = {
     val spans = Tables.events(s, dir)
       .select(col("event_type"), to_date(col("ts")).as("d"))
@@ -1226,9 +1233,10 @@ object CurationQueries {
       .select(col("event_type"),
         (datediff(col("d1"), col("d0")) + 1).cast("long").as("span_days"),
         size(col("seen")).cast("long").as("covered_days"),
-        array_sort(expr("filter(transform(sequence(d0, d1, interval 1 day), " +
-          "x -> cast(x as date)), x -> NOT array_contains(seen, x))"))
-          .cast("array<string>").as("missing_days"))
+        array_join(
+          array_sort(expr("filter(transform(sequence(d0, d1, interval 1 day), "
+            + "x -> cast(x as date)), x -> NOT array_contains(seen, x))")
+            .cast("array<string>")), ",").as("missing_days"))
   }
   private val q192Sql =
     """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS d FROM events),
@@ -1239,11 +1247,11 @@ object CurationQueries {
       |SELECT event_type,
       |  CAST(date_diff('day', d0, d1) + 1 AS BIGINT) AS span_days,
       |  covered_days,
-      |  list_sort(list_transform(
+      |  COALESCE(array_to_string(list_sort(list_transform(
       |    list_filter(list_transform(range(0, date_diff('day', d0, d1) + 1),
       |      i -> d0 + to_days(i::INT)),
-      |      x -> NOT list_contains(seen, x)), x -> strftime(x, '%Y-%m-%d')))
-      |    AS missing_days
+      |      x -> NOT list_contains(seen, x)), x -> strftime(x, '%Y-%m-%d'))),
+      |    ','), '') AS missing_days
       |FROM sp""".stripMargin
 
   // --------------------------------------------------------- q193
@@ -1485,10 +1493,18 @@ object CurationQueries {
     * per-bucket population grows with the corpus (n²/2^planes pair
     * work) — production scales `planes ≈ log₂(n / targetBucket)` so
     * bucket size, and therefore per-vector work, stays constant; the
-    * oracle pins the fixed-planes arithmetic. */
-  private def q199(s: SparkSession, dir: String): DataFrame = {
+    * oracle pins the fixed-planes arithmetic, and
+    * [[graft.ScaleSoak]]'s `q199_planes_scaled` arm measures the
+    * scaled-planes deployment shape. */
+  private def q199(s: SparkSession, dir: String): DataFrame =
+    nnDistanceHistogram(s, dir, LshPlanes)
+
+  /** q199's body with `planes` exposed — the soak harness grows planes
+    * with the corpus to evidence the log₂(n) deployment contract. */
+  def nnDistanceHistogram(s: SparkSession, dir: String,
+      planes: Int): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    val b = Similarity.lshBuckets(emb, LshPlanes)
+    val b = Similarity.lshBuckets(emb, planes)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val vecs = emb.select(col("vec_id"),
       expr("cast(embedding as array<double>)").as("vd"))

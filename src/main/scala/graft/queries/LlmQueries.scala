@@ -2003,8 +2003,10 @@ object LlmQueries {
     * ([[Similarity.rrfFuse]]): the q49 BM25 list and a cosine list
     * against probe vector 0, each cut to the top `RrfN` by ROUNDED
     * score with id tie-break (q96 rule), fused as Σ 1/(60+rank).
-    * The rank windows run over parameter-bounded candidate lists
-    * (≤ RrfN rows after TakeOrderedAndProject), never the corpus. */
+    * The ranks are assigned by [[Layout.globalRank]] — the window-free
+    * two-pass rank — over parameter-bounded candidate lists (≤ RrfN
+    * rows after TakeOrderedAndProject), never the corpus; no
+    * unpartitioned WindowExec appears anywhere in the plan. */
   private val RrfN = 50
   private val RrfTopK = 15
   private def q131(s: SparkSession, dir: String): DataFrame = {
@@ -2012,8 +2014,8 @@ object LlmQueries {
         Bm25Terms)
       .select(col("doc_id"), round(col("score"), 6).as("s"))
       .orderBy(col("s").desc, col("doc_id")).limit(RrfN)
-    val lex = lexN.select(col("doc_id"), row_number()
-      .over(Window.orderBy(col("s").desc, col("doc_id"))).as("rank"))
+    val lex = Layout.globalRank(lexN, col("s").desc, col("doc_id"))
+      .select(col("doc_id"), col("rank"))
     val emb = Tables.embeddings(s, dir)
     val probe = emb.filter(col("vec_id") === 0)
       .select(Similarity.toDouble(col("embedding")).as("qv"))
@@ -2023,8 +2025,8 @@ object LlmQueries {
         round(Similarity.cosine(Similarity.toDouble(col("embedding")),
           col("qv")), 6).as("c"))
       .orderBy(col("c").desc, col("doc_id")).limit(RrfN)
-    val sem = semN.select(col("doc_id"), row_number()
-      .over(Window.orderBy(col("c").desc, col("doc_id"))).as("rank"))
+    val sem = Layout.globalRank(semN, col("c").desc, col("doc_id"))
+      .select(col("doc_id"), col("rank"))
     Similarity.rrfFuse(Seq(lex, sem), "doc_id", "rank")
       .withColumnRenamed("r_0", "r_lex").withColumnRenamed("r_1", "r_sem")
       .orderBy(col("rrf").desc, col("doc_id")).limit(RrfTopK)

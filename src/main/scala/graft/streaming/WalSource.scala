@@ -39,15 +39,21 @@ import graft.cdc.{JdbcSlotConnection, SlotConnection, WalLine}
   *     refresh (§2C). The checkpointed start offset, not the slot's
   *     confirmed LSN, bounds every batch, so the trailing advance
   *     never re-delivers a checkpoint-committed line.
-  *   - Batch ends always align to an LSN-GROUP boundary: lines sharing
-  *     one LSN never split across batches, because
-  *     `pg_replication_slot_advance` confirms whole LSNs — a mid-group
-  *     cut would silently drop the group's tail on the next peek.
+  *   - Batch ends always align to a TRANSACTION-COMMIT-LSN boundary:
+  *     a transaction's lines never split across batches, and batch
+  *     membership keys on each xid's COMMIT lsn (its max line lsn),
+  *     not per-line lsns. Live servers share one lsn across a COMMIT
+  *     record and the next transaction's first lines (the 87b8755
+  *     at-least-once bug), so lines sharing an lsn MAY land in
+  *     different batches when they belong to different transactions —
+  *     a txn is in the batch iff its commit lsn is in
+  *     (startLsn, endLsn], mirroring how
+  *     `pg_replication_slot_advance` skips whole transactions.
   *
   * Admission control: `maxLinesPerBatch` caps how many staged lines
   * one micro-batch carries (default 10000), rounded DOWN to the last
-  * complete LSN group — except that the first group always ships
-  * whole (progress guarantee). A replication slot is a SERIAL log —
+  * complete TRANSACTION — except that the first transaction always
+  * ships whole (progress guarantee). A replication slot is a SERIAL log —
   * there is no key to parallelize the read on — so each batch is one
   * input partition staged through the driver, the same wire shape as
   * the reference's single-connection drain

@@ -362,6 +362,43 @@ class PlanGuardSpec extends SparkSpec {
     "InMemoryTableScan".r.findAllIn(plan).size should be >= 4
   }
 
+  test("q187's assignment is band equi-joins plus a left join to cc — no product") {
+    // the new-batch × base candidate generation must stay a (band,
+    // band_key) equi-join and the cluster lookup a LEFT equi-join; a
+    // rewrite that loses a join key here becomes all-pairs at corpus
+    // scale (the global no-cartesian sweep would catch the product,
+    // this pin catches the KEYS)
+    val plan = SparkEntry.queries("q187_incremental_assign")(
+      spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+    plan should include regex "band#\\d+, band_key#\\d+"
+    plan should include("LeftOuter")
+  }
+
+  test("q188's multi-probe explode keeps candidates a bucket equi-join") {
+    // (planes+1) probes per query explode BEFORE the join; the join
+    // itself must remain keyed on bucket — probing must never degrade
+    // to comparing queries against every vector
+    val plan = SparkEntry.queries("q188_multiprobe_ann")(
+      spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+    plan should include("Generate explode")
+    plan should include regex "(?i)join[^\\n]*bucket#\\d+"
+  }
+
+  test("q199's neighbor pairs come from a within-bucket self-join only") {
+    // the pair generator must be the bucket-keyed self-join (n²/2^planes
+    // work under the planes ≈ log₂(n) deployment contract) — an unkeyed
+    // pair pass is the exact 100 TB killer this query exists to avoid
+    val plan = SparkEntry.queries("q199_nn_distance_histogram")(
+      spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+    plan should include regex "(?i)join[^\\n]*bucket#\\d+"
+  }
+
   test("q111's cap is one keyed exchange feeding a WindowGroupLimit") {
     val plan = SparkEntry.queries("q111_source_cap")(
       spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
