@@ -71,10 +71,23 @@ object ScaleSoak {
     spark.range(1000).selectExpr("sum(id) as s")
       .write.format("noop").mode("overwrite").save()
 
+    // synthesis is deterministic (ScaleSoakSpec pins it), so a corpus
+    // already on disk from an earlier sweep is byte-equivalent — a
+    // _SOAK_OK marker stamped with (base, n) lets repeat sweeps skip
+    // the ~minutes-long rewrite; delete target/scale to force.
     val dirs: Map[Int, String] = Scales.map { n =>
       val out = s"$workRoot/x$n"
       if (n == 1) n -> base
-      else { synthesize(spark, base, n, out); n -> out }
+      else {
+        val marker = Paths.get(s"$out/_SOAK_OK")
+        val stamp = s"$base|x$n"
+        if (!(Files.exists(marker) &&
+            new String(Files.readAllBytes(marker), "UTF-8") == stamp)) {
+          synthesize(spark, base, n, out)
+          Files.write(marker, stamp.getBytes("UTF-8"))
+        }
+        n -> out
+      }
     }.toMap
 
     // confirm the corpora actually scale (and prime the file cache so

@@ -462,7 +462,14 @@ object CurationQueries {
     * recall curve point that decides whether the bucketed index can
     * replace the exact scan at corpus scale. Truth and approx lists
     * are both k-bounded per query, so the comparison join is tiny;
-    * everything upstream reuses the production operators unchanged. */
+    * everything upstream reuses the production operators unchanged.
+    * Expect LOW single-probe recall on this corpus: the synthetic
+    * embeddings are near-isotropic, so true neighbors are barely
+    * closer than random and routinely cross a hyperplane — the
+    * honest number for balanced (decorrelated) buckets, recoverable
+    * via multi-probe (q188) or banding (q37). The earlier correlated
+    * planes reported flattering recall only because 80% of the corpus
+    * shared a handful of buckets (q201's report). */
   private def q177(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     val qs = emb.filter(col("vec_id") < 10)
@@ -1500,11 +1507,16 @@ object CurationQueries {
     nnDistanceHistogram(s, dir, LshPlanes)
 
   /** q199's body with `planes` exposed — the soak harness grows planes
-    * with the corpus to evidence the log₂(n) deployment contract. */
+    * with the corpus to evidence the log₂(n) deployment contract.
+    * `centered` switches to [[Similarity.lshBucketsCentered]], the
+    * occupancy-balanced form a deployment needs for that contract to
+    * hold (the registry q199 stays uncentered — its oracle pins the
+    * raw-bucket arithmetic; q201 pins the occupancy difference). */
   def nnDistanceHistogram(s: SparkSession, dir: String,
-      planes: Int): DataFrame = {
+      planes: Int, centered: Boolean = false): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    val b = Similarity.lshBuckets(emb, planes)
+    val b = (if (centered) Similarity.lshBucketsCentered(emb, planes)
+      else Similarity.lshBuckets(emb, planes))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val vecs = emb.select(col("vec_id"),
       expr("cast(embedding as array<double>)").as("vd"))
@@ -1655,6 +1667,62 @@ object CurationQueries {
        |    CAST(sum(n_toks) AS BIGINT) FROM c5)
        |SELECT stage, n_docs, n_tokens FROM stages""".stripMargin
 
+  // --------------------------------------------------------- q201
+  /** LSH bucket-balance report: occupancy statistics (occupied
+    * buckets, largest bucket, within-bucket pair work Σ c·(c−1)) for
+    * the raw hyperplane buckets q32/q188/q199 use versus the
+    * mean-centered form ([[Similarity.lshBucketsCentered]]). Occupancy
+    * collapse — and with it the n²/2^planes pair-work bound silently
+    * degrading to n²/occupied — has two causes: correlated planes
+    * (was real here: the same-frequency weight formula left 12 of 64
+    * buckets occupied; fixed for good in `Similarity.planeWeights`)
+    * and a non-zero corpus mean (the centered scheme's job). This
+    * query is the health check a deployment runs BEFORE trusting a
+    * planes ≈ log₂(n) budget, and the oracle pins both schemes' exact
+    * occupancy. Scale shape: two bucket aggregates (≤ 2^planes rows
+    * each) + one dims-bounded mean pass; nothing pairwise. */
+  private def q201(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    def stats(b: DataFrame, scheme: String) =
+      b.groupBy(col("bucket")).agg(count(lit(1)).as("c"))
+        .agg(count(lit(1)).as("n_buckets"),
+          max(col("c")).as("max_bucket"),
+          sum(col("c") * (col("c") - 1)).as("pair_work"))
+        .select(lit(scheme).as("scheme"),
+          col("n_buckets").cast("long").as("n_buckets"),
+          col("max_bucket").cast("long").as("max_bucket"),
+          col("pair_work").cast("long").as("pair_work"))
+    stats(Similarity.lshBuckets(emb, LshPlanes), "raw")
+      .unionByName(
+        stats(Similarity.lshBucketsCentered(emb, LshPlanes), "centered"))
+  }
+  private val q201Sql = {
+    val centeredBits = (1 to LshPlanes).map { p =>
+      s"""CASE WHEN list_sum(list_transform(range(0, len(e)),
+         | d -> e[d + 1]::DOUBLE * sin($p * 12.9898 + d * 78.233 * $p)))
+         | - list_sum(list_transform(range(0, len(ml)),
+         | d -> ml[d + 1] * sin($p * 12.9898 + d * 78.233 * $p))) >= 0
+         | THEN '1' ELSE '0' END""".stripMargin.replace("\n", " ")
+    }.mkString(" || ")
+    s"""WITH base AS (SELECT vec_id, embedding AS e, embedding::DOUBLE[] AS vd FROM embeddings),
+       |mx AS (SELECT d,
+       |         (sum(round(x * 1e6)::BIGINT)::DOUBLE / 1e6) / count(*) AS m
+       |       FROM (SELECT unnest(vd) AS x,
+       |               unnest(range(1, len(vd) + 1)) AS d FROM base)
+       |       GROUP BY 1),
+       |mus AS (SELECT list(m ORDER BY d) AS ml FROM mx),
+       |raw AS (SELECT vec_id, $BucketSql AS bucket FROM base),
+       |cb AS (SELECT vec_id, $centeredBits AS bucket FROM base, mus),
+       |st AS (
+       |  SELECT 'raw' AS scheme, bucket, count(*) AS c FROM raw GROUP BY 1, 2
+       |  UNION ALL
+       |  SELECT 'centered', bucket, count(*) AS c FROM cb GROUP BY 1, 2)
+       |SELECT scheme, CAST(count(*) AS BIGINT) AS n_buckets,
+       |  CAST(max(c) AS BIGINT) AS max_bucket,
+       |  CAST(sum(c * (c - 1)) AS BIGINT) AS pair_work
+       |FROM st GROUP BY 1""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q168_kmv_distinct" -> q168 _,
     "q169_minhash_error" -> q169 _,
@@ -1688,7 +1756,8 @@ object CurationQueries {
     "q197_source_vocab_jaccard" -> q197 _,
     "q198_hourly_profile" -> q198 _,
     "q199_nn_distance_histogram" -> q199 _,
-    "q200_curation_recipe" -> q200 _)
+    "q200_curation_recipe" -> q200 _,
+    "q201_lsh_balance" -> q201 _)
 
   val oracleSql: Map[String, String] = Map(
     "q168_kmv_distinct" -> q168Sql,
@@ -1723,5 +1792,6 @@ object CurationQueries {
     "q197_source_vocab_jaccard" -> q197Sql,
     "q198_hourly_profile" -> q198Sql,
     "q199_nn_distance_histogram" -> q199Sql,
-    "q200_curation_recipe" -> q200Sql)
+    "q200_curation_recipe" -> q200Sql,
+    "q201_lsh_balance" -> q201Sql)
 }

@@ -162,9 +162,11 @@ object LlmQueries {
     Similarity.topKNeighborsLsh(emb, queries, AnnK, LshPlanes)
   }
   private[queries] val BucketSql = {
+    // frequency scaled by p — must stay in lockstep with
+    // Similarity.planeWeights' decorrelated-planes formula
     val bits = (1 to LshPlanes).map { p =>
       s"""CASE WHEN list_sum(list_transform(range(0, len(e)),
-         | d -> e[d + 1]::DOUBLE * sin($p * 12.9898 + d * 78.233))) >= 0
+         | d -> e[d + 1]::DOUBLE * sin($p * 12.9898 + d * 78.233 * $p))) >= 0
          | THEN '1' ELSE '0' END""".stripMargin.replace("\n", " ")
     }
     bits.mkString(" || ")
@@ -266,7 +268,7 @@ object LlmQueries {
       val bits = (1 to NdPlanes).map { r =>
         val p = b * NdPlanes + r
         s"""CASE WHEN list_sum(list_transform(range(0, len(e)),
-           | d -> e[d + 1]::DOUBLE * sin($p * 12.9898 + d * 78.233))) >= 0
+           | d -> e[d + 1]::DOUBLE * sin($p * 12.9898 + d * 78.233 * $p))) >= 0
            | THEN '1' ELSE '0' END""".stripMargin.replace("\n", " ")
       }
       s"SELECT vec_id, $b AS band, ${bits.mkString(" || ")} AS bucket FROM base"

@@ -122,6 +122,18 @@ class LivePgE2ESpec extends SparkSpec with BeforeAndAfterAll {
       WalDecoder.decode(ins.head.xid, ins.head.lsn, ins.head.data)
         .map(_.id) shouldBe Some("p-8")
       psqlc("DELETE FROM public.person WHERE id = 'p-8'")
+      conn.getChanges("live_decode")
+
+      // ADVICE r9: carriage returns must survive BYTE-FOR-BYTE — a
+      // line-splitting reader (BufferedReader/ProcessLogger) treats
+      // \r and \r\n as terminators and rejoins with \n, silently
+      // normalizing the value; the raw-stdout read must not
+      psqlc("INSERT INTO public.person (id, name) VALUES " +
+        "('p-7', E'a\\rb\\r\\nc')")
+      val cr = conn.getChanges("live_decode").filter(_.data.contains("INSERT"))
+      cr should have size 1
+      cr.head.data should include("a\rb\r\nc")
+      psqlc("DELETE FROM public.person WHERE id = 'p-7'")
     } finally conn.dropSlot("live_decode")
   }
 

@@ -263,6 +263,48 @@ class OpsSpec extends SparkSpec {
     top(2L).map(_._2).toSeq shouldBe Seq("x", "mid")
   }
 
+  test("LSH planes are decorrelated: real embeddings fill the bucket space") {
+    // the regression this pins: with same-frequency (phase-shifted)
+    // plane weights, consecutive planes correlate at ~0.91 and the
+    // 500-vector corpus collapsed into 12 of 64 buckets (pair work
+    // 23k); decorrelated frequencies must keep occupancy near the
+    // birthday-bound expectation, or every 2^planes efficiency claim
+    // in the ANN family is fiction
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val occ = Similarity.lshBuckets(emb, planes = 6)
+      .select("bucket").distinct().count()
+    occ should be >= 48L
+  }
+
+  test("dimMeans is exact and order-independent; centering fixes offset corpora") {
+    // 2 vectors whose dim-0 mean is exactly 1.5, dim-1 mean 0.25
+    val tiny = Seq((1L, Array(1.0f, 0.5f)), (2L, Array(2.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    Similarity.dimMeans(tiny, 2) shouldBe Seq(1.5, 0.25)
+
+    // an all-positive corpus (every dim offset by +10): raw buckets
+    // collapse onto the mean's side of each plane, centered buckets
+    // must recover a spread comparable to the zero-mean corpus
+    val n = 200
+    val base = (0 until n).map { i =>
+      (i.toLong, Array.tabulate(16)(d =>
+        (math.sin(i * 1.7 + d * 2.3)).toFloat))
+    }
+    val shifted = base.map { case (id, v) => (id, v.map(_ + 10.0f)) }
+    val zeroMean = base.toDF("vec_id", "embedding")
+    val offset = shifted.toDF("vec_id", "embedding")
+    def occupied(b: org.apache.spark.sql.DataFrame): Long =
+      b.select("bucket").distinct().count()
+    val occZero = occupied(Similarity.lshBuckets(zeroMean, 6))
+    val occRawOffset = occupied(Similarity.lshBuckets(offset, 6))
+    val occCentered = occupied(Similarity.lshBucketsCentered(offset, 6))
+    occRawOffset should be < (occZero / 2) // collapse is real
+    occCentered should be >= occZero // centering restores the spread
+    // and centering a zero-mean corpus is a near no-op
+    occupied(Similarity.lshBucketsCentered(zeroMean, 6)) should
+      be >= (occZero - 4)
+  }
+
   test("LSH buckets: identical vectors share a bucket, opposites don't") {
     val corpus = Seq(
       (1L, Array.fill(8)(0.5f)), (2L, Array.fill(8)(0.5f)),
