@@ -1723,6 +1723,165 @@ object CurationQueries {
        |FROM st GROUP BY 1""".stripMargin
   }
 
+  // --------------------------------------------------------- q202
+  /** LSH recall-recovery ladder: macro recall@k and candidate volume
+    * for the three ways the engine trades probe cost for recall over
+    * the SAME decorrelated hyperplane family — single bucket (q32),
+    * multi-probe with every 1-bit flip (q188), and 3×3 banded
+    * OR-construction (q37's scheme) — all scored against the
+    * brute-force truth (q31). This is the table that answers "q177's
+    * single-probe recall is honest-low on near-isotropic data; what
+    * does recovering it cost?": each rung multiplies candidates, and
+    * the oracle pins both columns so the trade-off is measured, not
+    * asserted. Doubles follow the q120 discipline (per-query recall
+    * quantized to a scaled long before the cross-query average, so
+    * sums are order-independent). Scale shape: every candidate set is
+    * a bucket equi-join driven by the 10 probe queries; ranking
+    * windows partition by q_id over candidate lists, never the
+    * corpus. */
+  private val RecBands = 3
+  private val RecPlanesPerBand = 3
+  private def q202(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val qs = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val truth = Similarity.topKNeighbors(emb, qs, AnnK)
+      .select(col("q_id"), col("vec_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vecs = emb.select(col("vec_id"),
+      Similarity.toDouble(col("embedding")).as("vd"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val b = Similarity.lshBuckets(emb, LshPlanes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val qb = b.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("bucket"))
+
+    val single = qb.join(b, "bucket")
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id")).distinct()
+
+    val flips = (1 to LshPlanes).map { i =>
+      concat(substring(col("bucket"), 1, i - 1),
+        when(substring(col("bucket"), i, 1) === "1", "0").otherwise("1"),
+        substring(col("bucket"), i + 1, LshPlanes - i))
+    }
+    val probes = qb.select(col("q_id"),
+      explode(array(col("bucket") +: flips: _*)).as("bucket"))
+    val multi = probes.join(b, "bucket")
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id")).distinct()
+
+    val bands = Similarity.lshBandKeys(emb, RecBands, RecPlanesPerBand)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val qbk = bands.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("band"), col("bucket"))
+    val banded = qbk.join(bands, Seq("band", "bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id")).distinct()
+
+    val nTruth = truth.groupBy("q_id").agg(count(lit(1)).as("n_truth"))
+    def evalMethod(cand: DataFrame, method: String): DataFrame = {
+      val topk = cand
+        .join(vecs.select(col("vec_id").as("q_id"), col("vd").as("qv")), "q_id")
+        .join(vecs, "vec_id")
+        .withColumn("cos",
+          graft.functions.CosineSimilarity(col("qv"), col("vd")))
+        .withColumn("rn", row_number().over(Window.partitionBy(col("q_id"))
+          .orderBy(col("cos").desc, col("vec_id").asc)))
+        .filter(col("rn") <= AnnK)
+        .select(col("q_id"), col("vec_id"))
+      val hits = topk.join(truth, Seq("q_id", "vec_id"))
+        .groupBy("q_id").agg(count(lit(1)).as("n_hits"))
+      val nCand = cand.groupBy("q_id").agg(count(lit(1)).as("nc"))
+      nTruth
+        .join(hits, Seq("q_id"), "left")
+        .join(nCand, Seq("q_id"), "left")
+        .select(
+          round(coalesce(col("n_hits"), lit(0L)) * 10000.0 / col("n_truth"))
+            .cast("long").as("r4"),
+          coalesce(col("nc"), lit(0L)).as("nc"))
+        .agg(count(lit(1)).as("n_queries"),
+          round(sum(col("nc")).cast("double") / count(lit(1)), 1)
+            .as("avg_cand"),
+          round(sum(col("r4")).cast("double") / (count(lit(1)) * 10000.0), 4)
+            .as("macro_recall"))
+        .select(lit(method).as("method"), col("n_queries").cast("long")
+          .as("n_queries"), col("avg_cand"), col("macro_recall"))
+    }
+    evalMethod(single, "1_single")
+      .unionByName(evalMethod(multi, "2_multiprobe"))
+      .unionByName(evalMethod(banded, "3_banded"))
+  }
+  private val q202Sql = {
+    val flipProbes = s"""list_prepend(bucket,
+      | list_transform(range(1, $LshPlanes + 1), i ->
+      |   substr(bucket, 1, i - 1) ||
+      |   (CASE WHEN substr(bucket, i, 1) = '1' THEN '0' ELSE '1' END) ||
+      |   substr(bucket, i + 1, $LshPlanes - i)))""".stripMargin
+      .replace("\n", " ")
+    val bandSelects = (0 until RecBands).map { bnd =>
+      val bits = (1 to RecPlanesPerBand).map { r =>
+        val p = bnd * RecPlanesPerBand + r
+        s"""CASE WHEN list_sum(list_transform(range(0, len(e)),
+           | d -> e[d + 1]::DOUBLE * sin($p * 12.9898 + d * 78.233 * $p))) >= 0
+           | THEN '1' ELSE '0' END""".stripMargin.replace("\n", " ")
+      }
+      s"SELECT vec_id, $bnd AS band, ${bits.mkString(" || ")} AS bucket FROM base"
+    }
+    def methodAgg(name: String, candCte: String) =
+      s"""${name}_top AS (SELECT q_id, vec_id FROM (
+         |    SELECT cn.q_id, cn.vec_id,
+         |      ROW_NUMBER() OVER (PARTITION BY cn.q_id ORDER BY $CosSql DESC, cn.vec_id) AS rn
+         |    FROM $candCte cn JOIN qv ON cn.q_id = qv.q_id
+         |      JOIN cv ON cn.vec_id = cv.vec_id)
+         |  WHERE rn <= $AnnK),
+         |${name}_h AS (SELECT t.q_id, CAST(count(*) AS BIGINT) AS c
+         |  FROM truth t JOIN ${name}_top a ON t.q_id = a.q_id AND t.vec_id = a.vec_id
+         |  GROUP BY 1),
+         |${name}_cc AS (SELECT q_id, CAST(count(*) AS BIGINT) AS c
+         |  FROM $candCte GROUP BY 1),
+         |${name}_r AS (SELECT t2.q_id,
+         |    round(10000.0 * COALESCE(h.c, 0) / t2.n_truth)::BIGINT AS r4,
+         |    COALESCE(cc.c, 0) AS nc
+         |  FROM t2 LEFT JOIN ${name}_h h ON t2.q_id = h.q_id
+         |    LEFT JOIN ${name}_cc cc ON t2.q_id = cc.q_id)""".stripMargin
+    def methodRow(label: String, name: String) =
+      s"""SELECT '$label' AS method, CAST(count(*) AS BIGINT) AS n_queries,
+         |  round(sum(nc)::DOUBLE / count(*), 1) AS avg_cand,
+         |  round(sum(r4)::DOUBLE / (count(*) * 10000.0), 4) AS macro_recall
+         |FROM ${name}_r""".stripMargin
+    s"""WITH base AS (SELECT vec_id, embedding AS e, embedding::DOUBLE[] AS vd FROM embeddings),
+       |b AS (SELECT vec_id, $BucketSql AS bucket FROM base),
+       |qv AS (SELECT vec_id AS q_id, vd AS qv FROM base WHERE vec_id < 10),
+       |cv AS (SELECT vec_id, vd AS v FROM base),
+       |truth AS (SELECT q_id, vec_id FROM (
+       |    SELECT qv.q_id, cv.vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY qv.q_id ORDER BY $CosSql DESC, cv.vec_id) AS rn
+       |    FROM qv, cv WHERE cv.vec_id <> qv.q_id)
+       |  WHERE rn <= $AnnK),
+       |t2 AS (SELECT q_id, CAST(count(*) AS BIGINT) AS n_truth FROM truth GROUP BY 1),
+       |qb AS (SELECT vec_id AS q_id, bucket FROM b WHERE vec_id < 10),
+       |single_cand AS (
+       |  SELECT DISTINCT q.q_id, c.vec_id FROM qb q JOIN b c USING (bucket)
+       |  WHERE c.vec_id <> q.q_id),
+       |pr AS (SELECT q_id, unnest($flipProbes) AS bucket FROM qb),
+       |multi_cand AS (
+       |  SELECT DISTINCT p.q_id, c.vec_id FROM pr p JOIN b c USING (bucket)
+       |  WHERE c.vec_id <> p.q_id),
+       |keys AS (${bandSelects.mkString(" UNION ALL ")}),
+       |qk AS (SELECT vec_id AS q_id, band, bucket FROM keys WHERE vec_id < 10),
+       |banded_cand AS (
+       |  SELECT DISTINCT q.q_id, c.vec_id FROM qk q
+       |  JOIN keys c ON q.band = c.band AND q.bucket = c.bucket
+       |  WHERE c.vec_id <> q.q_id),
+       |${methodAgg("sg", "single_cand")},
+       |${methodAgg("mp", "multi_cand")},
+       |${methodAgg("bd", "banded_cand")}
+       |${methodRow("1_single", "sg")}
+       |UNION ALL ${methodRow("2_multiprobe", "mp")}
+       |UNION ALL ${methodRow("3_banded", "bd")}""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q168_kmv_distinct" -> q168 _,
     "q169_minhash_error" -> q169 _,
@@ -1757,7 +1916,8 @@ object CurationQueries {
     "q198_hourly_profile" -> q198 _,
     "q199_nn_distance_histogram" -> q199 _,
     "q200_curation_recipe" -> q200 _,
-    "q201_lsh_balance" -> q201 _)
+    "q201_lsh_balance" -> q201 _,
+    "q202_recall_ladder" -> q202 _)
 
   val oracleSql: Map[String, String] = Map(
     "q168_kmv_distinct" -> q168Sql,
@@ -1793,5 +1953,6 @@ object CurationQueries {
     "q198_hourly_profile" -> q198Sql,
     "q199_nn_distance_histogram" -> q199Sql,
     "q200_curation_recipe" -> q200Sql,
-    "q201_lsh_balance" -> q201Sql)
+    "q201_lsh_balance" -> q201Sql,
+    "q202_recall_ladder" -> q202Sql)
 }

@@ -27,6 +27,24 @@ class CurationOpsSpec extends SparkSpec {
     multi.count() should be >= single.count()
   }
 
+  test("recall ladder: multiprobe dominates single, candidate volume buys recall") {
+    // q202's three rungs probe the same decorrelated hyperplane space;
+    // multiprobe's candidate set is a strict superset of single's, so
+    // its macro recall cannot be lower, and every rung must pay for
+    // recall with candidates (avg_cand weakly increasing with recall
+    // within the bucket family)
+    val rows = SparkEntry.queries("q202_recall_ladder")(spark, dir)
+      .orderBy("method").collect()
+    rows.length shouldBe 3
+    val byMethod = rows.map(r => r.getAs[String]("method") ->
+      (r.getAs[Double]("avg_cand"), r.getAs[Double]("macro_recall"))).toMap
+    for ((_, (c, r)) <- byMethod) {
+      r should be >= 0.0; r should be <= 1.0; c should be >= 0.0
+    }
+    byMethod("2_multiprobe")._2 should be >= byMethod("1_single")._2
+    byMethod("2_multiprobe")._1 should be >= byMethod("1_single")._1
+  }
+
   test("one-number reports stay in range: gini in [0,1), recall/precision in [0,1]") {
     val g = SparkEntry.queries("q195_user_gini")(spark, dir).collect()(0)
     val gini = g.getAs[Double]("gini")
