@@ -972,6 +972,75 @@ object Similarity {
         round(col("cos"), 6).as("cos_sim"))
   }
 
+  /** Multi-probe LSH top-k: each query searches its own hyperplane
+    * bucket PLUS every 1-bit-flip neighbor bucket — the standard
+    * recall recovery for bucketed ANN (a vector near a hyperplane
+    * falls on either side; probing both catches it) at (planes+1)×
+    * probe cost instead of 2^planes brute force. `centered = true`
+    * buckets both sides with the CORPUS mean subtracted
+    * ([[lshBucketsCentered]]'s scheme — the index's statistic centers
+    * the queries too, the deployment semantic for non-zero-mean
+    * embedding spaces). q202 measures what each probing rung buys.
+    *
+    * Scale shape: the probe set is (planes+1)·Q rows, broadcast; the
+    * candidate pass stays a bucket equi-join; dedup and the per-query
+    * rank window run over candidate rows only, never the corpus.
+    *
+    * Output: (q_id, rank, vec_id, cos_sim), rank 1..k by
+    * (cos desc, vec_id). */
+  def topKNeighborsLshMultiProbe(corpus: DataFrame, queries: DataFrame,
+      k: Int, planes: Int, centered: Boolean = false): DataFrame = {
+    graft.functions.GraftExtensions.ensureRegistered(corpus.sparkSession)
+    require(k > 0, s"k must be positive, got $k")
+    val dims = embDims(corpus)
+    val mu = if (centered) dimMeans(corpus, dims) else Seq.empty[Double]
+    def bucketOf(vec: Column): Column =
+      if (!centered) lshBucket(vec, planes, dims)
+      else {
+        val v = toDouble(vec)
+        val bits = (1 to planes).map { p =>
+          val w = (0 until dims).map(d =>
+            math.sin(p * 12.9898d + d * 78.233d * p))
+          val bias = mu.zip(w).map { case (m, wd) => m * wd }.sum
+          val proj = aggregate(
+            zip_with(v, planeWeights(p, dims), _ * _), lit(0.0d), _ + _) -
+            lit(bias)
+          when(proj >= 0, lit("1")).otherwise(lit("0"))
+        }
+        concat(bits: _*)
+      }
+    val corpusB = corpus.select(col("vec_id"),
+      toDouble(col("embedding")).as("v"), bucketOf(col("embedding")).as("bucket"))
+    val qB = queries.select(col("q_id"),
+      toDouble(col("q_vec")).as("q"), bucketOf(col("q_vec")).as("bucket"))
+    val flips = (1 to planes).map { i =>
+      concat(substring(col("bucket"), 1, i - 1),
+        when(substring(col("bucket"), i, 1) === "1", "0").otherwise("1"),
+        substring(col("bucket"), i + 1, planes - i))
+    }
+    val probes = qB.select(col("q_id"),
+      explode(array(col("bucket") +: flips: _*)).as("bucket"))
+    // candidate dedup on SLIM (q_id, vec_id) keys before scoring: a
+    // vector reachable through several probes must rank once, the
+    // cosine kernel runs once per (query, candidate) — and the
+    // distinct never shuffles vector payloads, which re-join by id
+    // afterwards (q188's shape)
+    val cand = corpusB.select(col("vec_id"), col("bucket"))
+      .join(broadcast(probes), Seq("bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id")).distinct()
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    cand
+      .join(qB.select(col("q_id"), col("q")), "q_id")
+      .join(corpusB.select(col("vec_id"), col("v")), "vec_id")
+      .withColumn("cos", graft.functions.CosineSimilarity(col("q"), col("v")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("vec_id"),
+        round(col("cos"), 6).as("cos_sim"))
+  }
+
   /** Symmetric max-abs int8 quantization — the storage layout a 100 TB
     * embedding corpus actually ships (4× smaller than float32, and the
     * format GPU inference kernels consume directly). Per vector:

@@ -1002,37 +1002,15 @@ object CurationQueries {
     * PLUS every 1-bit-flip neighbor bucket — the standard recall
     * recovery for bucketed ANN (a vector near a hyperplane falls on
     * either side; probing both sides catches it) at (planes+1)× probe
-    * cost instead of 2^planes brute force. Same shape as q32 with the
-    * query side exploded over its probe set; candidates stay a bucket
-    * equi-join. */
+    * cost instead of 2^planes brute force. Delegates to the
+    * first-class operator [[Similarity.topKNeighborsLshMultiProbe]]
+    * (round-10 promotion from this query's inline form); candidates
+    * stay a bucket equi-join. */
   private def q188(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    val b = Similarity.lshBuckets(emb, LshPlanes)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val vecs = emb.select(col("vec_id"),
-      expr("cast(embedding as array<double>)").as("vd"))
-    val qb = b.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("q_id"), col("bucket"))
-    val flips = (1 to LshPlanes).map { i =>
-      concat(substring(col("bucket"), 1, i - 1),
-        when(substring(col("bucket"), i, 1) === "1", "0").otherwise("1"),
-        substring(col("bucket"), i + 1, LshPlanes - i))
-    }
-    val probes = qb.select(col("q_id"),
-      explode(array(col("bucket") +: flips: _*)).as("bucket"))
-    val cand = probes.join(b, "bucket")
-      .filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id")).distinct()
-    val scored = cand
-      .join(vecs.select(col("vec_id").as("q_id"), col("vd").as("q")), "q_id")
-      .join(vecs, "vec_id")
-      .withColumn("cos", graft.functions.CosineSimilarity(col("q"), col("vd")))
-    scored
-      .withColumn("rank", row_number().over(Window.partitionBy(col("q_id"))
-        .orderBy(col("cos").desc, col("vec_id").asc)))
-      .filter(col("rank") <= AnnK)
-      .select(col("q_id"), col("rank"), col("vec_id"),
-        round(col("cos"), 6).as("cos_sim"))
+    val qs = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    Similarity.topKNeighborsLshMultiProbe(emb, qs, AnnK, LshPlanes)
   }
   private val q188Sql =
     s"""WITH base AS (SELECT vec_id, embedding AS e, embedding::DOUBLE[] AS vd FROM embeddings),

@@ -305,6 +305,31 @@ class OpsSpec extends SparkSpec {
       be >= (occZero - 4)
   }
 
+  test("multi-probe LSH operator dominates single-probe and is deterministic") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val qs = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val single = Similarity.topKNeighborsLsh(emb, qs, 5, 4)
+      .select(col("q_id"), col("rank"), col("cos_sim").as("cs"))
+    val multi = Similarity.topKNeighborsLshMultiProbe(emb, qs, 5, 4)
+      .select(col("q_id"), col("rank"), col("cos_sim").as("cm"))
+    // superset candidates: at every (q_id, rank) the multi-probe top-k
+    // cosine can only be >= the single-bucket one
+    single.join(multi, Seq("q_id", "rank"))
+      .filter(col("cm") < col("cs")).count() shouldBe 0L
+    multi.count() should be >= single.count()
+    // deterministic across runs
+    val again = Similarity.topKNeighborsLshMultiProbe(emb, qs, 5, 4)
+      .collect().toSet
+    Similarity.topKNeighborsLshMultiProbe(emb, qs, 5, 4)
+      .collect().toSet shouldBe again
+    // the centered variant runs end-to-end and respects k
+    val cent = Similarity.topKNeighborsLshMultiProbe(emb, qs, 5, 4,
+      centered = true)
+    cent.groupBy("q_id").count().agg(max("count")).collect()(0)
+      .getLong(0) should be <= 5L
+  }
+
   test("LSH buckets: identical vectors share a bucket, opposites don't") {
     val corpus = Seq(
       (1L, Array.fill(8)(0.5f)), (2L, Array.fill(8)(0.5f)),
