@@ -137,18 +137,27 @@ object Bench {
     val isolatedNames = Seq("q133_exact_jaccard_join", "q134_heavy_hitters",
       "q143_substring_dedup").filter(SparkEntry.queries.contains)
     val isolatedMins = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val isolatedErrors = scala.collection.mutable.LinkedHashMap[String, String]()
     isolatedNames.foreach { name =>
       val fn = SparkEntry.queries(name)
       val ts = (1 to RUNS).flatMap { _ =>
         val t0 = System.nanoTime()
         val ok = try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true
-        } catch { case _: Throwable => false }
+        } catch { case e: Throwable =>
+          isolatedErrors(name) =
+            s"${e.getClass.getName}: ${Option(e.getMessage).getOrElse("").take(300)}"
+          false
+        }
         val dt = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
         if (ok) Some(dt) else None
       }
-      if (ts.nonEmpty) isolatedMins(name) = ts.min
+      // a trio member whose EVERY run fails must not silently vanish
+      // from the floor record (the disappearance mode the registry-size
+      // test exists to prevent — ADVICE r10): record a -1 sentinel plus
+      // the last error message
+      isolatedMins(name) = if (ts.nonEmpty) ts.min else -1.0
     }
 
     val qs = allResults.map { case (k, v) => s"${jq(k)}:$v" }.mkString("{", ",", "}")
@@ -190,8 +199,10 @@ object Bench {
       "SPARK_GRAFT_BENCH_ISOLATED", "bench/ISOLATED.json"))
     Option(isoPath.getParent)
       .foreach(java.nio.file.Files.createDirectories(_))
+    val isolatedErrJson = isolatedErrors
+      .map { case (k, v) => s"${jq(k)}:${jq(v)}" }.mkString("{", ",", "}")
     java.nio.file.Files.write(isoPath,
-      (s"""{"runs":$RUNS,"isolated_min":$isolatedJson,"sf":"$sfDir"}""" +
+      (s"""{"runs":$RUNS,"isolated_min":$isolatedJson,"isolated_errors":$isolatedErrJson,"sf":"$sfDir"}""" +
         "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
     // slowest-12 by MIN — the steady-state ranking a contended sandbox

@@ -73,14 +73,17 @@ object ScaleSoak {
 
     // synthesis is deterministic (ScaleSoakSpec pins it), so a corpus
     // already on disk from an earlier sweep is byte-equivalent — a
-    // _SOAK_OK marker stamped with (base, n) lets repeat sweeps skip
-    // the ~minutes-long rewrite; delete target/scale to force.
+    // _SOAK_OK marker stamped with (base, n, SynthVersion) lets repeat
+    // sweeps skip the ~minutes-long rewrite. The version token makes a
+    // synthesize() change invalidate stale corpora automatically (the
+    // old (base, n)-only stamp silently reused bytes from an earlier
+    // formula — ADVICE r10); deleting target/scale still force-rebuilds.
     val dirs: Map[Int, String] = Scales.map { n =>
       val out = s"$workRoot/x$n"
       if (n == 1) n -> base
       else {
         val marker = Paths.get(s"$out/_SOAK_OK")
-        val stamp = s"$base|x$n"
+        val stamp = s"$base|x$n|synth=$SynthVersion"
         if (!(Files.exists(marker) &&
             new String(Files.readAllBytes(marker), "UTF-8") == stamp)) {
           synthesize(spark, base, n, out)
@@ -121,6 +124,19 @@ object ScaleSoak {
         ("q199_planes_scaled" -> { (s: SparkSession, d: String, n: Int) =>
           val planes = 6 + math.round(math.log(n.toDouble) / math.log(2.0)).toInt
           graft.queries.CurationQueries.nnDistanceHistogram(s, d, planes)
+        }) :+
+        // multiprobe_planes_scaled (VERDICT r10 item 4): the multi-probe
+        // ANN operator under the same planes ≈ log₂(scale) budget q199
+        // proved out — (planes+1)·Q probes against a corpus that grows
+        // with scale. Bucket population stays ~constant under the
+        // budget, so the candidate set (and the time exponent) should
+        // grow ~linearly in the corpus, nowhere near quadratic.
+        ("multiprobe_planes_scaled" -> { (s: SparkSession, d: String, n: Int) =>
+          val planes = 6 + math.round(math.log(n.toDouble) / math.log(2.0)).toInt
+          val emb = Tables.embeddings(s, d)
+          val qs = emb.filter(col("vec_id") < 10)
+            .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+          graft.ops.Similarity.topKNeighborsLshMultiProbe(emb, qs, 10, planes)
         })
 
     val times = scala.collection.mutable.LinkedHashMap[(String, Int), List[Double]]()
@@ -177,6 +193,11 @@ object ScaleSoak {
   /** Write a salted N-times corpus of documents/embeddings/events to
     * `out`, byte-copying the TPC-H tables. Deterministic: no RNG, the
     * salt is a pure function of the copy index. */
+  /** Bump on ANY change to [[synthesize]]'s output bytes — the token
+    * is part of the `_SOAK_OK` stamp, so old on-disk corpora rebuild
+    * instead of being silently reused. */
+  val SynthVersion = 1
+
   def synthesize(spark: SparkSession, base: String, n: Int, out: String): Unit = {
     Files.createDirectories(Paths.get(out))
     for (t <- Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")) {

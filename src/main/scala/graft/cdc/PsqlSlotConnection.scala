@@ -14,10 +14,13 @@ package graft.cdc
   * `\r`/`\r\n`, read RAW from the child's stdout — no line
   * reassembly) round-trips. Framing limitation (inherent to any
   * in-band separator): a USER VALUE containing the 0x1e/0x1f bytes
-  * themselves, or ending in a bare newline immediately before a
-  * record boundary, cannot be distinguished from the frame — psql's
-  * own `test_decoding` framing never emits them, but such bytes
-  * inside column data would mis-frame. The JDBC transport
+  * themselves cannot be distinguished from the frame, and the FINAL
+  * record's trailing newline is psql's own artifact, so a LAST value
+  * ending in '\n' loses exactly that one byte — only the final
+  * record: interior values keep trailing newlines because the frame
+  * strips once on the whole output, never per record (ADVICE r10).
+  * psql's `test_decoding` framing never emits the separator bytes,
+  * but such bytes inside column data would mis-frame. The JDBC transport
   * ([[JdbcSlotConnection]]) has no such limitation; prefer it when a
   * driver jar is deployable.
   *
@@ -58,10 +61,11 @@ class PsqlSlotConnection(
     val rc = p.waitFor()
     errT.join(10000L)
     require(rc == 0, s"psql failed (rc=$rc): ${errBuf.get.take(500)}")
-    // psql terminates the final record with one trailing newline; the
-    // stripSuffix removes exactly that artifact per 0x1e-split piece
-    out.split(RecSep).toSeq
-      .map(_.stripSuffix("\n"))
+    // psql terminates the FINAL record with one trailing newline; strip
+    // it once from the whole output BEFORE splitting so an interior WAL
+    // value that legitimately ends in '\n' right at a record boundary
+    // survives (stripping per-piece truncated those — ADVICE r10)
+    out.stripSuffix("\n").split(RecSep).toSeq
       .filter(_.nonEmpty)
       .map(_.split(FieldSep).toSeq)
   }

@@ -111,9 +111,56 @@ object Similarity {
     * makes, so oracle SQL recomputing sin
     * per row still bit-matches) and shipped as a literal array: the hot
     * path is a pure multiply-add dot product instead of per-element
-    * trigonometry (embeddings·planes sin() calls per ROW otherwise). */
+    * trigonometry (embeddings·planes sin() calls per ROW otherwise).
+    *
+    * Degeneracy envelope (ADVICE r10): plane `p`'s effective angular
+    * frequency is `78.233·p mod 2π`, and a plane is near-degenerate —
+    * weights nearly constant across dims, i.e. a mean-direction-
+    * correlated hyperplane — only when that folded frequency · dims
+    * ≲ π (the sinusoid never completes a half cycle over the vector).
+    * The smallest folded frequencies below p=40 are p=31 (0.087
+    * rad/dim), p=20 (0.147) and p=11 (0.233); at dims ≥ 64 even the
+    * worst of these spans ≥ 5.5 rad ≈ 0.9 cycles, so every p ≤ 40 is
+    * sign-mixing (PlaneQualitySpec pins this: both signs present,
+    * |mean|≪rms for all p ≤ 40 at dims 64). The contract to respect
+    * when scaling planes ≈ log₂(n) on LOW-dim embeddings: require
+    * `(78.233·p mod 2π) · dims > π` for every plane in the budget, or
+    * skip the offending p. */
+  private def planeWeightSeq(p: Int, dims: Int): Seq[Double] =
+    (0 until dims).map(d => math.sin(p * 12.9898d + d * 78.233d * p))
+
   private def planeWeights(p: Int, dims: Int): Column =
-    typedLit((0 until dims).map(d => math.sin(p * 12.9898d + d * 78.233d * p)))
+    typedLit(planeWeightSeq(p, dims))
+
+  /** μ·w_p — the mean-centering bias for plane `p`, a driver-side
+    * constant (left-to-right sum in dim order, matching the oracle's
+    * list_sum, so the subtraction is bit-identical cross-engine). */
+  private def planeBias(p: Int, dims: Int, mu: Seq[Double]): Double =
+    mu.zip(planeWeightSeq(p, dims)).map { case (m, w) => m * w }.sum
+
+  /** One plane's sign bit: `sign(v·w_p − μ·w_p)` — THE single
+    * implementation of the (optionally mean-centered) hyperplane test.
+    * Every bucket scheme in this file ([[lshBucket]],
+    * [[lshBucketsCentered]], [[lshBandKeys]],
+    * [[topKNeighborsLshMultiProbe]]) routes through here, so the
+    * centering algebra cannot drift between the single-bucket, banded,
+    * and multi-probe families. `mu` empty ⇒ raw projection, no
+    * subtraction in the plan (bit-identical to the historical form). */
+  private def planeBit(v: Column, p: Int, dims: Int, mu: Seq[Double]): Column = {
+    val raw = aggregate(
+      zip_with(v, planeWeights(p, dims), _ * _), lit(0.0d), _ + _)
+    val proj = if (mu.isEmpty) raw else raw - lit(planeBias(p, dims, mu))
+    when(proj >= 0, lit("1")).otherwise(lit("0"))
+  }
+
+  /** Bucket key = concatenated sign bits of planes
+    * `firstPlane … firstPlane+planes−1` (banded schemes pass a band's
+    * plane offset), optionally mean-centered when `mu` is non-empty. */
+  private def bucketKey(vec: Column, planes: Int, dims: Int,
+      mu: Seq[Double] = Seq.empty, firstPlane: Int = 1): Column = {
+    val v = toDouble(vec)
+    concat((0 until planes).map(i => planeBit(v, firstPlane + i, dims, mu)): _*)
+  }
 
   /** Fixed-width embedding dimensionality, probed from one row (the
     * standard contract for an embedding column). 0 for an empty corpus. */
@@ -124,15 +171,8 @@ object Similarity {
   /** Sign pattern of `planes` hyperplane projections → one bucket key
     * per vector (a `planes`-character bit string). Vectors only compete
     * within their bucket. */
-  def lshBucket(vec: Column, planes: Int, dims: Int): Column = {
-    val v = toDouble(vec)
-    val bits = (1 to planes).map { p =>
-      val proj = aggregate(
-        zip_with(v, planeWeights(p, dims), _ * _), lit(0.0d), _ + _)
-      when(proj >= 0, lit("1")).otherwise(lit("0"))
-    }
-    concat(bits: _*)
-  }
+  def lshBucket(vec: Column, planes: Int, dims: Int): Column =
+    bucketKey(vec, planes, dims)
 
   /** (vec_id, bucket) assignment for the corpus. */
   def lshBuckets(corpus: DataFrame, planes: Int): DataFrame =
@@ -175,36 +215,31 @@ object Similarity {
   def lshBucketsCentered(corpus: DataFrame, planes: Int): DataFrame = {
     val dims = embDims(corpus)
     val mu = dimMeans(corpus, dims)
-    val v = toDouble(col("embedding"))
-    val bits = (1 to planes).map { p =>
-      // μ·w_p is a driver-side constant; the per-row work stays the
-      // uncentered dot product
-      val w = (0 until dims).map(d => math.sin(p * 12.9898d + d * 78.233d * p))
-      val bias = mu.zip(w).map { case (m, wd) => m * wd }.sum
-      val proj = aggregate(
-        zip_with(v, planeWeights(p, dims), _ * _), lit(0.0d), _ + _) -
-        lit(bias)
-      when(proj >= 0, lit("1")).otherwise(lit("0"))
-    }
-    corpus.select(col("vec_id"), concat(bits: _*).as("bucket"))
+    corpus.select(col("vec_id"),
+      bucketKey(col("embedding"), planes, dims, mu).as("bucket"))
   }
 
   /** Banded hyperplane buckets for near-dup detection: `bands`
     * independent bucket keys per vector (band b uses planes
     * b·R+1 … b·R+R). Two vectors are candidates when ANY band matches —
     * the OR-construction that buys recall at moderate thresholds, same
-    * shape as MinHash banding. Output: (vec_id, band, bucket). */
-  def lshBandKeys(corpus: DataFrame, bands: Int, planesPerBand: Int): DataFrame = {
+    * shape as MinHash banding. `centered = true` subtracts the exact
+    * corpus mean from every projection ([[lshBucketsCentered]]'s
+    * scheme, via the same [[planeBit]] helper): on a non-zero-mean
+    * corpus (ReLU features, count vectors) RAW banded buckets collapse
+    * to the mean's side exactly as q201 measures for single buckets —
+    * every band's occupancy degrades together, so the OR-construction
+    * recovers none of it and the banded recall/cost claims are
+    * fiction. q201's banded rows pin both schemes' occupancy.
+    * Output: (vec_id, band, bucket). */
+  def lshBandKeys(corpus: DataFrame, bands: Int, planesPerBand: Int,
+      centered: Boolean = false): DataFrame = {
     val dims = embDims(corpus)
+    val mu = if (centered) dimMeans(corpus, dims) else Seq.empty[Double]
     val bandCols = (0 until bands).map { b =>
-      val bits = (1 to planesPerBand).map { r =>
-        val p = b * planesPerBand + r
-        val v = toDouble(col("embedding"))
-        val proj = aggregate(
-          zip_with(v, planeWeights(p, dims), _ * _), lit(0.0d), _ + _)
-        when(proj >= 0, lit("1")).otherwise(lit("0"))
-      }
-      struct(lit(b).as("band"), concat(bits: _*).as("bucket")).as(s"b$b")
+      struct(lit(b).as("band"),
+        bucketKey(col("embedding"), planesPerBand, dims, mu,
+          firstPlane = b * planesPerBand + 1).as("bucket")).as(s"b$b")
     }
     corpus
       .select(col("vec_id"), explode(array(bandCols: _*)).as("bk"))
@@ -214,11 +249,13 @@ object Similarity {
   /** Embedding near-dup pairs: banded-LSH candidates (equi-join on
     * (band, bucket) — never an all-pairs product) verified by exact
     * cosine ≥ `threshold`. The verify join reads the corpus keyed by
-    * vec_id; candidate volume, not corpus size, drives its cost. */
+    * vec_id; candidate volume, not corpus size, drives its cost.
+    * `centered` forwards to [[lshBandKeys]] — the deployment default
+    * for non-zero-mean embedding spaces. */
   def nearDupPairs(corpus: DataFrame, bands: Int, planesPerBand: Int,
-      threshold: Double): DataFrame = {
+      threshold: Double, centered: Boolean = false): DataFrame = {
     graft.functions.GraftExtensions.ensureRegistered(corpus.sparkSession)
-    val keys = lshBandKeys(corpus, bands, planesPerBand)
+    val keys = lshBandKeys(corpus, bands, planesPerBand, centered)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = keys.select(col("band"), col("bucket"), col("vec_id").as("id_a"))
     val b = keys.select(col("band"), col("bucket"), col("vec_id").as("id_b"))
@@ -972,6 +1009,20 @@ object Similarity {
         round(col("cos"), 6).as("cos_sim"))
   }
 
+  /** The multi-probe probe set for a bucket key: the bucket itself
+    * plus every 1-bit-flip neighbor — `planes + 1` bucket strings as
+    * an array column. THE single implementation of the flip expression
+    * ([[topKNeighborsLshMultiProbe]] and q202's recall ladder both
+    * consume it; the dominance spec pins multi ⊇ single through it). */
+  def probeBuckets(bucket: Column, planes: Int): Column = {
+    val flips = (1 to planes).map { i =>
+      concat(substring(bucket, 1, i - 1),
+        when(substring(bucket, i, 1) === "1", "0").otherwise("1"),
+        substring(bucket, i + 1, planes - i))
+    }
+    array(bucket +: flips: _*)
+  }
+
   /** Multi-probe LSH top-k: each query searches its own hyperplane
     * bucket PLUS every 1-bit-flip neighbor bucket — the standard
     * recall recovery for bucketed ANN (a vector near a hyperplane
@@ -994,32 +1045,18 @@ object Similarity {
     require(k > 0, s"k must be positive, got $k")
     val dims = embDims(corpus)
     val mu = if (centered) dimMeans(corpus, dims) else Seq.empty[Double]
-    def bucketOf(vec: Column): Column =
-      if (!centered) lshBucket(vec, planes, dims)
-      else {
-        val v = toDouble(vec)
-        val bits = (1 to planes).map { p =>
-          val w = (0 until dims).map(d =>
-            math.sin(p * 12.9898d + d * 78.233d * p))
-          val bias = mu.zip(w).map { case (m, wd) => m * wd }.sum
-          val proj = aggregate(
-            zip_with(v, planeWeights(p, dims), _ * _), lit(0.0d), _ + _) -
-            lit(bias)
-          when(proj >= 0, lit("1")).otherwise(lit("0"))
-        }
-        concat(bits: _*)
-      }
+    // persisted: the frame feeds BOTH the candidate bucket join and the
+    // payload re-join — without the persist the per-plane dot products
+    // run twice per corpus row (ADVICE r10)
     val corpusB = corpus.select(col("vec_id"),
-      toDouble(col("embedding")).as("v"), bucketOf(col("embedding")).as("bucket"))
+      toDouble(col("embedding")).as("v"),
+      bucketKey(col("embedding"), planes, dims, mu).as("bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val qB = queries.select(col("q_id"),
-      toDouble(col("q_vec")).as("q"), bucketOf(col("q_vec")).as("bucket"))
-    val flips = (1 to planes).map { i =>
-      concat(substring(col("bucket"), 1, i - 1),
-        when(substring(col("bucket"), i, 1) === "1", "0").otherwise("1"),
-        substring(col("bucket"), i + 1, planes - i))
-    }
+      toDouble(col("q_vec")).as("q"),
+      bucketKey(col("q_vec"), planes, dims, mu).as("bucket"))
     val probes = qB.select(col("q_id"),
-      explode(array(col("bucket") +: flips: _*)).as("bucket"))
+      explode(probeBuckets(col("bucket"), planes)).as("bucket"))
     // candidate dedup on SLIM (q_id, vec_id) keys before scoring: a
     // vector reachable through several probes must rank once, the
     // cosine kernel runs once per (query, candidate) — and the

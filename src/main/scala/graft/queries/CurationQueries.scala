@@ -1645,6 +1645,13 @@ object CurationQueries {
        |    CAST(sum(n_toks) AS BIGINT) FROM c5)
        |SELECT stage, n_docs, n_tokens FROM stages""".stripMargin
 
+  // Banded-scheme shape shared by q201 (occupancy) and q202 (recall
+  // ladder). NOTE: declared ABOVE q201Sql — object vals initialize in
+  // source order, so a val declared below would still be 0 when the
+  // SQL string builds (the braw/bcent CTEs would silently be empty).
+  private val RecBands = 3
+  private val RecPlanesPerBand = 3
+
   // --------------------------------------------------------- q201
   /** LSH bucket-balance report: occupancy statistics (occupied
     * buckets, largest bucket, within-bucket pair work Σ c·(c−1)) for
@@ -1656,9 +1663,14 @@ object CurationQueries {
     * buckets occupied; fixed for good in `Similarity.planeWeights`)
     * and a non-zero corpus mean (the centered scheme's job). This
     * query is the health check a deployment runs BEFORE trusting a
-    * planes ≈ log₂(n) budget, and the oracle pins both schemes' exact
-    * occupancy. Scale shape: two bucket aggregates (≤ 2^planes rows
-    * each) + one dims-bounded mean pass; nothing pairwise. */
+    * planes ≈ log₂(n) budget, and the oracle pins each scheme's exact
+    * occupancy — including the BANDED family (q37's OR-construction,
+    * 3×3 here): `banded_raw` vs `banded_centered` rows report
+    * per-(band, bucket) cell occupancy, because banded buckets
+    * collapse on a non-zero-mean corpus exactly as single buckets do
+    * and the OR over collapsed bands recovers nothing. Scale shape:
+    * four bucket aggregates (≤ 2^planes / bands·2^r rows each) + one
+    * dims-bounded mean pass; nothing pairwise. */
   private def q201(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     def stats(b: DataFrame, scheme: String) =
@@ -1670,31 +1682,70 @@ object CurationQueries {
           col("n_buckets").cast("long").as("n_buckets"),
           col("max_bucket").cast("long").as("max_bucket"),
           col("pair_work").cast("long").as("pair_work"))
+    def bandCells(b: DataFrame) = b.select(
+      concat(col("band"), lit("_"), col("bucket")).as("bucket"), col("vec_id"))
     stats(Similarity.lshBuckets(emb, LshPlanes), "raw")
       .unionByName(
         stats(Similarity.lshBucketsCentered(emb, LshPlanes), "centered"))
+      .unionByName(stats(
+        bandCells(Similarity.lshBandKeys(emb, RecBands, RecPlanesPerBand)),
+        "banded_raw"))
+      .unionByName(stats(
+        bandCells(Similarity.lshBandKeys(emb, RecBands, RecPlanesPerBand,
+          centered = true)),
+        "banded_centered"))
   }
-  private val q201Sql = {
-    val centeredBits = (1 to LshPlanes).map { p =>
-      s"""CASE WHEN list_sum(list_transform(range(0, len(e)),
-         | d -> e[d + 1]::DOUBLE * sin($p * 12.9898 + d * 78.233 * $p)))
-         | - list_sum(list_transform(range(0, len(ml)),
-         | d -> ml[d + 1] * sin($p * 12.9898 + d * 78.233 * $p))) >= 0
-         | THEN '1' ELSE '0' END""".stripMargin.replace("\n", " ")
-    }.mkString(" || ")
-    s"""WITH base AS (SELECT vec_id, embedding AS e, embedding::DOUBLE[] AS vd FROM embeddings),
-       |mx AS (SELECT d,
+  /** DuckDB sign-bit for plane `p` over `e` (raw) — the oracle-side
+    * counterpart of `Similarity.planeBit` with empty μ. */
+  private def rawBitSql(p: Int) =
+    s"""CASE WHEN list_sum(list_transform(range(0, len(e)),
+       | d -> e[d + 1]::DOUBLE * sin($p * 12.9898 + d * 78.233 * $p))) >= 0
+       | THEN '1' ELSE '0' END""".stripMargin.replace("\n", " ")
+
+  /** DuckDB sign-bit for plane `p` mean-centered against the `ml` list
+    * (the `mus` CTE) — counterpart of `Similarity.planeBit` with μ. */
+  private def centBitSql(p: Int) =
+    s"""CASE WHEN list_sum(list_transform(range(0, len(e)),
+       | d -> e[d + 1]::DOUBLE * sin($p * 12.9898 + d * 78.233 * $p)))
+       | - list_sum(list_transform(range(0, len(ml)),
+       | d -> ml[d + 1] * sin($p * 12.9898 + d * 78.233 * $p))) >= 0
+       | THEN '1' ELSE '0' END""".stripMargin.replace("\n", " ")
+
+  /** The exact scaled-integer per-dimension mean list, as the `mx`/`mus`
+    * CTE pair both q201 and q202's oracles prepend. */
+  private val MusCtes =
+    s"""mx AS (SELECT d,
        |         (sum(round(x * 1e6)::BIGINT)::DOUBLE / 1e6) / count(*) AS m
        |       FROM (SELECT unnest(vd) AS x,
        |               unnest(range(1, len(vd) + 1)) AS d FROM base)
        |       GROUP BY 1),
-       |mus AS (SELECT list(m ORDER BY d) AS ml FROM mx),
+       |mus AS (SELECT list(m ORDER BY d) AS ml FROM mx)""".stripMargin
+
+  private val q201Sql = {
+    val centeredBits = (1 to LshPlanes).map(centBitSql).mkString(" || ")
+    // banded cells use the composite 'band_bucket' key, matching the
+    // Spark side's concat(band, '_', bucket) — occupancy statistics
+    // over cells are identical under any injective cell key
+    def bandCells(bit: Int => String, from: String) =
+      (0 until RecBands).map { b =>
+        val bits = (1 to RecPlanesPerBand)
+          .map(r => bit(b * RecPlanesPerBand + r)).mkString(" || ")
+        s"SELECT vec_id, '${b}_' || $bits AS bucket FROM $from"
+      }.mkString(" UNION ALL ")
+    s"""WITH base AS (SELECT vec_id, embedding AS e, embedding::DOUBLE[] AS vd FROM embeddings),
+       |$MusCtes,
        |raw AS (SELECT vec_id, $BucketSql AS bucket FROM base),
        |cb AS (SELECT vec_id, $centeredBits AS bucket FROM base, mus),
+       |braw AS (${bandCells(rawBitSql, "base")}),
+       |bcent AS (${bandCells(centBitSql, "base, mus")}),
        |st AS (
        |  SELECT 'raw' AS scheme, bucket, count(*) AS c FROM raw GROUP BY 1, 2
        |  UNION ALL
-       |  SELECT 'centered', bucket, count(*) AS c FROM cb GROUP BY 1, 2)
+       |  SELECT 'centered', bucket, count(*) AS c FROM cb GROUP BY 1, 2
+       |  UNION ALL
+       |  SELECT 'banded_raw', bucket, count(*) AS c FROM braw GROUP BY 1, 2
+       |  UNION ALL
+       |  SELECT 'banded_centered', bucket, count(*) AS c FROM bcent GROUP BY 1, 2)
        |SELECT scheme, CAST(count(*) AS BIGINT) AS n_buckets,
        |  CAST(max(c) AS BIGINT) AS max_bucket,
        |  CAST(sum(c * (c - 1)) AS BIGINT) AS pair_work
@@ -1703,11 +1754,14 @@ object CurationQueries {
 
   // --------------------------------------------------------- q202
   /** LSH recall-recovery ladder: macro recall@k and candidate volume
-    * for the three ways the engine trades probe cost for recall over
-    * the SAME decorrelated hyperplane family — single bucket (q32),
-    * multi-probe with every 1-bit flip (q188), and 3×3 banded
-    * OR-construction (q37's scheme) — all scored against the
-    * brute-force truth (q31). This is the table that answers "q177's
+    * for the ways the engine trades probe cost for recall over the
+    * SAME decorrelated hyperplane family — single bucket (q32),
+    * multi-probe with every 1-bit flip (q188), 3×3 banded
+    * OR-construction (q37's scheme), plus the MEAN-CENTERED single and
+    * multi-probe rungs ([[Similarity.lshBucketsCentered]]'s scheme,
+    * the deployment default for non-zero-mean corpora — q201 proved
+    * its occupancy; these rows price its recall/candidate trade) —
+    * all scored against the brute-force truth (q31). This is the table that answers "q177's
     * single-probe recall is honest-low on near-isotropic data; what
     * does recovering it cost?": each rung multiplies candidates, and
     * the oracle pins both columns so the trade-off is measured, not
@@ -1717,8 +1771,6 @@ object CurationQueries {
     * a bucket equi-join driven by the 10 probe queries; ranking
     * windows partition by q_id over candidate lists, never the
     * corpus. */
-  private val RecBands = 3
-  private val RecPlanesPerBand = 3
   private def q202(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     val qs = emb.filter(col("vec_id") < 10)
@@ -1731,23 +1783,29 @@ object CurationQueries {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val b = Similarity.lshBuckets(emb, LshPlanes)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val qb = b.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("q_id"), col("bucket"))
+    val bc = Similarity.lshBucketsCentered(emb, LshPlanes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val single = qb.join(b, "bucket")
-      .filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id")).distinct()
-
-    val flips = (1 to LshPlanes).map { i =>
-      concat(substring(col("bucket"), 1, i - 1),
-        when(substring(col("bucket"), i, 1) === "1", "0").otherwise("1"),
-        substring(col("bucket"), i + 1, LshPlanes - i))
+    // one candidate-set builder per (bucket frame, probing rung): the
+    // raw and centered frames ride the same two rungs
+    def singleCand(bk: DataFrame): DataFrame = {
+      val qbk = bk.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("bucket"))
+      qbk.join(bk, "bucket")
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id")).distinct()
     }
-    val probes = qb.select(col("q_id"),
-      explode(array(col("bucket") +: flips: _*)).as("bucket"))
-    val multi = probes.join(b, "bucket")
-      .filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id")).distinct()
+    def multiCand(bk: DataFrame): DataFrame = {
+      val qbk = bk.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("bucket"))
+      val probes = qbk.select(col("q_id"),
+        explode(Similarity.probeBuckets(col("bucket"), LshPlanes)).as("bucket"))
+      probes.join(bk, "bucket")
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id")).distinct()
+    }
+    val single = singleCand(b)
+    val multi = multiCand(b)
 
     val bands = Similarity.lshBandKeys(emb, RecBands, RecPlanesPerBand)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -1789,6 +1847,8 @@ object CurationQueries {
     evalMethod(single, "1_single")
       .unionByName(evalMethod(multi, "2_multiprobe"))
       .unionByName(evalMethod(banded, "3_banded"))
+      .unionByName(evalMethod(singleCand(bc), "4_single_centered"))
+      .unionByName(evalMethod(multiCand(bc), "5_multiprobe_centered"))
   }
   private val q202Sql = {
     val flipProbes = s"""list_prepend(bucket,
@@ -1798,12 +1858,8 @@ object CurationQueries {
       |   substr(bucket, i + 1, $LshPlanes - i)))""".stripMargin
       .replace("\n", " ")
     val bandSelects = (0 until RecBands).map { bnd =>
-      val bits = (1 to RecPlanesPerBand).map { r =>
-        val p = bnd * RecPlanesPerBand + r
-        s"""CASE WHEN list_sum(list_transform(range(0, len(e)),
-           | d -> e[d + 1]::DOUBLE * sin($p * 12.9898 + d * 78.233 * $p))) >= 0
-           | THEN '1' ELSE '0' END""".stripMargin.replace("\n", " ")
-      }
+      val bits = (1 to RecPlanesPerBand)
+        .map(r => rawBitSql(bnd * RecPlanesPerBand + r))
       s"SELECT vec_id, $bnd AS band, ${bits.mkString(" || ")} AS bucket FROM base"
     }
     def methodAgg(name: String, candCte: String) =
@@ -1828,8 +1884,11 @@ object CurationQueries {
          |  round(sum(nc)::DOUBLE / count(*), 1) AS avg_cand,
          |  round(sum(r4)::DOUBLE / (count(*) * 10000.0), 4) AS macro_recall
          |FROM ${name}_r""".stripMargin
+    val centeredBits = (1 to LshPlanes).map(centBitSql).mkString(" || ")
     s"""WITH base AS (SELECT vec_id, embedding AS e, embedding::DOUBLE[] AS vd FROM embeddings),
+       |$MusCtes,
        |b AS (SELECT vec_id, $BucketSql AS bucket FROM base),
+       |bc AS (SELECT vec_id, $centeredBits AS bucket FROM base, mus),
        |qv AS (SELECT vec_id AS q_id, vd AS qv FROM base WHERE vec_id < 10),
        |cv AS (SELECT vec_id, vd AS v FROM base),
        |truth AS (SELECT q_id, vec_id FROM (
@@ -1852,12 +1911,24 @@ object CurationQueries {
        |  SELECT DISTINCT q.q_id, c.vec_id FROM qk q
        |  JOIN keys c ON q.band = c.band AND q.bucket = c.bucket
        |  WHERE c.vec_id <> q.q_id),
+       |qbc AS (SELECT vec_id AS q_id, bucket FROM bc WHERE vec_id < 10),
+       |singlec_cand AS (
+       |  SELECT DISTINCT q.q_id, c.vec_id FROM qbc q JOIN bc c USING (bucket)
+       |  WHERE c.vec_id <> q.q_id),
+       |prc AS (SELECT q_id, unnest($flipProbes) AS bucket FROM qbc),
+       |multic_cand AS (
+       |  SELECT DISTINCT p.q_id, c.vec_id FROM prc p JOIN bc c USING (bucket)
+       |  WHERE c.vec_id <> p.q_id),
        |${methodAgg("sg", "single_cand")},
        |${methodAgg("mp", "multi_cand")},
-       |${methodAgg("bd", "banded_cand")}
+       |${methodAgg("bd", "banded_cand")},
+       |${methodAgg("sc", "singlec_cand")},
+       |${methodAgg("mc", "multic_cand")}
        |${methodRow("1_single", "sg")}
        |UNION ALL ${methodRow("2_multiprobe", "mp")}
-       |UNION ALL ${methodRow("3_banded", "bd")}""".stripMargin
+       |UNION ALL ${methodRow("3_banded", "bd")}
+       |UNION ALL ${methodRow("4_single_centered", "sc")}
+       |UNION ALL ${methodRow("5_multiprobe_centered", "mc")}""".stripMargin
   }
 
   val queries: Map[String, Q] = Map(

@@ -305,6 +305,50 @@ class OpsSpec extends SparkSpec {
       be >= (occZero - 4)
   }
 
+  test("centered banded LSH keys recover per-band occupancy on a shifted corpus") {
+    val n = 200
+    val base = (0 until n).map { i =>
+      (i.toLong, Array.tabulate(16)(d =>
+        (math.sin(i * 1.7 + d * 2.3)).toFloat))
+    }
+    val zeroMean = base.toDF("vec_id", "embedding")
+    val offset = base.map { case (id, v) => (id, v.map(_ + 10.0f)) }
+      .toDF("vec_id", "embedding")
+    // occupancy counted per (band, bucket) cell — the OR-construction
+    // only buys recall if EACH band splits the corpus
+    def cells(b: org.apache.spark.sql.DataFrame): Long =
+      b.select("band", "bucket").distinct().count()
+    val cZero = cells(Similarity.lshBandKeys(zeroMean, 3, 3))
+    val cRawOffset = cells(Similarity.lshBandKeys(offset, 3, 3))
+    val cCentered = cells(Similarity.lshBandKeys(offset, 3, 3, centered = true))
+    cRawOffset should be < cZero // the collapse hits every band
+    cCentered should be >= cZero // centering restores each band's split
+    // centered and raw keys agree on a zero-mean corpus's cell count
+    cells(Similarity.lshBandKeys(zeroMean, 3, 3, centered = true)) should
+      be >= (cZero - 2)
+    // and nearDupPairs' centered path returns the same exact-verified
+    // pairs semantics: every emitted pair really clears the threshold
+    val nd = Similarity.nearDupPairs(offset, 3, 3, 0.9, centered = true)
+    nd.filter(col("cos_sim") < 0.9).count() shouldBe 0L
+  }
+
+  test("plane-weight degeneracy envelope: every p <= 40 sign-mixes at dims 64") {
+    // pins the planeWeights scaladoc contract: folded frequency
+    // (78.233·p mod 2π) · dims > π for all plane budgets the engine
+    // uses, i.e. no plane's weight vector is near-constant (a
+    // mean-direction-correlated hyperplane). Recomputes the published
+    // formula directly — the property must hold of the FORMULA, not of
+    // any private helper.
+    val dims = 64
+    for (p <- 1 to 40) {
+      val w = (0 until dims).map(d => math.sin(p * 12.9898d + d * 78.233d * p))
+      w.count(_ > 0) should (be > 8 and be < dims - 8)
+      val mean = w.sum / dims
+      val rms = math.sqrt(w.map(x => x * x).sum / dims)
+      math.abs(mean) should be < (0.5 * rms)
+    }
+  }
+
   test("multi-probe LSH operator dominates single-probe and is deterministic") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val qs = emb.filter(col("vec_id") < 5)
