@@ -1757,11 +1757,12 @@ object CurationQueries {
     * for the ways the engine trades probe cost for recall over the
     * SAME decorrelated hyperplane family — single bucket (q32),
     * multi-probe with every 1-bit flip (q188), 3×3 banded
-    * OR-construction (q37's scheme), plus the MEAN-CENTERED single and
-    * multi-probe rungs ([[Similarity.lshBucketsCentered]]'s scheme,
-    * the deployment default for non-zero-mean corpora — q201 proved
-    * its occupancy; these rows price its recall/candidate trade) —
-    * all scored against the brute-force truth (q31). This is the table that answers "q177's
+    * OR-construction (q37's scheme), and the MEAN-CENTERED variant of
+    * each ([[Similarity.lshBucketsCentered]]'s scheme, the deployment
+    * default for non-zero-mean corpora — q201 proved its occupancy;
+    * these rows price its recall/candidate trade), the full
+    * 3-schemes × {raw, centered} matrix — all scored against the
+    * brute-force truth (q31). This is the table that answers "q177's
     * single-probe recall is honest-low on near-isotropic data; what
     * does recovering it cost?": each rung multiplies candidates, and
     * the oracle pins both columns so the trade-off is measured, not
@@ -1807,13 +1808,19 @@ object CurationQueries {
     val single = singleCand(b)
     val multi = multiCand(b)
 
+    def bandedCand(keys: DataFrame): DataFrame = {
+      val qbk = keys.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("band"), col("bucket"))
+      qbk.join(keys, Seq("band", "bucket"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id")).distinct()
+    }
     val bands = Similarity.lshBandKeys(emb, RecBands, RecPlanesPerBand)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val qbk = bands.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("q_id"), col("band"), col("bucket"))
-    val banded = qbk.join(bands, Seq("band", "bucket"))
-      .filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id")).distinct()
+    val banded = bandedCand(bands)
+    val bandsC = Similarity
+      .lshBandKeys(emb, RecBands, RecPlanesPerBand, centered = true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val nTruth = truth.groupBy("q_id").agg(count(lit(1)).as("n_truth"))
     def evalMethod(cand: DataFrame, method: String): DataFrame = {
@@ -1849,6 +1856,7 @@ object CurationQueries {
       .unionByName(evalMethod(banded, "3_banded"))
       .unionByName(evalMethod(singleCand(bc), "4_single_centered"))
       .unionByName(evalMethod(multiCand(bc), "5_multiprobe_centered"))
+      .unionByName(evalMethod(bandedCand(bandsC), "6_banded_centered"))
   }
   private val q202Sql = {
     val flipProbes = s"""list_prepend(bucket,
@@ -1857,11 +1865,14 @@ object CurationQueries {
       |   (CASE WHEN substr(bucket, i, 1) = '1' THEN '0' ELSE '1' END) ||
       |   substr(bucket, i + 1, $LshPlanes - i)))""".stripMargin
       .replace("\n", " ")
-    val bandSelects = (0 until RecBands).map { bnd =>
-      val bits = (1 to RecPlanesPerBand)
-        .map(r => rawBitSql(bnd * RecPlanesPerBand + r))
-      s"SELECT vec_id, $bnd AS band, ${bits.mkString(" || ")} AS bucket FROM base"
-    }
+    def bandSelectsFor(bit: Int => String, from: String) =
+      (0 until RecBands).map { bnd =>
+        val bits = (1 to RecPlanesPerBand)
+          .map(r => bit(bnd * RecPlanesPerBand + r))
+        s"SELECT vec_id, $bnd AS band, ${bits.mkString(" || ")} AS bucket FROM $from"
+      }
+    val bandSelects = bandSelectsFor(rawBitSql, "base")
+    val bandSelectsC = bandSelectsFor(centBitSql, "base, mus")
     def methodAgg(name: String, candCte: String) =
       s"""${name}_top AS (SELECT q_id, vec_id FROM (
          |    SELECT cn.q_id, cn.vec_id,
@@ -1919,16 +1930,88 @@ object CurationQueries {
        |multic_cand AS (
        |  SELECT DISTINCT p.q_id, c.vec_id FROM prc p JOIN bc c USING (bucket)
        |  WHERE c.vec_id <> p.q_id),
+       |keysc AS (${bandSelectsC.mkString(" UNION ALL ")}),
+       |qkc AS (SELECT vec_id AS q_id, band, bucket FROM keysc WHERE vec_id < 10),
+       |bandedc_cand AS (
+       |  SELECT DISTINCT q.q_id, c.vec_id FROM qkc q
+       |  JOIN keysc c ON q.band = c.band AND q.bucket = c.bucket
+       |  WHERE c.vec_id <> q.q_id),
        |${methodAgg("sg", "single_cand")},
        |${methodAgg("mp", "multi_cand")},
        |${methodAgg("bd", "banded_cand")},
        |${methodAgg("sc", "singlec_cand")},
-       |${methodAgg("mc", "multic_cand")}
+       |${methodAgg("mc", "multic_cand")},
+       |${methodAgg("bdc", "bandedc_cand")}
        |${methodRow("1_single", "sg")}
        |UNION ALL ${methodRow("2_multiprobe", "mp")}
        |UNION ALL ${methodRow("3_banded", "bd")}
        |UNION ALL ${methodRow("4_single_centered", "sc")}
-       |UNION ALL ${methodRow("5_multiprobe_centered", "mc")}""".stripMargin
+       |UNION ALL ${methodRow("5_multiprobe_centered", "mc")}
+       |UNION ALL ${methodRow("6_banded_centered", "bdc")}""".stripMargin
+  }
+
+  // --------------------------------------------------------- q203
+  /** Int8-quantization ANN recall: brute-force top-k over the max-abs
+    * int8 RECONSTRUCTED corpus (`codeᵢ·scale/127` — the dequant a
+    * serving stack performs on q112's storage layout) scored per query
+    * against full-precision truth, asymmetric setup (queries stay
+    * float — the standard deployment: the INDEX is quantized to cut
+    * storage 4×, the live query is not). This is the eval that decides
+    * whether the 100 TB embedding store can be SEARCHED in its int8
+    * form or must keep a float32 copy — q112 pins the codes' bytes,
+    * this pins what those bytes cost in retrieval quality. All-integer
+    * output (recall quantized to 1e-4, q120 discipline) so the oracle
+    * hash is float-free. Scale shape: the same broadcast brute-force
+    * kernel as q31 twice; reconstruction is an array expression inside
+    * the scan projection — zero extra shuffles, zero driver state. */
+  private def q203(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val qs = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val truth = Similarity.topKNeighbors(emb, qs, AnnK)
+      .select(col("q_id"), col("vec_id"))
+    val vd = Similarity.toDouble(col("embedding"))
+    val scale = greatest(array_max(transform(vd, x => abs(x))), lit(1e-12))
+    val deq = emb.select(col("vec_id"),
+      transform(vd, x =>
+        floor(x / scale * 127 + lit(0.5)) * scale / 127).as("embedding"))
+    val approx = Similarity.topKNeighbors(deq, qs, AnnK)
+      .select(col("q_id"), col("vec_id"))
+    val hits = approx.join(truth, Seq("q_id", "vec_id"))
+      .groupBy("q_id").agg(count(lit(1)).as("n_hits"))
+    truth.groupBy("q_id").agg(count(lit(1)).as("n_truth"))
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"), col("n_truth"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(coalesce(col("n_hits"), lit(0L)) * 10000.0 / col("n_truth"))
+          .cast("long").as("recall_4dp"))
+  }
+  private val q203Sql = {
+    val deq = """list_transform(v, x ->
+      | floor(x / greatest(list_max(list_transform(v, y -> abs(y))), 1e-12)
+      |   * 127 + 0.5)
+      | * greatest(list_max(list_transform(v, y -> abs(y))), 1e-12) / 127)"""
+      .stripMargin.replace("\n", " ")
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+       |c0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |truth AS (SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY $CosSql DESC, vec_id) AS rn
+       |    FROM q, c0 WHERE vec_id <> q_id)
+       |  WHERE rn <= $AnnK),
+       |cq AS (SELECT vec_id, $deq AS v FROM c0),
+       |approx AS (SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY $CosSql DESC, vec_id) AS rn
+       |    FROM q, cq WHERE vec_id <> q_id)
+       |  WHERE rn <= $AnnK),
+       |t2 AS (SELECT q_id, CAST(count(*) AS BIGINT) AS n_truth FROM truth GROUP BY 1),
+       |h AS (SELECT a.q_id, CAST(count(*) AS BIGINT) AS n_hits
+       |  FROM approx a JOIN truth t ON a.q_id = t.q_id AND a.vec_id = t.vec_id
+       |  GROUP BY 1)
+       |SELECT t2.q_id, t2.n_truth, COALESCE(h.n_hits, 0) AS n_hits,
+       |  round(10000.0 * COALESCE(h.n_hits, 0) / t2.n_truth)::BIGINT AS recall_4dp
+       |FROM t2 LEFT JOIN h ON t2.q_id = h.q_id""".stripMargin
   }
 
   val queries: Map[String, Q] = Map(
@@ -1966,7 +2049,8 @@ object CurationQueries {
     "q199_nn_distance_histogram" -> q199 _,
     "q200_curation_recipe" -> q200 _,
     "q201_lsh_balance" -> q201 _,
-    "q202_recall_ladder" -> q202 _)
+    "q202_recall_ladder" -> q202 _,
+    "q203_quantized_recall" -> q203 _)
 
   val oracleSql: Map[String, String] = Map(
     "q168_kmv_distinct" -> q168Sql,
@@ -2003,5 +2087,6 @@ object CurationQueries {
     "q199_nn_distance_histogram" -> q199Sql,
     "q200_curation_recipe" -> q200Sql,
     "q201_lsh_balance" -> q201Sql,
-    "q202_recall_ladder" -> q202Sql)
+    "q202_recall_ladder" -> q202Sql,
+    "q203_quantized_recall" -> q203Sql)
 }

@@ -35,7 +35,8 @@ class CurationOpsSpec extends SparkSpec {
     // within the bucket family)
     val rows = SparkEntry.queries("q202_recall_ladder")(spark, dir)
       .orderBy("method").collect()
-    rows.length shouldBe 3
+    // the full 3-schemes x {raw, centered} matrix
+    rows.length shouldBe 6
     val byMethod = rows.map(r => r.getAs[String]("method") ->
       (r.getAs[Double]("avg_cand"), r.getAs[Double]("macro_recall"))).toMap
     for ((_, (c, r)) <- byMethod) {
@@ -43,6 +44,11 @@ class CurationOpsSpec extends SparkSpec {
     }
     byMethod("2_multiprobe")._2 should be >= byMethod("1_single")._2
     byMethod("2_multiprobe")._1 should be >= byMethod("1_single")._1
+    // the superset argument holds within the centered family too
+    byMethod("5_multiprobe_centered")._2 should be >=
+      byMethod("4_single_centered")._2
+    byMethod("5_multiprobe_centered")._1 should be >=
+      byMethod("4_single_centered")._1
   }
 
   test("one-number reports stay in range: gini in [0,1), recall/precision in [0,1]") {
