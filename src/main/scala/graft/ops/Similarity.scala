@@ -155,8 +155,9 @@ object Similarity {
 
   /** Bucket key = concatenated sign bits of planes
     * `firstPlane … firstPlane+planes−1` (banded schemes pass a band's
-    * plane offset), optionally mean-centered when `mu` is non-empty. */
-  private def bucketKey(vec: Column, planes: Int, dims: Int,
+    * plane offset), optionally mean-centered when `mu` is non-empty.
+    * `private[ops]`: [[AnnIndex]] persists/rebuilds the same key. */
+  private[ops] def bucketKey(vec: Column, planes: Int, dims: Int,
       mu: Seq[Double] = Seq.empty, firstPlane: Int = 1): Column = {
     val v = toDouble(vec)
     concat((0 until planes).map(i => planeBit(v, firstPlane + i, dims, mu)): _*)
@@ -164,7 +165,7 @@ object Similarity {
 
   /** Fixed-width embedding dimensionality, probed from one row (the
     * standard contract for an embedding column). 0 for an empty corpus. */
-  private def embDims(corpus: DataFrame): Int =
+  private[ops] def embDims(corpus: DataFrame): Int =
     corpus.select(size(col("embedding")).as("d"))
       .take(1).headOption.map(_.getInt(0)).getOrElse(0)
 

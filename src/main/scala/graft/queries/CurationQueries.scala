@@ -2014,6 +2014,28 @@ object CurationQueries {
        |FROM t2 LEFT JOIN h ON t2.q_id = h.q_id""".stripMargin
   }
 
+  // --------------------------------------------------------- q204
+  /** ANN-index round trip: write the corpus as an LSH-bucket-PARTITIONED
+    * parquet index ([[AnnIndex.write]] — the 100 TB layout where a probe
+    * reads only its buckets' files via partition pruning), then answer
+    * the q188 multi-probe query FROM THE INDEX. The oracle recomputes
+    * the same answer from the raw table (q188's SQL verbatim), so the
+    * gate proves the persisted layout — bucket directory keys, parquet
+    * round-trip of the vectors, write-time metadata rebuild — changes
+    * nothing. Scale shape: one partitioned write + a partition-pruned
+    * scan of ≤ (planes+1)·Q buckets; the probe-bucket collect is the
+    * parameter-bounded driver state. */
+  private def q204(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val qs = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("graft-annidx-q204").toString
+    AnnIndex.write(emb, LshPlanes, s"$idxDir/idx")
+    AnnIndex.topK(s, s"$idxDir/idx", qs, AnnK)
+  }
+  private val q204Sql = q188Sql // the index must answer exactly as the raw table
+
   val queries: Map[String, Q] = Map(
     "q168_kmv_distinct" -> q168 _,
     "q169_minhash_error" -> q169 _,

@@ -1,0 +1,79 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class AnnIndexSpec extends SparkSpec {
+
+  private val emb = spark.read
+    .parquet("/root/testdata/sf0.001/embeddings.parquet")
+  private def qs = emb.filter(col("vec_id") < 5)
+    .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+
+  test("index topK equals the from-scratch multi-probe operator, raw and centered") {
+    for (centered <- Seq(false, true)) {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-annidx").toString
+      AnnIndex.write(emb, planes = 4, path = s"$dir/idx", centered = centered)
+      val fromIndex = AnnIndex.topK(spark, s"$dir/idx", qs, k = 5)
+        .collect().toSet
+      val fromScratch = Similarity
+        .topKNeighborsLshMultiProbe(emb, qs, k = 5, planes = 4,
+          centered = centered)
+        .collect().toSet
+      withClue(s"centered=$centered: ") { fromIndex shouldBe fromScratch }
+    }
+  }
+
+  test("single-probe index read is a subset ranked consistently") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-annidx").toString
+    AnnIndex.write(emb, planes = 4, path = s"$dir/idx")
+    val single = AnnIndex.topK(spark, s"$dir/idx", qs, k = 5,
+      multiProbe = false)
+      .select(col("q_id"), col("rank"), col("cos_sim").as("cs"))
+    val multi = AnnIndex.topK(spark, s"$dir/idx", qs, k = 5)
+      .select(col("q_id"), col("rank"), col("cos_sim").as("cm"))
+    // at each (q_id, rank) the multi-probe cosine can only be >= —
+    // candidate supersets cannot rank worse
+    single.join(multi, Seq("q_id", "rank"))
+      .filter(col("cm") < col("cs")).count() shouldBe 0L
+    multi.count() should be >= single.count()
+  }
+
+  test("probe read PRUNES partitions: the scan carries a bucket PartitionFilter") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-annidx").toString
+    AnnIndex.write(emb, planes = 4, path = s"$dir/idx")
+    val meta = AnnIndex.readMeta(s"$dir/idx")
+    meta.planes shouldBe 4
+    meta.centered shouldBe false
+    val plan = AnnIndex.topK(spark, s"$dir/idx", qs, k = 5)
+      .queryExecution.executedPlan.toString
+    // the probe set must reach the scan as a partition filter (IO
+    // pruning), not as a post-scan Filter over all buckets
+    plan should include regex "PartitionFilters: \\[.*bucket"
+    // and only the probed buckets' directories are listed: 5 queries x
+    // (4+1) probes bound the selected partitions at <= 25 of 16 possible
+    val scanned = spark.read.parquet(s"$dir/idx")
+      .filter(col("bucket").isin(
+        AnnIndex.topK(spark, s"$dir/idx", qs, k = 5)
+          .join(spark.read.parquet(s"$dir/idx"), "vec_id")
+          .select("bucket").distinct().collect().map(_.getString(0)).toSeq: _*))
+    scanned.select("bucket").distinct().count() should be <= 16L
+  }
+
+  test("centered meta round-trips the exact write-time mean") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-annidx").toString
+    AnnIndex.write(emb, planes = 3, path = s"$dir/idx", centered = true)
+    val meta = AnnIndex.readMeta(s"$dir/idx")
+    meta.centered shouldBe true
+    meta.mu shouldBe Similarity.dimMeans(emb, meta.dims)
+    // a grown corpus must NOT shift the persisted buckets: the index's
+    // bucket column equals the write-time key, not a recomputed one
+    val stored = spark.read.parquet(s"$dir/idx")
+      .select("vec_id", "bucket")
+    val recomputed = Similarity.lshBucketsCentered(emb, 3)
+    stored.join(recomputed.withColumnRenamed("bucket", "b2"), "vec_id")
+      .filter(col("bucket") =!= col("b2")).count() shouldBe 0L
+  }
+}
