@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.{GraftSession, Tables}
-import graft.ops.Dedup
+import graft.ops.{AnnIndex, Dedup}
 
 /** Scale-evidence soak (VERDICT r8, next-round item 1): every 100 TB
   * claim in SCALE.md rested on sf0.1 measurements alone, so this main
@@ -47,6 +47,12 @@ object ScaleSoak {
     .map(_.split(",").toSeq.map(_.trim.toInt))
     .getOrElse(Seq(1, 3, 10))
   private val IdStride = 10000000L
+
+  /** The deployment planes budget shared by every parameter-scaled ANN
+    * arm: log₂(scale) planes on top of the sf0.1 base of 6, so
+    * per-bucket population stays ~constant as the corpus grows. */
+  private def soakPlanes(n: Int): Int =
+    6 + math.round(math.log(n.toDouble) / math.log(2.0)).toInt
 
   /** The structurally-risky family named by the r8 verdict: iterative
     * (pagerank, recursive walk, CC), super-linear-by-contract (exact
@@ -93,6 +99,24 @@ object ScaleSoak {
       }
     }.toMap
 
+    // annindex_topk_scaled's indexes are built ONCE per scale, OUTSIDE
+    // the timed loop (the deployment shape: write once, query many) —
+    // the arm then times ONLY the probe-pruned read path, the number
+    // the index exists to improve. Same planes ≈ log₂(scale) budget as
+    // the from-scratch multi-probe arm it is compared against.
+    val annIdx: Map[Int, String] = dirs.map { case (n, d) =>
+      val planes = soakPlanes(n)
+      val out = s"$workRoot/annidx/x$n"
+      val marker = Paths.get(s"$out/_IDX_OK")
+      val stamp = s"$d|planes=$planes|synth=$SynthVersion"
+      if (!(Files.exists(marker) &&
+          new String(Files.readAllBytes(marker), "UTF-8") == stamp)) {
+        AnnIndex.write(Tables.embeddings(spark, d), planes, s"$out/idx")
+        Files.write(marker, stamp.getBytes("UTF-8"))
+      }
+      n -> s"$out/idx"
+    }
+
     // confirm the corpora actually scale (and prime the file cache so
     // scale-1 reads aren't unfairly warm relative to freshly-written dirs)
     val rows = dirs.toSeq.sortBy(_._1).map { case (n, d) =>
@@ -122,8 +146,7 @@ object ScaleSoak {
           Dedup.connectedComponents(Dedup.candidatePairs(bands), maxDriverEdges = 0L)
         }) :+
         ("q199_planes_scaled" -> { (s: SparkSession, d: String, n: Int) =>
-          val planes = 6 + math.round(math.log(n.toDouble) / math.log(2.0)).toInt
-          graft.queries.CurationQueries.nnDistanceHistogram(s, d, planes)
+          graft.queries.CurationQueries.nnDistanceHistogram(s, d, soakPlanes(n))
         }) :+
         // multiprobe_planes_scaled (VERDICT r10 item 4): the multi-probe
         // ANN operator under the same planes ≈ log₂(scale) budget q199
@@ -132,17 +155,37 @@ object ScaleSoak {
         // budget, so the candidate set (and the time exponent) should
         // grow ~linearly in the corpus, nowhere near quadratic.
         ("multiprobe_planes_scaled" -> { (s: SparkSession, d: String, n: Int) =>
-          val planes = 6 + math.round(math.log(n.toDouble) / math.log(2.0)).toInt
+          val planes = soakPlanes(n)
           val emb = Tables.embeddings(s, d)
           val qs = emb.filter(col("vec_id") < 10)
             .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
           graft.ops.Similarity.topKNeighborsLshMultiProbe(emb, qs, 10, planes)
+        }) :+
+        // annindex_topk_scaled (VERDICT r11 item 5): the SAME query as
+        // multiprobe_planes_scaled answered from the persisted
+        // bucket-partitioned index instead of bucketing the corpus on
+        // the fly. The index's promise is that the read volume is the
+        // probe set — (planes+1)·Q partitions — independent of corpus
+        // size, so this arm's wall time should stay flat-to-log where
+        // the from-scratch arm grows with the corpus scan.
+        ("annindex_topk_scaled" -> { (s: SparkSession, d: String, n: Int) =>
+          val emb = Tables.embeddings(s, d)
+          val qs = emb.filter(col("vec_id") < 10)
+            .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+          AnnIndex.topK(s, annIdx(n), qs, 10)
         })
+
+    // SPARK_GRAFT_SOAK_ARMS selects a subset of arms by name (applies
+    // to the appended structural arms too, which SPARK_GRAFT_SOAK_QUERIES
+    // cannot reach) — a focused sweep, e.g. index-vs-from-scratch only.
+    val armFilter: Option[Set[String]] = sys.env.get("SPARK_GRAFT_SOAK_ARMS")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = armFilter.fold(bodies)(f => bodies.filter(b => f(b._1)))
 
     val times = scala.collection.mutable.LinkedHashMap[(String, Int), List[Double]]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     (1 to RUNS).foreach { _ =>
-      for ((name, fn) <- bodies; n <- Scales) {
+      for ((name, fn) <- selected; n <- Scales) {
         val t0 = System.nanoTime()
         try {
           fn(spark, dirs(n), n).write.format("noop").mode("overwrite").save()
@@ -190,14 +233,14 @@ object ScaleSoak {
     spark.stop()
   }
 
-  /** Write a salted N-times corpus of documents/embeddings/events to
-    * `out`, byte-copying the TPC-H tables. Deterministic: no RNG, the
-    * salt is a pure function of the copy index. */
   /** Bump on ANY change to [[synthesize]]'s output bytes — the token
     * is part of the `_SOAK_OK` stamp, so old on-disk corpora rebuild
     * instead of being silently reused. */
   val SynthVersion = 1
 
+  /** Write a salted N-times corpus of documents/embeddings/events to
+    * `out`, byte-copying the TPC-H tables. Deterministic: no RNG, the
+    * salt is a pure function of the copy index. */
   def synthesize(spark: SparkSession, base: String, n: Int, out: String): Unit = {
     Files.createDirectories(Paths.get(out))
     for (t <- Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")) {

@@ -54,9 +54,17 @@ object AnnIndex {
     val dims = Similarity.embDims(corpus)
     val mu = if (centered) Similarity.dimMeans(corpus, dims)
       else Seq.empty[Double]
+    // "b"-prefix the bucket key: a bare digit string ("0101") would be
+    // read back as an INTEGER by partition-column type inference,
+    // collapsing distinct bit-strings once planes outgrow a double's
+    // exact-integer range and turning every bucket comparison into an
+    // implicit cast. A non-numeric first char keeps the partition
+    // column a string end to end.
     corpus
       .select(col("vec_id"), col("embedding"),
-        Similarity.bucketKey(col("embedding"), planes, dims, mu).as("bucket"))
+        concat(lit("b"),
+          Similarity.bucketKey(col("embedding"), planes, dims, mu))
+          .as("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
     val muStr = mu.map(java.lang.Double.toString).mkString(",")
     val body = s"planes=$planes\ndims=$dims\ncentered=$centered\nmu=$muStr\n"
@@ -94,12 +102,15 @@ object AnnIndex {
     val qB = queries.select(col("q_id"),
       Similarity.toDouble(col("q_vec")).as("q"),
       Similarity.bucketKey(col("q_vec"), meta.planes, meta.dims, meta.mu)
-        .as("bucket"))
+        .as("raw_bucket"))
+    // probe generation flips bits on the RAW bit string; the on-disk
+    // partition key carries the "b" prefix (see write), so prefix after
     val probes =
-      if (multiProbe) qB.select(col("q_id"),
-        explode(Similarity.probeBuckets(col("bucket"), meta.planes))
-          .as("bucket"))
-      else qB.select(col("q_id"), col("bucket"))
+      (if (multiProbe) qB.select(col("q_id"),
+        explode(Similarity.probeBuckets(col("raw_bucket"), meta.planes))
+          .as("raw_bucket"))
+      else qB.select(col("q_id"), col("raw_bucket")))
+        .select(col("q_id"), concat(lit("b"), col("raw_bucket")).as("bucket"))
     // the ONLY collect: ≤ Q·(planes+1) bucket strings, turned into a
     // literal isin so the scan planner prunes partitions up front — a
     // join would ship probe keys to the executors but still list and

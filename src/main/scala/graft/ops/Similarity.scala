@@ -121,7 +121,8 @@ object Similarity {
     * The smallest folded frequencies below p=40 are p=31 (0.087
     * rad/dim), p=20 (0.147) and p=11 (0.233); at dims ≥ 64 even the
     * worst of these spans ≥ 5.5 rad ≈ 0.9 cycles, so every p ≤ 40 is
-    * sign-mixing (PlaneQualitySpec pins this: both signs present,
+    * sign-mixing (OpsSpec's "plane-weight degeneracy envelope" test
+    * pins this: both signs present,
     * |mean|≪rms for all p ≤ 40 at dims 64). The contract to respect
     * when scaling planes ≈ log₂(n) on LOW-dim embeddings: require
     * `(78.233·p mod 2π) · dims > π` for every plane in the budget, or

@@ -47,19 +47,29 @@ class AnnIndexSpec extends SparkSpec {
     val meta = AnnIndex.readMeta(s"$dir/idx")
     meta.planes shouldBe 4
     meta.centered shouldBe false
-    val plan = AnnIndex.topK(spark, s"$dir/idx", qs, k = 5)
-      .queryExecution.executedPlan.toString
+    // the "b" prefix keeps the partition column a STRING through
+    // partition-column type inference — a bare digit key reads back as
+    // Integer and every bucket comparison becomes an implicit cast
+    spark.read.parquet(s"$dir/idx").schema("bucket").dataType.typeName shouldBe "string"
+    val topK = AnnIndex.topK(spark, s"$dir/idx", qs, k = 5)
     // the probe set must reach the scan as a partition filter (IO
     // pruning), not as a post-scan Filter over all buckets
-    plan should include regex "PartitionFilters: \\[.*bucket"
-    // and only the probed buckets' directories are listed: 5 queries x
-    // (4+1) probes bound the selected partitions at <= 25 of 16 possible
-    val scanned = spark.read.parquet(s"$dir/idx")
-      .filter(col("bucket").isin(
-        AnnIndex.topK(spark, s"$dir/idx", qs, k = 5)
-          .join(spark.read.parquet(s"$dir/idx"), "vec_id")
-          .select("bucket").distinct().collect().map(_.getString(0)).toSeq: _*))
-    scanned.select("bucket").distinct().count() should be <= 16L
+    topK.queryExecution.executedPlan.toString should
+      include regex "PartitionFilters: \\[.*bucket"
+    // the analytically-expected probe set: each query's own bucket plus
+    // its 4 one-bit flips — at most 5 queries x 5 probes distinct keys
+    val probeSet = emb.filter(col("vec_id") < 5)
+      .select(explode(Similarity.probeBuckets(
+        Similarity.bucketKey(col("embedding"), 4, meta.dims), 4)).as("b"))
+      .select(concat(lit("b"), col("b")).as("b"))
+      .distinct().collect().map(_.getString(0)).toSet
+    probeSet.size should be <= 25
+    // every bucket a returned candidate came from lies inside that set
+    // (i.e. the read really was restricted to the probed partitions)
+    val readBuckets = topK
+      .join(spark.read.parquet(s"$dir/idx"), "vec_id")
+      .select("bucket").distinct().collect().map(_.getString(0)).toSet
+    readBuckets.subsetOf(probeSet) shouldBe true
   }
 
   test("centered meta round-trips the exact write-time mean") {
@@ -74,6 +84,7 @@ class AnnIndexSpec extends SparkSpec {
       .select("vec_id", "bucket")
     val recomputed = Similarity.lshBucketsCentered(emb, 3)
     stored.join(recomputed.withColumnRenamed("bucket", "b2"), "vec_id")
-      .filter(col("bucket") =!= col("b2")).count() shouldBe 0L
+      .filter(col("bucket") =!= concat(lit("b"), col("b2")))
+      .count() shouldBe 0L
   }
 }
