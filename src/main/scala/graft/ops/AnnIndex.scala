@@ -72,6 +72,30 @@ object AnnIndex {
       body.getBytes(StandardCharsets.UTF_8))
   }
 
+  /** Append `delta` (vec_id, embedding) to an existing index WITHOUT
+    * touching the resident data: the delta is bucketed with the
+    * INDEX's persisted planes/dims/μ — never statistics recomputed
+    * from the grown corpus, which would silently shift every plane
+    * bias and strand the resident rows in stale buckets — and written
+    * `mode("append")` into the same partition scheme, so each delta
+    * row lands as new files inside its bucket's directory. The
+    * deployment shape for embedding deltas at 100 TB: only the delta
+    * is hashed and written; existing bucket files are never read or
+    * rewritten, and a probe read afterwards sees old and new rows
+    * through the same partition filter. q205 gates the end-to-end
+    * contract (half-written, half-appended index ≡ raw full table);
+    * AnnIndexSpec pins the μ-stability semantics under `centered`. */
+  def append(delta: DataFrame, path: String): Unit = {
+    val meta = readMeta(path)
+    delta
+      .select(col("vec_id"), col("embedding"),
+        concat(lit("b"),
+          Similarity.bucketKey(col("embedding"), meta.planes, meta.dims,
+            meta.mu))
+          .as("bucket"))
+      .write.mode("append").partitionBy("bucket").parquet(path)
+  }
+
   /** Read the bucketing metadata the index was written with. */
   def readMeta(path: String): Meta = {
     val kv = new String(Files.readAllBytes(Paths.get(path, MetaFile)),

@@ -2046,6 +2046,37 @@ object CurationQueries {
     })
   private val q204Sql = q188Sql // the index must answer exactly as the raw table
 
+  // --------------------------------------------------------- q205
+  /** Incremental index append: build the q204 index on HALF the corpus
+    * (even vec_id), [[AnnIndex.append]] the odd half as a delta —
+    * bucketed with the index's persisted statistics, resident files
+    * untouched — then answer the q188 multi-probe query from the
+    * grown index. The oracle is q188's SQL over the FULL raw table, so
+    * the gate proves the two-generation layout (original bucket files
+    * + appended delta files inside the same partition directories)
+    * answers exactly as if the whole corpus had been indexed in one
+    * shot. Scale shape: the delta write hashes and writes ONLY delta
+    * rows; probe reads stay partition-pruned across both generations. */
+  private def q205(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val qs = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    AnnIndex.topK(s, q205Index(s, dir), qs, AnnK)
+  }
+  private val q205IndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def q205Index(s: SparkSession, dir: String): String =
+    q205IndexCache.computeIfAbsent(dir, { _ =>
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft-annidx-q205").toString
+      val emb = Tables.embeddings(s, dir)
+      AnnIndex.write(emb.filter(col("vec_id") % 2 === 0), LshPlanes,
+        s"$idxDir/idx")
+      AnnIndex.append(emb.filter(col("vec_id") % 2 =!= 0), s"$idxDir/idx")
+      s"$idxDir/idx"
+    })
+  private val q205Sql = q188Sql // append must change nothing vs one-shot indexing
+
   val queries: Map[String, Q] = Map(
     "q168_kmv_distinct" -> q168 _,
     "q169_minhash_error" -> q169 _,
@@ -2083,7 +2114,8 @@ object CurationQueries {
     "q201_lsh_balance" -> q201 _,
     "q202_recall_ladder" -> q202 _,
     "q203_quantized_recall" -> q203 _,
-    "q204_ann_index" -> q204 _)
+    "q204_ann_index" -> q204 _,
+    "q205_ann_index_append" -> q205 _)
 
   val oracleSql: Map[String, String] = Map(
     "q168_kmv_distinct" -> q168Sql,
@@ -2122,5 +2154,6 @@ object CurationQueries {
     "q201_lsh_balance" -> q201Sql,
     "q202_recall_ladder" -> q202Sql,
     "q203_quantized_recall" -> q203Sql,
-    "q204_ann_index" -> q204Sql)
+    "q204_ann_index" -> q204Sql,
+    "q205_ann_index_append" -> q205Sql)
 }

@@ -72,6 +72,39 @@ class AnnIndexSpec extends SparkSpec {
     readBuckets.subsetOf(probeSet) shouldBe true
   }
 
+  test("append: half-written + half-appended index answers exactly as one-shot") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-annidx").toString
+    AnnIndex.write(emb.filter(col("vec_id") % 2 === 0), planes = 4,
+      path = s"$dir/idx")
+    AnnIndex.append(emb.filter(col("vec_id") % 2 =!= 0), s"$dir/idx")
+    val oneShot = java.nio.file.Files.createTempDirectory("graft-annidx").toString
+    AnnIndex.write(emb, planes = 4, path = s"$oneShot/idx")
+    AnnIndex.topK(spark, s"$dir/idx", qs, k = 5).collect().toSet shouldBe
+      AnnIndex.topK(spark, s"$oneShot/idx", qs, k = 5).collect().toSet
+  }
+
+  test("append buckets the delta with the index's persisted mean, not the grown corpus's") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-annidx").toString
+    val half = emb.filter(col("vec_id") % 2 === 0)
+    val delta = emb.filter(col("vec_id") % 2 =!= 0)
+    AnnIndex.write(half, planes = 4, path = s"$dir/idx", centered = true)
+    AnnIndex.append(delta, s"$dir/idx")
+    val meta = AnnIndex.readMeta(s"$dir/idx")
+    // the persisted mean is the WRITE-time (half-corpus) mean — the
+    // grown corpus's mean differs, and using it would shift the planes
+    meta.mu shouldBe Similarity.dimMeans(half, meta.dims)
+    meta.mu should not be Similarity.dimMeans(emb, meta.dims)
+    // every stored row — resident and appended — carries the bucket the
+    // write-time statistics assign, so probes keep finding both
+    val expected = emb.select(col("vec_id"),
+      concat(lit("b"),
+        Similarity.bucketKey(col("embedding"), 4, meta.dims, meta.mu))
+        .as("b2"))
+    spark.read.parquet(s"$dir/idx").select("vec_id", "bucket")
+      .join(expected, "vec_id")
+      .filter(col("bucket") =!= col("b2")).count() shouldBe 0L
+  }
+
   test("centered meta round-trips the exact write-time mean") {
     val dir = java.nio.file.Files.createTempDirectory("graft-annidx").toString
     AnnIndex.write(emb, planes = 3, path = s"$dir/idx", centered = true)
