@@ -108,7 +108,7 @@ object ScaleSoak {
       val planes = soakPlanes(n)
       val out = s"$workRoot/annidx/x$n"
       val marker = Paths.get(s"$out/_IDX_OK")
-      val stamp = s"$d|planes=$planes|synth=$SynthVersion"
+      val stamp = s"$d|planes=$planes|synth=$SynthVersion|idx=${AnnIndex.LayoutVersion}"
       if (!(Files.exists(marker) &&
           new String(Files.readAllBytes(marker), "UTF-8") == stamp)) {
         AnnIndex.write(Tables.embeddings(spark, d), planes, s"$out/idx")

@@ -14,13 +14,19 @@ import org.apache.spark.sql.functions._
   * fly — correct, but at 100 TB the bucketing scan is the dominant
   * cost and it repeats for every query batch. This operator persists
   * the corpus PARTITIONED BY its hyperplane bucket
-  * (`write.partitionBy("bucket")`), so a probe reads ONLY its buckets'
-  * files: the probe set becomes a literal `IN` filter on the partition
-  * column and Spark's scan planner drops every other directory before
-  * a single byte is read (`PartitionFilters` in the plan — pinned by
-  * AnnIndexSpec). With `planes ≈ log₂(n / targetBucketSize)` the
-  * per-query read volume is (planes+1)·targetBucketSize rows
-  * regardless of corpus size.
+  * (`write.partitionBy("bucket")`, pre-repartitioned so each bucket is
+  * exactly one file per generation), and a probe read is handed the
+  * probed buckets' DIRECTORIES directly — no global partition
+  * discovery (which would list all 2^planes directories, itself
+  * O(corpus) under the planes ≈ log₂(n) budget), no post-scan filter;
+  * the probe set also rides the plan as a `PartitionFilters` entry
+  * (pinned by AnnIndexSpec). With `planes ≈ log₂(n /
+  * targetBucketSize)` the per-query read volume is
+  * (planes+1)·targetBucketSize rows regardless of corpus size.
+  * `quantized = true` stores q203's max-abs int8 codes instead of the
+  * raw vectors (4-8× smaller store; q203 measured the retrieval cost:
+  * 49/50 truth neighbors survive), reconstructed inside the probe
+  * scan's projection.
   *
   * The bucketing parameters (planes, dims, centering mean) are
   * persisted NEXT TO the data (`_graft_ann_meta`, an
@@ -41,15 +47,48 @@ object AnnIndex {
 
   private val MetaFile = "_graft_ann_meta"
 
+  /** Bump on ANY change to the on-disk layout (partitioning, file
+    * shape, stored columns) so stamped caches of built indexes (e.g.
+    * ScaleSoak's) rebuild instead of silently reusing an old layout. */
+  val LayoutVersion = 2
+
   final case class Meta(planes: Int, dims: Int, centered: Boolean,
-      mu: Seq[Double])
+      mu: Seq[Double], quantized: Boolean = false)
+
+  /** The stored row for one corpus vector: bucket key (plus quantized
+    * code/scale columns or the raw embedding). Shared by [[write]] and
+    * [[append]] so a delta is always encoded exactly as the resident
+    * generation. Quantization is q203's max-abs int8 scheme (q112's
+    * storage layout): `code_i = floor(x_i/scale·127 + 0.5)` as a
+    * TINYINT plus one double `qscale` per row — the index's dominant
+    * column shrinks 4-8× and reconstruction (`code·qscale/127`) is an
+    * array expression inside the probe scan's projection. */
+  private def indexRows(df: DataFrame, planes: Int, dims: Int,
+      mu: Seq[Double], quantized: Boolean): DataFrame = {
+    val bucket = concat(lit("b"),
+      Similarity.bucketKey(col("embedding"), planes, dims, mu)).as("bucket")
+    val rows =
+      if (quantized) {
+        val vd = Similarity.toDouble(col("embedding"))
+        val scale = greatest(array_max(transform(vd, x => abs(x))), lit(1e-12))
+        df.select(col("vec_id"),
+          transform(vd, x => floor(x / scale * 127 + lit(0.5)).cast("byte"))
+            .as("code"),
+          scale.as("qscale"), bucket)
+      } else df.select(col("vec_id"), col("embedding"), bucket)
+    // co-locate each bucket on ONE task before partitionBy: without
+    // this every write task emits a file into every bucket it touches —
+    // O(tasks·2^planes) tiny files whose open/footer cost dominates the
+    // probe read. After: exactly one file per bucket per generation.
+    rows.repartition(col("bucket"))
+  }
 
   /** Write `corpus` (vec_id, embedding) as a bucket-partitioned parquet
     * index at `path`, plus the bucketing metadata. `centered` uses the
     * exact corpus mean ([[Similarity.dimMeans]]) — the deployment
     * default for non-zero-mean embedding spaces (q201 measures why). */
   def write(corpus: DataFrame, planes: Int, path: String,
-      centered: Boolean = false): Unit = {
+      centered: Boolean = false, quantized: Boolean = false): Unit = {
     require(planes > 0 && planes <= 32, s"planes must be in [1,32], got $planes")
     val dims = Similarity.embDims(corpus)
     val mu = if (centered) Similarity.dimMeans(corpus, dims)
@@ -60,14 +99,11 @@ object AnnIndex {
     // exact-integer range and turning every bucket comparison into an
     // implicit cast. A non-numeric first char keeps the partition
     // column a string end to end.
-    corpus
-      .select(col("vec_id"), col("embedding"),
-        concat(lit("b"),
-          Similarity.bucketKey(col("embedding"), planes, dims, mu))
-          .as("bucket"))
+    indexRows(corpus, planes, dims, mu, quantized)
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
     val muStr = mu.map(java.lang.Double.toString).mkString(",")
-    val body = s"planes=$planes\ndims=$dims\ncentered=$centered\nmu=$muStr\n"
+    val body = s"planes=$planes\ndims=$dims\ncentered=$centered\n" +
+      s"quantized=$quantized\nmu=$muStr\n"
     Files.write(Paths.get(path, MetaFile),
       body.getBytes(StandardCharsets.UTF_8))
   }
@@ -87,12 +123,7 @@ object AnnIndex {
     * AnnIndexSpec pins the μ-stability semantics under `centered`. */
   def append(delta: DataFrame, path: String): Unit = {
     val meta = readMeta(path)
-    delta
-      .select(col("vec_id"), col("embedding"),
-        concat(lit("b"),
-          Similarity.bucketKey(col("embedding"), meta.planes, meta.dims,
-            meta.mu))
-          .as("bucket"))
+    indexRows(delta, meta.planes, meta.dims, meta.mu, meta.quantized)
       .write.mode("append").partitionBy("bucket").parquet(path)
   }
 
@@ -105,7 +136,8 @@ object AnnIndex {
       }.toMap
     Meta(kv("planes").toInt, kv("dims").toInt, kv("centered").toBoolean,
       if (kv("mu").isEmpty) Seq.empty
-      else kv("mu").split(",").toSeq.map(java.lang.Double.parseDouble))
+      else kv("mu").split(",").toSeq.map(java.lang.Double.parseDouble),
+      kv.getOrElse("quantized", "false").toBoolean)
   }
 
   /** Multi-probe top-k over the persisted index: query buckets are
@@ -135,16 +167,35 @@ object AnnIndex {
           .as("raw_bucket"))
       else qB.select(col("q_id"), col("raw_bucket")))
         .select(col("q_id"), concat(lit("b"), col("raw_bucket")).as("bucket"))
-    // the ONLY collect: ≤ Q·(planes+1) bucket strings, turned into a
-    // literal isin so the scan planner prunes partitions up front — a
-    // join would ship probe keys to the executors but still list and
-    // read every bucket directory
+    // the ONLY collect: ≤ Q·(planes+1) bucket strings. The probe set is
+    // known BEFORE the read, so the scan is handed the probed bucket
+    // directories directly (basePath keeps `bucket` a partition
+    // column): no global partition discovery — a plain read of the
+    // index root would LIST all 2^planes directories before pruning,
+    // and under the planes ≈ log₂(n) budget that listing alone grows
+    // linearly with the corpus. Directory existence is checked
+    // driver-side (≤ probe-set-size metadata calls); a probe whose
+    // bucket was never materialized reads nothing, exactly as pruning
+    // would. The residual isin filter keeps the probe set visible to
+    // the planner as a PartitionFilter (AnnIndexSpec pins it).
     val probeBucketList = probes.select(col("bucket")).distinct()
       .collect().map(_.getString(0)).toSeq
-    val idx = spark.read.parquet(path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val probedDirs = probeBucketList
+      .map(b => new org.apache.hadoop.fs.Path(path, s"bucket=$b"))
+      .filter(fs.exists(_)).map(_.toString)
+    if (probedDirs.isEmpty) {
+      return qB.select(col("q_id"), lit(1).as("rank"),
+        lit(0L).as("vec_id"), lit(0d).as("cos_sim")).limit(0)
+    }
+    val raw = spark.read.option("basePath", path).parquet(probedDirs: _*)
       .filter(col("bucket").isin(probeBucketList: _*))
-      .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("v"),
-        col("bucket"))
+    val value =
+      if (meta.quantized)
+        transform(col("code"), c => c.cast("double") * col("qscale") / 127)
+      else Similarity.toDouble(col("embedding"))
+    val idx = raw.select(col("vec_id"), value.as("v"), col("bucket"))
     val cand = idx.select(col("vec_id"), col("bucket"))
       .join(broadcast(probes), Seq("bucket"))
       .filter(col("vec_id") =!= col("q_id"))

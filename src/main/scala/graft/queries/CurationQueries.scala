@@ -2077,6 +2077,65 @@ object CurationQueries {
     })
   private val q205Sql = q188Sql // append must change nothing vs one-shot indexing
 
+  // --------------------------------------------------------- q206
+  /** Quantized index search: the q204 index stored as max-abs int8
+    * codes + one double scale per row ([[AnnIndex.write]]
+    * `quantized = true` — q112's storage layout, 4-8× smaller than the
+    * raw vectors) and searched asymmetrically (float queries, q203's
+    * deployment setup). Buckets are computed on the ORIGINAL floats at
+    * write time, so the candidate set is exactly q188's; only the
+    * scoring vectors are reconstructed (`code·scale/127`, an array
+    * expression inside the probe scan's projection). The oracle
+    * recomputes the same probe-bucket candidates and re-ranks them
+    * over the same reconstruction in DuckDB — the gate pins both that
+    * quantization round-trips bit-exactly through the index AND what
+    * int8 storage does to the ranking. Scale shape: identical to q204
+    * (partition-pruned probe reads); the store is 4-8× cheaper. */
+  private def q206(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val qs = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    AnnIndex.topK(s, q206Index(s, dir), qs, AnnK)
+  }
+  private val q206IndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def q206Index(s: SparkSession, dir: String): String =
+    q206IndexCache.computeIfAbsent(dir, { _ =>
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft-annidx-q206").toString
+      AnnIndex.write(Tables.embeddings(s, dir), LshPlanes, s"$idxDir/idx",
+        quantized = true)
+      s"$idxDir/idx"
+    })
+  private val q206Sql = {
+    val deq = """list_transform(vd, x ->
+      | floor(x / greatest(list_max(list_transform(vd, y -> abs(y))), 1e-12)
+      |   * 127 + 0.5)
+      | * greatest(list_max(list_transform(vd, y -> abs(y))), 1e-12) / 127)"""
+      .stripMargin.replace("\n", " ")
+    s"""WITH base AS (SELECT vec_id, embedding AS e, embedding::DOUBLE[] AS vd FROM embeddings),
+       |b AS (SELECT vec_id, vd, $BucketSql AS bucket FROM base),
+       |dq AS (SELECT vec_id, $deq AS vq FROM base),
+       |q0 AS (SELECT vec_id AS q_id, bucket FROM b WHERE vec_id < 10),
+       |probes AS (
+       |  SELECT q_id, unnest(list_prepend(bucket,
+       |    list_transform(range(1, $LshPlanes + 1), i ->
+       |      substr(bucket, 1, i - 1) ||
+       |      (CASE WHEN substr(bucket, i, 1) = '1' THEN '0' ELSE '1' END) ||
+       |      substr(bucket, i + 1, $LshPlanes - i)))) AS bucket
+       |  FROM q0),
+       |cand AS (SELECT DISTINCT p.q_id, c.vec_id
+       |         FROM probes p JOIN b c USING (bucket) WHERE c.vec_id <> p.q_id),
+       |sc AS (SELECT cand.q_id, cand.vec_id, qq.vd AS qv, dd.vq AS v
+       |       FROM cand JOIN dq dd ON cand.vec_id = dd.vec_id
+       |         JOIN b qq ON cand.q_id = qq.vec_id)
+       |SELECT q_id, CAST(rn AS INT) AS rank, vec_id, round(cos, 6) AS cos_sim FROM (
+       |  SELECT q_id, vec_id, $CosSql AS cos,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY $CosSql DESC, vec_id) AS rn
+       |  FROM sc)
+       |WHERE rn <= $AnnK""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q168_kmv_distinct" -> q168 _,
     "q169_minhash_error" -> q169 _,
@@ -2115,7 +2174,8 @@ object CurationQueries {
     "q202_recall_ladder" -> q202 _,
     "q203_quantized_recall" -> q203 _,
     "q204_ann_index" -> q204 _,
-    "q205_ann_index_append" -> q205 _)
+    "q205_ann_index_append" -> q205 _,
+    "q206_quantized_index" -> q206 _)
 
   val oracleSql: Map[String, String] = Map(
     "q168_kmv_distinct" -> q168Sql,
@@ -2155,5 +2215,6 @@ object CurationQueries {
     "q202_recall_ladder" -> q202Sql,
     "q203_quantized_recall" -> q203Sql,
     "q204_ann_index" -> q204Sql,
-    "q205_ann_index_append" -> q205Sql)
+    "q205_ann_index_append" -> q205Sql,
+    "q206_quantized_index" -> q206Sql)
 }

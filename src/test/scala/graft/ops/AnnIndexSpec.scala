@@ -105,6 +105,42 @@ class AnnIndexSpec extends SparkSpec {
       .filter(col("bucket") =!= col("b2")).count() shouldBe 0L
   }
 
+  test("quantized storage: candidates identical to the raw index, scores from int8 reconstruction") {
+    val raw = java.nio.file.Files.createTempDirectory("graft-annidx").toString
+    val qz = java.nio.file.Files.createTempDirectory("graft-annidx").toString
+    AnnIndex.write(emb, planes = 4, path = s"$raw/idx")
+    AnnIndex.write(emb, planes = 4, path = s"$qz/idx", quantized = true)
+    AnnIndex.readMeta(s"$qz/idx").quantized shouldBe true
+    // buckets come from the ORIGINAL floats, so the candidate sets (and
+    // therefore the (q_id, vec_id) pairs considered) are identical
+    val fromRaw = AnnIndex.topK(spark, s"$raw/idx", qs, k = 5)
+      .select("q_id", "vec_id").collect().toSet
+    val fromQz = AnnIndex.topK(spark, s"$qz/idx", qs, k = 5)
+      .select("q_id", "vec_id").collect().toSet
+    // int8 scoring may re-rank inside a bucket, but on this corpus the
+    // top-5 survives almost intact (q203 measured 49/50) — assert a
+    // conservative floor rather than exact equality
+    (fromRaw intersect fromQz).size.toDouble should be >= fromRaw.size * 0.8
+    // the quantized store must NOT contain the raw embedding column
+    val cols = spark.read.parquet(s"$qz/idx").columns.toSet
+    cols should contain allOf ("code", "qscale")
+    cols should not contain "embedding"
+  }
+
+  test("each bucket is exactly one file per generation (no small-files explosion)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-annidx").toString
+    AnnIndex.write(emb.filter(col("vec_id") % 2 === 0), planes = 4,
+      path = s"$dir/idx")
+    AnnIndex.append(emb.filter(col("vec_id") % 2 =!= 0), s"$dir/idx")
+    val buckets = new java.io.File(s"$dir/idx").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+    buckets should not be empty
+    for (b <- buckets) {
+      val parts = b.listFiles().count(_.getName.endsWith(".parquet"))
+      withClue(s"${b.getName}: ") { parts should be <= 2 } // one per generation
+    }
+  }
+
   test("centered meta round-trips the exact write-time mean") {
     val dir = java.nio.file.Files.createTempDirectory("graft-annidx").toString
     AnnIndex.write(emb, planes = 3, path = s"$dir/idx", centered = true)
