@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.ops.{AnnIndex, Dedup, Layout, Similarity, TextAnalysis}
+import graft.ops.{AnnIndex, Dedup, DedupIndex, Layout, Similarity, TextAnalysis}
 import graft.queries.LlmQueries.{AnnK, Bands, BandsCte, BucketSql, CosSql,
   JaccardThreshold, LshPlanes, RowsPerBand, ShingleK, ShinglesSql, WsSplit}
 
@@ -2136,6 +2136,42 @@ object CurationQueries {
        |WHERE rn <= $AnnK""".stripMargin
   }
 
+  // --------------------------------------------------------- q207
+  /** Incremental near-dup candidates against a PERSISTED band index:
+    * the resident corpus (doc_id % 10 ≠ 0) has its MinHash band keys
+    * stored once as a bucketed+sorted table ([[DedupIndex.write]] —
+    * the one shuffle the layout ever pays), and the "daily delta"
+    * (doc_id % 10 = 0) probes it: only delta band keys are computed
+    * and shuffled; the resident side streams from co-located buckets
+    * with zero Exchange (DedupIndexSpec pins the plan). The oracle
+    * recomputes the same split's candidates from scratch in DuckDB, so
+    * the gate proves the persisted/bucketed layout changes nothing.
+    * Scale shape: at 100 TB resident + 0.1% delta, the work is
+    * proportional to the DELTA, not the corpus. */
+  private def q207(s: SparkSession, dir: String): DataFrame = {
+    val batch = Tables.documents(s, dir).filter(col("doc_id") % 10 === 0)
+    DedupIndex.probe(s, q207Table(s, dir), batch, "text", "doc_id",
+      Bands, RowsPerBand, ShingleK)
+  }
+  private val q207TableCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def q207Table(s: SparkSession, dir: String): String =
+    q207TableCache.computeIfAbsent(dir, { _ =>
+      val table = s"graft_dedup_idx_${math.abs(dir.hashCode)}"
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-dedupidx-q207").toString
+      val resident = Tables.documents(s, dir).filter(col("doc_id") % 10 =!= 0)
+      DedupIndex.write(resident, "text", "doc_id", Bands, RowsPerBand,
+        ShingleK, s"$path/idx", table)
+      table
+    })
+  private val q207Sql =
+    s"""WITH $BandsCte,
+       |newb AS (SELECT doc_id, band, band_key FROM bands WHERE doc_id % 10 = 0),
+       |resb AS (SELECT doc_id, band, band_key FROM bands WHERE doc_id % 10 <> 0)
+       |SELECT DISTINCT n.doc_id AS new_id, r.doc_id AS resident_id
+       |FROM newb n JOIN resb r USING (band, band_key)""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q168_kmv_distinct" -> q168 _,
     "q169_minhash_error" -> q169 _,
@@ -2175,7 +2211,8 @@ object CurationQueries {
     "q203_quantized_recall" -> q203 _,
     "q204_ann_index" -> q204 _,
     "q205_ann_index_append" -> q205 _,
-    "q206_quantized_index" -> q206 _)
+    "q206_quantized_index" -> q206 _,
+    "q207_incremental_band_probe" -> q207 _)
 
   val oracleSql: Map[String, String] = Map(
     "q168_kmv_distinct" -> q168Sql,
@@ -2216,5 +2253,6 @@ object CurationQueries {
     "q203_quantized_recall" -> q203Sql,
     "q204_ann_index" -> q204Sql,
     "q205_ann_index_append" -> q205Sql,
-    "q206_quantized_index" -> q206Sql)
+    "q206_quantized_index" -> q206Sql,
+    "q207_incremental_band_probe" -> q207Sql)
 }

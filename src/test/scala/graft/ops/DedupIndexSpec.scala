@@ -1,0 +1,71 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.core.Tables
+
+class DedupIndexSpec extends SparkSpec {
+
+  private val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+  private val resident = docs.filter(col("doc_id") % 10 =!= 0)
+  private val batch = docs.filter(col("doc_id") % 10 === 0)
+
+  private def buildIndex(table: String): Unit = {
+    val path = Files.createTempDirectory("graft-dedupidx").toString
+    DedupIndex.write(resident, "text", "doc_id", 4, 4, 3,
+      s"$path/idx", table)
+  }
+
+  test("probe equals from-scratch band-join candidates on the same split") {
+    buildIndex("didx_eq")
+    try {
+      val fromIndex = DedupIndex
+        .probe(spark, "didx_eq", batch, "text", "doc_id", 4, 4, 3)
+        .collect().toSet
+      val rb = Dedup.bandKeys(resident, "text", "doc_id", 4, 4, 3)
+      val nb = Dedup.bandKeys(batch, "text", "doc_id", 4, 4, 3)
+        .select(col("id").as("new_id"), col("band"), col("band_key"))
+      val fromScratch = rb.join(nb, Seq("band", "band_key"))
+        .filter(col("id") =!= col("new_id"))
+        .select(col("new_id"), col("id").as("resident_id"))
+        .distinct().collect().toSet
+      fromIndex shouldBe fromScratch
+      fromIndex should not be empty // sf0.001 has seeded near-dups
+    } finally spark.sql("DROP TABLE IF EXISTS didx_eq")
+  }
+
+  test("resident side joins from its buckets with ZERO exchange") {
+    buildIndex("didx_plan")
+    // force SMJ: a broadcast of the batch would hide the resident
+    // side's exchange question entirely
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      def exchanges(plan: String): Int =
+        "Exchange hashpartitioning".r.findAllIn(plan).size
+      val plan = DedupIndex
+        .probe(spark, "didx_plan", batch, "text", "doc_id", 4, 4, 3)
+        .queryExecution.executedPlan.toString
+      plan should include("Bucketed: true")
+      // exactly two shuffles: the computed probe keys aligning to the
+      // resident buckets, and the final distinct. The CONTROL below —
+      // identical data, plain parquet resident — needs a third, the
+      // resident re-shuffle this layout exists to avoid.
+      withClue(plan) { exchanges(plan) shouldBe 2 }
+      val rb = Dedup.bandKeys(resident, "text", "doc_id", 4, 4, 3)
+      val nb = Dedup.bandKeys(batch, "text", "doc_id", 4, 4, 3)
+        .select(col("id").as("new_id"), col("band"), col("band_key"))
+      val controlPlan = rb.join(nb, Seq("band", "band_key"))
+        .filter(col("id") =!= col("new_id"))
+        .select(col("new_id"), col("id").as("resident_id"))
+        .distinct().queryExecution.executedPlan.toString
+      withClue(controlPlan) { exchanges(controlPlan) shouldBe 3 }
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS didx_plan")
+    }
+  }
+}
