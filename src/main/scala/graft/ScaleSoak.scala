@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.{GraftSession, Tables}
-import graft.ops.{AnnIndex, Dedup}
+import graft.ops.{AnnIndex, Dedup, DedupIndex}
 
 /** Scale-evidence soak (VERDICT r8, next-round item 1): every 100 TB
   * claim in SCALE.md rested on sf0.1 measurements alone, so this main
@@ -99,12 +99,21 @@ object ScaleSoak {
       }
     }.toMap
 
+    // SPARK_GRAFT_SOAK_ARMS selects a subset of arms by name (applies
+    // to the appended structural arms too, which SPARK_GRAFT_SOAK_QUERIES
+    // cannot reach) — a focused sweep, e.g. index-vs-from-scratch only.
+    val armFilter: Option[Set[String]] = sys.env.get("SPARK_GRAFT_SOAK_ARMS")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def armOn(name: String): Boolean = armFilter.forall(_.contains(name))
+
     // annindex_topk_scaled's indexes are built ONCE per scale, OUTSIDE
     // the timed loop (the deployment shape: write once, query many) —
     // the arm then times ONLY the probe-pruned read path, the number
     // the index exists to improve. Same planes ≈ log₂(scale) budget as
     // the from-scratch multi-probe arm it is compared against.
-    val annIdx: Map[Int, String] = dirs.map { case (n, d) =>
+    val annIdx: Map[Int, String] =
+      if (!armOn("annindex_topk_scaled")) Map.empty
+      else dirs.map { case (n, d) =>
       val planes = soakPlanes(n)
       val out = s"$workRoot/annidx/x$n"
       val marker = Paths.get(s"$out/_IDX_OK")
@@ -116,6 +125,24 @@ object ScaleSoak {
       }
       n -> s"$out/idx"
     }
+
+    // bandprobe arms: a FIXED delta (the base corpus's doc_id%10=0
+    // docs) probed against a resident corpus that grows with scale —
+    // the incremental-dedup deployment shape. The index is built
+    // outside the timed loop (bucketed tables live in the session
+    // catalog, so it is rebuilt per JVM — untimed either way); the
+    // timed work is what a daily run pays: delta band keys + the join.
+    // The scratch control pays the full corpus re-hash + shuffle.
+    val bandIdx: Map[Int, String] =
+      if (!armOn("bandprobe_index_scaled")) Map.empty
+      else dirs.map { case (n, d) =>
+        val table = s"graft_soak_bandidx_x$n"
+        spark.sql(s"DROP TABLE IF EXISTS $table")
+        val out = Files.createTempDirectory(s"graft-soak-bandidx-x$n").toString
+        DedupIndex.write(Tables.documents(spark, d), "text", "doc_id",
+          4, 4, 3, s"$out/idx", table)
+        n -> table
+      }
 
     // confirm the corpora actually scale (and prime the file cache so
     // scale-1 reads aren't unfairly warm relative to freshly-written dirs)
@@ -173,14 +200,27 @@ object ScaleSoak {
           val qs = emb.filter(col("vec_id") < 10)
             .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
           AnnIndex.topK(s, annIdx(n), qs, 10)
+        }) :+
+        // bandprobe pair (round 12): a FIXED delta — the base corpus's
+        // doc_id%10=0 docs — against a resident corpus growing with
+        // scale. Index arm: delta band keys + co-located bucket join.
+        // Scratch control: full resident re-hash + shuffle per run.
+        ("bandprobe_index_scaled" -> { (s: SparkSession, _: String, n: Int) =>
+          val batch = Tables.documents(s, base).filter(col("doc_id") % 10 === 0)
+          DedupIndex.probe(s, bandIdx(n), batch, "text", "doc_id", 4, 4, 3)
+        }) :+
+        ("bandprobe_scratch_scaled" -> { (s: SparkSession, d: String, _: Int) =>
+          val batch = Tables.documents(s, base).filter(col("doc_id") % 10 === 0)
+          val rb = Dedup.bandKeys(Tables.documents(s, d), "text", "doc_id", 4, 4, 3)
+          val nb = Dedup.bandKeys(batch, "text", "doc_id", 4, 4, 3)
+            .select(col("id").as("new_id"), col("band"), col("band_key"))
+          rb.join(nb, Seq("band", "band_key"))
+            .filter(col("id") =!= col("new_id"))
+            .select(col("new_id"), col("id").as("resident_id"))
+            .distinct()
         })
 
-    // SPARK_GRAFT_SOAK_ARMS selects a subset of arms by name (applies
-    // to the appended structural arms too, which SPARK_GRAFT_SOAK_QUERIES
-    // cannot reach) — a focused sweep, e.g. index-vs-from-scratch only.
-    val armFilter: Option[Set[String]] = sys.env.get("SPARK_GRAFT_SOAK_ARMS")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val selected = armFilter.fold(bodies)(f => bodies.filter(b => f(b._1)))
+    val selected = bodies.filter(b => armOn(b._1))
 
     val times = scala.collection.mutable.LinkedHashMap[(String, Int), List[Double]]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
