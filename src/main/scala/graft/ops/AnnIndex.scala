@@ -127,6 +127,23 @@ object AnnIndex {
       .write.mode("append").partitionBy("bucket").parquet(path)
   }
 
+  /** Maintain the index from a STREAM of (vec_id, embedding) rows:
+    * each micro-batch rides [[append]] — bucketed with the index's
+    * persisted statistics, resident files untouched — so the index
+    * stays probe-ready while embeddings arrive continuously (the
+    * ingest shape of a live embedding store; the batch path q205
+    * gates is exactly what each epoch executes). Exactly-once within
+    * a restart epoch comes from the checkpointed foreachBatch
+    * contract; AnnIndexStreamSpec pins convergence to the one-shot
+    * index over the same rows. */
+  def appendStream(stream: DataFrame, path: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) => append(batch, path) }
+      .start()
+
   /** Read the bucketing metadata the index was written with. */
   def readMeta(path: String): Meta = {
     val kv = new String(Files.readAllBytes(Paths.get(path, MetaFile)),
