@@ -127,6 +127,32 @@ object AnnIndex {
       .write.mode("append").partitionBy("bucket").parquet(path)
   }
 
+  /** Rewrite the index so each bucket is ONE file again: every
+    * [[append]] (or stream epoch) adds a file generation per touched
+    * bucket, and after many epochs the probe read's cost shifts from
+    * rows to file-open overhead. Compaction re-co-locates the buckets
+    * (the same repartition-by-bucket the writer uses), writes to a
+    * sibling directory, and swaps it in with two renames — the
+    * maintenance shape of every LSM-ish store: reads stay correct
+    * against the old layout until the swap, which is atomic per
+    * rename on HDFS-like filesystems. Bucketing statistics are copied
+    * verbatim — compaction must never re-derive μ. */
+  def compact(spark: SparkSession, path: String): Unit = {
+    val tmp = path + "_compacting"
+    spark.read.parquet(path)
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+    Files.copy(Paths.get(path, MetaFile), Paths.get(tmp, MetaFile))
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = new org.apache.hadoop.fs.Path(path + "_old")
+    fs.delete(old, true)
+    fs.rename(new org.apache.hadoop.fs.Path(path), old)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp),
+      new org.apache.hadoop.fs.Path(path))
+    fs.delete(old, true)
+  }
+
   /** Maintain the index from a STREAM of (vec_id, embedding) rows:
     * each micro-batch rides [[append]] — bucketed with the index's
     * persisted statistics, resident files untouched — so the index

@@ -49,6 +49,21 @@ object DedupIndex {
   private def foldedKey =
     concat_ws(":", col("band").cast("string"), col("band_key")).as("bk")
 
+  /** Absorb a checked batch into the resident index: its band keys are
+    * appended INTO the bucketed table (same bucket spec — Spark
+    * validates it), so tomorrow's delta probes against today's corpus
+    * without any rewrite of the resident files. The daily cycle is
+    * probe → verify → [[absorb]]. `buckets` must match [[write]]'s. */
+  def absorb(batch: DataFrame, textCol: String, idCol: String,
+      bands: Int, rowsPerBand: Int, shingleK: Int,
+      path: String, table: String, buckets: Int = 32): Unit = {
+    Dedup.bandKeys(batch, textCol, idCol, bands, rowsPerBand, shingleK)
+      .select(col("id"), foldedKey)
+      .write.mode(SaveMode.Append)
+      .bucketBy(buckets, "bk").sortBy("bk")
+      .option("path", path).saveAsTable(table)
+  }
+
   /** Candidate near-dup pairs between a probe `batch` and the resident
     * index: (new_id, resident_id), distinct, any shared band. Only the
     * batch's band keys are computed and shuffled; the resident table

@@ -141,6 +141,24 @@ class AnnIndexSpec extends SparkSpec {
     }
   }
 
+  test("compact restores one file per bucket and changes no answer") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-annidx").toString
+    AnnIndex.write(emb.filter(col("vec_id") % 3 === 0), planes = 4,
+      path = s"$dir/idx")
+    AnnIndex.append(emb.filter(col("vec_id") % 3 === 1), s"$dir/idx")
+    AnnIndex.append(emb.filter(col("vec_id") % 3 === 2), s"$dir/idx")
+    def maxFilesPerBucket(): Int =
+      new java.io.File(s"$dir/idx").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+        .map(_.listFiles().count(_.getName.endsWith(".parquet"))).max
+    maxFilesPerBucket() should be > 1 // three generations accumulated
+    val before = AnnIndex.topK(spark, s"$dir/idx", qs, k = 5).collect().toSet
+    AnnIndex.compact(spark, s"$dir/idx")
+    maxFilesPerBucket() shouldBe 1
+    AnnIndex.readMeta(s"$dir/idx").planes shouldBe 4 // meta survived the swap
+    AnnIndex.topK(spark, s"$dir/idx", qs, k = 5).collect().toSet shouldBe before
+  }
+
   test("centered meta round-trips the exact write-time mean") {
     val dir = java.nio.file.Files.createTempDirectory("graft-annidx").toString
     AnnIndex.write(emb, planes = 3, path = s"$dir/idx", centered = true)

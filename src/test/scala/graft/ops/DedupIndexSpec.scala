@@ -37,6 +37,32 @@ class DedupIndexSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS didx_eq")
   }
 
+  test("absorb: yesterday's batch becomes resident; probe matches the grown from-scratch join") {
+    val path = Files.createTempDirectory("graft-dedupidx").toString
+    val day1 = docs.filter(col("doc_id") % 10 === 0)
+    val day2 = docs.filter(col("doc_id") % 10 === 1)
+    val resident0 = docs
+      .filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 10 =!= 1)
+    DedupIndex.write(resident0, "text", "doc_id", 4, 4, 3,
+      s"$path/idx", "didx_abs")
+    try {
+      DedupIndex.absorb(day1, "text", "doc_id", 4, 4, 3,
+        s"$path/idx", "didx_abs")
+      val fromIndex = DedupIndex
+        .probe(spark, "didx_abs", day2, "text", "doc_id", 4, 4, 3)
+        .collect().toSet
+      val grown = docs.filter(col("doc_id") % 10 =!= 1)
+      val rb = Dedup.bandKeys(grown, "text", "doc_id", 4, 4, 3)
+      val nb = Dedup.bandKeys(day2, "text", "doc_id", 4, 4, 3)
+        .select(col("id").as("new_id"), col("band"), col("band_key"))
+      val fromScratch = rb.join(nb, Seq("band", "band_key"))
+        .filter(col("id") =!= col("new_id"))
+        .select(col("new_id"), col("id").as("resident_id"))
+        .distinct().collect().toSet
+      fromIndex shouldBe fromScratch
+    } finally spark.sql("DROP TABLE IF EXISTS didx_abs")
+  }
+
   test("resident side joins from its buckets with ZERO exchange") {
     buildIndex("didx_plan")
     // force SMJ: a broadcast of the batch would hide the resident
