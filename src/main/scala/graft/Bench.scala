@@ -92,6 +92,19 @@ object Bench {
       if (ok) times(name) = times(name) :+ elapsed
     }
 
+    // UNTIMED warmup pass: queries that build a per-JVM cached artifact
+    // on first invocation (the q204–q207 persisted indexes) would
+    // otherwise charge the build to round 1 only — a spread/median
+    // ratio that reads as contention but is warmup asymmetry. One full
+    // pass also levels JIT and page-cache state for everything else.
+    // Failures are ignored here; the timed rounds record them.
+    names.foreach { name =>
+      try SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+      spark.catalog.clearCache()
+    }
+
     // INTERLEAVED rounds: one full pass over every query per round.
     (1 to RUNS).foreach { _ =>
       names.foreach { name =>
