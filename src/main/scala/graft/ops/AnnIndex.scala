@@ -127,6 +127,47 @@ object AnnIndex {
       .write.mode("append").partitionBy("bucket").parquet(path)
   }
 
+  /** Partition-pruned delete: remove `deletes` (vec_id, embedding)
+    * from the index by rewriting ONLY the buckets they live in. The
+    * bucket of each deleted row is recomputed from its embedding with
+    * the index's persisted statistics — the same hash that placed it —
+    * so the affected-bucket set is known WITHOUT scanning the store,
+    * and every other bucket's files are never read, rewritten, or
+    * touched (AnnIndexSpec pins byte-stable untouched buckets). The
+    * 100 TB deletion reality (retention, right-to-be-forgotten) is a
+    * delta-sized batch against an enormous store: work here is
+    * ∝ |deletes|'s bucket footprint, not the corpus. The distinct
+    * affected-bucket collect is the parameter-bounded driver state
+    * (≤ |deletes| short strings, same class as the probe collect).
+    * Buckets left empty by the delete are removed entirely. */
+  def delete(spark: SparkSession, deletes: DataFrame, path: String): Unit = {
+    val meta = readMeta(path)
+    val keyed = deletes.select(col("vec_id"),
+      concat(lit("b"),
+        Similarity.bucketKey(col("embedding"), meta.planes, meta.dims,
+          meta.mu)).as("bucket"))
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val affected = keyed.select(col("bucket")).distinct()
+      .collect().map(_.getString(0)).toSeq
+      .filter(b => fs.exists(new org.apache.hadoop.fs.Path(path, s"bucket=$b")))
+    if (affected.isEmpty) return
+    val dirs = affected.map(b => s"$path/bucket=$b")
+    val tmp = path + "_deleting"
+    spark.read.option("basePath", path).parquet(dirs: _*)
+      .join(broadcast(keyed.select(col("vec_id"))), Seq("vec_id"),
+        "left_anti")
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+    for (b <- affected) {
+      val oldDir = new org.apache.hadoop.fs.Path(path, s"bucket=$b")
+      val newDir = new org.apache.hadoop.fs.Path(tmp, s"bucket=$b")
+      fs.delete(oldDir, true)
+      if (fs.exists(newDir)) fs.rename(newDir, oldDir) // absent = emptied
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+  }
+
   /** Rewrite the index so each bucket is ONE file again: every
     * [[append]] (or stream epoch) adds a file generation per touched
     * bucket, and after many epochs the probe read's cost shifts from

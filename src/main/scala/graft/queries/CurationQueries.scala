@@ -2172,6 +2172,58 @@ object CurationQueries {
        |SELECT DISTINCT n.doc_id AS new_id, r.doc_id AS resident_id
        |FROM newb n JOIN resb r USING (band, band_key)""".stripMargin
 
+  // --------------------------------------------------------- q208
+  /** Partition-pruned index delete: build the q204 index, DELETE the
+    * vec_id % 7 = 3 rows ([[AnnIndex.delete]] — only their buckets are
+    * rewritten; every untouched bucket's files stay byte-identical,
+    * spec-pinned), then answer the multi-probe query from the shrunken
+    * index. The oracle is q188's SQL with the deleted rows excluded
+    * from the CANDIDATE side only (queries still come from the raw
+    * table — a deleted vector must stop being FOUND, not stop
+    * searching), so the gate proves the rewrite removed exactly the
+    * requested rows and nothing else. Scale shape: work ∝ the delete
+    * batch's bucket footprint, never the store. */
+  private def q208(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val qs = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    AnnIndex.topK(s, q208Index(s, dir), qs, AnnK)
+  }
+  private val q208IndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def q208Index(s: SparkSession, dir: String): String =
+    q208IndexCache.computeIfAbsent(dir, { _ =>
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft-annidx-q208").toString
+      val emb = Tables.embeddings(s, dir)
+      AnnIndex.write(emb, LshPlanes, s"$idxDir/idx")
+      AnnIndex.delete(s, emb.filter(col("vec_id") % 7 === 3)
+        .select(col("vec_id"), col("embedding")), s"$idxDir/idx")
+      s"$idxDir/idx"
+    })
+  private val q208Sql =
+    s"""WITH base AS (SELECT vec_id, embedding AS e, embedding::DOUBLE[] AS vd FROM embeddings),
+       |b AS (SELECT vec_id, vd, $BucketSql AS bucket FROM base),
+       |q0 AS (SELECT vec_id AS q_id, bucket FROM b WHERE vec_id < 10),
+       |probes AS (
+       |  SELECT q_id, unnest(list_prepend(bucket,
+       |    list_transform(range(1, $LshPlanes + 1), i ->
+       |      substr(bucket, 1, i - 1) ||
+       |      (CASE WHEN substr(bucket, i, 1) = '1' THEN '0' ELSE '1' END) ||
+       |      substr(bucket, i + 1, $LshPlanes - i)))) AS bucket
+       |  FROM q0),
+       |cand AS (SELECT DISTINCT p.q_id, c.vec_id
+       |         FROM probes p JOIN b c USING (bucket)
+       |         WHERE c.vec_id <> p.q_id AND c.vec_id % 7 <> 3),
+       |sc AS (SELECT cand.q_id, cand.vec_id, qq.vd AS qv, cc.vd AS v
+       |       FROM cand JOIN b cc ON cand.vec_id = cc.vec_id
+       |         JOIN b qq ON cand.q_id = qq.vec_id)
+       |SELECT q_id, CAST(rn AS INT) AS rank, vec_id, round(cos, 6) AS cos_sim FROM (
+       |  SELECT q_id, vec_id, $CosSql AS cos,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY $CosSql DESC, vec_id) AS rn
+       |  FROM sc)
+       |WHERE rn <= $AnnK""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q168_kmv_distinct" -> q168 _,
     "q169_minhash_error" -> q169 _,
@@ -2212,7 +2264,8 @@ object CurationQueries {
     "q204_ann_index" -> q204 _,
     "q205_ann_index_append" -> q205 _,
     "q206_quantized_index" -> q206 _,
-    "q207_incremental_band_probe" -> q207 _)
+    "q207_incremental_band_probe" -> q207 _,
+    "q208_ann_index_delete" -> q208 _)
 
   val oracleSql: Map[String, String] = Map(
     "q168_kmv_distinct" -> q168Sql,
@@ -2254,5 +2307,6 @@ object CurationQueries {
     "q204_ann_index" -> q204Sql,
     "q205_ann_index_append" -> q205Sql,
     "q206_quantized_index" -> q206Sql,
-    "q207_incremental_band_probe" -> q207Sql)
+    "q207_incremental_band_probe" -> q207Sql,
+    "q208_ann_index_delete" -> q208Sql)
 }

@@ -159,6 +159,38 @@ class AnnIndexSpec extends SparkSpec {
     AnnIndex.topK(spark, s"$dir/idx", qs, k = 5).collect().toSet shouldBe before
   }
 
+  test("delete rewrites only the affected buckets; untouched buckets stay byte-identical") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-annidx").toString
+    AnnIndex.write(emb, planes = 4, path = s"$dir/idx")
+    val victims = emb.filter(col("vec_id") % 7 === 3)
+      .select(col("vec_id"), col("embedding"))
+    def bucketFiles(): Map[String, Set[String]] =
+      new java.io.File(s"$dir/idx").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+        .map(d => d.getName ->
+          d.listFiles().filter(_.getName.endsWith(".parquet"))
+            .map(f => s"${f.getName}:${f.length}").toSet).toMap
+    val before = bucketFiles()
+    val victimBuckets = spark.read.parquet(s"$dir/idx")
+      .join(victims.select("vec_id"), "vec_id")
+      .select("bucket").distinct().collect()
+      .map(r => s"bucket=${r.getString(0)}").toSet
+    AnnIndex.delete(spark, victims, s"$dir/idx")
+    val after = bucketFiles()
+    // untouched buckets: exactly the same part files, byte for byte
+    for ((b, files) <- before if !victimBuckets(b))
+      withClue(s"$b: ") { after(b) shouldBe files }
+    // affected buckets were rewritten (or emptied away entirely)
+    for (b <- victimBuckets)
+      withClue(s"$b: ") { after.getOrElse(b, Set.empty) should not be before(b) }
+    // and the index now answers as if the victims were never written
+    val control = java.nio.file.Files.createTempDirectory("graft-annidx").toString
+    AnnIndex.write(emb.filter(col("vec_id") % 7 =!= 3), planes = 4,
+      path = s"$control/idx")
+    AnnIndex.topK(spark, s"$dir/idx", qs, k = 5).collect().toSet shouldBe
+      AnnIndex.topK(spark, s"$control/idx", qs, k = 5).collect().toSet
+  }
+
   test("centered meta round-trips the exact write-time mean") {
     val dir = java.nio.file.Files.createTempDirectory("graft-annidx").toString
     AnnIndex.write(emb, planes = 3, path = s"$dir/idx", centered = true)
