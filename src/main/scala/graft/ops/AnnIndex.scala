@@ -180,7 +180,11 @@ object AnnIndex {
     * verbatim — compaction must never re-derive μ. */
   def compact(spark: SparkSession, path: String): Unit = {
     val tmp = path + "_compacting"
+    // dropDuplicates(vec_id): an at-least-once appendStream redelivery
+    // leaves identical duplicate rows (same id ⇒ same vector by
+    // contract); compaction is where their cost is physically removed
     spark.read.parquet(path)
+      .dropDuplicates("vec_id")
       .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(tmp)
     Files.copy(Paths.get(path, MetaFile), Paths.get(tmp, MetaFile))
@@ -199,10 +203,13 @@ object AnnIndex {
     * persisted statistics, resident files untouched — so the index
     * stays probe-ready while embeddings arrive continuously (the
     * ingest shape of a live embedding store; the batch path q205
-    * gates is exactly what each epoch executes). Exactly-once within
-    * a restart epoch comes from the checkpointed foreachBatch
-    * contract; AnnIndexStreamSpec pins convergence to the one-shot
-    * index over the same rows. */
+    * gates is exactly what each epoch executes). Delivery is
+    * AT-LEAST-ONCE: a crash between the parquet append and the
+    * checkpoint commit replays the batch, leaving duplicate rows in
+    * the touched buckets — [[topK]] dedupes the probed subset by
+    * vec_id, so redelivery degrades read cost, never answers
+    * (AnnIndexStreamSpec pins both convergence and the redelivery
+    * case); [[compact]] physically removes the duplicates' cost. */
   def appendStream(stream: DataFrame, path: String,
       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
@@ -286,9 +293,17 @@ object AnnIndex {
       .select(col("q_id"), col("vec_id")).distinct()
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("vec_id").asc)
+    // dedupe the scoring side by vec_id: [[appendStream]]'s foreachBatch
+    // is at-least-once on crash-retry, so a redelivered batch can leave
+    // DUPLICATE rows in a bucket — without this, the scoring join would
+    // emit two identical (q_id, vec_id) rows and row_number would rank
+    // both, corrupting top-k. The dedupe runs over the PROBED subset
+    // only (≤ (planes+1)·Q·bucketSize rows by construction), so
+    // redelivery degrades read cost, never correctness.
     cand
       .join(qB.select(col("q_id"), col("q")), "q_id")
-      .join(idx.select(col("vec_id"), col("v")), "vec_id")
+      .join(idx.select(col("vec_id"), col("v")).dropDuplicates("vec_id"),
+        "vec_id")
       .withColumn("cos", graft.functions.CosineSimilarity(col("q"), col("v")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

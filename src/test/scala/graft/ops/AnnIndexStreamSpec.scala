@@ -50,4 +50,24 @@ class AnnIndexStreamSpec extends SparkSpec {
       AnnIndex.topK(spark, s"$oneShot/idx", qs, k = 5).collect().toSet
     seed.nonEmpty && tail.nonEmpty shouldBe true
   }
+
+  test("at-least-once redelivery: duplicate appends never change answers; compact removes them") {
+    val dir = Files.createTempDirectory("graft-annidx-stream").toString
+    AnnIndex.write(emb, planes = 4, path = s"$dir/idx")
+    val expected = AnnIndex.topK(spark, s"$dir/idx", qs, k = 5)
+      .collect().toSet
+    val total = spark.read.parquet(s"$dir/idx").count()
+    // a crash between parquet commit and checkpoint commit replays the
+    // batch — simulate by appending the same rows again
+    val replayed = emb.filter(col("vec_id") % 5 === 0)
+      .select(col("vec_id"), col("embedding"))
+    AnnIndex.append(replayed, s"$dir/idx")
+    spark.read.parquet(s"$dir/idx").count() should be > total // dups on disk
+    AnnIndex.topK(spark, s"$dir/idx", qs, k = 5)
+      .collect().toSet shouldBe expected // reads dedupe by vec_id
+    AnnIndex.compact(spark, s"$dir/idx")
+    spark.read.parquet(s"$dir/idx").count() shouldBe total // dups gone
+    AnnIndex.topK(spark, s"$dir/idx", qs, k = 5)
+      .collect().toSet shouldBe expected
+  }
 }
