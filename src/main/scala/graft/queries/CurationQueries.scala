@@ -2224,6 +2224,38 @@ object CurationQueries {
        |  FROM sc)
        |WHERE rn <= $AnnK""".stripMargin
 
+  // --------------------------------------------------------- q209
+  /** The full incremental near-dup DECISION: q207's persisted-index
+    * probe composed with the exact token-Jaccard verify — delta
+    * candidates from co-located resident buckets, then only the
+    * surviving (new_id, resident_id, jaccard ≥ τ) pairs that a daily
+    * dedup actually acts on. Reuses q207's index (one build per dir);
+    * verification work is ∝ the candidate set, which is ∝ the delta.
+    * This is the production shape of "should today's document be
+    * dropped as a near-dup of the corpus": probe → verify → (absorb
+    * the survivors — [[DedupIndex.absorb]], spec-gated). */
+  private def q209(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+    val cand = DedupIndex.probe(s, q207Table(s, dir), batch, "text",
+        "doc_id", Bands, RowsPerBand, ShingleK)
+      .select(col("new_id").as("id_a"), col("resident_id").as("id_b"))
+    Dedup.jaccardVerify(cand, docs, "text", "doc_id", JaccardThreshold)
+  }
+  private val q209Sql =
+    s"""WITH $BandsCte,
+       |newb AS (SELECT doc_id, band, band_key FROM bands WHERE doc_id % 10 = 0),
+       |resb AS (SELECT doc_id, band, band_key FROM bands WHERE doc_id % 10 <> 0),
+       |pairs AS (SELECT DISTINCT n.doc_id AS id_a, r.doc_id AS id_b
+       |          FROM newb n JOIN resb r USING (band, band_key)),
+       |sets AS (SELECT doc_id, list_distinct($WsSplit) AS toks FROM documents)
+       |SELECT id_a, id_b,
+       |  round(len(list_intersect(sa.toks, sb.toks))::DOUBLE /
+       |        len(list_distinct(list_concat(sa.toks, sb.toks))), 4) AS jaccard
+       |FROM pairs JOIN sets sa ON id_a = sa.doc_id JOIN sets sb ON id_b = sb.doc_id
+       |WHERE len(list_intersect(sa.toks, sb.toks))::DOUBLE /
+       |      len(list_distinct(list_concat(sa.toks, sb.toks))) >= $JaccardThreshold""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q168_kmv_distinct" -> q168 _,
     "q169_minhash_error" -> q169 _,
@@ -2265,7 +2297,8 @@ object CurationQueries {
     "q205_ann_index_append" -> q205 _,
     "q206_quantized_index" -> q206 _,
     "q207_incremental_band_probe" -> q207 _,
-    "q208_ann_index_delete" -> q208 _)
+    "q208_ann_index_delete" -> q208 _,
+    "q209_incremental_neardup_decision" -> q209 _)
 
   val oracleSql: Map[String, String] = Map(
     "q168_kmv_distinct" -> q168Sql,
@@ -2308,5 +2341,6 @@ object CurationQueries {
     "q205_ann_index_append" -> q205Sql,
     "q206_quantized_index" -> q206Sql,
     "q207_incremental_band_probe" -> q207Sql,
-    "q208_ann_index_delete" -> q208Sql)
+    "q208_ann_index_delete" -> q208Sql,
+    "q209_incremental_neardup_decision" -> q209Sql)
 }
