@@ -112,7 +112,8 @@ object ScaleSoak {
     // the index exists to improve. Same planes ≈ log₂(scale) budget as
     // the from-scratch multi-probe arm it is compared against.
     val annIdx: Map[Int, String] =
-      if (!armOn("annindex_topk_scaled")) Map.empty
+      if (!armOn("annindex_topk_scaled") && !armOn("annindex_delete_scaled"))
+        Map.empty
       else dirs.map { case (n, d) =>
       val planes = soakPlanes(n)
       val out = s"$workRoot/annidx/x$n"
@@ -142,6 +143,29 @@ object ScaleSoak {
         DedupIndex.write(Tables.documents(spark, d), "text", "doc_id",
           4, 4, 3, s"$out/idx", table)
         n -> table
+      }
+
+    // annindex_delete_scaled mutates its index, so each timed run gets
+    // its own UNTIMED copy of the per-scale index — the arm then times
+    // only what a retention/right-to-be-forgotten batch pays: hashing
+    // the batch, reading its ≤|batch| bucket dirs, rewriting them.
+    val delCopies: Map[Int, scala.collection.mutable.Queue[String]] =
+      if (!armOn("annindex_delete_scaled")) Map.empty
+      else {
+        val conf = spark.sparkContext.hadoopConfiguration
+        annIdx.map { case (n, idx) =>
+          val q = scala.collection.mutable.Queue[String]()
+          (1 to RUNS).foreach { r =>
+            val dst = Files.createTempDirectory(s"graft-soak-delidx-x$n-$r")
+              .toString + "/idx"
+            val fs = new org.apache.hadoop.fs.Path(idx).getFileSystem(conf)
+            org.apache.hadoop.fs.FileUtil.copy(fs,
+              new org.apache.hadoop.fs.Path(idx), fs,
+              new org.apache.hadoop.fs.Path(dst), false, conf)
+            q.enqueue(dst)
+          }
+          n -> q
+        }
       }
 
     // confirm the corpora actually scale (and prime the file cache so
@@ -208,6 +232,18 @@ object ScaleSoak {
         ("bandprobe_index_scaled" -> { (s: SparkSession, _: String, n: Int) =>
           val batch = Tables.documents(s, base).filter(col("doc_id") % 10 === 0)
           DedupIndex.probe(s, bandIdx(n), batch, "text", "doc_id", 4, 4, 3)
+        }) :+
+        // annindex_delete_scaled (round 12): a FIXED 10-vector delete
+        // batch against the per-scale index — cost should be flat
+        // (∝ the batch's bucket footprint, never the store). The body
+        // performs the delete eagerly on a fresh copy, then returns a
+        // 1-row frame so the harness's noop sink adds only ~ms.
+        ("annindex_delete_scaled" -> { (s: SparkSession, _: String, n: Int) =>
+          val victims = Tables.embeddings(s, base)
+            .filter(col("vec_id") < 10)
+            .select(col("vec_id"), col("embedding"))
+          AnnIndex.delete(s, victims, delCopies(n).dequeue())
+          s.range(1).toDF("ok")
         }) :+
         ("bandprobe_scratch_scaled" -> { (s: SparkSession, d: String, _: Int) =>
           val batch = Tables.documents(s, base).filter(col("doc_id") % 10 === 0)
