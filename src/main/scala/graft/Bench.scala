@@ -101,7 +101,7 @@ object Bench {
     names.foreach { name =>
       try SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
+      catch { case scala.util.control.NonFatal(_) => () }
       spark.catalog.clearCache()
     }
 

@@ -1,11 +1,13 @@
 package graft.ops
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths}
+
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DataType
 
 /** On-disk LSH-bucketed ANN index: the storage layout that makes
   * multi-probe ANN IO-PRUNED at scale instead of recomputed per query.
@@ -28,8 +30,8 @@ import org.apache.spark.sql.functions._
   * 49/50 truth neighbors survive), reconstructed inside the probe
   * scan's projection.
   *
-  * The bucketing parameters (planes, dims, centering mean) are
-  * persisted NEXT TO the data (`_graft_ann_meta`, an
+  * The bucketing parameters (planes, dims, centering mean, vec_id
+  * type) are persisted NEXT TO the data (`_graft_ann_meta`, an
   * underscore-prefixed file Spark's parquet reader ignores) and
   * rebuilt at query time, because the query side must hash with the
   * INDEX's statistics — in particular the corpus mean μ at WRITE time:
@@ -37,7 +39,29 @@ import org.apache.spark.sql.functions._
   * bias and probe the wrong buckets. Doubles round-trip through
   * `java.lang.Double.toString` / `parseDouble` (exact for all finite
   * doubles), so the rebuilt bucket expression is bit-identical to the
-  * one that wrote the index.
+  * one that wrote the index. All metadata IO goes through the Hadoop
+  * `FileSystem` resolved from the index path — the same API that moves
+  * the data — so the module works unchanged on HDFS-like filesystems.
+  *
+  * ==Concurrency and crash contract==
+  * SINGLE WRITER: at most one mutating call ([[write]]/[[append]]/
+  * [[delete]]/[[compact]]) may run at a time against one index path —
+  * there is no cross-process lock, coordination is the caller's job
+  * (in a pipeline, a singleton maintenance task). Concurrent READS:
+  * safe during [[append]] (it only adds files inside bucket
+  * directories; a reader sees the old or the new file set, both
+  * complete) but NOT during [[delete]]/[[compact]]/[[write]], whose
+  * directory swaps have windows where a reader resolves a partial
+  * layout — quiesce queries for those, the same operational rule as
+  * any non-MVCC store rewrite. CRASH SAFETY: every entry point first
+  * runs [[recover]], which detects the leftover state of an
+  * interrupted swap (`_old` / `_compacting` / `_deleting` + its
+  * bucket manifest) and either rolls the operation forward (staged
+  * replacement was complete) or back (it was not) — idempotently, so
+  * a crash during recovery itself is also recoverable. A completed
+  * [[delete]]'s staging manifest records per affected bucket whether
+  * it was rewritten or emptied, which is what makes redoing the
+  * per-bucket swap after a crash unambiguous.
   *
   * Driver state: the probe-bucket collect is ≤ Q·(planes+1) short
   * strings — the parameter-bounded collect class (probe queries are
@@ -46,6 +70,11 @@ import org.apache.spark.sql.functions._
 object AnnIndex {
 
   private val MetaFile = "_graft_ann_meta"
+  /** Delete-staging manifest: one `bucket,kept|emptied` line per
+    * affected bucket, written AFTER the staged data so its presence
+    * marks the stage complete. Underscore-prefixed: invisible to
+    * parquet readers if it ever survives into a data directory. */
+  private val AffectedFile = "_graft_affected"
 
   /** Bump on ANY change to the on-disk layout (partitioning, file
     * shape, stored columns) so stamped caches of built indexes (e.g.
@@ -53,7 +82,31 @@ object AnnIndex {
   val LayoutVersion = 2
 
   final case class Meta(planes: Int, dims: Int, centered: Boolean,
-      mu: Seq[Double], quantized: Boolean = false)
+      mu: Seq[Double], quantized: Boolean = false,
+      vecIdType: String = "bigint")
+
+  // ------------------------------------------------------------------
+  // Hadoop-FS plumbing: ALL small-file IO rides the same FileSystem as
+  // the parquet data, so path schemes like hdfs:// work end to end.
+  // ------------------------------------------------------------------
+  private def fsFor(path: String, spark: SparkSession): FileSystem =
+    new HPath(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def writeString(fs: FileSystem, p: HPath, body: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
+  }
+
+  private def readString(fs: FileSystem, p: HPath): String = {
+    val in = fs.open(p)
+    try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](8192)
+      var n = in.read(chunk)
+      while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+      new String(buf.toByteArray, StandardCharsets.UTF_8)
+    } finally in.close()
+  }
 
   /** The stored row for one corpus vector: bucket key (plus quantized
     * code/scale columns or the raw embedding). Shared by [[write]] and
@@ -86,10 +139,14 @@ object AnnIndex {
   /** Write `corpus` (vec_id, embedding) as a bucket-partitioned parquet
     * index at `path`, plus the bucketing metadata. `centered` uses the
     * exact corpus mean ([[Similarity.dimMeans]]) — the deployment
-    * default for non-zero-mean embedding spaces (q201 measures why). */
+    * default for non-zero-mean embedding spaces (q201 measures why).
+    * The initial build is NOT staged: a crash mid-write leaves a
+    * partial directory with no meta file, which [[readMeta]] rejects —
+    * rebuild by rerunning write (it overwrites). */
   def write(corpus: DataFrame, planes: Int, path: String,
       centered: Boolean = false, quantized: Boolean = false): Unit = {
     require(planes > 0 && planes <= 32, s"planes must be in [1,32], got $planes")
+    recover(corpus.sparkSession, path)
     val dims = Similarity.embDims(corpus)
     val mu = if (centered) Similarity.dimMeans(corpus, dims)
       else Seq.empty[Double]
@@ -102,10 +159,11 @@ object AnnIndex {
     indexRows(corpus, planes, dims, mu, quantized)
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
     val muStr = mu.map(java.lang.Double.toString).mkString(",")
+    val vecIdType = corpus.schema("vec_id").dataType.catalogString
     val body = s"planes=$planes\ndims=$dims\ncentered=$centered\n" +
-      s"quantized=$quantized\nmu=$muStr\n"
-    Files.write(Paths.get(path, MetaFile),
-      body.getBytes(StandardCharsets.UTF_8))
+      s"quantized=$quantized\nmu=$muStr\nvecIdType=$vecIdType\n"
+    writeString(fsFor(path, corpus.sparkSession),
+      new HPath(path, MetaFile), body)
   }
 
   /** Append `delta` (vec_id, embedding) to an existing index WITHOUT
@@ -122,6 +180,7 @@ object AnnIndex {
     * contract (half-written, half-appended index ≡ raw full table);
     * AnnIndexSpec pins the μ-stability semantics under `centered`. */
   def append(delta: DataFrame, path: String): Unit = {
+    recover(delta.sparkSession, path)
     val meta = readMeta(path)
     indexRows(delta, meta.planes, meta.dims, meta.mu, meta.quantized)
       .write.mode("append").partitionBy("bucket").parquet(path)
@@ -139,18 +198,26 @@ object AnnIndex {
     * ∝ |deletes|'s bucket footprint, not the corpus. The distinct
     * affected-bucket collect is the parameter-bounded driver state
     * (≤ |deletes| short strings, same class as the probe collect).
-    * Buckets left empty by the delete are removed entirely. */
+    * Buckets left empty by the delete are removed entirely.
+    *
+    * Crash shape: the rewritten buckets are STAGED under
+    * `path + "_deleting"`, a manifest recording each affected bucket's
+    * fate is written after the data, and only then are buckets swapped
+    * in one by one. A crash anywhere leaves state [[recover]] resolves
+    * on the next call (stage incomplete → discard; stage complete →
+    * redo the swap, which is idempotent). Readers must be quiesced for
+    * the swap window — see the object-level contract. */
   def delete(spark: SparkSession, deletes: DataFrame, path: String): Unit = {
+    recover(spark, path)
     val meta = readMeta(path)
     val keyed = deletes.select(col("vec_id"),
       concat(lit("b"),
         Similarity.bucketKey(col("embedding"), meta.planes, meta.dims,
           meta.mu)).as("bucket"))
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = fsFor(path, spark)
     val affected = keyed.select(col("bucket")).distinct()
       .collect().map(_.getString(0)).toSeq
-      .filter(b => fs.exists(new org.apache.hadoop.fs.Path(path, s"bucket=$b")))
+      .filter(b => fs.exists(new HPath(path, s"bucket=$b")))
     if (affected.isEmpty) return
     val dirs = affected.map(b => s"$path/bucket=$b")
     val tmp = path + "_deleting"
@@ -159,26 +226,59 @@ object AnnIndex {
         "left_anti")
       .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(tmp)
-    for (b <- affected) {
-      val oldDir = new org.apache.hadoop.fs.Path(path, s"bucket=$b")
-      val newDir = new org.apache.hadoop.fs.Path(tmp, s"bucket=$b")
-      fs.delete(oldDir, true)
-      if (fs.exists(newDir)) fs.rename(newDir, oldDir) // absent = emptied
-    }
-    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    // manifest AFTER the staged data: presence = stage complete. A
+    // bucket with no staged dir was emptied by the delete — recorded
+    // explicitly, because after a partial swap "no staged dir" is
+    // otherwise ambiguous between "emptied" and "already swapped".
+    val manifest = affected.map { b =>
+      val kept = fs.exists(new HPath(tmp, s"bucket=$b"))
+      s"$b,${if (kept) "kept" else "emptied"}"
+    }.mkString("\n")
+    writeString(fs, new HPath(tmp, AffectedFile), manifest)
+    applyDeleteSwap(fs, path, tmp)
+    fs.delete(new HPath(tmp), true)
+  }
+
+  /** Swap staged delete results into the live layout, bucket by
+    * bucket, driven by the staging manifest. Idempotent: a "kept"
+    * bucket whose staged dir is gone was already swapped (skip); an
+    * "emptied" bucket's live dir delete is a no-op the second time —
+    * so [[recover]] can re-run this verbatim after a crash at any
+    * point, including mid-bucket (live dir deleted, rename pending). */
+  private def applyDeleteSwap(fs: FileSystem, path: String,
+      tmp: String): Unit = {
+    readString(fs, new HPath(tmp, AffectedFile)).linesIterator
+      .filter(_.nonEmpty).foreach { line =>
+        val i = line.lastIndexOf(',')
+        val (b, status) = (line.substring(0, i), line.substring(i + 1))
+        val live = new HPath(path, s"bucket=$b")
+        val staged = new HPath(tmp, s"bucket=$b")
+        if (status == "kept") {
+          if (fs.exists(staged)) {
+            fs.delete(live, true)
+            fs.rename(staged, live)
+          } // staged dir gone = this bucket already swapped
+        } else fs.delete(live, true) // emptied: idempotent remove
+      }
   }
 
   /** Rewrite the index so each bucket is ONE file again: every
     * [[append]] (or stream epoch) adds a file generation per touched
     * bucket, and after many epochs the probe read's cost shifts from
     * rows to file-open overhead. Compaction re-co-locates the buckets
-    * (the same repartition-by-bucket the writer uses), writes to a
-    * sibling directory, and swaps it in with two renames — the
-    * maintenance shape of every LSM-ish store: reads stay correct
-    * against the old layout until the swap, which is atomic per
-    * rename on HDFS-like filesystems. Bucketing statistics are copied
-    * verbatim — compaction must never re-derive μ. */
+    * (the same repartition-by-bucket the writer uses) into a staged
+    * sibling directory — metadata copied in LAST, so its presence
+    * marks the stage complete — then swaps it in with two renames
+    * (live → `_old`, staged → live) and drops `_old`. Each rename is
+    * atomic on HDFS-like filesystems but the PAIR is not: a crash
+    * between them leaves no live directory, which [[recover]] rolls
+    * forward (staged replacement complete) on the next call; readers
+    * must be quiesced for the swap window (object-level contract).
+    * Bucketing statistics are copied verbatim — compaction must never
+    * re-derive μ. */
   def compact(spark: SparkSession, path: String): Unit = {
+    recover(spark, path)
+    val fs = fsFor(path, spark)
     val tmp = path + "_compacting"
     // dropDuplicates(vec_id): an at-least-once appendStream redelivery
     // leaves identical duplicate rows (same id ⇒ same vector by
@@ -187,15 +287,53 @@ object AnnIndex {
       .dropDuplicates("vec_id")
       .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(tmp)
-    Files.copy(Paths.get(path, MetaFile), Paths.get(tmp, MetaFile))
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val old = new org.apache.hadoop.fs.Path(path + "_old")
+    writeString(fs, new HPath(tmp, MetaFile),
+      readString(fs, new HPath(path, MetaFile)))
+    val old = new HPath(path + "_old")
+    fs.rename(new HPath(path), old)
+    fs.rename(new HPath(tmp), new HPath(path))
     fs.delete(old, true)
-    fs.rename(new org.apache.hadoop.fs.Path(path), old)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp),
-      new org.apache.hadoop.fs.Path(path))
-    fs.delete(old, true)
+  }
+
+  /** Resolve the leftover state of an interrupted [[compact]] or
+    * [[delete]] so every caller sees a complete layout. Runs
+    * automatically at the head of every entry point; idempotent, so a
+    * crash during recovery is itself recoverable. Cases:
+    *  - live dir missing + `_old` present: compact crashed between its
+    *    two renames. If the staged `_compacting` dir is COMPLETE (has
+    *    its meta file) the compact rolls FORWARD (staged → live);
+    *    otherwise `_old` rolls back to live.
+    *  - `_old` present alongside live: the swap finished but the final
+    *    cleanup didn't — drop `_old`.
+    *  - `_compacting` present: the stage never swapped (crash before
+    *    the first rename, or rolled back above) — discard it; compact
+    *    simply "didn't happen".
+    *  - `_deleting` present WITH its manifest: the staged delete was
+    *    complete — redo the (idempotent) bucket swap, then discard the
+    *    stage. Without the manifest the stage was incomplete — discard
+    *    it; the delete "didn't happen".
+    */
+  def recover(spark: SparkSession, path: String): Unit = {
+    val fs = fsFor(path, spark)
+    val live = new HPath(path)
+    val old = new HPath(path + "_old")
+    val compacting = new HPath(path + "_compacting")
+    val deleting = new HPath(path + "_deleting")
+    if (!fs.exists(live) && fs.exists(old)) {
+      if (fs.exists(new HPath(compacting, MetaFile))) {
+        fs.rename(compacting, live) // roll forward: stage was complete
+        fs.delete(old, true)
+      } else {
+        fs.rename(old, live) // roll back
+      }
+    }
+    if (fs.exists(old)) fs.delete(old, true)
+    if (fs.exists(compacting)) fs.delete(compacting, true)
+    if (fs.exists(deleting)) {
+      if (fs.exists(new HPath(deleting, AffectedFile)))
+        applyDeleteSwap(fs, path, path + "_deleting")
+      fs.delete(deleting, true)
+    }
   }
 
   /** Maintain the index from a STREAM of (vec_id, embedding) rows:
@@ -218,17 +356,21 @@ object AnnIndex {
       .foreachBatch { (batch: DataFrame, _: Long) => append(batch, path) }
       .start()
 
-  /** Read the bucketing metadata the index was written with. */
+  /** Read the bucketing metadata the index was written with. Metas
+    * written before `vecIdType` existed read back as bigint — the only
+    * vec_id type those layouts ever stored. */
   def readMeta(path: String): Meta = {
-    val kv = new String(Files.readAllBytes(Paths.get(path, MetaFile)),
-      StandardCharsets.UTF_8)
+    val spark = SparkSession.active
+    val fs = fsFor(path, spark)
+    val kv = readString(fs, new HPath(path, MetaFile))
       .linesIterator.filter(_.contains("=")).map { l =>
         val i = l.indexOf('='); l.substring(0, i) -> l.substring(i + 1)
       }.toMap
     Meta(kv("planes").toInt, kv("dims").toInt, kv("centered").toBoolean,
       if (kv("mu").isEmpty) Seq.empty
       else kv("mu").split(",").toSeq.map(java.lang.Double.parseDouble),
-      kv.getOrElse("quantized", "false").toBoolean)
+      kv.getOrElse("quantized", "false").toBoolean,
+      kv.getOrElse("vecIdType", "bigint"))
   }
 
   /** Multi-probe top-k over the persisted index: query buckets are
@@ -245,6 +387,7 @@ object AnnIndex {
       multiProbe: Boolean = true): DataFrame = {
     graft.functions.GraftExtensions.ensureRegistered(spark)
     require(k > 0, s"k must be positive, got $k")
+    recover(spark, path)
     val meta = readMeta(path)
     val qB = queries.select(col("q_id"),
       Similarity.toDouble(col("q_vec")).as("q"),
@@ -271,14 +414,17 @@ object AnnIndex {
     // the planner as a PartitionFilter (AnnIndexSpec pins it).
     val probeBucketList = probes.select(col("bucket")).distinct()
       .collect().map(_.getString(0)).toSeq
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = fsFor(path, spark)
     val probedDirs = probeBucketList
-      .map(b => new org.apache.hadoop.fs.Path(path, s"bucket=$b"))
+      .map(b => new HPath(path, s"bucket=$b"))
       .filter(fs.exists(_)).map(_.toString)
     if (probedDirs.isEmpty) {
+      // schema must match the normal path exactly even though the frame
+      // is empty — vec_id's type comes from the index metadata, not a
+      // hardcoded long (the corpus decides what vec_id is)
       return qB.select(col("q_id"), lit(1).as("rank"),
-        lit(0L).as("vec_id"), lit(0d).as("cos_sim")).limit(0)
+        lit(null).cast(DataType.fromDDL(meta.vecIdType)).as("vec_id"),
+        lit(0d).as("cos_sim")).limit(0)
     }
     val raw = spark.read.option("basePath", path).parquet(probedDirs: _*)
       .filter(col("bucket").isin(probeBucketList: _*))

@@ -1,0 +1,134 @@
+package graft.ops
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Crash-recovery contract of the persisted ANN index: every entry
+  * point runs [[AnnIndex.recover]] first, so whatever state an
+  * interrupted compact/delete left behind, the NEXT call sees a
+  * complete layout with the same answers. Each test fabricates the
+  * exact on-disk state a crash at a given point leaves (the operations
+  * are deterministic file moves, so the states are enumerable) and
+  * asserts a plain topK heals it. */
+class AnnIndexRecoverySpec extends SparkSpec {
+
+  private val emb = spark.read
+    .parquet("/root/testdata/sf0.001/embeddings.parquet")
+  private def qs = emb.filter(col("vec_id") < 5)
+    .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+  private def fs = new HPath("/")
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  test("compact crash between renames, stage INCOMPLETE: rolls back to _old") {
+    val dir = Files.createTempDirectory("graft-annrec").toString
+    val idx = s"$dir/idx"
+    AnnIndex.write(emb, planes = 4, path = idx)
+    val before = AnnIndex.topK(spark, idx, qs, k = 5).collect().toSet
+    // crash point: live renamed away; the stage exists but never got
+    // its meta file (= incomplete by the module's completeness marker)
+    fs.rename(new HPath(idx), new HPath(s"${idx}_old")) shouldBe true
+    Files.createDirectories(Paths.get(s"${idx}_compacting"))
+    Files.write(Paths.get(s"${idx}_compacting/part-halfwritten"),
+      Array[Byte](1, 2, 3))
+    AnnIndex.topK(spark, idx, qs, k = 5).collect().toSet shouldBe before
+    fs.exists(new HPath(s"${idx}_old")) shouldBe false
+    fs.exists(new HPath(s"${idx}_compacting")) shouldBe false
+  }
+
+  test("compact crash between renames, stage COMPLETE: rolls forward") {
+    val dir = Files.createTempDirectory("graft-annrec").toString
+    val idx = s"$dir/idx"
+    AnnIndex.write(emb, planes = 4, path = idx)
+    AnnIndex.append(emb, idx) // duplicate every row: what compact removes
+    val before = AnnIndex.topK(spark, idx, qs, k = 5).collect().toSet
+    // stage exactly what compact stages, meta last, then "crash" after
+    // the first rename (live → _old) but before the second
+    spark.read.parquet(idx).dropDuplicates("vec_id")
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"${idx}_compacting")
+    Files.copy(Paths.get(idx, "_graft_ann_meta"),
+      Paths.get(s"${idx}_compacting", "_graft_ann_meta"))
+    fs.rename(new HPath(idx), new HPath(s"${idx}_old")) shouldBe true
+    // next read heals forward: same answers, duplicates physically gone
+    AnnIndex.topK(spark, idx, qs, k = 5).collect().toSet shouldBe before
+    spark.read.parquet(idx).groupBy("vec_id").count()
+      .filter(col("count") > 1).count() shouldBe 0L
+    fs.exists(new HPath(s"${idx}_old")) shouldBe false
+    fs.exists(new HPath(s"${idx}_compacting")) shouldBe false
+  }
+
+  test("delete crash mid-swap: manifest redo handles pending, swapped and emptied buckets") {
+    val dir = Files.createTempDirectory("graft-annrec").toString
+    val idx = s"$dir/idx"
+    AnnIndex.write(emb, planes = 4, path = idx)
+    val meta = AnnIndex.readMeta(idx)
+    val bucketed = emb.select(col("vec_id"),
+      concat(lit("b"),
+        Similarity.bucketKey(col("embedding"), 4, meta.dims)).as("bucket"))
+    val counts = bucketed.groupBy("bucket").count().collect()
+    counts.length should be >= 2
+    // victims: EVERY row of the smallest bucket (forces the emptied
+    // case) plus one row of the largest (the rewritten-in-place case)
+    val emptiedBucket = counts.minBy(_.getLong(1)).getString(0)
+    val keptBucket = counts.maxBy(_.getLong(1)).getString(0)
+    val victimIds = (bucketed.filter(col("bucket") === emptiedBucket) union
+      bucketed.filter(col("bucket") === keptBucket).limit(1))
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSeq
+    val victims = emb.filter(col("vec_id").isin(victimIds: _*))
+    val control = s"$dir/control"
+    AnnIndex.write(emb.filter(!col("vec_id").isin(victimIds: _*)),
+      planes = 4, path = control)
+    // stage the delete exactly as AnnIndex.delete stages it
+    val keyed = victims.select(col("vec_id"),
+      concat(lit("b"),
+        Similarity.bucketKey(col("embedding"), 4, meta.dims)).as("bucket"))
+    val affected = Seq(emptiedBucket, keptBucket)
+    val tmp = s"${idx}_deleting"
+    spark.read.option("basePath", idx)
+      .parquet(affected.map(b => s"$idx/bucket=$b"): _*)
+      .join(broadcast(keyed.select(col("vec_id"))), Seq("vec_id"),
+        "left_anti")
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+    val manifest = affected.map { b =>
+      val kept = fs.exists(new HPath(tmp, s"bucket=$b"))
+      s"$b,${if (kept) "kept" else "emptied"}"
+    }.mkString("\n")
+    Files.write(Paths.get(tmp, "_graft_affected"),
+      manifest.getBytes(StandardCharsets.UTF_8))
+    // crash at the WORST point of the swap loop: the kept bucket's live
+    // dir is already deleted, its staged replacement not yet renamed in
+    fs.delete(new HPath(idx, s"bucket=$keptBucket"), true) shouldBe true
+    // next read must finish the swap and answer as if the delete ran
+    AnnIndex.topK(spark, idx, qs, k = 5).collect().toSet shouldBe
+      AnnIndex.topK(spark, control, qs, k = 5).collect().toSet
+    fs.exists(new HPath(tmp)) shouldBe false
+    fs.exists(new HPath(idx, s"bucket=$emptiedBucket")) shouldBe false
+    fs.exists(new HPath(idx, s"bucket=$keptBucket")) shouldBe true
+  }
+
+  test("empty-probe fallback schema matches the normal path, vec_id type from meta") {
+    val dir = Files.createTempDirectory("graft-annrec").toString
+    val idx = s"$dir/idx"
+    AnnIndex.write(emb, planes = 4, path = idx)
+    AnnIndex.readMeta(idx).vecIdType shouldBe "bigint"
+    val normal = AnnIndex.topK(spark, idx, qs, k = 5)
+    // probe with a vector whose every bucket dir is missing: delete all
+    // bucket dirs, keep the meta — the fallback must still produce the
+    // normal schema (names AND types), not a hardcoded one
+    val fsys = fs
+    val st = fsys.listStatus(new HPath(idx))
+      .filter(s => s.getPath.getName.startsWith("bucket="))
+    st.foreach(s => fsys.delete(s.getPath, true))
+    val empty = AnnIndex.topK(spark, idx, qs, k = 5)
+    empty.count() shouldBe 0L
+    empty.schema.map(f => (f.name, f.dataType)) shouldBe
+      normal.schema.map(f => (f.name, f.dataType))
+  }
+}
