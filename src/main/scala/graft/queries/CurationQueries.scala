@@ -2153,17 +2153,30 @@ object CurationQueries {
     DedupIndex.probe(s, q207Table(s, dir), batch, "text", "doc_id",
       Bands, RowsPerBand, ShingleK)
   }
+  // keyed by (session, dir): the catalog entry lives in ONE session, so a
+  // cached name must never leak to a different session in the same JVM;
+  // the tableExists re-check rebuilds if the catalog entry is gone (e.g.
+  // the session was stopped and recreated with the same identity). The
+  // name is a hex SHA-1 prefix of dir — collision-resistant, always a
+  // valid identifier (dir.hashCode could collide across dirs, and
+  // math.abs(Int.MinValue) is negative).
   private val q207TableCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
   private def q207Table(s: SparkSession, dir: String): String =
-    q207TableCache.computeIfAbsent(dir, { _ =>
-      val table = s"graft_dedup_idx_${math.abs(dir.hashCode)}"
-      val path = java.nio.file.Files
-        .createTempDirectory("graft-dedupidx-q207").toString
-      val resident = Tables.documents(s, dir).filter(col("doc_id") % 10 =!= 0)
-      DedupIndex.write(resident, "text", "doc_id", Bands, RowsPerBand,
-        ShingleK, s"$path/idx", table)
-      table
+    q207TableCache.compute((s, dir), { (_, prev) =>
+      if (prev != null && s.catalog.tableExists(prev)) prev
+      else {
+        val digest = java.security.MessageDigest.getInstance("SHA-1")
+          .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          .map(b => f"$b%02x").mkString.take(16)
+        val table = s"graft_dedup_idx_$digest"
+        val path = java.nio.file.Files
+          .createTempDirectory("graft-dedupidx-q207").toString
+        val resident = Tables.documents(s, dir).filter(col("doc_id") % 10 =!= 0)
+        DedupIndex.write(resident, "text", "doc_id", Bands, RowsPerBand,
+          ShingleK, s"$path/idx", table)
+        table
+      }
     })
   private val q207Sql =
     s"""WITH $BandsCte,
@@ -2256,6 +2269,139 @@ object CurationQueries {
        |WHERE len(list_intersect(sa.toks, sb.toks))::DOUBLE /
        |      len(list_distinct(list_concat(sa.toks, sb.toks))) >= $JaccardThreshold""".stripMargin
 
+  // --------------------------------------------------------- q210
+  /** Cluster-consistent ("leakage-safe") train/val/test split: q171's
+    * hash split assigns DOCUMENTS independently, so a verified
+    * near-dup pair can straddle train and test — the classic
+    * eval-contamination bug (test answers memorized from their train
+    * twins). Here the split key is the TRANSITIVE near-dup cluster
+    * (q50's verified-LSH connected components; a doc in no pair is
+    * its own singleton cluster), so every near-dup group lands in one
+    * fold by construction. Output: the per-doc assignment
+    * (doc_id, cluster_id, split) a sharding job joins on. Scale
+    * shape: clustering is the q50 pipeline (band equi-join + CC
+    * contraction, keyed shuffles, bounded driver state); the fold is
+    * ONE hash expression over cluster_id — no shuffle beyond the
+    * cluster left-join. */
+  private def q210(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val bands = Dedup
+      .bandKeys(docs, "text", "doc_id", Bands, RowsPerBand, ShingleK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = Dedup
+      .jaccardVerify(Dedup.candidatePairs(bands), docs, "text", "doc_id",
+        JaccardThreshold)
+      .select(col("id_a"), col("id_b"))
+    val clusters = Dedup.connectedComponents(pairs)
+      .select(col("node").as("doc_id"), col("cluster").as("cluster_id"))
+    val assigned = docs.select(col("doc_id"))
+      .join(clusters, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+    val b = conv(substring(md5(col("cluster_id").cast("string")), 1, 6),
+      16, 10).cast("long") % 10
+    assigned.select(col("doc_id"), col("cluster_id"),
+      when(b <= 7, "train").when(b === 8, "val").otherwise("test")
+        .as("split"))
+  }
+  private val q210Sql =
+    s"""WITH RECURSIVE $BandsCte,
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+       |sets AS (SELECT doc_id, list_distinct($WsSplit) AS toks FROM documents),
+       |vpairs AS (
+       |  SELECT id_a, id_b
+       |  FROM pairs JOIN sets sa ON id_a = sa.doc_id JOIN sets sb ON id_b = sb.doc_id
+       |  WHERE len(list_intersect(sa.toks, sb.toks))::DOUBLE /
+       |        len(list_distinct(list_concat(sa.toks, sb.toks))) >= $JaccardThreshold),
+       |edges AS (SELECT id_a AS s, id_b AS d FROM vpairs
+       |          UNION ALL SELECT id_b, id_a FROM vpairs),
+       |reach AS (SELECT DISTINCT s AS node, s AS r FROM edges
+       |          UNION
+       |          SELECT e.s, r.r FROM edges e JOIN reach r ON r.node = e.d),
+       |clus AS (SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node),
+       |assigned AS (
+       |  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+       |  FROM documents d LEFT JOIN clus c USING (doc_id))
+       |SELECT doc_id, cluster_id,
+       |  CASE WHEN b <= 7 THEN 'train' WHEN b = 8 THEN 'val' ELSE 'test' END AS split
+       |FROM (SELECT doc_id, cluster_id,
+       |        ('0x' || substr(md5(cluster_id::VARCHAR), 1, 6))::BIGINT % 10 AS b
+       |      FROM assigned)""".stripMargin
+
+  // --------------------------------------------------------- q211
+  /** The persisted index's WHOLE maintenance life in one gate: write
+    * the even half, [[AnnIndex.append]] the odd half (delta bucketed
+    * with the index's persisted statistics), [[AnnIndex.delete]] the
+    * vec_id % 7 = 3 rows (manifest-staged partition-pruned rewrite),
+    * [[AnnIndex.compact]] back to one file per bucket (staged swap) —
+    * then answer the multi-probe query. The logical content after the
+    * cycle is exactly q208's (full corpus minus the deleted rows), so
+    * the oracle is q208's SQL verbatim: the gate proves no maintenance
+    * step changes a single answer — the operational license to run
+    * append/delete/compact continuously against a live store. Each
+    * step's crash states are separately pinned by
+    * AnnIndexRecoverySpec. */
+  private def q211(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val qs = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    AnnIndex.topK(s, q211Index(s, dir), qs, AnnK)
+  }
+  private val q211IndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def q211Index(s: SparkSession, dir: String): String =
+    q211IndexCache.computeIfAbsent(dir, { _ =>
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft-annidx-q211").toString
+      val emb = Tables.embeddings(s, dir)
+      AnnIndex.write(emb.filter(col("vec_id") % 2 === 0), LshPlanes,
+        s"$idxDir/idx")
+      AnnIndex.append(emb.filter(col("vec_id") % 2 =!= 0), s"$idxDir/idx")
+      AnnIndex.delete(s, emb.filter(col("vec_id") % 7 === 3)
+        .select(col("vec_id"), col("embedding")), s"$idxDir/idx")
+      AnnIndex.compact(s, s"$idxDir/idx")
+      s"$idxDir/idx"
+    })
+  private val q211Sql = q208Sql
+
+  // --------------------------------------------------------- q212
+  /** Incremental aggregate maintenance — the IVM shape for metric
+    * tables: the resident per-(user, event_type) aggregates (count +
+    * 1e-4-quantized value sum, the q120/q172 integer-sum discipline:
+    * exact and order-independent, so a 1000-executor merge reproduces
+    * the oracle bit-for-bit) are MERGED with a delta batch's
+    * aggregates by a keyed full-outer join — the base table is never
+    * re-aggregated. At 100 TB the resident aggregate is a small keyed
+    * table and each refresh costs ∝ delta + touched groups; the
+    * oracle recomputes from the full table, so the gate proves the
+    * algebraic property IVM rests on: merge(partial(base),
+    * partial(delta)) ≡ aggregate(base ∪ delta) for commutative
+    * monoids (count, quantized sum). */
+  private def q212(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    def partial(df: DataFrame) = df.groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 10000, 0).cast("long")).as("sv"))
+    val base = partial(ev.filter(col("event_id") % 10 =!= 0))
+      .select(col("user_id"), col("event_type"),
+        col("n").as("bn"), col("sv").as("bs"))
+    val delta = partial(ev.filter(col("event_id") % 10 === 0))
+      .select(col("user_id"), col("event_type"),
+        col("n").as("dn"), col("sv").as("ds"))
+    base.join(delta, Seq("user_id", "event_type"), "full_outer")
+      .select(col("user_id"), col("event_type"),
+        (coalesce(col("bn"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
+        round((coalesce(col("bs"), lit(0L)) + coalesce(col("ds"), lit(0L)))
+          .cast("double") / 10000, 4).as("sum_value"))
+  }
+  private val q212Sql =
+    """SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n,
+      |  round(SUM(CAST(round(value * 10000) AS BIGINT))::DOUBLE / 10000, 4) AS sum_value
+      |FROM events GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q168_kmv_distinct" -> q168 _,
     "q169_minhash_error" -> q169 _,
@@ -2298,7 +2444,10 @@ object CurationQueries {
     "q206_quantized_index" -> q206 _,
     "q207_incremental_band_probe" -> q207 _,
     "q208_ann_index_delete" -> q208 _,
-    "q209_incremental_neardup_decision" -> q209 _)
+    "q209_incremental_neardup_decision" -> q209 _,
+    "q210_leakage_safe_split" -> q210 _,
+    "q211_index_lifecycle" -> q211 _,
+    "q212_incremental_agg" -> q212 _)
 
   val oracleSql: Map[String, String] = Map(
     "q168_kmv_distinct" -> q168Sql,
@@ -2342,5 +2491,8 @@ object CurationQueries {
     "q206_quantized_index" -> q206Sql,
     "q207_incremental_band_probe" -> q207Sql,
     "q208_ann_index_delete" -> q208Sql,
-    "q209_incremental_neardup_decision" -> q209Sql)
+    "q209_incremental_neardup_decision" -> q209Sql,
+    "q210_leakage_safe_split" -> q210Sql,
+    "q211_index_lifecycle" -> q211Sql,
+    "q212_incremental_agg" -> q212Sql)
 }

@@ -401,6 +401,19 @@ class PlanGuardSpec extends SparkSpec {
     plan should include regex "(?i)join[^\\n]*bucket#\\d+"
   }
 
+  test("q212's IVM merge pre-aggregates both sides before one keyed full-outer join") {
+    // the algebra only scales if base and delta each reduce to partial
+    // aggregates BEFORE meeting: the join must be keyed on the group
+    // columns and see two HashAggregate inputs — a rewrite that joins
+    // raw events rows first re-aggregates the 100 TB base every refresh
+    val plan = SparkEntry.queries("q212_incremental_agg")(
+      spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+    plan should include("FullOuter")
+    plan should include regex "(?i)join[^\\n]*user_id#\\d+"
+    plan should not include "CartesianProduct"
+    "HashAggregate".r.findAllIn(plan).size should be >= 4 // partial+final x2
+  }
+
   test("q111's cap is one keyed exchange feeding a WindowGroupLimit") {
     val plan = SparkEntry.queries("q111_source_cap")(
       spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
