@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.ops.{AnnIndex, Dedup, DedupIndex, Layout, Similarity, TextAnalysis}
+import graft.ops.{AggState, AnnIndex, Dedup, DedupIndex, Layout, Similarity, TextAnalysis}
 import graft.queries.LlmQueries.{AnnK, Bands, BandsCte, BucketSql, CosSql,
   JaccardThreshold, LshPlanes, RowsPerBand, ShingleK, ShinglesSql, WsSplit}
 
@@ -2402,6 +2402,46 @@ object CurationQueries {
       |  round(SUM(CAST(round(value * 10000) AS BIGINT))::DOUBLE / 10000, 4) AS sum_value
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  // --------------------------------------------------------- q213
+  /** q212's algebra on its 100 TB LAYOUT: the base partials are
+    * PERSISTED once ([[AggState.write]] — partitioned by a user-range
+    * bucket, one file per bucket), and the refresh reads ONLY the
+    * partition directories the delta's buckets name, merging them
+    * with the delta's own partials ([[AggState.refresh]] — the
+    * AnnIndex/DedupIndex probe pattern applied to aggregation state).
+    * The oracle recomputes the delta's groups from the FULL raw
+    * table, so the gate proves the persisted/pruned layout changes
+    * nothing. Scale shape: a daily metric refresh costs the delta's
+    * aggregation plus |touched buckets| reads — never a base re-scan
+    * (ScaleSoak's ivm_refresh arm measures the contrast). */
+  private def q213(s: SparkSession, dir: String): DataFrame = {
+    val delta = Tables.events(s, dir).filter(col("event_id") % 10 === 0)
+    AggState.refresh(s, q213State(s, dir), delta,
+        Seq("user_id", "event_type"), "value", 10000, q213Bucket)
+      .select(col("user_id"), col("event_type"), col("n"),
+        round(col("sv").cast("double") / 10000, 4).as("sum_value"))
+  }
+  private def q213Bucket = floor(col("user_id") / 4).cast("long")
+  private val q213StateCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def q213State(s: SparkSession, dir: String): String =
+    q213StateCache.computeIfAbsent(dir, { _ =>
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-aggstate-q213").toString
+      AggState.write(Tables.events(s, dir)
+          .filter(col("event_id") % 10 =!= 0),
+        Seq("user_id", "event_type"), "value", 10000, q213Bucket,
+        s"$out/state")
+      s"$out/state"
+    })
+  private val q213Sql =
+    """WITH dp AS (SELECT DISTINCT user_id, event_type FROM events
+      |            WHERE event_id % 10 = 0)
+      |SELECT e.user_id, e.event_type, CAST(count(*) AS BIGINT) AS n,
+      |  round(SUM(CAST(round(value * 10000) AS BIGINT))::DOUBLE / 10000, 4) AS sum_value
+      |FROM events e JOIN dp USING (user_id, event_type)
+      |GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q168_kmv_distinct" -> q168 _,
     "q169_minhash_error" -> q169 _,
@@ -2447,7 +2487,8 @@ object CurationQueries {
     "q209_incremental_neardup_decision" -> q209 _,
     "q210_leakage_safe_split" -> q210 _,
     "q211_index_lifecycle" -> q211 _,
-    "q212_incremental_agg" -> q212 _)
+    "q212_incremental_agg" -> q212 _,
+    "q213_ivm_refresh" -> q213 _)
 
   val oracleSql: Map[String, String] = Map(
     "q168_kmv_distinct" -> q168Sql,
@@ -2494,5 +2535,6 @@ object CurationQueries {
     "q209_incremental_neardup_decision" -> q209Sql,
     "q210_leakage_safe_split" -> q210Sql,
     "q211_index_lifecycle" -> q211Sql,
-    "q212_incremental_agg" -> q212Sql)
+    "q212_incremental_agg" -> q212Sql,
+    "q213_ivm_refresh" -> q213Sql)
 }

@@ -1,0 +1,101 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Persisted partial-aggregate state (IVM layout): refresh must equal
+  * a full recompute for the delta's groups while touching only the
+  * delta's partition buckets; absorb must fold a delta in by
+  * rewriting ONLY touched partitions. */
+class AggStateSpec extends SparkSpec {
+
+  private val ev = graft.core.Tables
+    .events(spark, "/root/testdata/sf0.001")
+  private val groupCols = Seq("user_id", "event_type")
+  private def bucketOf = floor(col("user_id") / 4).cast("long")
+  private def fs = new HPath("/")
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def base = ev.filter(col("event_id") % 10 =!= 0)
+  private def delta = ev.filter(col("event_id") % 10 === 0)
+
+  /** Ground truth: aggregate base ∪ delta from scratch, restricted to
+    * the delta's groups. */
+  private def expectedRefreshed = {
+    val dg = delta.select(col("user_id"), col("event_type")).distinct()
+    AggState.partials(ev.join(dg, groupCols), groupCols, "value", 10000)
+  }
+
+  test("refresh equals a full recompute for exactly the delta's groups") {
+    val dir = Files.createTempDirectory("graft-aggstate").toString
+    AggState.write(base, groupCols, "value", 10000, bucketOf, s"$dir/state")
+    val got = AggState.refresh(spark, s"$dir/state", delta, groupCols,
+      "value", 10000, bucketOf).collect().toSet
+    got shouldBe expectedRefreshed.collect().toSet
+    got.size should be > 0
+  }
+
+  test("untouched buckets are never read: refresh survives their deletion") {
+    val dir = Files.createTempDirectory("graft-aggstate").toString
+    AggState.write(base, groupCols, "value", 10000, bucketOf, s"$dir/state")
+    // delta restricted to ONE bucket's user range; physically remove
+    // every other bucket dir — if refresh listed or scanned them it
+    // would now throw, and the answer must be unchanged
+    val d1 = delta.filter(col("user_id") < 4)
+    val dg = d1.select(col("user_id"), col("event_type")).distinct()
+    val expected = AggState
+      .partials(ev.join(dg, groupCols), groupCols, "value", 10000)
+      .collect().toSet
+    fs.listStatus(new HPath(s"$dir/state"))
+      .filter(s => s.getPath.getName.startsWith("pbucket=") &&
+        s.getPath.getName != "pbucket=0")
+      .foreach(s => fs.delete(s.getPath, true))
+    AggState.refresh(spark, s"$dir/state", d1, groupCols, "value", 10000,
+      bucketOf).collect().toSet shouldBe expected
+  }
+
+  test("absorb rewrites only touched partitions; untouched stay byte-identical") {
+    val dir = Files.createTempDirectory("graft-aggstate").toString
+    val path = s"$dir/state"
+    AggState.write(base, groupCols, "value", 10000, bucketOf, path)
+    val d1 = delta.filter(col("user_id") < 4) // bucket 0 only
+    def bucketBytes(b: String): Seq[(String, Long, Long)] =
+      fs.listStatus(new HPath(path, b)).toSeq
+        .map(s => (s.getPath.getName, s.getLen, s.getModificationTime))
+    val untouched = fs.listStatus(new HPath(path))
+      .map(_.getPath.getName)
+      .filter(n => n.startsWith("pbucket=") && n != "pbucket=0").toSeq
+    untouched.size should be > 0
+    val before = untouched.map(b => b -> bucketBytes(b)).toMap
+    AggState.absorb(spark, path, d1, groupCols, "value", 10000, bucketOf)
+    untouched.foreach { b =>
+      withClue(s"$b: ") { bucketBytes(b) shouldBe before(b) }
+    }
+    // the whole store now equals a from-scratch aggregation of base ∪ d1
+    val expected = AggState
+      .partials(base.unionByName(d1), groupCols, "value", 10000)
+      .collect().toSet
+    spark.read.parquet(path)
+      .select(col("user_id"), col("event_type"), col("n"), col("sv"))
+      .collect().toSet shouldBe expected
+  }
+
+  test("absorb creates partitions for buckets the store has never seen") {
+    val dir = Files.createTempDirectory("graft-aggstate").toString
+    val path = s"$dir/state"
+    AggState.write(base, groupCols, "value", 10000, bucketOf, path)
+    val movedUp = delta.withColumn("user_id", col("user_id") + 1000000L)
+    AggState.absorb(spark, path, movedUp, groupCols, "value", 10000,
+      bucketOf)
+    val expected = AggState
+      .partials(base.unionByName(movedUp), groupCols, "value", 10000)
+      .collect().toSet
+    spark.read.parquet(path)
+      .select(col("user_id"), col("event_type"), col("n"), col("sv"))
+      .collect().toSet shouldBe expected
+  }
+}
