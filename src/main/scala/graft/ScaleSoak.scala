@@ -154,7 +154,8 @@ object ScaleSoak {
     val ivmBucket = floor(col("user_id") / 4).cast("long")
     val ivmGroup = Seq("user_id", "event_type")
     val aggIdx: Map[Int, String] =
-      if (!armOn("ivm_refresh_scaled")) Map.empty
+      if (!armOn("ivm_refresh_scaled") && !armOn("ivm_absorb_scaled"))
+        Map.empty
       else dirs.map { case (n, d) =>
         val out = s"$workRoot/aggstate/x$n"
         val marker = Paths.get(s"$out/_AGG_OK")
@@ -166,6 +167,27 @@ object ScaleSoak {
           Files.write(marker, stamp.getBytes("UTF-8"))
         }
         n -> s"$out/state"
+      }
+
+    // ivm_absorb mutates its state store, so each timed run gets its
+    // own untimed copy (the annindex_delete discipline).
+    val aggCopies: Map[Int, scala.collection.mutable.Queue[String]] =
+      if (!armOn("ivm_absorb_scaled")) Map.empty
+      else {
+        val conf = spark.sparkContext.hadoopConfiguration
+        aggIdx.map { case (n, st) =>
+          val q = scala.collection.mutable.Queue[String]()
+          (1 to RUNS).foreach { r =>
+            val dst = Files.createTempDirectory(s"graft-soak-aggstate-x$n-$r")
+              .toString + "/state"
+            val fs = new org.apache.hadoop.fs.Path(st).getFileSystem(conf)
+            org.apache.hadoop.fs.FileUtil.copy(fs,
+              new org.apache.hadoop.fs.Path(st), fs,
+              new org.apache.hadoop.fs.Path(dst), false, conf)
+            q.enqueue(dst)
+          }
+          n -> q
+        }
       }
 
     // annindex_delete_scaled mutates its index, so each timed run gets
@@ -268,30 +290,34 @@ object ScaleSoak {
           AnnIndex.delete(s, victims, delCopies(n).dequeue())
           s.range(1).toDF("ok")
         }) :+
-        // ivm pair (round 13): a FIXED daily metric delta against a
-        // resident corpus growing with scale. Refresh arm: delta
-        // partials + merge against ONLY the delta's bucket dirs of the
-        // persisted state (fixed read set — should be flat). Recompute
-        // control: what the same answer costs without the persisted
-        // state — re-aggregate the raw resident table for the delta's
-        // groups (a full scan that tracks the corpus).
+        // ivm arms (round 13): a FIXED daily metric delta against a
+        // resident corpus growing with scale.
+        //  - ivm_refresh_scaled: the read side — delta partials merged
+        //    against ONLY the delta's bucket dirs of the persisted
+        //    state (fixed read set: should be flat).
+        //  - ivm_absorb_scaled vs ivm_rebuild_scaled: the maintenance
+        //    contrast — absorb rewrites the delta's touched partitions
+        //    only (fixed work), the rebuild control is what a
+        //    non-incremental pipeline runs daily: re-aggregate the
+        //    whole corpus and rewrite the whole partitioned state
+        //    (scan + bucket-file count both track the corpus).
         ("ivm_refresh_scaled" -> { (s: SparkSession, _: String, n: Int) =>
           val delta = Tables.events(s, base).filter(col("event_id") % 10 === 0)
           AggState.refresh(s, aggIdx(n), delta, ivmGroup, "value",
             10000, ivmBucket)
         }) :+
-        ("ivm_recompute_scaled" -> { (s: SparkSession, d: String, _: Int) =>
+        ("ivm_absorb_scaled" -> { (s: SparkSession, _: String, n: Int) =>
           val delta = Tables.events(s, base).filter(col("event_id") % 10 === 0)
-          val dg = delta.select(col("user_id"), col("event_type")).distinct()
-          val touched = AggState.partials(
-            Tables.events(s, d).join(dg, ivmGroup), ivmGroup, "value", 10000)
-            .select(col("user_id"), col("event_type"),
-              col("n").as("bn"), col("sv").as("bs"))
-          AggState.partials(delta, ivmGroup, "value", 10000)
-            .join(touched, ivmGroup, "left")
-            .select(col("user_id"), col("event_type"),
-              (coalesce(col("bn"), lit(0L)) + col("n")).as("n"),
-              (coalesce(col("bs"), lit(0L)) + col("sv")).as("sv"))
+          AggState.absorb(s, aggCopies(n).dequeue(), delta, ivmGroup,
+            "value", 10000, ivmBucket)
+          s.range(1).toDF("ok")
+        }) :+
+        ("ivm_rebuild_scaled" -> { (s: SparkSession, d: String, _: Int) =>
+          val out = Files.createTempDirectory("graft-soak-ivm-rebuild")
+            .toString + "/state"
+          AggState.write(Tables.events(s, d), ivmGroup, "value", 10000,
+            ivmBucket, out)
+          s.range(1).toDF("ok")
         }) :+
         ("bandprobe_scratch_scaled" -> { (s: SparkSession, d: String, _: Int) =>
           val batch = Tables.documents(s, base).filter(col("doc_id") % 10 === 0)

@@ -2442,6 +2442,36 @@ object CurationQueries {
       |FROM events e JOIN dp USING (user_id, event_type)
       |GROUP BY 1, 2""".stripMargin
 
+  // --------------------------------------------------------- q214
+  /** The WRITE side of AggState under the gate: build the state from
+    * the base, [[AggState.absorb]] the delta (touched partitions
+    * rewritten by dynamic overwrite, untouched ones never read), then
+    * emit the WHOLE store. The oracle is q212's full-recompute SQL
+    * verbatim — after an upsert refresh the persisted table must be
+    * indistinguishable from an aggregate over base ∪ delta, the same
+    * "persisted layout changes nothing" contract q211 pins for the
+    * ANN index's maintenance cycle. */
+  private def q214(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(q214State(s, dir))
+      .select(col("user_id"), col("event_type"), col("n"),
+        round(col("sv").cast("double") / 10000, 4).as("sum_value"))
+  private val q214StateCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def q214State(s: SparkSession, dir: String): String =
+    q214StateCache.computeIfAbsent(dir, { _ =>
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-aggstate-q214").toString
+      val ev = Tables.events(s, dir)
+      val grp = Seq("user_id", "event_type")
+      AggState.write(ev.filter(col("event_id") % 10 =!= 0), grp,
+        "value", 10000, q213Bucket, s"$out/state")
+      AggState.absorb(s, s"$out/state",
+        ev.filter(col("event_id") % 10 === 0), grp, "value", 10000,
+        q213Bucket)
+      s"$out/state"
+    })
+  private val q214Sql = q212Sql
+
   val queries: Map[String, Q] = Map(
     "q168_kmv_distinct" -> q168 _,
     "q169_minhash_error" -> q169 _,
@@ -2488,7 +2518,8 @@ object CurationQueries {
     "q210_leakage_safe_split" -> q210 _,
     "q211_index_lifecycle" -> q211 _,
     "q212_incremental_agg" -> q212 _,
-    "q213_ivm_refresh" -> q213 _)
+    "q213_ivm_refresh" -> q213 _,
+    "q214_ivm_absorb" -> q214 _)
 
   val oracleSql: Map[String, String] = Map(
     "q168_kmv_distinct" -> q168Sql,
@@ -2536,5 +2567,6 @@ object CurationQueries {
     "q210_leakage_safe_split" -> q210Sql,
     "q211_index_lifecycle" -> q211Sql,
     "q212_incremental_agg" -> q212Sql,
-    "q213_ivm_refresh" -> q213Sql)
+    "q213_ivm_refresh" -> q213Sql,
+    "q214_ivm_absorb" -> q214Sql)
 }
