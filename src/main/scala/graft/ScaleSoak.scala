@@ -159,7 +159,7 @@ object ScaleSoak {
       else dirs.map { case (n, d) =>
         val out = s"$workRoot/aggstate/x$n"
         val marker = Paths.get(s"$out/_AGG_OK")
-        val stamp = s"$d|synth=$SynthVersion|agg=1"
+        val stamp = s"$d|synth=$SynthVersion|agg=2"
         if (!(Files.exists(marker) &&
             new String(Files.readAllBytes(marker), "UTF-8") == stamp)) {
           AggState.write(Tables.events(spark, d), ivmGroup, "value",

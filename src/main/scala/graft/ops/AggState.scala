@@ -29,22 +29,36 @@ import org.apache.spark.sql.functions._
   *    are not listed, opened, or scanned.
   *  - [[absorb]] folds a delta into the store by rewriting ONLY its
   *    touched partitions (dynamic partition overwrite): the rewritten
-  *    content is the touched buckets' full-outer merge, untouched
-  *    partitions stay byte-identical (AggStateSpec pins this). Crash
-  *    shape: dynamic overwrite stages to a Spark staging dir and
-  *    commits per partition — a crash before commit leaves the old
-  *    partition content readable; unlike [[AnnIndex.delete]] no
-  *    cross-partition manifest is needed because absorb is a pure
-  *    UPSERT (re-running it with the same delta converges: n/sv are
-  *    recomputed from resident-at-read + delta, not incremented
-  *    blindly — but see the at-most-once note on [[absorb]]).
+  *    content is the touched buckets' full-outer merge — consolidated
+  *    to one row per group — and untouched partitions stay
+  *    byte-identical (AggStateSpec pins this). AT-MOST-ONCE per
+  *    delta: absorb folds counts in destructively, so replaying the
+  *    same delta double-counts. Use the epoch-layered path below when
+  *    the producer is at-least-once.
+  *
+  * ==Layered epochs: exactly-once effect under at-least-once delivery==
+  * Stored rows carry an `epoch` column (−1 for the base generation and
+  * for absorb/compact output). [[appendDelta]] APPENDS one partial row
+  * per (group, epoch) for a delta batch — resident files untouched,
+  * the [[AnnIndex.append]] shape — and every read path first drops
+  * duplicate (group cols, epoch) rows before summing layers. Partials
+  * are a deterministic function of the batch, so a REDELIVERED epoch
+  * writes byte-identical rows that the dedupe collapses: replay
+  * degrades read cost, never answers (the [[AnnIndex.topK]]
+  * redelivery argument, transplanted to aggregation). That makes
+  * [[absorbStream]] — a checkpointed foreachBatch that appendDeltas
+  * each micro-batch under its epoch id — effectively exactly-once
+  * without a transaction log, under one contract: epoch ids are
+  * assigned by ONE producer per store (Structured Streaming's batch
+  * ids qualify; two different deltas reusing an id would wrongly
+  * dedupe). [[compactState]] folds the layers back to one row per
+  * group when the per-read layer sum grows past taste.
   *
   * At 100 TB: the raw fact table is enormous, the partials table is
   * |distinct groups| rows, and a daily refresh touches |delta groups|
   * of them. The recompute alternative re-scans every fact row for the
-  * touched groups — a full scan unless facts are themselves
-  * group-partitioned. ScaleSoak's `ivm_refresh_scaled` arm measures
-  * the contrast.
+  * touched groups; the rebuild alternative re-aggregates and rewrites
+  * everything. ScaleSoak's ivm arms measure both contrasts.
   */
 object AggState {
 
@@ -59,13 +73,14 @@ object AggState {
 
   /** Aggregate `base` once and persist the partials at `path`,
     * partitioned by `bucketOf` (an expression over the group columns —
-    * the SAME expression must be passed to [[refresh]]/[[absorb]];
-    * choose it so a typical delta's groups land in few buckets, e.g.
-    * a key-range floor for range-affine deltas or a hash mod for
-    * uniformly spread ones). Each bucket is co-located to one file. */
+    * the SAME expression must be passed to every later call; choose it
+    * so a typical delta's groups land in few buckets, e.g. a key-range
+    * floor for range-affine deltas or a hash mod for uniformly spread
+    * ones). Each bucket is co-located to one file. */
   def write(base: DataFrame, groupCols: Seq[String], valueCol: String,
       quantScale: Int, bucketOf: Column, path: String): Unit =
     partials(base, groupCols, valueCol, quantScale)
+      .withColumn("epoch", lit(-1L))
       .withColumn("pbucket", bucketOf)
       .repartition(col("pbucket"))
       .write.mode("overwrite").partitionBy("pbucket").parquet(path)
@@ -90,7 +105,8 @@ object AggState {
       return d.select(groupCols.map(col) :+ col("dn").as("n") :+
         col("ds").as("sv"): _*)
     }
-    val resident = spark.read.option("basePath", path).parquet(dirs: _*)
+    val resident = residentAgg(
+      spark.read.option("basePath", path).parquet(dirs: _*), groupCols)
       .select(groupCols.map(col) :+ col("n").as("bn") :+
         col("sv").as("bs"): _*)
     d.join(resident, groupCols, "left")
@@ -100,14 +116,12 @@ object AggState {
   }
 
   /** Fold the delta INTO the store: touched partitions are rewritten
-    * with their full-outer merge (resident groups the delta missed
-    * survive untouched inside the rewritten bucket), untouched
-    * partitions are never read or written (dynamic partition
-    * overwrite). AT-MOST-ONCE per delta: absorb folds the delta's
-    * counts into the stored n/sv, so replaying the same delta
-    * double-counts — drive it from an exactly-once batch boundary
-    * (e.g. a checkpointed foreachBatch epoch id gating, the
-    * [[AnnIndex.appendStream]] discussion) or dedupe upstream. */
+    * with their full-outer merge — layered epochs consolidated to one
+    * row per group on the way — while resident groups the delta missed
+    * survive inside the rewritten bucket and untouched partitions are
+    * never read or written (dynamic partition overwrite). AT-MOST-ONCE
+    * per delta (see the object doc); for at-least-once producers use
+    * [[appendDelta]]/[[absorbStream]]. */
   def absorb(spark: SparkSession, path: String, delta: DataFrame,
       groupCols: Seq[String], valueCol: String, quantScale: Int,
       bucketOf: Column): Unit = {
@@ -119,10 +133,12 @@ object AggState {
     val merged =
       if (dirs.isEmpty)
         d.select(groupCols.map(col) :+ col("dn").as("n") :+
-          col("ds").as("sv") :+ col("pbucket"): _*)
+          col("ds").as("sv") :+ lit(-1L).as("epoch") :+
+          col("pbucket"): _*)
       else {
-        val resident = spark.read.option("basePath", path)
-          .parquet(dirs: _*)
+        val resident = residentAgg(
+          spark.read.option("basePath", path).parquet(dirs: _*),
+          groupCols :+ "pbucket")
           .select(groupCols.map(col) :+ col("n").as("bn") :+
             col("sv").as("bs") :+ col("pbucket"): _*)
         // full outer: resident-only groups keep their bucket; the
@@ -135,12 +151,85 @@ object AggState {
               .as("n") :+
             (coalesce(col("bs"), lit(0L)) + coalesce(col("ds"), lit(0L)))
               .as("sv") :+
+            lit(-1L).as("epoch") :+
             coalesce(d("pbucket"), resident("pbucket")).as("pbucket"): _*)
       }
     merged.repartition(col("pbucket"))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("pbucket").parquet(path)
+  }
+
+  /** Append one LAYER of partials for a delta batch under `epochId`
+    * (≥ 0; −1 is the consolidated generation): resident files are
+    * never read or rewritten — the cheapest possible maintenance
+    * write, and the idempotent one: redelivering the same (batch,
+    * epochId) writes byte-identical rows that every read path's
+    * (group, epoch) dedupe collapses. One producer per store assigns
+    * epoch ids (see the object doc). */
+  def appendDelta(path: String, delta: DataFrame, epochId: Long,
+      groupCols: Seq[String], valueCol: String, quantScale: Int,
+      bucketOf: Column): Unit = {
+    require(epochId >= 0, s"epochId must be >= 0, got $epochId")
+    partials(delta, groupCols, valueCol, quantScale)
+      .withColumn("epoch", lit(epochId))
+      .withColumn("pbucket", bucketOf)
+      .repartition(col("pbucket"))
+      .write.mode("append").partitionBy("pbucket").parquet(path)
+  }
+
+  /** The current logical table: every layer summed, replayed epochs
+    * collapsed first. Full-store read — the VIEW over the state, not
+    * the probe path (that is [[refresh]]). */
+  def merged(spark: SparkSession, path: String,
+      groupCols: Seq[String]): DataFrame =
+    residentAgg(spark.read.parquet(path), groupCols)
+
+  /** Fold all layers back to one row per group, bucket by bucket (the
+    * [[AnnIndex.compact]] moment: after many appendDelta epochs the
+    * read cost shifts from rows to layer count). Rewrites every
+    * partition present in the store via dynamic overwrite. */
+  def compactState(spark: SparkSession, path: String,
+      groupCols: Seq[String]): Unit =
+    residentAgg(spark.read.parquet(path), groupCols :+ "pbucket")
+      .withColumn("epoch", lit(-1L))
+      .repartition(col("pbucket"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("pbucket").parquet(path)
+
+  /** Maintain the state from a STREAM of fact rows: each micro-batch
+    * becomes one [[appendDelta]] layer under Structured Streaming's
+    * epoch id. A crash between the parquet append and the checkpoint
+    * commit replays the batch under the SAME epoch id — the layered
+    * dedupe makes the replay invisible to every read (AggStateSpec
+    * pins it), so the maintained aggregates are effectively
+    * exactly-once without a transaction log. */
+  def absorbStream(stream: DataFrame, path: String, checkpoint: String,
+      groupCols: Seq[String], valueCol: String, quantScale: Int,
+      bucketOf: Column): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        appendDelta(path, batch, epochId, groupCols, valueCol,
+          quantScale, bucketOf)
+      }
+      .start()
+
+  /** Layer-collapse then sum: the one read discipline every path
+    * shares. dropDuplicates on (group cols, epoch) erases redelivered
+    * epochs (their rows are deterministic replays); the groupBy sums
+    * the surviving layers. `keyCols` may include `pbucket` when the
+    * caller needs the partition key preserved (it is functionally
+    * dependent on the leading group column). */
+  private def residentAgg(rows: DataFrame,
+      keyCols: Seq[String]): DataFrame = {
+    val dedupeKey = (keyCols.filterNot(_ == "pbucket") :+ "epoch")
+      .distinct
+    rows.dropDuplicates(dedupeKey)
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum(col("n")).as("n"), sum(col("sv")).as("sv"))
   }
 
   /** The delta's distinct bucket directories that exist in the store —

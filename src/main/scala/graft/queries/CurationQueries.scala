@@ -2472,6 +2472,45 @@ object CurationQueries {
     })
   private val q214Sql = q212Sql
 
+  // --------------------------------------------------------- q215
+  /** The LAYERED write path under the gate, redelivery included: build
+    * the state from the base, [[AggState.appendDelta]] half the delta
+    * as epoch 0, append epoch 0 AGAIN (the at-least-once crash-replay,
+    * byte-identical rows), append the other half as epoch 1, then read
+    * through [[AggState.merged]] — whose (group, epoch) collapse must
+    * make the replay invisible. The oracle is q212's full-recompute
+    * SQL verbatim: if the dedupe ever under- or over-collapses, the
+    * hash mismatches. This is the exactly-once-effect contract
+    * [[AggState.absorbStream]] rides (AggStateSpec pins the streaming
+    * path itself). */
+  private def q215(s: SparkSession, dir: String): DataFrame =
+    AggState.merged(s, q215State(s, dir), Seq("user_id", "event_type"))
+      .select(col("user_id"), col("event_type"), col("n"),
+        round(col("sv").cast("double") / 10000, 4).as("sum_value"))
+  private val q215StateCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def q215State(s: SparkSession, dir: String): String =
+    q215StateCache.computeIfAbsent(dir, { _ =>
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-aggstate-q215").toString
+      val ev = Tables.events(s, dir)
+      val grp = Seq("user_id", "event_type")
+      val delta = ev.filter(col("event_id") % 10 === 0)
+      AggState.write(ev.filter(col("event_id") % 10 =!= 0), grp,
+        "value", 10000, q213Bucket, s"$out/state")
+      val e0 = delta.filter(col("event_id") % 20 === 0)
+      val e1 = delta.filter(col("event_id") % 20 =!= 0)
+      AggState.appendDelta(s"$out/state", e0, 0L, grp, "value", 10000,
+        q213Bucket)
+      // crash replay: the SAME batch under the SAME epoch id
+      AggState.appendDelta(s"$out/state", e0, 0L, grp, "value", 10000,
+        q213Bucket)
+      AggState.appendDelta(s"$out/state", e1, 1L, grp, "value", 10000,
+        q213Bucket)
+      s"$out/state"
+    })
+  private val q215Sql = q212Sql
+
   val queries: Map[String, Q] = Map(
     "q168_kmv_distinct" -> q168 _,
     "q169_minhash_error" -> q169 _,
@@ -2519,7 +2558,8 @@ object CurationQueries {
     "q211_index_lifecycle" -> q211 _,
     "q212_incremental_agg" -> q212 _,
     "q213_ivm_refresh" -> q213 _,
-    "q214_ivm_absorb" -> q214 _)
+    "q214_ivm_absorb" -> q214 _,
+    "q215_ivm_layered" -> q215 _)
 
   val oracleSql: Map[String, String] = Map(
     "q168_kmv_distinct" -> q168Sql,
@@ -2568,5 +2608,6 @@ object CurationQueries {
     "q211_index_lifecycle" -> q211Sql,
     "q212_incremental_agg" -> q212Sql,
     "q213_ivm_refresh" -> q213Sql,
-    "q214_ivm_absorb" -> q214Sql)
+    "q214_ivm_absorb" -> q214Sql,
+    "q215_ivm_layered" -> q215Sql)
 }

@@ -84,6 +84,68 @@ class AggStateSpec extends SparkSpec {
       .collect().toSet shouldBe expected
   }
 
+  test("layered epochs: appendDelta + merged equals full recompute; replay is invisible") {
+    val dir = Files.createTempDirectory("graft-aggstate").toString
+    val path = s"$dir/state"
+    AggState.write(base, groupCols, "value", 10000, bucketOf, path)
+    val (d0, d1) = (delta.filter(col("event_id") % 2 === 0),
+      delta.filter(col("event_id") % 2 =!= 0))
+    AggState.appendDelta(path, d0, 0L, groupCols, "value", 10000, bucketOf)
+    AggState.appendDelta(path, d1, 1L, groupCols, "value", 10000, bucketOf)
+    val expected = AggState.partials(ev, groupCols, "value", 10000)
+      .collect().toSet
+    AggState.merged(spark, path, groupCols).collect().toSet shouldBe expected
+    // at-least-once redelivery: epoch 1 lands AGAIN (crash between
+    // parquet append and checkpoint commit) — rows duplicate on disk,
+    // every read collapses them
+    AggState.appendDelta(path, d1, 1L, groupCols, "value", 10000, bucketOf)
+    AggState.merged(spark, path, groupCols).collect().toSet shouldBe expected
+    // refresh over the layered store agrees too
+    val d2 = delta.filter(col("user_id") < 4)
+    val dg = d2.select(col("user_id"), col("event_type")).distinct()
+    val expRefresh = AggState
+      .partials(ev.join(dg, groupCols), groupCols, "value", 10000)
+      .join(AggState.partials(d2, groupCols, "value", 10000)
+        .select(col("user_id"), col("event_type"), col("n").as("an"),
+          col("sv").as("as_")), groupCols)
+      .select(col("user_id"), col("event_type"),
+        (col("n") + col("an")).as("n"), (col("sv") + col("as_")).as("sv"))
+      .collect().toSet
+    AggState.refresh(spark, path, d2, groupCols, "value", 10000, bucketOf)
+      .collect().toSet shouldBe expRefresh
+    // compact folds the layers: one row per group, answers unchanged
+    AggState.compactState(spark, path, groupCols)
+    spark.read.parquet(path)
+      .groupBy(groupCols.map(col): _*).count()
+      .filter(col("count") > 1).count() shouldBe 0L
+    AggState.merged(spark, path, groupCols).collect().toSet shouldBe expected
+  }
+
+  test("absorbStream converges exactly-once: a drained stream equals full recompute") {
+    import org.apache.spark.sql.{Encoder, Encoders}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = Files.createTempDirectory("graft-aggstate").toString
+    val path = s"$dir/state"
+    AggState.write(base, groupCols, "value", 10000, bucketOf, path)
+    val rows = delta.select(col("user_id"), col("event_type"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    implicit val enc: Encoder[(Long, String, Double)] =
+      Encoders.product[(Long, String, Double)]
+    val stream = MemoryStream[(Long, String, Double)](enc, spark)
+    val query = AggState.absorbStream(
+      stream.toDF().toDF("user_id", "event_type", "value"),
+      path, s"$dir/ckpt", groupCols, "value", 10000, bucketOf)
+    try {
+      val (h1, h2) = rows.splitAt(rows.length / 2)
+      stream.addData(h1.toSeq)
+      query.processAllAvailable()
+      stream.addData(h2.toSeq)
+      query.processAllAvailable()
+    } finally query.stop()
+    AggState.merged(spark, path, groupCols).collect().toSet shouldBe
+      AggState.partials(ev, groupCols, "value", 10000).collect().toSet
+  }
+
   test("absorb creates partitions for buckets the store has never seen") {
     val dir = Files.createTempDirectory("graft-aggstate").toString
     val path = s"$dir/state"
