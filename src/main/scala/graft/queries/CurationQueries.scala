@@ -2511,6 +2511,51 @@ object CurationQueries {
     })
   private val q215Sql = q212Sql
 
+  // --------------------------------------------------------- q216
+  /** The band index's GROWTH path under the gate (q211's lifecycle
+    * argument, for [[DedupIndex]]): build the index on the resident
+    * corpus (doc_id % 10 ∉ {0, 5}), [[DedupIndex.absorb]] day 1's
+    * batch (% 10 = 0 — band keys appended into the same bucketed
+    * layout, resident files untouched), then probe day 2's batch
+    * (% 10 = 5) against the GROWN index. The oracle recomputes day 2's
+    * candidates against resident ∪ day 1 from scratch, so the gate
+    * proves absorbed batches are indistinguishable from
+    * originally-resident ones — the contract that lets the daily
+    * probe → verify → absorb cycle run forever without rebuilding. */
+  private def q216(s: SparkSession, dir: String): DataFrame = {
+    val day2 = Tables.documents(s, dir).filter(col("doc_id") % 10 === 5)
+    DedupIndex.probe(s, q216Table(s, dir), day2, "text", "doc_id",
+      Bands, RowsPerBand, ShingleK)
+  }
+  private val q216TableCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+  private def q216Table(s: SparkSession, dir: String): String =
+    q216TableCache.compute((s, dir), { (_, prev) =>
+      if (prev != null && s.catalog.tableExists(prev)) prev
+      else {
+        val digest = java.security.MessageDigest.getInstance("SHA-1")
+          .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          .map(b => f"$b%02x").mkString.take(16)
+        val table = s"graft_dedup_abs_$digest"
+        val path = java.nio.file.Files
+          .createTempDirectory("graft-dedupidx-q216").toString
+        val docs = Tables.documents(s, dir)
+        DedupIndex.write(docs.filter(col("doc_id") % 10 =!= 0 &&
+            col("doc_id") % 10 =!= 5), "text", "doc_id",
+          Bands, RowsPerBand, ShingleK, s"$path/idx", table)
+        DedupIndex.absorb(docs.filter(col("doc_id") % 10 === 0),
+          "text", "doc_id", Bands, RowsPerBand, ShingleK,
+          s"$path/idx", table)
+        table
+      }
+    })
+  private val q216Sql =
+    s"""WITH $BandsCte,
+       |newb AS (SELECT doc_id, band, band_key FROM bands WHERE doc_id % 10 = 5),
+       |resb AS (SELECT doc_id, band, band_key FROM bands WHERE doc_id % 10 <> 5)
+       |SELECT DISTINCT n.doc_id AS new_id, r.doc_id AS resident_id
+       |FROM newb n JOIN resb r USING (band, band_key)""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q168_kmv_distinct" -> q168 _,
     "q169_minhash_error" -> q169 _,
@@ -2559,7 +2604,8 @@ object CurationQueries {
     "q212_incremental_agg" -> q212 _,
     "q213_ivm_refresh" -> q213 _,
     "q214_ivm_absorb" -> q214 _,
-    "q215_ivm_layered" -> q215 _)
+    "q215_ivm_layered" -> q215 _,
+    "q216_band_index_absorb" -> q216 _)
 
   val oracleSql: Map[String, String] = Map(
     "q168_kmv_distinct" -> q168Sql,
@@ -2609,5 +2655,6 @@ object CurationQueries {
     "q212_incremental_agg" -> q212Sql,
     "q213_ivm_refresh" -> q213Sql,
     "q214_ivm_absorb" -> q214Sql,
-    "q215_ivm_layered" -> q215Sql)
+    "q215_ivm_layered" -> q215Sql,
+    "q216_band_index_absorb" -> q216Sql)
 }
