@@ -64,6 +64,57 @@ object DedupIndex {
       .option("path", path).saveAsTable(table)
   }
 
+  /** Rewrite the bucketed table so each bucket is ONE sorted file
+    * again: a bucketed write does NOT coalesce per-bucket output (each
+    * task emits its own file per bucket it holds), and every [[absorb]]
+    * adds another generation of files — after many days the probe's
+    * cost shifts from rows to file-open overhead (the
+    * [[AnnIndex.compact]] moment). The rows are rewritten
+    * `repartition(buckets, bk)` — the same murmur3 hash bucketing
+    * uses — so each task holds exactly one bucket and emits exactly
+    * one file. The rewrite stages to a sibling generation directory
+    * under a temporary catalog name, then swaps with DROP + ALTER
+    * RENAME and deletes the old generation; the location alternates
+    * between `_genA`/`_genB` suffixes, so the caller addresses the
+    * index by TABLE name only (as [[probe]] does). Crash honesty: the
+    * catalog is session-scoped and the index is rebuildable from the
+    * corpus, so a crash mid-swap costs a rebuild, never data — the
+    * full swap protocol [[AnnIndex.recover]] implements is not needed
+    * here and deliberately not duplicated. */
+  def compact(spark: SparkSession, table: String,
+      buckets: Int = 32): Unit = {
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val oldLoc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.getTableMetadata(ident).location)
+    val newName =
+      if (oldLoc.getName.endsWith("_genA"))
+        oldLoc.getName.stripSuffix("_genA") + "_genB"
+      else if (oldLoc.getName.endsWith("_genB"))
+        oldLoc.getName.stripSuffix("_genB") + "_genA"
+      else oldLoc.getName + "_genA"
+    val newLoc = new org.apache.hadoop.fs.Path(oldLoc.getParent, newName)
+    val tmpTable = table + "_compacting"
+    spark.sql(s"DROP TABLE IF EXISTS $tmpTable")
+    // read the FILES, not the table: a table read advertises its
+    // bucketing, so Catalyst deems HashPartitioning(bk, buckets)
+    // already satisfied and ELIDES the repartition — while the actual
+    // scan may coalesce mixed-bucket file splits (auto-bucketed-scan
+    // is per-query), leaving every writer task holding every bucket
+    // and emitting tasks×buckets files. The raw-parquet read forces a
+    // real shuffle whose partition index IS the writer's bucket id
+    // (both are pmod(murmur3(bk), buckets)), so each task holds
+    // exactly one bucket and emits exactly one file.
+    spark.read.parquet(oldLoc.toString)
+      .repartition(buckets, col("bk"))
+      .write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, "bk").sortBy("bk")
+      .option("path", newLoc.toString).saveAsTable(tmpTable)
+    spark.sql(s"DROP TABLE $table")
+    spark.sql(s"ALTER TABLE $tmpTable RENAME TO $table")
+    val fs = oldLoc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(oldLoc, true)
+  }
+
   /** Candidate near-dup pairs between a probe `batch` and the resident
     * index: (new_id, resident_id), distinct, any shared band. Only the
     * batch's band keys are computed and shuffled; the resident table

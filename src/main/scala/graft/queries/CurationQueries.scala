@@ -2556,6 +2556,43 @@ object CurationQueries {
        |SELECT DISTINCT n.doc_id AS new_id, r.doc_id AS resident_id
        |FROM newb n JOIN resb r USING (band, band_key)""".stripMargin
 
+  // --------------------------------------------------------- q217
+  /** q216 with [[DedupIndex.compact]] in the loop: write resident,
+    * absorb day 1, COMPACT (every bucket back to one sorted file, the
+    * generation-swap rewrite), then probe day 2 against the compacted
+    * index. Oracle identical to q216 — compaction is pure physical
+    * maintenance and must change nothing; the gate is what licenses
+    * running it on a schedule between daily absorbs. */
+  private def q217(s: SparkSession, dir: String): DataFrame = {
+    val day2 = Tables.documents(s, dir).filter(col("doc_id") % 10 === 5)
+    DedupIndex.probe(s, q217Table(s, dir), day2, "text", "doc_id",
+      Bands, RowsPerBand, ShingleK)
+  }
+  private val q217TableCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+  private def q217Table(s: SparkSession, dir: String): String =
+    q217TableCache.compute((s, dir), { (_, prev) =>
+      if (prev != null && s.catalog.tableExists(prev)) prev
+      else {
+        val digest = java.security.MessageDigest.getInstance("SHA-1")
+          .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          .map(b => f"$b%02x").mkString.take(16)
+        val table = s"graft_dedup_cpt_$digest"
+        val path = java.nio.file.Files
+          .createTempDirectory("graft-dedupidx-q217").toString
+        val docs = Tables.documents(s, dir)
+        DedupIndex.write(docs.filter(col("doc_id") % 10 =!= 0 &&
+            col("doc_id") % 10 =!= 5), "text", "doc_id",
+          Bands, RowsPerBand, ShingleK, s"$path/idx", table)
+        DedupIndex.absorb(docs.filter(col("doc_id") % 10 === 0),
+          "text", "doc_id", Bands, RowsPerBand, ShingleK,
+          s"$path/idx", table)
+        DedupIndex.compact(s, table)
+        table
+      }
+    })
+  private val q217Sql = q216Sql
+
   val queries: Map[String, Q] = Map(
     "q168_kmv_distinct" -> q168 _,
     "q169_minhash_error" -> q169 _,
@@ -2605,7 +2642,8 @@ object CurationQueries {
     "q213_ivm_refresh" -> q213 _,
     "q214_ivm_absorb" -> q214 _,
     "q215_ivm_layered" -> q215 _,
-    "q216_band_index_absorb" -> q216 _)
+    "q216_band_index_absorb" -> q216 _,
+    "q217_band_index_compact" -> q217 _)
 
   val oracleSql: Map[String, String] = Map(
     "q168_kmv_distinct" -> q168Sql,
@@ -2656,5 +2694,6 @@ object CurationQueries {
     "q213_ivm_refresh" -> q213Sql,
     "q214_ivm_absorb" -> q214Sql,
     "q215_ivm_layered" -> q215Sql,
-    "q216_band_index_absorb" -> q216Sql)
+    "q216_band_index_absorb" -> q216Sql,
+    "q217_band_index_compact" -> q217Sql)
 }

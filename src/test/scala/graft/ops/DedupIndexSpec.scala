@@ -63,6 +63,53 @@ class DedupIndexSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS didx_abs")
   }
 
+  test("compact: one file per bucket, answers and bucketed plan unchanged") {
+    val path = Files.createTempDirectory("graft-dedupidx").toString
+    val day1 = docs.filter(col("doc_id") % 10 === 0)
+    val day2 = docs.filter(col("doc_id") % 10 === 1)
+    val resident0 = docs
+      .filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 10 =!= 1)
+    DedupIndex.write(resident0, "text", "doc_id", 4, 4, 3,
+      s"$path/idx", "didx_cpt", buckets = 8)
+    try {
+      // two absorbs = up to two extra file generations per bucket
+      DedupIndex.absorb(day1.filter(col("doc_id") % 20 === 0), "text",
+        "doc_id", 4, 4, 3, s"$path/idx", "didx_cpt", buckets = 8)
+      DedupIndex.absorb(day1.filter(col("doc_id") % 20 =!= 0), "text",
+        "doc_id", 4, 4, 3, s"$path/idx", "didx_cpt", buckets = 8)
+      def loc = new org.apache.hadoop.fs.Path(spark.sessionState.catalog
+        .getTableMetadata(
+          spark.sessionState.sqlParser.parseTableIdentifier("didx_cpt"))
+        .location)
+      def fileCount = loc.getFileSystem(spark.sparkContext
+          .hadoopConfiguration)
+        .listStatus(loc).count(_.getPath.getName.startsWith("part-"))
+      val before = DedupIndex
+        .probe(spark, "didx_cpt", day2, "text", "doc_id", 4, 4, 3)
+        .collect().toSet
+      val filesBefore = fileCount
+      DedupIndex.compact(spark, "didx_cpt", buckets = 8)
+      fileCount should be <= 8      // one file per bucket
+      fileCount should be < filesBefore
+      DedupIndex.probe(spark, "didx_cpt", day2, "text", "doc_id", 4, 4, 3)
+        .collect().toSet shouldBe before
+      // the compacted table still joins from its buckets: no resident
+      // re-shuffle crept in through the rewrite
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val plan = DedupIndex
+          .probe(spark, "didx_cpt", day2, "text", "doc_id", 4, 4, 3)
+          .queryExecution.executedPlan.toString
+        plan should include("Bucketed: true")
+        withClue(plan) {
+          "Exchange hashpartitioning".r.findAllIn(plan).size shouldBe 2
+        }
+      } finally
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    } finally spark.sql("DROP TABLE IF EXISTS didx_cpt")
+  }
+
   test("resident side joins from its buckets with ZERO exchange") {
     buildIndex("didx_plan")
     // force SMJ: a broadcast of the batch would hide the resident
