@@ -4,7 +4,7 @@ import java.nio.charset.StandardCharsets
 
 import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DataType
@@ -83,7 +83,15 @@ object AnnIndex {
 
   final case class Meta(planes: Int, dims: Int, centered: Boolean,
       mu: Seq[Double], quantized: Boolean = false,
-      vecIdType: String = "bigint")
+      vecIdType: String = "bigint",
+      bands: Int = 0, planesPerBand: Int = 0,
+      centIds: Seq[Long] = Seq.empty,
+      centroids: Seq[Seq[Double]] = Seq.empty) {
+    /** bands > 0 marks a [[writeBanded]] layout. */
+    def banded: Boolean = bands > 0
+    /** A persisted coarse quantizer marks a [[writeIvf]] layout. */
+    def ivf: Boolean = centIds.nonEmpty
+  }
 
   // ------------------------------------------------------------------
   // Hadoop-FS plumbing: ALL small-file IO rides the same FileSystem as
@@ -164,6 +172,231 @@ object AnnIndex {
       s"quantized=$quantized\nmu=$muStr\nvecIdType=$vecIdType\n"
     writeString(fsFor(path, corpus.sparkSession),
       new HPath(path, MetaFile), body)
+  }
+
+  /** Banded (OR-construction) persisted index: `bands` independent
+    * hash tables of `planesPerBand` planes each — the recall ladder's
+    * best rung (q202: banded recovers neighbors a single 9-bit bucket
+    * or its 1-bit flips miss, at a measured candidate-volume price).
+    * Each corpus vector is stored ONCE PER BAND under two-level
+    * partitioning `band=<b>/bucket=<key>` — the ×bands storage is the
+    * classical banded-LSH tradeoff, bought deliberately for recall;
+    * quantized layouts (q206) cut it back 4-8× if taken. Probe reads
+    * are handed exactly Q·bands (band, bucket) directories, so the
+    * per-query IO is bands·targetBucketSize rows regardless of corpus
+    * size — the same pruning contract as [[topK]], one directory per
+    * band instead of (planes+1) sibling flips. Plane indices per band
+    * are `band·planesPerBand + 1 …` — identical to
+    * [[Similarity.lshBandKeys]], so the from-scratch and persisted
+    * banded schemes hash identically (AnnIndexSpec pins equality). */
+  def writeBanded(corpus: DataFrame, bands: Int, planesPerBand: Int,
+      path: String, centered: Boolean = false): Unit = {
+    require(bands > 0 && planesPerBand > 0 && bands * planesPerBand <= 32,
+      s"bands*planesPerBand must be in [1,32], got $bands x $planesPerBand")
+    recover(corpus.sparkSession, path)
+    val dims = Similarity.embDims(corpus)
+    val mu = if (centered) Similarity.dimMeans(corpus, dims)
+      else Seq.empty[Double]
+    corpus.select(col("vec_id"), col("embedding"),
+        explode(array(bandStructs(col("embedding"), bands, planesPerBand,
+          dims, mu): _*)).as("bk"))
+      .select(col("vec_id"), col("embedding"),
+        col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+      .repartition(col("band"), col("bucket"))
+      .write.mode("overwrite").partitionBy("band", "bucket").parquet(path)
+    val muStr = mu.map(java.lang.Double.toString).mkString(",")
+    val vecIdType = corpus.schema("vec_id").dataType.catalogString
+    val body = s"planes=${bands * planesPerBand}\ndims=$dims\n" +
+      s"centered=$centered\nquantized=false\nmu=$muStr\n" +
+      s"vecIdType=$vecIdType\nbands=$bands\nplanesPerBand=$planesPerBand\n"
+    writeString(fsFor(path, corpus.sparkSession),
+      new HPath(path, MetaFile), body)
+  }
+
+  /** One (band, bucket) struct per band for a vector — the banded key
+    * construction shared by [[writeBanded]] and [[topKBanded]]'s query
+    * side (plane offsets exactly as [[Similarity.lshBandKeys]]). */
+  private def bandStructs(vec: Column, bands: Int, planesPerBand: Int,
+      dims: Int, mu: Seq[Double]): Seq[Column] =
+    (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        concat(lit("b"), Similarity.bucketKey(vec, planesPerBand, dims,
+          mu, firstPlane = b * planesPerBand + 1)).as("bucket"))
+    }
+
+  /** Top-k over the banded index: each query probes its bucket in
+    * EVERY band (Q·bands directories, known before the read), the
+    * union of candidates is deduped by (q_id, vec_id), then scored
+    * exactly as [[topK]]. Output schema identical to [[topK]]. */
+  def topKBanded(spark: SparkSession, path: String, queries: DataFrame,
+      k: Int): DataFrame = {
+    graft.functions.GraftExtensions.ensureRegistered(spark)
+    require(k > 0, s"k must be positive, got $k")
+    recover(spark, path)
+    val meta = readMeta(path)
+    require(meta.banded, s"$path is not a banded index (bands=0 in meta)")
+    val qB = queries.select(col("q_id"),
+      Similarity.toDouble(col("q_vec")).as("q"),
+      explode(array(bandStructs(col("q_vec"), meta.bands,
+        meta.planesPerBand, meta.dims, meta.mu): _*)).as("bk"))
+    val probes = qB.select(col("q_id"), col("bk.band").as("band"),
+      col("bk.bucket").as("bucket"))
+    // the ONLY collect: ≤ Q·bands (band, bucket) pairs
+    val probePairs = probes.select(col("band"), col("bucket")).distinct()
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    val fs = fsFor(path, spark)
+    val probedDirs = probePairs
+      .map { case (b, key) => new HPath(path, s"band=$b/bucket=$key") }
+      .filter(fs.exists(_)).map(_.toString)
+    val qv = queries.select(col("q_id"),
+      Similarity.toDouble(col("q_vec")).as("q"))
+    if (probedDirs.isEmpty) {
+      return qv.select(col("q_id"), lit(1).as("rank"),
+        lit(null).cast(DataType.fromDDL(meta.vecIdType)).as("vec_id"),
+        lit(0d).as("cos_sim")).limit(0)
+    }
+    val raw = spark.read.option("basePath", path).parquet(probedDirs: _*)
+    val cand = raw.select(col("vec_id"), col("band"), col("bucket"))
+      .join(broadcast(probes), Seq("band", "bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id")).distinct()
+    val idx = raw
+      .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("v"))
+      .dropDuplicates("vec_id") // stored once per band; score once
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    cand.join(qv, "q_id").join(idx, "vec_id")
+      .withColumn("cos", graft.functions.CosineSimilarity(col("q"), col("v")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("vec_id"),
+        round(col("cos"), 6).as("cos_sim"))
+  }
+
+  /** Persisted IVF index: the corpus partitioned into Voronoi cells of
+    * a DETERMINISTIC coarse quantizer (the `nClusters` lowest-id
+    * corpus vectors — [[Similarity.ivfTopKFixed]]'s rule), one
+    * `cell=c<id>` directory per cluster, with the QUANTIZER ITSELF
+    * persisted in the metadata file. That last part is the point:
+    * assignment is data-dependent (unlike hyperplane hashing), so a
+    * grown corpus must keep being assigned with the centroids that
+    * placed the resident rows — [[appendIvf]] reads them back, and
+    * recomputing them from the grown corpus would silently re-cell
+    * everything. Each vector is stored ONCE (vs [[writeBanded]]'s
+    * ×bands copies); a probe read is handed exactly the query set's
+    * nProbe·Q cell directories, so per-query IO ≈ nProbe/nClusters of
+    * the corpus regardless of query volume. Probe selection is
+    * [[Similarity.ivfProbes]] — the same definition the from-scratch
+    * path uses, so persisted and inline IVF cannot diverge
+    * (AnnIndexIvfSpec pins equality; q219 gates the grown index
+    * against a from-scratch DuckDB oracle). */
+  def writeIvf(corpus: DataFrame, nClusters: Int, path: String): Unit = {
+    require(nClusters > 0, s"nClusters must be positive, got $nClusters")
+    recover(corpus.sparkSession, path)
+    val dims = Similarity.embDims(corpus)
+    // the quantizer is nClusters rows — the bounded codebook collect
+    // (same class as ivfTopKFixed's); cluster ids are the centroid
+    // vectors' own vec_ids, in id order
+    val centRows = corpus.orderBy(col("vec_id")).limit(nClusters)
+      .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("c"))
+      .collect().sortBy(_.getLong(0))
+    val ids = centRows.map(_.getLong(0)).toSeq
+    val cvecs = centRows.map(_.getSeq[Double](1)).toSeq
+    ivfRows(corpus, ids, cvecs)
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+    val vecIdType = corpus.schema("vec_id").dataType.catalogString
+    // centroid doubles round-trip via Double.toString/parseDouble
+    // (exact), so appendIvf assigns with bit-identical planes
+    val body = s"planes=0\ndims=$dims\ncentered=false\nquantized=false\n" +
+      s"mu=\nvecIdType=$vecIdType\n" +
+      s"centIds=${ids.mkString(",")}\n" +
+      s"centroids=${cvecs.map(_.map(java.lang.Double.toString)
+        .mkString(",")).mkString(";")}\n"
+    writeString(fsFor(path, corpus.sparkSession),
+      new HPath(path, MetaFile), body)
+  }
+
+  /** The stored row for one IVF-indexed vector: cell partition key
+    * from the persisted quantizer (nearest centroid, squared-
+    * euclidean, ties to the lowest cluster id — the same
+    * `nearest_centroid` kernel every IVF path shares). "c"-prefixed
+    * for the same partition-type-inference reason as the LSH "b". */
+  private def ivfRows(df: DataFrame, ids: Seq[Long],
+      cvecs: Seq[Seq[Double]]): DataFrame = {
+    graft.functions.GraftExtensions.ensureRegistered(df.sparkSession)
+    df.select(col("vec_id"), col("embedding"),
+        concat(lit("c"), call_function("nearest_centroid",
+          Similarity.toDouble(col("embedding")),
+          typedLit(ids), typedLit(cvecs))).as("cell"))
+      .repartition(col("cell"))
+  }
+
+  /** Append `delta` to an IVF index WITHOUT touching resident data:
+    * rows are assigned with the index's PERSISTED centroids — never a
+    * quantizer recomputed from the grown corpus — and appended as new
+    * files inside their cell directories. q219 gates the semantics:
+    * an index grown by appends answers exactly as the oracle's
+    * from-scratch pass that uses the resident generation's quantizer. */
+  def appendIvf(delta: DataFrame, path: String): Unit = {
+    recover(delta.sparkSession, path)
+    val meta = readMeta(path)
+    require(meta.ivf, s"$path is not an IVF index (no persisted quantizer)")
+    ivfRows(delta, meta.centIds, meta.centroids)
+      .write.mode("append").partitionBy("cell").parquet(path)
+  }
+
+  /** Top-k over the persisted IVF index: each query's `nProbe`
+    * nearest cells come from [[Similarity.ivfProbes]] over the
+    * PERSISTED quantizer, the ≤ Q·nProbe cell set is collected
+    * (parameter-bounded) and the scan is handed those directories
+    * directly — the same zero-listing contract as [[topK]]. Scoring
+    * and tie-breaking identical to every other ANN path: exact cosine,
+    * rank by (cos desc, vec_id), round 6. */
+  def topKIvf(spark: SparkSession, path: String, queries: DataFrame,
+      k: Int, nProbe: Int): DataFrame = {
+    graft.functions.GraftExtensions.ensureRegistered(spark)
+    require(k > 0, s"k must be positive, got $k")
+    require(nProbe > 0, s"nProbe must be positive, got $nProbe")
+    recover(spark, path)
+    val meta = readMeta(path)
+    require(meta.ivf, s"$path is not an IVF index (no persisted quantizer)")
+    import spark.implicits._
+    val cents = meta.centIds.zip(meta.centroids).toDF("cluster", "c")
+    val probes = Similarity.ivfProbes(queries, cents, nProbe)
+    // the ONLY collect: ≤ Q·nProbe cell ids
+    val probeCells = probes.select(col("cluster")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val fs = fsFor(path, spark)
+    val probedDirs = probeCells.map(c => new HPath(path, s"cell=c$c"))
+      .filter(fs.exists(_)).map(_.toString)
+    val qv = queries.select(col("q_id"),
+      Similarity.toDouble(col("q_vec")).as("q"))
+    if (probedDirs.isEmpty) {
+      return qv.select(col("q_id"), lit(1).as("rank"),
+        lit(null).cast(DataType.fromDDL(meta.vecIdType)).as("vec_id"),
+        lit(0d).as("cos_sim")).limit(0)
+    }
+    val raw = spark.read.option("basePath", path).parquet(probedDirs: _*)
+      .withColumn("cluster",
+        regexp_replace(col("cell"), "^c", "").cast("long"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    // dedupe by (q_id, vec_id) then score: at-least-once appends can
+    // leave duplicate rows in a cell (the topK redelivery rule)
+    val cand = raw.select(col("vec_id"), col("cluster"))
+      .join(broadcast(probes.select(col("q_id"), col("cluster"))),
+        Seq("cluster"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id")).distinct()
+    val idx = raw
+      .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("v"))
+      .dropDuplicates("vec_id")
+    cand.join(qv, "q_id").join(idx, "vec_id")
+      .withColumn("cos", graft.functions.CosineSimilarity(col("q"), col("v")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("vec_id"),
+        round(col("cos"), 6).as("cos_sim"))
   }
 
   /** Append `delta` (vec_id, embedding) to an existing index WITHOUT
@@ -370,7 +603,16 @@ object AnnIndex {
       if (kv("mu").isEmpty) Seq.empty
       else kv("mu").split(",").toSeq.map(java.lang.Double.parseDouble),
       kv.getOrElse("quantized", "false").toBoolean,
-      kv.getOrElse("vecIdType", "bigint"))
+      kv.getOrElse("vecIdType", "bigint"),
+      kv.getOrElse("bands", "0").toInt,
+      kv.getOrElse("planesPerBand", "0").toInt,
+      kv.get("centIds").filter(_.nonEmpty)
+        .map(_.split(",").toSeq.map(java.lang.Long.parseLong(_)))
+        .getOrElse(Seq.empty),
+      kv.get("centroids").filter(_.nonEmpty)
+        .map(_.split(";").toSeq.map(
+          _.split(",").toSeq.map(java.lang.Double.parseDouble)))
+        .getOrElse(Seq.empty))
   }
 
   /** Multi-probe top-k over the persisted index: query buckets are

@@ -602,14 +602,7 @@ object Similarity {
     * diverge between the oracle-gated and recall-tested paths. */
   private def ivfSearch(assigned: DataFrame, cents: DataFrame,
       queries: DataFrame, k: Int, nProbe: Int): DataFrame = {
-    val wProbe = Window.partitionBy(col("q_id"))
-      .orderBy(col("cdist").asc, col("cluster").asc)
-    val probes = queries.select(col("q_id"), toDouble(col("q_vec")).as("q"))
-      .crossJoin(broadcast(cents))
-      .withColumn("cdist", sqDist(col("q"), col("c")))
-      .withColumn("prank", row_number().over(wProbe))
-      .filter(col("prank") <= nProbe)
-      .select(col("q_id"), col("q"), col("cluster"))
+    val probes = ivfProbes(queries, cents, nProbe)
     val wk = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("vec_id").asc)
     assigned.join(broadcast(probes), Seq("cluster"))
@@ -619,6 +612,25 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("vec_id"),
         round(col("cos"), 6).as("cos_sim"))
+  }
+
+  /** Probe selection shared by every IVF path — from-scratch
+    * ([[ivfSearch]]) and persisted ([[AnnIndex.topKIvf]]): rank each
+    * query's centroids by squared euclidean ([[sqDist]], ties to the
+    * lowest cluster id) and keep the `nProbe` nearest. One shared
+    * definition so the persisted index can never probe different
+    * cells than the from-scratch scheme it is the storage for.
+    * Output: (q_id, q double-vec, cluster). */
+  private[ops] def ivfProbes(queries: DataFrame, cents: DataFrame,
+      nProbe: Int): DataFrame = {
+    val wProbe = Window.partitionBy(col("q_id"))
+      .orderBy(col("cdist").asc, col("cluster").asc)
+    queries.select(col("q_id"), toDouble(col("q_vec")).as("q"))
+      .crossJoin(broadcast(cents))
+      .withColumn("cdist", sqDist(col("q"), col("c")))
+      .withColumn("prank", row_number().over(wProbe))
+      .filter(col("prank") <= nProbe)
+      .select(col("q_id"), col("q"), col("cluster"))
   }
 
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540) candidate pairs:

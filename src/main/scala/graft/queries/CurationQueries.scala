@@ -6,8 +6,9 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 import graft.ops.{AggState, AnnIndex, Dedup, DedupIndex, Layout, Similarity, TextAnalysis}
-import graft.queries.LlmQueries.{AnnK, Bands, BandsCte, BucketSql, CosSql,
-  JaccardThreshold, LshPlanes, RowsPerBand, ShingleK, ShinglesSql, WsSplit}
+import graft.queries.LlmQueries.{distSql, AnnK, Bands, BandsCte, BucketSql,
+  CosSql, JaccardThreshold, LshPlanes, RowsPerBand, ShingleK, ShinglesSql,
+  WsSplit}
 
 /** Round-9 curation/evaluation surface: sketch calibration (KMV
   * distinct, MinHash-vs-exact error), dedup keep policies, dataset
@@ -2593,6 +2594,118 @@ object CurationQueries {
     })
   private val q217Sql = q216Sql
 
+  // --------------------------------------------------------- q218
+  /** The recall ladder's best rung, PERSISTED: q202 measures 3×3
+    * banded LSH recovering neighbors the single-bucket and multi-probe
+    * rungs miss; [[AnnIndex.writeBanded]] stores that scheme as a
+    * two-level `band=/bucket=` partitioned index (each vector once per
+    * band — the classical OR-construction storage tradeoff), and
+    * [[AnnIndex.topKBanded]] answers with exactly Q·bands directory
+    * reads. The oracle rebuilds the banded candidates and top-k from
+    * scratch in DuckDB (q202's per-band plane offsets), so the gate
+    * proves the persisted layout answers exactly as the from-scratch
+    * scheme — completing the persisted-index matrix: single/multi-probe
+    * (q204), quantized (q206), banded (here). */
+  private def q218(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val qs = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    AnnIndex.topKBanded(s, q218Index(s, dir), qs, AnnK)
+  }
+  private val q218IndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def q218Index(s: SparkSession, dir: String): String =
+    q218IndexCache.computeIfAbsent(dir, { _ =>
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft-annidx-q218").toString
+      AnnIndex.writeBanded(Tables.embeddings(s, dir), RecBands,
+        RecPlanesPerBand, s"$idxDir/idx")
+      s"$idxDir/idx"
+    })
+  private val q218Sql = {
+    val bandSelects = (0 until RecBands).map { bnd =>
+      val bits = (1 to RecPlanesPerBand)
+        .map(r => rawBitSql(bnd * RecPlanesPerBand + r)).mkString(" || ")
+      s"SELECT vec_id, $bnd AS band, $bits AS bucket FROM base"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+       |               embedding::DOUBLE[] AS vd FROM embeddings),
+       |b AS ($bandSelects),
+       |q0 AS (SELECT vec_id AS q_id, band, bucket FROM b WHERE vec_id < 10),
+       |cand AS (SELECT DISTINCT q.q_id, c.vec_id
+       |         FROM q0 q JOIN b c ON q.band = c.band AND q.bucket = c.bucket
+       |         WHERE c.vec_id <> q.q_id),
+       |sc AS (SELECT cand.q_id, cand.vec_id, qq.vd AS qv, cc.vd AS v
+       |       FROM cand JOIN base cc ON cand.vec_id = cc.vec_id
+       |         JOIN base qq ON cand.q_id = qq.vec_id)
+       |SELECT q_id, CAST(rn AS INT) AS rank, vec_id, round(cos, 6) AS cos_sim FROM (
+       |  SELECT q_id, vec_id, $CosSql AS cos,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY $CosSql DESC, vec_id) AS rn
+       |  FROM sc)
+       |WHERE rn <= $AnnK""".stripMargin
+  }
+
+  // --------------------------------------------------------- q219
+  /** Persisted IVF index GROWN BY APPENDS: the even-id half of the
+    * corpus is written as an IVF index (coarse quantizer = its 8
+    * lowest-id vectors, persisted in the metadata), the odd half is
+    * appended — assigned with the PERSISTED quantizer, resident files
+    * untouched — and queries probe their 2 nearest cells of the grown
+    * index. The oracle recomputes from scratch in DuckDB using the
+    * RESIDENT generation's quantizer (8 lowest even ids) over the full
+    * table: the gate proves appends use the centroids that placed the
+    * resident rows, never a quantizer recomputed from the grown corpus
+    * (which would re-cell everything — the IVF analog of q205's
+    * μ-stability). Completes the persisted-index matrix's IVF rung:
+    * LSH single/multi-probe (q204), quantized (q206), banded (q218). */
+  private val IvfIdxClusters = 8
+  private val IvfIdxProbe = 2
+  private def q219(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val qs = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    AnnIndex.topKIvf(s, q219Index(s, dir), qs, AnnK, IvfIdxProbe)
+  }
+  private val q219IndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def q219Index(s: SparkSession, dir: String): String =
+    q219IndexCache.computeIfAbsent(dir, { _ =>
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft-annidx-q219").toString
+      val emb = Tables.embeddings(s, dir)
+      AnnIndex.writeIvf(emb.filter(col("vec_id") % 2 === 0),
+        IvfIdxClusters, s"$idxDir/idx")
+      AnnIndex.appendIvf(emb.filter(col("vec_id") % 2 =!= 0), s"$idxDir/idx")
+      s"$idxDir/idx"
+    })
+  private val q219Sql =
+    s"""WITH cents AS (
+       |  SELECT vec_id AS cluster, embedding::DOUBLE[] AS c FROM (
+       |    SELECT * FROM embeddings WHERE vec_id % 2 = 0
+       |    ORDER BY vec_id LIMIT $IvfIdxClusters)),
+       |base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |assigned AS (
+       |  SELECT vec_id, v, cluster FROM (
+       |    SELECT b.vec_id, b.v, cents.cluster,
+       |      ROW_NUMBER() OVER (PARTITION BY b.vec_id
+       |        ORDER BY ${distSql("b.v", "cents.c")} ASC, cents.cluster ASC) AS rn
+       |    FROM base b, cents) WHERE rn = 1),
+       |q AS (SELECT vec_id AS q_id, v AS qv FROM base WHERE vec_id < 10),
+       |probes AS (
+       |  SELECT q_id, qv, cluster FROM (
+       |    SELECT q.q_id, q.qv, cents.cluster,
+       |      ROW_NUMBER() OVER (PARTITION BY q.q_id
+       |        ORDER BY ${distSql("q.qv", "cents.c")} ASC, cents.cluster ASC) AS rn
+       |    FROM q, cents) WHERE rn <= $IvfIdxProbe)
+       |SELECT q_id, CAST(rn AS INT) AS rank, vec_id, round(cos, 6) AS cos_sim FROM (
+       |  SELECT p.q_id, a.vec_id,
+       |    list_dot_product(p.qv, a.v) / (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(a.v, a.v))) AS cos,
+       |    ROW_NUMBER() OVER (PARTITION BY p.q_id
+       |      ORDER BY list_dot_product(p.qv, a.v) / (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(a.v, a.v))) DESC,
+       |        a.vec_id ASC) AS rn
+       |  FROM probes p JOIN assigned a USING (cluster) WHERE a.vec_id <> p.q_id)
+       |WHERE rn <= $AnnK""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q168_kmv_distinct" -> q168 _,
     "q169_minhash_error" -> q169 _,
@@ -2643,7 +2756,9 @@ object CurationQueries {
     "q214_ivm_absorb" -> q214 _,
     "q215_ivm_layered" -> q215 _,
     "q216_band_index_absorb" -> q216 _,
-    "q217_band_index_compact" -> q217 _)
+    "q217_band_index_compact" -> q217 _,
+    "q218_banded_ann_index" -> q218 _,
+    "q219_ivf_index" -> q219 _)
 
   val oracleSql: Map[String, String] = Map(
     "q168_kmv_distinct" -> q168Sql,
@@ -2695,5 +2810,7 @@ object CurationQueries {
     "q214_ivm_absorb" -> q214Sql,
     "q215_ivm_layered" -> q215Sql,
     "q216_band_index_absorb" -> q216Sql,
-    "q217_band_index_compact" -> q217Sql)
+    "q217_band_index_compact" -> q217Sql,
+    "q218_banded_ann_index" -> q218Sql,
+    "q219_ivf_index" -> q219Sql)
 }

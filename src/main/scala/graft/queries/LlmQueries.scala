@@ -423,7 +423,7 @@ object LlmQueries {
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
     Similarity.ivfTopKFixed(emb, queries, AnnK, IvfClusters, IvfProbe)
   }
-  private def distSql(a: String, b: String): String =
+  private[queries] def distSql(a: String, b: String): String =
     s"list_dot_product($a, $a) - 2 * list_dot_product($a, $b) + list_dot_product($b, $b)"
   private val q43Sql =
     s"""WITH cents AS (SELECT vec_id AS cluster, embedding::DOUBLE[] AS c FROM embeddings WHERE vec_id < $IvfClusters),
