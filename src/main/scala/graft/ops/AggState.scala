@@ -109,8 +109,11 @@ object AggState {
       spark.read.option("basePath", path).parquet(dirs: _*), groupCols)
       .select(groupCols.map(col) :+ col("n").as("bn") :+
         col("sv").as("bs"): _*)
-    d.join(resident, groupCols, "left")
-      .select(groupCols.map(col) :+
+    // <=> (null-safe): a null-keyed delta group must find the resident
+    // null-keyed partials, not miss them and report delta-only counts
+    d.join(resident, groupCols.map(c => d(c) <=> resident(c))
+        .reduce(_ && _), "left")
+      .select(groupCols.map(c => d(c).as(c)) :+
         (coalesce(col("bn"), lit(0L)) + col("dn")).as("n") :+
         (coalesce(col("bs"), lit(0L)) + col("ds")).as("sv"): _*)
   }
@@ -142,8 +145,11 @@ object AggState {
           .select(groupCols.map(col) :+ col("n").as("bn") :+
             col("sv").as("bs") :+ col("pbucket"): _*)
         // full outer: resident-only groups keep their bucket; the
-        // bucket of delta-only groups comes from the delta side
-        d.join(resident, groupCols.map(c => d(c) === resident(c))
+        // bucket of delta-only groups comes from the delta side.
+        // <=> (null-safe): a NULL group key must match itself, or the
+        // resident and delta partials for a null-keyed group survive
+        // as two split rows in the rewritten partition
+        d.join(resident, groupCols.map(c => d(c) <=> resident(c))
             .reduce(_ && _), "full_outer")
           .select(
             groupCols.map(c => coalesce(d(c), resident(c)).as(c)) :+
@@ -233,14 +239,18 @@ object AggState {
   }
 
   /** The delta's distinct bucket directories that exist in the store —
-    * the parameter-bounded collect (≤ |delta groups| longs). */
+    * the parameter-bounded collect (≤ |delta groups| longs). A null
+    * bucket (bucketOf over a null group key) lives in Spark's default
+    * null-partition directory, addressed by its literal name. */
   private def touchedDirs(spark: SparkSession, path: String,
       deltaPartials: DataFrame): Seq[String] = {
     val fs = new HPath(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     deltaPartials.select(col("pbucket")).distinct()
-      .collect().map(_.getLong(0)).toSeq
-      .map(b => new HPath(path, s"pbucket=$b"))
+      .collect().map(r =>
+        if (r.isNullAt(0)) "pbucket=__HIVE_DEFAULT_PARTITION__"
+        else s"pbucket=${r.getLong(0)}").toSeq
+      .map(new HPath(path, _))
       .filter(fs.exists(_)).map(_.toString)
   }
 }

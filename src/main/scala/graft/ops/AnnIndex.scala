@@ -70,10 +70,12 @@ import org.apache.spark.sql.types.DataType
 object AnnIndex {
 
   private val MetaFile = "_graft_ann_meta"
-  /** Delete-staging manifest: one `bucket,kept|emptied` line per
-    * affected bucket, written AFTER the staged data so its presence
-    * marks the stage complete. Underscore-prefixed: invisible to
-    * parquet readers if it ever survives into a data directory. */
+  /** Delete-staging manifest: one `<relative partition dir>,kept|emptied`
+    * line per affected partition (layout-agnostic: `bucket=b…`,
+    * `band=0/bucket=b…`, or `cell=c…`), written AFTER the staged data
+    * so its presence marks the stage complete. Underscore-prefixed:
+    * invisible to parquet readers if it ever survives into a data
+    * directory. */
   private val AffectedFile = "_graft_affected"
 
   /** Bump on ANY change to the on-disk layout (partitioning, file
@@ -91,6 +93,19 @@ object AnnIndex {
     def banded: Boolean = bands > 0
     /** A persisted coarse quantizer marks a [[writeIvf]] layout. */
     def ivf: Boolean = centIds.nonEmpty
+    /** The layout's partition columns — every maintenance rewrite must
+      * preserve exactly these (a flat rewrite of a banded store would
+      * destroy the band level). */
+    def partCols: Seq[String] =
+      if (banded) Seq("band", "bucket")
+      else if (ivf) Seq("cell") else Seq("bucket")
+    /** Within-store duplicate identity: a banded store holds one copy
+      * per band BY DESIGN, so only (vec_id, band) duplicates are
+      * redelivery artifacts; elsewhere vec_id alone is the identity. */
+    def dedupKey: Seq[String] =
+      if (banded) Seq("vec_id", "band") else Seq("vec_id")
+    def layoutName: String =
+      if (banded) "banded" else if (ivf) "IVF" else "flat"
   }
 
   // ------------------------------------------------------------------
@@ -292,13 +307,26 @@ object AnnIndex {
     * against a from-scratch DuckDB oracle). */
   def writeIvf(corpus: DataFrame, nClusters: Int, path: String): Unit = {
     require(nClusters > 0, s"nClusters must be positive, got $nClusters")
+    require({
+        import org.apache.spark.sql.types._
+        corpus.schema("vec_id").dataType match {
+          case ByteType | ShortType | IntegerType | LongType => true
+          case _ => false
+        }
+      },
+      "IVF cluster ids are the centroid vectors' own vec_ids, so " +
+        "vec_id must be an integral type; got " +
+        corpus.schema("vec_id").dataType.catalogString)
     recover(corpus.sparkSession, path)
     val dims = Similarity.embDims(corpus)
     // the quantizer is nClusters rows — the bounded codebook collect
     // (same class as ivfTopKFixed's); cluster ids are the centroid
-    // vectors' own vec_ids, in id order
+    // vectors' own vec_ids, in id order (widened to long: the meta
+    // codec and every probe path carry cluster ids as longs, while the
+    // stored vec_id column keeps the corpus's own type)
     val centRows = corpus.orderBy(col("vec_id")).limit(nClusters)
-      .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("c"))
+      .select(col("vec_id").cast("long"),
+        Similarity.toDouble(col("embedding")).as("c"))
       .collect().sortBy(_.getLong(0))
     val ids = centRows.map(_.getLong(0)).toSeq
     val cvecs = centRows.map(_.getSeq[Double](1)).toSeq
@@ -341,8 +369,7 @@ object AnnIndex {
     recover(delta.sparkSession, path)
     val meta = readMeta(path)
     require(meta.ivf, s"$path is not an IVF index (no persisted quantizer)")
-    ivfRows(delta, meta.centIds, meta.centroids)
-      .write.mode("append").partitionBy("cell").parquet(path)
+    append(delta, path)
   }
 
   /** Top-k over the persisted IVF index: each query's `nProbe`
@@ -415,9 +442,51 @@ object AnnIndex {
   def append(delta: DataFrame, path: String): Unit = {
     recover(delta.sparkSession, path)
     val meta = readMeta(path)
-    indexRows(delta, meta.planes, meta.dims, meta.mu, meta.quantized)
-      .write.mode("append").partitionBy("bucket").parquet(path)
+    encodeRows(delta, meta)
+      .write.mode("append").partitionBy(meta.partCols: _*).parquet(path)
   }
+
+  /** `df`'s rows in `meta`'s STORAGE encoding — the layout dispatch
+    * every mutating path shares, so a delta is always encoded exactly
+    * as the resident generation regardless of layout: flat LSH rows
+    * ([[indexRows]]), one copy per band under (band, bucket)
+    * ([[writeBanded]]'s construction), or quantizer-assigned cells
+    * ([[ivfRows]]). Pre-repartitioned on the partition columns — one
+    * file per touched partition per generation. */
+  private def encodeRows(df: DataFrame, meta: Meta): DataFrame =
+    if (meta.banded)
+      df.select(col("vec_id"), col("embedding"),
+          explode(array(bandStructs(col("embedding"), meta.bands,
+            meta.planesPerBand, meta.dims, meta.mu): _*)).as("bk"))
+        .select(col("vec_id"), col("embedding"),
+          col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+        .repartition(col("band"), col("bucket"))
+    else if (meta.ivf) ivfRows(df, meta.centIds, meta.centroids)
+    else indexRows(df, meta.planes, meta.dims, meta.mu, meta.quantized)
+
+  /** Each row's RELATIVE partition directory under `meta`'s layout —
+    * one (vec_id, dir) row per stored copy (so a banded vector yields
+    * `bands` rows), computed from the embedding with the index's
+    * persisted statistics: the same key that placed the row, which is
+    * what lets [[delete]] know its affected-directory set without
+    * scanning the store. */
+  private def storageDirs(rows: DataFrame, meta: Meta): DataFrame =
+    if (meta.banded)
+      rows.select(col("vec_id"),
+          explode(array(bandStructs(col("embedding"), meta.bands,
+            meta.planesPerBand, meta.dims, meta.mu): _*)).as("bk"))
+        .select(col("vec_id"), concat(lit("band="), col("bk.band"),
+          lit("/bucket="), col("bk.bucket")).as("dir"))
+    else if (meta.ivf) {
+      graft.functions.GraftExtensions.ensureRegistered(rows.sparkSession)
+      rows.select(col("vec_id"), concat(lit("cell=c"),
+        call_function("nearest_centroid",
+          Similarity.toDouble(col("embedding")),
+          typedLit(meta.centIds), typedLit(meta.centroids))).as("dir"))
+    } else
+      rows.select(col("vec_id"), concat(lit("bucket=b"),
+        Similarity.bucketKey(col("embedding"), meta.planes, meta.dims,
+          meta.mu)).as("dir"))
 
   /** Partition-pruned delete: remove `deletes` (vec_id, embedding)
     * from the index by rewriting ONLY the buckets they live in. The
@@ -443,54 +512,55 @@ object AnnIndex {
   def delete(spark: SparkSession, deletes: DataFrame, path: String): Unit = {
     recover(spark, path)
     val meta = readMeta(path)
-    val keyed = deletes.select(col("vec_id"),
-      concat(lit("b"),
-        Similarity.bucketKey(col("embedding"), meta.planes, meta.dims,
-          meta.mu)).as("bucket"))
+    val keyed = storageDirs(deletes, meta)
     val fs = fsFor(path, spark)
-    val affected = keyed.select(col("bucket")).distinct()
+    val affected = keyed.select(col("dir")).distinct()
       .collect().map(_.getString(0)).toSeq
-      .filter(b => fs.exists(new HPath(path, s"bucket=$b")))
+      .filter(d => fs.exists(new HPath(path, d)))
     if (affected.isEmpty) return
-    val dirs = affected.map(b => s"$path/bucket=$b")
+    val dirs = affected.map(d => s"$path/$d")
     val tmp = path + "_deleting"
     spark.read.option("basePath", path).parquet(dirs: _*)
-      .join(broadcast(keyed.select(col("vec_id"))), Seq("vec_id"),
-        "left_anti")
-      .repartition(col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+      .join(broadcast(keyed.select(col("vec_id")).distinct()),
+        Seq("vec_id"), "left_anti")
+      .repartition(meta.partCols.map(col): _*)
+      .write.mode("overwrite").partitionBy(meta.partCols: _*).parquet(tmp)
     // manifest AFTER the staged data: presence = stage complete. A
-    // bucket with no staged dir was emptied by the delete — recorded
+    // partition with no staged dir was emptied by the delete — recorded
     // explicitly, because after a partial swap "no staged dir" is
     // otherwise ambiguous between "emptied" and "already swapped".
-    val manifest = affected.map { b =>
-      val kept = fs.exists(new HPath(tmp, s"bucket=$b"))
-      s"$b,${if (kept) "kept" else "emptied"}"
+    // Entries are the RELATIVE partition dirs (`bucket=b…`,
+    // `band=0/bucket=b…`, `cell=c…`) — layout-agnostic, so one swap
+    // protocol serves all three layouts.
+    val manifest = affected.map { d =>
+      val kept = fs.exists(new HPath(tmp, d))
+      s"$d,${if (kept) "kept" else "emptied"}"
     }.mkString("\n")
     writeString(fs, new HPath(tmp, AffectedFile), manifest)
     applyDeleteSwap(fs, path, tmp)
     fs.delete(new HPath(tmp), true)
   }
 
-  /** Swap staged delete results into the live layout, bucket by
-    * bucket, driven by the staging manifest. Idempotent: a "kept"
-    * bucket whose staged dir is gone was already swapped (skip); an
-    * "emptied" bucket's live dir delete is a no-op the second time —
-    * so [[recover]] can re-run this verbatim after a crash at any
-    * point, including mid-bucket (live dir deleted, rename pending). */
+  /** Swap staged delete results into the live layout, partition by
+    * partition, driven by the staging manifest (relative partition
+    * dirs). Idempotent: a "kept" dir whose staged copy is gone was
+    * already swapped (skip); an "emptied" dir's live delete is a no-op
+    * the second time — so [[recover]] can re-run this verbatim after a
+    * crash at any point, including mid-partition (live dir deleted,
+    * rename pending). */
   private def applyDeleteSwap(fs: FileSystem, path: String,
       tmp: String): Unit = {
     readString(fs, new HPath(tmp, AffectedFile)).linesIterator
       .filter(_.nonEmpty).foreach { line =>
         val i = line.lastIndexOf(',')
-        val (b, status) = (line.substring(0, i), line.substring(i + 1))
-        val live = new HPath(path, s"bucket=$b")
-        val staged = new HPath(tmp, s"bucket=$b")
+        val (d, status) = (line.substring(0, i), line.substring(i + 1))
+        val live = new HPath(path, d)
+        val staged = new HPath(tmp, d)
         if (status == "kept") {
           if (fs.exists(staged)) {
             fs.delete(live, true)
             fs.rename(staged, live)
-          } // staged dir gone = this bucket already swapped
+          } // staged dir gone = this partition already swapped
         } else fs.delete(live, true) // emptied: idempotent remove
       }
   }
@@ -511,15 +581,19 @@ object AnnIndex {
     * re-derive μ. */
   def compact(spark: SparkSession, path: String): Unit = {
     recover(spark, path)
+    val meta = readMeta(path)
     val fs = fsFor(path, spark)
     val tmp = path + "_compacting"
-    // dropDuplicates(vec_id): an at-least-once appendStream redelivery
-    // leaves identical duplicate rows (same id ⇒ same vector by
-    // contract); compaction is where their cost is physically removed
+    // dropDuplicates(meta.dedupKey): an at-least-once appendStream
+    // redelivery leaves identical duplicate rows (same id ⇒ same
+    // vector by contract); compaction is where their cost is
+    // physically removed. The rewrite preserves the layout's OWN
+    // partition columns — a banded store keeps its band= level, an IVF
+    // store its cell= dirs.
     spark.read.parquet(path)
-      .dropDuplicates("vec_id")
-      .repartition(col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+      .dropDuplicates(meta.dedupKey)
+      .repartition(meta.partCols.map(col): _*)
+      .write.mode("overwrite").partitionBy(meta.partCols: _*).parquet(tmp)
     writeString(fs, new HPath(tmp, MetaFile),
       readString(fs, new HPath(path, MetaFile)))
     val old = new HPath(path + "_old")
@@ -631,6 +705,12 @@ object AnnIndex {
     require(k > 0, s"k must be positive, got $k")
     recover(spark, path)
     val meta = readMeta(path)
+    // layout guard: a banded/IVF store has no single-level `bucket=`
+    // dirs, so the flat probe would find none of its dirs and SILENTLY
+    // return empty — fail loudly instead
+    require(!meta.banded && !meta.ivf,
+      s"$path is a ${meta.layoutName} index — use " +
+        s"${if (meta.banded) "topKBanded" else "topKIvf"}, not topK")
     val qB = queries.select(col("q_id"),
       Similarity.toDouble(col("q_vec")).as("q"),
       Similarity.bucketKey(col("q_vec"), meta.planes, meta.dims, meta.mu)

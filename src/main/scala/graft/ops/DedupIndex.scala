@@ -26,10 +26,12 @@ import org.apache.spark.sql.functions._
   * string) per document — the index is a tiny fraction of the corpus
   * it guards.
   *
-  * The hashing parameters live in the table's metadata-free contract:
-  * callers pass the same (bands, rowsPerBand, shingleK) to [[probe]]
-  * that built the index — q207's gate runs both sides through the
-  * shared [[Dedup.bandKeys]] so they cannot drift.
+  * The hashing parameters are PERSISTED as table properties at
+  * [[write]] (`graft.bands` etc. — the `_graft_ann_meta` discipline
+  * applied to the band index) and validated on every [[probe]]/
+  * [[absorb]]/[[compact]]: a caller whose (bands, rowsPerBand,
+  * shingleK) drifted from the index's own hashing fails loudly instead
+  * of silently probing with incompatible keys.
   */
 object DedupIndex {
 
@@ -38,11 +40,39 @@ object DedupIndex {
   def write(resident: DataFrame, textCol: String, idCol: String,
       bands: Int, rowsPerBand: Int, shingleK: Int,
       path: String, table: String, buckets: Int = 32): Unit = {
+    val spark = resident.sparkSession
     Dedup.bandKeys(resident, textCol, idCol, bands, rowsPerBand, shingleK)
       .select(col("id"), foldedKey)
       .write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, "bk").sortBy("bk")
       .option("path", path).saveAsTable(table)
+    spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES (" +
+      s"'graft.bands'='$bands','graft.rowsPerBand'='$rowsPerBand'," +
+      s"'graft.shingleK'='$shingleK','graft.buckets'='$buckets')")
+  }
+
+  /** The table's persisted `graft.*` properties. */
+  private def graftProps(spark: SparkSession,
+      table: String): Map[String, String] =
+    spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(table))
+      .properties.filter(_._1.startsWith("graft."))
+
+  /** Fail loudly when a caller's hashing parameters drift from the
+    * ones persisted at [[write]] (properties absent — a pre-property
+    * table — means nothing to check, the old caller-discipline
+    * contract). */
+  private def checkParams(spark: SparkSession, table: String,
+      expect: (String, Int)*): Unit = {
+    val props = graftProps(spark, table)
+    expect.foreach { case (key, got) =>
+      props.get(s"graft.$key").foreach { stored =>
+        require(stored.toInt == got,
+          s"$table was built with $key=$stored but the caller passed " +
+            s"$got — probe/absorb/compact must use the index's own " +
+            "hashing parameters")
+      }
+    }
   }
 
   /** band ‖ ':' ‖ band_key as ONE column — see the class doc. */
@@ -53,15 +83,29 @@ object DedupIndex {
     * appended INTO the bucketed table (same bucket spec — Spark
     * validates it), so tomorrow's delta probes against today's corpus
     * without any rewrite of the resident files. The daily cycle is
-    * probe → verify → [[absorb]]. `buckets` must match [[write]]'s. */
+    * probe → verify → [[absorb]]. `buckets` must match [[write]]'s.
+    *
+    * When the table already exists the append addresses it by CATALOG
+    * name alone — never by the caller's `path`, which goes stale the
+    * moment [[compact]] swaps the table to its next generation
+    * directory (absorb-after-compact is the steady-state daily cycle;
+    * DedupIndexSpec pins it). `path` is only used to CREATE the table
+    * when it does not exist yet. */
   def absorb(batch: DataFrame, textCol: String, idCol: String,
       bands: Int, rowsPerBand: Int, shingleK: Int,
       path: String, table: String, buckets: Int = 32): Unit = {
-    Dedup.bandKeys(batch, textCol, idCol, bands, rowsPerBand, shingleK)
+    val spark = batch.sparkSession
+    val exists = spark.catalog.tableExists(table)
+    if (exists)
+      checkParams(spark, table, "bands" -> bands,
+        "rowsPerBand" -> rowsPerBand, "shingleK" -> shingleK,
+        "buckets" -> buckets)
+    val writer = Dedup
+      .bandKeys(batch, textCol, idCol, bands, rowsPerBand, shingleK)
       .select(col("id"), foldedKey)
       .write.mode(SaveMode.Append)
       .bucketBy(buckets, "bk").sortBy("bk")
-      .option("path", path).saveAsTable(table)
+    (if (exists) writer else writer.option("path", path)).saveAsTable(table)
   }
 
   /** Rewrite the bucketed table so each bucket is ONE sorted file
@@ -83,6 +127,8 @@ object DedupIndex {
     * here and deliberately not duplicated. */
   def compact(spark: SparkSession, table: String,
       buckets: Int = 32): Unit = {
+    checkParams(spark, table, "buckets" -> buckets)
+    val props = graftProps(spark, table)
     val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
     val oldLoc = new org.apache.hadoop.fs.Path(
       spark.sessionState.catalog.getTableMetadata(ident).location)
@@ -111,6 +157,11 @@ object DedupIndex {
       .option("path", newLoc.toString).saveAsTable(tmpTable)
     spark.sql(s"DROP TABLE $table")
     spark.sql(s"ALTER TABLE $tmpTable RENAME TO $table")
+    // re-stamp the persisted hashing parameters: the staged table was
+    // written fresh, so the generation swap must carry them forward
+    if (props.nonEmpty)
+      spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES (" +
+        props.map { case (k, v) => s"'$k'='$v'" }.mkString(",") + ")")
     val fs = oldLoc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(oldLoc, true)
   }
@@ -124,6 +175,8 @@ object DedupIndex {
   def probe(spark: SparkSession, table: String, batch: DataFrame,
       textCol: String, idCol: String,
       bands: Int, rowsPerBand: Int, shingleK: Int): DataFrame = {
+    checkParams(spark, table, "bands" -> bands,
+      "rowsPerBand" -> rowsPerBand, "shingleK" -> shingleK)
     val probeKeys = Dedup
       .bandKeys(batch, textCol, idCol, bands, rowsPerBand, shingleK)
       .select(col("id").as("new_id"), foldedKey)

@@ -2154,17 +2154,29 @@ object CurationQueries {
     DedupIndex.probe(s, q207Table(s, dir), batch, "text", "doc_id",
       Bands, RowsPerBand, ShingleK)
   }
-  // keyed by (session, dir): the catalog entry lives in ONE session, so a
-  // cached name must never leak to a different session in the same JVM;
-  // the tableExists re-check rebuilds if the catalog entry is gone (e.g.
-  // the session was stopped and recreated with the same identity). The
+  /** A stable per-session token for static cache keys: unique per
+    * session OBJECT (never reused), held only weakly, so keying a
+    * static map by it cannot pin a stopped session in memory. */
+  private val sessionTokens = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, String]())
+  private def sessionToken(s: SparkSession): String =
+    sessionTokens.computeIfAbsent(s,
+      _ => java.util.UUID.randomUUID().toString)
+
+  // keyed by (session token, dir): the catalog entry lives in ONE
+  // session, so a cached name must never leak to a different session in
+  // the same JVM — and the key carries a per-session token STRING
+  // minted through a weak-keyed map, not the session object itself, so
+  // a stopped session isn't pinned in these static maps for the life of
+  // the JVM; the tableExists re-check rebuilds if the catalog entry is
+  // gone (e.g. the session was stopped and recreated). The
   // name is a hex SHA-1 prefix of dir — collision-resistant, always a
   // valid identifier (dir.hashCode could collide across dirs, and
   // math.abs(Int.MinValue) is negative).
   private val q207TableCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def q207Table(s: SparkSession, dir: String): String =
-    q207TableCache.compute((s, dir), { (_, prev) =>
+    q207TableCache.compute(sessionToken(s) + "|" + dir, { (_, prev) =>
       if (prev != null && s.catalog.tableExists(prev)) prev
       else {
         val digest = java.security.MessageDigest.getInstance("SHA-1")
@@ -2529,9 +2541,9 @@ object CurationQueries {
       Bands, RowsPerBand, ShingleK)
   }
   private val q216TableCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def q216Table(s: SparkSession, dir: String): String =
-    q216TableCache.compute((s, dir), { (_, prev) =>
+    q216TableCache.compute(sessionToken(s) + "|" + dir, { (_, prev) =>
       if (prev != null && s.catalog.tableExists(prev)) prev
       else {
         val digest = java.security.MessageDigest.getInstance("SHA-1")
@@ -2570,9 +2582,9 @@ object CurationQueries {
       Bands, RowsPerBand, ShingleK)
   }
   private val q217TableCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def q217Table(s: SparkSession, dir: String): String =
-    q217TableCache.compute((s, dir), { (_, prev) =>
+    q217TableCache.compute(sessionToken(s) + "|" + dir, { (_, prev) =>
       if (prev != null && s.catalog.tableExists(prev)) prev
       else {
         val digest = java.security.MessageDigest.getInstance("SHA-1")

@@ -146,6 +146,40 @@ class AggStateSpec extends SparkSpec {
       AggState.partials(ev, groupCols, "value", 10000).collect().toSet
   }
 
+  test("null group keys: refresh and absorb merge them as one group, not split rows") {
+    // NULL ∘ any comparison is NULL, so a plain-equality merge join
+    // drops null-keyed resident partials (refresh reports delta-only
+    // counts) or keeps resident and delta as two rows (absorb) — the
+    // <=> null-safe joins and the __HIVE_DEFAULT_PARTITION__ dir
+    // addressing in touchedDirs are what this pins
+    val nulled = ev.withColumn("user_id",
+      when(col("event_id") % 7 === 0, lit(null)).otherwise(col("user_id")))
+    val nbase = nulled.filter(col("event_id") % 10 =!= 0)
+    val ndelta = nulled.filter(col("event_id") % 10 === 0)
+    val dir = Files.createTempDirectory("graft-aggstate").toString
+    val path = s"$dir/state"
+    AggState.write(nbase, groupCols, "value", 10000, bucketOf, path)
+    // refresh: null-keyed delta groups must see the resident partials
+    val full = AggState.partials(nulled, groupCols, "value", 10000)
+    val gotNull = AggState
+      .refresh(spark, path, ndelta, groupCols, "value", 10000, bucketOf)
+      .filter(col("user_id").isNull).collect().toSet
+    gotNull should not be empty
+    gotNull shouldBe full.filter(col("user_id").isNull)
+      .join(AggState.partials(ndelta, groupCols, "value", 10000)
+          .filter(col("user_id").isNull)
+          .select(col("event_type").as("det")),
+        col("event_type") === col("det"), "left_semi")
+      .collect().toSet
+    // absorb: the store afterwards equals a from-scratch aggregation —
+    // exactly one row per (null, event_type) group
+    AggState.absorb(spark, path, ndelta, groupCols, "value", 10000,
+      bucketOf)
+    spark.read.parquet(path)
+      .select(col("user_id"), col("event_type"), col("n"), col("sv"))
+      .collect().toSet shouldBe full.collect().toSet
+  }
+
   test("absorb creates partitions for buckets the store has never seen") {
     val dir = Files.createTempDirectory("graft-aggstate").toString
     val path = s"$dir/state"

@@ -98,7 +98,7 @@ class AnnIndexRecoverySpec extends SparkSpec {
       .write.mode("overwrite").partitionBy("bucket").parquet(tmp)
     val manifest = affected.map { b =>
       val kept = fs.exists(new HPath(tmp, s"bucket=$b"))
-      s"$b,${if (kept) "kept" else "emptied"}"
+      s"bucket=$b,${if (kept) "kept" else "emptied"}"
     }.mkString("\n")
     Files.write(Paths.get(tmp, "_graft_affected"),
       manifest.getBytes(StandardCharsets.UTF_8))

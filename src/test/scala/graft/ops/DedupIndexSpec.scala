@@ -110,6 +110,70 @@ class DedupIndexSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS didx_cpt")
   }
 
+  test("absorb after compact: the append follows the generation swap (catalog location, not the stale path)") {
+    val path = Files.createTempDirectory("graft-dedupidx").toString
+    val day1 = docs.filter(col("doc_id") % 10 === 0)
+    val day2 = docs.filter(col("doc_id") % 10 === 1)
+    val probe3 = docs.filter(col("doc_id") % 10 === 2)
+    val resident0 = docs.filter(col("doc_id") % 10 > 2)
+    DedupIndex.write(resident0, "text", "doc_id", 4, 4, 3,
+      s"$path/idx", "didx_ac", buckets = 8)
+    try {
+      // the steady-state daily cycle: absorb, nightly compact (which
+      // swaps the table to a _genA sibling directory), NEXT DAY's
+      // absorb — the round-13 ADVICE bug was this third step throwing
+      // because absorb re-specified the pre-compact path
+      DedupIndex.absorb(day1, "text", "doc_id", 4, 4, 3,
+        s"$path/idx", "didx_ac", buckets = 8)
+      DedupIndex.compact(spark, "didx_ac", buckets = 8)
+      DedupIndex.absorb(day2, "text", "doc_id", 4, 4, 3,
+        s"$path/idx", "didx_ac", buckets = 8)
+      val fromIndex = DedupIndex
+        .probe(spark, "didx_ac", probe3, "text", "doc_id", 4, 4, 3)
+        .collect().toSet
+      val grown = docs.filter(col("doc_id") % 10 =!= 2)
+      val rb = Dedup.bandKeys(grown, "text", "doc_id", 4, 4, 3)
+      val nb = Dedup.bandKeys(probe3, "text", "doc_id", 4, 4, 3)
+        .select(col("id").as("new_id"), col("band"), col("band_key"))
+      val fromScratch = rb.join(nb, Seq("band", "band_key"))
+        .filter(col("id") =!= col("new_id"))
+        .select(col("new_id"), col("id").as("resident_id"))
+        .distinct().collect().toSet
+      fromIndex shouldBe fromScratch
+      fromIndex should not be empty
+    } finally spark.sql("DROP TABLE IF EXISTS didx_ac")
+  }
+
+  test("persisted hashing params: drifted callers fail loudly; properties survive compact") {
+    buildIndex("didx_props")
+    try {
+      // probe with drifted bands
+      val e = intercept[IllegalArgumentException] {
+        DedupIndex.probe(spark, "didx_props", batch, "text", "doc_id",
+          8, 4, 3)
+      }
+      e.getMessage should include ("bands=4")
+      // absorb with drifted shingleK
+      intercept[IllegalArgumentException] {
+        DedupIndex.absorb(batch, "text", "doc_id", 4, 4, 5,
+          "unused", "didx_props")
+      }
+      // compact with drifted bucket count
+      intercept[IllegalArgumentException] {
+        DedupIndex.compact(spark, "didx_props", buckets = 16)
+      }
+      // the generation swap re-stamps the properties
+      DedupIndex.compact(spark, "didx_props")
+      intercept[IllegalArgumentException] {
+        DedupIndex.probe(spark, "didx_props", batch, "text", "doc_id",
+          8, 4, 3)
+      }
+      // and the matching caller still works post-compact
+      DedupIndex.probe(spark, "didx_props", batch, "text", "doc_id",
+        4, 4, 3).collect().length should be > 0
+    } finally spark.sql("DROP TABLE IF EXISTS didx_props")
+  }
+
   test("resident side joins from its buckets with ZERO exchange") {
     buildIndex("didx_plan")
     // force SMJ: a broadcast of the batch would hide the resident
