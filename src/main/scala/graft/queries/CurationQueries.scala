@@ -2634,7 +2634,10 @@ object CurationQueries {
         RecPlanesPerBand, s"$idxDir/idx")
       s"$idxDir/idx"
     })
-  private val q218Sql = {
+  /** From-scratch banded top-k in DuckDB; `candExtra` narrows the
+    * CANDIDATE side only (q220 excludes deleted ids there — queries
+    * still come from the raw table, the q208 deletion-oracle rule). */
+  private def bandedTopKSql(candExtra: String): String = {
     val bandSelects = (0 until RecBands).map { bnd =>
       val bits = (1 to RecPlanesPerBand)
         .map(r => rawBitSql(bnd * RecPlanesPerBand + r)).mkString(" || ")
@@ -2646,7 +2649,7 @@ object CurationQueries {
        |q0 AS (SELECT vec_id AS q_id, band, bucket FROM b WHERE vec_id < 10),
        |cand AS (SELECT DISTINCT q.q_id, c.vec_id
        |         FROM q0 q JOIN b c ON q.band = c.band AND q.bucket = c.bucket
-       |         WHERE c.vec_id <> q.q_id),
+       |         WHERE c.vec_id <> q.q_id$candExtra),
        |sc AS (SELECT cand.q_id, cand.vec_id, qq.vd AS qv, cc.vd AS v
        |       FROM cand JOIN base cc ON cand.vec_id = cc.vec_id
        |         JOIN base qq ON cand.q_id = qq.vec_id)
@@ -2656,6 +2659,7 @@ object CurationQueries {
        |  FROM sc)
        |WHERE rn <= $AnnK""".stripMargin
   }
+  private val q218Sql = bandedTopKSql("")
 
   // --------------------------------------------------------- q219
   /** Persisted IVF index GROWN BY APPENDS: the even-id half of the
@@ -2690,7 +2694,10 @@ object CurationQueries {
       AnnIndex.appendIvf(emb.filter(col("vec_id") % 2 =!= 0), s"$idxDir/idx")
       s"$idxDir/idx"
     })
-  private val q219Sql =
+  /** From-scratch IVF top-k in DuckDB with the RESIDENT generation's
+    * quantizer (8 lowest even ids); `candExtra` narrows the candidate
+    * side only (q221's deletion oracle). */
+  private def ivfTopKSql(candExtra: String): String =
     s"""WITH cents AS (
        |  SELECT vec_id AS cluster, embedding::DOUBLE[] AS c FROM (
        |    SELECT * FROM embeddings WHERE vec_id % 2 = 0
@@ -2715,8 +2722,83 @@ object CurationQueries {
        |    ROW_NUMBER() OVER (PARTITION BY p.q_id
        |      ORDER BY list_dot_product(p.qv, a.v) / (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(a.v, a.v))) DESC,
        |        a.vec_id ASC) AS rn
-       |  FROM probes p JOIN assigned a USING (cluster) WHERE a.vec_id <> p.q_id)
+       |  FROM probes p JOIN assigned a USING (cluster) WHERE a.vec_id <> p.q_id$candExtra)
        |WHERE rn <= $AnnK""".stripMargin
+  private val q219Sql = ivfTopKSql("")
+
+  // --------------------------------------------------------- q220
+  /** The BANDED index's whole maintenance life under one gate — q211's
+    * operational-license argument, transplanted to the two-level
+    * `band=/bucket=` layout: write the even half, [[AnnIndex.append]]
+    * the odd half (encoded once per band with the index's persisted
+    * planes — the layout dispatch the round-13 verdict flagged as
+    * missing), [[AnnIndex.delete]] the vec_id % 7 = 3 rows (the staged
+    * swap's manifest now carries layout-agnostic relative partition
+    * dirs), [[AnnIndex.compact]] back to one file per (band, bucket)
+    * WITHOUT collapsing the band level or the per-band copies — then
+    * answer the banded top-k. The oracle is q218's from-scratch banded
+    * SQL with the deleted ids excluded from the candidate side only,
+    * so the gate proves every maintenance step preserves the banded
+    * layout's answers exactly. */
+  private def q220(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val qs = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    AnnIndex.topKBanded(s, q220Index(s, dir), qs, AnnK)
+  }
+  private val q220IndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def q220Index(s: SparkSession, dir: String): String =
+    q220IndexCache.computeIfAbsent(dir, { _ =>
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft-annidx-q220").toString
+      val emb = Tables.embeddings(s, dir)
+      AnnIndex.writeBanded(emb.filter(col("vec_id") % 2 === 0),
+        RecBands, RecPlanesPerBand, s"$idxDir/idx")
+      AnnIndex.append(emb.filter(col("vec_id") % 2 =!= 0), s"$idxDir/idx")
+      AnnIndex.delete(s, emb.filter(col("vec_id") % 7 === 3)
+        .select(col("vec_id"), col("embedding")), s"$idxDir/idx")
+      AnnIndex.compact(s, s"$idxDir/idx")
+      s"$idxDir/idx"
+    })
+  private val q220Sql = bandedTopKSql(" AND c.vec_id % 7 <> 3")
+
+  // --------------------------------------------------------- q221
+  /** The IVF index's whole maintenance life under one gate: write the
+    * even half (quantizer = its 8 lowest ids, persisted in meta),
+    * [[AnnIndex.appendIvf]] the odd half (assigned with the PERSISTED
+    * quantizer), [[AnnIndex.delete]] the vec_id % 7 = 3 rows (their
+    * cells recomputed from the same quantizer — the affected-dir set
+    * known without scanning the store), [[AnnIndex.compact]] back to
+    * one file per cell with the `cell=` level intact — then probe the
+    * 2 nearest cells. The oracle is q219's from-scratch IVF SQL with
+    * the deleted ids excluded from the candidate side only. Note the
+    * deleted set includes centroid id 10: deletion removes the DATA
+    * row while the quantizer keeps steering probes with the persisted
+    * centroid vector — exactly the decoupling writeIvf's meta
+    * persistence exists to provide. */
+  private def q221(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val qs = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    AnnIndex.topKIvf(s, q221Index(s, dir), qs, AnnK, IvfIdxProbe)
+  }
+  private val q221IndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def q221Index(s: SparkSession, dir: String): String =
+    q221IndexCache.computeIfAbsent(dir, { _ =>
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft-annidx-q221").toString
+      val emb = Tables.embeddings(s, dir)
+      AnnIndex.writeIvf(emb.filter(col("vec_id") % 2 === 0),
+        IvfIdxClusters, s"$idxDir/idx")
+      AnnIndex.appendIvf(emb.filter(col("vec_id") % 2 =!= 0), s"$idxDir/idx")
+      AnnIndex.delete(s, emb.filter(col("vec_id") % 7 === 3)
+        .select(col("vec_id"), col("embedding")), s"$idxDir/idx")
+      AnnIndex.compact(s, s"$idxDir/idx")
+      s"$idxDir/idx"
+    })
+  private val q221Sql = ivfTopKSql(" AND a.vec_id % 7 <> 3")
 
   val queries: Map[String, Q] = Map(
     "q168_kmv_distinct" -> q168 _,
@@ -2770,7 +2852,9 @@ object CurationQueries {
     "q216_band_index_absorb" -> q216 _,
     "q217_band_index_compact" -> q217 _,
     "q218_banded_ann_index" -> q218 _,
-    "q219_ivf_index" -> q219 _)
+    "q219_ivf_index" -> q219 _,
+    "q220_banded_lifecycle" -> q220 _,
+    "q221_ivf_lifecycle" -> q221 _)
 
   val oracleSql: Map[String, String] = Map(
     "q168_kmv_distinct" -> q168Sql,
@@ -2824,5 +2908,7 @@ object CurationQueries {
     "q216_band_index_absorb" -> q216Sql,
     "q217_band_index_compact" -> q217Sql,
     "q218_banded_ann_index" -> q218Sql,
-    "q219_ivf_index" -> q219Sql)
+    "q219_ivf_index" -> q219Sql,
+    "q220_banded_lifecycle" -> q220Sql,
+    "q221_ivf_lifecycle" -> q221Sql)
 }
