@@ -127,6 +127,48 @@ object ScaleSoak {
       n -> s"$out/idx"
     }
 
+    // round-14 persisted-index arms: the banded and IVF layouts' probe
+    // paths under the same constant-bucket-population discipline as
+    // annindex_topk_scaled. Banded: bands fixed at 3, planesPerBand
+    // grows as log₂(scale) so each band's per-bucket population stays
+    // ~constant — probe IO is Q·bands directories of ~fixed size.
+    // IVF: nClusters grows ∝ scale so cell size stays ~constant —
+    // probe IO is Q·nProbe cells of ~fixed size. Both indexes are
+    // built once per scale OUTSIDE the timed loop (write once, query
+    // many); the arms time only the partition-pruned read.
+    def soakPlanesPerBand(n: Int): Int =
+      2 + math.round(math.log(n.toDouble) / math.log(2.0)).toInt
+    val bandedIdx: Map[Int, String] =
+      if (!armOn("bandedidx_topk_scaled")) Map.empty
+      else dirs.map { case (n, d) =>
+        val ppb = soakPlanesPerBand(n)
+        val out = s"$workRoot/bandedidx/x$n"
+        val marker = Paths.get(s"$out/_IDX_OK")
+        val stamp = s"$d|ppb=$ppb|synth=$SynthVersion|idx=${AnnIndex.LayoutVersion}"
+        if (!(Files.exists(marker) &&
+            new String(Files.readAllBytes(marker), "UTF-8") == stamp)) {
+          AnnIndex.writeBanded(Tables.embeddings(spark, d), 3, ppb,
+            s"$out/idx")
+          Files.write(marker, stamp.getBytes("UTF-8"))
+        }
+        n -> s"$out/idx"
+      }
+    val ivfIdx: Map[Int, String] =
+      if (!armOn("ivfidx_topk_scaled")) Map.empty
+      else dirs.map { case (n, d) =>
+        val nClusters = 8 * n
+        val out = s"$workRoot/ivfidx/x$n"
+        val marker = Paths.get(s"$out/_IDX_OK")
+        val stamp = s"$d|nc=$nClusters|synth=$SynthVersion|idx=${AnnIndex.LayoutVersion}"
+        if (!(Files.exists(marker) &&
+            new String(Files.readAllBytes(marker), "UTF-8") == stamp)) {
+          AnnIndex.writeIvf(Tables.embeddings(spark, d), nClusters,
+            s"$out/idx")
+          Files.write(marker, stamp.getBytes("UTF-8"))
+        }
+        n -> s"$out/idx"
+      }
+
     // bandprobe arms: a FIXED delta (the base corpus's doc_id%10=0
     // docs) probed against a resident corpus that grows with scale —
     // the incremental-dedup deployment shape. The index is built
@@ -318,6 +360,21 @@ object ScaleSoak {
           AggState.write(Tables.events(s, d), ivmGroup, "value", 10000,
             ivmBucket, out)
           s.range(1).toDF("ok")
+        }) :+
+        // round-14 persisted-index probe arms: banded (Q·bands fixed-
+        // size directories) and IVF (Q·nProbe fixed-size cells) —
+        // both should be flat like annindex_topk_scaled, proving the
+        // whole persisted-index matrix holds its probe contract as
+        // the resident corpus grows 30×.
+        ("bandedidx_topk_scaled" -> { (s: SparkSession, _: String, n: Int) =>
+          val qs = Tables.embeddings(s, base).filter(col("vec_id") < 10)
+            .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+          AnnIndex.topKBanded(s, bandedIdx(n), qs, 10)
+        }) :+
+        ("ivfidx_topk_scaled" -> { (s: SparkSession, _: String, n: Int) =>
+          val qs = Tables.embeddings(s, base).filter(col("vec_id") < 10)
+            .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+          AnnIndex.topKIvf(s, ivfIdx(n), qs, 10, 2)
         }) :+
         ("bandprobe_scratch_scaled" -> { (s: SparkSession, d: String, _: Int) =>
           val batch = Tables.documents(s, base).filter(col("doc_id") % 10 === 0)

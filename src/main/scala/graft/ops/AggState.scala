@@ -15,10 +15,12 @@ import org.apache.spark.sql.functions._
   * persisted-index move as [[DedupIndex]] (band keys) and
   * [[AnnIndex]] (LSH buckets), applied to aggregation state:
   *
-  *  - [[write]] aggregates the base ONCE into (group cols, n, sv)
-  *    partials — n a count, sv an order-independent quantized integer
-  *    sum (the q120/q172 discipline: exact, so a 1000-executor merge
-  *    reproduces a serial recompute bit-for-bit) — and persists them
+  *  - [[write]] aggregates the base ONCE into (group cols, n, sv,
+  *    mn, mx) partials — n a count, sv an order-independent quantized
+  *    integer sum (the q120/q172 discipline: exact, so a
+  *    1000-executor merge reproduces a serial recompute bit-for-bit),
+  *    mn/mx the raw extrema (merged by least/greatest — selection,
+  *    never arithmetic, so no quantization needed) — and persists them
   *    PARTITIONED BY a caller-chosen pruning bucket over the leading
   *    group column (`pbucket`), each bucket co-located into one file.
   *  - [[refresh]] answers "what are these groups' aggregates NOW":
@@ -63,13 +65,22 @@ import org.apache.spark.sql.functions._
 object AggState {
 
   /** Order-independent partial aggregates: one row per group with a
-    * count `n` and the `quantScale`-quantized integer sum `sv` of
-    * `valueCol`. Exact while |Σ| < 2⁶³/quantScale. */
+    * count `n`, the `quantScale`-quantized integer sum `sv` of
+    * `valueCol` (exact while |Σ| < 2⁶³/quantScale), and the raw
+    * `mn`/`mx` extrema. The full commutative-monoid set a metric
+    * table needs — count, sum, min, max, and avg = sv/n derived —
+    * each merging by an associative op (+, +, least, greatest), so
+    * ANY merge tree over any partition of the rows reproduces a
+    * serial recompute exactly. Extrema need no quantization: a merge
+    * only ever SELECTS one of the stored doubles, never does
+    * arithmetic on them. */
   def partials(df: DataFrame, groupCols: Seq[String], valueCol: String,
       quantScale: Int): DataFrame =
     df.groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("n"),
-        sum(round(col(valueCol) * quantScale, 0).cast("long")).as("sv"))
+        sum(round(col(valueCol) * quantScale, 0).cast("long")).as("sv"),
+        min(col(valueCol)).as("mn"),
+        max(col(valueCol)).as("mx"))
 
   /** Aggregate `base` once and persist the partials at `path`,
     * partitioned by `bucketOf` (an expression over the group columns —
@@ -98,24 +109,31 @@ object AggState {
     val d = partials(delta, groupCols, valueCol, quantScale)
       .withColumn("pbucket", bucketOf)
       .select(groupCols.map(col) :+ col("n").as("dn") :+
-        col("sv").as("ds") :+ col("pbucket"): _*)
+        col("sv").as("ds") :+ col("mn").as("dmn") :+
+        col("mx").as("dmx") :+ col("pbucket"): _*)
     val dirs = touchedDirs(spark, path, d)
     if (dirs.isEmpty) {
       // store has no bucket for any delta group: everything is new
       return d.select(groupCols.map(col) :+ col("dn").as("n") :+
-        col("ds").as("sv"): _*)
+        col("ds").as("sv") :+ col("dmn").as("mn") :+
+        col("dmx").as("mx"): _*)
     }
     val resident = residentAgg(
       spark.read.option("basePath", path).parquet(dirs: _*), groupCols)
       .select(groupCols.map(col) :+ col("n").as("bn") :+
-        col("sv").as("bs"): _*)
+        col("sv").as("bs") :+ col("mn").as("bmn") :+
+        col("mx").as("bmx"): _*)
     // <=> (null-safe): a null-keyed delta group must find the resident
-    // null-keyed partials, not miss them and report delta-only counts
+    // null-keyed partials, not miss them and report delta-only counts.
+    // least/greatest skip nulls, so a group absent on one side keeps
+    // the other side's extrema.
     d.join(resident, groupCols.map(c => d(c) <=> resident(c))
         .reduce(_ && _), "left")
       .select(groupCols.map(c => d(c).as(c)) :+
         (coalesce(col("bn"), lit(0L)) + col("dn")).as("n") :+
-        (coalesce(col("bs"), lit(0L)) + col("ds")).as("sv"): _*)
+        (coalesce(col("bs"), lit(0L)) + col("ds")).as("sv") :+
+        least(col("bmn"), col("dmn")).as("mn") :+
+        greatest(col("bmx"), col("dmx")).as("mx"): _*)
   }
 
   /** Fold the delta INTO the store: touched partitions are rewritten
@@ -131,19 +149,22 @@ object AggState {
     val d = partials(delta, groupCols, valueCol, quantScale)
       .withColumn("pbucket", bucketOf)
       .select(groupCols.map(col) :+ col("n").as("dn") :+
-        col("sv").as("ds") :+ col("pbucket"): _*)
+        col("sv").as("ds") :+ col("mn").as("dmn") :+
+        col("mx").as("dmx") :+ col("pbucket"): _*)
     val dirs = touchedDirs(spark, path, d)
     val merged =
       if (dirs.isEmpty)
         d.select(groupCols.map(col) :+ col("dn").as("n") :+
-          col("ds").as("sv") :+ lit(-1L).as("epoch") :+
+          col("ds").as("sv") :+ col("dmn").as("mn") :+
+          col("dmx").as("mx") :+ lit(-1L).as("epoch") :+
           col("pbucket"): _*)
       else {
         val resident = residentAgg(
           spark.read.option("basePath", path).parquet(dirs: _*),
           groupCols :+ "pbucket")
           .select(groupCols.map(col) :+ col("n").as("bn") :+
-            col("sv").as("bs") :+ col("pbucket"): _*)
+            col("sv").as("bs") :+ col("mn").as("bmn") :+
+            col("mx").as("bmx") :+ col("pbucket"): _*)
         // full outer: resident-only groups keep their bucket; the
         // bucket of delta-only groups comes from the delta side.
         // <=> (null-safe): a NULL group key must match itself, or the
@@ -157,6 +178,8 @@ object AggState {
               .as("n") :+
             (coalesce(col("bs"), lit(0L)) + coalesce(col("ds"), lit(0L)))
               .as("sv") :+
+            least(col("bmn"), col("dmn")).as("mn") :+
+            greatest(col("bmx"), col("dmx")).as("mx") :+
             lit(-1L).as("epoch") :+
             coalesce(d("pbucket"), resident("pbucket")).as("pbucket"): _*)
       }
@@ -235,7 +258,8 @@ object AggState {
       .distinct
     rows.dropDuplicates(dedupeKey)
       .groupBy(keyCols.map(col): _*)
-      .agg(sum(col("n")).as("n"), sum(col("sv")).as("sv"))
+      .agg(sum(col("n")).as("n"), sum(col("sv")).as("sv"),
+        min(col("mn")).as("mn"), max(col("mx")).as("mx"))
   }
 
   /** The delta's distinct bucket directories that exist in the store —

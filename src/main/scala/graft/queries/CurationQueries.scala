@@ -2800,6 +2800,34 @@ object CurationQueries {
     })
   private val q221Sql = ivfTopKSql(" AND a.vec_id % 7 <> 3")
 
+  // --------------------------------------------------------- q222
+  /** The IVM algebra over the FULL mergeable-monoid set: q213's
+    * partition-pruned refresh, now emitting count, quantized sum, and
+    * the raw min/max extrema from one persisted partials store
+    * ([[AggState.partials]] carries (n, sv, mn, mx); extrema merge by
+    * least/greatest — pure selection, so they need no quantization
+    * and reproduce a serial recompute bit-for-bit under any merge
+    * tree). avg = sum/n is derivable downstream, so this closes the
+    * metric-table aggregate surface: count, sum, min, max, avg — all
+    * maintained incrementally at delta cost. Same state store as
+    * q213 (one build, two gates). */
+  private def q222(s: SparkSession, dir: String): DataFrame = {
+    val delta = Tables.events(s, dir).filter(col("event_id") % 10 === 0)
+    AggState.refresh(s, q213State(s, dir), delta,
+        Seq("user_id", "event_type"), "value", 10000, q213Bucket)
+      .select(col("user_id"), col("event_type"), col("n"),
+        round(col("sv").cast("double") / 10000, 4).as("sum_value"),
+        col("mn").as("min_value"), col("mx").as("max_value"))
+  }
+  private val q222Sql =
+    """WITH dp AS (SELECT DISTINCT user_id, event_type FROM events
+      |            WHERE event_id % 10 = 0)
+      |SELECT e.user_id, e.event_type, CAST(count(*) AS BIGINT) AS n,
+      |  round(SUM(CAST(round(value * 10000) AS BIGINT))::DOUBLE / 10000, 4) AS sum_value,
+      |  MIN(value) AS min_value, MAX(value) AS max_value
+      |FROM events e JOIN dp USING (user_id, event_type)
+      |GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q168_kmv_distinct" -> q168 _,
     "q169_minhash_error" -> q169 _,
@@ -2854,7 +2882,8 @@ object CurationQueries {
     "q218_banded_ann_index" -> q218 _,
     "q219_ivf_index" -> q219 _,
     "q220_banded_lifecycle" -> q220 _,
-    "q221_ivf_lifecycle" -> q221 _)
+    "q221_ivf_lifecycle" -> q221 _,
+    "q222_ivm_minmax" -> q222 _)
 
   val oracleSql: Map[String, String] = Map(
     "q168_kmv_distinct" -> q168Sql,
@@ -2910,5 +2939,6 @@ object CurationQueries {
     "q218_banded_ann_index" -> q218Sql,
     "q219_ivf_index" -> q219Sql,
     "q220_banded_lifecycle" -> q220Sql,
-    "q221_ivf_lifecycle" -> q221Sql)
+    "q221_ivf_lifecycle" -> q221Sql,
+    "q222_ivm_minmax" -> q222Sql)
 }

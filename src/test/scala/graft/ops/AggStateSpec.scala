@@ -80,7 +80,8 @@ class AggStateSpec extends SparkSpec {
       .partials(base.unionByName(d1), groupCols, "value", 10000)
       .collect().toSet
     spark.read.parquet(path)
-      .select(col("user_id"), col("event_type"), col("n"), col("sv"))
+      .select(col("user_id"), col("event_type"), col("n"), col("sv"),
+        col("mn"), col("mx"))
       .collect().toSet shouldBe expected
   }
 
@@ -107,9 +108,12 @@ class AggStateSpec extends SparkSpec {
       .partials(ev.join(dg, groupCols), groupCols, "value", 10000)
       .join(AggState.partials(d2, groupCols, "value", 10000)
         .select(col("user_id"), col("event_type"), col("n").as("an"),
-          col("sv").as("as_")), groupCols)
+          col("sv").as("as_"), col("mn").as("amn"),
+          col("mx").as("amx")), groupCols)
       .select(col("user_id"), col("event_type"),
-        (col("n") + col("an")).as("n"), (col("sv") + col("as_")).as("sv"))
+        (col("n") + col("an")).as("n"), (col("sv") + col("as_")).as("sv"),
+        least(col("mn"), col("amn")).as("mn"),
+        greatest(col("mx"), col("amx")).as("mx"))
       .collect().toSet
     AggState.refresh(spark, path, d2, groupCols, "value", 10000, bucketOf)
       .collect().toSet shouldBe expRefresh
@@ -176,7 +180,8 @@ class AggStateSpec extends SparkSpec {
     AggState.absorb(spark, path, ndelta, groupCols, "value", 10000,
       bucketOf)
     spark.read.parquet(path)
-      .select(col("user_id"), col("event_type"), col("n"), col("sv"))
+      .select(col("user_id"), col("event_type"), col("n"), col("sv"),
+        col("mn"), col("mx"))
       .collect().toSet shouldBe full.collect().toSet
   }
 
@@ -191,7 +196,8 @@ class AggStateSpec extends SparkSpec {
       .partials(base.unionByName(movedUp), groupCols, "value", 10000)
       .collect().toSet
     spark.read.parquet(path)
-      .select(col("user_id"), col("event_type"), col("n"), col("sv"))
+      .select(col("user_id"), col("event_type"), col("n"), col("sv"),
+        col("mn"), col("mx"))
       .collect().toSet shouldBe expected
   }
 }
