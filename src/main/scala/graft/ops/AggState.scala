@@ -189,6 +189,70 @@ object AggState {
       .partitionBy("pbucket").parquet(path)
   }
 
+  /** Retract previously-absorbed fact rows — the CDC DELETE side of
+    * incremental maintenance: counts and quantized sums form abelian
+    * GROUPS (not just monoids), so a deletion merges in as the
+    * NEGATED partials of the deleted rows, rewriting only the touched
+    * partitions exactly like [[absorb]]; groups whose count reaches
+    * zero are dropped from the rewritten bucket. Extrema have no
+    * inverse (deleting the min row cannot be un-merged), so after a
+    * retraction the stored `mn`/`mx` remain conservative BOUNDS
+    * (mn ≤ true min, mx ≥ true max) until the next full [[write]] —
+    * callers needing exact post-delete extrema must recompute them
+    * for the touched groups. Retracting rows never absorbed is a
+    * silent no-op on the store (their groups have no resident row).
+    * AT-MOST-ONCE per deletion batch, the [[absorb]] contract. */
+  def retract(spark: SparkSession, path: String, deletes: DataFrame,
+      groupCols: Seq[String], valueCol: String, quantScale: Int,
+      bucketOf: Column): Unit = {
+    val d = partials(deletes, groupCols, valueCol, quantScale)
+      .withColumn("pbucket", bucketOf)
+      .select(groupCols.map(col) :+ col("n").as("dn") :+
+        col("sv").as("ds") :+ col("pbucket"): _*)
+    val dirs = touchedDirs(spark, path, d)
+    if (dirs.isEmpty) return // nothing resident for any deleted group
+    val resident = residentAgg(
+      spark.read.option("basePath", path).parquet(dirs: _*),
+      groupCols :+ "pbucket")
+      .select(groupCols.map(col) :+ col("n").as("bn") :+
+        col("sv").as("bs") :+ col("mn") :+ col("mx") :+
+        col("pbucket"): _*)
+    // left join FROM the resident side: untouched groups in a touched
+    // bucket pass through unchanged; never-absorbed deleted groups
+    // match nothing and vanish from the rewrite input (the no-op)
+    val merged = resident.join(d, groupCols.map(c => resident(c) <=> d(c))
+        .reduce(_ && _), "left")
+      .select(groupCols.map(c => resident(c).as(c)) :+
+        (col("bn") - coalesce(col("dn"), lit(0L))).as("n") :+
+        (col("bs") - coalesce(col("ds"), lit(0L))).as("sv") :+
+        col("mn") :+ col("mx") :+ lit(-1L).as("epoch") :+
+        resident("pbucket").as("pbucket"): _*)
+      .filter(col("n") > 0)
+      .persist()
+    try {
+      // dynamic overwrite only rewrites partitions PRESENT in the
+      // output — a bucket the retraction emptied entirely would keep
+      // its stale files, so collect the surviving bucket names
+      // (≤ |touched buckets|, parameter-bounded) and remove the rest
+      // cast: pbucket read back off parquet partition dirs may have
+      // been inferred as int, while bucketOf produces long
+      val survivors = merged.select(col("pbucket").cast("long"))
+        .distinct()
+        .collect().map(r =>
+          if (r.isNullAt(0)) "pbucket=__HIVE_DEFAULT_PARTITION__"
+          else s"pbucket=${r.getLong(0)}").toSet
+      merged.repartition(col("pbucket"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("pbucket").parquet(path)
+      val fs = new HPath(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      dirs.map(new HPath(_))
+        .filterNot(p => survivors.contains(p.getName))
+        .foreach(fs.delete(_, true))
+    } finally merged.unpersist()
+  }
+
   /** Append one LAYER of partials for a delta batch under `epochId`
     * (≥ 0; −1 is the consolidated generation): resident files are
     * never read or rewritten — the cheapest possible maintenance

@@ -26,6 +26,12 @@ import org.apache.spark.sql.functions._
   * string) per document — the index is a tiny fraction of the corpus
   * it guards.
   *
+  * The daily cycle is [[probe]] → verify → [[absorb]], with
+  * [[compact]] scheduled between absorbs and [[delete]]
+  * (right-to-be-forgotten) at any point: deletions are O(|batch|)
+  * tombstone appends that every probe anti-joins by broadcast, and
+  * the next compact purges them physically for free.
+  *
   * The hashing parameters are PERSISTED as table properties at
   * [[write]] (`graft.bands` etc. — the `_graft_ann_meta` discipline
   * applied to the band index) and validated on every [[probe]]/
@@ -108,6 +114,36 @@ object DedupIndex {
     (if (exists) writer else writer.option("path", path)).saveAsTable(table)
   }
 
+  /** The tombstone side table's name: deletions land here, tiny and
+    * append-only, until [[compact]] purges them physically. */
+  private def delTable(table: String): String = table + "_del"
+
+  /** Right-to-be-forgotten for the band index: mark `ids` (one column,
+    * the document ids) deleted. O(|ids|) work — one append to a tiny
+    * tombstone table; the bucketed resident files are NOT rewritten
+    * (a bucketed table cannot swap single bucket files, so an eager
+    * rewrite would cost a full-table generation — the tombstone defers
+    * that to the next scheduled [[compact]], which purges physically
+    * and clears the tombstones). Every [[probe]] between delete and
+    * compact anti-joins the tombstones via an explicit broadcast, so
+    * a deleted document can never appear as a resident candidate
+    * again the moment this returns. */
+  def delete(spark: SparkSession, table: String, ids: DataFrame): Unit =
+    ids.toDF("id").write.mode(SaveMode.Append).saveAsTable(delTable(table))
+
+  /** The resident rows minus tombstoned ids (broadcast anti-join —
+    * adds no shuffle, so the co-located bucket join's zero-Exchange
+    * plan survives; DedupIndexSpec pins it). */
+  private def liveRows(spark: SparkSession, table: String): DataFrame = {
+    val res = spark.table(table)
+    if (spark.catalog.tableExists(delTable(table)))
+      // no distinct on the tombstones: left_anti ignores duplicate
+      // build-side keys, and the dedup would cost a (tiny) shuffle
+      res.join(broadcast(spark.table(delTable(table))),
+        Seq("id"), "left_anti")
+    else res
+  }
+
   /** Rewrite the bucketed table so each bucket is ONE sorted file
     * again: a bucketed write does NOT coalesce per-bucket output (each
     * task emits its own file per bucket it holds), and every [[absorb]]
@@ -150,11 +186,21 @@ object DedupIndex {
     // real shuffle whose partition index IS the writer's bucket id
     // (both are pmod(murmur3(bk), buckets)), so each task holds
     // exactly one bucket and emits exactly one file.
-    spark.read.parquet(oldLoc.toString)
+    // purge tombstoned ids physically while every row is being
+    // rewritten anyway — deletes cost nothing extra here, and the
+    // tombstone table resets to empty afterwards
+    val raw = spark.read.parquet(oldLoc.toString)
+    val purged =
+      if (spark.catalog.tableExists(delTable(table)))
+        raw.join(broadcast(spark.table(delTable(table))),
+          Seq("id"), "left_anti")
+      else raw
+    purged
       .repartition(buckets, col("bk"))
       .write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, "bk").sortBy("bk")
       .option("path", newLoc.toString).saveAsTable(tmpTable)
+    spark.sql(s"DROP TABLE IF EXISTS ${delTable(table)}")
     spark.sql(s"DROP TABLE $table")
     spark.sql(s"ALTER TABLE $tmpTable RENAME TO $table")
     // re-stamp the persisted hashing parameters: the staged table was
@@ -180,7 +226,7 @@ object DedupIndex {
     val probeKeys = Dedup
       .bandKeys(batch, textCol, idCol, bands, rowsPerBand, shingleK)
       .select(col("id").as("new_id"), foldedKey)
-    spark.table(table)
+    liveRows(spark, table)
       .join(probeKeys, Seq("bk"))
       .filter(col("id") =!= col("new_id"))
       .select(col("new_id"), col("id").as("resident_id"))

@@ -2828,6 +2828,94 @@ object CurationQueries {
       |FROM events e JOIN dp USING (user_id, event_type)
       |GROUP BY 1, 2""".stripMargin
 
+  // --------------------------------------------------------- q223
+  /** Right-to-be-forgotten for the BAND index under the gate: build
+    * on the resident corpus, [[DedupIndex.absorb]] day 1, then
+    * [[DedupIndex.delete]] every doc_id % 20 = 0 (half the absorbed
+    * batch) — an O(|batch|) tombstone
+    * append, NOT a bucketed-table rewrite (single bucket files cannot
+    * be swapped; the next compact purges physically for free) — and
+    * probe day 2 against the shrunken index. The oracle recomputes
+    * day 2's candidates against (resident ∪ day 1) minus the deleted
+    * ids, so the gate proves a deleted document stops being FOUND the
+    * moment delete returns, while the probe plan keeps its
+    * zero-resident-Exchange shape (the tombstone anti-join is an
+    * explicit broadcast; DedupIndexSpec pins the plan). */
+  private def q223(s: SparkSession, dir: String): DataFrame = {
+    val day2 = Tables.documents(s, dir).filter(col("doc_id") % 10 === 5)
+    DedupIndex.probe(s, q223Table(s, dir), day2, "text", "doc_id",
+      Bands, RowsPerBand, ShingleK)
+  }
+  private val q223TableCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def q223Table(s: SparkSession, dir: String): String =
+    q223TableCache.compute(sessionToken(s) + "|" + dir, { (_, prev) =>
+      if (prev != null && s.catalog.tableExists(prev)) prev
+      else {
+        val digest = java.security.MessageDigest.getInstance("SHA-1")
+          .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          .map(b => f"$b%02x").mkString.take(16)
+        val table = s"graft_dedup_rtbf_$digest"
+        val path = java.nio.file.Files
+          .createTempDirectory("graft-dedupidx-q223").toString
+        val docs = Tables.documents(s, dir)
+        DedupIndex.write(docs.filter(col("doc_id") % 10 =!= 0 &&
+            col("doc_id") % 10 =!= 5), "text", "doc_id",
+          Bands, RowsPerBand, ShingleK, s"$path/idx", table)
+        DedupIndex.absorb(docs.filter(col("doc_id") % 10 === 0),
+          "text", "doc_id", Bands, RowsPerBand, ShingleK,
+          s"$path/idx", table)
+        DedupIndex.delete(s, table,
+          docs.filter(col("doc_id") % 20 === 0).select(col("doc_id")))
+        table
+      }
+    })
+  private val q223Sql =
+    s"""WITH $BandsCte,
+       |newb AS (SELECT doc_id, band, band_key FROM bands WHERE doc_id % 10 = 5),
+       |resb AS (SELECT doc_id, band, band_key FROM bands
+       |         WHERE doc_id % 10 <> 5 AND doc_id % 20 <> 0)
+       |SELECT DISTINCT n.doc_id AS new_id, r.doc_id AS resident_id
+       |FROM newb n JOIN resb r USING (band, band_key)""".stripMargin
+
+  // --------------------------------------------------------- q224
+  /** The CDC DELETE side of aggregate maintenance: build the partials
+    * store from the FULL events table, [[AggState.retract]] the
+    * event_id % 10 = 0 rows — counts and quantized sums are abelian
+    * groups, so the deletion merges in as negated partials, rewriting
+    * only the touched partitions; groups emptied by the retraction
+    * are dropped — then emit the whole store's count/sum. The oracle
+    * aggregates the surviving rows from scratch, so the gate proves a
+    * streamed DELETE batch maintains the metric table exactly (the
+    * reference's MV-under-CDC semantics, which q25's diff path proves
+    * row-wise, proved here for ASSOCIATIVE state at delta cost).
+    * Extrema are deliberately absent from the output: after a
+    * retraction they are documented conservative bounds, not exact
+    * values ([[AggState.retract]]'s contract). */
+  private def q224(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(q224State(s, dir))
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(sum(col("n")).as("n"),
+        round(sum(col("sv")).cast("double") / 10000, 4).as("sum_value"))
+  private val q224StateCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def q224State(s: SparkSession, dir: String): String =
+    q224StateCache.computeIfAbsent(dir, { _ =>
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-aggstate-q224").toString
+      val ev = Tables.events(s, dir)
+      val grp = Seq("user_id", "event_type")
+      AggState.write(ev, grp, "value", 10000, q213Bucket, s"$out/state")
+      AggState.retract(s, s"$out/state",
+        ev.filter(col("event_id") % 10 === 0), grp, "value", 10000,
+        q213Bucket)
+      s"$out/state"
+    })
+  private val q224Sql =
+    """SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n,
+      |  round(SUM(CAST(round(value * 10000) AS BIGINT))::DOUBLE / 10000, 4) AS sum_value
+      |FROM events WHERE event_id % 10 <> 0 GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q168_kmv_distinct" -> q168 _,
     "q169_minhash_error" -> q169 _,
@@ -2883,7 +2971,9 @@ object CurationQueries {
     "q219_ivf_index" -> q219 _,
     "q220_banded_lifecycle" -> q220 _,
     "q221_ivf_lifecycle" -> q221 _,
-    "q222_ivm_minmax" -> q222 _)
+    "q222_ivm_minmax" -> q222 _,
+    "q223_band_index_delete" -> q223 _,
+    "q224_ivm_retract" -> q224 _)
 
   val oracleSql: Map[String, String] = Map(
     "q168_kmv_distinct" -> q168Sql,
@@ -2940,5 +3030,7 @@ object CurationQueries {
     "q219_ivf_index" -> q219Sql,
     "q220_banded_lifecycle" -> q220Sql,
     "q221_ivf_lifecycle" -> q221Sql,
-    "q222_ivm_minmax" -> q222Sql)
+    "q222_ivm_minmax" -> q222Sql,
+    "q223_band_index_delete" -> q223Sql,
+    "q224_ivm_retract" -> q224Sql)
 }

@@ -185,6 +185,44 @@ class AggStateSpec extends SparkSpec {
       .collect().toSet shouldBe full.collect().toSet
   }
 
+  test("retract: negated merge equals recompute for count/sum; extrema stay bounds; emptied buckets vanish") {
+    val dir = Files.createTempDirectory("graft-aggstate").toString
+    val path = s"$dir/state"
+    AggState.write(ev, groupCols, "value", 10000, bucketOf, path)
+    AggState.retract(spark, path, delta, groupCols, "value", 10000,
+      bucketOf)
+    val expected = AggState.partials(base, groupCols, "value", 10000)
+      .select(col("user_id"), col("event_type"), col("n"), col("sv"))
+      .collect().toSet
+    spark.read.parquet(path)
+      .select(col("user_id"), col("event_type"), col("n"), col("sv"))
+      .collect().toSet shouldBe expected
+    // extrema after retraction: conservative bounds, never violated
+    val trueExt = AggState.partials(base, groupCols, "value", 10000)
+      .select(col("user_id"), col("event_type"), col("mn").as("tmn"),
+        col("mx").as("tmx"))
+    spark.read.parquet(path)
+      .join(trueExt, groupCols)
+      .filter(col("mn") > col("tmn") || col("mx") < col("tmx"))
+      .count() shouldBe 0L
+    // a retraction that empties a whole bucket removes its directory
+    // (dynamic overwrite alone would leave the stale files in place)
+    val only0 = ev.filter(col("user_id") < 4)
+    val path2 = s"$dir/state2"
+    AggState.write(ev, groupCols, "value", 10000, bucketOf, path2)
+    AggState.retract(spark, path2, only0, groupCols, "value", 10000,
+      bucketOf)
+    fs.exists(new HPath(path2, "pbucket=0")) shouldBe false
+    AggState.merged(spark, path2, groupCols)
+      .filter(col("user_id") < 4).count() shouldBe 0L
+    // retracting rows never absorbed is a no-op
+    val before = spark.read.parquet(path2).collect().toSet
+    AggState.retract(spark, path2,
+      delta.withColumn("user_id", col("user_id") + 5000000L),
+      groupCols, "value", 10000, bucketOf)
+    spark.read.parquet(path2).collect().toSet shouldBe before
+  }
+
   test("absorb creates partitions for buckets the store has never seen") {
     val dir = Files.createTempDirectory("graft-aggstate").toString
     val path = s"$dir/state"

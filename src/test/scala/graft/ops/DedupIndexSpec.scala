@@ -174,6 +174,64 @@ class DedupIndexSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS didx_props")
   }
 
+  test("delete: tombstoned ids vanish from probes immediately; compact purges them physically") {
+    val path = Files.createTempDirectory("graft-dedupidx").toString
+    val day1 = docs.filter(col("doc_id") % 10 === 0)
+    val day2 = docs.filter(col("doc_id") % 10 === 1)
+    val resident0 = docs
+      .filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 10 =!= 1)
+    DedupIndex.write(resident0, "text", "doc_id", 4, 4, 3,
+      s"$path/idx", "didx_del", buckets = 8)
+    try {
+      DedupIndex.absorb(day1, "text", "doc_id", 4, 4, 3,
+        s"$path/idx", "didx_del", buckets = 8)
+      // right-to-be-forgotten: every absorbed day-1 doc with
+      // doc_id % 20 == 0, plus some originally-resident ones
+      val victims = docs.filter(col("doc_id") % 20 === 0 ||
+        col("doc_id") % 10 === 7)
+      DedupIndex.delete(spark, "didx_del",
+        victims.select(col("doc_id")))
+      val surviving = docs.filter(col("doc_id") % 10 =!= 1 &&
+        !(col("doc_id") % 20 === 0 || col("doc_id") % 10 === 7))
+      def fromScratch = {
+        val rb = Dedup.bandKeys(surviving, "text", "doc_id", 4, 4, 3)
+        val nb = Dedup.bandKeys(day2, "text", "doc_id", 4, 4, 3)
+          .select(col("id").as("new_id"), col("band"), col("band_key"))
+        rb.join(nb, Seq("band", "band_key"))
+          .filter(col("id") =!= col("new_id"))
+          .select(col("new_id"), col("id").as("resident_id"))
+          .distinct().collect().toSet
+      }
+      val expected = fromScratch
+      DedupIndex.probe(spark, "didx_del", day2, "text", "doc_id",
+        4, 4, 3).collect().toSet shouldBe expected
+      // the tombstone anti-join is broadcast: the resident side still
+      // joins from its buckets with no new hash exchange
+      val prev = spark.conf
+        .get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val plan = DedupIndex.probe(spark, "didx_del", day2, "text",
+          "doc_id", 4, 4, 3).queryExecution.executedPlan.toString
+        withClue(plan) {
+          "Exchange hashpartitioning".r.findAllIn(plan).size shouldBe 2
+        }
+      } finally
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      // compact purges physically and clears the tombstones
+      DedupIndex.compact(spark, "didx_del", buckets = 8)
+      spark.catalog.tableExists("didx_del_del") shouldBe false
+      spark.table("didx_del")
+        .filter(col("id") % 20 === 0 || col("id") % 10 === 7)
+        .count() shouldBe 0L
+      DedupIndex.probe(spark, "didx_del", day2, "text", "doc_id",
+        4, 4, 3).collect().toSet shouldBe expected
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS didx_del")
+      spark.sql("DROP TABLE IF EXISTS didx_del_del")
+    }
+  }
+
   test("resident side joins from its buckets with ZERO exchange") {
     buildIndex("didx_plan")
     // force SMJ: a broadcast of the batch would hide the resident
