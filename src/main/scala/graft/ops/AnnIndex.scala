@@ -559,6 +559,10 @@ object AnnIndex {
         if (status == "kept") {
           if (fs.exists(staged)) {
             fs.delete(live, true)
+            // nested layouts (band=B/bucket=K): rename needs the live
+            // parent dir present — it can be missing after a crash if
+            // this was the band's only surviving bucket
+            fs.mkdirs(live.getParent)
             fs.rename(staged, live)
           } // staged dir gone = this partition already swapped
         } else fs.delete(live, true) // emptied: idempotent remove

@@ -128,8 +128,26 @@ object DedupIndex {
     * compact anti-joins the tombstones via an explicit broadcast, so
     * a deleted document can never appear as a resident candidate
     * again the moment this returns. */
-  def delete(spark: SparkSession, table: String, ids: DataFrame): Unit =
-    ids.toDF("id").write.mode(SaveMode.Append).saveAsTable(delTable(table))
+  def delete(spark: SparkSession, table: String, ids: DataFrame): Unit = {
+    val dt = delTable(table)
+    val w = ids.toDF("id").write.mode(SaveMode.Append)
+    if (spark.catalog.tableExists(dt)) w.saveAsTable(dt)
+    else {
+      // EXTERNAL location beside the index's current generation dir: a
+      // managed table would leave its spark-warehouse directory behind
+      // when the session-scoped catalog dies, failing the next JVM's
+      // CREATE with LOCATION_ALREADY_EXISTS. No live table ⇒ no live
+      // tombstones, so any stale files at the location are leftovers
+      // from a dropped/crashed table and must not resurrect: clear
+      // them before creating.
+      val mainLoc = spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(table)).location
+      val loc = new org.apache.hadoop.fs.Path(mainLoc.toString + "_tombstones")
+      loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(loc, true)
+      w.option("path", loc.toString).saveAsTable(dt)
+    }
+  }
 
   /** The resident rows minus tombstoned ids (broadcast anti-join —
     * adds no shuffle, so the co-located bucket join's zero-Exchange
@@ -200,7 +218,16 @@ object DedupIndex {
       .write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, "bk").sortBy("bk")
       .option("path", newLoc.toString).saveAsTable(tmpTable)
-    spark.sql(s"DROP TABLE IF EXISTS ${delTable(table)}")
+    // purge complete: drop the tombstone table AND its files (it is
+    // external, so DROP alone would leave the directory behind)
+    if (spark.catalog.tableExists(delTable(table))) {
+      val dloc = new org.apache.hadoop.fs.Path(
+        spark.sessionState.catalog.getTableMetadata(spark.sessionState
+          .sqlParser.parseTableIdentifier(delTable(table))).location)
+      spark.sql(s"DROP TABLE ${delTable(table)}")
+      dloc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(dloc, true)
+    }
     spark.sql(s"DROP TABLE $table")
     spark.sql(s"ALTER TABLE $tmpTable RENAME TO $table")
     // re-stamp the persisted hashing parameters: the staged table was

@@ -2916,6 +2916,57 @@ object CurationQueries {
       |  round(SUM(CAST(round(value * 10000) AS BIGINT))::DOUBLE / 10000, 4) AS sum_value
       |FROM events WHERE event_id % 10 <> 0 GROUP BY 1, 2""".stripMargin
 
+  // --------------------------------------------------------- q225
+  /** The aggregate store's WHOLE maintenance life under one gate —
+    * q211's operational-license argument for [[AggState]]: write the
+    * base (event_id % 10 ∉ {0}), [[AggState.absorb]] an insert batch
+    * (event_id % 20 = 10), [[AggState.retract]] a CDC delete batch
+    * (event_id % 10 = 5), then answer a [[AggState.refresh]] for a
+    * fresh delta (event_id % 20 = 0) from the maintained store. The
+    * oracle recomputes the delta's groups over ((base ∪ inserts −
+    * deletes) ∪ delta) from the raw table, so the gate proves no
+    * maintenance step corrupts a single count or sum — the license to
+    * run absorb/retract continuously against a live metric table.
+    * Extrema are excluded (post-retract they are bounds by
+    * contract). */
+  private def q225(s: SparkSession, dir: String): DataFrame = {
+    val delta = Tables.events(s, dir).filter(col("event_id") % 20 === 0)
+    AggState.refresh(s, q225State(s, dir), delta,
+        Seq("user_id", "event_type"), "value", 10000, q213Bucket)
+      .select(col("user_id"), col("event_type"), col("n"),
+        round(col("sv").cast("double") / 10000, 4).as("sum_value"))
+  }
+  private val q225StateCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def q225State(s: SparkSession, dir: String): String =
+    q225StateCache.computeIfAbsent(dir, { _ =>
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-aggstate-q225").toString
+      val ev = Tables.events(s, dir)
+      val grp = Seq("user_id", "event_type")
+      AggState.write(ev.filter(col("event_id") % 10 =!= 0), grp,
+        "value", 10000, q213Bucket, s"$out/state")
+      AggState.absorb(s, s"$out/state",
+        ev.filter(col("event_id") % 20 === 10), grp, "value", 10000,
+        q213Bucket)
+      AggState.retract(s, s"$out/state",
+        ev.filter(col("event_id") % 10 === 5), grp, "value", 10000,
+        q213Bucket)
+      s"$out/state"
+    })
+  private val q225Sql =
+    """WITH surviving AS (
+      |  SELECT * FROM events
+      |  WHERE event_id % 10 NOT IN (0, 5) OR event_id % 20 = 10),
+      |d AS (SELECT * FROM events WHERE event_id % 20 = 0),
+      |u AS (SELECT user_id, event_type, value FROM surviving
+      |      UNION ALL SELECT user_id, event_type, value FROM d),
+      |dg AS (SELECT DISTINCT user_id, event_type FROM d)
+      |SELECT u.user_id, u.event_type, CAST(count(*) AS BIGINT) AS n,
+      |  round(SUM(CAST(round(u.value * 10000) AS BIGINT))::DOUBLE / 10000, 4) AS sum_value
+      |FROM u JOIN dg USING (user_id, event_type)
+      |GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q168_kmv_distinct" -> q168 _,
     "q169_minhash_error" -> q169 _,
@@ -2973,7 +3024,8 @@ object CurationQueries {
     "q221_ivf_lifecycle" -> q221 _,
     "q222_ivm_minmax" -> q222 _,
     "q223_band_index_delete" -> q223 _,
-    "q224_ivm_retract" -> q224 _)
+    "q224_ivm_retract" -> q224 _,
+    "q225_ivm_lifecycle" -> q225 _)
 
   val oracleSql: Map[String, String] = Map(
     "q168_kmv_distinct" -> q168Sql,
@@ -3032,5 +3084,6 @@ object CurationQueries {
     "q221_ivf_lifecycle" -> q221Sql,
     "q222_ivm_minmax" -> q222Sql,
     "q223_band_index_delete" -> q223Sql,
-    "q224_ivm_retract" -> q224Sql)
+    "q224_ivm_retract" -> q224Sql,
+    "q225_ivm_lifecycle" -> q225Sql)
 }

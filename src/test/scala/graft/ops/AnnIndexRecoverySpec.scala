@@ -113,6 +113,52 @@ class AnnIndexRecoverySpec extends SparkSpec {
     fs.exists(new HPath(idx, s"bucket=$keptBucket")) shouldBe true
   }
 
+  test("banded delete crash mid-swap: nested band=/bucket= manifest redo heals") {
+    val dir = Files.createTempDirectory("graft-annrec").toString
+    val idx = s"$dir/idx"
+    AnnIndex.writeBanded(emb, bands = 3, planesPerBand = 3, path = idx)
+    // victims: every vector of band 0's smallest bucket — that dir is
+    // EMPTIED; the victims' copies in bands 1-2 leave their dirs KEPT
+    val stored = spark.read.parquet(idx)
+    val d0 = stored.filter(col("band") === 0)
+      .groupBy("bucket").agg(countDistinct("vec_id").as("n"))
+      .orderBy(col("n").asc, col("bucket").asc).head.getString(0)
+    val victimIds = stored
+      .filter(col("band") === 0 && col("bucket") === d0)
+      .select(col("vec_id")).distinct().collect().map(_.getLong(0)).toSeq
+    victimIds should not be empty
+    val control = s"$dir/control"
+    AnnIndex.writeBanded(emb.filter(!col("vec_id").isin(victimIds: _*)),
+      bands = 3, planesPerBand = 3, path = control)
+    // affected dirs: every (band, bucket) holding a victim copy
+    val affected = stored.filter(col("vec_id").isin(victimIds: _*))
+      .select(col("band"), col("bucket")).distinct().collect()
+      .map(r => s"band=${r.getInt(0)}/bucket=${r.getString(1)}").toSeq
+    affected.size should be >= 3 // one dir per band at least
+    // stage exactly as AnnIndex.delete stages, manifest last
+    val tmp = s"${idx}_deleting"
+    spark.read.option("basePath", idx)
+      .parquet(affected.map(d => s"$idx/$d"): _*)
+      .filter(!col("vec_id").isin(victimIds: _*))
+      .repartition(col("band"), col("bucket"))
+      .write.mode("overwrite").partitionBy("band", "bucket").parquet(tmp)
+    val manifest = affected.map { d =>
+      val kept = fs.exists(new HPath(tmp, d))
+      s"$d,${if (kept) "kept" else "emptied"}"
+    }.mkString("\n")
+    Files.write(Paths.get(tmp, "_graft_affected"),
+      manifest.getBytes(StandardCharsets.UTF_8))
+    // crash at the worst point: one KEPT dir's live copy already gone,
+    // its staged replacement not yet renamed in
+    val crashed = affected.find(d => fs.exists(new HPath(tmp, d))).get
+    fs.delete(new HPath(idx, crashed), true) shouldBe true
+    // next banded probe heals the swap and answers as post-delete
+    AnnIndex.topKBanded(spark, idx, qs, k = 5).collect().toSet shouldBe
+      AnnIndex.topKBanded(spark, control, qs, k = 5).collect().toSet
+    fs.exists(new HPath(tmp)) shouldBe false
+    fs.exists(new HPath(idx, s"band=0/bucket=$d0")) shouldBe false
+  }
+
   test("empty-probe fallback schema matches the normal path, vec_id type from meta") {
     val dir = Files.createTempDirectory("graft-annrec").toString
     val idx = s"$dir/idx"
