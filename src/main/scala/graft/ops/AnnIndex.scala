@@ -131,27 +131,33 @@ object AnnIndex {
     } finally in.close()
   }
 
-  /** The stored row for one corpus vector: bucket key (plus quantized
-    * code/scale columns or the raw embedding). Shared by [[write]] and
-    * [[append]] so a delta is always encoded exactly as the resident
-    * generation. Quantization is q203's max-abs int8 scheme (q112's
-    * storage layout): `code_i = floor(x_i/scale·127 + 0.5)` as a
-    * TINYINT plus one double `qscale` per row — the index's dominant
-    * column shrinks 4-8× and reconstruction (`code·qscale/127`) is an
-    * array expression inside the probe scan's projection. */
+  /** The max-abs int8 storage columns (`code`, `qscale`) for the
+    * `embedding` column — q203's scheme over q112's storage layout:
+    * `code_i = floor(x_i/scale·127 + 0.5)` as a TINYINT plus one
+    * double `qscale` per row, so the dominant column shrinks 4-8× and
+    * reconstruction (`code·qscale/127`) is an array expression inside
+    * the probe scan's projection. Shared by every quantized layout. */
+  private def quantCols: Seq[Column] = {
+    val vd = Similarity.toDouble(col("embedding"))
+    val scale = greatest(array_max(transform(vd, x => abs(x))), lit(1e-12))
+    Seq(transform(vd, x => floor(x / scale * 127 + lit(0.5)).cast("byte"))
+        .as("code"),
+      scale.as("qscale"))
+  }
+
+  /** Reconstructed (quantized) or raw double vector, per `meta`. */
+  private def storedValue(meta: Meta): Column =
+    if (meta.quantized)
+      transform(col("code"), c => c.cast("double") * col("qscale") / 127)
+    else Similarity.toDouble(col("embedding"))
+
   private def indexRows(df: DataFrame, planes: Int, dims: Int,
       mu: Seq[Double], quantized: Boolean): DataFrame = {
     val bucket = concat(lit("b"),
       Similarity.bucketKey(col("embedding"), planes, dims, mu)).as("bucket")
     val rows =
-      if (quantized) {
-        val vd = Similarity.toDouble(col("embedding"))
-        val scale = greatest(array_max(transform(vd, x => abs(x))), lit(1e-12))
-        df.select(col("vec_id"),
-          transform(vd, x => floor(x / scale * 127 + lit(0.5)).cast("byte"))
-            .as("code"),
-          scale.as("qscale"), bucket)
-      } else df.select(col("vec_id"), col("embedding"), bucket)
+      if (quantized) df.select(col("vec_id") +: (quantCols :+ bucket): _*)
+      else df.select(col("vec_id"), col("embedding"), bucket)
     // co-locate each bucket on ONE task before partitionBy: without
     // this every write task emits a file into every bucket it touches —
     // O(tasks·2^planes) tiny files whose open/footer cost dominates the
@@ -205,27 +211,48 @@ object AnnIndex {
     * [[Similarity.lshBandKeys]], so the from-scratch and persisted
     * banded schemes hash identically (AnnIndexSpec pins equality). */
   def writeBanded(corpus: DataFrame, bands: Int, planesPerBand: Int,
-      path: String, centered: Boolean = false): Unit = {
+      path: String, centered: Boolean = false,
+      quantized: Boolean = false): Unit = {
     require(bands > 0 && planesPerBand > 0 && bands * planesPerBand <= 32,
       s"bands*planesPerBand must be in [1,32], got $bands x $planesPerBand")
     recover(corpus.sparkSession, path)
     val dims = Similarity.embDims(corpus)
     val mu = if (centered) Similarity.dimMeans(corpus, dims)
       else Seq.empty[Double]
-    corpus.select(col("vec_id"), col("embedding"),
-        explode(array(bandStructs(col("embedding"), bands, planesPerBand,
-          dims, mu): _*)).as("bk"))
-      .select(col("vec_id"), col("embedding"),
-        col("bk.band").as("band"), col("bk.bucket").as("bucket"))
-      .repartition(col("band"), col("bucket"))
+    // quantized: the ×bands storage tradeoff is where int8 codes pay
+    // most — each of the `bands` copies shrinks 4-8×. Buckets are
+    // computed from the ORIGINAL floats ([[write]]'s rule), codes
+    // reconstruct inside the probe scan's projection.
+    bandedRows(corpus, bands, planesPerBand, dims, mu, quantized)
       .write.mode("overwrite").partitionBy("band", "bucket").parquet(path)
     val muStr = mu.map(java.lang.Double.toString).mkString(",")
     val vecIdType = corpus.schema("vec_id").dataType.catalogString
     val body = s"planes=${bands * planesPerBand}\ndims=$dims\n" +
-      s"centered=$centered\nquantized=false\nmu=$muStr\n" +
+      s"centered=$centered\nquantized=$quantized\nmu=$muStr\n" +
       s"vecIdType=$vecIdType\nbands=$bands\nplanesPerBand=$planesPerBand\n"
     writeString(fsFor(path, corpus.sparkSession),
       new HPath(path, MetaFile), body)
+  }
+
+  /** The banded layout's stored rows — one copy per band under
+    * (band, bucket), raw or int8-quantized — shared by [[writeBanded]]
+    * and [[encodeRows]] so a banded delta is always encoded exactly as
+    * the resident generation. Pre-repartitioned: one file per touched
+    * (band, bucket) per generation. */
+  private def bandedRows(df: DataFrame, bands: Int, planesPerBand: Int,
+      dims: Int, mu: Seq[Double], quantized: Boolean): DataFrame = {
+    val withStored =
+      if (quantized)
+        df.select(col("vec_id") +: (quantCols :+ col("embedding")): _*)
+      else df.select(col("vec_id"), col("embedding"))
+    val storedNames = if (quantized) Seq("code", "qscale")
+      else Seq("embedding")
+    withStored.select((col("vec_id") +: storedNames.map(col)) :+
+        explode(array(bandStructs(col("embedding"), bands, planesPerBand,
+          dims, mu): _*)).as("bk"): _*)
+      .select((col("vec_id") +: storedNames.map(col)) :+
+        col("bk.band").as("band") :+ col("bk.bucket").as("bucket"): _*)
+      .repartition(col("band"), col("bucket"))
   }
 
   /** One (band, bucket) struct per band for a vector — the banded key
@@ -276,7 +303,7 @@ object AnnIndex {
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id")).distinct()
     val idx = raw
-      .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("v"))
+      .select(col("vec_id"), storedValue(meta).as("v"))
       .dropDuplicates("vec_id") // stored once per band; score once
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("vec_id").asc)
@@ -455,12 +482,8 @@ object AnnIndex {
     * file per touched partition per generation. */
   private def encodeRows(df: DataFrame, meta: Meta): DataFrame =
     if (meta.banded)
-      df.select(col("vec_id"), col("embedding"),
-          explode(array(bandStructs(col("embedding"), meta.bands,
-            meta.planesPerBand, meta.dims, meta.mu): _*)).as("bk"))
-        .select(col("vec_id"), col("embedding"),
-          col("bk.band").as("band"), col("bk.bucket").as("bucket"))
-        .repartition(col("band"), col("bucket"))
+      bandedRows(df, meta.bands, meta.planesPerBand, meta.dims, meta.mu,
+        meta.quantized)
     else if (meta.ivf) ivfRows(df, meta.centIds, meta.centroids)
     else indexRows(df, meta.planes, meta.dims, meta.mu, meta.quantized)
 
@@ -754,11 +777,8 @@ object AnnIndex {
     }
     val raw = spark.read.option("basePath", path).parquet(probedDirs: _*)
       .filter(col("bucket").isin(probeBucketList: _*))
-    val value =
-      if (meta.quantized)
-        transform(col("code"), c => c.cast("double") * col("qscale") / 127)
-      else Similarity.toDouble(col("embedding"))
-    val idx = raw.select(col("vec_id"), value.as("v"), col("bucket"))
+    val idx = raw.select(col("vec_id"), storedValue(meta).as("v"),
+      col("bucket"))
     val cand = idx.select(col("vec_id"), col("bucket"))
       .join(broadcast(probes), Seq("bucket"))
       .filter(col("vec_id") =!= col("q_id"))

@@ -2637,12 +2637,23 @@ object CurationQueries {
   /** From-scratch banded top-k in DuckDB; `candExtra` narrows the
     * CANDIDATE side only (q220 excludes deleted ids there — queries
     * still come from the raw table, the q208 deletion-oracle rule). */
-  private def bandedTopKSql(candExtra: String): String = {
+  private def bandedTopKSql(candExtra: String,
+      quantized: Boolean = false): String = {
     val bandSelects = (0 until RecBands).map { bnd =>
       val bits = (1 to RecPlanesPerBand)
         .map(r => rawBitSql(bnd * RecPlanesPerBand + r)).mkString(" || ")
       s"SELECT vec_id, $bnd AS band, $bits AS bucket FROM base"
     }.mkString("\nUNION ALL\n")
+    // quantized: candidates come from the original-float banded keys
+    // (the writeBanded rule) but scores use the int8 reconstruction —
+    // q206's asymmetric-search oracle, banded edition
+    val deq = """list_transform(vd, x ->
+      | floor(x / greatest(list_max(list_transform(vd, y -> abs(y))), 1e-12)
+      |   * 127 + 0.5)
+      | * greatest(list_max(list_transform(vd, y -> abs(y))), 1e-12) / 127)"""
+      .stripMargin.replace("\n", " ")
+    val candSide =
+      if (quantized) s"(SELECT vec_id, $deq AS vd FROM base)" else "base"
     s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e,
        |               embedding::DOUBLE[] AS vd FROM embeddings),
        |b AS ($bandSelects),
@@ -2651,7 +2662,7 @@ object CurationQueries {
        |         FROM q0 q JOIN b c ON q.band = c.band AND q.bucket = c.bucket
        |         WHERE c.vec_id <> q.q_id$candExtra),
        |sc AS (SELECT cand.q_id, cand.vec_id, qq.vd AS qv, cc.vd AS v
-       |       FROM cand JOIN base cc ON cand.vec_id = cc.vec_id
+       |       FROM cand JOIN $candSide cc ON cand.vec_id = cc.vec_id
        |         JOIN base qq ON cand.q_id = qq.vec_id)
        |SELECT q_id, CAST(rn AS INT) AS rank, vec_id, round(cos, 6) AS cos_sim FROM (
        |  SELECT q_id, vec_id, $CosSql AS cos,
@@ -2967,6 +2978,39 @@ object CurationQueries {
       |FROM u JOIN dg USING (user_id, event_type)
       |GROUP BY 1, 2""".stripMargin
 
+  // --------------------------------------------------------- q226
+  /** Quantized BANDED index: the ×bands storage tradeoff is exactly
+    * where int8 codes pay most — each of the `bands` copies shrinks
+    * 4-8×, so `writeBanded(quantized = true)` buys banded recall at
+    * near-flat-index storage. Buckets come from the ORIGINAL floats
+    * (the flat index's q206 rule: quantization must not move a vector
+    * across a hash boundary); codes reconstruct inside the probe
+    * scan's projection, and a GROWN index (half written, half
+    * appended through the layout-dispatched [[AnnIndex.append]])
+    * must encode deltas identically. The oracle rebuilds the banded
+    * candidates from the raw floats and re-ranks them over the same
+    * int8 reconstruction in DuckDB — q206's asymmetric-search gate,
+    * banded edition, completing the layout × quantization matrix. */
+  private def q226(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val qs = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    AnnIndex.topKBanded(s, q226Index(s, dir), qs, AnnK)
+  }
+  private val q226IndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def q226Index(s: SparkSession, dir: String): String =
+    q226IndexCache.computeIfAbsent(dir, { _ =>
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft-annidx-q226").toString
+      val emb = Tables.embeddings(s, dir)
+      AnnIndex.writeBanded(emb.filter(col("vec_id") % 2 === 0),
+        RecBands, RecPlanesPerBand, s"$idxDir/idx", quantized = true)
+      AnnIndex.append(emb.filter(col("vec_id") % 2 =!= 0), s"$idxDir/idx")
+      s"$idxDir/idx"
+    })
+  private val q226Sql = bandedTopKSql("", quantized = true)
+
   val queries: Map[String, Q] = Map(
     "q168_kmv_distinct" -> q168 _,
     "q169_minhash_error" -> q169 _,
@@ -3025,7 +3069,8 @@ object CurationQueries {
     "q222_ivm_minmax" -> q222 _,
     "q223_band_index_delete" -> q223 _,
     "q224_ivm_retract" -> q224 _,
-    "q225_ivm_lifecycle" -> q225 _)
+    "q225_ivm_lifecycle" -> q225 _,
+    "q226_banded_quantized" -> q226 _)
 
   val oracleSql: Map[String, String] = Map(
     "q168_kmv_distinct" -> q168Sql,
@@ -3085,5 +3130,6 @@ object CurationQueries {
     "q222_ivm_minmax" -> q222Sql,
     "q223_band_index_delete" -> q223Sql,
     "q224_ivm_retract" -> q224Sql,
-    "q225_ivm_lifecycle" -> q225Sql)
+    "q225_ivm_lifecycle" -> q225Sql,
+    "q226_banded_quantized" -> q226Sql)
 }
