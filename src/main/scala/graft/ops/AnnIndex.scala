@@ -332,7 +332,8 @@ object AnnIndex {
     * path uses, so persisted and inline IVF cannot diverge
     * (AnnIndexIvfSpec pins equality; q219 gates the grown index
     * against a from-scratch DuckDB oracle). */
-  def writeIvf(corpus: DataFrame, nClusters: Int, path: String): Unit = {
+  def writeIvf(corpus: DataFrame, nClusters: Int, path: String,
+      quantized: Boolean = false): Unit = {
     require(nClusters > 0, s"nClusters must be positive, got $nClusters")
     require({
         import org.apache.spark.sql.types._
@@ -357,12 +358,12 @@ object AnnIndex {
       .collect().sortBy(_.getLong(0))
     val ids = centRows.map(_.getLong(0)).toSeq
     val cvecs = centRows.map(_.getSeq[Double](1)).toSeq
-    ivfRows(corpus, ids, cvecs)
+    ivfRows(corpus, ids, cvecs, quantized)
       .write.mode("overwrite").partitionBy("cell").parquet(path)
     val vecIdType = corpus.schema("vec_id").dataType.catalogString
     // centroid doubles round-trip via Double.toString/parseDouble
     // (exact), so appendIvf assigns with bit-identical planes
-    val body = s"planes=0\ndims=$dims\ncentered=false\nquantized=false\n" +
+    val body = s"planes=0\ndims=$dims\ncentered=false\nquantized=$quantized\n" +
       s"mu=\nvecIdType=$vecIdType\n" +
       s"centIds=${ids.mkString(",")}\n" +
       s"centroids=${cvecs.map(_.map(java.lang.Double.toString)
@@ -377,12 +378,16 @@ object AnnIndex {
     * `nearest_centroid` kernel every IVF path shares). "c"-prefixed
     * for the same partition-type-inference reason as the LSH "b". */
   private def ivfRows(df: DataFrame, ids: Seq[Long],
-      cvecs: Seq[Seq[Double]]): DataFrame = {
+      cvecs: Seq[Seq[Double]], quantized: Boolean = false): DataFrame = {
     graft.functions.GraftExtensions.ensureRegistered(df.sparkSession)
-    df.select(col("vec_id"), col("embedding"),
+    val stored: Seq[Column] =
+      if (quantized) quantCols else Seq(col("embedding"))
+    // cell assignment always from the ORIGINAL floats — quantization
+    // must not move a vector across a Voronoi boundary
+    df.select((col("vec_id") +: stored) :+
         concat(lit("c"), call_function("nearest_centroid",
           Similarity.toDouble(col("embedding")),
-          typedLit(ids), typedLit(cvecs))).as("cell"))
+          typedLit(ids), typedLit(cvecs))).as("cell"): _*)
       .repartition(col("cell"))
   }
 
@@ -443,7 +448,7 @@ object AnnIndex {
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id")).distinct()
     val idx = raw
-      .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("v"))
+      .select(col("vec_id"), storedValue(meta).as("v"))
       .dropDuplicates("vec_id")
     cand.join(qv, "q_id").join(idx, "vec_id")
       .withColumn("cos", graft.functions.CosineSimilarity(col("q"), col("v")))
@@ -484,7 +489,8 @@ object AnnIndex {
     if (meta.banded)
       bandedRows(df, meta.bands, meta.planesPerBand, meta.dims, meta.mu,
         meta.quantized)
-    else if (meta.ivf) ivfRows(df, meta.centIds, meta.centroids)
+    else if (meta.ivf)
+      ivfRows(df, meta.centIds, meta.centroids, meta.quantized)
     else indexRows(df, meta.planes, meta.dims, meta.mu, meta.quantized)
 
   /** Each row's RELATIVE partition directory under `meta`'s layout —

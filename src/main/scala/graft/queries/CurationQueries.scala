@@ -2708,15 +2708,25 @@ object CurationQueries {
   /** From-scratch IVF top-k in DuckDB with the RESIDENT generation's
     * quantizer (8 lowest even ids); `candExtra` narrows the candidate
     * side only (q221's deletion oracle). */
-  private def ivfTopKSql(candExtra: String): String =
+  private def ivfTopKSql(candExtra: String,
+      quantized: Boolean = false): String = {
+    // quantized: cell assignment and probe selection from the RAW
+    // floats (the writeIvf rule), scores over the int8 reconstruction
+    val vs =
+      if (quantized) """list_transform(v, x ->
+        | floor(x / greatest(list_max(list_transform(v, y -> abs(y))), 1e-12)
+        |   * 127 + 0.5)
+        | * greatest(list_max(list_transform(v, y -> abs(y))), 1e-12) / 127)"""
+        .stripMargin.replace("\n", " ")
+      else "v"
     s"""WITH cents AS (
        |  SELECT vec_id AS cluster, embedding::DOUBLE[] AS c FROM (
        |    SELECT * FROM embeddings WHERE vec_id % 2 = 0
        |    ORDER BY vec_id LIMIT $IvfIdxClusters)),
-       |base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |base AS (SELECT vec_id, embedding::DOUBLE[] AS v, $vs AS vs FROM embeddings),
        |assigned AS (
-       |  SELECT vec_id, v, cluster FROM (
-       |    SELECT b.vec_id, b.v, cents.cluster,
+       |  SELECT vec_id, vs, cluster FROM (
+       |    SELECT b.vec_id, b.v, b.vs, cents.cluster,
        |      ROW_NUMBER() OVER (PARTITION BY b.vec_id
        |        ORDER BY ${distSql("b.v", "cents.c")} ASC, cents.cluster ASC) AS rn
        |    FROM base b, cents) WHERE rn = 1),
@@ -2729,12 +2739,13 @@ object CurationQueries {
        |    FROM q, cents) WHERE rn <= $IvfIdxProbe)
        |SELECT q_id, CAST(rn AS INT) AS rank, vec_id, round(cos, 6) AS cos_sim FROM (
        |  SELECT p.q_id, a.vec_id,
-       |    list_dot_product(p.qv, a.v) / (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(a.v, a.v))) AS cos,
+       |    list_dot_product(p.qv, a.vs) / (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(a.vs, a.vs))) AS cos,
        |    ROW_NUMBER() OVER (PARTITION BY p.q_id
-       |      ORDER BY list_dot_product(p.qv, a.v) / (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(a.v, a.v))) DESC,
+       |      ORDER BY list_dot_product(p.qv, a.vs) / (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(a.vs, a.vs))) DESC,
        |        a.vec_id ASC) AS rn
        |  FROM probes p JOIN assigned a USING (cluster) WHERE a.vec_id <> p.q_id$candExtra)
        |WHERE rn <= $AnnK""".stripMargin
+  }
   private val q219Sql = ivfTopKSql("")
 
   // --------------------------------------------------------- q220
@@ -3011,6 +3022,36 @@ object CurationQueries {
     })
   private val q226Sql = bandedTopKSql("", quantized = true)
 
+  // --------------------------------------------------------- q227
+  /** Quantized IVF index — the last cell of the layout × quantization
+    * matrix (flat q206, banded q226, IVF here): `writeIvf(quantized =
+    * true)` stores int8 codes per cell, cell assignment and probe
+    * selection stay on the ORIGINAL floats (quantization must not
+    * move a vector across a Voronoi boundary), and the grown index
+    * (half written, half appended) must encode deltas identically
+    * through the layout dispatch. The oracle assigns and probes with
+    * the resident quantizer's raw floats and re-ranks over the same
+    * int8 reconstruction in DuckDB. */
+  private def q227(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val qs = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    AnnIndex.topKIvf(s, q227Index(s, dir), qs, AnnK, IvfIdxProbe)
+  }
+  private val q227IndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def q227Index(s: SparkSession, dir: String): String =
+    q227IndexCache.computeIfAbsent(dir, { _ =>
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft-annidx-q227").toString
+      val emb = Tables.embeddings(s, dir)
+      AnnIndex.writeIvf(emb.filter(col("vec_id") % 2 === 0),
+        IvfIdxClusters, s"$idxDir/idx", quantized = true)
+      AnnIndex.appendIvf(emb.filter(col("vec_id") % 2 =!= 0), s"$idxDir/idx")
+      s"$idxDir/idx"
+    })
+  private val q227Sql = ivfTopKSql("", quantized = true)
+
   val queries: Map[String, Q] = Map(
     "q168_kmv_distinct" -> q168 _,
     "q169_minhash_error" -> q169 _,
@@ -3070,7 +3111,8 @@ object CurationQueries {
     "q223_band_index_delete" -> q223 _,
     "q224_ivm_retract" -> q224 _,
     "q225_ivm_lifecycle" -> q225 _,
-    "q226_banded_quantized" -> q226 _)
+    "q226_banded_quantized" -> q226 _,
+    "q227_ivf_quantized" -> q227 _)
 
   val oracleSql: Map[String, String] = Map(
     "q168_kmv_distinct" -> q168Sql,
@@ -3131,5 +3173,6 @@ object CurationQueries {
     "q223_band_index_delete" -> q223Sql,
     "q224_ivm_retract" -> q224Sql,
     "q225_ivm_lifecycle" -> q225Sql,
-    "q226_banded_quantized" -> q226Sql)
+    "q226_banded_quantized" -> q226Sql,
+    "q227_ivf_quantized" -> q227Sql)
 }

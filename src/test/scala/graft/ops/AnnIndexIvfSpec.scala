@@ -27,6 +27,35 @@ class AnnIndexIvfSpec extends SparkSpec {
     got.size should be > 0
   }
 
+  test("quantized IVF stores codes, not floats; probe answers from the reconstruction") {
+    val dir = Files.createTempDirectory("graft-annivf").toString
+    AnnIndex.writeIvf(emb.filter(col("vec_id") % 2 === 0), nClusters = 8,
+      path = s"$dir/idx", quantized = true)
+    AnnIndex.appendIvf(emb.filter(col("vec_id") % 2 =!= 0), s"$dir/idx")
+    val cols = spark.read.parquet(s"$dir/idx").columns
+    cols should contain allOf ("code", "qscale")
+    cols should not contain "embedding"
+    AnnIndex.readMeta(s"$dir/idx").quantized shouldBe true
+    // same candidates as the raw store (cells from original floats);
+    // scores shift by at most the quantization error
+    val raw = s"$dir/raw"
+    AnnIndex.writeIvf(emb, nClusters = 8, path = raw)
+    val gotQ = AnnIndex.topKIvf(spark, s"$dir/idx", qs, k = 5, nProbe = 2)
+      .collect()
+    val gotR = AnnIndex.topKIvf(spark, raw, qs, k = 5, nProbe = 2)
+      .collect()
+    gotQ.length shouldBe gotR.length
+    gotQ.length should be > 0
+    val rScore = gotR.map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    // every quantized hit that also ranks in the raw store scores
+    // within one int8 step of its full-precision cosine
+    gotQ.foreach { r =>
+      rScore.get((r.getLong(0), r.getLong(2))).foreach { exact =>
+        math.abs(r.getDouble(3) - exact) should be < 0.05
+      }
+    }
+  }
+
   test("append assigns with the persisted quantizer: grown ≡ one-shot-with-resident-centroids") {
     // resident = even ids; its quantizer is the 8 lowest EVEN ids —
     // different from the full corpus's 8 lowest ids, so this test
