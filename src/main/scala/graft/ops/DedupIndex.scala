@@ -114,6 +114,32 @@ object DedupIndex {
     (if (exists) writer else writer.option("path", path)).saveAsTable(table)
   }
 
+  /** Maintain the index from a STREAM of documents: each micro-batch
+    * is [[absorb]]ed under a checkpointed foreachBatch — the
+    * [[AggState.absorbStream]] shape applied to the band index, so
+    * tomorrow's probes see today's stream without any rebuild. A
+    * crash between the absorb and the checkpoint commit replays the
+    * batch: band keys are a deterministic function of the documents,
+    * so the replay appends byte-identical (id, bk) rows — harmless to
+    * every [[probe]] (its final distinct collapses duplicate
+    * candidate pairs) and physically removed by the next [[compact]]
+    * (which dedupes on (id, bk), unique per document by
+    * construction). Effectively exactly-once maintenance without a
+    * transaction log, under the same single-producer contract as
+    * [[AggState]]. */
+  def maintainStream(stream: DataFrame, textCol: String, idCol: String,
+      bands: Int, rowsPerBand: Int, shingleK: Int,
+      path: String, table: String, checkpoint: String,
+      buckets: Int = 32): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        absorb(batch, textCol, idCol, bands, rowsPerBand, shingleK,
+          path, table, buckets)
+      }
+      .start()
+
   /** The tombstone side table's name: deletions land here, tiny and
     * append-only, until [[compact]] purges them physically. */
   private def delTable(table: String): String = table + "_del"
@@ -214,6 +240,10 @@ object DedupIndex {
           Seq("id"), "left_anti")
       else raw
     purged
+      // (id, bk) is unique per document by construction, so duplicates
+      // are at-least-once redelivery artifacts ([[maintainStream]]) —
+      // compaction is where their cost is physically removed
+      .dropDuplicates("id", "bk")
       .repartition(buckets, col("bk"))
       .write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, "bk").sortBy("bk")

@@ -232,6 +232,60 @@ class DedupIndexSpec extends SparkSpec {
     }
   }
 
+  test("maintainStream: a drained stream's index probes like the batch-built one; replay is invisible") {
+    import org.apache.spark.sql.{Encoder, Encoders}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val path = Files.createTempDirectory("graft-dedupidx").toString
+    val day2 = docs.filter(col("doc_id") % 10 === 1)
+    val resident0 = docs
+      .filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 10 =!= 1)
+    DedupIndex.write(resident0, "text", "doc_id", 4, 4, 3,
+      s"$path/idx", "didx_str", buckets = 8)
+    try {
+      val rows = docs.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), col("text"))
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      implicit val enc: Encoder[(Long, String)] =
+        Encoders.product[(Long, String)]
+      val stream = MemoryStream[(Long, String)](enc, spark)
+      val query = DedupIndex.maintainStream(
+        stream.toDF().toDF("doc_id", "text"), "text", "doc_id",
+        4, 4, 3, s"$path/idx", "didx_str", s"$path/ckpt", buckets = 8)
+      try {
+        val (h1, h2) = rows.splitAt(rows.length / 2)
+        stream.addData(h1.toSeq)
+        query.processAllAvailable()
+        stream.addData(h2.toSeq)
+        query.processAllAvailable()
+      } finally query.stop()
+      def probeSet = DedupIndex
+        .probe(spark, "didx_str", day2, "text", "doc_id", 4, 4, 3)
+        .collect().toSet
+      val grown = docs.filter(col("doc_id") % 10 =!= 1)
+      val rb = Dedup.bandKeys(grown, "text", "doc_id", 4, 4, 3)
+      val nb = Dedup.bandKeys(day2, "text", "doc_id", 4, 4, 3)
+        .select(col("id").as("new_id"), col("band"), col("band_key"))
+      val expected = rb.join(nb, Seq("band", "band_key"))
+        .filter(col("id") =!= col("new_id"))
+        .select(col("new_id"), col("id").as("resident_id"))
+        .distinct().collect().toSet
+      probeSet shouldBe expected
+      // at-least-once redelivery: a batch lands AGAIN (crash between
+      // absorb and checkpoint commit) — probes unchanged, and compact
+      // physically removes the duplicate (id, bk) rows
+      val d0 = docs.filter(col("doc_id") % 20 === 0)
+      DedupIndex.absorb(d0, "text", "doc_id", 4, 4, 3,
+        s"$path/idx", "didx_str", buckets = 8)
+      probeSet shouldBe expected
+      val rowsBefore = spark.table("didx_str").count()
+      DedupIndex.compact(spark, "didx_str", buckets = 8)
+      probeSet shouldBe expected
+      spark.table("didx_str").count() should be < rowsBefore
+      spark.table("didx_str").groupBy("id", "bk").count()
+        .filter(col("count") > 1).count() shouldBe 0L
+    } finally spark.sql("DROP TABLE IF EXISTS didx_str")
+  }
+
   test("resident side joins from its buckets with ZERO exchange") {
     buildIndex("didx_plan")
     // force SMJ: a broadcast of the batch would hide the resident
