@@ -187,6 +187,25 @@ object ScaleSoak {
         n -> table
       }
 
+    // band-index delete arms (round 15): right-to-be-forgotten against
+    // a resident band index growing with scale. A separate per-scale
+    // table from bandprobe's — deletes must not contaminate that arm's
+    // probe answers. Built untimed (write once); the timed bodies are
+    // what the deployment pays per day.
+    val bandDelIdx: Map[Int, String] =
+      if (!armOn("bandindex_delete_scaled") &&
+          !armOn("bandindex_compact_scaled")) Map.empty
+      else dirs.map { case (n, d) =>
+        val table = s"graft_soak_banddel_x$n"
+        spark.sql(s"DROP TABLE IF EXISTS $table")
+        spark.sql(s"DROP TABLE IF EXISTS ${table}_del")
+        val out = Files.createTempDirectory(s"graft-soak-banddel-x$n")
+          .toString
+        DedupIndex.write(Tables.documents(spark, d), "text", "doc_id",
+          4, 4, 3, s"$out/idx", table)
+        n -> table
+      }
+
     // ivm_refresh arm: per-scale persisted partial-aggregate state
     // (AggState over the FULL scaled events table), built outside the
     // timed loop — write once, refresh daily. The fixed delta (the
@@ -375,6 +394,31 @@ object ScaleSoak {
           val qs = Tables.embeddings(s, base).filter(col("vec_id") < 10)
             .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
           AnnIndex.topKIvf(s, ivfIdx(n), qs, 10, 2)
+        }) :+
+        // band-index delete pair (round 15, the annindex_delete
+        // discipline applied to DedupIndex):
+        //  - bandindex_delete_scaled times what a right-to-be-forgotten
+        //    batch pays: a FIXED tombstone batch (O(|batch|) append to
+        //    the side table) plus the probe that must exclude it via
+        //    the broadcast anti-join — both independent of the resident
+        //    corpus, so the exponent should be ~flat.
+        //  - bandindex_compact_scaled times the scheduled physical
+        //    purge: a full bucketed rewrite whose cost SHOULD track the
+        //    store (expected and documented — the tombstone design
+        //    exists precisely so deletes never pay this; compact rides
+        //    a rewrite that runs on a schedule anyway).
+        ("bandindex_delete_scaled" -> { (s: SparkSession, _: String, n: Int) =>
+          val victims = Tables.documents(s, base)
+            .filter(col("doc_id") % 20 === 0).select(col("doc_id"))
+          DedupIndex.delete(s, bandDelIdx(n), victims)
+          val batch = Tables.documents(s, base)
+            .filter(col("doc_id") % 10 === 0)
+          DedupIndex.probe(s, bandDelIdx(n), batch, "text", "doc_id",
+            4, 4, 3)
+        }) :+
+        ("bandindex_compact_scaled" -> { (s: SparkSession, _: String, n: Int) =>
+          DedupIndex.compact(s, bandDelIdx(n))
+          s.range(1).toDF("ok")
         }) :+
         ("bandprobe_scratch_scaled" -> { (s: SparkSession, d: String, _: Int) =>
           val batch = Tables.documents(s, base).filter(col("doc_id") % 10 === 0)

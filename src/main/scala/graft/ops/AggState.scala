@@ -119,7 +119,7 @@ object AggState {
         col("dmx").as("mx"): _*)
     }
     val resident = residentAgg(
-      spark.read.option("basePath", path).parquet(dirs: _*), groupCols)
+      readStore(spark, path, dirs), groupCols)
       .select(groupCols.map(col) :+ col("n").as("bn") :+
         col("sv").as("bs") :+ col("mn").as("bmn") :+
         col("mx").as("bmx"): _*)
@@ -160,8 +160,7 @@ object AggState {
           col("pbucket"): _*)
       else {
         val resident = residentAgg(
-          spark.read.option("basePath", path).parquet(dirs: _*),
-          groupCols :+ "pbucket")
+          readStore(spark, path, dirs), groupCols :+ "pbucket")
           .select(groupCols.map(col) :+ col("n").as("bn") :+
             col("sv").as("bs") :+ col("mn").as("bmn") :+
             col("mx").as("bmx") :+ col("pbucket"): _*)
@@ -194,7 +193,10 @@ object AggState {
     * GROUPS (not just monoids), so a deletion merges in as the
     * NEGATED partials of the deleted rows, rewriting only the touched
     * partitions exactly like [[absorb]]; groups whose count reaches
-    * zero are dropped from the rewritten bucket. Extrema have no
+    * zero stay in the rewritten bucket as n=0 tombstone rows that
+    * every read path filters out — kept deliberately, so the one
+    * overwrite carries the emptiness and no post-write directory
+    * delete (with its crash window) is needed. Extrema have no
     * inverse (deleting the min row cannot be un-merged), so after a
     * retraction the stored `mn`/`mx` remain conservative BOUNDS
     * (mn ≤ true min, mx ≥ true max) until the next full [[write]] —
@@ -212,14 +214,23 @@ object AggState {
     val dirs = touchedDirs(spark, path, d)
     if (dirs.isEmpty) return // nothing resident for any deleted group
     val resident = residentAgg(
-      spark.read.option("basePath", path).parquet(dirs: _*),
-      groupCols :+ "pbucket")
+      readStore(spark, path, dirs), groupCols :+ "pbucket")
       .select(groupCols.map(col) :+ col("n").as("bn") :+
         col("sv").as("bs") :+ col("mn") :+ col("mx") :+
         col("pbucket"): _*)
     // left join FROM the resident side: untouched groups in a touched
     // bucket pass through unchanged; never-absorbed deleted groups
-    // match nothing and vanish from the rewrite input (the no-op)
+    // match nothing and vanish from the rewrite input (the no-op).
+    // Groups retracted to zero are KEPT as n=0 tombstone rows (extrema
+    // nulled — the group is gone, so stale bounds must not resurrect
+    // if it is re-absorbed later): the dynamic overwrite itself then
+    // carries a fully-emptied bucket's emptiness, so there is NO
+    // separate directory delete and NO crash window in which an
+    // emptied bucket's stale pre-retract files could survive the
+    // write (the hazard a post-write fs.delete protocol would have).
+    // Every read path filters n > 0 ([[residentAgg]]), so a tombstone
+    // row is invisible; the next [[absorb]]/[[compactState]] rewrite
+    // of its bucket purges it physically for free.
     val merged = resident.join(d, groupCols.map(c => resident(c) <=> d(c))
         .reduce(_ && _), "left")
       .select(groupCols.map(c => resident(c).as(c)) :+
@@ -227,30 +238,14 @@ object AggState {
         (col("bs") - coalesce(col("ds"), lit(0L))).as("sv") :+
         col("mn") :+ col("mx") :+ lit(-1L).as("epoch") :+
         resident("pbucket").as("pbucket"): _*)
-      .filter(col("n") > 0)
-      .persist()
-    try {
-      // dynamic overwrite only rewrites partitions PRESENT in the
-      // output — a bucket the retraction emptied entirely would keep
-      // its stale files, so collect the surviving bucket names
-      // (≤ |touched buckets|, parameter-bounded) and remove the rest
-      // cast: pbucket read back off parquet partition dirs may have
-      // been inferred as int, while bucketOf produces long
-      val survivors = merged.select(col("pbucket").cast("long"))
-        .distinct()
-        .collect().map(r =>
-          if (r.isNullAt(0)) "pbucket=__HIVE_DEFAULT_PARTITION__"
-          else s"pbucket=${r.getLong(0)}").toSet
-      merged.repartition(col("pbucket"))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("pbucket").parquet(path)
-      val fs = new HPath(path)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      dirs.map(new HPath(_))
-        .filterNot(p => survivors.contains(p.getName))
-        .foreach(fs.delete(_, true))
-    } finally merged.unpersist()
+      .select(groupCols.map(col) :+ col("n") :+ col("sv") :+
+        when(col("n") > 0, col("mn")).as("mn") :+
+        when(col("n") > 0, col("mx")).as("mx") :+
+        col("epoch") :+ col("pbucket"): _*)
+    merged.repartition(col("pbucket"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("pbucket").parquet(path)
   }
 
   /** Append one LAYER of partials for a delta batch under `epochId`
@@ -276,15 +271,18 @@ object AggState {
     * the probe path (that is [[refresh]]). */
   def merged(spark: SparkSession, path: String,
       groupCols: Seq[String]): DataFrame =
-    residentAgg(spark.read.parquet(path), groupCols)
+    residentAgg(readStore(spark, path), groupCols)
 
   /** Fold all layers back to one row per group, bucket by bucket (the
     * [[AnnIndex.compact]] moment: after many appendDelta epochs the
     * read cost shifts from rows to layer count). Rewrites every
-    * partition present in the store via dynamic overwrite. */
+    * partition present in the store via dynamic overwrite. A bucket
+    * holding ONLY [[retract]] tombstones emits no rows and keeps its
+    * (read-invisible, tiny) tombstone file — never wrong, reclaimed
+    * whenever a later absorb touches that bucket. */
   def compactState(spark: SparkSession, path: String,
       groupCols: Seq[String]): Unit =
-    residentAgg(spark.read.parquet(path), groupCols :+ "pbucket")
+    residentAgg(readStore(spark, path), groupCols :+ "pbucket")
       .withColumn("epoch", lit(-1L))
       .repartition(col("pbucket"))
       .write.mode("overwrite")
@@ -313,17 +311,44 @@ object AggState {
   /** Layer-collapse then sum: the one read discipline every path
     * shares. dropDuplicates on (group cols, epoch) erases redelivered
     * epochs (their rows are deterministic replays); the groupBy sums
-    * the surviving layers. `keyCols` may include `pbucket` when the
-    * caller needs the partition key preserved (it is functionally
-    * dependent on the leading group column). */
+    * the surviving layers; groups whose layers sum to n=0 — a
+    * [[retract]] tombstone with no later re-absorption — are filtered
+    * out, so a fully-retracted group is invisible everywhere.
+    * `keyCols` may include `pbucket` when the caller needs the
+    * partition key preserved (it is functionally dependent on the
+    * leading group column).
+    *
+    * Layout tolerance: a store written before extrema existed carries
+    * only (n, sv) — its missing mn/mx read back as null (unknown)
+    * rather than failing mid-maintenance, and least/greatest/min/max
+    * skip nulls, so merges with new-layout layers stay correct. The
+    * store upgrades lazily: every absorb/compactState rewrite emits
+    * the full column set; a full [[write]] restores exact extrema. */
   private def residentAgg(rows: DataFrame,
       keyCols: Seq[String]): DataFrame = {
+    val withExtrema = Seq("mn", "mx").foldLeft(rows) { (r, c) =>
+      if (r.columns.contains(c)) r
+      else r.withColumn(c, lit(null).cast("double"))
+    }
     val dedupeKey = (keyCols.filterNot(_ == "pbucket") :+ "epoch")
       .distinct
-    rows.dropDuplicates(dedupeKey)
+    withExtrema.dropDuplicates(dedupeKey)
       .groupBy(keyCols.map(col): _*)
       .agg(sum(col("n")).as("n"), sum(col("sv")).as("sv"),
         min(col("mn")).as("mn"), max(col("mx")).as("mx"))
+      .filter(col("n") > 0)
+  }
+
+  /** Store read with per-file schema union: partitions written by an
+    * older layout (no mn/mx) and the current one may coexist in one
+    * store after a partial dynamic-overwrite upgrade — mergeSchema
+    * keeps both readable (footer-only cost over the dirs actually
+    * read), with legacy rows' missing extrema surfacing as nulls. */
+  private def readStore(spark: SparkSession, path: String,
+      dirs: Seq[String] = Seq.empty): DataFrame = {
+    val r = spark.read.option("mergeSchema", "true")
+    if (dirs.isEmpty) r.parquet(path)
+    else r.option("basePath", path).parquet(dirs: _*)
   }
 
   /** The delta's distinct bucket directories that exist in the store —

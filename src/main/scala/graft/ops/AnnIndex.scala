@@ -322,7 +322,7 @@ object AnnIndex {
     * persisted in the metadata file. That last part is the point:
     * assignment is data-dependent (unlike hyperplane hashing), so a
     * grown corpus must keep being assigned with the centroids that
-    * placed the resident rows — [[appendIvf]] reads them back, and
+    * placed the resident rows — [[append]] reads them back, and
     * recomputing them from the grown corpus would silently re-cell
     * everything. Each vector is stored ONCE (vs [[writeBanded]]'s
     * ×bands copies); a probe read is handed exactly the query set's
@@ -362,7 +362,7 @@ object AnnIndex {
       .write.mode("overwrite").partitionBy("cell").parquet(path)
     val vecIdType = corpus.schema("vec_id").dataType.catalogString
     // centroid doubles round-trip via Double.toString/parseDouble
-    // (exact), so appendIvf assigns with bit-identical planes
+    // (exact), so an IVF append assigns with bit-identical centroids
     val body = s"planes=0\ndims=$dims\ncentered=false\nquantized=$quantized\n" +
       s"mu=\nvecIdType=$vecIdType\n" +
       s"centIds=${ids.mkString(",")}\n" +
@@ -389,19 +389,6 @@ object AnnIndex {
           Similarity.toDouble(col("embedding")),
           typedLit(ids), typedLit(cvecs))).as("cell"): _*)
       .repartition(col("cell"))
-  }
-
-  /** Append `delta` to an IVF index WITHOUT touching resident data:
-    * rows are assigned with the index's PERSISTED centroids — never a
-    * quantizer recomputed from the grown corpus — and appended as new
-    * files inside their cell directories. q219 gates the semantics:
-    * an index grown by appends answers exactly as the oracle's
-    * from-scratch pass that uses the resident generation's quantizer. */
-  def appendIvf(delta: DataFrame, path: String): Unit = {
-    recover(delta.sparkSession, path)
-    val meta = readMeta(path)
-    require(meta.ivf, s"$path is not an IVF index (no persisted quantizer)")
-    append(delta, path)
   }
 
   /** Top-k over the persisted IVF index: each query's `nProbe`
@@ -459,7 +446,11 @@ object AnnIndex {
   }
 
   /** Append `delta` (vec_id, embedding) to an existing index WITHOUT
-    * touching the resident data: the delta is bucketed with the
+    * touching the resident data — the ONE append entry point for every
+    * layout: [[encodeRows]] dispatches on the persisted meta, so a
+    * flat delta is hashed, a banded one exploded once per band, and an
+    * IVF one assigned with the persisted centroids (q219/q221 gate the
+    * IVF semantics). The delta is bucketed with the
     * INDEX's persisted planes/dims/μ — never statistics recomputed
     * from the grown corpus, which would silently shift every plane
     * bias and strand the resident rows in stale buckets — and written

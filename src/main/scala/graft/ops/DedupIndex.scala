@@ -248,18 +248,29 @@ object DedupIndex {
       .write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, "bk").sortBy("bk")
       .option("path", newLoc.toString).saveAsTable(tmpTable)
-    // purge complete: drop the tombstone table AND its files (it is
+    // tombstone drop is deferred until AFTER the generation swap: the
+    // staged generation is purged, but until the RENAME lands the OLD
+    // generation — deleted ids still physically resident — is what a
+    // crash leaves live, and dropping the tombstones first would let
+    // those ids silently reappear in probes (right-to-be-forgotten
+    // violated). Capture the location now; clean up post-swap, where a
+    // crash instead leaves harmless already-purged tombstones that the
+    // next probe anti-joins against zero matching rows.
+    val staleTombstones =
+      if (spark.catalog.tableExists(delTable(table)))
+        Some(new org.apache.hadoop.fs.Path(
+          spark.sessionState.catalog.getTableMetadata(spark.sessionState
+            .sqlParser.parseTableIdentifier(delTable(table))).location))
+      else None
+    spark.sql(s"DROP TABLE $table")
+    spark.sql(s"ALTER TABLE $tmpTable RENAME TO $table")
+    // swap complete: drop the tombstone table AND its files (it is
     // external, so DROP alone would leave the directory behind)
-    if (spark.catalog.tableExists(delTable(table))) {
-      val dloc = new org.apache.hadoop.fs.Path(
-        spark.sessionState.catalog.getTableMetadata(spark.sessionState
-          .sqlParser.parseTableIdentifier(delTable(table))).location)
+    staleTombstones.foreach { dloc =>
       spark.sql(s"DROP TABLE ${delTable(table)}")
       dloc.getFileSystem(spark.sparkContext.hadoopConfiguration)
         .delete(dloc, true)
     }
-    spark.sql(s"DROP TABLE $table")
-    spark.sql(s"ALTER TABLE $tmpTable RENAME TO $table")
     // re-stamp the persisted hashing parameters: the staged table was
     // written fresh, so the generation swap must carry them forward
     if (props.nonEmpty)

@@ -2702,7 +2702,7 @@ object CurationQueries {
       val emb = Tables.embeddings(s, dir)
       AnnIndex.writeIvf(emb.filter(col("vec_id") % 2 === 0),
         IvfIdxClusters, s"$idxDir/idx")
-      AnnIndex.appendIvf(emb.filter(col("vec_id") % 2 =!= 0), s"$idxDir/idx")
+      AnnIndex.append(emb.filter(col("vec_id") % 2 =!= 0), s"$idxDir/idx")
       s"$idxDir/idx"
     })
   /** From-scratch IVF top-k in DuckDB with the RESIDENT generation's
@@ -2788,7 +2788,7 @@ object CurationQueries {
   // --------------------------------------------------------- q221
   /** The IVF index's whole maintenance life under one gate: write the
     * even half (quantizer = its 8 lowest ids, persisted in meta),
-    * [[AnnIndex.appendIvf]] the odd half (assigned with the PERSISTED
+    * [[AnnIndex.append]] the odd half (assigned with the PERSISTED
     * quantizer), [[AnnIndex.delete]] the vec_id % 7 = 3 rows (their
     * cells recomputed from the same quantizer — the affected-dir set
     * known without scanning the store), [[AnnIndex.compact]] back to
@@ -2814,7 +2814,7 @@ object CurationQueries {
       val emb = Tables.embeddings(s, dir)
       AnnIndex.writeIvf(emb.filter(col("vec_id") % 2 === 0),
         IvfIdxClusters, s"$idxDir/idx")
-      AnnIndex.appendIvf(emb.filter(col("vec_id") % 2 =!= 0), s"$idxDir/idx")
+      AnnIndex.append(emb.filter(col("vec_id") % 2 =!= 0), s"$idxDir/idx")
       AnnIndex.delete(s, emb.filter(col("vec_id") % 7 === 3)
         .select(col("vec_id"), col("embedding")), s"$idxDir/idx")
       AnnIndex.compact(s, s"$idxDir/idx")
@@ -2906,7 +2906,11 @@ object CurationQueries {
     * event_id % 10 = 0 rows — counts and quantized sums are abelian
     * groups, so the deletion merges in as negated partials, rewriting
     * only the touched partitions; groups emptied by the retraction
-    * are dropped — then emit the whole store's count/sum. The oracle
+    * become n=0 tombstone rows every read path filters out (kept so
+    * the one overwrite carries the emptiness — no post-write
+    * directory delete, no crash window) — then emit the whole store's
+    * count/sum through [[AggState.merged]], the read discipline that
+    * makes the tombstones invisible. The oracle
     * aggregates the surviving rows from scratch, so the gate proves a
     * streamed DELETE batch maintains the metric table exactly (the
     * reference's MV-under-CDC semantics, which q25's diff path proves
@@ -2915,10 +2919,9 @@ object CurationQueries {
     * retraction they are documented conservative bounds, not exact
     * values ([[AggState.retract]]'s contract). */
   private def q224(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(q224State(s, dir))
-      .groupBy(col("user_id"), col("event_type"))
-      .agg(sum(col("n")).as("n"),
-        round(sum(col("sv")).cast("double") / 10000, 4).as("sum_value"))
+    AggState.merged(s, q224State(s, dir), Seq("user_id", "event_type"))
+      .select(col("user_id"), col("event_type"), col("n"),
+        round(col("sv").cast("double") / 10000, 4).as("sum_value"))
   private val q224StateCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def q224State(s: SparkSession, dir: String): String =
@@ -3047,10 +3050,229 @@ object CurationQueries {
       val emb = Tables.embeddings(s, dir)
       AnnIndex.writeIvf(emb.filter(col("vec_id") % 2 === 0),
         IvfIdxClusters, s"$idxDir/idx", quantized = true)
-      AnnIndex.appendIvf(emb.filter(col("vec_id") % 2 =!= 0), s"$idxDir/idx")
+      AnnIndex.append(emb.filter(col("vec_id") % 2 =!= 0), s"$idxDir/idx")
       s"$idxDir/idx"
     })
   private val q227Sql = ivfTopKSql("", quantized = true)
+
+  // --------------------------------------------------------- q228
+  /** The band index maintained from a STREAM, under the gate: the
+    * batch lifecycle q216/q217 license (write → absorb → compact →
+    * probe) re-run with the absorbs arriving through
+    * [[DedupIndex.maintainStream]] — a real Structured Streaming query
+    * over a file source, one micro-batch per day-1 half — plus ONE
+    * redelivered epoch (a direct re-absorb of the first half: the
+    * byte-identical rows a crash between the parquet append and the
+    * checkpoint commit would replay), then [[DedupIndex.compact]],
+    * then a probe of day 2. The oracle is q216's from-scratch SQL
+    * verbatim: the gate proves stream-maintained ≡ batch-maintained ≡
+    * from-scratch, with the replay made invisible by compact's
+    * (id, bk) dedupe — the effectively-exactly-once contract
+    * maintainStream documents, now held to the same oracle as the
+    * batch path. */
+  private def q228(s: SparkSession, dir: String): DataFrame = {
+    val day2 = Tables.documents(s, dir).filter(col("doc_id") % 10 === 5)
+    DedupIndex.probe(s, q228Table(s, dir), day2, "text", "doc_id",
+      Bands, RowsPerBand, ShingleK)
+  }
+  private val q228TableCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def q228Table(s: SparkSession, dir: String): String =
+    q228TableCache.compute(sessionToken(s) + "|" + dir, { (_, prev) =>
+      if (prev != null && s.catalog.tableExists(prev)) prev
+      else {
+        val digest = java.security.MessageDigest.getInstance("SHA-1")
+          .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          .map(b => f"$b%02x").mkString.take(16)
+        val table = s"graft_dedup_str_$digest"
+        val path = java.nio.file.Files
+          .createTempDirectory("graft-dedupidx-q228").toString
+        val docs = Tables.documents(s, dir)
+        DedupIndex.write(docs.filter(col("doc_id") % 10 =!= 0 &&
+            col("doc_id") % 10 =!= 5), "text", "doc_id",
+          Bands, RowsPerBand, ShingleK, s"$path/idx", table)
+        // day 1 arrives as a STREAM: two single-file epochs in a file
+        // source (maxFilesPerTrigger=1 → one micro-batch per file; the
+        // stream side stays distributed — no driver collect)
+        val e0 = docs.filter(col("doc_id") % 20 === 0)
+          .select(col("doc_id"), col("text"))
+        val e1 = docs.filter(col("doc_id") % 10 === 0 &&
+            col("doc_id") % 20 =!= 0)
+          .select(col("doc_id"), col("text"))
+        e0.coalesce(1).write.parquet(s"$path/in")
+        e1.coalesce(1).write.mode("append").parquet(s"$path/in")
+        val q = DedupIndex.maintainStream(
+          s.readStream.schema(e0.schema).option("maxFilesPerTrigger", 1)
+            .parquet(s"$path/in"),
+          "text", "doc_id", Bands, RowsPerBand, ShingleK,
+          s"$path/idx", table, s"$path/ckpt")
+        try q.processAllAvailable() finally q.stop()
+        // crash redelivery: the same epoch absorbed again — band keys
+        // are deterministic, so these are the byte-identical rows a
+        // replayed foreachBatch would append
+        DedupIndex.absorb(e0, "text", "doc_id",
+          Bands, RowsPerBand, ShingleK, s"$path/idx", table)
+        DedupIndex.compact(s, table)
+        table
+      }
+    })
+  private val q228Sql = q216Sql
+
+  // --------------------------------------------------------- q229
+  /** The ANN index maintained from a STREAM, under the gate: q205's
+    * append lifecycle with the delta arriving through
+    * [[AnnIndex.appendStream]] (a real Structured Streaming query over
+    * a file source, two micro-batch epochs), ONE redelivered epoch (a
+    * direct re-append of the first half — the crash-replay rows), then
+    * [[AnnIndex.compact]] (whose vec_id dedupe physically removes the
+    * replay), then the q188 multi-probe query. Oracle: q188's SQL over
+    * the FULL raw table — stream-grown ≡ one-shot-indexed, the
+    * appendStream contract held to the same oracle as the batch
+    * path. */
+  private def q229(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val qs = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    AnnIndex.topK(s, q229Index(s, dir), qs, AnnK)
+  }
+  private val q229IndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def q229Index(s: SparkSession, dir: String): String =
+    q229IndexCache.computeIfAbsent(dir, { _ =>
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft-annidx-q229").toString
+      val emb = Tables.embeddings(s, dir)
+      AnnIndex.write(emb.filter(col("vec_id") % 2 === 0), LshPlanes,
+        s"$idxDir/idx")
+      val e0 = emb.filter(col("vec_id") % 4 === 1)
+        .select(col("vec_id"), col("embedding"))
+      val e1 = emb.filter(col("vec_id") % 4 === 3)
+        .select(col("vec_id"), col("embedding"))
+      e0.coalesce(1).write.parquet(s"$idxDir/in")
+      e1.coalesce(1).write.mode("append").parquet(s"$idxDir/in")
+      val q = AnnIndex.appendStream(
+        s.readStream.schema(e0.schema).option("maxFilesPerTrigger", 1)
+          .parquet(s"$idxDir/in"),
+        s"$idxDir/idx", s"$idxDir/ckpt")
+      try q.processAllAvailable() finally q.stop()
+      // crash redelivery: byte-identical rows appended once more, then
+      // compacted away (topK would dedupe them even uncompacted)
+      AnnIndex.append(e0, s"$idxDir/idx")
+      AnnIndex.compact(s, s"$idxDir/idx")
+      s"$idxDir/idx"
+    })
+  private val q229Sql = q188Sql
+
+  // --------------------------------------------------------- q230
+  /** Layout MIGRATION under the gate: a partials store written by the
+    * pre-extrema layout (n, sv only — fabricated exactly as
+    * [[AggState.write]] wrote it before round 14) is maintained by the
+    * CURRENT code: [[AggState.absorb]] folds a delta in (reading the
+    * legacy partitions via schema union, writing the full layout), and
+    * [[AggState.merged]] answers over the mixed-generation store. The
+    * oracle is q212's full-recompute SQL — if the legacy read path
+    * dropped rows, failed on the missing extrema columns, or the
+    * upgrade corrupted a count, the hash mismatches. This is the
+    * in-place upgrade story a deployed 100 TB store needs: old
+    * generations stay readable (extrema surface as null = unknown),
+    * and rewrites upgrade partitions lazily. */
+  private def q230(s: SparkSession, dir: String): DataFrame =
+    AggState.merged(s, q230State(s, dir), Seq("user_id", "event_type"))
+      .select(col("user_id"), col("event_type"), col("n"),
+        round(col("sv").cast("double") / 10000, 4).as("sum_value"))
+  private val q230StateCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def q230State(s: SparkSession, dir: String): String =
+    q230StateCache.computeIfAbsent(dir, { _ =>
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-aggstate-q230").toString
+      val ev = Tables.events(s, dir)
+      // the legacy generation: (group, n, sv, epoch, pbucket) — no
+      // extrema columns, the exact pre-round-14 on-disk layout
+      ev.filter(col("event_id") % 10 =!= 0)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 10000, 0).cast("long")).as("sv"))
+        .withColumn("epoch", lit(-1L))
+        .withColumn("pbucket", q213Bucket)
+        .repartition(col("pbucket"))
+        .write.mode("overwrite").partitionBy("pbucket")
+        .parquet(s"$out/state")
+      AggState.absorb(s, s"$out/state",
+        ev.filter(col("event_id") % 10 === 0),
+        Seq("user_id", "event_type"), "value", 10000, q213Bucket)
+      s"$out/state"
+    })
+  private val q230Sql = q212Sql
+
+  // --------------------------------------------------------- q231
+  /** Quantized BANDED lifecycle — the layout × quantization ×
+    * maintenance grid's banded cell: q220's full life (write half,
+    * append half, delete vec_id % 7 = 3, compact) run over the
+    * int8-quantized banded store (q226's layout). Every maintenance
+    * step must preserve the quantized columns: append encodes the
+    * delta through the same [[AnnIndex.encodeRows]] dispatch, delete
+    * recomputes affected dirs from the RAW vectors while the staged
+    * rewrite carries (code, qscale) untouched, and compact dedupes on
+    * (vec_id, band) without ever reconstructing. Oracle: q226's
+    * reconstruction SQL with the deleted ids excluded from the
+    * candidate side. */
+  private def q231(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val qs = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    AnnIndex.topKBanded(s, q231Index(s, dir), qs, AnnK)
+  }
+  private val q231IndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def q231Index(s: SparkSession, dir: String): String =
+    q231IndexCache.computeIfAbsent(dir, { _ =>
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft-annidx-q231").toString
+      val emb = Tables.embeddings(s, dir)
+      AnnIndex.writeBanded(emb.filter(col("vec_id") % 2 === 0),
+        RecBands, RecPlanesPerBand, s"$idxDir/idx", quantized = true)
+      AnnIndex.append(emb.filter(col("vec_id") % 2 =!= 0), s"$idxDir/idx")
+      AnnIndex.delete(s, emb.filter(col("vec_id") % 7 === 3)
+        .select(col("vec_id"), col("embedding")), s"$idxDir/idx")
+      AnnIndex.compact(s, s"$idxDir/idx")
+      s"$idxDir/idx"
+    })
+  private val q231Sql =
+    bandedTopKSql(" AND c.vec_id % 7 <> 3", quantized = true)
+
+  // --------------------------------------------------------- q232
+  /** Quantized IVF lifecycle — the grid's last cell: q221's full life
+    * (write half with the persisted 8-centroid quantizer, append half,
+    * delete vec_id % 7 = 3, compact) over the int8-quantized IVF store
+    * (q227's layout). Cell assignment stays on the raw floats at every
+    * step; the deleted set again includes a centroid id, pinning that
+    * deletion removes the DATA row while the persisted quantizer keeps
+    * steering probes. Oracle: q227's reconstruction SQL with the
+    * deleted ids excluded from the candidate side. */
+  private def q232(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val qs = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    AnnIndex.topKIvf(s, q232Index(s, dir), qs, AnnK, IvfIdxProbe)
+  }
+  private val q232IndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def q232Index(s: SparkSession, dir: String): String =
+    q232IndexCache.computeIfAbsent(dir, { _ =>
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft-annidx-q232").toString
+      val emb = Tables.embeddings(s, dir)
+      AnnIndex.writeIvf(emb.filter(col("vec_id") % 2 === 0),
+        IvfIdxClusters, s"$idxDir/idx", quantized = true)
+      AnnIndex.append(emb.filter(col("vec_id") % 2 =!= 0), s"$idxDir/idx")
+      AnnIndex.delete(s, emb.filter(col("vec_id") % 7 === 3)
+        .select(col("vec_id"), col("embedding")), s"$idxDir/idx")
+      AnnIndex.compact(s, s"$idxDir/idx")
+      s"$idxDir/idx"
+    })
+  private val q232Sql =
+    ivfTopKSql(" AND a.vec_id % 7 <> 3", quantized = true)
 
   val queries: Map[String, Q] = Map(
     "q168_kmv_distinct" -> q168 _,
@@ -3112,7 +3334,12 @@ object CurationQueries {
     "q224_ivm_retract" -> q224 _,
     "q225_ivm_lifecycle" -> q225 _,
     "q226_banded_quantized" -> q226 _,
-    "q227_ivf_quantized" -> q227 _)
+    "q227_ivf_quantized" -> q227 _,
+    "q228_band_stream_lifecycle" -> q228 _,
+    "q229_ann_stream_lifecycle" -> q229 _,
+    "q230_ivm_legacy_upgrade" -> q230 _,
+    "q231_banded_quantized_lifecycle" -> q231 _,
+    "q232_ivf_quantized_lifecycle" -> q232 _)
 
   val oracleSql: Map[String, String] = Map(
     "q168_kmv_distinct" -> q168Sql,
@@ -3174,5 +3401,10 @@ object CurationQueries {
     "q224_ivm_retract" -> q224Sql,
     "q225_ivm_lifecycle" -> q225Sql,
     "q226_banded_quantized" -> q226Sql,
-    "q227_ivf_quantized" -> q227Sql)
+    "q227_ivf_quantized" -> q227Sql,
+    "q228_band_stream_lifecycle" -> q228Sql,
+    "q229_ann_stream_lifecycle" -> q229Sql,
+    "q230_ivm_legacy_upgrade" -> q230Sql,
+    "q231_banded_quantized_lifecycle" -> q231Sql,
+    "q232_ivf_quantized_lifecycle" -> q232Sql)
 }

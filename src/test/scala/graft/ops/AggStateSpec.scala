@@ -185,7 +185,7 @@ class AggStateSpec extends SparkSpec {
       .collect().toSet shouldBe full.collect().toSet
   }
 
-  test("retract: negated merge equals recompute for count/sum; extrema stay bounds; emptied buckets vanish") {
+  test("retract: negated merge equals recompute for count/sum; extrema stay bounds; emptied groups tombstone invisibly") {
     val dir = Files.createTempDirectory("graft-aggstate").toString
     val path = s"$dir/state"
     AggState.write(ev, groupCols, "value", 10000, bucketOf, path)
@@ -194,33 +194,105 @@ class AggStateSpec extends SparkSpec {
     val expected = AggState.partials(base, groupCols, "value", 10000)
       .select(col("user_id"), col("event_type"), col("n"), col("sv"))
       .collect().toSet
-    spark.read.parquet(path)
+    // surviving groups equal a from-scratch recompute; n=0 tombstones
+    // (groups the retraction emptied) are excluded the same way every
+    // read path excludes them
+    spark.read.parquet(path).filter(col("n") > 0)
+      .select(col("user_id"), col("event_type"), col("n"), col("sv"))
+      .collect().toSet shouldBe expected
+    AggState.merged(spark, path, groupCols)
       .select(col("user_id"), col("event_type"), col("n"), col("sv"))
       .collect().toSet shouldBe expected
     // extrema after retraction: conservative bounds, never violated
     val trueExt = AggState.partials(base, groupCols, "value", 10000)
       .select(col("user_id"), col("event_type"), col("mn").as("tmn"),
         col("mx").as("tmx"))
-    spark.read.parquet(path)
+    spark.read.parquet(path).filter(col("n") > 0)
       .join(trueExt, groupCols)
       .filter(col("mn") > col("tmn") || col("mx") < col("tmx"))
       .count() shouldBe 0L
-    // a retraction that empties a whole bucket removes its directory
-    // (dynamic overwrite alone would leave the stale files in place)
+    // a retraction that empties a whole bucket leaves an n=0 tombstone
+    // row IN the rewritten partition — the overwrite itself carries the
+    // emptiness, so there is no post-write directory delete and hence
+    // no crash window in which stale pre-retract files could survive.
+    // The dir stays, its rows are invisible to every read path, and
+    // its extrema are nulled so a later re-absorb starts fresh.
     val only0 = ev.filter(col("user_id") < 4)
     val path2 = s"$dir/state2"
     AggState.write(ev, groupCols, "value", 10000, bucketOf, path2)
     AggState.retract(spark, path2, only0, groupCols, "value", 10000,
       bucketOf)
-    fs.exists(new HPath(path2, "pbucket=0")) shouldBe false
+    val tomb = spark.read.parquet(path2)
+      .filter(col("user_id") < 4)
+    tomb.count() should be > 0L
+    tomb.filter(col("n") =!= 0 || col("sv") =!= 0 ||
+      col("mn").isNotNull || col("mx").isNotNull).count() shouldBe 0L
     AggState.merged(spark, path2, groupCols)
       .filter(col("user_id") < 4).count() shouldBe 0L
+    // re-absorbing an emptied group resurrects it with FRESH extrema
+    // (the tombstone's nulls lose least/greatest), equal to recompute
+    val back = ev.filter(col("user_id") < 4)
+    AggState.absorb(spark, path2, back, groupCols, "value", 10000,
+      bucketOf)
+    spark.read.parquet(path2).filter(col("user_id") < 4)
+      .select(col("user_id"), col("event_type"), col("n"), col("sv"),
+        col("mn"), col("mx"))
+      .collect().toSet shouldBe
+      AggState.partials(back, groupCols, "value", 10000)
+        .collect().toSet
     // retracting rows never absorbed is a no-op
     val before = spark.read.parquet(path2).collect().toSet
     AggState.retract(spark, path2,
       delta.withColumn("user_id", col("user_id") + 5000000L),
       groupCols, "value", 10000, bucketOf)
     spark.read.parquet(path2).collect().toSet shouldBe before
+  }
+
+  test("legacy (n, sv)-only store: every path reads it with null extrema; maintenance upgrades it lazily") {
+    // a store written before extrema existed carries only (n, sv) —
+    // refresh/absorb/merged must not fail on the missing columns
+    // (mergeSchema + null fallback), and rewrites emit the full layout
+    val dir = Files.createTempDirectory("graft-aggstate").toString
+    val path = s"$dir/state"
+    base.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 10000, 0).cast("long")).as("sv"))
+      .withColumn("epoch", lit(-1L))
+      .withColumn("pbucket", bucketOf)
+      .repartition(col("pbucket"))
+      .write.mode("overwrite").partitionBy("pbucket").parquet(path)
+    // refresh: counts/sums exact; resident extrema unknown → the
+    // delta's own extrema survive the least/greatest merge
+    val got = AggState.refresh(spark, path, delta, groupCols,
+      "value", 10000, bucketOf)
+    got.select(col("user_id"), col("event_type"), col("n"), col("sv"))
+      .collect().toSet shouldBe
+      expectedRefreshed
+        .select(col("user_id"), col("event_type"), col("n"), col("sv"))
+        .collect().toSet
+    val deltaExt = AggState.partials(delta, groupCols, "value", 10000)
+      .select(col("user_id"), col("event_type"), col("mn").as("dmn"),
+        col("mx").as("dmx"))
+    got.join(deltaExt, groupCols)
+      .filter(!(col("mn") <=> col("dmn")) || !(col("mx") <=> col("dmx")))
+      .count() shouldBe 0L
+    // merged reads the legacy layout directly
+    AggState.merged(spark, path, groupCols)
+      .select(col("user_id"), col("event_type"), col("n"), col("sv"))
+      .collect().toSet shouldBe
+      AggState.partials(base, groupCols, "value", 10000)
+        .select(col("user_id"), col("event_type"), col("n"), col("sv"))
+        .collect().toSet
+    // absorb folds the delta in and writes the FULL layout for the
+    // touched partitions; the mixed-layout store keeps answering
+    AggState.absorb(spark, path, delta, groupCols, "value", 10000,
+      bucketOf)
+    AggState.merged(spark, path, groupCols)
+      .select(col("user_id"), col("event_type"), col("n"), col("sv"))
+      .collect().toSet shouldBe
+      AggState.partials(ev, groupCols, "value", 10000)
+        .select(col("user_id"), col("event_type"), col("n"), col("sv"))
+        .collect().toSet
   }
 
   test("absorb creates partitions for buckets the store has never seen") {

@@ -31,7 +31,7 @@ class AnnIndexIvfSpec extends SparkSpec {
     val dir = Files.createTempDirectory("graft-annivf").toString
     AnnIndex.writeIvf(emb.filter(col("vec_id") % 2 === 0), nClusters = 8,
       path = s"$dir/idx", quantized = true)
-    AnnIndex.appendIvf(emb.filter(col("vec_id") % 2 =!= 0), s"$dir/idx")
+    AnnIndex.append(emb.filter(col("vec_id") % 2 =!= 0), s"$dir/idx")
     val cols = spark.read.parquet(s"$dir/idx").columns
     cols should contain allOf ("code", "qscale")
     cols should not contain "embedding"
@@ -64,7 +64,7 @@ class AnnIndexIvfSpec extends SparkSpec {
     val resident = emb.filter(col("vec_id") % 2 === 0)
     AnnIndex.writeIvf(resident, nClusters = 8, path = s"$dir/idx")
     val metaBefore = AnnIndex.readMeta(s"$dir/idx")
-    AnnIndex.appendIvf(emb.filter(col("vec_id") % 2 =!= 0), s"$dir/idx")
+    AnnIndex.append(emb.filter(col("vec_id") % 2 =!= 0), s"$dir/idx")
     val metaAfter = AnnIndex.readMeta(s"$dir/idx")
     metaAfter shouldBe metaBefore
     metaBefore.centIds shouldBe (0L until 16L by 2).toSeq

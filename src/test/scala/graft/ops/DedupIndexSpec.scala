@@ -232,6 +232,41 @@ class DedupIndexSpec extends SparkSpec {
     }
   }
 
+  test("compact crash AFTER the swap, tombstones still present: stale tombstones are harmless and the next compact clears them") {
+    // compact drops the tombstone table only after the generation swap
+    // lands — so the one reachable odd crash state is a PURGED store
+    // with tombstones naming already-purged ids (the reverse order
+    // would leave the OLD generation live with the tombstones gone,
+    // silently resurrecting deleted docs). Fabricate that state and
+    // pin that it is harmless: probes unchanged, next compact cleans.
+    val path = Files.createTempDirectory("graft-dedupidx").toString
+    val day2 = docs.filter(col("doc_id") % 10 === 1)
+    DedupIndex.write(docs.filter(col("doc_id") % 10 =!= 1), "text",
+      "doc_id", 4, 4, 3, s"$path/idx", "didx_crash", buckets = 8)
+    try {
+      val victims = docs.filter(col("doc_id") % 20 === 0)
+      DedupIndex.delete(spark, "didx_crash",
+        victims.select(col("doc_id")))
+      DedupIndex.compact(spark, "didx_crash", buckets = 8)
+      val expected = DedupIndex.probe(spark, "didx_crash", day2,
+        "text", "doc_id", 4, 4, 3).collect().toSet
+      // the crash state: purge landed, tombstone drop did not — the
+      // tombstones name ids no longer in the store
+      DedupIndex.delete(spark, "didx_crash",
+        victims.select(col("doc_id")))
+      spark.catalog.tableExists("didx_crash_del") shouldBe true
+      DedupIndex.probe(spark, "didx_crash", day2, "text", "doc_id",
+        4, 4, 3).collect().toSet shouldBe expected
+      DedupIndex.compact(spark, "didx_crash", buckets = 8)
+      spark.catalog.tableExists("didx_crash_del") shouldBe false
+      DedupIndex.probe(spark, "didx_crash", day2, "text", "doc_id",
+        4, 4, 3).collect().toSet shouldBe expected
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS didx_crash")
+      spark.sql("DROP TABLE IF EXISTS didx_crash_del")
+    }
+  }
+
   test("maintainStream: a drained stream's index probes like the batch-built one; replay is invisible") {
     import org.apache.spark.sql.{Encoder, Encoders}
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
