@@ -206,6 +206,80 @@ object ScaleSoak {
         n -> table
       }
 
+    // ccstate arm (round 15): incremental connected components — a
+    // FIXED delta of verified-pair edges absorbed into a clustering
+    // whose resident corpus grows with scale. State built untimed per
+    // scale with buckets ∝ scale (constant rows per bucket — CcState's
+    // sizing budget), over the scaled corpus's candidate pairs minus
+    // the delta; the fixed delta (base-corpus pairs touching a
+    // doc_id%10=0 doc) is precomputed once to parquet so the timed
+    // body is exactly what a daily run pays: bucket-pruned lookups,
+    // |delta|-edge contraction + CC, log/bucket appends. absorb
+    // mutates, so each timed run gets an untimed copy (the
+    // annindex_delete discipline). The recompute control is the
+    // existing cc_contraction_arm (exponent ~0.9 at r12): that is the
+    // daily cost this operator deletes.
+    val ccDelta: String =
+      if (!armOn("ccstate_absorb_scaled")) ""
+      else {
+        val out = s"$workRoot/ccdelta"
+        val marker = Paths.get(s"$out/_CC_OK")
+        val stamp = s"$base|synth=$SynthVersion|cc=2"
+        if (!(Files.exists(marker) &&
+            new String(Files.readAllBytes(marker), "UTF-8") == stamp)) {
+          val bands = Dedup.bandKeys(Tables.documents(spark, base),
+            "text", "doc_id", 4, 4, 3)
+          // a DAILY-sized delta: pruning pays when the delta's node
+          // count is well under the bucket count (CcState's sizing
+          // budget) — %100 keeps it ~tens of docs' pairs, the
+          // annindex_delete batch-size discipline
+          Dedup.candidatePairs(bands)
+            .filter(col("id_a") % 100 === 0 || col("id_b") % 100 === 0)
+            .write.mode("overwrite").parquet(s"$out/edges")
+          Files.write(marker, stamp.getBytes("UTF-8"))
+        }
+        s"$out/edges"
+      }
+    val ccIdx: Map[Int, String] =
+      if (!armOn("ccstate_absorb_scaled")) Map.empty
+      else dirs.map { case (n, d) =>
+        val out = s"$workRoot/ccstate/x$n"
+        val marker = Paths.get(s"$out/_CC_OK")
+        // buckets ∝ corpus (constant rows per bucket), sized so the
+        // delta's ~hundred nodes stay well under the bucket count at
+        // every scale — the regime the class doc's budget names
+        val stamp = s"$d|synth=$SynthVersion|cc=2|b=${256 * n}"
+        if (!(Files.exists(marker) &&
+            new String(Files.readAllBytes(marker), "UTF-8") == stamp)) {
+          val bands = Dedup.bandKeys(Tables.documents(spark, d),
+            "text", "doc_id", 4, 4, 3)
+          val resident = Dedup.candidatePairs(bands)
+            .filter(!(col("id_a") < IdStride && col("id_a") % 100 === 0) &&
+              !(col("id_b") < IdStride && col("id_b") % 100 === 0))
+          graft.ops.CcState.write(resident, s"$out/cc", buckets = 256 * n)
+          Files.write(marker, stamp.getBytes("UTF-8"))
+        }
+        n -> s"$out/cc"
+      }
+    val ccCopies: Map[Int, scala.collection.mutable.Queue[String]] =
+      if (!armOn("ccstate_absorb_scaled")) Map.empty
+      else {
+        val conf = spark.sparkContext.hadoopConfiguration
+        ccIdx.map { case (n, st) =>
+          val q = scala.collection.mutable.Queue[String]()
+          (1 to RUNS).foreach { r =>
+            val dst = Files.createTempDirectory(s"graft-soak-ccstate-x$n-$r")
+              .toString + "/cc"
+            val fs = new org.apache.hadoop.fs.Path(st).getFileSystem(conf)
+            org.apache.hadoop.fs.FileUtil.copy(fs,
+              new org.apache.hadoop.fs.Path(st), fs,
+              new org.apache.hadoop.fs.Path(dst), false, conf)
+            q.enqueue(dst)
+          }
+          n -> q
+        }
+      }
+
     // ivm_refresh arm: per-scale persisted partial-aggregate state
     // (AggState over the FULL scaled events table), built outside the
     // timed loop — write once, refresh daily. The fixed delta (the
@@ -418,6 +492,11 @@ object ScaleSoak {
         }) :+
         ("bandindex_compact_scaled" -> { (s: SparkSession, _: String, n: Int) =>
           DedupIndex.compact(s, bandDelIdx(n))
+          s.range(1).toDF("ok")
+        }) :+
+        ("ccstate_absorb_scaled" -> { (s: SparkSession, _: String, n: Int) =>
+          graft.ops.CcState.absorb(s, s.read.parquet(ccDelta),
+            ccCopies(n).dequeue())
           s.range(1).toDF("ok")
         }) :+
         ("bandprobe_scratch_scaled" -> { (s: SparkSession, d: String, _: Int) =>

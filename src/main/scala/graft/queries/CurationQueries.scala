@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.ops.{AggState, AnnIndex, Dedup, DedupIndex, Layout, Similarity, TextAnalysis}
+import graft.ops.{AggState, AnnIndex, CcState, Dedup, DedupIndex, Layout, Similarity, TextAnalysis}
 import graft.queries.LlmQueries.{distSql, AnnK, Bands, BandsCte, BucketSql,
   CosSql, JaccardThreshold, LshPlanes, RowsPerBand, ShingleK, ShinglesSql,
   WsSplit}
@@ -3274,6 +3274,124 @@ object CurationQueries {
   private val q232Sql =
     ivfTopKSql(" AND a.vec_id % 7 <> 3", quantized = true)
 
+  // --------------------------------------------------------- q233
+  /** Incremental connected components — the last daily recompute in
+    * the dedup cycle made delta-priced: [[CcState.write]] persists the
+    * (node → cluster) labels for day 0's VERIFIED near-dup pairs
+    * (docs with doc_id % 10 ≠ 0), then [[CcState.absorb]] folds in
+    * day 1's pairs (every verified pair touching a % 10 = 0 doc) —
+    * endpoint labels looked up from ONLY the delta's node-hash
+    * buckets, the delta's edges contracted to the clusters they
+    * connect, CC run over that |delta|-edge graph, cluster merges
+    * appended to a log and new nodes appended to their buckets, with
+    * resident files never rewritten (CcStateSpec pins byte-stable
+    * files). The oracle is q50's recursive-CTE closure over ALL pairs,
+    * so the gate proves maintained clustering ≡ from-scratch
+    * clustering — including relabels where a new smaller doc id
+    * becomes a resident cluster's min. */
+  private def q233(s: SparkSession, dir: String): DataFrame =
+    CcState.labels(s, q233State(s, dir))
+      .select(col("node").as("doc_id"), col("cluster").as("cluster_id"))
+  private val q233StateCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def q233State(s: SparkSession, dir: String): String =
+    q233StateCache.computeIfAbsent(dir, { _ =>
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-ccstate-q233").toString
+      val docs = Tables.documents(s, dir)
+      val bands = Dedup
+        .bandKeys(docs, "text", "doc_id", Bands, RowsPerBand, ShingleK)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val pairs = Dedup.jaccardVerify(Dedup.candidatePairs(bands),
+            docs, "text", "doc_id", JaccardThreshold)
+          .select(col("id_a"), col("id_b"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val day0 = pairs.filter(col("id_a") % 10 =!= 0 &&
+            col("id_b") % 10 =!= 0)
+          val day1 = pairs.filter(col("id_a") % 10 === 0 ||
+            col("id_b") % 10 === 0)
+          CcState.write(day0, s"$out/cc")
+          CcState.absorb(s, day1, s"$out/cc")
+        } finally pairs.unpersist()
+      } finally bands.unpersist()
+      s"$out/cc"
+    })
+  /** q50's oracle verbatim: the maintained state must answer as the
+    * from-scratch closure over the full pair set. */
+  private val q233Sql =
+    s"""WITH RECURSIVE $BandsCte,
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+       |sets AS (SELECT doc_id, list_distinct($WsSplit) AS toks FROM documents),
+       |vpairs AS (
+       |  SELECT id_a, id_b
+       |  FROM pairs JOIN sets sa ON id_a = sa.doc_id JOIN sets sb ON id_b = sb.doc_id
+       |  WHERE len(list_intersect(sa.toks, sb.toks))::DOUBLE /
+       |        len(list_distinct(list_concat(sa.toks, sb.toks))) >= $JaccardThreshold),
+       |edges AS (SELECT id_a AS s, id_b AS d FROM vpairs
+       |          UNION ALL SELECT id_b, id_a FROM vpairs),
+       |reach AS (SELECT DISTINCT s AS node, s AS r FROM edges
+       |          UNION
+       |          SELECT e.s, r.r FROM edges e JOIN reach r ON r.node = e.d)
+       |SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node""".stripMargin
+
+  // --------------------------------------------------------- q234
+  /** The CC state maintained from a STREAM, under the gate — q228's
+    * argument for [[CcState]], completing stream-maintenance parity
+    * across all four persisted stores (ANN, band, aggregate, CC):
+    * day 1's verified pairs arrive through [[CcState.absorbStream]]
+    * as two file-source micro-batches, one epoch is REDELIVERED (a
+    * direct re-absorb — absorb is idempotent, so the replay contracts
+    * to self-loops and appends nothing), the merge log is folded in
+    * by [[CcState.compact]], and the labels must equal q233's oracle:
+    * the from-scratch recursive-CTE closure over ALL pairs. */
+  private def q234(s: SparkSession, dir: String): DataFrame =
+    CcState.labels(s, q234State(s, dir))
+      .select(col("node").as("doc_id"), col("cluster").as("cluster_id"))
+  private val q234StateCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def q234State(s: SparkSession, dir: String): String =
+    q234StateCache.computeIfAbsent(dir, { _ =>
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-ccstate-q234").toString
+      val docs = Tables.documents(s, dir)
+      val bands = Dedup
+        .bandKeys(docs, "text", "doc_id", Bands, RowsPerBand, ShingleK)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val pairs = Dedup.jaccardVerify(Dedup.candidatePairs(bands),
+            docs, "text", "doc_id", JaccardThreshold)
+          .select(col("id_a"), col("id_b"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val day0 = pairs.filter(col("id_a") % 10 =!= 0 &&
+            col("id_b") % 10 =!= 0)
+          val day1 = pairs.filter(col("id_a") % 10 === 0 ||
+            col("id_b") % 10 === 0)
+          CcState.write(day0, s"$out/cc")
+          val e0 = day1.filter((col("id_a") + col("id_b")) % 2 === 0)
+          val e1 = day1.filter((col("id_a") + col("id_b")) % 2 =!= 0)
+          e0.coalesce(1).write.parquet(s"$out/in")
+          e1.coalesce(1).write.mode("append").parquet(s"$out/in")
+          val q = CcState.absorbStream(
+            s.readStream.schema(e0.schema)
+              .option("maxFilesPerTrigger", 1).parquet(s"$out/in"),
+            s"$out/cc", s"$out/ckpt")
+          try q.processAllAvailable() finally q.stop()
+          // crash redelivery: the same epoch absorbed again — absorb
+          // is idempotent, so this must change nothing
+          CcState.absorb(s, e0, s"$out/cc")
+          CcState.compact(s, s"$out/cc")
+        } finally pairs.unpersist()
+      } finally bands.unpersist()
+      s"$out/cc"
+    })
+  private val q234Sql = q233Sql
+
   val queries: Map[String, Q] = Map(
     "q168_kmv_distinct" -> q168 _,
     "q169_minhash_error" -> q169 _,
@@ -3339,7 +3457,9 @@ object CurationQueries {
     "q229_ann_stream_lifecycle" -> q229 _,
     "q230_ivm_legacy_upgrade" -> q230 _,
     "q231_banded_quantized_lifecycle" -> q231 _,
-    "q232_ivf_quantized_lifecycle" -> q232 _)
+    "q232_ivf_quantized_lifecycle" -> q232 _,
+    "q233_incremental_cc" -> q233 _,
+    "q234_cc_stream_lifecycle" -> q234 _)
 
   val oracleSql: Map[String, String] = Map(
     "q168_kmv_distinct" -> q168Sql,
@@ -3406,5 +3526,7 @@ object CurationQueries {
     "q229_ann_stream_lifecycle" -> q229Sql,
     "q230_ivm_legacy_upgrade" -> q230Sql,
     "q231_banded_quantized_lifecycle" -> q231Sql,
-    "q232_ivf_quantized_lifecycle" -> q232Sql)
+    "q232_ivf_quantized_lifecycle" -> q232Sql,
+    "q233_incremental_cc" -> q233Sql,
+    "q234_cc_stream_lifecycle" -> q234Sql)
 }

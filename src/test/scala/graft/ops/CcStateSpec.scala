@@ -1,0 +1,151 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Persisted CC state: an absorbed delta of edges must leave labels
+  * identical to a from-scratch CC over the union — for every merge
+  * topology a delta can create — at delta cost (partition-pruned
+  * lookups, append-only writes between compacts). */
+class CcStateSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def fs = new HPath("/")
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def edgesDf(pairs: (Long, Long)*) =
+    pairs.toSeq.toDF("id_a", "id_b")
+
+  private def ccScratch(pairs: (Long, Long)*) =
+    Dedup.connectedComponents(edgesDf(pairs: _*))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  private def stateLabels(path: String) =
+    CcState.labels(spark, path)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("absorb covers every merge topology: join, chain, new cluster, smaller-id relabel") {
+    val dir = Files.createTempDirectory("graft-ccstate").toString
+    val path = s"$dir/cc"
+    // day 0: three clusters {10,11}, {20,21}, {30,31}
+    val day0 = Seq((10L, 11L), (20L, 21L), (30L, 31L))
+    CcState.write(edgesDf(day0: _*), path, buckets = 8)
+    stateLabels(path) shouldBe ccScratch(day0: _*)
+    // day 1, every topology at once:
+    //  - resident-resident merge (10-cluster absorbs 20-cluster)
+    //  - new node joining a resident cluster (32 → 30-cluster)
+    //  - an all-new cluster {40, 41}
+    //  - a NEW node with a SMALLER id than a resident cluster's min
+    //    (5 → 30-cluster: the resident rows must relabel to 5)
+    val day1 = Seq((11L, 20L), (32L, 30L), (40L, 41L), (5L, 31L))
+    CcState.absorb(spark, edgesDf(day1: _*), path)
+    stateLabels(path) shouldBe ccScratch(day0 ++ day1: _*)
+    // day 2: chain-merge across the day-1 result (40-cluster joins the
+    // 5-cluster) — exercises merge-log chains A→B then B→C
+    val day2 = Seq((41L, 32L))
+    CcState.absorb(spark, edgesDf(day2: _*), path)
+    val expected = ccScratch(day0 ++ day1 ++ day2: _*)
+    stateLabels(path) shouldBe expected
+    // compact folds the log in, clears it, and changes no label
+    CcState.compact(spark, path)
+    stateLabels(path) shouldBe expected
+    fs.exists(new HPath(s"${path}_merges")) shouldBe false
+    // absorb after compact keeps working (meta survived the swap)
+    CcState.absorb(spark, edgesDf((40L, 10L)), path)
+    stateLabels(path) shouldBe
+      ccScratch((day0 ++ day1 ++ day2 :+ ((40L, 10L))): _*)
+  }
+
+  test("absorb is idempotent: replaying a delta changes nothing") {
+    val dir = Files.createTempDirectory("graft-ccstate").toString
+    val path = s"$dir/cc"
+    CcState.write(edgesDf((1L, 2L), (3L, 4L)), path, buckets = 4)
+    val delta = edgesDf((2L, 3L), (7L, 8L))
+    CcState.absorb(spark, delta, path)
+    val once = stateLabels(path)
+    val logOnce =
+      spark.read.parquet(s"${path}_merges").count()
+    CcState.absorb(spark, delta, path) // at-least-once replay
+    stateLabels(path) shouldBe once
+    // the replay appended nothing: every endpoint was resident, every
+    // contracted edge a self-loop
+    spark.read.parquet(s"${path}_merges").count() shouldBe logOnce
+    once shouldBe ccScratch((1L, 2L), (3L, 4L), (2L, 3L), (7L, 8L))
+  }
+
+  test("absorb reads only the delta's buckets; resident files are never rewritten") {
+    val dir = Files.createTempDirectory("graft-ccstate").toString
+    val path = s"$dir/cc"
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val bands = Dedup.bandKeys(docs, "text", "doc_id", 4, 4, 3)
+    val pairs = Dedup.candidatePairs(bands)
+    CcState.write(pairs, path, buckets = 8)
+    // fingerprint every data file, then absorb a small delta
+    def files() = fs.listStatus(new HPath(path))
+      .filter(_.isDirectory)
+      .flatMap(d => fs.listStatus(d.getPath))
+      .map(s => s.getPath.toString ->
+        (s.getLen, s.getModificationTime)).toMap
+    val before = files()
+    CcState.absorb(spark, edgesDf((1L, 2L), (9000001L, 9000002L)), path)
+    val after = files()
+    // resident files byte-stable: appends add files, never rewrite
+    before.foreach { case (f, sig) => after.get(f) shouldBe Some(sig) }
+    (after.keySet -- before.keySet) should not be empty
+  }
+
+  test("absorbStream converges to from-scratch CC; a replayed epoch changes nothing") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = Files.createTempDirectory("graft-ccstate").toString
+    val path = s"$dir/cc"
+    val day0 = Seq((10L, 11L), (20L, 21L))
+    CcState.write(edgesDf(day0: _*), path, buckets = 4)
+    implicit val enc: org.apache.spark.sql.Encoder[(Long, Long)] =
+      org.apache.spark.sql.Encoders.product[(Long, Long)]
+    val stream = MemoryStream[(Long, Long)](enc, spark)
+    val q = CcState.absorbStream(
+      stream.toDF().toDF("id_a", "id_b"), path, s"$dir/ckpt")
+    val e0 = Seq((11L, 20L), (40L, 41L))
+    val e1 = Seq((5L, 21L))
+    try {
+      stream.addData(e0)
+      q.processAllAvailable()
+      stream.addData(e1)
+      q.processAllAvailable()
+    } finally q.stop()
+    val expected = ccScratch(day0 ++ e0 ++ e1: _*)
+    stateLabels(path) shouldBe expected
+    // crash redelivery: the storage-layer effect of a replayed epoch
+    CcState.absorb(spark, edgesDf(e0: _*), path)
+    stateLabels(path) shouldBe expected
+    CcState.compact(spark, path)
+    stateLabels(path) shouldBe expected
+  }
+
+  test("compact crash between renames rolls forward; labels survive") {
+    val dir = Files.createTempDirectory("graft-ccstate").toString
+    val path = s"$dir/cc"
+    CcState.write(edgesDf((1L, 2L), (3L, 4L)), path, buckets = 4)
+    CcState.absorb(spark, edgesDf((2L, 3L)), path)
+    val expected = stateLabels(path)
+    // stage exactly what compact stages (meta last), crash after the
+    // first rename: live gone, stage complete
+    CcState.labels(spark, path)
+      .withColumn("pbucket", pmod(hash(col("node")), lit(4)))
+      .repartition(col("pbucket"))
+      .write.mode("overwrite").partitionBy("pbucket")
+      .parquet(s"${path}_compacting")
+    val out = fs.create(new HPath(s"${path}_compacting/_graft_cc_meta"), true)
+    out.write("buckets=4\n".getBytes("UTF-8")); out.close()
+    fs.rename(new HPath(path), new HPath(s"${path}_old")) shouldBe true
+    // next read heals forward and answers unchanged
+    stateLabels(path) shouldBe expected
+    fs.exists(new HPath(s"${path}_old")) shouldBe false
+    fs.exists(new HPath(s"${path}_compacting")) shouldBe false
+  }
+}
