@@ -47,6 +47,17 @@ import org.apache.spark.sql.functions._
   * absorbed — including a NEW node whose id undercuts a resident
   * cluster's min (the merge log relabels the resident rows lazily).
   *
+  * Deliberate non-feature: NODE DELETION. Removing a node removes its
+  * edges, which can SPLIT a component — and a label store cannot
+  * decide connectivity of the remainder without the edge set it
+  * deliberately does not keep (labels are a summary, edges are the
+  * truth). Right-to-be-forgotten for clustered docs is therefore an
+  * anti-join against the label output downstream ([[DedupIndex]] owns
+  * forgetting the document's own index rows); a true edge-level
+  * retraction needs CC re-run over the affected components' surviving
+  * edges from the pair source — a rebuild-class operation by nature,
+  * not maintainable at delta cost, stated here so nobody expects it.
+  *
   * Crash/idempotence contract: [[absorb]] is IDEMPOTENT — re-absorbing
   * a delta finds every endpoint resident with merged labels, contracts
   * every edge to a self-loop and appends nothing — so at-least-once
