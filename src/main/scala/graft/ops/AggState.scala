@@ -308,6 +308,161 @@ object AggState {
       }
       .start()
 
+  // ------------------------------------------------------------------
+  // KMV distinct-count sketches: the approximate-distinct member of the
+  // metric-table aggregate set (daily-active-users class), maintained
+  // incrementally on the same pruning layout as the (n, sv, mn, mx)
+  // partials. The sketch is q168's estimator — the k smallest 48-bit
+  // md5 hashes of the key — which is MERGEABLE deterministically:
+  // k-min(A ∪ B) = k-min(k-min(A) ∪ k-min(B)), so merge(base sketch,
+  // delta sketch) is BIT-IDENTICAL to the from-scratch sketch and the
+  // q235 gate hash-matches a DuckDB recompute exactly (no tolerance
+  // band needed). Like extrema, sketches have no inverse: a retraction
+  // cannot un-see a member — deletions require a rebuild for the
+  // touched groups, stated rather than papered over.
+  // ------------------------------------------------------------------
+
+  /** The 48-bit md5 key hash both engines compute identically (q168's
+    * discipline — DuckDB: `('0x' || substr(md5(k::VARCHAR), 1, 12))::BIGINT`). */
+  private def kmvHash(keyCol: String): Column =
+    conv(substring(md5(col(keyCol).cast("string")), 1, 12), 16, 10)
+      .cast("long")
+
+  /** One row per group: `ks` = the ≤ k smallest distinct key hashes.
+    * The only wide ops are one distinct over (group, hash) and a
+    * rank-limited window (WindowGroupLimit prunes each group to its k
+    * smallest BEFORE anything collects — never a whole group's hash
+    * set in one array), both on ≤ |distinct keys| rows, never raw
+    * rows. */
+  def distinctPartials(df: DataFrame, groupCols: Seq[String],
+      keyCol: String, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*).orderBy(col("__h"))
+    df.select(groupCols.map(col) :+ kmvHash(keyCol).as("__h"): _*)
+      .distinct()
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .groupBy(groupCols.map(col): _*)
+      .agg(array_sort(collect_list(col("__h"))).as("ks"))
+  }
+
+  /** Aggregate `base` once and persist the per-group sketches at
+    * `path`, partitioned by `bucketOf` — [[write]]'s layout for the
+    * distinct-count store (keep it at its own path; the schema differs
+    * from the sum store's). `k` is persisted implicitly in the data
+    * (every maintenance call must pass the same `k`; a larger k would
+    * silently under-fill — the [[DedupIndex]] drift argument — so
+    * [[mergeKs]] truncates to the passed k defensively). */
+  def writeDistinct(base: DataFrame, groupCols: Seq[String],
+      keyCol: String, k: Int, bucketOf: Column, path: String): Unit =
+    distinctPartials(base, groupCols, keyCol, k)
+      .withColumn("epoch", lit(-1L))
+      .withColumn("pbucket", bucketOf)
+      .repartition(col("pbucket"))
+      .write.mode("overwrite").partitionBy("pbucket").parquet(path)
+
+  /** k-min of the union of two sketch arrays — associative and
+    * commutative, so any merge tree reproduces the from-scratch
+    * sketch exactly. Null-tolerant: a side absent from the merge join
+    * contributes an empty array. */
+  private def mergeKs(a: Column, b: Column, k: Int): Column =
+    slice(array_sort(array_distinct(concat(
+      coalesce(a, array().cast("array<long>")),
+      coalesce(b, array().cast("array<long>"))))), 1, k)
+
+  /** The sketch's cardinality estimate: exact while the sketch is
+    * under-full (|ks| < k means it holds EVERY distinct hash), else
+    * (k−1)·2⁴⁸ / ks[k−1] — q168's arithmetic. */
+  private def kmvEstimate(ks: Column, k: Int): Column =
+    when(size(ks) < k, size(ks).cast("double"))
+      .otherwise(lit((k - 1).toDouble) * lit(281474976710656.0) /
+        element_at(ks, k))
+
+  /** Merge-read: (group cols, n_est) for exactly the DELTA's groups,
+    * from the persisted sketches plus the delta — reading only the
+    * delta's bucket directories ([[refresh]]'s contract for
+    * approximate distinct). */
+  def refreshDistinct(spark: SparkSession, path: String, delta: DataFrame,
+      groupCols: Seq[String], keyCol: String, k: Int,
+      bucketOf: Column): DataFrame = {
+    val d = distinctPartials(delta, groupCols, keyCol, k)
+      .withColumn("pbucket", bucketOf)
+      .select(groupCols.map(col) :+ col("ks").as("dks") :+
+        col("pbucket"): _*)
+    val dirs = touchedDirs(spark, path, d)
+    val mergedKs =
+      if (dirs.isEmpty) d.select(groupCols.map(col) :+ col("dks").as("ks"): _*)
+      else {
+        val resident = residentSketch(readStore(spark, path, dirs),
+          groupCols, k)
+          .select(groupCols.map(col) :+ col("ks").as("bks"): _*)
+        d.join(resident, groupCols.map(c => d(c) <=> resident(c))
+            .reduce(_ && _), "left")
+          .select(groupCols.map(c => d(c).as(c)) :+
+            mergeKs(col("bks"), col("dks"), k).as("ks"): _*)
+      }
+    mergedKs.select(groupCols.map(col) :+
+      round(kmvEstimate(col("ks"), k), 4).as("n_est"): _*)
+  }
+
+  /** Fold the delta's sketches INTO the store — [[absorb]]'s dynamic
+    * partition overwrite, sketch edition: touched buckets are
+    * rewritten with the k-min merge, untouched partitions stay
+    * byte-identical. AT-MOST-ONCE is NOT required here: re-absorbing
+    * the same delta merges identical hashes into identical sketches
+    * (k-min is idempotent), so replay is harmless — the one aggregate
+    * in the family that is naturally exactly-once. */
+  def absorbDistinct(spark: SparkSession, path: String, delta: DataFrame,
+      groupCols: Seq[String], keyCol: String, k: Int,
+      bucketOf: Column): Unit = {
+    val d = distinctPartials(delta, groupCols, keyCol, k)
+      .withColumn("pbucket", bucketOf)
+      .select(groupCols.map(col) :+ col("ks").as("dks") :+
+        col("pbucket"): _*)
+    val dirs = touchedDirs(spark, path, d)
+    val merged =
+      if (dirs.isEmpty)
+        d.select(groupCols.map(col) :+ col("dks").as("ks") :+
+          lit(-1L).as("epoch") :+ col("pbucket"): _*)
+      else {
+        val resident = residentSketch(readStore(spark, path, dirs),
+          groupCols :+ "pbucket", k)
+          .select(groupCols.map(col) :+ col("ks").as("bks") :+
+            col("pbucket"): _*)
+        d.join(resident, groupCols.map(c => d(c) <=> resident(c))
+            .reduce(_ && _), "full_outer")
+          .select(
+            groupCols.map(c => coalesce(d(c), resident(c)).as(c)) :+
+            mergeKs(col("bks"), col("dks"), k).as("ks") :+
+            lit(-1L).as("epoch") :+
+            coalesce(d("pbucket"), resident("pbucket")).as("pbucket"): _*)
+      }
+    merged.repartition(col("pbucket"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("pbucket").parquet(path)
+  }
+
+  /** The current estimates over the whole sketch store. */
+  def distinctEstimates(spark: SparkSession, path: String,
+      groupCols: Seq[String], k: Int): DataFrame =
+    residentSketch(readStore(spark, path), groupCols, k)
+      .select(groupCols.map(col) :+
+        round(kmvEstimate(col("ks"), k), 4).as("n_est"): _*)
+
+  /** Layer-collapse then k-min merge — [[residentAgg]]'s read
+    * discipline for sketch stores: duplicate (group, epoch) layers
+    * collapse first, surviving layers' arrays union into one k-min. */
+  private def residentSketch(rows: DataFrame, keyCols: Seq[String],
+      k: Int): DataFrame = {
+    val dedupeKey = (keyCols.filterNot(_ == "pbucket") :+ "epoch")
+      .distinct
+    rows.dropDuplicates(dedupeKey)
+      .groupBy(keyCols.map(col): _*)
+      .agg(slice(array_sort(array_distinct(flatten(
+        collect_list(col("ks"))))), 1, k).as("ks"))
+  }
+
   /** Layer-collapse then sum: the one read discipline every path
     * shares. dropDuplicates on (group cols, epoch) erases redelivered
     * epochs (their rows are deterministic replays); the groupBy sums

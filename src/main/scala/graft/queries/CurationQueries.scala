@@ -3392,6 +3392,58 @@ object CurationQueries {
     })
   private val q234Sql = q233Sql
 
+  // --------------------------------------------------------- q235
+  /** Incremental APPROXIMATE DISTINCT — the metric-table aggregate the
+    * (n, sv, mn, mx) monoid set cannot express (distinct users per
+    * group), maintained at delta cost on [[AggState]]'s pruning
+    * layout: per-group KMV sketches (q168's estimator — the k smallest
+    * 48-bit md5 key hashes) are persisted for the base
+    * ([[AggState.writeDistinct]]), a delta batch is folded in by
+    * rewriting only its touched buckets ([[AggState.absorbDistinct]]),
+    * and a fresh delta is answered by [[AggState.refreshDistinct]].
+    * k-min is a deterministic mergeable sketch — k-min(A ∪ B) =
+    * k-min(k-min(A) ∪ k-min(B)) — so the maintained estimate is
+    * BIT-IDENTICAL to a from-scratch sketch over all rows, and the
+    * oracle recomputes the same formula in DuckDB and hash-matches
+    * exactly (no tolerance band). Sketches have no inverse (like
+    * extrema): deletions require a rebuild for the touched groups. */
+  private def q235(s: SparkSession, dir: String): DataFrame = {
+    val fresh = Tables.events(s, dir).filter(col("event_id") % 20 === 10)
+    AggState.refreshDistinct(s, q235State(s, dir), fresh,
+      Seq("event_type"), "user_id", KmvK, q235Bucket)
+      .select(col("event_type"), col("n_est").as("n_users_est"))
+  }
+  private def q235Bucket = pmod(hash(col("event_type")), lit(8)).cast("long")
+  private val q235StateCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def q235State(s: SparkSession, dir: String): String =
+    q235StateCache.computeIfAbsent(dir, { _ =>
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-aggstate-q235").toString
+      val ev = Tables.events(s, dir)
+      AggState.writeDistinct(ev.filter(col("event_id") % 10 =!= 0),
+        Seq("event_type"), "user_id", KmvK, q235Bucket, s"$out/state")
+      AggState.absorbDistinct(s, s"$out/state",
+        ev.filter(col("event_id") % 20 === 0),
+        Seq("event_type"), "user_id", KmvK, q235Bucket)
+      s"$out/state"
+    })
+  private val q235Sql =
+    s"""WITH h AS (SELECT DISTINCT event_type,
+       |    ('0x' || substr(md5(user_id::VARCHAR), 1, 12))::BIGINT AS h
+       |  FROM events),
+       |tot AS (SELECT event_type, CAST(count(*) AS BIGINT) AS ch FROM h GROUP BY 1),
+       |rk AS (SELECT event_type, h,
+       |         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk FROM h),
+       |kth AS (SELECT event_type, max(h) AS kth FROM rk WHERE rk <= $KmvK GROUP BY 1),
+       |dg AS (SELECT DISTINCT event_type FROM events WHERE event_id % 20 = 10)
+       |SELECT t.event_type,
+       |  round(CASE WHEN t.ch < $KmvK THEN t.ch::DOUBLE
+       |             ELSE CAST(${KmvK - 1} AS DOUBLE) * CAST(281474976710656 AS DOUBLE)
+       |                  / k.kth END, 4) AS n_users_est
+       |FROM tot t JOIN kth k ON t.event_type = k.event_type
+       |  JOIN dg ON t.event_type = dg.event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q168_kmv_distinct" -> q168 _,
     "q169_minhash_error" -> q169 _,
@@ -3459,7 +3511,8 @@ object CurationQueries {
     "q231_banded_quantized_lifecycle" -> q231 _,
     "q232_ivf_quantized_lifecycle" -> q232 _,
     "q233_incremental_cc" -> q233 _,
-    "q234_cc_stream_lifecycle" -> q234 _)
+    "q234_cc_stream_lifecycle" -> q234 _,
+    "q235_ivm_distinct" -> q235 _)
 
   val oracleSql: Map[String, String] = Map(
     "q168_kmv_distinct" -> q168Sql,
@@ -3528,5 +3581,6 @@ object CurationQueries {
     "q231_banded_quantized_lifecycle" -> q231Sql,
     "q232_ivf_quantized_lifecycle" -> q232Sql,
     "q233_incremental_cc" -> q233Sql,
-    "q234_cc_stream_lifecycle" -> q234Sql)
+    "q234_cc_stream_lifecycle" -> q234Sql,
+    "q235_ivm_distinct" -> q235Sql)
 }

@@ -295,6 +295,40 @@ class AggStateSpec extends SparkSpec {
         .collect().toSet
   }
 
+  test("distinct sketches: maintained KMV is bit-identical to from-scratch; replay is a no-op") {
+    val dir = Files.createTempDirectory("graft-aggstate").toString
+    val path = s"$dir/dstate"
+    val grp = Seq("event_type")
+    val dbucket = pmod(hash(col("event_type")), lit(8)).cast("long")
+    AggState.writeDistinct(base, grp, "user_id", 64, dbucket, path)
+    AggState.absorbDistinct(spark, path, delta, grp, "user_id", 64,
+      dbucket)
+    def storeKs = spark.read.parquet(path)
+      .select(col("event_type"), col("ks"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    // merge(sketch(base), sketch(delta)) == sketch(base ∪ delta),
+    // element for element — k-min is a deterministic mergeable sketch
+    val scratch = AggState.distinctPartials(ev, grp, "user_id", 64)
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    storeKs shouldBe scratch
+    // replay: k-min merge is idempotent, the store is unchanged
+    AggState.absorbDistinct(spark, path, delta, grp, "user_id", 64,
+      dbucket)
+    storeKs shouldBe scratch
+    // refresh from a base-only store answers as a store built from
+    // everything — the read-side merge is the same algebra
+    val path2 = s"$dir/dstate2"
+    AggState.writeDistinct(base, grp, "user_id", 64, dbucket, path2)
+    val viaRefresh = AggState.refreshDistinct(spark, path2, delta,
+        grp, "user_id", 64, dbucket)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val pathAll = s"$dir/dstateAll"
+    AggState.writeDistinct(ev, grp, "user_id", 64, dbucket, pathAll)
+    AggState.distinctEstimates(spark, pathAll, grp, 64)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      .filter { case (g, _) => viaRefresh.contains(g) } shouldBe viaRefresh
+  }
+
   test("absorb creates partitions for buckets the store has never seen") {
     val dir = Files.createTempDirectory("graft-aggstate").toString
     val path = s"$dir/state"

@@ -92,10 +92,27 @@ class CcStateSpec extends SparkSpec {
       .map(s => s.getPath.toString ->
         (s.getLen, s.getModificationTime)).toMap
     val before = files()
-    CcState.absorb(spark, edgesDf((1L, 2L), (9000001L, 9000002L)), path)
+    val delta = edgesDf((1L, 2L), (9000001L, 9000002L))
+    // pruning, pinned the hard way: physically REMOVE a bucket the
+    // delta's nodes do not hash to — if absorb listed or read it, the
+    // job would fail on the missing input
+    val touched = delta.select(col("id_a").as("node"))
+      .union(delta.select(col("id_b").as("node")))
+      .select(pmod(hash(col("node")), lit(8))).distinct()
+      .collect().map(_.getInt(0)).toSet
+    val untouchedDir = fs.listStatus(new HPath(path))
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .find(d => d.startsWith("pbucket=") &&
+        !touched.contains(d.stripPrefix("pbucket=").toInt))
+    untouchedDir should not be empty
+    fs.delete(new HPath(path, untouchedDir.get), true) shouldBe true
+    CcState.absorb(spark, delta, path)
     val after = files()
     // resident files byte-stable: appends add files, never rewrite
-    before.foreach { case (f, sig) => after.get(f) shouldBe Some(sig) }
+    before.filterNot(_._1.contains(untouchedDir.get)).foreach {
+      case (f, sig) => after.get(f) shouldBe Some(sig)
+    }
     (after.keySet -- before.keySet) should not be empty
   }
 
