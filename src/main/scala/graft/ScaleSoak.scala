@@ -187,24 +187,43 @@ object ScaleSoak {
         n -> table
       }
 
-    // band-index delete arms (round 15): right-to-be-forgotten against
-    // a resident band index growing with scale. A separate per-scale
-    // table from bandprobe's — deletes must not contaminate that arm's
-    // probe answers. Built untimed (write once); the timed bodies are
-    // what the deployment pays per day.
-    val bandDelIdx: Map[Int, String] =
-      if (!armOn("bandindex_delete_scaled") &&
-          !armOn("bandindex_compact_scaled")) Map.empty
-      else dirs.map { case (n, d) =>
-        val table = s"graft_soak_banddel_x$n"
-        spark.sql(s"DROP TABLE IF EXISTS $table")
-        spark.sql(s"DROP TABLE IF EXISTS ${table}_del")
-        val out = Files.createTempDirectory(s"graft-soak-banddel-x$n")
-          .toString
-        DedupIndex.write(Tables.documents(spark, d), "text", "doc_id",
-          4, 4, 3, s"$out/idx", table)
-        n -> table
+    // band-index delete/compact arms (round 15; per-run tables since
+    // round 16 — ADVICE r15: the shared-table version let each run
+    // re-append the same tombstone batch, so later runs probed a grown
+    // _del table and the compact arm's input drifted run-to-run).
+    // Each timed run now gets its OWN freshly built table (the
+    // delCopies/ccCopies fresh-copy discipline; bucketed tables can't
+    // be file-copied without re-registering bucket metadata, so the
+    // copies are rebuilt — untimed either way). Separate tables from
+    // bandprobe's — deletes must not contaminate that arm's answers.
+    // The compact copies get the tombstone batch pre-appended untimed,
+    // so every compact run folds the same tombstone state.
+    def buildBandDelTables(tag: String, withTombstones: Boolean)
+        : Map[Int, scala.collection.mutable.Queue[String]] =
+      dirs.map { case (n, d) =>
+        val q = scala.collection.mutable.Queue[String]()
+        (1 to RUNS).foreach { r =>
+          val table = s"graft_soak_$tag${n}_r$r"
+          spark.sql(s"DROP TABLE IF EXISTS $table")
+          spark.sql(s"DROP TABLE IF EXISTS ${table}_del")
+          val out = Files.createTempDirectory(s"graft-soak-$tag$n-$r")
+            .toString
+          DedupIndex.write(Tables.documents(spark, d), "text", "doc_id",
+            4, 4, 3, s"$out/idx", table)
+          if (withTombstones)
+            DedupIndex.delete(spark,
+              table, Tables.documents(spark, base)
+                .filter(col("doc_id") % 20 === 0).select(col("doc_id")))
+          q.enqueue(table)
+        }
+        n -> q
       }
+    val bandDelCopies: Map[Int, scala.collection.mutable.Queue[String]] =
+      if (!armOn("bandindex_delete_scaled")) Map.empty
+      else buildBandDelTables("banddel", withTombstones = false)
+    val bandCompactCopies: Map[Int, scala.collection.mutable.Queue[String]] =
+      if (!armOn("bandindex_compact_scaled")) Map.empty
+      else buildBandDelTables("bandcpt", withTombstones = true)
 
     // ccstate arm (round 15): incremental connected components — a
     // FIXED delta of verified-pair edges absorbed into a clustering
@@ -219,8 +238,10 @@ object ScaleSoak {
     // annindex_delete discipline). The recompute control is the
     // existing cc_contraction_arm (exponent ~0.9 at r12): that is the
     // daily cost this operator deletes.
+    val ccArmsOn = armOn("ccstate_absorb_scaled") ||
+      armOn("ccstate_labels_scaled") || armOn("ccstate_compact_scaled")
     val ccDelta: String =
-      if (!armOn("ccstate_absorb_scaled")) ""
+      if (!ccArmsOn) ""
       else {
         val out = s"$workRoot/ccdelta"
         val marker = Paths.get(s"$out/_CC_OK")
@@ -229,10 +250,16 @@ object ScaleSoak {
             new String(Files.readAllBytes(marker), "UTF-8") == stamp)) {
           val bands = Dedup.bandKeys(Tables.documents(spark, base),
             "text", "doc_id", 4, 4, 3)
-          // a DAILY-sized delta: pruning pays when the delta's node
+          // a DAILY-sized delta: base-corpus pairs touching a
+          // doc_id%100=0 doc — pruning pays when the delta's node
           // count is well under the bucket count (CcState's sizing
-          // budget) — %100 keeps it ~tens of docs' pairs, the
-          // annindex_delete batch-size discipline
+          // budget), and %100 keeps it ~tens of docs' pairs, the
+          // annindex_delete batch-size discipline. NOTE: the resident
+          // exclusion below deliberately under-covers — scaled-corpus
+          // pairs linking a base %100 doc to a replica doc land in
+          // neither resident nor delta, so absorbed state ≠ the full
+          // clustering; this arm measures ABSORB COST, not clustering
+          // parity (q233/q234 gate parity)
           Dedup.candidatePairs(bands)
             .filter(col("id_a") % 100 === 0 || col("id_b") % 100 === 0)
             .write.mode("overwrite").parquet(s"$out/edges")
@@ -241,7 +268,7 @@ object ScaleSoak {
         s"$out/edges"
       }
     val ccIdx: Map[Int, String] =
-      if (!armOn("ccstate_absorb_scaled")) Map.empty
+      if (!ccArmsOn) Map.empty
       else dirs.map { case (n, d) =>
         val out = s"$workRoot/ccstate/x$n"
         val marker = Paths.get(s"$out/_CC_OK")
@@ -261,23 +288,52 @@ object ScaleSoak {
         }
         n -> s"$out/cc"
       }
+    def copyState(st: String, tag: String, n: Int, r: Int): String = {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val dst = Files.createTempDirectory(s"graft-soak-$tag-x$n-$r")
+        .toString + "/cc"
+      val fs = new org.apache.hadoop.fs.Path(st).getFileSystem(conf)
+      org.apache.hadoop.fs.FileUtil.copy(fs,
+        new org.apache.hadoop.fs.Path(st), fs,
+        new org.apache.hadoop.fs.Path(dst), false, conf)
+      // the merge log is a SIBLING of the state dir — carry it too
+      if (fs.exists(new org.apache.hadoop.fs.Path(st + "_merges")))
+        org.apache.hadoop.fs.FileUtil.copy(fs,
+          new org.apache.hadoop.fs.Path(st + "_merges"), fs,
+          new org.apache.hadoop.fs.Path(dst + "_merges"), false, conf)
+      dst
+    }
     val ccCopies: Map[Int, scala.collection.mutable.Queue[String]] =
       if (!armOn("ccstate_absorb_scaled")) Map.empty
-      else {
-        val conf = spark.sparkContext.hadoopConfiguration
-        ccIdx.map { case (n, st) =>
-          val q = scala.collection.mutable.Queue[String]()
-          (1 to RUNS).foreach { r =>
-            val dst = Files.createTempDirectory(s"graft-soak-ccstate-x$n-$r")
-              .toString + "/cc"
-            val fs = new org.apache.hadoop.fs.Path(st).getFileSystem(conf)
-            org.apache.hadoop.fs.FileUtil.copy(fs,
-              new org.apache.hadoop.fs.Path(st), fs,
-              new org.apache.hadoop.fs.Path(dst), false, conf)
-            q.enqueue(dst)
-          }
-          n -> q
-        }
+      else ccIdx.map { case (n, st) =>
+        n -> scala.collection.mutable.Queue(
+          (1 to RUNS).map(r => copyState(st, "ccstate", n, r)): _*)
+      }
+
+    // ccstate labels/compact arms (round 16, VERDICT r15 item 6): the
+    // STORE-SIZED controls to the flat absorb arm — the full-view
+    // labels read and the scheduled compact rewrite both track the
+    // resident corpus by design (documented: compact is the
+    // amortization absorb's delta pricing buys; labels is the VIEW,
+    // not the probe path). Each per-scale state gets the fixed delta
+    // absorbed UNTIMED first, so a real merge log is resolved by
+    // labels and folded by compact. labels is read-only (one prepped
+    // state per scale, shared across runs); compact mutates (per-run
+    // copies, the ccCopies discipline). The delta also carries the
+    // merge log's _merges sibling in the copy.
+    val ccPrepped: Map[Int, String] =
+      if (!armOn("ccstate_labels_scaled") &&
+          !armOn("ccstate_compact_scaled")) Map.empty
+      else ccIdx.map { case (n, st) =>
+        val dst = copyState(st, "ccprep", n, 0)
+        graft.ops.CcState.absorb(spark, spark.read.parquet(ccDelta), dst)
+        n -> dst
+      }
+    val ccCompactCopies: Map[Int, scala.collection.mutable.Queue[String]] =
+      if (!armOn("ccstate_compact_scaled")) Map.empty
+      else ccPrepped.map { case (n, st) =>
+        n -> scala.collection.mutable.Queue(
+          (1 to RUNS).map(r => copyState(st, "cccpt", n, r)): _*)
       }
 
     // ivm_refresh arm: per-scale persisted partial-aggregate state
@@ -482,21 +538,34 @@ object ScaleSoak {
         //    exists precisely so deletes never pay this; compact rides
         //    a rewrite that runs on a schedule anyway).
         ("bandindex_delete_scaled" -> { (s: SparkSession, _: String, n: Int) =>
+          val table = bandDelCopies(n).dequeue()
           val victims = Tables.documents(s, base)
             .filter(col("doc_id") % 20 === 0).select(col("doc_id"))
-          DedupIndex.delete(s, bandDelIdx(n), victims)
+          DedupIndex.delete(s, table, victims)
           val batch = Tables.documents(s, base)
             .filter(col("doc_id") % 10 === 0)
-          DedupIndex.probe(s, bandDelIdx(n), batch, "text", "doc_id",
+          DedupIndex.probe(s, table, batch, "text", "doc_id",
             4, 4, 3)
         }) :+
         ("bandindex_compact_scaled" -> { (s: SparkSession, _: String, n: Int) =>
-          DedupIndex.compact(s, bandDelIdx(n))
+          DedupIndex.compact(s, bandCompactCopies(n).dequeue())
           s.range(1).toDF("ok")
         }) :+
         ("ccstate_absorb_scaled" -> { (s: SparkSession, _: String, n: Int) =>
           graft.ops.CcState.absorb(s, s.read.parquet(ccDelta),
             ccCopies(n).dequeue())
+          s.range(1).toDF("ok")
+        }) :+
+        // the store-sized controls to the flat absorb arm (see the
+        // ccPrepped comment): labels SHOULD grow ~linearly (full-store
+        // read + broadcast merge resolve), compact SHOULD grow
+        // ~linearly (full bucketed rewrite) — measured so the
+        // amortization claim has its own rows, like band compact.
+        ("ccstate_labels_scaled" -> { (s: SparkSession, _: String, n: Int) =>
+          graft.ops.CcState.labels(s, ccPrepped(n))
+        }) :+
+        ("ccstate_compact_scaled" -> { (s: SparkSession, _: String, n: Int) =>
+          graft.ops.CcState.compact(s, ccCompactCopies(n).dequeue())
           s.range(1).toDF("ok")
         }) :+
         ("bandprobe_scratch_scaled" -> { (s: SparkSession, d: String, _: Int) =>

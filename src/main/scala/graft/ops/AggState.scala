@@ -1,6 +1,8 @@
 package graft.ops
 
-import org.apache.hadoop.fs.{Path => HPath}
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -56,6 +58,19 @@ import org.apache.spark.sql.functions._
   * dedupe). [[compactState]] folds the layers back to one row per
   * group when the per-read layer sum grows past taste.
   *
+  * ==Parameter integrity==
+  * [[write]]/[[writeDistinct]] stamp a `_graft_agg_meta` file beside
+  * the data carrying the store kind (sum vs distinct), a layout
+  * version, the quantization scale (or sketch k), and the CANONICAL
+  * bucket-expression string — and every maintenance entry point
+  * `require`-matches the caller's parameters against it (the
+  * [[DedupIndex]] checkParams discipline): a drifted quantScale, k, or
+  * bucket expression corrupts silently otherwise (sums land in a
+  * different fixed-point domain; partials land in buckets no probe
+  * will read). Meta-less stores (pre-stamp generations, externally
+  * fabricated — the q230 legacy case) stay maintainable and are
+  * stamped lazily by their next maintenance write.
+  *
   * At 100 TB: the raw fact table is enormous, the partials table is
   * |distinct groups| rows, and a daily refresh touches |delta groups|
   * of them. The recompute alternative re-scans every fact row for the
@@ -63,6 +78,108 @@ import org.apache.spark.sql.functions._
   * everything. ScaleSoak's ivm arms measure both contrasts.
   */
 object AggState {
+
+  private val MetaFile = "_graft_agg_meta"
+
+  /** Layout versions stamped into the meta: sum stores are v2 (v1, the
+    * pre-round-14 layout, had no extrema columns); distinct stores are
+    * v1. A HIGHER version than the code knows fails loudly (a newer
+    * writer's store must not be maintained by older code); LOWER
+    * versions stay readable ([[readStore]]'s schema union +
+    * [[residentAgg]]'s null-extrema tolerance — the q230 migration),
+    * and the next maintenance write stamps the current version. */
+  private val SumLayout = 2
+  private val DistinctLayout = 1
+
+  private def fsFor(path: String, spark: SparkSession): FileSystem =
+    new HPath(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** The canonical text of the caller's bucket expression — the
+    * Column's own rendering of its node tree, deterministic for a
+    * given construction (no ids, no session state), so two sessions
+    * building the same expression stamp (and validate against) the
+    * same spec string. Newlines are squashed: the meta file is
+    * line-oriented. */
+  private def bucketSpecOf(bucketOf: Column): String =
+    bucketOf.toString.replaceAll("\\s+", " ").trim
+
+  /** Persist the store's parameters beside its data — the
+    * [[DedupIndex]] checkParams discipline for path-based stores: a
+    * drifted `quantScale` (sums in a different fixed-point domain), a
+    * drifted `k` (under-filled sketches), or a drifted bucket
+    * expression (partials landing in buckets the probe will never
+    * read) all corrupt SILENTLY if only caller discipline guards them.
+    * Written LAST, after the data — files starting with `_` are
+    * invisible to the parquet reader. */
+  private def stampMeta(spark: SparkSession, path: String, kind: String,
+      layout: Int, params: Seq[(String, String)]): Unit = {
+    val fs = fsFor(path, spark)
+    val body = (Seq("kind" -> kind, "layout" -> layout.toString) ++ params)
+      .map { case (k, v) => s"$k=$v" }.mkString("", "\n", "\n")
+    val out = fs.create(new HPath(path, MetaFile), true)
+    try out.write(body.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def readMeta(spark: SparkSession,
+      path: String): Option[Map[String, String]] = {
+    val fs = fsFor(path, spark)
+    val p = new HPath(path, MetaFile)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val body =
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val chunk = new Array[Byte](256)
+        var n = in.read(chunk)
+        while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+        new String(buf.toByteArray, StandardCharsets.UTF_8)
+      } finally in.close()
+    Some(body.linesIterator.filter(_.indexOf('=') > 0).map { l =>
+      val i = l.indexOf('=')
+      l.substring(0, i) -> l.substring(i + 1)
+    }.toMap)
+  }
+
+  /** Fail loudly when a caller's parameters drift from the ones
+    * stamped at [[write]]/[[writeDistinct]]. A store with no meta file
+    * (built before the stamp existed, or fabricated by an external
+    * writer — the q230 legacy case) has nothing to check, the old
+    * caller-discipline contract; its next maintenance write stamps it
+    * lazily with the parameters that maintenance ran under. */
+  private def checkMeta(spark: SparkSession, path: String, kind: String,
+      maxLayout: Int, params: (String, String)*): Unit =
+    readMeta(spark, path).foreach { m =>
+      m.get("kind").foreach(k => require(k == kind,
+        s"$path is a '$k' store but the caller used the '$kind' API — " +
+          "sum and distinct stores are separate layouts at separate paths"))
+      m.get("layout").foreach(l => require(l.toInt <= maxLayout,
+        s"$path carries layout ${l.toInt} but this code writes layout " +
+          s"$maxLayout — a newer writer owns this store"))
+      params.foreach { case (key, got) =>
+        m.get(key).foreach(stored => require(stored == got,
+          s"$path was built with $key=$stored but the caller passed " +
+            s"$got — refresh/absorb/retract/rebuild must use the " +
+            "store's own parameters"))
+      }
+    }
+
+  /** Lazy meta upgrade: stamp a meta-less (pre-round-16 or fabricated
+    * legacy) store with the parameters the maintenance call that just
+    * succeeded ran under — from here on they are enforced. */
+  private def stampIfMissing(spark: SparkSession, path: String,
+      kind: String, layout: Int, params: Seq[(String, String)]): Unit =
+    if (readMeta(spark, path).isEmpty)
+      stampMeta(spark, path, kind, layout, params)
+
+  private def sumParams(quantScale: Int,
+      bucketOf: Column): Seq[(String, String)] =
+    Seq("quantScale" -> quantScale.toString,
+      "bucketSpec" -> bucketSpecOf(bucketOf))
+
+  private def distinctParams(k: Int,
+      bucketOf: Column): Seq[(String, String)] =
+    Seq("k" -> k.toString, "bucketSpec" -> bucketSpecOf(bucketOf))
 
   /** Order-independent partial aggregates: one row per group with a
     * count `n`, the `quantScale`-quantized integer sum `sv` of
@@ -89,12 +206,15 @@ object AggState {
     * floor for range-affine deltas or a hash mod for uniformly spread
     * ones). Each bucket is co-located to one file. */
   def write(base: DataFrame, groupCols: Seq[String], valueCol: String,
-      quantScale: Int, bucketOf: Column, path: String): Unit =
+      quantScale: Int, bucketOf: Column, path: String): Unit = {
     partials(base, groupCols, valueCol, quantScale)
       .withColumn("epoch", lit(-1L))
       .withColumn("pbucket", bucketOf)
       .repartition(col("pbucket"))
       .write.mode("overwrite").partitionBy("pbucket").parquet(path)
+    stampMeta(base.sparkSession, path, "sum", SumLayout,
+      sumParams(quantScale, bucketOf))
+  }
 
   /** Merge-read: the refreshed aggregates for exactly the DELTA's
     * groups, computed from the persisted partials plus the delta —
@@ -106,6 +226,8 @@ object AggState {
   def refresh(spark: SparkSession, path: String, delta: DataFrame,
       groupCols: Seq[String], valueCol: String, quantScale: Int,
       bucketOf: Column): DataFrame = {
+    checkMeta(spark, path, "sum", SumLayout,
+      sumParams(quantScale, bucketOf): _*)
     val d = partials(delta, groupCols, valueCol, quantScale)
       .withColumn("pbucket", bucketOf)
       .select(groupCols.map(col) :+ col("n").as("dn") :+
@@ -146,6 +268,8 @@ object AggState {
   def absorb(spark: SparkSession, path: String, delta: DataFrame,
       groupCols: Seq[String], valueCol: String, quantScale: Int,
       bucketOf: Column): Unit = {
+    checkMeta(spark, path, "sum", SumLayout,
+      sumParams(quantScale, bucketOf): _*)
     val d = partials(delta, groupCols, valueCol, quantScale)
       .withColumn("pbucket", bucketOf)
       .select(groupCols.map(col) :+ col("n").as("dn") :+
@@ -186,6 +310,8 @@ object AggState {
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("pbucket").parquet(path)
+    stampIfMissing(spark, path, "sum", SumLayout,
+      sumParams(quantScale, bucketOf))
   }
 
   /** Retract previously-absorbed fact rows — the CDC DELETE side of
@@ -207,6 +333,8 @@ object AggState {
   def retract(spark: SparkSession, path: String, deletes: DataFrame,
       groupCols: Seq[String], valueCol: String, quantScale: Int,
       bucketOf: Column): Unit = {
+    checkMeta(spark, path, "sum", SumLayout,
+      sumParams(quantScale, bucketOf): _*)
     val d = partials(deletes, groupCols, valueCol, quantScale)
       .withColumn("pbucket", bucketOf)
       .select(groupCols.map(col) :+ col("n").as("dn") :+
@@ -246,6 +374,8 @@ object AggState {
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("pbucket").parquet(path)
+    stampIfMissing(spark, path, "sum", SumLayout,
+      sumParams(quantScale, bucketOf))
   }
 
   /** Append one LAYER of partials for a delta batch under `epochId`
@@ -259,19 +389,25 @@ object AggState {
       groupCols: Seq[String], valueCol: String, quantScale: Int,
       bucketOf: Column): Unit = {
     require(epochId >= 0, s"epochId must be >= 0, got $epochId")
+    checkMeta(delta.sparkSession, path, "sum", SumLayout,
+      sumParams(quantScale, bucketOf): _*)
     partials(delta, groupCols, valueCol, quantScale)
       .withColumn("epoch", lit(epochId))
       .withColumn("pbucket", bucketOf)
       .repartition(col("pbucket"))
       .write.mode("append").partitionBy("pbucket").parquet(path)
+    stampIfMissing(delta.sparkSession, path, "sum", SumLayout,
+      sumParams(quantScale, bucketOf))
   }
 
   /** The current logical table: every layer summed, replayed epochs
     * collapsed first. Full-store read — the VIEW over the state, not
     * the probe path (that is [[refresh]]). */
   def merged(spark: SparkSession, path: String,
-      groupCols: Seq[String]): DataFrame =
+      groupCols: Seq[String]): DataFrame = {
+    checkMeta(spark, path, "sum", SumLayout)
     residentAgg(readStore(spark, path), groupCols)
+  }
 
   /** Fold all layers back to one row per group, bucket by bucket (the
     * [[AnnIndex.compact]] moment: after many appendDelta epochs the
@@ -281,13 +417,79 @@ object AggState {
     * (read-invisible, tiny) tombstone file — never wrong, reclaimed
     * whenever a later absorb touches that bucket. */
   def compactState(spark: SparkSession, path: String,
-      groupCols: Seq[String]): Unit =
+      groupCols: Seq[String]): Unit = {
+    checkMeta(spark, path, "sum", SumLayout)
     residentAgg(readStore(spark, path), groupCols :+ "pbucket")
       .withColumn("epoch", lit(-1L))
       .repartition(col("pbucket"))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("pbucket").parquet(path)
+  }
+
+  /** Recompute EXACTLY the given groups from `source` and rewrite
+    * their buckets (dynamic partition overwrite) — the group-scoped
+    * REBUILD that pairs with [[retract]]: extrema (and sketches, see
+    * [[rebuildDistinctGroups]]) have no inverse, so after a deletion
+    * the touched groups' EXACT values come from re-aggregating those
+    * groups' surviving source rows. Work is delta-priced on the store
+    * side — only the rebuilt groups' buckets are read and rewritten;
+    * the source scan is the caller's (`source` is typically already
+    * pruned to the touched groups' partitions). Resident groups that
+    * share a bucket with a rebuilt group pass through unchanged
+    * (layer-collapsed, like [[absorb]]'s rewrite). A group passed with
+    * NO surviving source rows is rewritten as an n=0 tombstone
+    * (read-invisible), so right-to-be-forgotten physically purges its
+    * stale aggregates in the same overwrite — this is what turns
+    * [[retract]]'s documented conservative extrema bounds into an
+    * OPERATOR: retract (counts/sums exact at delta cost), then
+    * rebuildGroups for the touched groups when exact extrema matter
+    * (q236 gates retract-then-rebuild ≡ from-scratch). */
+  def rebuildGroups(spark: SparkSession, path: String, groups: DataFrame,
+      source: DataFrame, groupCols: Seq[String], valueCol: String,
+      quantScale: Int, bucketOf: Column): Unit = {
+    checkMeta(spark, path, "sum", SumLayout,
+      sumParams(quantScale, bucketOf): _*)
+    // the group keys under reserved names — groups/source usually share
+    // lineage (both derive from the fact table), and same-name <=> join
+    // conditions on shared-lineage frames are ambiguity bait
+    val gk = groupCols.map(c => s"__g_$c")
+    val g = groups.select(groupCols.zip(gk).map { case (c, a) =>
+      col(c).as(a) }: _*).distinct()
+    def matches(df: DataFrame): Column =
+      groupCols.zip(gk).map { case (c, a) => df(c) <=> g(a) }
+        .reduce(_ && _)
+    val fresh = partials(source.join(g, matches(source), "left_semi"),
+        groupCols, valueCol, quantScale)
+      .withColumn("epoch", lit(-1L))
+      .withColumn("pbucket", bucketOf)
+    val dirs = touchedDirs(spark, path,
+      g.select(groupCols.zip(gk).map { case (c, a) => col(a).as(c) }: _*)
+        .withColumn("pbucket", bucketOf))
+    val keep =
+      if (dirs.isEmpty) None
+      else Some {
+        val resident = residentAgg(readStore(spark, path, dirs),
+          groupCols :+ "pbucket")
+        resident.join(g, matches(resident), "left_anti")
+          .withColumn("epoch", lit(-1L))
+      }
+    // rebuilt groups with no surviving source rows: tombstones, so the
+    // overwrite itself carries their disappearance (retract's argument)
+    val gone = g.join(fresh, matches(fresh), "left_anti")
+      .select(groupCols.zip(gk).map { case (c, a) => col(a).as(c) } :+
+        lit(0L).as("n") :+
+        lit(0L).as("sv") :+ lit(null).cast("double").as("mn") :+
+        lit(null).cast("double").as("mx") :+ lit(-1L).as("epoch"): _*)
+      .withColumn("pbucket", bucketOf)
+    (Seq(fresh, gone) ++ keep).reduce(_ unionByName _)
+      .repartition(col("pbucket"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("pbucket").parquet(path)
+    stampIfMissing(spark, path, "sum", SumLayout,
+      sumParams(quantScale, bucketOf))
+  }
 
   /** Maintain the state from a STREAM of fact rows: each micro-batch
     * becomes one [[appendDelta]] layer under Structured Streaming's
@@ -349,17 +551,22 @@ object AggState {
   /** Aggregate `base` once and persist the per-group sketches at
     * `path`, partitioned by `bucketOf` — [[write]]'s layout for the
     * distinct-count store (keep it at its own path; the schema differs
-    * from the sum store's). `k` is persisted implicitly in the data
-    * (every maintenance call must pass the same `k`; a larger k would
-    * silently under-fill — the [[DedupIndex]] drift argument — so
-    * [[mergeKs]] truncates to the passed k defensively). */
+    * from the sum store's — the meta's `kind` makes crossing the two
+    * APIs a loud failure). `k` and the bucket spec are stamped into the
+    * store's meta and enforced at every maintenance entry point (a
+    * larger k would silently under-fill — the [[DedupIndex]] drift
+    * argument — so [[mergeKs]] also truncates to the passed k
+    * defensively). */
   def writeDistinct(base: DataFrame, groupCols: Seq[String],
-      keyCol: String, k: Int, bucketOf: Column, path: String): Unit =
+      keyCol: String, k: Int, bucketOf: Column, path: String): Unit = {
     distinctPartials(base, groupCols, keyCol, k)
       .withColumn("epoch", lit(-1L))
       .withColumn("pbucket", bucketOf)
       .repartition(col("pbucket"))
       .write.mode("overwrite").partitionBy("pbucket").parquet(path)
+    stampMeta(base.sparkSession, path, "distinct", DistinctLayout,
+      distinctParams(k, bucketOf))
+  }
 
   /** k-min of the union of two sketch arrays — associative and
     * commutative, so any merge tree reproduces the from-scratch
@@ -385,6 +592,8 @@ object AggState {
   def refreshDistinct(spark: SparkSession, path: String, delta: DataFrame,
       groupCols: Seq[String], keyCol: String, k: Int,
       bucketOf: Column): DataFrame = {
+    checkMeta(spark, path, "distinct", DistinctLayout,
+      distinctParams(k, bucketOf): _*)
     val d = distinctPartials(delta, groupCols, keyCol, k)
       .withColumn("pbucket", bucketOf)
       .select(groupCols.map(col) :+ col("ks").as("dks") :+
@@ -415,6 +624,8 @@ object AggState {
   def absorbDistinct(spark: SparkSession, path: String, delta: DataFrame,
       groupCols: Seq[String], keyCol: String, k: Int,
       bucketOf: Column): Unit = {
+    checkMeta(spark, path, "distinct", DistinctLayout,
+      distinctParams(k, bucketOf): _*)
     val d = distinctPartials(delta, groupCols, keyCol, k)
       .withColumn("pbucket", bucketOf)
       .select(groupCols.map(col) :+ col("ks").as("dks") :+
@@ -441,18 +652,97 @@ object AggState {
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("pbucket").parquet(path)
+    stampIfMissing(spark, path, "distinct", DistinctLayout,
+      distinctParams(k, bucketOf))
+  }
+
+  /** Maintain the distinct-sketch store from a STREAM of fact rows:
+    * each micro-batch rides [[absorbDistinct]] under a checkpointed
+    * foreachBatch — [[absorbStream]]'s shape, WITHOUT the epoch
+    * layering, because absorbDistinct is naturally idempotent (k-min
+    * merging the same hashes again is a no-op): a crash between the
+    * dynamic overwrite and the checkpoint commit replays the batch
+    * into an identical store. Effectively exactly-once with no
+    * transaction log and no layer dedupe — the one aggregate in the
+    * family where the plain destructive absorb is already replay-safe
+    * (q238 gates one redelivered epoch against the from-scratch
+    * oracle). Single writer per store, as everywhere. */
+  def absorbDistinctStream(stream: DataFrame, path: String,
+      checkpoint: String, groupCols: Seq[String], keyCol: String,
+      k: Int, bucketOf: Column): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        absorbDistinct(batch.sparkSession, path, batch, groupCols,
+          keyCol, k, bucketOf)
+      }
+      .start()
+
+  /** [[rebuildGroups]] for the sketch store — deletions cannot be
+    * retracted from a KMV sketch (it never un-sees a hash), so the
+    * touched groups' post-delete sketches are rebuilt from `source`'s
+    * surviving rows and their buckets rewritten in one dynamic
+    * overwrite; untouched groups in the same bucket pass through, and
+    * a group with no surviving rows is rewritten as an empty-sketch
+    * tombstone every read path filters out ([[residentSketch]]). */
+  def rebuildDistinctGroups(spark: SparkSession, path: String,
+      groups: DataFrame, source: DataFrame, groupCols: Seq[String],
+      keyCol: String, k: Int, bucketOf: Column): Unit = {
+    checkMeta(spark, path, "distinct", DistinctLayout,
+      distinctParams(k, bucketOf): _*)
+    // reserved-name group keys, as in [[rebuildGroups]]
+    val gk = groupCols.map(c => s"__g_$c")
+    val g = groups.select(groupCols.zip(gk).map { case (c, a) =>
+      col(c).as(a) }: _*).distinct()
+    def matches(df: DataFrame): Column =
+      groupCols.zip(gk).map { case (c, a) => df(c) <=> g(a) }
+        .reduce(_ && _)
+    val fresh = distinctPartials(
+        source.join(g, matches(source), "left_semi"),
+        groupCols, keyCol, k)
+      .withColumn("epoch", lit(-1L))
+      .withColumn("pbucket", bucketOf)
+    val dirs = touchedDirs(spark, path,
+      g.select(groupCols.zip(gk).map { case (c, a) => col(a).as(c) }: _*)
+        .withColumn("pbucket", bucketOf))
+    val keep =
+      if (dirs.isEmpty) None
+      else Some {
+        val resident = residentSketch(readStore(spark, path, dirs),
+          groupCols :+ "pbucket", k)
+        resident.join(g, matches(resident), "left_anti")
+          .withColumn("epoch", lit(-1L))
+      }
+    val gone = g.join(fresh, matches(fresh), "left_anti")
+      .select(groupCols.zip(gk).map { case (c, a) => col(a).as(c) } :+
+        array().cast("array<long>").as("ks") :+
+        lit(-1L).as("epoch"): _*)
+      .withColumn("pbucket", bucketOf)
+    (Seq(fresh, gone) ++ keep).reduce(_ unionByName _)
+      .repartition(col("pbucket"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("pbucket").parquet(path)
+    stampIfMissing(spark, path, "distinct", DistinctLayout,
+      distinctParams(k, bucketOf))
   }
 
   /** The current estimates over the whole sketch store. */
   def distinctEstimates(spark: SparkSession, path: String,
-      groupCols: Seq[String], k: Int): DataFrame =
+      groupCols: Seq[String], k: Int): DataFrame = {
+    checkMeta(spark, path, "distinct", DistinctLayout, "k" -> k.toString)
     residentSketch(readStore(spark, path), groupCols, k)
       .select(groupCols.map(col) :+
         round(kmvEstimate(col("ks"), k), 4).as("n_est"): _*)
+  }
 
   /** Layer-collapse then k-min merge — [[residentAgg]]'s read
     * discipline for sketch stores: duplicate (group, epoch) layers
-    * collapse first, surviving layers' arrays union into one k-min. */
+    * collapse first, surviving layers' arrays union into one k-min.
+    * Empty sketches — [[rebuildDistinctGroups]]' tombstones for groups
+    * deleted to nothing — are filtered out here, the n=0 convention:
+    * a forgotten group is invisible everywhere until new rows arrive. */
   private def residentSketch(rows: DataFrame, keyCols: Seq[String],
       k: Int): DataFrame = {
     val dedupeKey = (keyCols.filterNot(_ == "pbucket") :+ "epoch")
@@ -461,6 +751,7 @@ object AggState {
       .groupBy(keyCols.map(col): _*)
       .agg(slice(array_sort(array_distinct(flatten(
         collect_list(col("ks"))))), 1, k).as("ks"))
+      .filter(size(col("ks")) > 0)
   }
 
   /** Layer-collapse then sum: the one read discipline every path

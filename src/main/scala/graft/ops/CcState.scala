@@ -67,7 +67,20 @@ import org.apache.spark.sql.functions._
   * the same way: a crash after the rewrite but before the log delete
   * leaves merge records whose sources no longer appear in any base row
   * — resolving them is a no-op. SINGLE WRITER, as every persisted
-  * store here: one absorb/compact at a time per path.
+  * store here: one absorb/compact at a time per path — and READERS
+  * must be quiesced across [[compact]]'s two-rename swap window (the
+  * [[AnnIndex]] contract): a [[labels]] call racing the swap can
+  * observe the live dir missing and roll the staged state forward
+  * under the writer.
+  *
+  * Merge-log growth: the log is collected driver-side on every read
+  * ([[mergeMap]]) — bounded by cluster-merge events since the last
+  * [[compact]], ~32 bytes per record, so [[DefaultCompactThreshold]]
+  * (100k records) keeps the collect ≲ a few MB. [[mergeLogSize]] is
+  * the telemetry; [[maybeCompact]] is the policy knob — call it after
+  * each absorb (or on the daily schedule) and the log stays bounded
+  * (CcStateSpec pins a merge-heavy sequence staying under threshold
+  * after compact).
   */
 object CcState {
 
@@ -188,6 +201,18 @@ object CcState {
       path: String): Unit = {
     recover(spark, path)
     val buckets = readBuckets(spark, path)
+    // the delta's id types must equal the store's node type:
+    // hash(Int) != hash(Long) for equal values, so a type-mismatched
+    // delta would silently mis-prune buckets and append duplicate
+    // nodes under both types — the same loud check
+    // connectedComponents makes between id_a and id_b
+    val nodeType = spark.read.parquet(path).schema("node").dataType
+    Seq("id_a", "id_b").foreach { c =>
+      val t = newEdges.schema(c).dataType
+      require(t == nodeType,
+        s"delta column $c is $t but the store at $path holds " +
+          s"$nodeType nodes — cast the delta to the store's node type")
+    }
     val edges = newEdges
       .filter(col("id_a").isNotNull && col("id_b").isNotNull)
       .select(col("id_a"), col("id_b")).distinct()
@@ -254,13 +279,37 @@ object CcState {
   }
 
   /** The current clustering: every base row's label resolved through
-    * the merge log. Full-store read — the VIEW, not the probe path. */
+    * the merge log. Full-store read — the VIEW, not the probe path.
+    * Read-only: crash recovery runs ONLY when the live dir is missing
+    * (an interrupted compact's swap window) — recover()'s stray-dir
+    * cleanup would otherwise delete a concurrent compact's live
+    * `_compacting` stage. Readers must still be quiesced across the
+    * swap window itself (the object doc's contract). */
   def labels(spark: SparkSession, path: String): DataFrame = {
-    recover(spark, path)
+    if (!fsFor(path, spark).exists(new HPath(path))) recover(spark, path)
     applyMerges(
       spark.read.parquet(path).select(col("node"), col("cluster")),
       "cluster", mergeMap(spark, path))
   }
+
+  /** Records in the merge log — the size of the driver-side resolve
+    * collect every read pays. Telemetry for the compact schedule (~32
+    * collected bytes per record; see the object doc). */
+  def mergeLogSize(spark: SparkSession, path: String): Long =
+    if (!fsFor(path, spark).exists(new HPath(mergesPath(path)))) 0L
+    else spark.read.parquet(mergesPath(path)).count()
+
+  /** Compact when the merge log passes `threshold` records — the
+    * documented policy: at the default, the resolve collect stays ≲ a
+    * few MB and path compression trivially driver-sized, while
+    * [[compact]]'s full rewrite amortizes over ~100k cluster-merge
+    * events. Returns whether it compacted. Writer-side call — the
+    * single-writer contract applies. */
+  val DefaultCompactThreshold = 100000L
+  def maybeCompact(spark: SparkSession, path: String,
+      threshold: Long = DefaultCompactThreshold): Boolean =
+    if (mergeLogSize(spark, path) < threshold) false
+    else { compact(spark, path); true }
 
   /** Maintain the clustering from a STREAM of edges: each micro-batch
     * rides [[absorb]] under a checkpointed foreachBatch — the

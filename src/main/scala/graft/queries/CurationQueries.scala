@@ -3444,6 +3444,147 @@ object CurationQueries {
        |FROM tot t JOIN kth k ON t.event_type = k.event_type
        |  JOIN dg ON t.event_type = dg.event_type""".stripMargin
 
+  // --------------------------------------------------------- q236
+  /** The group-scoped REBUILD that completes the deletion story for
+    * the no-inverse aggregates: counts and sums retract exactly
+    * ([[AggState.retract]], q224), but extrema become conservative
+    * bounds and sketches cannot un-see a member — both documented
+    * contracts. [[AggState.rebuildGroups]] turns that footnote into an
+    * operator: after the retraction, ONLY the touched groups are
+    * re-aggregated from the surviving source rows and their buckets
+    * rewritten in one dynamic overwrite (untouched groups' buckets are
+    * never read). The oracle aggregates the survivors from scratch —
+    * count, sum, AND EXACT min/max — so the gate proves
+    * retract-then-rebuild ≡ a from-scratch store, column for column.
+    * Scale shape: the rebuild reads the touched groups' source rows +
+    * |touched buckets| partitions, never the corpus. */
+  private def q236(s: SparkSession, dir: String): DataFrame =
+    AggState.merged(s, q236State(s, dir), Seq("user_id", "event_type"))
+      .select(col("user_id"), col("event_type"), col("n"),
+        round(col("sv").cast("double") / 10000, 4).as("sum_value"),
+        col("mn").as("min_value"), col("mx").as("max_value"))
+  private val q236StateCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def q236State(s: SparkSession, dir: String): String =
+    q236StateCache.computeIfAbsent(dir, { _ =>
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-aggstate-q236").toString
+      val ev = Tables.events(s, dir)
+      val grp = Seq("user_id", "event_type")
+      val deletes = ev.filter(col("event_id") % 10 === 0)
+      AggState.write(ev, grp, "value", 10000, q213Bucket, s"$out/state")
+      AggState.retract(s, s"$out/state", deletes, grp, "value", 10000,
+        q213Bucket)
+      AggState.rebuildGroups(s, s"$out/state",
+        deletes.select(col("user_id"), col("event_type")),
+        ev.filter(col("event_id") % 10 =!= 0), grp, "value", 10000,
+        q213Bucket)
+      s"$out/state"
+    })
+  private val q236Sql =
+    """SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n,
+      |  round(SUM(CAST(round(value * 10000) AS BIGINT))::DOUBLE / 10000, 4) AS sum_value,
+      |  min(value) AS min_value, max(value) AS max_value
+      |FROM events WHERE event_id % 10 <> 0 GROUP BY 1, 2""".stripMargin
+
+  // --------------------------------------------------------- q237
+  /** q236's deletion story for the DISTINCT-sketch store: a KMV
+    * sketch has no inverse (it never un-sees a hash), so deletions
+    * rebuild the touched groups' sketches from the surviving source
+    * rows ([[AggState.rebuildDistinctGroups]] — only their buckets
+    * rewritten; a group deleted to nothing becomes an empty-sketch
+    * tombstone every read filters out). The oracle recomputes the KMV
+    * estimate over the survivors in DuckDB, so the gate proves the
+    * rebuilt store ≡ a from-scratch sketch build, hash-exact (k-min
+    * is deterministic — no tolerance band). */
+  private def q237(s: SparkSession, dir: String): DataFrame =
+    AggState.distinctEstimates(s, q237State(s, dir), Seq("event_type"),
+        KmvK)
+      .select(col("event_type"), col("n_est").as("n_users_est"))
+  private val q237StateCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def q237State(s: SparkSession, dir: String): String =
+    q237StateCache.computeIfAbsent(dir, { _ =>
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-aggstate-q237").toString
+      val ev = Tables.events(s, dir)
+      AggState.writeDistinct(ev, Seq("event_type"), "user_id", KmvK,
+        q235Bucket, s"$out/state")
+      AggState.rebuildDistinctGroups(s, s"$out/state",
+        ev.filter(col("event_id") % 10 === 0).select(col("event_type")),
+        ev.filter(col("event_id") % 10 =!= 0),
+        Seq("event_type"), "user_id", KmvK, q235Bucket)
+      s"$out/state"
+    })
+  private val q237Sql =
+    s"""WITH h AS (SELECT DISTINCT event_type,
+       |    ('0x' || substr(md5(user_id::VARCHAR), 1, 12))::BIGINT AS h
+       |  FROM events WHERE event_id % 10 <> 0),
+       |tot AS (SELECT event_type, CAST(count(*) AS BIGINT) AS ch FROM h GROUP BY 1),
+       |rk AS (SELECT event_type, h,
+       |         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk FROM h),
+       |kth AS (SELECT event_type, max(h) AS kth FROM rk WHERE rk <= $KmvK GROUP BY 1)
+       |SELECT t.event_type,
+       |  round(CASE WHEN t.ch < $KmvK THEN t.ch::DOUBLE
+       |             ELSE CAST(${KmvK - 1} AS DOUBLE) * CAST(281474976710656 AS DOUBLE)
+       |                  / k.kth END, 4) AS n_users_est
+       |FROM tot t JOIN kth k ON t.event_type = k.event_type""".stripMargin
+
+  // --------------------------------------------------------- q238
+  /** The distinct-sketch store maintained from a STREAM, under the
+    * gate — closing stream-maintenance parity for the LAST of the five
+    * persisted stores (band q228, ANN q229, sum-aggregate q215's
+    * layered path, CC q234, and now the KMV store): the delta arrives
+    * through [[AggState.absorbDistinctStream]] as two file-source
+    * micro-batches, then one epoch is REDELIVERED (a direct re-absorb
+    * — the crash-between-overwrite-and-checkpoint shape; k-min merge
+    * is idempotent, so the replay must change nothing, with NO epoch
+    * layering needed). The oracle recomputes the estimates over ALL
+    * rows from scratch, hash-exact. */
+  private def q238(s: SparkSession, dir: String): DataFrame =
+    AggState.distinctEstimates(s, q238State(s, dir), Seq("event_type"),
+        KmvK)
+      .select(col("event_type"), col("n_est").as("n_users_est"))
+  private val q238StateCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def q238State(s: SparkSession, dir: String): String =
+    q238StateCache.computeIfAbsent(dir, { _ =>
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-aggstate-q238").toString
+      val ev = Tables.events(s, dir)
+      AggState.writeDistinct(ev.filter(col("event_id") % 10 =!= 0),
+        Seq("event_type"), "user_id", KmvK, q235Bucket, s"$out/state")
+      val delta = ev.filter(col("event_id") % 10 === 0)
+        .select(col("event_type"), col("user_id"))
+      val e0 = delta.filter(col("user_id") % 2 === 0)
+      val e1 = delta.filter(col("user_id") % 2 =!= 0)
+      e0.coalesce(1).write.parquet(s"$out/in")
+      e1.coalesce(1).write.mode("append").parquet(s"$out/in")
+      val q = AggState.absorbDistinctStream(
+        s.readStream.schema(e0.schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$out/in"),
+        s"$out/state", s"$out/ckpt", Seq("event_type"), "user_id",
+        KmvK, q235Bucket)
+      try q.processAllAvailable() finally q.stop()
+      // crash redelivery: the same epoch absorbed again — idempotent
+      AggState.absorbDistinct(s, s"$out/state", e0, Seq("event_type"),
+        "user_id", KmvK, q235Bucket)
+      s"$out/state"
+    })
+  private val q238Sql =
+    s"""WITH h AS (SELECT DISTINCT event_type,
+       |    ('0x' || substr(md5(user_id::VARCHAR), 1, 12))::BIGINT AS h
+       |  FROM events),
+       |tot AS (SELECT event_type, CAST(count(*) AS BIGINT) AS ch FROM h GROUP BY 1),
+       |rk AS (SELECT event_type, h,
+       |         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk FROM h),
+       |kth AS (SELECT event_type, max(h) AS kth FROM rk WHERE rk <= $KmvK GROUP BY 1)
+       |SELECT t.event_type,
+       |  round(CASE WHEN t.ch < $KmvK THEN t.ch::DOUBLE
+       |             ELSE CAST(${KmvK - 1} AS DOUBLE) * CAST(281474976710656 AS DOUBLE)
+       |                  / k.kth END, 4) AS n_users_est
+       |FROM tot t JOIN kth k ON t.event_type = k.event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q168_kmv_distinct" -> q168 _,
     "q169_minhash_error" -> q169 _,
@@ -3512,7 +3653,10 @@ object CurationQueries {
     "q232_ivf_quantized_lifecycle" -> q232 _,
     "q233_incremental_cc" -> q233 _,
     "q234_cc_stream_lifecycle" -> q234 _,
-    "q235_ivm_distinct" -> q235 _)
+    "q235_ivm_distinct" -> q235 _,
+    "q236_ivm_rebuild_groups" -> q236 _,
+    "q237_distinct_rebuild" -> q237 _,
+    "q238_distinct_stream_lifecycle" -> q238 _)
 
   val oracleSql: Map[String, String] = Map(
     "q168_kmv_distinct" -> q168Sql,
@@ -3582,5 +3726,8 @@ object CurationQueries {
     "q232_ivf_quantized_lifecycle" -> q232Sql,
     "q233_incremental_cc" -> q233Sql,
     "q234_cc_stream_lifecycle" -> q234Sql,
-    "q235_ivm_distinct" -> q235Sql)
+    "q235_ivm_distinct" -> q235Sql,
+    "q236_ivm_rebuild_groups" -> q236Sql,
+    "q237_distinct_rebuild" -> q237Sql,
+    "q238_distinct_stream_lifecycle" -> q238Sql)
 }

@@ -329,6 +329,195 @@ class AggStateSpec extends SparkSpec {
       .filter { case (g, _) => viaRefresh.contains(g) } shouldBe viaRefresh
   }
 
+  test("meta stamp: drifted quantScale, k, bucket spec, and crossed kinds all fail loudly") {
+    val dir = Files.createTempDirectory("graft-aggstate").toString
+    val path = s"$dir/state"
+    AggState.write(base, groupCols, "value", 10000, bucketOf, path)
+    // wrong quantScale: sums would land in a different fixed-point
+    // domain — silent corruption without the stamp
+    val e1 = intercept[IllegalArgumentException] {
+      AggState.refresh(spark, path, delta, groupCols, "value", 100,
+        bucketOf)
+    }
+    e1.getMessage should include("quantScale")
+    // wrong bucket expression: partials would land in buckets no
+    // probe reads
+    val e2 = intercept[IllegalArgumentException] {
+      AggState.absorb(spark, path, delta, groupCols, "value", 10000,
+        floor(col("user_id") / 8).cast("long"))
+    }
+    e2.getMessage should include("bucketSpec")
+    intercept[IllegalArgumentException] {
+      AggState.retract(spark, path, delta, groupCols, "value", 9999,
+        bucketOf)
+    }
+    intercept[IllegalArgumentException] {
+      AggState.appendDelta(path, delta, 0L, groupCols, "value", 10000,
+        floor(col("user_id") / 2).cast("long"))
+    }
+    // matching params still flow (the stamp is not a lock)
+    AggState.absorb(spark, path, delta, groupCols, "value", 10000,
+      bucketOf)
+    // distinct store: drifted k fails; crossing the APIs fails on kind
+    val dpath = s"$dir/dstate"
+    val grp = Seq("event_type")
+    val dbucket = pmod(hash(col("event_type")), lit(8)).cast("long")
+    AggState.writeDistinct(base, grp, "user_id", 64, dbucket, dpath)
+    val e3 = intercept[IllegalArgumentException] {
+      AggState.absorbDistinct(spark, dpath, delta, grp, "user_id", 32,
+        dbucket)
+    }
+    e3.getMessage should include("k=64")
+    val e4 = intercept[IllegalArgumentException] {
+      AggState.merged(spark, dpath, grp)
+    }
+    e4.getMessage should include("'sum' API")
+    intercept[IllegalArgumentException] {
+      AggState.refreshDistinct(spark, path, delta, groupCols.take(1),
+        "user_id", 64, bucketOf)
+    }
+    // a meta-less legacy store has nothing to check, and its first
+    // maintenance write stamps it — from then on drift is loud
+    val lpath = s"$dir/legacy"
+    base.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 10000, 0).cast("long")).as("sv"))
+      .withColumn("epoch", lit(-1L))
+      .withColumn("pbucket", bucketOf)
+      .repartition(col("pbucket"))
+      .write.mode("overwrite").partitionBy("pbucket").parquet(lpath)
+    AggState.absorb(spark, lpath, delta, groupCols, "value", 10000,
+      bucketOf)
+    fs.exists(new HPath(lpath, "_graft_agg_meta")) shouldBe true
+    intercept[IllegalArgumentException] {
+      AggState.absorb(spark, lpath, delta, groupCols, "value", 100,
+        bucketOf)
+    }
+  }
+
+  test("rebuildGroups: retract-then-rebuild equals a from-scratch store, exact extrema included") {
+    val dir = Files.createTempDirectory("graft-aggstate").toString
+    val path = s"$dir/state"
+    AggState.write(ev, groupCols, "value", 10000, bucketOf, path)
+    AggState.retract(spark, path, delta, groupCols, "value", 10000,
+      bucketOf)
+    // counts/sums are already exact; extrema are bounds — rebuild the
+    // touched groups from the surviving source and ALL columns equal a
+    // from-scratch write
+    val touched = delta.select(col("user_id"), col("event_type"))
+    AggState.rebuildGroups(spark, path, touched, base, groupCols,
+      "value", 10000, bucketOf)
+    AggState.merged(spark, path, groupCols).collect().toSet shouldBe
+      AggState.partials(base, groupCols, "value", 10000).collect().toSet
+    // a group whose rows were ALL deleted: rebuild purges it in the
+    // same overwrite (tombstone, read-invisible) — right-to-be-
+    // forgotten as an operator, not a footnote
+    val path2 = s"$dir/state2"
+    AggState.write(ev, groupCols, "value", 10000, bucketOf, path2)
+    val goneGroups = ev.filter(col("user_id") < 4)
+      .select(col("user_id"), col("event_type"))
+    val survivors = ev.filter(col("user_id") >= 4)
+    AggState.rebuildGroups(spark, path2, goneGroups, survivors,
+      groupCols, "value", 10000, bucketOf)
+    AggState.merged(spark, path2, groupCols)
+      .filter(col("user_id") < 4).count() shouldBe 0L
+    AggState.merged(spark, path2, groupCols).collect().toSet shouldBe
+      AggState.partials(survivors, groupCols, "value", 10000)
+        .collect().toSet
+    // untouched groups' buckets were never read or rewritten
+    val path3 = s"$dir/state3"
+    AggState.write(ev, groupCols, "value", 10000, bucketOf, path3)
+    def bucketBytes(b: String): Seq[(String, Long, Long)] =
+      fs.listStatus(new HPath(path3, b)).toSeq
+        .map(s => (s.getPath.getName, s.getLen, s.getModificationTime))
+    val untouched = fs.listStatus(new HPath(path3))
+      .map(_.getPath.getName)
+      .filter(n => n.startsWith("pbucket=") && n != "pbucket=0").toSeq
+    val before = untouched.map(b => b -> bucketBytes(b)).toMap
+    AggState.rebuildGroups(spark, path3,
+      ev.filter(col("user_id") < 4).select(col("user_id"), col("event_type")),
+      ev.filter(col("user_id") < 4), groupCols, "value", 10000, bucketOf)
+    untouched.foreach { b =>
+      withClue(s"$b: ") { bucketBytes(b) shouldBe before(b) }
+    }
+  }
+
+  test("rebuildDistinctGroups: post-delete sketches equal from-scratch; forgotten groups invisible") {
+    val dir = Files.createTempDirectory("graft-aggstate").toString
+    val path = s"$dir/dstate"
+    val grp = Seq("event_type")
+    val dbucket = pmod(hash(col("event_type")), lit(8)).cast("long")
+    AggState.writeDistinct(ev, grp, "user_id", 64, dbucket, path)
+    // delete the delta rows: sketches can't retract, so rebuild the
+    // touched groups from the surviving source — the store then equals
+    // a from-scratch writeDistinct over the survivors, sketch for
+    // sketch
+    AggState.rebuildDistinctGroups(spark, path,
+      delta.select(col("event_type")), base, grp, "user_id", 64, dbucket)
+    val scratch = s"$dir/scratch"
+    AggState.writeDistinct(base, grp, "user_id", 64, dbucket, scratch)
+    AggState.distinctEstimates(spark, path, grp, 64)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap shouldBe
+      AggState.distinctEstimates(spark, scratch, grp, 64)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // a group deleted to NOTHING: rebuilt as an empty-sketch tombstone,
+    // invisible to every read until new rows arrive
+    val g0 = ev.select(col("event_type")).distinct().limit(1)
+    val g0val = g0.collect().head.getString(0)
+    AggState.rebuildDistinctGroups(spark, path, g0,
+      base.filter(col("event_type") =!= g0val), grp, "user_id", 64,
+      dbucket)
+    AggState.distinctEstimates(spark, path, grp, 64)
+      .filter(col("event_type") === g0val).count() shouldBe 0L
+    // new rows for the forgotten group start a FRESH sketch
+    AggState.absorbDistinct(spark, path,
+      ev.filter(col("event_type") === g0val && col("event_id") % 3 === 0),
+      grp, "user_id", 64, dbucket)
+    val fresh = s"$dir/fresh"
+    AggState.writeDistinct(
+      ev.filter(col("event_type") === g0val && col("event_id") % 3 === 0),
+      grp, "user_id", 64, dbucket, fresh)
+    AggState.distinctEstimates(spark, path, grp, 64)
+      .filter(col("event_type") === g0val)
+      .collect().map(_.getDouble(1)).toSeq shouldBe
+      AggState.distinctEstimates(spark, fresh, grp, 64)
+        .collect().map(_.getDouble(1)).toSeq
+  }
+
+  test("absorbDistinctStream converges exactly-once: drained stream equals from-scratch sketches") {
+    import org.apache.spark.sql.{Encoder, Encoders}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = Files.createTempDirectory("graft-aggstate").toString
+    val path = s"$dir/dstate"
+    val grp = Seq("event_type")
+    val dbucket = pmod(hash(col("event_type")), lit(8)).cast("long")
+    AggState.writeDistinct(base, grp, "user_id", 64, dbucket, path)
+    val rows = delta.select(col("event_type"), col("user_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    implicit val enc: Encoder[(String, Long)] =
+      Encoders.product[(String, Long)]
+    val stream = MemoryStream[(String, Long)](enc, spark)
+    val query = AggState.absorbDistinctStream(
+      stream.toDF().toDF("event_type", "user_id"),
+      path, s"$dir/ckpt", grp, "user_id", 64, dbucket)
+    try {
+      val (h1, h2) = rows.splitAt(rows.length / 2)
+      stream.addData(h1.toSeq)
+      query.processAllAvailable()
+      stream.addData(h2.toSeq)
+      query.processAllAvailable()
+    } finally query.stop()
+    // redelivery: re-absorbing a batch directly (the crash-replay
+    // shape) changes nothing — k-min is idempotent
+    AggState.absorbDistinct(spark, path,
+      delta.filter(col("event_id") % 2 === 0), grp, "user_id", 64,
+      dbucket)
+    spark.read.parquet(path).select(col("event_type"), col("ks"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap shouldBe
+      AggState.distinctPartials(ev, grp, "user_id", 64)
+        .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+  }
+
   test("absorb creates partitions for buckets the store has never seen") {
     val dir = Files.createTempDirectory("graft-aggstate").toString
     val path = s"$dir/state"

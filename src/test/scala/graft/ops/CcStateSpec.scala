@@ -144,6 +144,66 @@ class CcStateSpec extends SparkSpec {
     stateLabels(path) shouldBe expected
   }
 
+  test("absorb rejects a delta whose id type differs from the store's node type") {
+    val dir = Files.createTempDirectory("graft-ccstate").toString
+    val path = s"$dir/cc"
+    CcState.write(edgesDf((1L, 2L), (3L, 4L)), path, buckets = 4)
+    // hash(Int) != hash(Long) for equal values — an Int-typed delta
+    // would silently mis-prune buckets and append duplicate nodes
+    val intDelta = Seq((2, 3), (7, 8)).toDF("id_a", "id_b")
+    val e = intercept[IllegalArgumentException] {
+      CcState.absorb(spark, intDelta, path)
+    }
+    e.getMessage should include("node type")
+    // the cast the message prescribes flows
+    CcState.absorb(spark,
+      intDelta.select(col("id_a").cast("long"), col("id_b").cast("long")),
+      path)
+    stateLabels(path) shouldBe
+      ccScratch((1L, 2L), (3L, 4L), (2L, 3L), (7L, 8L))
+  }
+
+  test("merge-log telemetry: size surfaced; maybeCompact folds past threshold, labels unchanged") {
+    val dir = Files.createTempDirectory("graft-ccstate").toString
+    val path = s"$dir/cc"
+    CcState.write(edgesDf((1L, 2L), (3L, 4L), (5L, 6L), (7L, 8L)), path,
+      buckets = 4)
+    CcState.mergeLogSize(spark, path) shouldBe 0L
+    // a merge-heavy sequence: each absorb chains another resident
+    // cluster onto the first, appending merge records every time
+    CcState.absorb(spark, edgesDf((2L, 3L)), path)
+    CcState.absorb(spark, edgesDf((4L, 5L)), path)
+    CcState.absorb(spark, edgesDf((6L, 7L)), path)
+    val grown = CcState.mergeLogSize(spark, path)
+    grown should be > 0L
+    // under threshold: no compact, log untouched
+    CcState.maybeCompact(spark, path, threshold = grown + 1) shouldBe false
+    CcState.mergeLogSize(spark, path) shouldBe grown
+    val expected = stateLabels(path)
+    // past threshold: compact folds the log and clears it
+    CcState.maybeCompact(spark, path, threshold = grown) shouldBe true
+    CcState.mergeLogSize(spark, path) shouldBe 0L
+    stateLabels(path) shouldBe expected
+    expected shouldBe ccScratch((1L, 2L), (3L, 4L), (5L, 6L), (7L, 8L),
+      (2L, 3L), (4L, 5L), (6L, 7L))
+  }
+
+  test("labels is read-safe: it never deletes a live compact's staging dir") {
+    val dir = Files.createTempDirectory("graft-ccstate").toString
+    val path = s"$dir/cc"
+    CcState.write(edgesDf((1L, 2L)), path, buckets = 4)
+    // simulate an in-flight compact: a _compacting stage exists while
+    // the live dir is still present — a reader must not clean it up
+    // (recover()'s stray-dir delete would abort the writer's compact)
+    fs.mkdirs(new HPath(s"${path}_compacting"))
+    stateLabels(path) shouldBe ccScratch((1L, 2L))
+    fs.exists(new HPath(s"${path}_compacting")) shouldBe true
+    // writer-side entry points still clean strays (single-writer: if
+    // absorb runs, no compact is in flight)
+    CcState.absorb(spark, edgesDf((2L, 3L)), path)
+    fs.exists(new HPath(s"${path}_compacting")) shouldBe false
+  }
+
   test("compact crash between renames rolls forward; labels survive") {
     val dir = Files.createTempDirectory("graft-ccstate").toString
     val path = s"$dir/cc"
