@@ -17,6 +17,25 @@ case class MediaFeatures(
     height: Int,
     features: Array[Float])
 
+/** Video decoder output: container dims + frame count + the mean luma
+  * over all complete frames (in [0,1]; None when no frame decoded) +
+  * the 8-segment luma envelope (per-frame mean luma bucketed into
+  * eighths of the clip — [[Multimodal.decodeAudio]]'s RMS-envelope
+  * shape, applied to brightness: the cheap fingerprint for
+  * scene-change/clip-dedup triage before an expensive model pass). */
+case class VideoFeatures(
+    id: Long,
+    mime: String,
+    byte_len: Int,
+    width: Int,
+    height: Int,
+    frames: Int,
+    mean_luma: Option[Double],
+    features: Array[Float])
+
+/** One sampled frame: index + its mean luma in [0,1]. */
+case class VideoFrame(id: Long, frame_idx: Int, frame_luma: Double)
+
 /** Multimodal-column plumbing for training-data pipelines.
   *
   * The Spark-side mechanics are real and tested: schema (`binary` +
@@ -32,11 +51,17 @@ case class MediaFeatures(
   * vector — see [[decodeImage]]. AUDIO decode is REAL for the formats
   * the JDK ships (PCM WAV/AIFF/AU via `javax.sound.sampled`): true
   * sample rate / channel count and an 8-segment RMS energy envelope —
-  * see [[decodeAudio]]. Only VIDEO decode remains a stub
-  * ([[decodeBatchStub]]: deterministic fake dimensions/features from
-  * the bytes) because this container has no video codecs; a real
-  * deployment replaces that one function with JavaCPP/FFmpeg calls —
-  * nothing else changes.
+  * see [[decodeAudio]]. VIDEO decode is REAL for the codec-free
+  * containers a pure JVM can parse: Y4M (a text header + uncompressed
+  * YUV planes — [[decodeY4m]]) and MJPEG (concatenated JPEGs ImageIO
+  * already reads — [[decodeMjpeg]]), dispatched by content sniff in
+  * [[decodeVideo]]: true dims, complete-frame count, mean luma, and an
+  * 8-segment luma envelope, with corrupt-blob degradation (bad header
+  * → width/height −1; a truncated trailing frame is simply not
+  * counted). Compressed codecs (H.264 etc.) stay out of scope in this
+  * container — a deployment adds a JavaCPP/FFmpeg branch beside the
+  * two real parsers; nothing else changes. [[decodeBatchStub]] remains
+  * only for unrecognized mimes.
   */
 object Multimodal {
 
@@ -156,19 +181,284 @@ object Multimodal {
     }
   }
 
+  // ------------------------------------------------------------------
+  // Video: the two codec-free containers a pure JVM parses for real.
+  // ------------------------------------------------------------------
+
+  /** Per-frame mean luma bucketed into eighths of the clip, normalized
+    * to [0,1] — [[decodeAudio]]'s envelope shape for brightness. */
+  private def lumaEnvelope(frameLumas: Seq[Double]): Array[Float] = {
+    val f = new Array[Float](8)
+    val n = frameLumas.length
+    if (n > 0) {
+      val sum = new Array[Double](8)
+      val cnt = new Array[Long](8)
+      frameLumas.zipWithIndex.foreach { case (v, i) =>
+        val s = math.min(i * 8 / n, 7)
+        sum(s) += v; cnt(s) += 1
+      }
+      var i = 0
+      while (i < 8) {
+        if (cnt(i) > 0) f(i) = (sum(i) / cnt(i) / 255.0).toFloat
+        i += 1
+      }
+    }
+    f
+  }
+
+  private def videoBad(m: MediaBlob): VideoFeatures =
+    VideoFeatures(m.id, m.mime, m.blob.length, -1, -1, 0, None,
+      new Array[Float](8))
+
+  private def videoFromFrames(m: MediaBlob, w: Int, h: Int,
+      frameLumas: Seq[Double]): VideoFeatures = {
+    val mean =
+      if (frameLumas.isEmpty) None
+      else Some(frameLumas.sum / frameLumas.length / 255.0)
+    VideoFeatures(m.id, m.mime, m.blob.length, w, h, frameLumas.length,
+      mean, lumaEnvelope(frameLumas))
+  }
+
+  /** Y4M container parse: `YUV4MPEG2 W<w> H<h> …\n` then per frame
+    * `FRAME[params]\n` + the raw planes (Y then chroma, sized by the
+    * C colourspace tag; 8-bit 4:2:0 default). Returns (w, h, per-frame
+    * mean luma in the BYTE domain 0–255) — None on a bad header. A
+    * truncated trailing frame is not counted (the corrupt-blob
+    * containment: at 100 TB a cut-off upload must not kill the task,
+    * and the complete prefix is still good data). */
+  private[ops] def y4mFrames(blob: Array[Byte])
+      : Option[(Int, Int, Seq[Double])] = {
+    def lineEnd(from: Int): Int = {
+      var i = from
+      while (i < blob.length && blob(i) != '\n'.toByte) i += 1
+      if (i < blob.length) i else -1
+    }
+    val hEnd = lineEnd(0)
+    if (hEnd < 0) return None
+    val header = new String(blob, 0, hEnd,
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+    if (!header.startsWith("YUV4MPEG2")) return None
+    var w = -1; var h = -1; var cs = "420"
+    header.split(' ').drop(1).foreach { p =>
+      try p.headOption match {
+        case Some('W') => w = p.tail.toInt
+        case Some('H') => h = p.tail.toInt
+        case Some('C') => cs = p.tail
+        case _ => ()
+      } catch { case _: NumberFormatException => return None }
+    }
+    if (w <= 0 || h <= 0) return None
+    val ySize = w * h
+    val chromaSize =
+      if (cs.startsWith("420")) (w / 2) * (h / 2) * 2
+      else if (cs.startsWith("422")) (w / 2) * h * 2
+      else if (cs.startsWith("444")) ySize * 2
+      else if (cs.startsWith("mono")) 0
+      else (w / 2) * (h / 2) * 2
+    val lumas = scala.collection.mutable.ArrayBuffer[Double]()
+    var off = hEnd + 1
+    var ok = true
+    while (ok && off < blob.length) {
+      val fEnd = lineEnd(off)
+      val isFrame = fEnd >= off + 5 &&
+        new String(blob, off, 5,
+          java.nio.charset.StandardCharsets.ISO_8859_1) == "FRAME"
+      if (!isFrame) ok = false
+      else {
+        val dataStart = fEnd + 1
+        if (dataStart + ySize + chromaSize > blob.length) ok = false
+        else {
+          var s = 0L
+          var i = dataStart
+          val yEnd = dataStart + ySize
+          while (i < yEnd) { s += (blob(i) & 0xff); i += 1 }
+          lumas += s.toDouble / ySize
+          off = dataStart + ySize + chromaSize
+        }
+      }
+    }
+    Some((w, h, lumas.toSeq))
+  }
+
+  /** Real Y4M decode (see [[y4mFrames]]): true dims + complete-frame
+    * count + mean/envelope luma; bad header → −1 dims, 0 frames. */
+  private[ops] def decodeY4m(m: MediaBlob): VideoFeatures =
+    try y4mFrames(m.blob) match {
+      case None => videoBad(m)
+      case Some((w, h, lumas)) => videoFromFrames(m, w, h, lumas)
+    } catch { case scala.util.control.NonFatal(_) => videoBad(m) }
+
+  /** Real MJPEG decode: the blob is split at JPEG SOI markers
+    * (FF D8 FF) and each segment goes through ImageIO — a real JPEG
+    * decode per frame. Dims from the first decodable frame; per-frame
+    * mean luma via the 0.299/0.587/0.114 weights [[decodeImage]] uses;
+    * undecodable segments are skipped (corrupt-frame containment). */
+  private[ops] def decodeMjpeg(m: MediaBlob): VideoFeatures =
+    try {
+      val b = m.blob
+      val starts = scala.collection.mutable.ArrayBuffer[Int]()
+      var i = 0
+      while (i + 2 < b.length) {
+        if ((b(i) & 0xff) == 0xff && (b(i + 1) & 0xff) == 0xd8 &&
+            (b(i + 2) & 0xff) == 0xff) { starts += i; i += 2 }
+        i += 1
+      }
+      var w = -1; var h = -1
+      val lumas = scala.collection.mutable.ArrayBuffer[Double]()
+      starts.zipWithIndex.foreach { case (s0, idx) =>
+        val end = if (idx + 1 < starts.length) starts(idx + 1) else b.length
+        val img =
+          try javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(b, s0, end - s0))
+          catch { case scala.util.control.NonFatal(_) => null }
+        if (img != null) {
+          if (w < 0) { w = img.getWidth; h = img.getHeight }
+          var lum = 0.0
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              val rgb = img.getRGB(x, y)
+              lum += 0.299 * ((rgb >> 16) & 0xff) +
+                0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+              x += 1
+            }
+            y += 1
+          }
+          lumas += lum / (img.getWidth.toLong * img.getHeight)
+        }
+      }
+      if (lumas.isEmpty) videoBad(m)
+      else videoFromFrames(m, w, h, lumas.toSeq)
+    } catch { case scala.util.control.NonFatal(_) => videoBad(m) }
+
+  /** Video dispatch by CONTENT sniff (the mime only says `video/…`):
+    * a `YUV4MPEG2` magic → Y4M, a JPEG SOI → MJPEG, anything else —
+    * including every compressed codec this container cannot decode —
+    * degrades to the −1-dims corrupt shape rather than failing. */
+  private[ops] def decodeVideo(m: MediaBlob): VideoFeatures = {
+    val b = m.blob
+    if (b.length >= 9 &&
+        new String(b, 0, 9,
+          java.nio.charset.StandardCharsets.ISO_8859_1) == "YUV4MPEG2")
+      decodeY4m(m)
+    else if (b.length >= 3 && (b(0) & 0xff) == 0xff &&
+        (b(1) & 0xff) == 0xd8 && (b(2) & 0xff) == 0xff)
+      decodeMjpeg(m)
+    else videoBad(m)
+  }
+
+  /** Typed batched decode for video blobs — [[extractFeatures]]'s
+    * mapPartitions shape with the video-specific output (frame count,
+    * mean luma). Same scale argument: hash-spread by id, decode
+    * parallelism = partition count. */
+  def extractVideoFeatures(spark: SparkSession, media: DataFrame,
+      batchSize: Int = 64, partitions: Int = 0): Dataset[VideoFeatures] = {
+    import spark.implicits._
+    val parts = if (partitions > 0) partitions
+      else spark.sessionState.conf.numShufflePartitions
+    media
+      .repartition(parts, col("id"))
+      .as[MediaBlob]
+      .mapPartitions(it => it.grouped(batchSize)
+        .flatMap(_.map(decodeVideo)))
+  }
+
+  /** DECODE-AWARE frame sampling for Y4M: unlike [[frameSample]]'s
+    * fixed byte stride, the container's real frame boundaries (header
+    * dims + colourspace) drive the stride — ≤ `maxFrames` uniformly
+    * spaced REAL frames per clip, each emitted with its decoded mean
+    * luma. Corrupt headers emit nothing; a truncated trailing frame is
+    * not sampled. Narrow per-row work + explode, no shuffle beyond the
+    * id spread. */
+  def frameSampleVideo(spark: SparkSession, media: DataFrame,
+      maxFrames: Int, batchSize: Int = 64,
+      partitions: Int = 0): Dataset[VideoFrame] = {
+    import spark.implicits._
+    val parts = if (partitions > 0) partitions
+      else spark.sessionState.conf.numShufflePartitions
+    media
+      .repartition(parts, col("id"))
+      .as[MediaBlob]
+      .mapPartitions(it => it.grouped(batchSize).flatMap(_.flatMap { m =>
+        y4mFrames(m.blob) match {
+          case None => Seq.empty[VideoFrame]
+          case Some((_, _, lumas)) =>
+            val n = lumas.length
+            if (n == 0) Seq.empty[VideoFrame]
+            else {
+              val stride = (n + maxFrames - 1) / maxFrames
+              (0 until n by stride).map(i =>
+                VideoFrame(m.id, i, lumas(i) / 255.0))
+            }
+        }
+      }))
+  }
+
+  /** Deterministic Y4M ENCODER (constant-luma frames, neutral chroma):
+    * the write side of [[decodeY4m]], used by the round-trip specs and
+    * the q239/q241 gates' fixture synthesis. Emits 8-bit C420jpeg. */
+  def encodeY4m(width: Int, height: Int, frameLumas: Seq[Int]): Array[Byte] = {
+    require(width > 0 && height > 0 && width % 2 == 0 && height % 2 == 0,
+      s"C420 needs positive even dims, got ${width}x$height")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(s"YUV4MPEG2 W$width H$height F25:1 Ip A1:1 C420jpeg\n"
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    val ySize = width * height
+    val cSize = (width / 2) * (height / 2)
+    frameLumas.foreach { v =>
+      out.write("FRAME\n"
+        .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+      val y = new Array[Byte](ySize)
+      java.util.Arrays.fill(y, (v & 0xff).toByte)
+      out.write(y)
+      val c = new Array[Byte](cSize * 2)
+      java.util.Arrays.fill(c, 128.toByte)
+      out.write(c)
+    }
+    out.toByteArray
+  }
+
+  /** Deterministic MJPEG ENCODER (constant-gray frames): concatenated
+    * ImageIO-written JPEGs — the fixture synthesis for [[decodeMjpeg]]
+    * (JPEG is lossy, so only dims/frame-count are exact; a constant
+    * gray survives within ~1–2 luma steps). */
+  def encodeMjpeg(width: Int, height: Int, frameLumas: Seq[Int]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    frameLumas.foreach { v =>
+      val img = new java.awt.image.BufferedImage(width, height,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val rgb = ((v & 0xff) << 16) | ((v & 0xff) << 8) | (v & 0xff)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) { img.setRGB(x, y, rgb); x += 1 }
+        y += 1
+      }
+      javax.imageio.ImageIO.write(img, "jpg", out)
+    }
+    out.toByteArray
+  }
+
   /** Batch dispatch: real ImageIO decode for `image/…`, real
-    * javax.sound decode for `audio/…`, stub for the rest (video — no
-    * codecs in this container). */
+    * javax.sound decode for `audio/…`, real container parse for
+    * `video/…` (Y4M / MJPEG — adapted into the MediaFeatures shape:
+    * true dims + the luma envelope), stub for the rest. */
   private def decodeBatch(batch: Seq[MediaBlob]): Seq[MediaFeatures] =
     batch.map { m =>
       if (m.mime.startsWith("image/")) decodeImage(m)
       else if (m.mime.startsWith("audio/")) decodeAudio(m)
+      else if (m.mime.startsWith("video/")) {
+        val v = decodeVideo(m)
+        MediaFeatures(v.id, v.mime, v.byte_len, v.width, v.height,
+          v.features)
+      }
       else decodeBatchStub(Seq(m)).head
     }
 
-  /** STUB decoder for audio/video mimes — deterministic fake. Real
-    * impl: decode, measure dimensions, run a feature extractor over the
-    * batch. */
+  /** STUB decoder for unrecognized mimes — deterministic fake
+    * byte-derived features (q42 gates the plumbing through it). Image,
+    * audio, and video mimes never reach it. */
   private def decodeBatchStub(batch: Seq[MediaBlob]): Seq[MediaFeatures] =
     batch.map { m =>
       val len = m.blob.length

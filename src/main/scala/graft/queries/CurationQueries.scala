@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.ops.{AggState, AnnIndex, CcState, Dedup, DedupIndex, Layout, Similarity, TextAnalysis}
+import graft.ops.{AggState, AnnIndex, CcState, Dedup, DedupIndex, Layout, MediaBlob, Multimodal, Similarity, TextAnalysis}
 import graft.queries.LlmQueries.{distSql, AnnK, Bands, BandsCte, BucketSql,
   CosSql, JaccardThreshold, LshPlanes, RowsPerBand, ShingleK, ShinglesSql,
   WsSplit}
@@ -3585,6 +3585,115 @@ object CurationQueries {
        |                  / k.kth END, 4) AS n_users_est
        |FROM tot t JOIN kth k ON t.event_type = k.event_type""".stripMargin
 
+  // --------------------------------------------------------- q239
+  /** REAL video decode under the gate — Y4M, the codec-free container
+    * a pure JVM parses end-to-end ([[Multimodal.decodeY4m]]): each
+    * document synthesizes a deterministic, VALID Y4M blob (dims,
+    * frame count, and per-frame constant luma all closed-form in
+    * doc_id), the typed batch decoder parses the actual bytes — header
+    * fields, FRAME boundaries, Y-plane means — and the oracle predicts
+    * every output arithmetically. Two corrupt arms ride along: a
+    * doc_id%10=5 blob with a broken magic (→ −1 dims, 0 frames) and a
+    * doc_id%10=0 blob truncated mid-frame (→ the complete prefix
+    * counts, the torn frame doesn't) — the 100 TB corrupt-blob
+    * containment, gated deterministically. Scale shape: narrow
+    * per-row decode after a hash spread, no shuffle. */
+  private def q239Media(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir).select(col("doc_id")).as[Long].map { id =>
+      val w = (8 + (id % 4) * 2).toInt
+      val h = (6 + (id % 3) * 2).toInt
+      val n = (1 + id % 5).toInt
+      val lumas = (0 until n).map(i => ((id * 37 + i * 11) % 256).toInt)
+      val full = Multimodal.encodeY4m(w, h, lumas)
+      val bytes =
+        if (id % 10 == 5) { full(0) = 'X'.toByte; full }
+        else if (id % 10 == 0) full.dropRight(10)
+        else full
+      MediaBlob(id, "video/x-y4m", bytes)
+    }.toDF()
+  }
+  private def q239(s: SparkSession, dir: String): DataFrame =
+    Multimodal.extractVideoFeatures(s, q239Media(s, dir)).toDF()
+      .select(col("id").as("doc_id"), col("width"), col("height"),
+        col("frames"), round(col("mean_luma"), 6).as("mean_luma"))
+  private val q239Sql =
+    """WITH p AS (SELECT doc_id,
+      |    CAST(8 + (doc_id % 4) * 2 AS INT) AS w,
+      |    CAST(6 + (doc_id % 3) * 2 AS INT) AS h,
+      |    1 + doc_id % 5 AS n FROM documents),
+      |d AS (SELECT doc_id, w, h,
+      |    CASE WHEN doc_id % 10 = 5 THEN 0
+      |         WHEN doc_id % 10 = 0 THEN n - 1 ELSE n END AS fr FROM p)
+      |SELECT doc_id,
+      |  CAST(CASE WHEN doc_id % 10 = 5 THEN -1 ELSE w END AS INT) AS width,
+      |  CAST(CASE WHEN doc_id % 10 = 5 THEN -1 ELSE h END AS INT) AS height,
+      |  CAST(fr AS INT) AS frames,
+      |  CASE WHEN fr = 0 THEN NULL
+      |       ELSE round(list_avg(list_transform(range(0, fr),
+      |              i -> CAST((doc_id * 37 + i * 11) % 256 AS DOUBLE))) / 255.0, 6)
+      |  END AS mean_luma
+      |FROM d""".stripMargin
+
+  // --------------------------------------------------------- q240
+  /** REAL MJPEG decode under the gate: concatenated ImageIO-written
+    * JPEGs split at SOI markers and decoded frame by frame
+    * ([[Multimodal.decodeMjpeg]] — a true JPEG decode per frame).
+    * Dims and frame count are lossless (gated exactly, closed-form in
+    * doc_id); luma is NOT gated here because JPEG is lossy (the spec
+    * asserts it within tolerance). The doc_id%10=7 arm truncates the
+    * first frame to 20 bytes — no decodable frame → the −1-dims
+    * corrupt shape. */
+  private def q240(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.SparkSession
+    val media: DataFrame = {
+      import s.implicits._
+      Tables.documents(s, dir).select(col("doc_id")).as[Long].map { id =>
+        val w = (16 * (1 + id % 3)).toInt
+        val n = (1 + id % 4).toInt
+        val lumas = (0 until n).map(i => ((id * 53 + i * 29) % 256).toInt)
+        val full = Multimodal.encodeMjpeg(w, 16, lumas)
+        val bytes = if (id % 10 == 7) full.take(20) else full
+        MediaBlob(id, "video/x-mjpeg", bytes)
+      }.toDF()
+    }
+    Multimodal.extractVideoFeatures(s, media).toDF()
+      .select(col("id").as("doc_id"), col("width"), col("height"),
+        col("frames"))
+  }
+  private val q240Sql =
+    """SELECT doc_id,
+      |  CAST(CASE WHEN doc_id % 10 = 7 THEN -1
+      |            ELSE 16 * (1 + doc_id % 3) END AS INT) AS width,
+      |  CAST(CASE WHEN doc_id % 10 = 7 THEN -1 ELSE 16 END AS INT) AS height,
+      |  CAST(CASE WHEN doc_id % 10 = 7 THEN 0
+      |            ELSE 1 + doc_id % 4 END AS INT) AS frames
+      |FROM documents""".stripMargin
+
+  // --------------------------------------------------------- q241
+  /** DECODE-AWARE frame sampling — q45's "take ≤k frames spread across
+    * the clip" primitive running on REAL frames: where q45 strides
+    * over a fixed byte grid, [[Multimodal.frameSampleVideo]] parses
+    * the Y4M container and strides over its ACTUAL frame boundaries
+    * (header dims × colourspace), emitting each sampled frame's
+    * decoded mean luma. Same fixture corpus as q239, corrupt arms
+    * included (a broken header samples nothing; a torn trailing frame
+    * is never sampled), every output closed-form for the oracle. */
+  private def q241(s: SparkSession, dir: String): DataFrame =
+    Multimodal.frameSampleVideo(s, q239Media(s, dir), maxFrames = 4)
+      .toDF()
+      .select(col("id").as("doc_id"), col("frame_idx"),
+        round(col("frame_luma"), 6).as("frame_luma"))
+  private val q241Sql =
+    """WITH p AS (SELECT doc_id, 1 + doc_id % 5 AS n FROM documents),
+      |d AS (SELECT doc_id,
+      |    CASE WHEN doc_id % 10 = 5 THEN 0
+      |         WHEN doc_id % 10 = 0 THEN n - 1 ELSE n END AS fr FROM p),
+      |s AS (SELECT doc_id, fr, (fr + 3) // 4 AS stride FROM d WHERE fr > 0)
+      |SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+      |  round(CAST((doc_id * 37 + frame_idx * 11) % 256 AS DOUBLE) / 255.0, 6) AS frame_luma
+      |FROM (SELECT doc_id, unnest(range(0, fr, stride)) AS frame_idx FROM s)""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q168_kmv_distinct" -> q168 _,
     "q169_minhash_error" -> q169 _,
@@ -3656,7 +3765,10 @@ object CurationQueries {
     "q235_ivm_distinct" -> q235 _,
     "q236_ivm_rebuild_groups" -> q236 _,
     "q237_distinct_rebuild" -> q237 _,
-    "q238_distinct_stream_lifecycle" -> q238 _)
+    "q238_distinct_stream_lifecycle" -> q238 _,
+    "q239_y4m_decode" -> q239 _,
+    "q240_mjpeg_decode" -> q240 _,
+    "q241_video_frame_sample" -> q241 _)
 
   val oracleSql: Map[String, String] = Map(
     "q168_kmv_distinct" -> q168Sql,
@@ -3729,5 +3841,8 @@ object CurationQueries {
     "q235_ivm_distinct" -> q235Sql,
     "q236_ivm_rebuild_groups" -> q236Sql,
     "q237_distinct_rebuild" -> q237Sql,
-    "q238_distinct_stream_lifecycle" -> q238Sql)
+    "q238_distinct_stream_lifecycle" -> q238Sql,
+    "q239_y4m_decode" -> q239Sql,
+    "q240_mjpeg_decode" -> q240Sql,
+    "q241_video_frame_sample" -> q241Sql)
 }
