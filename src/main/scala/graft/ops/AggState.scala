@@ -409,9 +409,30 @@ object AggState {
     residentAgg(readStore(spark, path), groupCols)
   }
 
+  /** Distinct epoch layers resident in the store — telemetry for the
+    * [[compactState]] schedule ([[CcState.mergeLogSize]]'s discipline
+    * for the aggregate store): each [[appendDelta]] epoch adds one row
+    * per touched group, and every read collapses the layer sum until a
+    * compact folds them. Column-pruned scan of the epoch column only. */
+  def layerCount(spark: SparkSession, path: String): Long =
+    readStore(spark, path).select(col("epoch")).distinct().count()
+
+  /** Compact when more than `maxLayers` epoch layers are resident —
+    * the documented policy knob: [[compactState]] rewrites every
+    * partition, so it amortizes over many appends; at the default a
+    * read between compacts pays ≤ 64 layered rows per touched group.
+    * Returns whether it compacted. Writer-side (single writer). */
+  val DefaultMaxLayers = 64L
+  def maybeCompactState(spark: SparkSession, path: String,
+      groupCols: Seq[String],
+      maxLayers: Long = DefaultMaxLayers): Boolean =
+    if (layerCount(spark, path) <= maxLayers) false
+    else { compactState(spark, path, groupCols); true }
+
   /** Fold all layers back to one row per group, bucket by bucket (the
     * [[AnnIndex.compact]] moment: after many appendDelta epochs the
-    * read cost shifts from rows to layer count). Rewrites every
+    * read cost shifts from rows to layer count — [[layerCount]] is the
+    * telemetry, [[maybeCompactState]] the policy). Rewrites every
     * partition present in the store via dynamic overwrite. A bucket
     * holding ONLY [[retract]] tombstones emits no rows and keeps its
     * (read-invisible, tiny) tombstone file — never wrong, reclaimed

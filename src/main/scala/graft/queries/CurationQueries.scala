@@ -3645,7 +3645,6 @@ object CurationQueries {
     * first frame to 20 bytes — no decodable frame → the −1-dims
     * corrupt shape. */
   private def q240(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.SparkSession
     val media: DataFrame = {
       import s.implicits._
       Tables.documents(s, dir).select(col("doc_id")).as[Long].map { id =>

@@ -518,6 +518,30 @@ class AggStateSpec extends SparkSpec {
         .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
   }
 
+  test("layer telemetry: layerCount surfaces appendDelta epochs; maybeCompactState folds past threshold") {
+    val dir = Files.createTempDirectory("graft-aggstate").toString
+    val path = s"$dir/state"
+    AggState.write(base, groupCols, "value", 10000, bucketOf, path)
+    AggState.layerCount(spark, path) shouldBe 1L // the -1 generation
+    val thirds = (0 until 3).map(i => delta.filter(col("event_id") % 3 === i))
+    thirds.zipWithIndex.foreach { case (d, i) =>
+      AggState.appendDelta(path, d, i.toLong, groupCols, "value", 10000,
+        bucketOf)
+    }
+    AggState.layerCount(spark, path) shouldBe 4L
+    val expected = AggState.partials(ev, groupCols, "value", 10000)
+      .collect().toSet
+    // under threshold: no compact, layers stay
+    AggState.maybeCompactState(spark, path, groupCols,
+      maxLayers = 4) shouldBe false
+    AggState.layerCount(spark, path) shouldBe 4L
+    // past threshold: folded to one generation, answers unchanged
+    AggState.maybeCompactState(spark, path, groupCols,
+      maxLayers = 3) shouldBe true
+    AggState.layerCount(spark, path) shouldBe 1L
+    AggState.merged(spark, path, groupCols).collect().toSet shouldBe expected
+  }
+
   test("absorb creates partitions for buckets the store has never seen") {
     val dir = Files.createTempDirectory("graft-aggstate").toString
     val path = s"$dir/state"

@@ -736,6 +736,44 @@ class OpsSpec extends SparkSpec {
     samples((7L, 4)) shouldBe (200.0 / 255.0) +- 1e-12
   }
 
+  test("multimodal: Y4M colourspace variants size their chroma planes correctly") {
+    // hand-built containers (the encoder only emits C420jpeg): a wrong
+    // chroma size would misalign every frame after the first — frame
+    // count or luma would come out wrong
+    def mk(cs: String, w: Int, h: Int, lumas: Seq[Int],
+        chromaPerFrame: Int): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(s"YUV4MPEG2 W$w H$h F25:1$cs\n"
+        .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+      lumas.foreach { v =>
+        out.write("FRAME\n"
+          .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+        val y = new Array[Byte](w * h)
+        java.util.Arrays.fill(y, (v & 0xff).toByte)
+        out.write(y)
+        val c = new Array[Byte](chromaPerFrame)
+        java.util.Arrays.fill(c, 128.toByte)
+        out.write(c)
+      }
+      out.toByteArray
+    }
+    val cases = Seq(
+      (" C422", (8 / 2) * 6 * 2),  // 4:2:2 — half-width chroma
+      (" C444", 8 * 6 * 2),        // 4:4:4 — full-size chroma
+      (" Cmono", 0),               // no chroma planes
+      ("", (8 / 2) * (6 / 2) * 2)) // no C tag — 4:2:0 default
+    cases.foreach { case (cs, chroma) =>
+      withClue(s"colourspace '$cs': ") {
+        val blob = mk(cs, 8, 6, Seq(30, 90, 150), chroma)
+        val f = Multimodal.decodeY4m(MediaBlob(1L, "video/x-y4m", blob))
+        f.width shouldBe 8
+        f.height shouldBe 6
+        f.frames shouldBe 3
+        f.mean_luma.get shouldBe (270.0 / 3 / 255.0) +- 1e-12
+      }
+    }
+  }
+
   test("Graphs.triangles: K4 yields all 4 oriented triangles; chains none") {
     // K4 on {1,2,3,4} (some edges reversed + one duplicate: canonicalization)
     val k4 = Seq((1L, 2L), (3L, 1L), (1L, 4L), (2L, 3L), (4L, 2L), (3L, 4L),
