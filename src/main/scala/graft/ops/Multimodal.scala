@@ -36,6 +36,9 @@ case class VideoFeatures(
 /** One sampled frame: index + its mean luma in [0,1]. */
 case class VideoFrame(id: Long, frame_idx: Int, frame_luma: Double)
 
+/** Perceptual hash output: None when the blob didn't decode. */
+case class ImageHash(id: Long, dhash: Option[Long])
+
 /** Multimodal-column plumbing for training-data pipelines.
   *
   * The Spark-side mechanics are real and tested: schema (`binary` +
@@ -438,6 +441,68 @@ object Multimodal {
       javax.imageio.ImageIO.write(img, "jpg", out)
     }
     out.toByteArray
+  }
+
+  /** Difference hash (dHash) over a REAL image decode — the standard
+    * perceptual fingerprint for image near-dup triage: the decoded
+    * image is nearest-neighbor resampled to a 9×8 grayscale grid and
+    * each of the 64 bits records whether the right neighbor is
+    * brighter (bit `y·8+x` = lum(x+1,y) > lum(x,y)), packed into one
+    * Long. Identical images hash identically regardless of container
+    * bytes; small edits flip few bits, so Hamming distance ranks
+    * near-duplicates. Undecodable blobs → None (corrupt containment,
+    * never a thrown task). */
+  private[ops] def dHash(m: MediaBlob): Option[Long] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.blob))
+      catch { case scala.util.control.NonFatal(_) => null }
+    if (img == null) None
+    else {
+      val w = img.getWidth
+      val h = img.getHeight
+      // 9x8 nearest-neighbor luma grid
+      val g = Array.ofDim[Double](8, 9)
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 9) {
+          val rgb = img.getRGB(x * w / 9, y * h / 8)
+          g(y)(x) = 0.299 * ((rgb >> 16) & 0xff) +
+            0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+          x += 1
+        }
+        y += 1
+      }
+      var bits = 0L
+      y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          if (g(y)(x + 1) > g(y)(x)) bits |= 1L << (y * 8 + x)
+          x += 1
+        }
+        y += 1
+      }
+      Some(bits)
+    }
+  }
+
+  /** Batched typed dHash over a media table — the decode step of the
+    * image-dedup pipeline ([[extractFeatures]]'s mapPartitions shape).
+    * Downstream: group/join on `dhash` for exact perceptual dups
+    * (q243), or band the 64 bits (16-bit quarters) and verify by
+    * Hamming distance for near-dups — the [[Dedup]] LSH shape with
+    * hash bands instead of minhash bands. */
+  def imageDHash(spark: SparkSession, media: DataFrame,
+      batchSize: Int = 64, partitions: Int = 0): Dataset[ImageHash] = {
+    import spark.implicits._
+    val parts = if (partitions > 0) partitions
+      else spark.sessionState.conf.numShufflePartitions
+    media
+      .repartition(parts, col("id"))
+      .as[MediaBlob]
+      .mapPartitions(it => it.grouped(batchSize)
+        .flatMap(_.map(m => ImageHash(m.id, dHash(m)))))
   }
 
   /** Batch dispatch: real ImageIO decode for `image/…`, real

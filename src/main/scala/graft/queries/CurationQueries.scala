@@ -3693,6 +3693,100 @@ object CurationQueries {
       |  round(CAST((doc_id * 37 + frame_idx * 11) % 256 AS DOUBLE) / 255.0, 6) AS frame_luma
       |FROM (SELECT doc_id, unnest(range(0, fr, stride)) AS frame_idx FROM s)""".stripMargin
 
+  // --------------------------------------------------------- q242
+  /** Image PERCEPTUAL HASH under the gate — the image-dedup analogue
+    * of q26/q27's text fingerprints: each document synthesizes a
+    * deterministic 9×8 grayscale PNG (pixel value = the first md5
+    * byte of "pid,x,y" — md5 so patterns can't collide mod 256 across
+    * ids; PNG is lossless so the decode returns the exact synthesized
+    * pixels), [[Multimodal.dHash]] runs a REAL ImageIO decode and
+    * packs the 64 right-neighbor-brighter bits, and the oracle
+    * recomputes every bit arithmetically in DuckDB (q168's md5-parity
+    * convention). doc_id%5=0 images REUSE doc_id−1's pattern (the
+    * planted duplicates q243 joins); doc_id%10=3 blobs are truncated
+    * (undecodable → NULL hash, the corrupt containment). Emitted as
+    * the 64-char bit string (two's-complement bin()) — exact, no
+    * signed-overflow games in SQL. */
+  private def q242Media(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir).select(col("doc_id")).as[Long].map { id =>
+      val pid = if (id % 5 == 0 && id > 0) id - 1 else id
+      val img = new java.awt.image.BufferedImage(9, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 9) {
+          val v = md.digest(s"$pid,$x,$y"
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))(0) & 0xff
+          img.setRGB(x, y, (v << 16) | (v << 8) | v)
+          x += 1
+        }
+        y += 1
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      val full = out.toByteArray
+      val bytes = if (id % 10 == 3) full.take(10) else full
+      MediaBlob(id, "image/png", bytes)
+    }.toDF()
+  }
+  private def q242(s: SparkSession, dir: String): DataFrame =
+    Multimodal.imageDHash(s, q242Media(s, dir)).toDF()
+      .select(col("id").as("doc_id"),
+        lpad(bin(col("dhash")), 64, "0").as("dhash_bits"))
+  /** One oracle bit: output position j (MSB first) is packed bit
+    * i = 63−j, grid cell x = i%8, y = i/8, set iff lum(x+1,y) >
+    * lum(x,y) — grayscale pixels make the double-luma comparison
+    * equivalent to the integer byte comparison. */
+  private val q242Sql =
+    """WITH p AS (SELECT doc_id,
+      |    CASE WHEN doc_id % 5 = 0 AND doc_id > 0 THEN doc_id - 1
+      |         ELSE doc_id END AS pid
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CASE WHEN doc_id % 10 = 3 THEN NULL
+      |    ELSE array_to_string(list_transform(range(0, 64), j -> CASE WHEN
+      |      ('0x' || substr(md5(pid::VARCHAR || ',' || (((63 - j) % 8) + 1)::VARCHAR || ',' || ((63 - j) // 8)::VARCHAR), 1, 2))::INT >
+      |      ('0x' || substr(md5(pid::VARCHAR || ',' || ((63 - j) % 8)::VARCHAR || ',' || ((63 - j) // 8)::VARCHAR), 1, 2))::INT
+      |      THEN '1' ELSE '0' END), '')
+      |  END AS dhash_bits
+      |FROM p""".stripMargin
+
+  // --------------------------------------------------------- q243
+  /** The image-dedup JOIN the hash exists for: decode → dHash → join
+    * on hash equality → (id_a, id_b) exact perceptual duplicates —
+    * q26's exact-dedup shape with a decoded perceptual fingerprint as
+    * the key instead of raw text, so re-encoded/renamed copies of the
+    * same picture collide while different pictures don't. The planted
+    * q242 duplicates (doc_id%5=0 reuses doc_id−1's pattern) must come
+    * out exactly; corrupt blobs (NULL hash) never pair. Scale shape:
+    * one keyed shuffle on the 64-bit hash — the exact-dup equality
+    * join; near-dup banding on 16-bit hash quarters is the documented
+    * follow-on ([[Multimodal.imageDHash]]). */
+  private def q243(s: SparkSession, dir: String): DataFrame = {
+    val h = Multimodal.imageDHash(s, q242Media(s, dir)).toDF()
+      .filter(col("dhash").isNotNull)
+    val a = h.select(col("id").as("id_a"), col("dhash"))
+    val b = h.select(col("id").as("id_b"), col("dhash"))
+    a.join(b, Seq("dhash")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+  }
+  private val q243Sql =
+    """WITH p AS (SELECT doc_id,
+      |    CASE WHEN doc_id % 5 = 0 AND doc_id > 0 THEN doc_id - 1
+      |         ELSE doc_id END AS pid
+      |  FROM documents WHERE doc_id % 10 <> 3),
+      |hb AS (SELECT doc_id,
+      |    array_to_string(list_transform(range(0, 64), j -> CASE WHEN
+      |      ('0x' || substr(md5(pid::VARCHAR || ',' || (((63 - j) % 8) + 1)::VARCHAR || ',' || ((63 - j) // 8)::VARCHAR), 1, 2))::INT >
+      |      ('0x' || substr(md5(pid::VARCHAR || ',' || ((63 - j) % 8)::VARCHAR || ',' || ((63 - j) // 8)::VARCHAR), 1, 2))::INT
+      |      THEN '1' ELSE '0' END), '') AS bits
+      |  FROM p)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |FROM hb a JOIN hb b ON a.bits = b.bits AND a.doc_id < b.doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q168_kmv_distinct" -> q168 _,
     "q169_minhash_error" -> q169 _,
@@ -3767,7 +3861,9 @@ object CurationQueries {
     "q238_distinct_stream_lifecycle" -> q238 _,
     "q239_y4m_decode" -> q239 _,
     "q240_mjpeg_decode" -> q240 _,
-    "q241_video_frame_sample" -> q241 _)
+    "q241_video_frame_sample" -> q241 _,
+    "q242_image_dhash" -> q242 _,
+    "q243_image_dedup_pairs" -> q243 _)
 
   val oracleSql: Map[String, String] = Map(
     "q168_kmv_distinct" -> q168Sql,
@@ -3843,5 +3939,7 @@ object CurationQueries {
     "q238_distinct_stream_lifecycle" -> q238Sql,
     "q239_y4m_decode" -> q239Sql,
     "q240_mjpeg_decode" -> q240Sql,
-    "q241_video_frame_sample" -> q241Sql)
+    "q241_video_frame_sample" -> q241Sql,
+    "q242_image_dhash" -> q242Sql,
+    "q243_image_dedup_pairs" -> q243Sql)
 }

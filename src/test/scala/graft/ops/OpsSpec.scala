@@ -774,6 +774,39 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("multimodal: dHash — gradient bits, resample invariance, corrupt blobs hash to None") {
+    def png(w: Int, h: Int, lum: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = lum(x, y) & 0xff
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    // strictly increasing left-to-right: every neighbor brighter → all
+    // 64 bits set; strictly decreasing → none
+    Multimodal.dHash(MediaBlob(1L, "image/png",
+      png(9, 8, (x, _) => x * 10))) shouldBe Some(-1L)
+    Multimodal.dHash(MediaBlob(2L, "image/png",
+      png(9, 8, (x, _) => 200 - x * 10))) shouldBe Some(0L)
+    // a single brighter column: exactly the bits entering it (x=2) set
+    val one = Multimodal.dHash(MediaBlob(3L, "image/png",
+      png(9, 8, (x, _) => if (x == 3) 200 else 50))).get
+    java.lang.Long.bitCount(one) shouldBe 8
+    (0 until 8).foreach { y => ((one >> (y * 8 + 2)) & 1L) shouldBe 1L }
+    // nearest-neighbor resample: a 2x-upscaled image hashes identically
+    val base = png(9, 8, (x, y) => ((x * 37 + y * 91) % 251))
+    val up = png(18, 16, (x, y) => (((x / 2) * 37 + (y / 2) * 91) % 251))
+    Multimodal.dHash(MediaBlob(4L, "image/png", base)) shouldBe
+      Multimodal.dHash(MediaBlob(5L, "image/png", up))
+    // corrupt bytes: None, never a throw
+    Multimodal.dHash(MediaBlob(6L, "image/png",
+      base.take(10))) shouldBe None
+  }
+
   test("Graphs.triangles: K4 yields all 4 oriented triangles; chains none") {
     // K4 on {1,2,3,4} (some edges reversed + one duplicate: canonicalization)
     val k4 = Seq((1L, 2L), (3L, 1L), (1L, 4L), (2L, 3L), (4L, 2L), (3L, 4L),
