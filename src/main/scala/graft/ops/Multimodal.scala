@@ -490,9 +490,7 @@ object Multimodal {
   /** Batched typed dHash over a media table — the decode step of the
     * image-dedup pipeline ([[extractFeatures]]'s mapPartitions shape).
     * Downstream: group/join on `dhash` for exact perceptual dups
-    * (q243), or band the 64 bits (16-bit quarters) and verify by
-    * Hamming distance for near-dups — the [[Dedup]] LSH shape with
-    * hash bands instead of minhash bands. */
+    * (q243), or [[dHashNearDupPairs]] for banded near-dups (q244). */
   def imageDHash(spark: SparkSession, media: DataFrame,
       batchSize: Int = 64, partitions: Int = 0): Dataset[ImageHash] = {
     import spark.implicits._
@@ -503,6 +501,38 @@ object Multimodal {
       .as[MediaBlob]
       .mapPartitions(it => it.grouped(batchSize)
         .flatMap(_.map(m => ImageHash(m.id, dHash(m)))))
+  }
+
+  /** dHash NEAR-dup pairs — the [[Dedup]] LSH shape with hash bands
+    * instead of minhash bands: the 64-bit hash splits into four 16-bit
+    * quarters, ids sharing ANY quarter become candidates (pigeonhole:
+    * Hamming distance < 4 cannot touch all four quarters, so at
+    * `maxDist` ≤ 3 the candidate set is COMPLETE, not probabilistic),
+    * and candidates verify by exact Hamming distance ≤ `maxDist`
+    * (codegen'd `bit_count(a ^ b)`). NULL hashes (undecodable blobs)
+    * never pair. Scale shape: one keyed shuffle on (band, quarter) —
+    * 4 rows per image — then a parameter-bounded verify join; quarter
+    * keys are hash-uniform, so no salting needed. */
+  def dHashNearDupPairs(hashes: DataFrame, maxDist: Int = 3): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 3,
+      s"banded candidates are complete only for maxDist <= 3, got $maxDist")
+    val h = hashes.filter(col("dhash").isNotNull)
+      .select(col("id"), col("dhash"))
+    val bands = (0 until 4).map { b =>
+      h.select(col("id"), lit(b).as("band"),
+        shiftright(col("dhash"), b * 16).bitwiseAND(lit(0xffffL))
+          .as("bkey"))
+    }.reduce(_ unionByName _)
+    val a = bands.select(col("id").as("id_a"), col("band"), col("bkey"))
+    val b2 = bands.select(col("id").as("id_b"), col("band"), col("bkey"))
+    val cand = a.join(b2, Seq("band", "bkey"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val ha = h.select(col("id").as("id_a"), col("dhash").as("__da"))
+    val hb = h.select(col("id").as("id_b"), col("dhash").as("__db"))
+    cand.join(ha, Seq("id_a")).join(hb, Seq("id_b"))
+      .filter(expr(s"bit_count(__da ^ __db) <= $maxDist"))
+      .select(col("id_a"), col("id_b"))
   }
 
   /** Batch dispatch: real ImageIO decode for `image/…`, real

@@ -3787,6 +3787,71 @@ object CurationQueries {
       |SELECT a.doc_id AS id_a, b.doc_id AS id_b
       |FROM hb a JOIN hb b ON a.bits = b.bits AND a.doc_id < b.doc_id""".stripMargin
 
+  // --------------------------------------------------------- q244
+  /** Image NEAR-dup via banded dHash — q27's LSH shape on perceptual
+    * hashes, with a COMPLETENESS guarantee instead of probability:
+    * [[Multimodal.dHashNearDupPairs]] bands the 64-bit hash into four
+    * 16-bit quarters (pigeonhole: Hamming < 4 leaves some quarter
+    * untouched, so at maxDist 3 banding misses nothing) and verifies
+    * candidates by exact `bit_count(xor)`. Fixture: doc_id%5=0 images
+    * reuse doc_id−1's md5 pattern with ONE cell perturbed (+128 on
+    * cell (0,0) — flips at most bit 0 of the hash), so the planted
+    * pairs sit at Hamming ∈ {0,1}; the oracle brute-forces ALL pairs
+    * with Hamming ≤ 3 over the closed-form bit strings, so a banding
+    * miss OR a verify slip both hash-mismatch. Corrupt blobs
+    * (doc_id%10=3, truncated) never pair. */
+  private def q244Media(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir).select(col("doc_id")).as[Long].map { id =>
+      val dup = id % 5 == 0 && id > 0
+      val pid = if (dup) id - 1 else id
+      val img = new java.awt.image.BufferedImage(9, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 9) {
+          val base = md.digest(s"$pid,$x,$y"
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))(0) & 0xff
+          val v = if (dup && x == 0 && y == 0) (base + 128) % 256 else base
+          img.setRGB(x, y, (v << 16) | (v << 8) | v)
+          x += 1
+        }
+        y += 1
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      val full = out.toByteArray
+      val bytes = if (id % 10 == 3) full.take(10) else full
+      MediaBlob(id, "image/png", bytes)
+    }.toDF()
+  }
+  private def q244(s: SparkSession, dir: String): DataFrame =
+    Multimodal.dHashNearDupPairs(
+      Multimodal.imageDHash(s, q244Media(s, dir)).toDF(), maxDist = 3)
+  private val q244Sql =
+    """WITH p AS (SELECT doc_id,
+      |    CASE WHEN doc_id % 5 = 0 AND doc_id > 0 THEN doc_id - 1
+      |         ELSE doc_id END AS pid,
+      |    (doc_id % 5 = 0 AND doc_id > 0) AS dup
+      |  FROM documents WHERE doc_id % 10 <> 3),
+      |hb AS (SELECT doc_id,
+      |    array_to_string(list_transform(range(0, 64), j -> CASE WHEN
+      |      (CASE WHEN dup AND ((63 - j) % 8) + 1 = 0 AND (63 - j) // 8 = 0
+      |            THEN (('0x' || substr(md5(pid::VARCHAR || ',' || (((63 - j) % 8) + 1)::VARCHAR || ',' || ((63 - j) // 8)::VARCHAR), 1, 2))::INT + 128) % 256
+      |            ELSE ('0x' || substr(md5(pid::VARCHAR || ',' || (((63 - j) % 8) + 1)::VARCHAR || ',' || ((63 - j) // 8)::VARCHAR), 1, 2))::INT END) >
+      |      (CASE WHEN dup AND ((63 - j) % 8) = 0 AND (63 - j) // 8 = 0
+      |            THEN (('0x' || substr(md5(pid::VARCHAR || ',' || ((63 - j) % 8)::VARCHAR || ',' || ((63 - j) // 8)::VARCHAR), 1, 2))::INT + 128) % 256
+      |            ELSE ('0x' || substr(md5(pid::VARCHAR || ',' || ((63 - j) % 8)::VARCHAR || ',' || ((63 - j) // 8)::VARCHAR), 1, 2))::INT END)
+      |      THEN '1' ELSE '0' END), '') AS bits
+      |  FROM p)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |FROM hb a JOIN hb b ON a.doc_id < b.doc_id
+      |WHERE list_sum(list_transform(range(1, 65), k ->
+      |  CASE WHEN substring(a.bits, k, 1) <> substring(b.bits, k, 1)
+      |       THEN 1 ELSE 0 END)) <= 3""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q168_kmv_distinct" -> q168 _,
     "q169_minhash_error" -> q169 _,
@@ -3863,7 +3928,8 @@ object CurationQueries {
     "q240_mjpeg_decode" -> q240 _,
     "q241_video_frame_sample" -> q241 _,
     "q242_image_dhash" -> q242 _,
-    "q243_image_dedup_pairs" -> q243 _)
+    "q243_image_dedup_pairs" -> q243 _,
+    "q244_image_neardup_band" -> q244 _)
 
   val oracleSql: Map[String, String] = Map(
     "q168_kmv_distinct" -> q168Sql,
@@ -3941,5 +4007,6 @@ object CurationQueries {
     "q240_mjpeg_decode" -> q240Sql,
     "q241_video_frame_sample" -> q241Sql,
     "q242_image_dhash" -> q242Sql,
-    "q243_image_dedup_pairs" -> q243Sql)
+    "q243_image_dedup_pairs" -> q243Sql,
+    "q244_image_neardup_band" -> q244Sql)
 }

@@ -807,6 +807,32 @@ class OpsSpec extends SparkSpec {
       base.take(10))) shouldBe None
   }
 
+  test("multimodal: dHash near-dup banding finds every pair within maxDist and cuts the rest") {
+    // hand-placed hashes around h0: every pairwise Hamming distance is
+    // known, so both sides of the cut are pinned —
+    //   1-2: 1 bit   1-3: 3 bits (one quarter)   2-3: 2 bits
+    //   2-4: 3 bits (shares quarter 0 — a pigeonhole catch)
+    //   1-4: 4 bits, one per quarter (> maxDist, correctly cut)
+    //   3-4: 5 bits (> maxDist)     5: NULL hash, never pairs
+    val h0 = 0x0123456789abcdefL
+    val rows = Seq(
+      (1L, Some(h0)),
+      (2L, Some(h0 ^ 1L)),
+      (3L, Some(h0 ^ 7L)),
+      (4L, Some(h0 ^ 0x0001000100010001L)),
+      (5L, Option.empty[Long]))
+      .toDF("id", "dhash")
+    val pairs = Multimodal.dHashNearDupPairs(rows, maxDist = 3)
+      .as[(Long, Long)].collect().toSet
+    pairs shouldBe Set((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L))
+    // maxDist=0 degenerates to the exact-dup join
+    Multimodal.dHashNearDupPairs(rows, maxDist = 0)
+      .count() shouldBe 0L
+    intercept[IllegalArgumentException] {
+      Multimodal.dHashNearDupPairs(rows, maxDist = 4)
+    }
+  }
+
   test("Graphs.triangles: K4 yields all 4 oriented triangles; chains none") {
     // K4 on {1,2,3,4} (some edges reversed + one duplicate: canonicalization)
     val k4 = Seq((1L, 2L), (3L, 1L), (1L, 4L), (2L, 3L), (4L, 2L), (3L, 4L),
