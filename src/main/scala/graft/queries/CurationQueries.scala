@@ -3852,6 +3852,62 @@ object CurationQueries {
       |  CASE WHEN substring(a.bits, k, 1) <> substring(b.bits, k, 1)
       |       THEN 1 ELSE 0 END)) <= 3""".stripMargin
 
+  // --------------------------------------------------------- q245
+  /** REAL audio decode under the gate — completing oracle coverage of
+    * the decoder family (image q42/q242, video q239/q240, audio here;
+    * the javax.sound path was spec-only before): each document
+    * synthesizes a VALID 8-bit unsigned PCM mono WAV whose samples are
+    * CONSTANT within each eighth of the clip (value 128 + d_s, d_s
+    * closed-form in doc_id), so [[Multimodal.decodeAudio]]'s RMS
+    * envelope is exactly |d_s|/128 — a dyadic rational both engines
+    * hold bit-exactly (sum of identical exact squares → mean → sqrt,
+    * every step representable). The decoder reads a REAL RIFF header
+    * (true sample rate/channels) and real sample bytes; doc_id%10=9
+    * blobs are truncated to 7 bytes (unreadable header → −1 metadata,
+    * zero envelope — the corrupt containment). */
+  private def q245(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .map { id =>
+        val n = (800 + (id % 5) * 8).toInt
+        val pcm = new Array[Byte](n)
+        var f = 0
+        while (f < n) {
+          val seg = math.min((f * 8L / n).toInt, 7)
+          val d = ((id * 29 + seg * 41) % 129 - 64).toInt
+          pcm(f) = (128 + d).toByte
+          f += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(8000f, 8, 1,
+          false, false)
+        val out = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(
+          new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, n.toLong),
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+        val full = out.toByteArray
+        val bytes = if (id % 10 == 9) full.take(7) else full
+        MediaBlob(id, "audio/wav", bytes)
+      }.toDF()
+    val feats = Multimodal.extractFeatures(s, media).toDF()
+    val envCols = (0 until 8).map(i =>
+      round(element_at(col("features"), i + 1).cast("double"), 6)
+        .as(s"e$i"))
+    feats.select(col("id").as("doc_id") +: col("width").as("sample_rate") +:
+      col("height").as("channels") +: envCols: _*)
+  }
+  private val q245Sql = {
+    val env = (0 until 8).map(s =>
+      s"""round(CASE WHEN doc_id % 10 = 9 THEN 0.0
+         |    ELSE abs((doc_id * 29 + $s * 41) % 129 - 64) / 128.0 END, 6) AS e$s"""
+        .stripMargin).mkString(",\n")
+    s"""SELECT doc_id,
+       |  CAST(CASE WHEN doc_id % 10 = 9 THEN -1 ELSE 8000 END AS INT) AS sample_rate,
+       |  CAST(CASE WHEN doc_id % 10 = 9 THEN -1 ELSE 1 END AS INT) AS channels,
+       |$env
+       |FROM documents""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q168_kmv_distinct" -> q168 _,
     "q169_minhash_error" -> q169 _,
@@ -3929,7 +3985,8 @@ object CurationQueries {
     "q241_video_frame_sample" -> q241 _,
     "q242_image_dhash" -> q242 _,
     "q243_image_dedup_pairs" -> q243 _,
-    "q244_image_neardup_band" -> q244 _)
+    "q244_image_neardup_band" -> q244 _,
+    "q245_wav_decode" -> q245 _)
 
   val oracleSql: Map[String, String] = Map(
     "q168_kmv_distinct" -> q168Sql,
@@ -4008,5 +4065,6 @@ object CurationQueries {
     "q241_video_frame_sample" -> q241Sql,
     "q242_image_dhash" -> q242Sql,
     "q243_image_dedup_pairs" -> q243Sql,
-    "q244_image_neardup_band" -> q244Sql)
+    "q244_image_neardup_band" -> q244Sql,
+    "q245_wav_decode" -> q245Sql)
 }
