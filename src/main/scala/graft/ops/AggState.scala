@@ -429,6 +429,57 @@ object AggState {
     if (layerCount(spark, path) <= maxLayers) false
     else { compactState(spark, path, groupCols); true }
 
+  /** Rewrite the store under a NEW bucket expression — the lifecycle
+    * operator for when the corpus outgrows the geometry chosen at
+    * [[write]] (a store that grew 30× under absorbs has 30× the rows
+    * per bucket, and every refresh pays it). Layers consolidate on the
+    * way (a rebucket is also a compact); the meta restamps with the
+    * NEW canonical bucket spec, so every later maintenance call
+    * validates against it — passing the OLD expression after a
+    * rebucket fails loudly. `quantScale` must still match the store's
+    * stamp. Full overwrite by construction (every row moves buckets);
+    * crash contract = [[write]]'s: the partials store is rebuildable
+    * from the fact table, so an interrupted rebucket is re-run, not
+    * recovered ([[CcState.rebucket]] stages a swap instead because CC
+    * state is NOT cheaply rebuildable). */
+  def rebucket(spark: SparkSession, path: String, groupCols: Seq[String],
+      valueCol: String, quantScale: Int, newBucketOf: Column): Unit = {
+    checkMeta(spark, path, "sum", SumLayout,
+      "quantScale" -> quantScale.toString)
+    swapIn(spark, path,
+      residentAgg(readStore(spark, path), groupCols))(newBucketOf)
+    stampMeta(spark, path, "sum", SumLayout,
+      sumParams(quantScale, newBucketOf))
+  }
+
+  /** [[rebucket]] for the sketch store. */
+  def rebucketDistinct(spark: SparkSession, path: String,
+      groupCols: Seq[String], keyCol: String, k: Int,
+      newBucketOf: Column): Unit = {
+    checkMeta(spark, path, "distinct", DistinctLayout, "k" -> k.toString)
+    swapIn(spark, path,
+      residentSketch(readStore(spark, path), groupCols, k))(newBucketOf)
+    stampMeta(spark, path, "distinct", DistinctLayout,
+      distinctParams(k, newBucketOf))
+  }
+
+  /** Stage `rows` under the new bucket column beside the store, then
+    * swap — the output cannot overwrite the path its plan is still
+    * reading, and the staged write keeps the old generation intact
+    * until the rewrite has fully succeeded. */
+  private def swapIn(spark: SparkSession, path: String,
+      rows: DataFrame)(newBucketOf: Column): Unit = {
+    val fs = fsFor(path, spark)
+    val tmp = path + "_rebucketing"
+    fs.delete(new HPath(tmp), true)
+    rows.withColumn("epoch", lit(-1L))
+      .withColumn("pbucket", newBucketOf)
+      .repartition(col("pbucket"))
+      .write.mode("overwrite").partitionBy("pbucket").parquet(tmp)
+    fs.delete(new HPath(path), true)
+    fs.rename(new HPath(tmp), new HPath(path))
+  }
+
   /** Fold all layers back to one row per group, bucket by bucket (the
     * [[AnnIndex.compact]] moment: after many appendDelta epochs the
     * read cost shifts from rows to layer count — [[layerCount]] is the

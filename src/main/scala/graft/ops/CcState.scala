@@ -340,9 +340,33 @@ object CcState {
     * after the swap but before the log delete leaves merge records
     * whose sources no longer label any base row — resolving is a
     * no-op — and the next compact clears them. */
-  def compact(spark: SparkSession, path: String): Unit = {
+  def compact(spark: SparkSession, path: String): Unit =
+    compactTo(spark, path, readBucketsRecovered(spark, path))
+
+  /** Rewrite the state under a NEW bucket count — the lifecycle
+    * operator for when the corpus outgrows the geometry chosen at
+    * [[write]] (the sizing budget in the class doc: buckets ≈
+    * corpus / targetBucketRows — a store that grew 30× under absorbs
+    * has 30× the rows per bucket, and every probe pays it). A rebucket
+    * IS a compact into the new geometry: same staged write + meta-last
+    * + two-rename swap + roll-forward [[recover]], with the merge log
+    * folded in on the way; `buckets` in the meta is updated, so every
+    * later absorb prunes with the new hash. Runs on the compact
+    * schedule (full rewrite — the amortization argument). */
+  def rebucket(spark: SparkSession, path: String, newBuckets: Int): Unit = {
+    require(newBuckets > 0, s"buckets must be positive, got $newBuckets")
     recover(spark, path)
-    val buckets = readBuckets(spark, path)
+    compactTo(spark, path, newBuckets)
+  }
+
+  private def readBucketsRecovered(spark: SparkSession,
+      path: String): Int = {
+    recover(spark, path)
+    readBuckets(spark, path)
+  }
+
+  private def compactTo(spark: SparkSession, path: String,
+      buckets: Int): Unit = {
     val fs = fsFor(path, spark)
     val tmp = path + "_compacting"
     fs.delete(new HPath(tmp), true)

@@ -3908,6 +3908,86 @@ object CurationQueries {
        |FROM documents""".stripMargin
   }
 
+  // --------------------------------------------------------- q246
+  /** Bucket-geometry MIGRATION for the CC state under the gate: a
+    * store written with 4 buckets (right for a small corpus) is
+    * [[CcState.rebucket]]ed to 16 — a staged compact into the new
+    * hash geometry, meta updated last — and then MAINTAINED: a delta
+    * absorbs against the rebucketed store, pruning with the new
+    * count. The oracle is the recursive-CTE closure over ALL edges
+    * (q50's shape on a synthetic user–event bipartite graph: user
+    * nodes even, event-class nodes odd), so a geometry mix-up
+    * anywhere — stale meta, wrong hash at lookup, mis-pruned
+    * buckets — hash-mismatches. This is the operator a deployment
+    * runs when a store outgrows the bucket budget chosen at write
+    * time (the class doc's corpus/targetBucketRows rule). */
+  private def q246(s: SparkSession, dir: String): DataFrame =
+    CcState.labels(s, q246State(s, dir))
+  private def q246Edges(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).select(
+      (col("user_id") * 2).as("id_a"),
+      ((col("event_id") % 200) * 2 + 1).as("id_b"),
+      col("event_id"))
+  private val q246StateCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def q246State(s: SparkSession, dir: String): String =
+    q246StateCache.computeIfAbsent(dir, { _ =>
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-ccstate-q246").toString
+      val edges = q246Edges(s, dir)
+      CcState.write(edges.filter(col("event_id") % 10 =!= 0)
+        .select(col("id_a"), col("id_b")), s"$out/cc", buckets = 4)
+      CcState.rebucket(s, s"$out/cc", 16)
+      CcState.absorb(s, edges.filter(col("event_id") % 10 === 0)
+        .select(col("id_a"), col("id_b")), s"$out/cc")
+      s"$out/cc"
+    })
+  private val q246Sql =
+    """WITH RECURSIVE e0 AS (
+      |  SELECT DISTINCT user_id * 2 AS s, (event_id % 200) * 2 + 1 AS d
+      |  FROM events),
+      |edges AS (SELECT s, d FROM e0 UNION ALL SELECT d, s FROM e0),
+      |reach AS (SELECT DISTINCT s AS node, s AS r FROM edges
+      |          UNION
+      |          SELECT e.s, r.r FROM edges e JOIN reach r ON r.node = e.d)
+      |SELECT node, MIN(r) AS cluster FROM reach GROUP BY node""".stripMargin
+
+  // --------------------------------------------------------- q247
+  /** q246's migration story for the AGGREGATE store: the partials
+    * store is written under one bucket expression, [[AggState
+    * .rebucket]]ed to a coarser one (layers consolidated, meta
+    * restamped with the new canonical spec), then maintained — an
+    * absorb folds a delta in under the NEW spec. The oracle is q212's
+    * full recompute, so a stale meta, a partial rewrite, or partials
+    * landing in old-geometry buckets all hash-mismatch. With the
+    * round-16 parameter stamp this migration is SAFE by construction:
+    * after the rebucket, a caller still passing the old expression
+    * fails loudly instead of silently writing to buckets no probe
+    * reads (AggStateSpec pins that failure). */
+  private def q247(s: SparkSession, dir: String): DataFrame =
+    AggState.merged(s, q247State(s, dir), Seq("user_id", "event_type"))
+      .select(col("user_id"), col("event_type"), col("n"),
+        round(col("sv").cast("double") / 10000, 4).as("sum_value"))
+  private def q247Bucket = floor(col("user_id") / 16).cast("long")
+  private val q247StateCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def q247State(s: SparkSession, dir: String): String =
+    q247StateCache.computeIfAbsent(dir, { _ =>
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-aggstate-q247").toString
+      val ev = Tables.events(s, dir)
+      val grp = Seq("user_id", "event_type")
+      AggState.write(ev.filter(col("event_id") % 10 =!= 0), grp,
+        "value", 10000, q213Bucket, s"$out/state")
+      AggState.rebucket(s, s"$out/state", grp, "value", 10000,
+        q247Bucket)
+      AggState.absorb(s, s"$out/state",
+        ev.filter(col("event_id") % 10 === 0), grp, "value", 10000,
+        q247Bucket)
+      s"$out/state"
+    })
+  private val q247Sql = q212Sql
+
   val queries: Map[String, Q] = Map(
     "q168_kmv_distinct" -> q168 _,
     "q169_minhash_error" -> q169 _,
@@ -3986,7 +4066,9 @@ object CurationQueries {
     "q242_image_dhash" -> q242 _,
     "q243_image_dedup_pairs" -> q243 _,
     "q244_image_neardup_band" -> q244 _,
-    "q245_wav_decode" -> q245 _)
+    "q245_wav_decode" -> q245 _,
+    "q246_cc_rebucket" -> q246 _,
+    "q247_ivm_rebucket" -> q247 _)
 
   val oracleSql: Map[String, String] = Map(
     "q168_kmv_distinct" -> q168Sql,
@@ -4066,5 +4148,7 @@ object CurationQueries {
     "q242_image_dhash" -> q242Sql,
     "q243_image_dedup_pairs" -> q243Sql,
     "q244_image_neardup_band" -> q244Sql,
-    "q245_wav_decode" -> q245Sql)
+    "q245_wav_decode" -> q245Sql,
+    "q246_cc_rebucket" -> q246Sql,
+    "q247_ivm_rebucket" -> q247Sql)
 }

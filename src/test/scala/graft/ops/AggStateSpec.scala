@@ -542,6 +542,44 @@ class AggStateSpec extends SparkSpec {
     AggState.merged(spark, path, groupCols).collect().toSet shouldBe expected
   }
 
+  test("rebucket: answers preserved under the new geometry; the old bucket spec fails loudly") {
+    val dir = Files.createTempDirectory("graft-aggstate").toString
+    val path = s"$dir/state"
+    AggState.write(base, groupCols, "value", 10000, bucketOf, path)
+    AggState.appendDelta(path, delta, 0L, groupCols, "value", 10000,
+      bucketOf)
+    val expected = AggState.partials(ev, groupCols, "value", 10000)
+      .collect().toSet
+    val newBucket = floor(col("user_id") / 16).cast("long")
+    AggState.rebucket(spark, path, groupCols, "value", 10000, newBucket)
+    // layers consolidated on the way; answers unchanged
+    AggState.layerCount(spark, path) shouldBe 1L
+    AggState.merged(spark, path, groupCols).collect().toSet shouldBe expected
+    // maintenance under the new spec flows; the OLD spec is now a loud
+    // mismatch (the restamped meta owns the geometry)
+    val d2 = delta.filter(col("user_id") < 4)
+    AggState.absorb(spark, path, d2, groupCols, "value", 10000, newBucket)
+    intercept[IllegalArgumentException] {
+      AggState.refresh(spark, path, d2, groupCols, "value", 10000,
+        bucketOf)
+    }
+    // distinct store: same lifecycle
+    val dpath = s"$dir/dstate"
+    val grp = Seq("event_type")
+    val b1 = pmod(hash(col("event_type")), lit(8)).cast("long")
+    val b2 = pmod(hash(col("event_type")), lit(32)).cast("long")
+    AggState.writeDistinct(ev, grp, "user_id", 64, b1, dpath)
+    val before = AggState.distinctEstimates(spark, dpath, grp, 64)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    AggState.rebucketDistinct(spark, dpath, grp, "user_id", 64, b2)
+    AggState.distinctEstimates(spark, dpath, grp, 64)
+      .collect().map(r => r.getString(0) -> r.getDouble(1))
+      .toMap shouldBe before
+    intercept[IllegalArgumentException] {
+      AggState.absorbDistinct(spark, dpath, delta, grp, "user_id", 64, b1)
+    }
+  }
+
   test("absorb creates partitions for buckets the store has never seen") {
     val dir = Files.createTempDirectory("graft-aggstate").toString
     val path = s"$dir/state"

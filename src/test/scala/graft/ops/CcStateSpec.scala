@@ -204,6 +204,27 @@ class CcStateSpec extends SparkSpec {
     fs.exists(new HPath(s"${path}_compacting")) shouldBe false
   }
 
+  test("rebucket: new geometry preserves labels, folds the log, and later absorbs keep working") {
+    val dir = Files.createTempDirectory("graft-ccstate").toString
+    val path = s"$dir/cc"
+    CcState.write(edgesDf((1L, 2L), (3L, 4L), (10L, 11L)), path,
+      buckets = 2)
+    CcState.absorb(spark, edgesDf((2L, 3L)), path) // creates merge log
+    val expected = ccScratch((1L, 2L), (3L, 4L), (10L, 11L), (2L, 3L))
+    CcState.rebucket(spark, path, 8)
+    // labels unchanged, log folded, meta carries the NEW count
+    stateLabels(path) shouldBe expected
+    fs.exists(new HPath(s"${path}_merges")) shouldBe false
+    val in = fs.open(new HPath(path, "_graft_cc_meta"))
+    val meta = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    meta should include("buckets=8")
+    // maintenance under the new geometry: absorb prunes with the new
+    // hash and converges to from-scratch CC
+    CcState.absorb(spark, edgesDf((4L, 10L), (20L, 21L)), path)
+    stateLabels(path) shouldBe ccScratch((1L, 2L), (3L, 4L), (10L, 11L),
+      (2L, 3L), (4L, 10L), (20L, 21L))
+  }
+
   test("compact crash between renames rolls forward; labels survive") {
     val dir = Files.createTempDirectory("graft-ccstate").toString
     val path = s"$dir/cc"
