@@ -207,6 +207,7 @@ object AggState {
     * ones). Each bucket is co-located to one file. */
   def write(base: DataFrame, groupCols: Seq[String], valueCol: String,
       quantScale: Int, bucketOf: Column, path: String): Unit = {
+    recover(base.sparkSession, path)
     partials(base, groupCols, valueCol, quantScale)
       .withColumn("epoch", lit(-1L))
       .withColumn("pbucket", bucketOf)
@@ -226,6 +227,7 @@ object AggState {
   def refresh(spark: SparkSession, path: String, delta: DataFrame,
       groupCols: Seq[String], valueCol: String, quantScale: Int,
       bucketOf: Column): DataFrame = {
+    recoverIfMissing(spark, path)
     checkMeta(spark, path, "sum", SumLayout,
       sumParams(quantScale, bucketOf): _*)
     val d = partials(delta, groupCols, valueCol, quantScale)
@@ -268,6 +270,7 @@ object AggState {
   def absorb(spark: SparkSession, path: String, delta: DataFrame,
       groupCols: Seq[String], valueCol: String, quantScale: Int,
       bucketOf: Column): Unit = {
+    recover(spark, path)
     checkMeta(spark, path, "sum", SumLayout,
       sumParams(quantScale, bucketOf): _*)
     val d = partials(delta, groupCols, valueCol, quantScale)
@@ -333,6 +336,7 @@ object AggState {
   def retract(spark: SparkSession, path: String, deletes: DataFrame,
       groupCols: Seq[String], valueCol: String, quantScale: Int,
       bucketOf: Column): Unit = {
+    recover(spark, path)
     checkMeta(spark, path, "sum", SumLayout,
       sumParams(quantScale, bucketOf): _*)
     val d = partials(deletes, groupCols, valueCol, quantScale)
@@ -389,6 +393,7 @@ object AggState {
       groupCols: Seq[String], valueCol: String, quantScale: Int,
       bucketOf: Column): Unit = {
     require(epochId >= 0, s"epochId must be >= 0, got $epochId")
+    recover(delta.sparkSession, path)
     checkMeta(delta.sparkSession, path, "sum", SumLayout,
       sumParams(quantScale, bucketOf): _*)
     partials(delta, groupCols, valueCol, quantScale)
@@ -405,6 +410,7 @@ object AggState {
     * the probe path (that is [[refresh]]). */
   def merged(spark: SparkSession, path: String,
       groupCols: Seq[String]): DataFrame = {
+    recoverIfMissing(spark, path)
     checkMeta(spark, path, "sum", SumLayout)
     residentAgg(readStore(spark, path), groupCols)
   }
@@ -414,8 +420,10 @@ object AggState {
     * for the aggregate store): each [[appendDelta]] epoch adds one row
     * per touched group, and every read collapses the layer sum until a
     * compact folds them. Column-pruned scan of the epoch column only. */
-  def layerCount(spark: SparkSession, path: String): Long =
+  def layerCount(spark: SparkSession, path: String): Long = {
+    recoverIfMissing(spark, path)
     readStore(spark, path).select(col("epoch")).distinct().count()
+  }
 
   /** Compact when more than `maxLayers` epoch layers are resident —
     * the documented policy knob: [[compactState]] rewrites every
@@ -444,31 +452,35 @@ object AggState {
     * state is NOT cheaply rebuildable). */
   def rebucket(spark: SparkSession, path: String, groupCols: Seq[String],
       valueCol: String, quantScale: Int, newBucketOf: Column): Unit = {
+    recover(spark, path)
     checkMeta(spark, path, "sum", SumLayout,
       "quantScale" -> quantScale.toString)
     swapIn(spark, path,
-      residentAgg(readStore(spark, path), groupCols))(newBucketOf)
-    stampMeta(spark, path, "sum", SumLayout,
-      sumParams(quantScale, newBucketOf))
+      residentAgg(readStore(spark, path), groupCols), newBucketOf,
+      "sum", SumLayout, sumParams(quantScale, newBucketOf))
   }
 
   /** [[rebucket]] for the sketch store. */
   def rebucketDistinct(spark: SparkSession, path: String,
       groupCols: Seq[String], keyCol: String, k: Int,
       newBucketOf: Column): Unit = {
+    recover(spark, path)
     checkMeta(spark, path, "distinct", DistinctLayout, "k" -> k.toString)
     swapIn(spark, path,
-      residentSketch(readStore(spark, path), groupCols, k))(newBucketOf)
-    stampMeta(spark, path, "distinct", DistinctLayout,
-      distinctParams(k, newBucketOf))
+      residentSketch(readStore(spark, path), groupCols, k), newBucketOf,
+      "distinct", DistinctLayout, distinctParams(k, newBucketOf))
   }
 
-  /** Stage `rows` under the new bucket column beside the store, then
-    * swap — the output cannot overwrite the path its plan is still
-    * reading, and the staged write keeps the old generation intact
-    * until the rewrite has fully succeeded. */
-  private def swapIn(spark: SparkSession, path: String,
-      rows: DataFrame)(newBucketOf: Column): Unit = {
+  /** Stage `rows` under the new bucket column beside the store (the
+    * output cannot overwrite the path its plan is still reading), with
+    * the NEW meta written into the stage LAST (= stage-complete
+    * marker), then swap via two renames — [[CcState.compact]]'s
+    * protocol: the old generation stays intact until the stage is
+    * complete, and a crash in the swap window rolls FORWARD via
+    * [[recover]] instead of costing a rebuild. */
+  private def swapIn(spark: SparkSession, path: String, rows: DataFrame,
+      newBucketOf: Column, kind: String, layout: Int,
+      params: Seq[(String, String)]): Unit = {
     val fs = fsFor(path, spark)
     val tmp = path + "_rebucketing"
     fs.delete(new HPath(tmp), true)
@@ -476,8 +488,44 @@ object AggState {
       .withColumn("pbucket", newBucketOf)
       .repartition(col("pbucket"))
       .write.mode("overwrite").partitionBy("pbucket").parquet(tmp)
-    fs.delete(new HPath(path), true)
+    stampMeta(spark, tmp, kind, layout, params)
+    val old = new HPath(path + "_old")
+    fs.rename(new HPath(path), old)
     fs.rename(new HPath(tmp), new HPath(path))
+    fs.delete(old, true)
+  }
+
+  /** Resolve the leftover state of an interrupted [[rebucket]] — the
+    * [[CcState.recover]] cases for the aggregate stores: live missing
+    * with a COMPLETE stage (its meta file written last) rolls FORWARD;
+    * live missing with only `_old` rolls back; stray `_old`/
+    * `_rebucketing` dirs beside a live store are dropped (an
+    * interrupted pre-swap stage — the rebucket simply never happened).
+    * Runs at the head of every MUTATING entry point; read paths call
+    * [[recoverIfMissing]] instead so a reader never deletes a live
+    * rebucket's stage (the CcState.labels read-safety rule). */
+  private def recover(spark: SparkSession, path: String): Unit = {
+    val fs = fsFor(path, spark)
+    recoverIfMissing(spark, path)
+    val old = new HPath(path + "_old")
+    val tmp = new HPath(path + "_rebucketing")
+    if (fs.exists(old)) fs.delete(old, true)
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+  }
+
+  /** The read-path half of [[recover]]: heal only when the live dir is
+    * actually missing (a crash inside the swap window), touch nothing
+    * otherwise. */
+  private def recoverIfMissing(spark: SparkSession, path: String): Unit = {
+    val fs = fsFor(path, spark)
+    val live = new HPath(path)
+    if (fs.exists(live)) return
+    val old = new HPath(path + "_old")
+    val tmp = new HPath(path + "_rebucketing")
+    if (fs.exists(new HPath(tmp, MetaFile))) {
+      fs.rename(tmp, live)
+      fs.delete(old, true)
+    } else if (fs.exists(old)) fs.rename(old, live)
   }
 
   /** Fold all layers back to one row per group, bucket by bucket (the
@@ -490,6 +538,7 @@ object AggState {
     * whenever a later absorb touches that bucket. */
   def compactState(spark: SparkSession, path: String,
       groupCols: Seq[String]): Unit = {
+    recover(spark, path)
     checkMeta(spark, path, "sum", SumLayout)
     residentAgg(readStore(spark, path), groupCols :+ "pbucket")
       .withColumn("epoch", lit(-1L))
@@ -520,6 +569,7 @@ object AggState {
   def rebuildGroups(spark: SparkSession, path: String, groups: DataFrame,
       source: DataFrame, groupCols: Seq[String], valueCol: String,
       quantScale: Int, bucketOf: Column): Unit = {
+    recover(spark, path)
     checkMeta(spark, path, "sum", SumLayout,
       sumParams(quantScale, bucketOf): _*)
     // the group keys under reserved names — groups/source usually share
@@ -631,6 +681,7 @@ object AggState {
     * defensively). */
   def writeDistinct(base: DataFrame, groupCols: Seq[String],
       keyCol: String, k: Int, bucketOf: Column, path: String): Unit = {
+    recover(base.sparkSession, path)
     distinctPartials(base, groupCols, keyCol, k)
       .withColumn("epoch", lit(-1L))
       .withColumn("pbucket", bucketOf)
@@ -664,6 +715,7 @@ object AggState {
   def refreshDistinct(spark: SparkSession, path: String, delta: DataFrame,
       groupCols: Seq[String], keyCol: String, k: Int,
       bucketOf: Column): DataFrame = {
+    recoverIfMissing(spark, path)
     checkMeta(spark, path, "distinct", DistinctLayout,
       distinctParams(k, bucketOf): _*)
     val d = distinctPartials(delta, groupCols, keyCol, k)
@@ -696,6 +748,7 @@ object AggState {
   def absorbDistinct(spark: SparkSession, path: String, delta: DataFrame,
       groupCols: Seq[String], keyCol: String, k: Int,
       bucketOf: Column): Unit = {
+    recover(spark, path)
     checkMeta(spark, path, "distinct", DistinctLayout,
       distinctParams(k, bucketOf): _*)
     val d = distinctPartials(delta, groupCols, keyCol, k)
@@ -761,6 +814,7 @@ object AggState {
   def rebuildDistinctGroups(spark: SparkSession, path: String,
       groups: DataFrame, source: DataFrame, groupCols: Seq[String],
       keyCol: String, k: Int, bucketOf: Column): Unit = {
+    recover(spark, path)
     checkMeta(spark, path, "distinct", DistinctLayout,
       distinctParams(k, bucketOf): _*)
     // reserved-name group keys, as in [[rebuildGroups]]
@@ -803,6 +857,7 @@ object AggState {
   /** The current estimates over the whole sketch store. */
   def distinctEstimates(spark: SparkSession, path: String,
       groupCols: Seq[String], k: Int): DataFrame = {
+    recoverIfMissing(spark, path)
     checkMeta(spark, path, "distinct", DistinctLayout, "k" -> k.toString)
     residentSketch(readStore(spark, path), groupCols, k)
       .select(groupCols.map(col) :+

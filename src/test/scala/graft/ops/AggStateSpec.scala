@@ -580,6 +580,44 @@ class AggStateSpec extends SparkSpec {
     }
   }
 
+  test("rebucket crash states heal: swap-window roll-forward, incomplete-stage rollback, stray cleanup") {
+    val dir = Files.createTempDirectory("graft-aggstate").toString
+    val path = s"$dir/state"
+    AggState.write(ev, groupCols, "value", 10000, bucketOf, path)
+    val expected = AggState.partials(ev, groupCols, "value", 10000)
+      .collect().toSet
+    val newBucket = floor(col("user_id") / 16).cast("long")
+    // crash INSIDE the swap window: stage complete (meta written last),
+    // live renamed away — the next read rolls FORWARD to the new
+    // geometry and answers unchanged
+    AggState.write(ev, groupCols, "value", 10000, newBucket,
+      s"${path}_rebucketing")
+    fs.rename(new HPath(path), new HPath(s"${path}_old")) shouldBe true
+    AggState.merged(spark, path, groupCols).collect().toSet shouldBe expected
+    fs.exists(new HPath(s"${path}_old")) shouldBe false
+    fs.exists(new HPath(s"${path}_rebucketing")) shouldBe false
+    // maintenance continues under the rolled-forward spec
+    AggState.absorb(spark, path, delta.filter(col("user_id") < 4),
+      groupCols, "value", 10000, newBucket)
+    // crash BEFORE the stage completed (no meta in the stage): live
+    // missing + old present rolls BACK to the previous generation
+    val path2 = s"$dir/state2"
+    AggState.write(ev, groupCols, "value", 10000, bucketOf, path2)
+    fs.mkdirs(new HPath(s"${path2}_rebucketing"))
+    fs.rename(new HPath(path2), new HPath(s"${path2}_old")) shouldBe true
+    AggState.merged(spark, path2, groupCols).collect().toSet shouldBe expected
+    // crash BEFORE the swap started (live intact, stage around): a
+    // writer entry point drops the strays; a reader leaves them alone
+    val path3 = s"$dir/state3"
+    AggState.write(ev, groupCols, "value", 10000, bucketOf, path3)
+    fs.mkdirs(new HPath(s"${path3}_rebucketing"))
+    AggState.merged(spark, path3, groupCols).collect().toSet shouldBe expected
+    fs.exists(new HPath(s"${path3}_rebucketing")) shouldBe true // reader: untouched
+    AggState.absorb(spark, path3, delta.filter(col("user_id") < 4),
+      groupCols, "value", 10000, bucketOf)
+    fs.exists(new HPath(s"${path3}_rebucketing")) shouldBe false // writer: cleaned
+  }
+
   test("absorb creates partitions for buckets the store has never seen") {
     val dir = Files.createTempDirectory("graft-aggstate").toString
     val path = s"$dir/state"
