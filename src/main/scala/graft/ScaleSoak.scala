@@ -239,7 +239,8 @@ object ScaleSoak {
     // existing cc_contraction_arm (exponent ~0.9 at r12): that is the
     // daily cost this operator deletes.
     val ccArmsOn = armOn("ccstate_absorb_scaled") ||
-      armOn("ccstate_labels_scaled") || armOn("ccstate_compact_scaled")
+      armOn("ccstate_labels_scaled") || armOn("ccstate_compact_scaled") ||
+      armOn("ccstate_rebucket_scaled")
     val ccDelta: String =
       if (!ccArmsOn) ""
       else {
@@ -323,7 +324,8 @@ object ScaleSoak {
     // merge log's _merges sibling in the copy.
     val ccPrepped: Map[Int, String] =
       if (!armOn("ccstate_labels_scaled") &&
-          !armOn("ccstate_compact_scaled")) Map.empty
+          !armOn("ccstate_compact_scaled") &&
+          !armOn("ccstate_rebucket_scaled")) Map.empty
       else ccIdx.map { case (n, st) =>
         val dst = copyState(st, "ccprep", n, 0)
         graft.ops.CcState.absorb(spark, spark.read.parquet(ccDelta), dst)
@@ -334,6 +336,12 @@ object ScaleSoak {
       else ccPrepped.map { case (n, st) =>
         n -> scala.collection.mutable.Queue(
           (1 to RUNS).map(r => copyState(st, "cccpt", n, r)): _*)
+      }
+    val ccRebucketCopies: Map[Int, scala.collection.mutable.Queue[String]] =
+      if (!armOn("ccstate_rebucket_scaled")) Map.empty
+      else ccPrepped.map { case (n, st) =>
+        n -> scala.collection.mutable.Queue(
+          (1 to RUNS).map(r => copyState(st, "ccrbk", n, r)): _*)
       }
 
     // ivm_refresh arm: per-scale persisted partial-aggregate state
@@ -566,6 +574,15 @@ object ScaleSoak {
         }) :+
         ("ccstate_compact_scaled" -> { (s: SparkSession, _: String, n: Int) =>
           graft.ops.CcState.compact(s, ccCompactCopies(n).dequeue())
+          s.range(1).toDF("ok")
+        }) :+
+        // bucket-geometry migration: a compact into 2x the bucket
+        // count — the same full-rewrite cost class as compact (shared
+        // compactTo path), measured so the rebucket operator's row is
+        // its own evidence, not an analogy.
+        ("ccstate_rebucket_scaled" -> { (s: SparkSession, _: String, n: Int) =>
+          graft.ops.CcState.rebucket(s, ccRebucketCopies(n).dequeue(),
+            512 * n)
           s.range(1).toDF("ok")
         }) :+
         ("bandprobe_scratch_scaled" -> { (s: SparkSession, d: String, _: Int) =>
