@@ -3988,6 +3988,62 @@ object CurationQueries {
     })
   private val q247Sql = q212Sql
 
+  // --------------------------------------------------------- q248
+  /** Incremental STDDEV at delta cost — a composability gate, zero new
+    * operator code: variance is derivable from two mergeable sums
+    * (E[x²]−E[x]²), so a SECOND [[AggState]] store over the squared
+    * value (same groups, same buckets, same quantization discipline —
+    * round(x²·1e4) summed as exact longs) rides the existing
+    * write/absorb lifecycle, and per-group stddev falls out of a keyed
+    * join of the two maintained stores at read time. Both engines
+    * compute sqrt(max(0, Σx²/n − (Σx/n)²)) from the SAME exact
+    * integers with the same op sequence, so the oracle hash-matches.
+    * The training-pipeline use: per-group feature-drift monitoring on
+    * a metric store that never re-scans the fact table. */
+  private def q248(s: SparkSession, dir: String): DataFrame = {
+    val (p1, p2) = q248State(s, dir)
+    val grp = Seq("user_id", "event_type")
+    val a = AggState.merged(s, p1, grp)
+      .select(col("user_id"), col("event_type"), col("n"),
+        (col("sv").cast("double") / 10000).as("s1"))
+    val b = AggState.merged(s, p2, grp)
+      .select(col("user_id").as("u2"), col("event_type").as("e2"),
+        (col("sv").cast("double") / 10000).as("s2"))
+    a.join(b, col("user_id") === col("u2") &&
+        col("event_type") === col("e2"))
+      .select(col("user_id"), col("event_type"), col("n"),
+        round(sqrt(greatest(lit(0.0),
+          col("s2") / col("n") -
+            (col("s1") / col("n")) * (col("s1") / col("n")))), 4)
+          .as("stddev_value"))
+  }
+  private val q248StateCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  private def q248State(s: SparkSession, dir: String): (String, String) =
+    q248StateCache.computeIfAbsent(dir, { _ =>
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-aggstate-q248").toString
+      val ev = Tables.events(s, dir)
+        .withColumn("value2", col("value") * col("value"))
+      val grp = Seq("user_id", "event_type")
+      val base = ev.filter(col("event_id") % 10 =!= 0)
+      val delta = ev.filter(col("event_id") % 10 === 0)
+      AggState.write(base, grp, "value", 10000, q213Bucket, s"$out/s1")
+      AggState.write(base, grp, "value2", 10000, q213Bucket, s"$out/s2")
+      AggState.absorb(s, s"$out/s1", delta, grp, "value", 10000,
+        q213Bucket)
+      AggState.absorb(s, s"$out/s2", delta, grp, "value2", 10000,
+        q213Bucket)
+      (s"$out/s1", s"$out/s2")
+    })
+  private val q248Sql =
+    """SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n,
+      |  round(sqrt(greatest(0.0,
+      |    CAST(SUM(CAST(round(value * value * 10000) AS BIGINT)) AS DOUBLE) / 10000 / count(*) -
+      |    (CAST(SUM(CAST(round(value * 10000) AS BIGINT)) AS DOUBLE) / 10000 / count(*)) *
+      |    (CAST(SUM(CAST(round(value * 10000) AS BIGINT)) AS DOUBLE) / 10000 / count(*)))), 4) AS stddev_value
+      |FROM events GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q168_kmv_distinct" -> q168 _,
     "q169_minhash_error" -> q169 _,
@@ -4068,7 +4124,8 @@ object CurationQueries {
     "q244_image_neardup_band" -> q244 _,
     "q245_wav_decode" -> q245 _,
     "q246_cc_rebucket" -> q246 _,
-    "q247_ivm_rebucket" -> q247 _)
+    "q247_ivm_rebucket" -> q247 _,
+    "q248_ivm_stddev" -> q248 _)
 
   val oracleSql: Map[String, String] = Map(
     "q168_kmv_distinct" -> q168Sql,
@@ -4150,5 +4207,6 @@ object CurationQueries {
     "q244_image_neardup_band" -> q244Sql,
     "q245_wav_decode" -> q245Sql,
     "q246_cc_rebucket" -> q246Sql,
-    "q247_ivm_rebucket" -> q247Sql)
+    "q247_ivm_rebucket" -> q247Sql,
+    "q248_ivm_stddev" -> q248Sql)
 }
