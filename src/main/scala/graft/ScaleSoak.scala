@@ -112,7 +112,8 @@ object ScaleSoak {
     // the index exists to improve. Same planes ≈ log₂(scale) budget as
     // the from-scratch multi-probe arm it is compared against.
     val annIdx: Map[Int, String] =
-      if (!armOn("annindex_topk_scaled") && !armOn("annindex_delete_scaled"))
+      if (!armOn("annindex_topk_scaled") && !armOn("annindex_delete_scaled") &&
+          !armOn("annindex_rebucket_scaled"))
         Map.empty
       else dirs.map { case (n, d) =>
       val planes = soakPlanes(n)
@@ -224,6 +225,13 @@ object ScaleSoak {
     val bandCompactCopies: Map[Int, scala.collection.mutable.Queue[String]] =
       if (!armOn("bandindex_compact_scaled")) Map.empty
       else buildBandDelTables("bandcpt", withTombstones = true)
+    // band-index geometry migration (round 17): the generation rewrite
+    // into 2x the bucket count — the same full-rewrite cost class as
+    // bandindex_compact (shared compactTo path), measured so the
+    // DedupIndex.rebucket row is its own evidence.
+    val bandRebucketCopies: Map[Int, scala.collection.mutable.Queue[String]] =
+      if (!armOn("bandindex_rebucket_scaled")) Map.empty
+      else buildBandDelTables("bandrbk", withTombstones = false)
 
     // ccstate arm (round 15): incremental connected components — a
     // FIXED delta of verified-pair edges absorbed into a clustering
@@ -393,24 +401,31 @@ object ScaleSoak {
     // its own UNTIMED copy of the per-scale index — the arm then times
     // only what a retention/right-to-be-forgotten batch pays: hashing
     // the batch, reading its ≤|batch| bucket dirs, rewriting them.
+    def copyAnnIdx(tag: String): Map[Int, scala.collection.mutable.Queue[String]] = {
+      val conf = spark.sparkContext.hadoopConfiguration
+      annIdx.map { case (n, idx) =>
+        val q = scala.collection.mutable.Queue[String]()
+        (1 to RUNS).foreach { r =>
+          val dst = Files.createTempDirectory(s"graft-soak-$tag-x$n-$r")
+            .toString + "/idx"
+          val fs = new org.apache.hadoop.fs.Path(idx).getFileSystem(conf)
+          org.apache.hadoop.fs.FileUtil.copy(fs,
+            new org.apache.hadoop.fs.Path(idx), fs,
+            new org.apache.hadoop.fs.Path(dst), false, conf)
+          q.enqueue(dst)
+        }
+        n -> q
+      }
+    }
     val delCopies: Map[Int, scala.collection.mutable.Queue[String]] =
       if (!armOn("annindex_delete_scaled")) Map.empty
-      else {
-        val conf = spark.sparkContext.hadoopConfiguration
-        annIdx.map { case (n, idx) =>
-          val q = scala.collection.mutable.Queue[String]()
-          (1 to RUNS).foreach { r =>
-            val dst = Files.createTempDirectory(s"graft-soak-delidx-x$n-$r")
-              .toString + "/idx"
-            val fs = new org.apache.hadoop.fs.Path(idx).getFileSystem(conf)
-            org.apache.hadoop.fs.FileUtil.copy(fs,
-              new org.apache.hadoop.fs.Path(idx), fs,
-              new org.apache.hadoop.fs.Path(dst), false, conf)
-            q.enqueue(dst)
-          }
-          n -> q
-        }
-      }
+      else copyAnnIdx("delidx")
+    // ANN geometry migration (round 17): re-plane the whole store to
+    // soakPlanes(n)+1 — the full-store rewrite the class doc budgets to
+    // the compact schedule; per-run copies, the delete discipline.
+    val annRebucketCopies: Map[Int, scala.collection.mutable.Queue[String]] =
+      if (!armOn("annindex_rebucket_scaled")) Map.empty
+      else copyAnnIdx("rbkidx")
 
     // confirm the corpora actually scale (and prime the file cache so
     // scale-1 reads aren't unfairly warm relative to freshly-written dirs)
@@ -583,6 +598,19 @@ object ScaleSoak {
         ("ccstate_rebucket_scaled" -> { (s: SparkSession, _: String, n: Int) =>
           graft.ops.CcState.rebucket(s, ccRebucketCopies(n).dequeue(),
             512 * n)
+          s.range(1).toDF("ok")
+        }) :+
+        // round-17 geometry-migration arms: both are full-store
+        // rewrites by contract (the compact cost class — scheduled,
+        // never a tax on daily appends/absorbs), measured so each
+        // operator's SCALE.md row is its own evidence.
+        ("annindex_rebucket_scaled" -> { (s: SparkSession, _: String, n: Int) =>
+          AnnIndex.rebucket(s, annRebucketCopies(n).dequeue(),
+            soakPlanes(n) + 1)
+          s.range(1).toDF("ok")
+        }) :+
+        ("bandindex_rebucket_scaled" -> { (s: SparkSession, _: String, n: Int) =>
+          DedupIndex.rebucket(s, bandRebucketCopies(n).dequeue(), 64)
           s.range(1).toDF("ok")
         }) :+
         ("bandprobe_scratch_scaled" -> { (s: SparkSession, d: String, _: Int) =>

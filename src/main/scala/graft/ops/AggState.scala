@@ -157,10 +157,20 @@ object AggState {
         s"$path carries layout ${l.toInt} but this code writes layout " +
           s"$maxLayout — a newer writer owns this store"))
       params.foreach { case (key, got) =>
+        // bucketSpec compares the Column's RENDERED node tree: a Spark
+        // upgrade that changes expression pretty-printing makes every
+        // stamped store fail this check even for semantically identical
+        // expressions — deliberate (loud beats silently probing wrong
+        // buckets), with [[rebucket]] as the migration path, so say so.
+        val escape = if (key == "bucketSpec")
+          " — if the expression is semantically unchanged (e.g. a Spark" +
+            " upgrade altered expression rendering), migrate via" +
+            " rebucket, which restamps the canonical spec"
+          else ""
         m.get(key).foreach(stored => require(stored == got,
           s"$path was built with $key=$stored but the caller passed " +
             s"$got — refresh/absorb/retract/rebuild must use the " +
-            "store's own parameters"))
+            "store's own parameters" + escape))
       }
     }
 
@@ -204,17 +214,20 @@ object AggState {
     * the SAME expression must be passed to every later call; choose it
     * so a typical delta's groups land in few buckets, e.g. a key-range
     * floor for range-affine deltas or a hash mod for uniformly spread
-    * ones). Each bucket is co-located to one file. */
+    * ones). Each bucket is co-located to one file. STAGED through
+    * [[swapIn]] even on the initial build: a direct overwrite would
+    * delete a previous generation's meta before the data lands, so a
+    * crash inside write() could silently DEMOTE a stamped store to the
+    * unchecked legacy class (the next maintenance call with drifted
+    * parameters would pass checkMeta and restamp the wrong values);
+    * staged, a crash leaves either the old stamped generation or the
+    * complete new one. */
   def write(base: DataFrame, groupCols: Seq[String], valueCol: String,
       quantScale: Int, bucketOf: Column, path: String): Unit = {
     recover(base.sparkSession, path)
-    partials(base, groupCols, valueCol, quantScale)
-      .withColumn("epoch", lit(-1L))
-      .withColumn("pbucket", bucketOf)
-      .repartition(col("pbucket"))
-      .write.mode("overwrite").partitionBy("pbucket").parquet(path)
-    stampMeta(base.sparkSession, path, "sum", SumLayout,
-      sumParams(quantScale, bucketOf))
+    swapIn(base.sparkSession, path,
+      partials(base, groupCols, valueCol, quantScale), bucketOf,
+      "sum", SumLayout, sumParams(quantScale, bucketOf))
   }
 
   /** Merge-read: the refreshed aggregates for exactly the DELTA's
@@ -445,11 +458,13 @@ object AggState {
     * NEW canonical bucket spec, so every later maintenance call
     * validates against it — passing the OLD expression after a
     * rebucket fails loudly. `quantScale` must still match the store's
-    * stamp. Full overwrite by construction (every row moves buckets);
-    * crash contract = [[write]]'s: the partials store is rebuildable
-    * from the fact table, so an interrupted rebucket is re-run, not
-    * recovered ([[CcState.rebucket]] stages a swap instead because CC
-    * state is NOT cheaply rebuildable). */
+    * stamp. Full rewrite by construction (every row moves buckets),
+    * STAGED: [[swapIn]] writes the new generation beside the store
+    * with its meta LAST (= stage-complete marker), then swaps via two
+    * renames — a crash in the swap window rolls FORWARD at the next
+    * entry point ([[recover]]/[[recoverIfMissing]]); a crash before
+    * the swap leaves the old generation live and the rebucket simply
+    * "didn't happen" (AggStateSpec pins each crash state). */
   def rebucket(spark: SparkSession, path: String, groupCols: Seq[String],
       valueCol: String, quantScale: Int, newBucketOf: Column): Unit = {
     recover(spark, path)
@@ -477,7 +492,9 @@ object AggState {
     * marker), then swap via two renames — [[CcState.compact]]'s
     * protocol: the old generation stays intact until the stage is
     * complete, and a crash in the swap window rolls FORWARD via
-    * [[recover]] instead of costing a rebuild. */
+    * [[recover]] instead of costing a rebuild. Also serves [[write]]/
+    * [[writeDistinct]]'s initial build, where no live generation may
+    * exist yet (the first rename is skipped). */
   private def swapIn(spark: SparkSession, path: String, rows: DataFrame,
       newBucketOf: Column, kind: String, layout: Int,
       params: Seq[(String, String)]): Unit = {
@@ -490,7 +507,7 @@ object AggState {
       .write.mode("overwrite").partitionBy("pbucket").parquet(tmp)
     stampMeta(spark, tmp, kind, layout, params)
     val old = new HPath(path + "_old")
-    fs.rename(new HPath(path), old)
+    if (fs.exists(new HPath(path))) fs.rename(new HPath(path), old)
     fs.rename(new HPath(tmp), new HPath(path))
     fs.delete(old, true)
   }
@@ -682,13 +699,9 @@ object AggState {
   def writeDistinct(base: DataFrame, groupCols: Seq[String],
       keyCol: String, k: Int, bucketOf: Column, path: String): Unit = {
     recover(base.sparkSession, path)
-    distinctPartials(base, groupCols, keyCol, k)
-      .withColumn("epoch", lit(-1L))
-      .withColumn("pbucket", bucketOf)
-      .repartition(col("pbucket"))
-      .write.mode("overwrite").partitionBy("pbucket").parquet(path)
-    stampMeta(base.sparkSession, path, "distinct", DistinctLayout,
-      distinctParams(k, bucketOf))
+    swapIn(base.sparkSession, path,
+      distinctPartials(base, groupCols, keyCol, k), bucketOf,
+      "distinct", DistinctLayout, distinctParams(k, bucketOf))
   }
 
   /** k-min of the union of two sketch arrays — associative and

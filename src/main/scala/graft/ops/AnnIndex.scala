@@ -626,19 +626,225 @@ object AnnIndex {
     fs.delete(old, true)
   }
 
-  /** Resolve the leftover state of an interrupted [[compact]] or
-    * [[delete]] so every caller sees a complete layout. Runs
-    * automatically at the head of every entry point; idempotent, so a
-    * crash during recovery is itself recoverable. Cases:
-    *  - live dir missing + `_old` present: compact crashed between its
-    *    two renames. If the staged `_compacting` dir is COMPLETE (has
-    *    its meta file) the compact rolls FORWARD (staged → live);
-    *    otherwise `_old` rolls back to live.
+  // ------------------------------------------------------------------
+  // Geometry migration: rewrite the index under NEW hashing parameters
+  // — the lifecycle operator for when the corpus outgrows the geometry
+  // chosen at write time. The class doc budgets planes ≈ log₂(n /
+  // targetBucketSize): an index that grew 30× under appends has 30×
+  // the rows per bucket and every probe pays it; before round 17 the
+  // only path was a caller-side from-scratch rewrite FROM THE CORPUS.
+  // rebucket instead re-derives the new layout from the STORED vectors
+  // (one full read of the index — the compact cost class, scheduled,
+  // never a tax on daily appends) and swaps it in with the staged
+  // protocol every store here shares: stage beside the live dir, new
+  // meta written into the stage LAST (= stage-complete marker), two
+  // renames, [[recover]] rolling a swap-window crash FORWARD and
+  // discarding an incomplete stage. Quantized layouts re-hash (and
+  // re-train) from the int8 RECONSTRUCTION — the store deliberately
+  // does not keep the raw floats, so the migrated geometry is the
+  // geometry of the reconstructed corpus (q203 measured the
+  // reconstruction's retrieval fidelity; AnnIndexSpec pins migrated ≡
+  // from-scratch over the reconstruction exactly). `centered` indexes
+  // recompute μ from the resident corpus — the one moment statistics
+  // may legitimately refresh, because every row is rewritten with the
+  // new μ and the meta restamps it (appends between migrations must
+  // still never touch μ — the q205 stability rule stands).
+  // ------------------------------------------------------------------
+
+  /** The index's logical corpus, one row per vec_id: (vec_id,
+    * embedding) — banded layouts' per-band copies and at-least-once
+    * append duplicates collapse here. The full-store read every
+    * migration pays once. Non-quantized layouts keep the stored
+    * column's ORIGINAL element type (a float corpus must re-store as
+    * float: a double rewrite would type-mix the store against later
+    * float-array appends and break the parquet read); quantized
+    * layouts reconstruct to doubles and re-quantize — they never store
+    * the vector column, so no mixing is possible. */
+  private def residentCorpus(spark: SparkSession, path: String,
+      meta: Meta): DataFrame =
+    spark.read.parquet(path)
+      .select(col("vec_id"),
+        (if (meta.quantized) storedValue(meta) else col("embedding"))
+          .as("embedding"))
+      .dropDuplicates("vec_id")
+
+  /** Stage `rows` (already encoded + repartitioned for the layout) and
+    * swap them in under the new meta `body` — see the migration block
+    * comment for the crash contract. */
+  private def swapInStage(spark: SparkSession, path: String,
+      rows: DataFrame, partCols: Seq[String], body: String): Unit = {
+    val fs = fsFor(path, spark)
+    val tmp = path + "_rebucketing"
+    fs.delete(new HPath(tmp), true)
+    rows.write.mode("overwrite").partitionBy(partCols: _*).parquet(tmp)
+    writeString(fs, new HPath(tmp, MetaFile), body)
+    val old = new HPath(path + "_old")
+    fs.rename(new HPath(path), old)
+    fs.rename(new HPath(tmp), new HPath(path))
+    fs.delete(old, true)
+  }
+
+  /** Re-plane a FLAT index to `newPlanes` hyperplanes: every stored
+    * vector is re-hashed (with a fresh corpus mean when the index is
+    * `centered`) and the store rewritten under the new `bucket=`
+    * geometry; the meta restamps planes/μ so every later [[append]]/
+    * [[topK]] hashes with the migrated parameters (a probe against a
+    * silently-unmigrated store would find no directories and return
+    * empty — q249 gates migrated-then-probed ≡ from-scratch at the new
+    * planes). */
+  def rebucket(spark: SparkSession, path: String, newPlanes: Int): Unit = {
+    require(newPlanes > 0 && newPlanes <= 32,
+      s"planes must be in [1,32], got $newPlanes")
+    recover(spark, path)
+    val meta = readMeta(path)
+    require(!meta.banded && !meta.ivf,
+      s"$path is a ${meta.layoutName} index — use " +
+        s"${if (meta.banded) "rebucketBanded" else "rebucketIvf"}")
+    val corpus = residentCorpus(spark, path, meta)
+    val mu = if (meta.centered) Similarity.dimMeans(corpus, meta.dims)
+      else Seq.empty[Double]
+    val muStr = mu.map(java.lang.Double.toString).mkString(",")
+    val body = s"planes=$newPlanes\ndims=${meta.dims}\n" +
+      s"centered=${meta.centered}\nquantized=${meta.quantized}\n" +
+      s"mu=$muStr\nvecIdType=${meta.vecIdType}\n"
+    swapInStage(spark, path,
+      indexRows(corpus, newPlanes, meta.dims, mu, meta.quantized),
+      Seq("bucket"), body)
+  }
+
+  /** [[rebucket]] for the banded layout: each stored vector (ONE
+    * logical copy — the per-band copies collapse on read) is
+    * re-exploded into `newBands` × `newPlanesPerBand` band keys under
+    * the two-level `band=/bucket=` geometry. */
+  def rebucketBanded(spark: SparkSession, path: String, newBands: Int,
+      newPlanesPerBand: Int): Unit = {
+    require(newBands > 0 && newPlanesPerBand > 0 &&
+        newBands * newPlanesPerBand <= 32,
+      s"bands*planesPerBand must be in [1,32], got " +
+        s"$newBands x $newPlanesPerBand")
+    recover(spark, path)
+    val meta = readMeta(path)
+    require(meta.banded, s"$path is a ${meta.layoutName} index — use " +
+      s"${if (meta.ivf) "rebucketIvf" else "rebucket"}")
+    val corpus = residentCorpus(spark, path, meta)
+    val mu = if (meta.centered) Similarity.dimMeans(corpus, meta.dims)
+      else Seq.empty[Double]
+    val muStr = mu.map(java.lang.Double.toString).mkString(",")
+    val body = s"planes=${newBands * newPlanesPerBand}\n" +
+      s"dims=${meta.dims}\ncentered=${meta.centered}\n" +
+      s"quantized=${meta.quantized}\nmu=$muStr\n" +
+      s"vecIdType=${meta.vecIdType}\nbands=$newBands\n" +
+      s"planesPerBand=$newPlanesPerBand\n"
+    swapInStage(spark, path,
+      bandedRows(corpus, newBands, newPlanesPerBand, meta.dims, mu,
+        meta.quantized),
+      Seq("band", "bucket"), body)
+  }
+
+  /** [[rebucket]] for the IVF layout: RE-TRAINS the coarse quantizer
+    * over the resident corpus — `newNClusters` cells from the
+    * deterministic [[writeIvf]] rule (the lowest-vec_id resident
+    * vectors), so a store grown far past its write-time geometry gets
+    * cells sized to what it holds NOW — then re-assigns every stored
+    * vector with the new quantizer and persists it in the meta.
+    * Between migrations, appends keep using the PERSISTED quantizer
+    * (the q219 stability rule); migration is the one sanctioned
+    * re-training moment. */
+  def rebucketIvf(spark: SparkSession, path: String,
+      newNClusters: Int): Unit = {
+    require(newNClusters > 0,
+      s"nClusters must be positive, got $newNClusters")
+    recover(spark, path)
+    val meta = readMeta(path)
+    require(meta.ivf, s"$path is a ${meta.layoutName} index — use " +
+      s"${if (meta.banded) "rebucketBanded" else "rebucket"}")
+    val corpus = residentCorpus(spark, path, meta)
+    // the re-trained quantizer: the bounded codebook collect
+    // ([[writeIvf]]'s class — newNClusters rows)
+    val centRows = corpus.orderBy(col("vec_id")).limit(newNClusters)
+      .select(col("vec_id").cast("long"),
+        Similarity.toDouble(col("embedding")).as("c"))
+      .collect().sortBy(_.getLong(0))
+    val ids = centRows.map(_.getLong(0)).toSeq
+    val cvecs = centRows.map(_.getSeq[Double](1)).toSeq
+    val body = s"planes=0\ndims=${meta.dims}\ncentered=false\n" +
+      s"quantized=${meta.quantized}\nmu=\n" +
+      s"vecIdType=${meta.vecIdType}\n" +
+      s"centIds=${ids.mkString(",")}\n" +
+      s"centroids=${cvecs.map(_.map(java.lang.Double.toString)
+        .mkString(",")).mkString(";")}\n"
+    swapInStage(spark, path, ivfRows(corpus, ids, cvecs, meta.quantized),
+      Seq("cell"), body)
+  }
+
+  /** The class-doc budget as code: planes ≈ log₂(n / targetBucketSize),
+    * clamped to [1, 32]. */
+  def recommendedPlanes(n: Long, targetBucketSize: Long): Int = {
+    require(n > 0 && targetBucketSize > 0,
+      s"need positive counts, got n=$n target=$targetBucketSize")
+    math.max(1, math.min(32, math.round(
+      math.log(n.toDouble / targetBucketSize) / math.log(2.0)).toInt))
+  }
+
+  /** Migrate when the corpus has outgrown (or undershot) the stamped
+    * geometry — the policy knob that makes the migration schedule code,
+    * not prose (the [[CcState.maybeCompact]] discipline applied to
+    * geometry). Sizing comes from the store's own LOGICAL row count
+    * (raw rows; banded divides by bands — at-least-once redelivery
+    * duplicates inflate it slightly, fine for a sizing heuristic):
+    *  - flat / banded: re-plane when the budgeted planes (per band)
+    *    differ from the stamped ones by ≥ 1 — exactly one power-of-two
+    *    step of per-bucket population drift;
+    *  - IVF: re-train when the budgeted cell count reaches 2× (or
+    *    falls to ≤ ½) the persisted quantizer's — the doubling
+    *    discipline, because an IVF migration re-trains and every append
+    *    in between must keep the persisted centroids.
+    * Returns whether it migrated. Writer-side call — the single-writer
+    * contract applies (the full-store rewrite runs on the compact
+    * schedule, never per append). */
+  def maybeRebucket(spark: SparkSession, path: String,
+      targetBucketSize: Long): Boolean = {
+    require(targetBucketSize > 0,
+      s"targetBucketSize must be positive, got $targetBucketSize")
+    recover(spark, path)
+    val meta = readMeta(path)
+    val raw = spark.read.parquet(path).count()
+    if (meta.ivf) {
+      val want = math.max(1L, raw / targetBucketSize)
+      val have = meta.centIds.size.toLong
+      if (want >= 2 * have || 2 * want <= have) {
+        rebucketIvf(spark, path, math.min(want, Int.MaxValue.toLong).toInt)
+        true
+      } else false
+    } else if (meta.banded) {
+      val perBand = math.max(1L, raw / meta.bands)
+      val want = math.min(recommendedPlanes(perBand, targetBucketSize),
+        32 / meta.bands)
+      if (want != meta.planesPerBand) {
+        rebucketBanded(spark, path, meta.bands, want)
+        true
+      } else false
+    } else {
+      val want = recommendedPlanes(math.max(1L, raw), targetBucketSize)
+      if (want != meta.planes) { rebucket(spark, path, want); true }
+      else false
+    }
+  }
+
+  /** Resolve the leftover state of an interrupted [[compact]],
+    * [[delete]], or rebucket so every caller sees a complete layout.
+    * Runs automatically at the head of every entry point; idempotent,
+    * so a crash during recovery is itself recoverable. Cases:
+    *  - live dir missing + `_old` present: a compact or rebucket
+    *    crashed between its two renames. If the staged `_compacting` /
+    *    `_rebucketing` dir is COMPLETE (has its meta file) the
+    *    operation rolls FORWARD (staged → live); otherwise `_old`
+    *    rolls back to live.
     *  - `_old` present alongside live: the swap finished but the final
     *    cleanup didn't — drop `_old`.
-    *  - `_compacting` present: the stage never swapped (crash before
-    *    the first rename, or rolled back above) — discard it; compact
-    *    simply "didn't happen".
+    *  - `_compacting` / `_rebucketing` present: the stage never
+    *    swapped (crash before the first rename, or rolled back above)
+    *    — discard it; the operation simply "didn't happen".
     *  - `_deleting` present WITH its manifest: the staged delete was
     *    complete — redo the (idempotent) bucket swap, then discard the
     *    stage. Without the manifest the stage was incomplete — discard
@@ -649,10 +855,14 @@ object AnnIndex {
     val live = new HPath(path)
     val old = new HPath(path + "_old")
     val compacting = new HPath(path + "_compacting")
+    val rebucketing = new HPath(path + "_rebucketing")
     val deleting = new HPath(path + "_deleting")
     if (!fs.exists(live) && fs.exists(old)) {
       if (fs.exists(new HPath(compacting, MetaFile))) {
         fs.rename(compacting, live) // roll forward: stage was complete
+        fs.delete(old, true)
+      } else if (fs.exists(new HPath(rebucketing, MetaFile))) {
+        fs.rename(rebucketing, live) // roll forward: stage was complete
         fs.delete(old, true)
       } else {
         fs.rename(old, live) // roll back
@@ -660,6 +870,7 @@ object AnnIndex {
     }
     if (fs.exists(old)) fs.delete(old, true)
     if (fs.exists(compacting)) fs.delete(compacting, true)
+    if (fs.exists(rebucketing)) fs.delete(rebucketing, true)
     if (fs.exists(deleting)) {
       if (fs.exists(new HPath(deleting, AffectedFile)))
         applyDeleteSwap(fs, path, path + "_deleting")

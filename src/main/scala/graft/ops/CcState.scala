@@ -47,16 +47,19 @@ import org.apache.spark.sql.functions._
   * absorbed — including a NEW node whose id undercuts a resident
   * cluster's min (the merge log relabels the resident rows lazily).
   *
-  * Deliberate non-feature: NODE DELETION. Removing a node removes its
-  * edges, which can SPLIT a component — and a label store cannot
-  * decide connectivity of the remainder without the edge set it
-  * deliberately does not keep (labels are a summary, edges are the
-  * truth). Right-to-be-forgotten for clustered docs is therefore an
-  * anti-join against the label output downstream ([[DedupIndex]] owns
-  * forgetting the document's own index rows); a true edge-level
-  * retraction needs CC re-run over the affected components' surviving
-  * edges from the pair source — a rebuild-class operation by nature,
-  * not maintainable at delta cost, stated here so nobody expects it.
+  * NODE DELETION comes in two modes. Label-only (the default): a
+  * label store cannot decide connectivity of the remainder without
+  * the edge set it deliberately does not keep (labels are a summary,
+  * edges are the truth), so right-to-be-forgotten is an anti-join
+  * against the label output downstream and a true retraction is
+  * rebuild-class — stated so nobody expects it. EDGE-RETENTION mode
+  * (opt-in, round 17): persist the edge set too ([[writeEdges]] /
+  * [[absorbEdges]], same node-hash bucket geometry) and
+  * [[deleteNodes]] becomes COMPONENT-priced — the deleted nodes'
+  * components are re-solved from their surviving persisted edges and
+  * only their members' label buckets rewrite; the price is the edge
+  * store itself (O(edges) storage — the classical summary-vs-truth
+  * trade, bought deliberately).
   *
   * Crash/idempotence contract: [[absorb]] is IDEMPOTENT — re-absorbing
   * a delta finds every endpoint resident with merged labels, contracts
@@ -85,11 +88,36 @@ import org.apache.spark.sql.functions._
 object CcState {
 
   private val MetaFile = "_graft_cc_meta"
+  /** [[deleteNodes]]' staging manifest — the [[AnnIndex]] delete-swap
+    * discipline: one `pbucket=N,kept|emptied` line per affected label
+    * bucket plus one `log,kept|emptied` line for the merge log,
+    * written AFTER the staged data so its presence marks the stage
+    * complete. */
+  private val AffectedFile = "_graft_affected"
+  /** The purged merge log inside a [[deleteNodes]] stage. */
+  private val StagedLogDir = "_newlog"
 
   private def fsFor(path: String, spark: SparkSession): FileSystem =
     new HPath(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private def mergesPath(path: String): String = path + "_merges"
+
+  private def writeString(fs: FileSystem, p: HPath, body: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(body.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def readString(fs: FileSystem, p: HPath): String = {
+    val in = fs.open(p)
+    try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](8192)
+      var n = in.read(chunk)
+      while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+      new String(buf.toByteArray, StandardCharsets.UTF_8)
+    } finally in.close()
+  }
 
   private def bucketCol(buckets: Int) =
     pmod(hash(col("node")), lit(buckets)).as("pbucket")
@@ -359,6 +387,27 @@ object CcState {
     compactTo(spark, path, newBuckets)
   }
 
+  /** Migrate when the label store has outgrown (or undershot) its
+    * bucket count — the geometry policy knob ([[AnnIndex
+    * .maybeRebucket]]'s discipline): sized from the store's own row
+    * count against the class doc's `buckets ≈ corpus/targetBucketRows`
+    * budget, migrating only at a ≥ 2× / ≤ ½ drift (the doubling
+    * discipline — the rewrite is store-sized and must not flap).
+    * Returns whether it migrated. Writer-side. */
+  def maybeRebucket(spark: SparkSession, path: String,
+      targetBucketRows: Long): Boolean = {
+    require(targetBucketRows > 0,
+      s"targetBucketRows must be positive, got $targetBucketRows")
+    recover(spark, path)
+    val have = readBuckets(spark, path).toLong
+    val want = math.max(1L,
+      spark.read.parquet(path).count() / targetBucketRows)
+    if (want >= 2 * have || 2 * want <= have) {
+      rebucket(spark, path, math.min(want, Int.MaxValue.toLong).toInt)
+      true
+    } else false
+  }
+
   private def readBucketsRecovered(spark: SparkSession,
       path: String): Int = {
     recover(spark, path)
@@ -384,10 +433,290 @@ object CcState {
     fs.delete(new HPath(mergesPath(path)), true)
   }
 
-  /** Resolve the leftover state of an interrupted [[compact]] — the
-    * [[AnnIndex.recover]] cases, minus delete staging (this store has
-    * none): live missing + `_old` present rolls FORWARD iff the staged
-    * `_compacting` dir is complete (has its meta file), else back;
+  // ==================================================================
+  // Edge-retention mode: the optional persisted EDGE store (the truth
+  // the label summary is derived from) that turns node deletion from
+  // rebuild-class into component-priced work. Same bucket geometry as
+  // the labels: each undirected edge is stored TWICE, once under each
+  // endpoint's node-hash bucket, so "the edges touching these nodes"
+  // is a partition-pruned read (the ×2 storage is the adjacency-list
+  // trade, bought deliberately — the [[AnnIndex.writeBanded]]
+  // argument, applied to graphs).
+  // ==================================================================
+
+  /** Persist the undirected edge set at `path` (a separate path from
+    * the label store — keep the two in lockstep: every [[write]]/
+    * [[absorb]] on the labels pairs with a [[writeEdges]]/
+    * [[absorbEdges]] here, the single-writer contract covering both).
+    * `buckets` sizes like [[write]]'s. */
+  def writeEdges(pairs: DataFrame, path: String,
+      buckets: Int = 32): Unit = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val spark = pairs.sparkSession
+    recover(spark, path)
+    val e = pairs.filter(col("id_a").isNotNull && col("id_b").isNotNull)
+      .select(col("id_a"), col("id_b")).distinct()
+    e.select(col("id_a").as("node"), col("id_b").as("peer"))
+      .unionByName(e.select(col("id_b").as("node"), col("id_a").as("peer")))
+      .distinct()
+      .withColumn("pbucket", bucketCol(buckets))
+      .repartition(col("pbucket"))
+      .write.mode("overwrite").partitionBy("pbucket").parquet(path)
+    writeString(fsFor(path, spark), new HPath(path, MetaFile),
+      s"buckets=$buckets\n")
+  }
+
+  /** Append a day's new edges into the edge store — both directions,
+    * resident files untouched (the [[absorb]] write shape). Replayed
+    * batches append duplicate (node, peer) rows; every read distincts,
+    * so redelivery degrades read cost, never answers (the standard
+    * at-least-once argument here). */
+  def absorbEdges(spark: SparkSession, newEdges: DataFrame,
+      path: String): Unit = {
+    recover(spark, path)
+    val buckets = readBuckets(spark, path)
+    val nodeType = spark.read.parquet(path).schema("node").dataType
+    Seq("id_a", "id_b").foreach { c =>
+      val t = newEdges.schema(c).dataType
+      require(t == nodeType,
+        s"delta column $c is $t but the edge store at $path holds " +
+          s"$nodeType nodes — cast the delta to the store's node type")
+    }
+    val e = newEdges.filter(col("id_a").isNotNull && col("id_b").isNotNull)
+      .select(col("id_a"), col("id_b")).distinct()
+    e.select(col("id_a").as("node"), col("id_b").as("peer"))
+      .unionByName(e.select(col("id_b").as("node"), col("id_a").as("peer")))
+      .distinct()
+      .withColumn("pbucket", bucketCol(buckets))
+      .repartition(col("pbucket"))
+      .write.mode("append").partitionBy("pbucket").parquet(path)
+  }
+
+  /** Right-to-be-forgotten WITH edge retention: remove `ids` (one
+    * column, the node ids) and re-solve exactly their components from
+    * the surviving persisted edges. Work is component-priced — the
+    * deleted nodes' components' members, their label buckets, and
+    * their edge buckets — plus ONE column-pruned full scan of the
+    * label table to enumerate the members (labels are bucketed by
+    * node, not by cluster; the scan is |nodes| two-column rows, the
+    * summary, never the corpus), stated as the honest cost.
+    *
+    * Steps: (1) the deleted nodes' resolved cluster set (bucket-pruned
+    * lookup, ≤ |ids| labels collected); (2) component members from the
+    * label scan; (3) surviving member edges (bucket-pruned, anti-join
+    * ids); (4) PURGE the edge store's deleted rows (dynamic overwrite
+    * of the touched edge buckets; buckets emptied entirely are removed
+    * — their only rows touched deleted nodes); (5) re-run CC over the
+    * surviving component edges, members who lost every edge becoming
+    * singletons; (6) swap the rewritten label buckets AND the purged
+    * merge log in via an [[AnnIndex.delete]]-style staged manifest
+    * (stage complete = manifest present; [[recover]] redoes the
+    * idempotent swap after a crash). The merge-log purge drops every
+    * record resolving into the affected cluster set — after the
+    * rebuild no live row resolves through them, and a SURVIVOR can
+    * legitimately become a new cluster label that collides with a
+    * stale record's key (a min-member that was only a label because
+    * the deleted component absorbed it), so the stale records must go,
+    * not linger.
+    *
+    * Delivery contract: AT-LEAST-ONCE — re-running the same batch
+    * converges (edges are purged before labels swap, so a replay
+    * either re-derives the same rebuild from intact labels or finds
+    * nothing left to do); a CRASHED call must be re-run with the same
+    * ids before any other maintenance on either store (single-writer
+    * discipline — the edge purge and label swap are consistent only
+    * once the call completes). Deleting ids the store never saw is a
+    * no-op. */
+  def deleteNodes(spark: SparkSession, ids: DataFrame, labelPath: String,
+      edgePath: String): Unit = {
+    recover(spark, labelPath)
+    recover(spark, edgePath)
+    val lBuckets = readBuckets(spark, labelPath)
+    val eBuckets = readBuckets(spark, edgePath)
+    val nodeType = spark.read.parquet(labelPath).schema("node").dataType
+    val idCol = ids.columns.head
+    require(ids.schema(idCol).dataType == nodeType,
+      s"ids column $idCol is ${ids.schema(idCol).dataType} but the " +
+        s"store at $labelPath holds $nodeType nodes")
+    val del = ids.select(col(idCol).as("node")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val m = mergeMap(spark, labelPath)
+      // (1) resolved clusters of the deleted nodes — ≤ |ids| collected
+      val delDirs = touchedDirs(spark, labelPath, del, lBuckets)
+      if (delDirs.isEmpty) return
+      val delRows = spark.read.option("basePath", labelPath)
+        .parquet(delDirs: _*).select(col("node"), col("cluster"))
+        .join(del, Seq("node"), "left_semi")
+      val cSet = applyMerges(delRows, "cluster", m)
+        .select(col("cluster")).distinct().collect().map(_.get(0)).toSeq
+      if (cSet.isEmpty) return
+      // (2) the affected components' members — the label-scan cost
+      val comp = applyMerges(
+          spark.read.parquet(labelPath).select(col("node"), col("cluster")),
+          "cluster", m)
+        .filter(col("cluster").isin(cSet: _*))
+        .select(col("node"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        comp.count()
+        // (3) surviving component edges: the anti-join against `del`
+        // makes this correct whether or not step (4)'s physical purge
+        // has happened — what makes a crashed call re-runnable
+        val eDirs = touchedDirs(spark, edgePath, comp, eBuckets)
+        val compEdges =
+          (if (eDirs.isEmpty)
+            spark.read.parquet(edgePath).limit(0)
+          else spark.read.option("basePath", edgePath).parquet(eDirs: _*))
+            .select(col("node"), col("peer"))
+            .join(comp, Seq("node"), "left_semi")
+        val surviving = compEdges
+          .join(del, Seq("node"), "left_anti")
+          .join(del.select(col("node").as("peer")), Seq("peer"), "left_anti")
+          .filter(col("node") < col("peer"))
+          .select(col("node").as("id_a"), col("peer").as("id_b"))
+          .distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          surviving.count() // materialize BEFORE mutating the edge store
+          // (5, computed first) re-solve the components; edge-less
+          // survivors are their own singleton clusters. localCheckpoint
+          // TRUNCATES the lineage: the purge below writes to edgePath,
+          // and Spark's post-write recache would otherwise lazily
+          // RE-EXECUTE any plan whose lineage reads that path against
+          // the purged file list (a persist alone does not survive the
+          // invalidation). Checkpoint blocks live on the executors —
+          // losing one fails the job, which the re-run contract heals.
+          val survivors = comp.join(del, Seq("node"), "left_anti")
+          val cc = Dedup.connectedComponents(surviving)
+          val newLabels = survivors.join(cc, Seq("node"), "left")
+            .select(col("node"),
+              coalesce(col("cluster"), col("node")).as("cluster"))
+            .localCheckpoint()
+          // (4) purge the edge store: rewrite the touched buckets
+          // without rows touching a deleted id; buckets left with
+          // nothing are removed (dynamic overwrite cannot carry
+          // emptiness — their stale dirs are deleted explicitly, and a
+          // crash in that window is healed by the re-run contract)
+          if (eDirs.nonEmpty) {
+            val fs = fsFor(edgePath, spark)
+            val kept = spark.read.option("basePath", edgePath)
+              .parquet(eDirs: _*)
+              .select(col("node"), col("peer"), col("pbucket"))
+              .join(del, Seq("node"), "left_anti")
+              .join(del.select(col("node").as("peer")), Seq("peer"),
+                "left_anti")
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            try {
+              val keptBuckets = kept.select(col("pbucket")).distinct()
+                .collect().map(r => s"pbucket=${r.get(0)}").toSet
+              kept.repartition(col("pbucket"))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("pbucket").parquet(edgePath)
+              eDirs.map(d => d.substring(d.lastIndexOf('/') + 1))
+                .filterNot(keptBuckets)
+                .foreach(d => fs.delete(new HPath(edgePath, d), true))
+            } finally kept.unpersist()
+          }
+          // (6) staged label-bucket + merge-log swap
+          stageLabelDelete(spark, labelPath, lBuckets, comp, newLabels,
+            m, cSet)
+          applyLabelDeleteSwap(fsFor(labelPath, spark), labelPath)
+          fsFor(labelPath, spark)
+            .delete(new HPath(labelPath + "_deleting"), true)
+        } finally surviving.unpersist()
+      } finally comp.unpersist()
+    } finally del.unpersist()
+  }
+
+  /** Build [[deleteNodes]]' stage: the affected label buckets
+    * rewritten (component rows replaced by `newLabels`, deleted ids
+    * dropped, other components' rows passed through), the purged merge
+    * log, and LAST the manifest. */
+  private def stageLabelDelete(spark: SparkSession, labelPath: String,
+      buckets: Int, comp: DataFrame, newLabels: DataFrame,
+      m: Map[Any, Any], cSet: Seq[Any]): Unit = {
+    val fs = fsFor(labelPath, spark)
+    val tmp = labelPath + "_deleting"
+    fs.delete(new HPath(tmp), true)
+    val lDirs = touchedDirs(spark, labelPath, comp, buckets)
+    val keep = spark.read.option("basePath", labelPath).parquet(lDirs: _*)
+      .select(col("node"), col("cluster"))
+      .join(comp, Seq("node"), "left_anti")
+    keep.unionByName(newLabels)
+      .withColumn("pbucket", bucketCol(buckets))
+      .repartition(col("pbucket"))
+      .write.mode("overwrite").partitionBy("pbucket").parquet(tmp)
+    // purged merge log: drop every record resolving into the affected
+    // clusters (driver-sized — the mergeMap collect class); writing
+    // the path-compressed form is semantically identical to the raw
+    // chains it replaces
+    val keptLog = m.toSeq.filterNot { case (_, fin) => cSet.contains(fin) }
+    val logKept = keptLog.nonEmpty
+    if (logKept) {
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("old_cluster",
+          newLabels.schema("cluster").dataType),
+        org.apache.spark.sql.types.StructField("new_cluster",
+          newLabels.schema("cluster").dataType)))
+      val rows = keptLog.map { case (o, n) =>
+        org.apache.spark.sql.Row(o, n)
+      }
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+        .coalesce(1).write.mode("overwrite")
+        .parquet(new HPath(tmp, StagedLogDir).toString)
+    }
+    // manifest AFTER the staged data: presence = stage complete
+    val bucketLines = lDirs.map { d =>
+      val rel = d.substring(d.lastIndexOf('/') + 1)
+      val kept = fs.exists(new HPath(tmp, rel))
+      s"$rel,${if (kept) "kept" else "emptied"}"
+    }
+    val manifest = (bucketLines :+
+      s"log,${if (logKept) "kept" else "emptied"}").mkString("\n")
+    writeString(fs, new HPath(tmp, AffectedFile), manifest)
+  }
+
+  /** Swap a complete [[deleteNodes]] stage into the live layout,
+    * bucket by bucket then the merge log, driven by the manifest —
+    * idempotent exactly as [[AnnIndex]]'s delete swap, so [[recover]]
+    * re-runs it verbatim after a crash at any point. */
+  private def applyLabelDeleteSwap(fs: FileSystem,
+      labelPath: String): Unit = {
+    val tmp = labelPath + "_deleting"
+    readString(fs, new HPath(tmp, AffectedFile)).linesIterator
+      .filter(_.nonEmpty).foreach { line =>
+        val i = line.lastIndexOf(',')
+        val (d, status) = (line.substring(0, i), line.substring(i + 1))
+        if (d == "log") {
+          val staged = new HPath(tmp, StagedLogDir)
+          val live = new HPath(mergesPath(labelPath))
+          if (status == "kept") {
+            if (fs.exists(staged)) {
+              fs.delete(live, true)
+              fs.rename(staged, live)
+            } // staged gone = already swapped
+          } else fs.delete(live, true)
+        } else {
+          val live = new HPath(labelPath, d)
+          val staged = new HPath(tmp, d)
+          if (status == "kept") {
+            if (fs.exists(staged)) {
+              fs.delete(live, true)
+              fs.rename(staged, live)
+            }
+          } else fs.delete(live, true)
+        }
+      }
+  }
+
+  /** Resolve the leftover state of an interrupted [[compact]] or
+    * [[deleteNodes]] — the [[AnnIndex.recover]] cases: live missing +
+    * `_old` present rolls FORWARD iff the staged `_compacting` dir is
+    * complete (has its meta file), else back; a `_deleting` stage WITH
+    * its manifest redoes the (idempotent) label/log swap, without it
+    * the stage is discarded (the delete "didn't happen" — re-run it);
     * stray `_old`/`_compacting` dirs are dropped. Runs at the head of
     * every entry point; idempotent. */
   def recover(spark: SparkSession, path: String): Unit = {
@@ -395,6 +724,7 @@ object CcState {
     val live = new HPath(path)
     val old = new HPath(path + "_old")
     val compacting = new HPath(path + "_compacting")
+    val deleting = new HPath(path + "_deleting")
     if (!fs.exists(live) && fs.exists(old)) {
       if (fs.exists(new HPath(compacting.toString, MetaFile))) {
         fs.rename(compacting, live)
@@ -403,5 +733,10 @@ object CcState {
     }
     if (fs.exists(old)) fs.delete(old, true)
     if (fs.exists(compacting)) fs.delete(compacting, true)
+    if (fs.exists(deleting)) {
+      if (fs.exists(new HPath(deleting, AffectedFile)))
+        applyLabelDeleteSwap(fs, path)
+      fs.delete(deleting, true)
+    }
   }
 }

@@ -208,7 +208,59 @@ object DedupIndex {
   def compact(spark: SparkSession, table: String,
       buckets: Int = 32): Unit = {
     checkParams(spark, table, "buckets" -> buckets)
-    val props = graftProps(spark, table)
+    compactTo(spark, table, buckets)
+  }
+
+  /** Rewrite the index under a NEW bucket count — the lifecycle
+    * operator for when the corpus outgrows the geometry chosen at
+    * [[write]] (a bucketed table's bucket count is fixed at write, so
+    * a store that grew 30× under absorbs has 30× the rows per bucket
+    * file and every probe's bucket-join tasks pay it). A rebucket IS a
+    * compact into the new geometry — the same generation rewrite
+    * (tombstones purged, redelivery duplicates dropped, one sorted
+    * file per bucket), with `graft.buckets` RESTAMPED to the new
+    * count, so every later [[absorb]]/[[compact]] validates against
+    * the migrated geometry: a caller still passing the old bucket
+    * count fails loudly (q251 gates the migrated index answering
+    * probes exactly as the band-key oracle; DedupIndexSpec pins the
+    * stale-parameter failure). Runs on the compact schedule — the full
+    * rewrite amortizes, never a tax on daily absorbs. Crash honesty =
+    * [[compact]]'s: rebuildable from the corpus, so a crash mid-swap
+    * costs a rebuild, never data. */
+  def rebucket(spark: SparkSession, table: String,
+      newBuckets: Int): Unit = {
+    require(newBuckets > 0, s"buckets must be positive, got $newBuckets")
+    compactTo(spark, table, newBuckets)
+  }
+
+  /** Migrate when the index has outgrown (or undershot) its bucket
+    * count — the geometry policy knob ([[AnnIndex.maybeRebucket]]'s
+    * discipline): sized from the table's own row count against
+    * `targetBucketRows`, migrating only at a ≥ 2× / ≤ ½ drift (the
+    * doubling discipline — the rewrite is store-sized, so it must not
+    * flap at a boundary). Returns whether it migrated. Writer-side. */
+  def maybeRebucket(spark: SparkSession, table: String,
+      targetBucketRows: Long): Boolean = {
+    require(targetBucketRows > 0,
+      s"targetBucketRows must be positive, got $targetBucketRows")
+    val have = spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(table))
+      .bucketSpec.map(_.numBuckets.toLong)
+      .getOrElse(sys.error(s"$table is not a bucketed table"))
+    val want = math.max(1L, spark.table(table).count() / targetBucketRows)
+    if (want >= 2 * have || 2 * want <= have) {
+      rebucket(spark, table, math.min(want, Int.MaxValue.toLong).toInt)
+      true
+    } else false
+  }
+
+  private def compactTo(spark: SparkSession, table: String,
+      buckets: Int): Unit = {
+    // carry the hashing parameters forward with the (possibly new)
+    // bucket count — the staged table is written fresh, so the
+    // generation swap must restamp them
+    val props = graftProps(spark, table) +
+      ("graft.buckets" -> buckets.toString)
     val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
     val oldLoc = new org.apache.hadoop.fs.Path(
       spark.sessionState.catalog.getTableMetadata(ident).location)
@@ -271,11 +323,8 @@ object DedupIndex {
       dloc.getFileSystem(spark.sparkContext.hadoopConfiguration)
         .delete(dloc, true)
     }
-    // re-stamp the persisted hashing parameters: the staged table was
-    // written fresh, so the generation swap must carry them forward
-    if (props.nonEmpty)
-      spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES (" +
-        props.map { case (k, v) => s"'$k'='$v'" }.mkString(",") + ")")
+    spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES (" +
+      props.map { case (k, v) => s"'$k'='$v'" }.mkString(",") + ")")
     val fs = oldLoc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(oldLoc, true)
   }

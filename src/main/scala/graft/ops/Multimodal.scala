@@ -291,25 +291,51 @@ object Multimodal {
       case Some((w, h, lumas)) => videoFromFrames(m, w, h, lumas)
     } catch { case scala.util.control.NonFatal(_) => videoBad(m) }
 
-  /** Real MJPEG decode: the blob is split at JPEG SOI markers
+  /** Real MJPEG decode: frames are located by their SOI markers
     * (FF D8 FF) and each segment goes through ImageIO — a real JPEG
-    * decode per frame. Dims from the first decodable frame; per-frame
-    * mean luma via the 0.299/0.587/0.114 weights [[decodeImage]] uses;
-    * undecodable segments are skipped (corrupt-frame containment). */
+    * decode per frame. A frame's END is the first EOI (FF D9) whose
+    * successor byte is end-of-blob or a new SOI — NOT the next SOI
+    * occurrence anywhere: real-world JPEG frames carry EXIF-embedded
+    * thumbnails whose APP1 payload contains an interior SOI *and* EOI,
+    * and splitting at every SOI would inflate the frame count and skew
+    * per-frame luma (the thumbnail's interior EOI is followed by more
+    * APP1/TIFF payload, never a frame start, so this rule cannot
+    * truncate a frame at it). Dims from the first decodable frame;
+    * per-frame mean luma via the 0.299/0.587/0.114 weights
+    * [[decodeImage]] uses; undecodable segments are skipped
+    * (corrupt-frame containment). */
   private[ops] def decodeMjpeg(m: MediaBlob): VideoFeatures =
     try {
       val b = m.blob
-      val starts = scala.collection.mutable.ArrayBuffer[Int]()
+      def isSoi(p: Int): Boolean =
+        p + 2 < b.length && (b(p) & 0xff) == 0xff &&
+          (b(p + 1) & 0xff) == 0xd8 && (b(p + 2) & 0xff) == 0xff
+      // end (exclusive) of the frame starting at `from`: first EOI
+      // followed by end-of-blob or a frame start; a frame with a
+      // missing EOI (truncated tail) runs to the end of the blob
+      def frameEnd(from: Int): Int = {
+        var j = from
+        while (j + 1 < b.length) {
+          if ((b(j) & 0xff) == 0xff && (b(j + 1) & 0xff) == 0xd9) {
+            val e = j + 2
+            if (e >= b.length || isSoi(e)) return e
+          }
+          j += 1
+        }
+        b.length
+      }
+      val segs = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
       var i = 0
       while (i + 2 < b.length) {
-        if ((b(i) & 0xff) == 0xff && (b(i + 1) & 0xff) == 0xd8 &&
-            (b(i + 2) & 0xff) == 0xff) { starts += i; i += 2 }
-        i += 1
+        if (isSoi(i)) {
+          val end = frameEnd(i)
+          segs += ((i, end))
+          i = end
+        } else i += 1
       }
       var w = -1; var h = -1
       val lumas = scala.collection.mutable.ArrayBuffer[Double]()
-      starts.zipWithIndex.foreach { case (s0, idx) =>
-        val end = if (idx + 1 < starts.length) starts(idx + 1) else b.length
+      segs.foreach { case (s0, end) =>
         val img =
           try javax.imageio.ImageIO.read(
             new java.io.ByteArrayInputStream(b, s0, end - s0))
@@ -377,6 +403,10 @@ object Multimodal {
   def frameSampleVideo(spark: SparkSession, media: DataFrame,
       maxFrames: Int, batchSize: Int = 64,
       partitions: Int = 0): Dataset[VideoFrame] = {
+    // validate on the DRIVER: maxFrames <= 0 would divide by zero
+    // inside executor tasks, violating the module's never-throw
+    // containment discipline
+    require(maxFrames > 0, s"maxFrames must be positive, got $maxFrames")
     import spark.implicits._
     val parts = if (partitions > 0) partitions
       else spark.sessionState.conf.numShufflePartitions
@@ -505,34 +535,72 @@ object Multimodal {
 
   /** dHash NEAR-dup pairs — the [[Dedup]] LSH shape with hash bands
     * instead of minhash bands: the 64-bit hash splits into four 16-bit
-    * quarters, ids sharing ANY quarter become candidates (pigeonhole:
-    * Hamming distance < 4 cannot touch all four quarters, so at
-    * `maxDist` ≤ 3 the candidate set is COMPLETE, not probabilistic),
-    * and candidates verify by exact Hamming distance ≤ `maxDist`
-    * (codegen'd `bit_count(a ^ b)`). NULL hashes (undecodable blobs)
-    * never pair. Scale shape: one keyed shuffle on (band, quarter) —
-    * 4 rows per image — then a parameter-bounded verify join; quarter
-    * keys are hash-uniform, so no salting needed. */
-  def dHashNearDupPairs(hashes: DataFrame, maxDist: Int = 3): DataFrame = {
+    * quarters, hashes sharing ANY quarter become candidates
+    * (pigeonhole: Hamming distance < 4 cannot touch all four quarters,
+    * so at `maxDist` ≤ 3 the candidate set is COMPLETE, not
+    * probabilistic), and candidates verify by exact Hamming distance ≤
+    * `maxDist` (codegen'd `bit_count(a ^ b)`). NULL hashes
+    * (undecodable blobs) never pair.
+    *
+    * Skew discipline (the exact workload this operator targets is the
+    * one that breaks naive banding): a template farm of N
+    * near-identical images shares all four quarters, and banding IDS
+    * would put N rows in one bucket and self-join them into N²/2
+    * candidate rows. So (1) EXACT-equal hashes never enter the banding
+    * at all — they pair through one equality join on the full 64-bit
+    * key (q243's shape, uniform by construction), which collapses an
+    * identical farm to a single banded row; and (2) the banding runs
+    * over DISTINCT hashes only, with [[Dedup.candidatePairs]]'s
+    * `maxBucket` cap available for corpora where distinct-but-clustered
+    * hashes still pile into one quarter bucket (buckets above the cap
+    * contribute no banded candidates — a recall cap, stated, never an
+    * OOM). Scale shape: one keyed shuffle on (band, quarter) — 4 rows
+    * per DISTINCT hash — then a parameter-bounded verify join and two
+    * id-expansion joins. Note the OUTPUT itself is quadratic in farm
+    * size (an N-identical farm genuinely has N²/2 dup pairs); the
+    * discipline bounds the intermediate state, not the true answer. */
+  def dHashNearDupPairs(hashes: DataFrame, maxDist: Int = 3,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
     require(maxDist >= 0 && maxDist <= 3,
       s"banded candidates are complete only for maxDist <= 3, got $maxDist")
+    require(maxBucket > 0, s"maxBucket must be positive, got $maxBucket")
     val h = hashes.filter(col("dhash").isNotNull)
       .select(col("id"), col("dhash"))
+    // exact-equal pairs: equality self-join on the full hash
+    val exact = h.select(col("id").as("id_a"), col("dhash"))
+      .join(h.select(col("id").as("id_b"), col("dhash")), Seq("dhash"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+    // near pairs: band the DISTINCT hashes
+    val dh = h.select(col("dhash")).distinct()
     val bands = (0 until 4).map { b =>
-      h.select(col("id"), lit(b).as("band"),
+      dh.select(col("dhash"), lit(b).as("band"),
         shiftright(col("dhash"), b * 16).bitwiseAND(lit(0xffffL))
           .as("bkey"))
     }.reduce(_ unionByName _)
-    val a = bands.select(col("id").as("id_a"), col("band"), col("bkey"))
-    val b2 = bands.select(col("id").as("id_b"), col("band"), col("bkey"))
-    val cand = a.join(b2, Seq("band", "bkey"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b")).distinct()
-    val ha = h.select(col("id").as("id_a"), col("dhash").as("__da"))
-    val hb = h.select(col("id").as("id_b"), col("dhash").as("__db"))
-    cand.join(ha, Seq("id_a")).join(hb, Seq("id_b"))
+    val capped =
+      if (maxBucket == Int.MaxValue) bands
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("bkey"))
+        bands.withColumn("__bucket_n", count(lit(1)).over(w))
+          .filter(col("__bucket_n") <= maxBucket)
+          .drop("__bucket_n")
+      }
+    val a = capped.select(col("dhash").as("__da"), col("band"), col("bkey"))
+    val b2 = capped.select(col("dhash").as("__db"), col("band"), col("bkey"))
+    val candH = a.join(b2, Seq("band", "bkey"))
+      .filter(col("__da") < col("__db"))
+      .select(col("__da"), col("__db")).distinct()
       .filter(expr(s"bit_count(__da ^ __db) <= $maxDist"))
-      .select(col("id_a"), col("id_b"))
+    val near = candH
+      .join(h.select(col("id").as("id_a"), col("dhash").as("__da")),
+        Seq("__da"))
+      .join(h.select(col("id").as("id_b"), col("dhash").as("__db")),
+        Seq("__db"))
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"))
+    exact.unionByName(near).distinct()
   }
 
   /** Batch dispatch: real ImageIO decode for `image/…`, real

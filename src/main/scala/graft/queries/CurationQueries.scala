@@ -2706,10 +2706,14 @@ object CurationQueries {
       s"$idxDir/idx"
     })
   /** From-scratch IVF top-k in DuckDB with the RESIDENT generation's
-    * quantizer (8 lowest even ids); `candExtra` narrows the candidate
-    * side only (q221's deletion oracle). */
+    * quantizer (8 lowest even ids by default); `candExtra` narrows the
+    * candidate side only (q221's deletion oracle); `centsWhere` /
+    * `nClusters` pick the quantizer's training set (q250's re-trained
+    * oracle draws 12 centroids from the FULL table). */
   private def ivfTopKSql(candExtra: String,
-      quantized: Boolean = false): String = {
+      quantized: Boolean = false,
+      centsWhere: String = "WHERE vec_id % 2 = 0",
+      nClusters: Int = IvfIdxClusters): String = {
     // quantized: cell assignment and probe selection from the RAW
     // floats (the writeIvf rule), scores over the int8 reconstruction
     val vs =
@@ -2721,8 +2725,8 @@ object CurationQueries {
       else "v"
     s"""WITH cents AS (
        |  SELECT vec_id AS cluster, embedding::DOUBLE[] AS c FROM (
-       |    SELECT * FROM embeddings WHERE vec_id % 2 = 0
-       |    ORDER BY vec_id LIMIT $IvfIdxClusters)),
+       |    SELECT * FROM embeddings $centsWhere
+       |    ORDER BY vec_id LIMIT $nClusters)),
        |base AS (SELECT vec_id, embedding::DOUBLE[] AS v, $vs AS vs FROM embeddings),
        |assigned AS (
        |  SELECT vec_id, vs, cluster FROM (
@@ -4044,6 +4048,229 @@ object CurationQueries {
       |    (CAST(SUM(CAST(round(value * 10000) AS BIGINT)) AS DOUBLE) / 10000 / count(*)))), 4) AS stddev_value
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  // --------------------------------------------------------- q249
+  /** Geometry MIGRATION for the flat persisted ANN index — the
+    * lifecycle operator the round-16 verdict named top item: the even
+    * half of the corpus is written at 4 planes (a deliberately
+    * outgrown geometry), the odd half appended (hashed with the
+    * persisted 4-plane parameters — the q205 stability rule), then
+    * [[AnnIndex.rebucket]] re-planes the WHOLE store to the 6-plane
+    * budget: every stored vector re-hashed, the `bucket=` layout
+    * rewritten through the staged swap, the meta restamped so probes
+    * hash with the migrated planes. The oracle is q188's from-scratch
+    * multi-probe SQL at 6 planes over the full table — a silently
+    * unmigrated store would probe 6-plane buckets that don't exist
+    * and return empty; a half-migrated one hash-mismatches. */
+  private def q249(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val qs = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    AnnIndex.topK(s, q249Index(s, dir), qs, AnnK)
+  }
+  private val q249IndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def q249Index(s: SparkSession, dir: String): String =
+    q249IndexCache.computeIfAbsent(dir, { _ =>
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft-annidx-q249").toString
+      val emb = Tables.embeddings(s, dir)
+      AnnIndex.write(emb.filter(col("vec_id") % 2 === 0), 4, s"$idxDir/idx")
+      AnnIndex.append(emb.filter(col("vec_id") % 2 =!= 0), s"$idxDir/idx")
+      AnnIndex.rebucket(s, s"$idxDir/idx", LshPlanes)
+      s"$idxDir/idx"
+    })
+  private val q249Sql = q188Sql
+
+  // --------------------------------------------------------- q250
+  /** q249 for the IVF layout, with the part LSH doesn't have:
+    * RE-TRAINING. The even half is written with an 8-cell quantizer,
+    * the odd half appended (assigned with the PERSISTED centroids —
+    * q219's rule), then [[AnnIndex.rebucketIvf]] re-trains a 12-cell
+    * quantizer over the GROWN resident corpus ([[AnnIndex.writeIvf]]'s
+    * deterministic lowest-vec_id rule — now drawing from all ids, not
+    * just the even ones) and re-assigns every stored vector. The
+    * oracle recomputes from scratch with 12 centroids from the FULL
+    * table: stale centroids, a partial re-assignment, or an append
+    * encoded with the old quantizer all hash-mismatch. */
+  private val IvfRebucketClusters = 12
+  private def q250(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val qs = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    AnnIndex.topKIvf(s, q250Index(s, dir), qs, AnnK, IvfIdxProbe)
+  }
+  private val q250IndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def q250Index(s: SparkSession, dir: String): String =
+    q250IndexCache.computeIfAbsent(dir, { _ =>
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft-annidx-q250").toString
+      val emb = Tables.embeddings(s, dir)
+      AnnIndex.writeIvf(emb.filter(col("vec_id") % 2 === 0),
+        IvfIdxClusters, s"$idxDir/idx")
+      AnnIndex.append(emb.filter(col("vec_id") % 2 =!= 0), s"$idxDir/idx")
+      AnnIndex.rebucketIvf(s, s"$idxDir/idx", IvfRebucketClusters)
+      s"$idxDir/idx"
+    })
+  private val q250Sql =
+    ivfTopKSql("", centsWhere = "", nClusters = IvfRebucketClusters)
+
+  // --------------------------------------------------------- q251
+  /** Geometry migration for the persisted BAND index: the resident
+    * corpus is written into a deliberately small 8-bucket table,
+    * [[DedupIndex.rebucket]] rewrites it into the 32-bucket geometry
+    * (one generation rewrite, `graft.buckets` restamped), and the
+    * MIGRATED index is then MAINTAINED — day 1 absorbs under the new
+    * bucket count (validated against the restamped properties; the old
+    * count now fails loudly, DedupIndexSpec pins it) — before day 2
+    * probes. Oracle = q216's band-key join over all of it: a rewrite
+    * that lost rows, kept the old bucketing, or mis-stamped the
+    * properties hash-mismatches or throws. */
+  private def q251(s: SparkSession, dir: String): DataFrame = {
+    val day2 = Tables.documents(s, dir).filter(col("doc_id") % 10 === 5)
+    DedupIndex.probe(s, q251Table(s, dir), day2, "text", "doc_id",
+      Bands, RowsPerBand, ShingleK)
+  }
+  private val q251TableCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def q251Table(s: SparkSession, dir: String): String =
+    q251TableCache.compute(sessionToken(s) + "|" + dir, { (_, prev) =>
+      if (prev != null && s.catalog.tableExists(prev)) prev
+      else {
+        val digest = java.security.MessageDigest.getInstance("SHA-1")
+          .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          .map(b => f"$b%02x").mkString.take(16)
+        val table = s"graft_dedup_rbk_$digest"
+        val path = java.nio.file.Files
+          .createTempDirectory("graft-dedupidx-q251").toString
+        val docs = Tables.documents(s, dir)
+        DedupIndex.write(docs.filter(col("doc_id") % 10 =!= 0 &&
+            col("doc_id") % 10 =!= 5), "text", "doc_id",
+          Bands, RowsPerBand, ShingleK, s"$path/idx", table, buckets = 8)
+        DedupIndex.rebucket(s, table, 32)
+        DedupIndex.absorb(docs.filter(col("doc_id") % 10 === 0),
+          "text", "doc_id", Bands, RowsPerBand, ShingleK,
+          s"$path/idx", table, buckets = 32)
+        table
+      }
+    })
+  private val q251Sql = q216Sql
+
+  // --------------------------------------------------------- q252
+  /** Incremental COVARIANCE at delta cost — q248's composition
+    * argument one moment higher: cov(x,y) = E[xy] − E[x]·E[y] is
+    * derivable from three mergeable quantized sums, so a THIRD
+    * [[AggState]] store over the cross-moment x·y (y = the event's
+    * hour-of-day — per-group value-vs-time-of-day drift, a real
+    * curation monitor) rides the existing write/absorb lifecycle and
+    * per-group covariance falls out of a keyed join of the three
+    * maintained stores at read. Both engines compute the same exact
+    * integers with the same op sequence, so the oracle hash-matches;
+    * slope and correlation derive from the same stores plus q248's
+    * squared-moment ones, zero further operator code. */
+  private def q252(s: SparkSession, dir: String): DataFrame = {
+    val (px, py, pxy) = q252State(s, dir)
+    val grp = Seq("user_id", "event_type")
+    val a = AggState.merged(s, px, grp)
+      .select(col("user_id"), col("event_type"), col("n"),
+        (col("sv").cast("double") / 10000).as("sx"))
+    val b = AggState.merged(s, py, grp)
+      .select(col("user_id").as("u2"), col("event_type").as("e2"),
+        (col("sv").cast("double") / 10000).as("sy"))
+    val c = AggState.merged(s, pxy, grp)
+      .select(col("user_id").as("u3"), col("event_type").as("e3"),
+        (col("sv").cast("double") / 10000).as("sxy"))
+    a.join(b, col("user_id") === col("u2") &&
+        col("event_type") === col("e2"))
+      .join(c, col("user_id") === col("u3") &&
+        col("event_type") === col("e3"))
+      .select(col("user_id"), col("event_type"), col("n"),
+        round(col("sxy") / col("n") -
+          (col("sx") / col("n")) * (col("sy") / col("n")), 4)
+          .as("cov_value_hour"))
+  }
+  private val q252StateCache = new java.util.concurrent
+    .ConcurrentHashMap[String, (String, String, String)]()
+  private def q252State(s: SparkSession,
+      dir: String): (String, String, String) =
+    q252StateCache.computeIfAbsent(dir, { _ =>
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-aggstate-q252").toString
+      val ev = Tables.events(s, dir)
+        .withColumn("yv", hour(col("ts")).cast("double"))
+        .withColumn("xy", col("value") * col("yv"))
+      val grp = Seq("user_id", "event_type")
+      val base = ev.filter(col("event_id") % 10 =!= 0)
+      val delta = ev.filter(col("event_id") % 10 === 0)
+      AggState.write(base, grp, "value", 10000, q213Bucket, s"$out/sx")
+      AggState.write(base, grp, "yv", 10000, q213Bucket, s"$out/sy")
+      AggState.write(base, grp, "xy", 10000, q213Bucket, s"$out/sxy")
+      AggState.absorb(s, s"$out/sx", delta, grp, "value", 10000, q213Bucket)
+      AggState.absorb(s, s"$out/sy", delta, grp, "yv", 10000, q213Bucket)
+      AggState.absorb(s, s"$out/sxy", delta, grp, "xy", 10000, q213Bucket)
+      (s"$out/sx", s"$out/sy", s"$out/sxy")
+    })
+  private val q252Sql =
+    """SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n,
+      |  round(CAST(SUM(CAST(round(value * EXTRACT(hour FROM ts) * 10000) AS BIGINT)) AS DOUBLE) / 10000 / count(*) -
+      |    (CAST(SUM(CAST(round(value * 10000) AS BIGINT)) AS DOUBLE) / 10000 / count(*)) *
+      |    (CAST(SUM(CAST(round(EXTRACT(hour FROM ts) * 10000) AS BIGINT)) AS DOUBLE) / 10000 / count(*)), 4) AS cov_value_hour
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  // --------------------------------------------------------- q253
+  /** Right-to-be-forgotten ON THE CLUSTERING — the r16 verdict's item
+    * 6, edge-retention mode: the label state AND the edge store are
+    * built from the base edges, a day's delta absorbed into BOTH
+    * (lockstep — the single-writer contract across the pair), then
+    * [[CcState.deleteNodes]] forgets node 0 (a high-degree hub):
+    * component-priced — its component is re-solved from the SURVIVING
+    * persisted edges, members who lost every edge become singleton
+    * clusters, the deleted node's label and edge rows are physically
+    * gone, and the merge log is purged of records resolving into the
+    * affected clusters. The oracle is the recursive-CTE closure over
+    * the surviving edges with every original node except the deleted
+    * one seeded (so edge-less survivors appear as their own
+    * clusters) — a rebuild that missed a split, resurrected the node,
+    * or left a stale merge record relabeling a survivor all
+    * hash-mismatch. */
+  private val q253DeletedNode = 0L
+  private def q253(s: SparkSession, dir: String): DataFrame =
+    CcState.labels(s, q253State(s, dir))
+  private val q253StateCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def q253State(s: SparkSession, dir: String): String =
+    q253StateCache.computeIfAbsent(dir, { _ =>
+      import s.implicits._
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-ccstate-q253").toString
+      val edges = q246Edges(s, dir)
+      val base = edges.filter(col("event_id") % 10 =!= 0)
+        .select(col("id_a"), col("id_b"))
+      val delta = edges.filter(col("event_id") % 10 === 0)
+        .select(col("id_a"), col("id_b"))
+      CcState.write(base, s"$out/cc", buckets = 8)
+      CcState.writeEdges(base, s"$out/edges", buckets = 8)
+      CcState.absorb(s, delta, s"$out/cc")
+      CcState.absorbEdges(s, delta, s"$out/edges")
+      CcState.deleteNodes(s, Seq(q253DeletedNode).toDF("node"),
+        s"$out/cc", s"$out/edges")
+      s"$out/cc"
+    })
+  private val q253Sql =
+    s"""WITH RECURSIVE e0 AS (
+       |  SELECT DISTINCT user_id * 2 AS s, (event_id % 200) * 2 + 1 AS d
+       |  FROM events),
+       |alln AS (SELECT DISTINCT s AS node FROM (
+       |  SELECT s FROM e0 UNION ALL SELECT d AS s FROM e0)
+       |  WHERE s <> $q253DeletedNode),
+       |surv AS (SELECT s, d FROM e0
+       |         WHERE s <> $q253DeletedNode AND d <> $q253DeletedNode),
+       |edges AS (SELECT s, d FROM surv UNION ALL SELECT d, s FROM surv),
+       |reach AS (SELECT node, node AS r FROM alln
+       |          UNION
+       |          SELECT e.s, r.r FROM edges e JOIN reach r ON r.node = e.d)
+       |SELECT node, MIN(r) AS cluster FROM reach GROUP BY node""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q168_kmv_distinct" -> q168 _,
     "q169_minhash_error" -> q169 _,
@@ -4125,7 +4352,12 @@ object CurationQueries {
     "q245_wav_decode" -> q245 _,
     "q246_cc_rebucket" -> q246 _,
     "q247_ivm_rebucket" -> q247 _,
-    "q248_ivm_stddev" -> q248 _)
+    "q248_ivm_stddev" -> q248 _,
+    "q249_ann_rebucket" -> q249 _,
+    "q250_ivf_rebucket" -> q250 _,
+    "q251_band_rebucket" -> q251 _,
+    "q252_ivm_cov" -> q252 _,
+    "q253_cc_rtbf" -> q253 _)
 
   val oracleSql: Map[String, String] = Map(
     "q168_kmv_distinct" -> q168Sql,
@@ -4208,5 +4440,10 @@ object CurationQueries {
     "q245_wav_decode" -> q245Sql,
     "q246_cc_rebucket" -> q246Sql,
     "q247_ivm_rebucket" -> q247Sql,
-    "q248_ivm_stddev" -> q248Sql)
+    "q248_ivm_stddev" -> q248Sql,
+    "q249_ann_rebucket" -> q249Sql,
+    "q250_ivf_rebucket" -> q250Sql,
+    "q251_band_rebucket" -> q251Sql,
+    "q252_ivm_cov" -> q252Sql,
+    "q253_cc_rtbf" -> q253Sql)
 }

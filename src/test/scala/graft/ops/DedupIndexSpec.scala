@@ -352,4 +352,86 @@ class DedupIndexSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS didx_plan")
     }
   }
+
+  test("rebucket: new bucket count restamped, probes unchanged, old count fails loudly, absorbs continue") {
+    val path = Files.createTempDirectory("graft-dedupidx").toString
+    val day1 = docs.filter(col("doc_id") % 10 === 0)
+    val day2 = docs.filter(col("doc_id") % 10 === 1)
+    val resident0 = docs
+      .filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 10 =!= 1)
+    DedupIndex.write(resident0, "text", "doc_id", 4, 4, 3,
+      s"$path/idx", "didx_rbk", buckets = 8)
+    try {
+      val before = DedupIndex
+        .probe(spark, "didx_rbk", day2, "text", "doc_id", 4, 4, 3)
+        .collect().toSet
+      DedupIndex.rebucket(spark, "didx_rbk", 32)
+      // physical maintenance must change no answer
+      DedupIndex.probe(spark, "didx_rbk", day2, "text", "doc_id", 4, 4, 3)
+        .collect().toSet shouldBe before
+      // geometry restamped: the OLD bucket count now fails loudly
+      val e = intercept[IllegalArgumentException] {
+        DedupIndex.absorb(day1, "text", "doc_id", 4, 4, 3,
+          s"$path/idx", "didx_rbk", buckets = 8)
+      }
+      e.getMessage should include("buckets")
+      // and the table really is 32-bucket now (one file per bucket)
+      val ident = spark.sessionState.sqlParser
+        .parseTableIdentifier("didx_rbk")
+      val meta = spark.sessionState.catalog.getTableMetadata(ident)
+      meta.bucketSpec.map(_.numBuckets) shouldBe Some(32)
+      meta.properties("graft.buckets") shouldBe "32"
+      // maintenance continues under the migrated geometry
+      DedupIndex.absorb(day1, "text", "doc_id", 4, 4, 3,
+        s"$path/idx", "didx_rbk", buckets = 32)
+      val grown = DedupIndex
+        .probe(spark, "didx_rbk", day2, "text", "doc_id", 4, 4, 3)
+        .collect().toSet
+      val rb = Dedup.bandKeys(resident0.unionByName(day1), "text",
+        "doc_id", 4, 4, 3)
+      val nb = Dedup.bandKeys(day2, "text", "doc_id", 4, 4, 3)
+        .select(col("id").as("new_id"), col("band"), col("band_key"))
+      grown shouldBe rb.join(nb, Seq("band", "band_key"))
+        .filter(col("id") =!= col("new_id"))
+        .select(col("new_id"), col("id").as("resident_id"))
+        .distinct().collect().toSet
+    } finally spark.sql("DROP TABLE IF EXISTS didx_rbk")
+  }
+
+  test("maybeRebucket: doubling discipline — under-drift no-op, 2x drift migrates") {
+    val path = Files.createTempDirectory("graft-dedupidx").toString
+    DedupIndex.write(resident, "text", "doc_id", 4, 4, 3,
+      s"$path/idx", "didx_mrbk", buckets = 8)
+    try {
+      val rows = spark.table("didx_mrbk").count()
+      // target sized so want ≈ 8 (the current count): no-op
+      DedupIndex.maybeRebucket(spark, "didx_mrbk",
+        math.max(1L, rows / 8)) shouldBe false
+      // target sized so want ≥ 16 = 2×8: migrates and restamps
+      DedupIndex.maybeRebucket(spark, "didx_mrbk",
+        math.max(1L, rows / 16)) shouldBe true
+      val ident = spark.sessionState.sqlParser
+        .parseTableIdentifier("didx_mrbk")
+      spark.sessionState.catalog.getTableMetadata(ident)
+        .bucketSpec.map(_.numBuckets) shouldBe
+        Some((rows / math.max(1L, rows / 16)).toInt)
+    } finally spark.sql("DROP TABLE IF EXISTS didx_mrbk")
+  }
+
+  test("rebucket purges pending tombstones physically, like the compact it is") {
+    val path = Files.createTempDirectory("graft-dedupidx").toString
+    DedupIndex.write(resident, "text", "doc_id", 4, 4, 3,
+      s"$path/idx", "didx_rbkdel", buckets = 8)
+    try {
+      import spark.implicits._
+      val victim = resident.select(col("doc_id")).orderBy(col("doc_id"))
+        .limit(1).collect().head.getLong(0)
+      DedupIndex.delete(spark, "didx_rbkdel", Seq(victim).toDF("id"))
+      DedupIndex.rebucket(spark, "didx_rbkdel", 16)
+      // physically gone from the rewritten generation, tombstones cleared
+      spark.table("didx_rbkdel").filter(col("id") === victim)
+        .count() shouldBe 0L
+      spark.catalog.tableExists("didx_rbkdel_del") shouldBe false
+    } finally spark.sql("DROP TABLE IF EXISTS didx_rbkdel")
+  }
 }

@@ -833,6 +833,65 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("multimodal: a 1k-image identical farm never enters the banding; the bucket cap bounds distinct skew") {
+    // the workload that breaks naive banding: 1000 images sharing ONE
+    // dHash (a template farm) — banding ids would self-join N²/2
+    // candidate rows in one bucket; here they collapse to one DISTINCT
+    // hash and pair through the exact-equality join instead
+    val h0 = 0x0123456789abcdefL
+    val farm = (1L to 1000L).map(i => (i, Some(h0)))
+    val near = (2000L, Some(h0 ^ 1L)) // Hamming 1 from the farm
+    val far = (3000L, Some(h0 ^ 0x0101010101010101L)) // 8 bits, cut
+    val rows = (farm :+ near :+ far).toDF("id", "dhash")
+    // complete answer: C(1000,2) farm pairs + 1000 (farm, near) pairs
+    Multimodal.dHashNearDupPairs(rows, maxDist = 3)
+      .count() shouldBe (1000L * 999 / 2 + 1000)
+    // maxBucket caps the BANDED (distinct-hash) candidates only: at
+    // cap 1 every shared quarter bucket (2 distinct hashes) is dropped,
+    // so near pairs vanish — while the farm's exact pairs all survive,
+    // proving identical images ride the equality join, not the banding
+    Multimodal.dHashNearDupPairs(rows, maxDist = 3, maxBucket = 1)
+      .count() shouldBe (1000L * 999 / 2)
+    intercept[IllegalArgumentException] {
+      Multimodal.dHashNearDupPairs(rows, maxBucket = 0)
+    }
+  }
+
+  test("multimodal: MJPEG frames with EXIF-embedded thumbnails split at the frame's EOI, not the thumbnail's SOI") {
+    // craft frame 1 with an APP1 segment whose payload embeds a fake
+    // thumbnail JPEG (interior SOI *and* EOI) — the real-world shape
+    // that inflates frame counts when the stream is split at every SOI
+    val f1 = Multimodal.encodeMjpeg(16, 16, Seq(40))
+    val f2 = Multimodal.encodeMjpeg(16, 16, Seq(220))
+    val thumb = Array(0xFF, 0xD8, 0xFF, 0xDB, 0x01, 0x02, 0x03,
+      0xFF, 0xD9).map(_.toByte)
+    val payload =
+      "Exif  ".getBytes("ISO-8859-1") ++ thumb
+    val len = payload.length + 2
+    val app1 = Array(0xFF, 0xE1, (len >> 8) & 0xff, len & 0xff)
+      .map(_.toByte) ++ payload
+    val withExif = f1.take(2) ++ app1 ++ f1.drop(2)
+    // the outer JPEG still decodes (ImageIO skips the unknown APP1)
+    javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(withExif)) should not be null
+    val v = Multimodal.decodeMjpeg(
+      MediaBlob(1L, "video/x-mjpeg", withExif ++ f2))
+    v.frames shouldBe 2 // NOT 3: the thumbnail's SOI starts no frame
+    v.width shouldBe 16
+    v.height shouldBe 16
+    // per-frame luma from the REAL frames, not a thumbnail fragment
+    v.features(0) shouldBe (40f / 255f) +- 0.02f
+    v.features(4) shouldBe (220f / 255f) +- 0.02f
+  }
+
+  test("multimodal: frameSampleVideo rejects a non-positive maxFrames on the driver") {
+    val media = Seq((1L, "video/x-y4m",
+      Multimodal.encodeY4m(8, 6, Seq(10)))).toDF("id", "mime", "blob")
+    intercept[IllegalArgumentException] {
+      Multimodal.frameSampleVideo(spark, media, maxFrames = 0)
+    }
+  }
+
   test("Graphs.triangles: K4 yields all 4 oriented triangles; chains none") {
     // K4 on {1,2,3,4} (some edges reversed + one duplicate: canonicalization)
     val k4 = Seq((1L, 2L), (3L, 1L), (1L, 4L), (2L, 3L), (4L, 2L), (3L, 4L),
