@@ -4271,6 +4271,66 @@ object CurationQueries {
        |          SELECT e.s, r.r FROM edges e JOIN reach r ON r.node = e.d)
        |SELECT node, MIN(r) AS cluster FROM reach GROUP BY node""".stripMargin
 
+  // --------------------------------------------------------- q254
+  /** Incremental CORRELATION and REGRESSION SLOPE at delta cost — the
+    * composition ladder's top rung (q248 stddev from 2 stores, q252
+    * covariance from 3): all six moments q120 computes batch-side
+    * (n, Σx, Σy, Σxy, Σx², Σy²) are mergeable sums, so five
+    * [[AggState]] stores over PRE-QUANTIZED integer-valued columns
+    * (cents = round(value·100), hour, and their products, stored at
+    * quantScale=1 — every per-row value is an exact integer well under
+    * 2⁵³, so the maintained sums are EXACT BIGINTs, bit-identical to
+    * q120's one-pass aggregation) ride the write/absorb lifecycle and
+    * per-group corr/slope fall out of one keyed join at read. The
+    * oracle IS q120's, verbatim — the incremental state must reproduce
+    * the batch analytics exactly, which is the whole IVM contract. */
+  private def q254(s: SparkSession, dir: String): DataFrame = {
+    val paths = q254State(s, dir)
+    def mom(tag: String) = AggState.merged(s, paths(tag), Seq("event_type"))
+      .select(col("event_type").as(s"et_$tag"), col("n").as(s"n_$tag"),
+        col("sv").as(tag))
+    val j = mom("sx")
+      .join(mom("sy"), col("et_sx") === col("et_sy"))
+      .join(mom("sxy"), col("et_sx") === col("et_sxy"))
+      .join(mom("sxx"), col("et_sx") === col("et_sxx"))
+      .join(mom("syy"), col("et_sx") === col("et_syy"))
+    j.select(col("et_sx").as("event_type"), col("n_sx").as("n"),
+      round((col("n_sx") * col("sxy") - col("sx") * col("sy")).cast("double") /
+        (sqrt((col("n_sx") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+         sqrt((col("n_sx") * col("syy") - col("sy") * col("sy")).cast("double"))), 6)
+        .as("corr_cents_hour"),
+      round((col("n_sx") * col("sxy") - col("sx") * col("sy")).cast("double") /
+        (col("n_sx") * col("syy") - col("sy") * col("sy")).cast("double"), 6)
+        .as("slope_cents_per_hour"))
+  }
+  private val q254StateCache = new java.util.concurrent
+    .ConcurrentHashMap[String, Map[String, String]]()
+  private def q254State(s: SparkSession,
+      dir: String): Map[String, String] =
+    q254StateCache.computeIfAbsent(dir, { _ =>
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-aggstate-q254").toString
+      // integer-valued doubles: exact through quantScale=1 partials
+      val ev = Tables.events(s, dir)
+        .withColumn("xc", round(col("value") * 100, 0))
+        .withColumn("yv", hour(col("ts")).cast("double"))
+        .withColumn("xy", col("xc") * col("yv"))
+        .withColumn("xx", col("xc") * col("xc"))
+        .withColumn("yy", col("yv") * col("yv"))
+      val grp = Seq("event_type")
+      val bucket = pmod(hash(col("event_type")), lit(4)).cast("long")
+      val base = ev.filter(col("event_id") % 10 =!= 0)
+      val delta = ev.filter(col("event_id") % 10 === 0)
+      val cols = Map("sx" -> "xc", "sy" -> "yv", "sxy" -> "xy",
+        "sxx" -> "xx", "syy" -> "yy")
+      cols.foreach { case (tag, c) =>
+        AggState.write(base, grp, c, 1, bucket, s"$out/$tag")
+        AggState.absorb(s, s"$out/$tag", delta, grp, c, 1, bucket)
+      }
+      cols.map { case (tag, _) => tag -> s"$out/$tag" }
+    })
+  private val q254Sql = Relational.corrStatsSql
+
   val queries: Map[String, Q] = Map(
     "q168_kmv_distinct" -> q168 _,
     "q169_minhash_error" -> q169 _,
@@ -4357,7 +4417,8 @@ object CurationQueries {
     "q250_ivf_rebucket" -> q250 _,
     "q251_band_rebucket" -> q251 _,
     "q252_ivm_cov" -> q252 _,
-    "q253_cc_rtbf" -> q253 _)
+    "q253_cc_rtbf" -> q253 _,
+    "q254_ivm_corr" -> q254 _)
 
   val oracleSql: Map[String, String] = Map(
     "q168_kmv_distinct" -> q168Sql,
@@ -4445,5 +4506,6 @@ object CurationQueries {
     "q250_ivf_rebucket" -> q250Sql,
     "q251_band_rebucket" -> q251Sql,
     "q252_ivm_cov" -> q252Sql,
-    "q253_cc_rtbf" -> q253Sql)
+    "q253_cc_rtbf" -> q253Sql,
+    "q254_ivm_corr" -> q254Sql)
 }

@@ -1169,6 +1169,10 @@ object Relational {
           (col("n") * col("syy") - col("sy") * col("sy")).cast("double"), 6)
           .as("slope_cents_per_hour"))
   }
+  /** q120's oracle, shared verbatim with q254 (the incremental
+    * five-store composition must reproduce the batch analytics
+    * exactly). */
+  private[queries] def corrStatsSql: String = q120Sql
   private val q120Sql =
     """WITH m AS (
       |  SELECT event_type,
