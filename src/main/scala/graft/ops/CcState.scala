@@ -492,6 +492,53 @@ object CcState {
       .write.mode("append").partitionBy("pbucket").parquet(path)
   }
 
+  /** Fold redelivery duplicates out of the edge store — the scheduled
+    * physical purge ([[compact]]'s role for the adjacency rows): a
+    * staged distinct rewrite with the meta written LAST and the
+    * two-rename swap, so [[recover]] rolls a swap-window crash
+    * FORWARD. Runs on the compact schedule; reads are correct without
+    * it (every consumer distincts), it only removes their cost. */
+  def compactEdges(spark: SparkSession, path: String): Unit = {
+    recover(spark, path)
+    val buckets = readBuckets(spark, path)
+    val fs = fsFor(path, spark)
+    val tmp = path + "_compacting"
+    fs.delete(new HPath(tmp), true)
+    spark.read.parquet(path)
+      .select(col("node"), col("peer")).distinct()
+      .withColumn("pbucket", bucketCol(buckets))
+      .repartition(col("pbucket"))
+      .write.mode("overwrite").partitionBy("pbucket").parquet(tmp)
+    writeString(fs, new HPath(tmp, MetaFile), s"buckets=$buckets\n")
+    val old = new HPath(path + "_old")
+    fs.rename(new HPath(path), old)
+    fs.rename(new HPath(tmp), new HPath(path))
+    fs.delete(old, true)
+  }
+
+  /** Maintain the LABEL and EDGE stores from one stream of edges in
+    * LOCKSTEP — the edge-retention mode's stream path, closing stream
+    * parity for the store pair: each micro-batch absorbs into the
+    * labels (idempotent contraction — replay appends nothing) and
+    * appends into the edge store (replay appends duplicate rows that
+    * every read distincts and [[compactEdges]] purges). One checkpoint
+    * covers both: a crash between the two absorbs replays the batch,
+    * and BOTH sides tolerate the replay, so the pair converges to the
+    * same state as batch maintenance — effectively exactly-once
+    * without a transaction log, under the single-writer contract that
+    * already spans the pair ([[deleteNodes]]' lockstep rule). */
+  def absorbStreamWithEdges(stream: DataFrame, labelPath: String,
+      edgePath: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        absorb(batch.sparkSession, batch, labelPath)
+        absorbEdges(batch.sparkSession, batch, edgePath)
+      }
+      .start()
+
   /** Right-to-be-forgotten WITH edge retention: remove `ids` (one
     * column, the node ids) and re-solve exactly their components from
     * the surviving persisted edges. Work is component-priced — the

@@ -4331,6 +4331,57 @@ object CurationQueries {
     })
   private val q254Sql = Relational.corrStatsSql
 
+  // --------------------------------------------------------- q255
+  /** The edge-retention pair's WHOLE stream lifecycle under one gate —
+    * q234's operational license extended to the store pair: base edges
+    * build BOTH stores, the day's delta STREAMS into them in lockstep
+    * ([[CcState.absorbStreamWithEdges]] — label absorb idempotent,
+    * edge append distinct-at-read), one epoch is REDELIVERED batch-side
+    * (the crash-replay case: both sides must tolerate it),
+    * [[CcState.compactEdges]] physically purges the duplicate rows,
+    * and THEN a hub is forgotten ([[CcState.deleteNodes]]) — the
+    * delete must see exactly the streamed edge set, or the rebuild
+    * solves the wrong component. Oracle = q253's recursive-CTE closure
+    * over the surviving edges: a replay that double-counted, a compact
+    * that lost an edge, or a delete against a stale edge set all
+    * hash-mismatch. */
+  private def q255(s: SparkSession, dir: String): DataFrame =
+    CcState.labels(s, q255State(s, dir))
+  private val q255StateCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def q255State(s: SparkSession, dir: String): String =
+    q255StateCache.computeIfAbsent(dir, { _ =>
+      import s.implicits._
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-ccstate-q255").toString
+      val edges = q246Edges(s, dir)
+      val base = edges.filter(col("event_id") % 10 =!= 0)
+        .select(col("id_a"), col("id_b"))
+      val delta = edges.filter(col("event_id") % 10 === 0)
+        .select(col("id_a"), col("id_b"))
+      CcState.write(base, s"$out/cc", buckets = 8)
+      CcState.writeEdges(base, s"$out/edges", buckets = 8)
+      val e0 = delta.filter((col("id_a") + col("id_b")) % 2 === 0)
+      val e1 = delta.filter((col("id_a") + col("id_b")) % 2 =!= 0)
+      e0.coalesce(1).write.parquet(s"$out/in")
+      e1.coalesce(1).write.mode("append").parquet(s"$out/in")
+      val q = CcState.absorbStreamWithEdges(
+        s.readStream.schema(e0.schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$out/in"),
+        s"$out/cc", s"$out/edges", s"$out/ckpt")
+      try q.processAllAvailable() finally q.stop()
+      // crash redelivery of one epoch, batch-side: the label absorb is
+      // idempotent, the edge append leaves duplicates
+      CcState.absorb(s, e0, s"$out/cc")
+      CcState.absorbEdges(s, e0, s"$out/edges")
+      // the scheduled purge removes the duplicates' cost
+      CcState.compactEdges(s, s"$out/edges")
+      CcState.deleteNodes(s, Seq(q253DeletedNode).toDF("node"),
+        s"$out/cc", s"$out/edges")
+      s"$out/cc"
+    })
+  private val q255Sql = q253Sql
+
   val queries: Map[String, Q] = Map(
     "q168_kmv_distinct" -> q168 _,
     "q169_minhash_error" -> q169 _,
@@ -4418,7 +4469,8 @@ object CurationQueries {
     "q251_band_rebucket" -> q251 _,
     "q252_ivm_cov" -> q252 _,
     "q253_cc_rtbf" -> q253 _,
-    "q254_ivm_corr" -> q254 _)
+    "q254_ivm_corr" -> q254 _,
+    "q255_cc_stream_rtbf" -> q255 _)
 
   val oracleSql: Map[String, String] = Map(
     "q168_kmv_distinct" -> q168Sql,
@@ -4507,5 +4559,6 @@ object CurationQueries {
     "q251_band_rebucket" -> q251Sql,
     "q252_ivm_cov" -> q252Sql,
     "q253_cc_rtbf" -> q253Sql,
-    "q254_ivm_corr" -> q254Sql)
+    "q254_ivm_corr" -> q254Sql,
+    "q255_cc_stream_rtbf" -> q255Sql)
 }

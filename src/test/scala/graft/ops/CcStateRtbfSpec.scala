@@ -175,6 +175,20 @@ class CcStateRtbfSpec extends SparkSpec {
     fs.exists(new HPath(s"${cc}_deleting")) shouldBe false
   }
 
+  test("compactEdges purges redelivery duplicates physically; deletes still resolve the right component") {
+    val dir = Files.createTempDirectory("graft-ccrtbf").toString
+    val base = Seq((1L, 5L), (5L, 9L), (20L, 21L))
+    val (cc, ed) = build(dir, base)
+    // redelivered batch: duplicate (node, peer) rows land in the store
+    CcState.absorbEdges(spark, edgesDf((1L, 5L)), ed)
+    spark.read.parquet(ed).count() should be > (base.size * 2L)
+    CcState.compactEdges(spark, ed)
+    spark.read.parquet(ed).count() shouldBe base.size * 2L
+    // the purged store still drives the component-priced delete
+    CcState.deleteNodes(spark, Seq(5L).toDF("node"), cc, ed)
+    stateLabels(cc) shouldBe Map(1L -> 1L, 9L -> 9L, 20L -> 20L, 21L -> 20L)
+  }
+
   test("maybeRebucket: doubling discipline on the label store — no-op under drift, migrates at 2x") {
     val dir = Files.createTempDirectory("graft-ccrtbf").toString
     val base = (1L to 16L).map(i => (i * 2, i * 2 + 1))
