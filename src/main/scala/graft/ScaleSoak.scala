@@ -248,7 +248,7 @@ object ScaleSoak {
     // daily cost this operator deletes.
     val ccArmsOn = armOn("ccstate_absorb_scaled") ||
       armOn("ccstate_labels_scaled") || armOn("ccstate_compact_scaled") ||
-      armOn("ccstate_rebucket_scaled")
+      armOn("ccstate_rebucket_scaled") || armOn("ccstate_deletenode_scaled")
     val ccDelta: String =
       if (!ccArmsOn) ""
       else {
@@ -276,6 +276,13 @@ object ScaleSoak {
         }
         s"$out/edges"
       }
+    def ccResidentPairs(d: String): DataFrame = {
+      val bands = Dedup.bandKeys(Tables.documents(spark, d),
+        "text", "doc_id", 4, 4, 3)
+      Dedup.candidatePairs(bands)
+        .filter(!(col("id_a") < IdStride && col("id_a") % 100 === 0) &&
+          !(col("id_b") < IdStride && col("id_b") % 100 === 0))
+    }
     val ccIdx: Map[Int, String] =
       if (!ccArmsOn) Map.empty
       else dirs.map { case (n, d) =>
@@ -287,15 +294,27 @@ object ScaleSoak {
         val stamp = s"$d|synth=$SynthVersion|cc=2|b=${256 * n}"
         if (!(Files.exists(marker) &&
             new String(Files.readAllBytes(marker), "UTF-8") == stamp)) {
-          val bands = Dedup.bandKeys(Tables.documents(spark, d),
-            "text", "doc_id", 4, 4, 3)
-          val resident = Dedup.candidatePairs(bands)
-            .filter(!(col("id_a") < IdStride && col("id_a") % 100 === 0) &&
-              !(col("id_b") < IdStride && col("id_b") % 100 === 0))
-          graft.ops.CcState.write(resident, s"$out/cc", buckets = 256 * n)
+          graft.ops.CcState.write(ccResidentPairs(d), s"$out/cc",
+            buckets = 256 * n)
           Files.write(marker, stamp.getBytes("UTF-8"))
         }
         n -> s"$out/cc"
+      }
+    // the edge-retention pair's truth side, built untimed per scale
+    // with the SAME bucket budget as the labels (the lockstep rule)
+    val ccEdgeIdx: Map[Int, String] =
+      if (!armOn("ccstate_deletenode_scaled")) Map.empty
+      else dirs.map { case (n, d) =>
+        val out = s"$workRoot/ccedges/x$n"
+        val marker = Paths.get(s"$out/_CC_OK")
+        val stamp = s"$d|synth=$SynthVersion|cce=1|b=${256 * n}"
+        if (!(Files.exists(marker) &&
+            new String(Files.readAllBytes(marker), "UTF-8") == stamp)) {
+          graft.ops.CcState.writeEdges(ccResidentPairs(d), s"$out/edges",
+            buckets = 256 * n)
+          Files.write(marker, stamp.getBytes("UTF-8"))
+        }
+        n -> s"$out/edges"
       }
     def copyState(st: String, tag: String, n: Int, r: Int): String = {
       val conf = spark.sparkContext.hadoopConfiguration
@@ -351,6 +370,26 @@ object ScaleSoak {
         n -> scala.collection.mutable.Queue(
           (1 to RUNS).map(r => copyState(st, "ccrbk", n, r)): _*)
       }
+    // deleteNodes mutates BOTH stores — per-run copies of the pair.
+    // The fixed victim: the smallest base-corpus node, resolved once
+    // from the x1 store (scale replicas are id-disjoint, so the same
+    // node with the SAME component exists at every scale — the arm
+    // isolates the store-size term, which the operator's contract
+    // names: one column-pruned label scan + component-priced rest).
+    val ccDelPairCopies
+        : Map[Int, scala.collection.mutable.Queue[(String, String)]] =
+      if (!armOn("ccstate_deletenode_scaled")) Map.empty
+      else ccIdx.map { case (n, st) =>
+        n -> scala.collection.mutable.Queue(
+          (1 to RUNS).map { r =>
+            (copyState(st, "ccdeln", n, r),
+              copyState(ccEdgeIdx(n), "ccdele", n, r))
+          }: _*)
+      }
+    val ccDelNode: Long =
+      if (!armOn("ccstate_deletenode_scaled")) 0L
+      else spark.read.parquet(ccIdx(1)).agg(min(col("node")))
+        .collect().head.getLong(0)
 
     // ivm_refresh arm: per-scale persisted partial-aggregate state
     // (AggState over the FULL scaled events table), built outside the
@@ -604,6 +643,19 @@ object ScaleSoak {
         // rewrites by contract (the compact cost class — scheduled,
         // never a tax on daily appends/absorbs), measured so each
         // operator's SCALE.md row is its own evidence.
+        // edge-retention right-to-be-forgotten: a FIXED single-node
+        // deletion against the store pair growing with scale. The
+        // contract has two terms — component-priced work (fixed here:
+        // replicas are disjoint, the victim's component never grows)
+        // plus ONE column-pruned label scan (tracks |nodes| — the
+        // summary, tiny vs the corpus) — so the exponent sits between
+        // flat and the label-scan slope, never the corpus's.
+        ("ccstate_deletenode_scaled" -> { (s: SparkSession, _: String, n: Int) =>
+          val (cc, ed) = ccDelPairCopies(n).dequeue()
+          graft.ops.CcState.deleteNodes(s,
+            s.sql(s"SELECT CAST($ccDelNode AS BIGINT) AS node"), cc, ed)
+          s.range(1).toDF("ok")
+        }) :+
         ("annindex_rebucket_scaled" -> { (s: SparkSession, _: String, n: Int) =>
           AnnIndex.rebucket(s, annRebucketCopies(n).dequeue(),
             soakPlanes(n) + 1)

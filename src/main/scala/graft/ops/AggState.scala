@@ -486,6 +486,55 @@ object AggState {
       "distinct", DistinctLayout, distinctParams(k, newBucketOf))
   }
 
+  /** SHRINK the sketch store's k — the distinct store's second
+    * geometry axis, migratable EXACTLY from the store alone because
+    * k-min truncates: the k'-min of any set is the first k' entries of
+    * its k-min, so every group's post-shrink sketch is bit-identical
+    * to a from-scratch build at `newK` (AggStateSpec pins it; q256
+    * gates it against the DuckDB oracle). GROWING k is NOT migratable
+    * — a bigger sketch needs hashes the store never kept — and is a
+    * [[writeDistinct]] rebuild from source; asking for it fails
+    * loudly. The deployment reason to shrink: a store sized for ±1.6%
+    * error (k=4096) that a cost review re-budgets to ±6% (k=256) drops
+    * 16× of its dominant column without touching the fact table.
+    * Staged swap with the meta (new k, bucket spec carried VERBATIM)
+    * written into the stage last — [[swapIn]]'s crash contract; the
+    * store keeps its bucket geometry, so rows keep their pbucket.
+    * Requires a stamped store: the shrink validates against (and
+    * restamps) the persisted k, and a meta-less legacy store has no k
+    * to validate — run any maintenance write first to stamp it. */
+  def shrinkDistinctK(spark: SparkSession, path: String,
+      newK: Int): Unit = {
+    require(newK > 0, s"k must be positive, got $newK")
+    recover(spark, path)
+    val m = readMeta(spark, path).getOrElse(sys.error(
+      s"$path has no parameter stamp — shrinking k validates against " +
+        "the stored k; run a maintenance write first to stamp the store"))
+    require(m.get("kind").contains("distinct"),
+      s"$path is a '${m.getOrElse("kind", "?")}' store — " +
+        "shrinkDistinctK applies to distinct stores only")
+    val k = m.getOrElse("k", sys.error(s"$path stamp carries no k")).toInt
+    require(newK < k,
+      s"k can only SHRINK from the store alone (stored k=$k, got " +
+        s"$newK) — growing k needs hashes the store never kept: " +
+        "rebuild from source via writeDistinct")
+    val groupCols = spark.read.parquet(path).columns
+      .filterNot(Set("ks", "epoch", "pbucket")).toSeq
+    val fs = fsFor(path, spark)
+    val tmp = path + "_rebucketing"
+    fs.delete(new HPath(tmp), true)
+    residentSketch(readStore(spark, path), groupCols :+ "pbucket", newK)
+      .withColumn("epoch", lit(-1L))
+      .repartition(col("pbucket"))
+      .write.mode("overwrite").partitionBy("pbucket").parquet(tmp)
+    stampMeta(spark, tmp, "distinct", DistinctLayout,
+      Seq("k" -> newK.toString) ++ m.get("bucketSpec").map("bucketSpec" -> _))
+    val old = new HPath(path + "_old")
+    if (fs.exists(new HPath(path))) fs.rename(new HPath(path), old)
+    fs.rename(new HPath(tmp), new HPath(path))
+    fs.delete(old, true)
+  }
+
   /** Stage `rows` under the new bucket column beside the store (the
     * output cannot overwrite the path its plan is still reading), with
     * the NEW meta written into the stage LAST (= stage-complete

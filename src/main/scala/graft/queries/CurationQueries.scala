@@ -4382,6 +4382,53 @@ object CurationQueries {
     })
   private val q255Sql = q253Sql
 
+  // --------------------------------------------------------- q256
+  /** The distinct store's SECOND geometry axis migrated: k-shrink.
+    * [[AggState.shrinkDistinctK]] exploits the k-min identity (the
+    * k'-min of a set is the first k' of its k-min) to re-budget a
+    * sketch store's accuracy/size EXACTLY from the store alone — no
+    * fact-table re-scan — with the meta restamped so later maintenance
+    * validates against the new k (growing k stays a loud
+    * from-source-rebuild refusal, AggStateSpec pins it). The lifecycle
+    * under gate: write the base at k=64, absorb a delta, SHRINK to
+    * k=16, then read estimates at 16; the oracle recomputes the k=16
+    * KMV estimate from scratch in DuckDB over all rows — a shrink that
+    * truncated wrong, dropped a group, or left the old k stamped
+    * hash-mismatches or throws. */
+  private val ShrunkKmvK = 16
+  private def q256(s: SparkSession, dir: String): DataFrame =
+    AggState.distinctEstimates(s, q256State(s, dir), Seq("event_type"),
+      ShrunkKmvK)
+      .select(col("event_type"), col("n_est").as("n_users_est"))
+  private val q256StateCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def q256State(s: SparkSession, dir: String): String =
+    q256StateCache.computeIfAbsent(dir, { _ =>
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-aggstate-q256").toString
+      val ev = Tables.events(s, dir)
+      AggState.writeDistinct(ev.filter(col("event_id") % 10 =!= 0),
+        Seq("event_type"), "user_id", KmvK, q235Bucket, s"$out/state")
+      AggState.absorbDistinct(s, s"$out/state",
+        ev.filter(col("event_id") % 10 === 0), Seq("event_type"),
+        "user_id", KmvK, q235Bucket)
+      AggState.shrinkDistinctK(s, s"$out/state", ShrunkKmvK)
+      s"$out/state"
+    })
+  private val q256Sql =
+    s"""WITH h AS (SELECT DISTINCT event_type,
+       |    ('0x' || substr(md5(user_id::VARCHAR), 1, 12))::BIGINT AS h
+       |  FROM events),
+       |tot AS (SELECT event_type, CAST(count(*) AS BIGINT) AS ch FROM h GROUP BY 1),
+       |rk AS (SELECT event_type, h,
+       |         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk FROM h),
+       |kth AS (SELECT event_type, max(h) AS kth FROM rk WHERE rk <= $ShrunkKmvK GROUP BY 1)
+       |SELECT t.event_type,
+       |  round(CASE WHEN t.ch < $ShrunkKmvK THEN t.ch::DOUBLE
+       |             ELSE CAST(${ShrunkKmvK - 1} AS DOUBLE) * CAST(281474976710656 AS DOUBLE)
+       |                  / k.kth END, 4) AS n_users_est
+       |FROM tot t JOIN kth k ON t.event_type = k.event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q168_kmv_distinct" -> q168 _,
     "q169_minhash_error" -> q169 _,
@@ -4470,7 +4517,8 @@ object CurationQueries {
     "q252_ivm_cov" -> q252 _,
     "q253_cc_rtbf" -> q253 _,
     "q254_ivm_corr" -> q254 _,
-    "q255_cc_stream_rtbf" -> q255 _)
+    "q255_cc_stream_rtbf" -> q255 _,
+    "q256_kmv_shrink" -> q256 _)
 
   val oracleSql: Map[String, String] = Map(
     "q168_kmv_distinct" -> q168Sql,
@@ -4560,5 +4608,6 @@ object CurationQueries {
     "q252_ivm_cov" -> q252Sql,
     "q253_cc_rtbf" -> q253Sql,
     "q254_ivm_corr" -> q254Sql,
-    "q255_cc_stream_rtbf" -> q255Sql)
+    "q255_cc_stream_rtbf" -> q255Sql,
+    "q256_kmv_shrink" -> q256Sql)
 }

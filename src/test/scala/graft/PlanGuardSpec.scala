@@ -44,7 +44,8 @@ class PlanGuardSpec extends SparkSpec {
     "q219_ivf_index",    // probe assignment: centroid codebook bounded by nClusters (q43)
     "q221_ivf_lifecycle", // same probe assignment as q219 over the maintained index
     "q227_ivf_quantized", // same bounded-codebook probe assignment as q219/q221
-    "q232_ivf_quantized_lifecycle") // same bounded-codebook probe assignment as q219/q221
+    "q232_ivf_quantized_lifecycle", // same bounded-codebook probe assignment as q219/q221
+    "q250_ivf_rebucket") // same bounded-codebook probe assignment, re-trained 12-cell quantizer
 
   test("no query plans a cartesian product; nested loops only where bounded") {
     val dir = "/root/testdata/sf0.001"

@@ -618,6 +618,38 @@ class AggStateSpec extends SparkSpec {
     fs.exists(new HPath(s"${path3}_rebucketing")) shouldBe false // writer: cleaned
   }
 
+  test("shrinkDistinctK: truncation is exact, growing is refused, the old k fails loudly afterwards") {
+    val dir = Files.createTempDirectory("graft-aggstate").toString
+    val path = s"$dir/dstate"
+    val grp = Seq("event_type")
+    val bkt = pmod(hash(col("event_type")), lit(4)).cast("long")
+    AggState.writeDistinct(base, grp, "user_id", 16, bkt, path)
+    AggState.absorbDistinct(spark, path, delta, grp, "user_id", 16, bkt)
+    AggState.shrinkDistinctK(spark, path, 8)
+    // exactness: the shrunk store's sketches ARE a from-scratch k=8
+    // build (the k-min truncation identity), estimates included
+    val fresh = s"$dir/fresh"
+    AggState.writeDistinct(ev, grp, "user_id", 8, bkt, fresh)
+    AggState.distinctEstimates(spark, path, grp, 8)
+      .collect().toSet shouldBe
+      AggState.distinctEstimates(spark, fresh, grp, 8).collect().toSet
+    spark.read.parquet(path).select(col("event_type"), col("ks"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap shouldBe
+      spark.read.parquet(fresh).select(col("event_type"), col("ks"))
+        .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    // the meta restamped: the OLD k now fails loudly, the new k works
+    val stale = intercept[IllegalArgumentException] {
+      AggState.absorbDistinct(spark, path, delta, grp, "user_id", 16, bkt)
+    }
+    stale.getMessage should include("k=8")
+    AggState.absorbDistinct(spark, path, delta, grp, "user_id", 8, bkt)
+    // growing k is not migratable from the store — loud refusal
+    val grow = intercept[RuntimeException] {
+      AggState.shrinkDistinctK(spark, path, 64)
+    }
+    grow.getMessage should include("SHRINK")
+  }
+
   test("absorb creates partitions for buckets the store has never seen") {
     val dir = Files.createTempDirectory("graft-aggstate").toString
     val path = s"$dir/state"
