@@ -516,6 +516,26 @@ object CcState {
     fs.delete(old, true)
   }
 
+  /** Redelivery-duplicate rows resident in the edge store — the
+    * telemetry for the [[compactEdges]] schedule ([[mergeLogSize]]'s
+    * discipline for the adjacency rows): raw count minus distinct
+    * count, both column-pruned scans of the store. */
+  def edgeDuplicateCount(spark: SparkSession, path: String): Long = {
+    val rows = spark.read.parquet(path).select(col("node"), col("peer"))
+    rows.count() - rows.distinct().count()
+  }
+
+  /** Compact the edge store when more than `threshold` duplicate rows
+    * are resident — the policy knob: duplicates never change answers
+    * (every consumer distincts), only read cost, so the full rewrite
+    * amortizes over many replayed batches. Returns whether it
+    * compacted. Writer-side (single writer). */
+  val DefaultEdgeDupThreshold = 100000L
+  def maybeCompactEdges(spark: SparkSession, path: String,
+      threshold: Long = DefaultEdgeDupThreshold): Boolean =
+    if (edgeDuplicateCount(spark, path) < threshold) false
+    else { compactEdges(spark, path); true }
+
   /** Maintain the LABEL and EDGE stores from one stream of edges in
     * LOCKSTEP — the edge-retention mode's stream path, closing stream
     * parity for the store pair: each micro-batch absorbs into the

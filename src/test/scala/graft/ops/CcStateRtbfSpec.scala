@@ -181,8 +181,11 @@ class CcStateRtbfSpec extends SparkSpec {
     val (cc, ed) = build(dir, base)
     // redelivered batch: duplicate (node, peer) rows land in the store
     CcState.absorbEdges(spark, edgesDf((1L, 5L)), ed)
-    spark.read.parquet(ed).count() should be > (base.size * 2L)
-    CcState.compactEdges(spark, ed)
+    CcState.edgeDuplicateCount(spark, ed) shouldBe 2L // both directions
+    // policy: under threshold no-op, at threshold compacts
+    CcState.maybeCompactEdges(spark, ed, threshold = 3L) shouldBe false
+    CcState.maybeCompactEdges(spark, ed, threshold = 2L) shouldBe true
+    CcState.edgeDuplicateCount(spark, ed) shouldBe 0L
     spark.read.parquet(ed).count() shouldBe base.size * 2L
     // the purged store still drives the component-priced delete
     CcState.deleteNodes(spark, Seq(5L).toDF("node"), cc, ed)
