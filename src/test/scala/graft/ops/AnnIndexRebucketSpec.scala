@@ -144,6 +144,22 @@ class AnnIndexRebucketSpec extends SparkSpec {
     fs.exists(new HPath(s"${idx}_rebucketing")) shouldBe false
   }
 
+  test("delete AFTER rebucket prunes with the migrated geometry") {
+    // delete recomputes each victim's bucket from the PERSISTED meta —
+    // after a migration that must be the new planes, or the affected-
+    // bucket set misses every victim and the delete silently no-ops
+    val dir = Files.createTempDirectory("graft-annrbk").toString
+    AnnIndex.write(emb, planes = 3, path = s"$dir/idx")
+    AnnIndex.rebucket(spark, s"$dir/idx", newPlanes = 5)
+    val victims = emb.filter(col("vec_id") % 7 === 3)
+      .select(col("vec_id"), col("embedding"))
+    AnnIndex.delete(spark, victims, s"$dir/idx")
+    AnnIndex.write(emb.filter(col("vec_id") % 7 =!= 3), planes = 5,
+      path = s"$dir/fresh")
+    AnnIndex.topK(spark, s"$dir/idx", qs, k = 5).collect().toSet shouldBe
+      AnnIndex.topK(spark, s"$dir/fresh", qs, k = 5).collect().toSet
+  }
+
   test("maybeRebucket: the geometry schedule is code — under-drift no-op, over-drift migrates, all layouts") {
     val nVec = emb.count()
     // flat: target sized so the budget equals the stamped planes → no-op
