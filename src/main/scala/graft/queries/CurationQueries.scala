@@ -4429,6 +4429,80 @@ object CurationQueries {
        |                  / k.kth END, 4) AS n_users_est
        |FROM tot t JOIN kth k ON t.event_type = k.event_type""".stripMargin
 
+  // --------------------------------------------------------- q257
+  /** Incremental POPULATION-STABILITY-INDEX drift monitoring — the
+    * composition ladder applied to whole DISTRIBUTIONS: a maintained
+    * histogram is just an [[AggState]] store grouped by
+    * (event_type, value_bin), so a frozen REFERENCE store and a
+    * CURRENT store kept fresh by daily absorbs give per-group
+    * PSI = Σ_bins (p−q)·ln(p/q) from one keyed join at read — the
+    * standard "did my feature distribution move?" gate a training
+    * pipeline runs before each mixing pass, at delta cost, zero new
+    * operator code. Bin pairs empty on either side are skipped (PSI's
+    * usual convention, identical in both engines — [[AggState.merged]]
+    * already filters n>0); shares use each store's FULL total. Counts
+    * are exact longs, so the only float work is the final share/ln
+    * arithmetic, rounded once (the q182/q146 entropy discipline). */
+  private def q257(s: SparkSession, dir: String): DataFrame = {
+    val (ref, cur) = q257State(s, dir)
+    val grp = Seq("event_type", "vbin")
+    val r = AggState.merged(s, ref, grp)
+      .select(col("event_type"), col("vbin"), col("n").as("rn"))
+    val c = AggState.merged(s, cur, grp)
+      .select(col("event_type").as("et_c"), col("vbin").as("vb_c"),
+        col("n").as("cn"))
+    val rt = r.groupBy(col("event_type").as("et_rt"))
+      .agg(sum(col("rn")).cast("double").as("rt"))
+    val ct = c.groupBy(col("et_c").as("et_ct"))
+      .agg(sum(col("cn")).cast("double").as("ct"))
+    r.join(c, col("event_type") === col("et_c") &&
+        col("vbin") === col("vb_c"))
+      .join(rt, col("event_type") === col("et_rt"))
+      .join(ct, col("event_type") === col("et_ct"))
+      .withColumn("p", col("cn") / col("ct"))
+      .withColumn("q", col("rn") / col("rt"))
+      .groupBy(col("event_type"))
+      .agg(round(sum((col("p") - col("q")) * log(col("p") / col("q"))), 4)
+        .as("psi"))
+  }
+  private def q257Bin = least(floor(col("value")), lit(9.0)).cast("long")
+  private val q257StateCache = new java.util.concurrent
+    .ConcurrentHashMap[String, (String, String)]()
+  private def q257State(s: SparkSession,
+      dir: String): (String, String) =
+    q257StateCache.computeIfAbsent(dir, { _ =>
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-aggstate-q257").toString
+      val ev = Tables.events(s, dir).withColumn("vbin", q257Bin)
+      val grp = Seq("event_type", "vbin")
+      val bucket = pmod(hash(col("event_type")), lit(4)).cast("long")
+      // reference period frozen; current period maintained by absorb
+      AggState.write(ev.filter(col("event_id") % 2 === 0), grp,
+        "value", 10000, bucket, s"$out/ref")
+      AggState.write(ev.filter(col("event_id") % 2 =!= 0 &&
+          col("event_id") % 10 =!= 9), grp,
+        "value", 10000, bucket, s"$out/cur")
+      AggState.absorb(s, s"$out/cur",
+        ev.filter(col("event_id") % 10 === 9), grp, "value", 10000,
+        bucket)
+      (s"$out/ref", s"$out/cur")
+    })
+  private val q257Sql =
+    """WITH b AS (SELECT event_type,
+      |    CAST(least(floor(value), 9) AS BIGINT) AS vbin, event_id
+      |  FROM events),
+      |r AS (SELECT event_type, vbin, count(*) AS rn FROM b
+      |      WHERE event_id % 2 = 0 GROUP BY 1, 2),
+      |c AS (SELECT event_type, vbin, count(*) AS cn FROM b
+      |      WHERE event_id % 2 <> 0 GROUP BY 1, 2),
+      |rt AS (SELECT event_type, CAST(sum(rn) AS DOUBLE) AS rt FROM r GROUP BY 1),
+      |ct AS (SELECT event_type, CAST(sum(cn) AS DOUBLE) AS ct FROM c GROUP BY 1)
+      |SELECT r.event_type,
+      |  round(sum((cn / ct - rn / rt) * ln((cn / ct) / (rn / rt))), 4) AS psi
+      |FROM r JOIN c USING (event_type, vbin)
+      |  JOIN rt USING (event_type) JOIN ct USING (event_type)
+      |GROUP BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q168_kmv_distinct" -> q168 _,
     "q169_minhash_error" -> q169 _,
@@ -4518,7 +4592,8 @@ object CurationQueries {
     "q253_cc_rtbf" -> q253 _,
     "q254_ivm_corr" -> q254 _,
     "q255_cc_stream_rtbf" -> q255 _,
-    "q256_kmv_shrink" -> q256 _)
+    "q256_kmv_shrink" -> q256 _,
+    "q257_ivm_psi" -> q257 _)
 
   val oracleSql: Map[String, String] = Map(
     "q168_kmv_distinct" -> q168Sql,
@@ -4609,5 +4684,6 @@ object CurationQueries {
     "q253_cc_rtbf" -> q253Sql,
     "q254_ivm_corr" -> q254Sql,
     "q255_cc_stream_rtbf" -> q255Sql,
-    "q256_kmv_shrink" -> q256Sql)
+    "q256_kmv_shrink" -> q256Sql,
+    "q257_ivm_psi" -> q257Sql)
 }
