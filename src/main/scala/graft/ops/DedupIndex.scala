@@ -45,16 +45,32 @@ object DedupIndex {
     * The one full shuffle this layout ever pays. */
   def write(resident: DataFrame, textCol: String, idCol: String,
       bands: Int, rowsPerBand: Int, shingleK: Int,
-      path: String, table: String, buckets: Int = 32): Unit = {
-    val spark = resident.sparkSession
-    Dedup.bandKeys(resident, textCol, idCol, bands, rowsPerBand, shingleK)
-      .select(col("id"), foldedKey)
-      .write.mode(SaveMode.Overwrite)
+      path: String, table: String, buckets: Int = 32): Unit =
+    writeKeys(
+      Dedup.bandKeys(resident, textCol, idCol, bands, rowsPerBand,
+        shingleK).select(col("id"), foldedKey),
+      path, table, buckets,
+      Map("bands" -> bands.toString, "rowsPerBand" -> rowsPerBand.toString,
+        "shingleK" -> shingleK.toString))
+
+  /** KEY-AGNOSTIC write: the caller supplies the banding — `keys` is
+    * (id, bk, payload cols…), where `bk` is any folded band identity
+    * and the payload columns ride beside it into the buckets (e.g.
+    * [[Multimodal]]'s 64-bit dHash beside its quarter keys, so a
+    * probe's verify step needs no second lookup). Everything else —
+    * the bucketed+sorted layout, the zero-resident-exchange probe
+    * join, tombstone deletes, compact/rebucket generation rewrites —
+    * is banding-agnostic and shared. `params` stamp as `graft.*` table
+    * properties for the caller's own drift checks. */
+  def writeKeys(keys: DataFrame, path: String, table: String,
+      buckets: Int = 32, params: Map[String, String] = Map.empty): Unit = {
+    val spark = keys.sparkSession
+    keys.write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, "bk").sortBy("bk")
       .option("path", path).saveAsTable(table)
+    val props = params + ("buckets" -> buckets.toString)
     spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES (" +
-      s"'graft.bands'='$bands','graft.rowsPerBand'='$rowsPerBand'," +
-      s"'graft.shingleK'='$shingleK','graft.buckets'='$buckets')")
+      props.map { case (k, v) => s"'graft.$k'='$v'" }.mkString(",") + ")")
   }
 
   /** The table's persisted `graft.*` properties. */
@@ -69,11 +85,19 @@ object DedupIndex {
     * table — means nothing to check, the old caller-discipline
     * contract). */
   private def checkParams(spark: SparkSession, table: String,
-      expect: (String, Int)*): Unit = {
+      expect: (String, Int)*): Unit =
+    checkProps(spark, table,
+      expect.map { case (k, v) => k -> v.toString }: _*)
+
+  /** String-valued [[checkParams]] — shared with the key-agnostic
+    * callers (e.g. [[Multimodal]]'s dHash index validates its
+    * `scheme` stamp through this). */
+  private[ops] def checkProps(spark: SparkSession, table: String,
+      expect: (String, String)*): Unit = {
     val props = graftProps(spark, table)
     expect.foreach { case (key, got) =>
       props.get(s"graft.$key").foreach { stored =>
-        require(stored.toInt == got,
+        require(stored == got,
           s"$table was built with $key=$stored but the caller passed " +
             s"$got — probe/absorb/compact must use the index's own " +
             "hashing parameters")
@@ -99,17 +123,24 @@ object DedupIndex {
     * when it does not exist yet. */
   def absorb(batch: DataFrame, textCol: String, idCol: String,
       bands: Int, rowsPerBand: Int, shingleK: Int,
-      path: String, table: String, buckets: Int = 32): Unit = {
-    val spark = batch.sparkSession
+      path: String, table: String, buckets: Int = 32): Unit =
+    absorbKeys(
+      Dedup.bandKeys(batch, textCol, idCol, bands, rowsPerBand, shingleK)
+        .select(col("id"), foldedKey),
+      path, table, buckets,
+      Map("bands" -> bands.toString, "rowsPerBand" -> rowsPerBand.toString,
+        "shingleK" -> shingleK.toString))
+
+  /** [[absorb]]'s key-agnostic form — see [[writeKeys]]. `params` are
+    * validated against the table's stamp before the append. */
+  def absorbKeys(keys: DataFrame, path: String, table: String,
+      buckets: Int = 32, params: Map[String, String] = Map.empty): Unit = {
+    val spark = keys.sparkSession
     val exists = spark.catalog.tableExists(table)
     if (exists)
-      checkParams(spark, table, "bands" -> bands,
-        "rowsPerBand" -> rowsPerBand, "shingleK" -> shingleK,
-        "buckets" -> buckets)
-    val writer = Dedup
-      .bandKeys(batch, textCol, idCol, bands, rowsPerBand, shingleK)
-      .select(col("id"), foldedKey)
-      .write.mode(SaveMode.Append)
+      checkProps(spark, table,
+        (params + ("buckets" -> buckets.toString)).toSeq: _*)
+    val writer = keys.write.mode(SaveMode.Append)
       .bucketBy(buckets, "bk").sortBy("bk")
     (if (exists) writer else writer.option("path", path)).saveAsTable(table)
   }
@@ -340,13 +371,21 @@ object DedupIndex {
       bands: Int, rowsPerBand: Int, shingleK: Int): DataFrame = {
     checkParams(spark, table, "bands" -> bands,
       "rowsPerBand" -> rowsPerBand, "shingleK" -> shingleK)
-    val probeKeys = Dedup
-      .bandKeys(batch, textCol, idCol, bands, rowsPerBand, shingleK)
-      .select(col("id").as("new_id"), foldedKey)
-    liveRows(spark, table)
-      .join(probeKeys, Seq("bk"))
+    probeKeys(spark, table,
+      Dedup.bandKeys(batch, textCol, idCol, bands, rowsPerBand, shingleK)
+        .select(col("id").as("new_id"), foldedKey))
       .filter(col("id") =!= col("new_id"))
       .select(col("new_id"), col("id").as("resident_id"))
       .distinct()
   }
+
+  /** [[probe]]'s key-agnostic form: join `probe` (bk + the caller's
+    * columns) against the live resident rows on the folded band key —
+    * the co-located bucket join, tombstones excluded. The caller
+    * shapes the output (dedupe, verify, column names); resident
+    * payload columns come through for verify-without-a-second-lookup
+    * (the [[Multimodal]] dHash probe). */
+  def probeKeys(spark: SparkSession, table: String,
+      probe: DataFrame): DataFrame =
+    liveRows(spark, table).join(probe, Seq("bk"))
 }

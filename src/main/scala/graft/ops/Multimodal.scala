@@ -603,6 +603,89 @@ object Multimodal {
     exact.unionByName(near).distinct()
   }
 
+  // ------------------------------------------------------------------
+  // Incremental image dedup: the dHash quarter banding PERSISTED — the
+  // [[DedupIndex]] deployment shape (a small daily batch of new images
+  // probed against an enormous resident corpus, resident side
+  // shuffle-free) with perceptual-hash quarters as the band keys and
+  // the 64-bit hash riding beside them as payload, so the probe's
+  // Hamming verify needs no second lookup. All storage/lifecycle
+  // machinery (bucketed+sorted layout, tombstone deletes, compact /
+  // rebucket generation rewrites) is DedupIndex's, key-agnostic.
+  // ------------------------------------------------------------------
+
+  /** The persisted rows for one image hash: 4 × (id, dhash, bk) with
+    * bk = `q<band>:<16-bit quarter hex>` — one row per quarter, NULL
+    * hashes (undecodable blobs) never indexed. */
+  def dHashBandKeys(hashes: DataFrame): DataFrame = {
+    val h = hashes.filter(col("dhash").isNotNull)
+      .select(col("id"), col("dhash"))
+    (0 until 4).map { b =>
+      h.select(col("id"), col("dhash"),
+        concat(lit(s"q$b:"), lower(hex(
+          shiftright(col("dhash"), b * 16).bitwiseAND(lit(0xffffL)))))
+          .as("bk"))
+    }.reduce(_ unionByName _)
+  }
+
+  private val DHashIndexParams = Map("scheme" -> "dhash16")
+
+  /** Persist `hashes` (id, dhash — [[imageDHash]]'s output) as the
+    * resident image-dedup index. */
+  def writeDHashIndex(hashes: DataFrame, path: String, table: String,
+      buckets: Int = 32): Unit =
+    DedupIndex.writeKeys(dHashBandKeys(hashes), path, table, buckets,
+      DHashIndexParams)
+
+  /** Absorb a day's new image hashes into the resident index —
+    * [[DedupIndex.absorb]]'s contract (append into the buckets,
+    * resident files untouched). */
+  def absorbDHashIndex(hashes: DataFrame, path: String, table: String,
+      buckets: Int = 32): Unit =
+    DedupIndex.absorbKeys(dHashBandKeys(hashes), path, table, buckets,
+      DHashIndexParams)
+
+  /** Near-dup pairs between a probe batch's hashes and the resident
+    * index: quarter-key candidates (pigeonhole-COMPLETE at `maxDist` ≤
+    * 3 — [[dHashNearDupPairs]]' argument, cross-corpus edition; exact
+    * duplicates pass at Hamming 0 through the same verify), Hamming-
+    * verified against the payload hash the index stores beside each
+    * quarter. Only the batch's quarters are computed and shuffled;
+    * the resident side streams from its co-located buckets with
+    * tombstoned ids excluded ([[DedupIndex.delete]] owns forgetting).
+    * Output: (new_id, resident_id), distinct. */
+  def probeDHashIndex(spark: SparkSession, table: String,
+      hashes: DataFrame, maxDist: Int = 3): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 3,
+      s"banded candidates are complete only for maxDist <= 3, got $maxDist")
+    DedupIndex.checkProps(spark, table, DHashIndexParams.toSeq: _*)
+    val probe = dHashBandKeys(hashes)
+      .select(col("id").as("new_id"), col("dhash").as("__da"), col("bk"))
+    DedupIndex.probeKeys(spark, table, probe)
+      .filter(col("id") =!= col("new_id"))
+      .select(col("new_id"), col("id").as("resident_id"),
+        col("__da"), col("dhash"))
+      .distinct()
+      .filter(expr(s"bit_count(__da ^ dhash) <= $maxDist"))
+      .select(col("new_id"), col("resident_id"))
+  }
+
+  /** Maintain the image index from a STREAM of (id, dhash) rows —
+    * [[DedupIndex.maintainStream]]'s shape: band keys are a
+    * deterministic function of the hash, so a crash-replayed batch
+    * appends identical rows that every probe's distinct collapses and
+    * the next [[DedupIndex.compact]] purges. */
+  def maintainDHashStream(stream: DataFrame, path: String, table: String,
+      checkpoint: String,
+      buckets: Int = 32): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        absorbDHashIndex(batch, path, table, buckets)
+      }
+      .start()
+
   /** Batch dispatch: real ImageIO decode for `image/…`, real
     * javax.sound decode for `audio/…`, real container parse for
     * `video/…` (Y4M / MJPEG — adapted into the MediaFeatures shape:

@@ -3834,8 +3834,11 @@ object CurationQueries {
   private def q244(s: SparkSession, dir: String): DataFrame =
     Multimodal.dHashNearDupPairs(
       Multimodal.imageDHash(s, q244Media(s, dir)).toDF(), maxDist = 3)
-  private val q244Sql =
-    """WITH p AS (SELECT doc_id,
+  /** The closed-form dHash bit strings of [[q244Media]]'s fixture
+    * corpus (perturbed-dup pattern included), as the `p`/`hb` CTE pair
+    * — shared by q244 (all-pairs) and q258 (batch-vs-resident). */
+  private val DHashBitsCtes =
+    """p AS (SELECT doc_id,
       |    CASE WHEN doc_id % 5 = 0 AND doc_id > 0 THEN doc_id - 1
       |         ELSE doc_id END AS pid,
       |    (doc_id % 5 = 0 AND doc_id > 0) AS dup
@@ -3849,12 +3852,14 @@ object CurationQueries {
       |            THEN (('0x' || substr(md5(pid::VARCHAR || ',' || ((63 - j) % 8)::VARCHAR || ',' || ((63 - j) // 8)::VARCHAR), 1, 2))::INT + 128) % 256
       |            ELSE ('0x' || substr(md5(pid::VARCHAR || ',' || ((63 - j) % 8)::VARCHAR || ',' || ((63 - j) // 8)::VARCHAR), 1, 2))::INT END)
       |      THEN '1' ELSE '0' END), '') AS bits
-      |  FROM p)
-      |SELECT a.doc_id AS id_a, b.doc_id AS id_b
-      |FROM hb a JOIN hb b ON a.doc_id < b.doc_id
-      |WHERE list_sum(list_transform(range(1, 65), k ->
-      |  CASE WHEN substring(a.bits, k, 1) <> substring(b.bits, k, 1)
-      |       THEN 1 ELSE 0 END)) <= 3""".stripMargin
+      |  FROM p)""".stripMargin
+  private val q244Sql =
+    s"""WITH $DHashBitsCtes
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |FROM hb a JOIN hb b ON a.doc_id < b.doc_id
+       |WHERE list_sum(list_transform(range(1, 65), k ->
+       |  CASE WHEN substring(a.bits, k, 1) <> substring(b.bits, k, 1)
+       |       THEN 1 ELSE 0 END)) <= 3""".stripMargin
 
   // --------------------------------------------------------- q245
   /** REAL audio decode under the gate — completing oracle coverage of
@@ -4503,6 +4508,55 @@ object CurationQueries {
       |  JOIN rt USING (event_type) JOIN ct USING (event_type)
       |GROUP BY 1""".stripMargin
 
+  // --------------------------------------------------------- q258
+  /** Incremental IMAGE dedup — q216's persisted-index deployment shape
+    * (a small daily batch probed against an enormous resident corpus,
+    * resident side shuffle-free) with PERCEPTUAL-hash quarters as the
+    * band keys: the resident images' dHashes are written ONCE as a
+    * bucketed index with the 64-bit hash riding beside each quarter
+    * key ([[Multimodal.writeDHashIndex]] over [[DedupIndex]]'s
+    * key-agnostic machinery), day 1's hashes are absorbed, and day 2
+    * probes — quarter-key candidates (pigeonhole-COMPLETE at Hamming ≤
+    * 3, exact dups included at Hamming 0), verified against the stored
+    * payload hash with zero second lookups. Oracle = q244's
+    * closed-form bit strings brute-forced over exactly the
+    * (batch, resident∪day1) cross pairs; corrupt blobs (NULL hash) are
+    * never indexed and never pair. */
+  private def q258(s: SparkSession, dir: String): DataFrame = {
+    val day2 = Multimodal.imageDHash(s,
+      q244Media(s, dir).filter(col("id") % 10 === 5)).toDF()
+    Multimodal.probeDHashIndex(s, q258Table(s, dir), day2, maxDist = 3)
+  }
+  private val q258TableCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def q258Table(s: SparkSession, dir: String): String =
+    q258TableCache.compute(sessionToken(s) + "|" + dir, { (_, prev) =>
+      if (prev != null && s.catalog.tableExists(prev)) prev
+      else {
+        val digest = java.security.MessageDigest.getInstance("SHA-1")
+          .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          .map(b => f"$b%02x").mkString.take(16)
+        val table = s"graft_dhash_idx_$digest"
+        val path = java.nio.file.Files
+          .createTempDirectory("graft-dhashidx-q258").toString
+        val media = q244Media(s, dir)
+        val resident = Multimodal.imageDHash(s,
+          media.filter(col("id") % 10 =!= 0 && col("id") % 10 =!= 5)).toDF()
+        Multimodal.writeDHashIndex(resident, s"$path/idx", table)
+        val day1 = Multimodal.imageDHash(s,
+          media.filter(col("id") % 10 === 0)).toDF()
+        Multimodal.absorbDHashIndex(day1, s"$path/idx", table)
+        table
+      }
+    })
+  private val q258Sql =
+    s"""WITH $DHashBitsCtes
+       |SELECT n.doc_id AS new_id, r.doc_id AS resident_id
+       |FROM hb n JOIN hb r ON n.doc_id % 10 = 5 AND r.doc_id % 10 <> 5
+       |WHERE list_sum(list_transform(range(1, 65), k ->
+       |  CASE WHEN substring(n.bits, k, 1) <> substring(r.bits, k, 1)
+       |       THEN 1 ELSE 0 END)) <= 3""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q168_kmv_distinct" -> q168 _,
     "q169_minhash_error" -> q169 _,
@@ -4593,7 +4647,8 @@ object CurationQueries {
     "q254_ivm_corr" -> q254 _,
     "q255_cc_stream_rtbf" -> q255 _,
     "q256_kmv_shrink" -> q256 _,
-    "q257_ivm_psi" -> q257 _)
+    "q257_ivm_psi" -> q257 _,
+    "q258_image_dedup_index" -> q258 _)
 
   val oracleSql: Map[String, String] = Map(
     "q168_kmv_distinct" -> q168Sql,
@@ -4685,5 +4740,6 @@ object CurationQueries {
     "q254_ivm_corr" -> q254Sql,
     "q255_cc_stream_rtbf" -> q255Sql,
     "q256_kmv_shrink" -> q256Sql,
-    "q257_ivm_psi" -> q257Sql)
+    "q257_ivm_psi" -> q257Sql,
+    "q258_image_dedup_index" -> q258Sql)
 }
