@@ -486,6 +486,87 @@ object AggState {
       "distinct", DistinctLayout, distinctParams(k, newBucketOf))
   }
 
+  /** The canonical count-based bucket geometry over the leading group
+    * column — what [[maybeRebucket]] migrates to, exposed so callers
+    * can seed [[write]] with the same expression family the policy
+    * will later resize (geometry continuity: a policy migration keeps
+    * the spec in a form the next policy call can reason about). */
+  def hashBucketsOf(groupCol: String, n: Int): Column =
+    pmod(hash(col(groupCol)), lit(n)).cast("long")
+
+  /** Migrate when the store has outgrown (or undershot) its bucket
+    * count — the geometry policy knob that completes the persisted-
+    * store matrix ([[DedupIndex.maybeRebucket]] / [[AnnIndex
+    * .maybeRebucket]] / [[CcState.maybeRebucket]]'s discipline, for
+    * the store whose geometry is a caller-owned EXPRESSION rather
+    * than a stored count): sized from the store's own consolidated
+    * group count against `targetBucketRows`, migrating only at a
+    * ≥ 2× / ≤ ½ drift (the doubling discipline — the rewrite is
+    * store-sized and must not flap at a boundary), to
+    * [[hashBucketsOf]] geometry over `bucketCol`.
+    *
+    * `currentBuckets` is the caller's statement of the live geometry's
+    * bucket count — caller-owned like the bucket expression itself
+    * (the meta stamp guards the SPEC; a drifted count here mis-times a
+    * migration but cannot corrupt: the rebucket path revalidates
+    * everything else and restamps). Returns the NEW bucket count when
+    * it migrated — the caller must thread `hashBucketsOf(bucketCol,
+    * newN)` into every later maintenance call (this is why the return
+    * is not the sibling stores' Boolean: here the geometry is a
+    * parameter the caller passes back in, not state the store resolves
+    * alone) — or None when the drift is within band. Writer-side
+    * (single writer; runs on the compact schedule, never per
+    * absorb). */
+  def maybeRebucket(spark: SparkSession, path: String,
+      groupCols: Seq[String], valueCol: String, quantScale: Int,
+      bucketCol: String, currentBuckets: Int,
+      targetBucketRows: Long): Option[Int] = {
+    val want = wantBuckets(spark, path, groupCols, currentBuckets,
+      targetBucketRows, distinct = false)
+    want.foreach { n =>
+      rebucket(spark, path, groupCols, valueCol, quantScale,
+        hashBucketsOf(bucketCol, n))
+    }
+    want
+  }
+
+  /** [[maybeRebucket]] for the sketch store. */
+  def maybeRebucketDistinct(spark: SparkSession, path: String,
+      groupCols: Seq[String], keyCol: String, k: Int,
+      bucketCol: String, currentBuckets: Int,
+      targetBucketRows: Long): Option[Int] = {
+    val want = wantBuckets(spark, path, groupCols, currentBuckets,
+      targetBucketRows, distinct = true)
+    want.foreach { n =>
+      rebucketDistinct(spark, path, groupCols, keyCol, k,
+        hashBucketsOf(bucketCol, n))
+    }
+    want
+  }
+
+  /** The doubling-discipline decision shared by both policy knobs:
+    * Some(newBucketCount) at ≥ 2× / ≤ ½ drift of consolidated-group
+    * rows per bucket vs target, None within band. Group count is the
+    * post-compact population (layers collapse on migration, so layered
+    * duplicates must not inflate the estimate). */
+  private def wantBuckets(spark: SparkSession, path: String,
+      groupCols: Seq[String], currentBuckets: Int,
+      targetBucketRows: Long, distinct: Boolean): Option[Int] = {
+    require(currentBuckets > 0,
+      s"currentBuckets must be positive, got $currentBuckets")
+    require(targetBucketRows > 0,
+      s"targetBucketRows must be positive, got $targetBucketRows")
+    recover(spark, path)
+    val store = readStore(spark, path)
+    val groups =
+      if (distinct) residentSketch(store, groupCols, 1).count()
+      else residentAgg(store, groupCols).count()
+    val want = math.max(1L, groups / targetBucketRows)
+    if (want >= 2L * currentBuckets || 2L * want <= currentBuckets)
+      Some(math.min(want, Int.MaxValue.toLong).toInt)
+    else None
+  }
+
   /** SHRINK the sketch store's k — the distinct store's second
     * geometry axis, migratable EXACTLY from the store alone because
     * k-min truncates: the k'-min of any set is the first k' entries of

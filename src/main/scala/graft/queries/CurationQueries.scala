@@ -4557,6 +4557,181 @@ object CurationQueries {
        |  CASE WHEN substring(n.bits, k, 1) <> substring(r.bits, k, 1)
        |       THEN 1 ELSE 0 END)) <= 3""".stripMargin
 
+  // --------------------------------------------------------- q259
+  /** The image-dedup index maintained from a STREAM, under the gate:
+    * q258's lifecycle (write resident → absorb day 1 → probe day 2)
+    * re-run with day 1 arriving through
+    * [[Multimodal.maintainDHashStream]] — a real Structured Streaming
+    * query over a file source, one micro-batch per day-1 half — plus
+    * ONE redelivered epoch (a direct re-absorb of the first half: band
+    * keys are a deterministic function of the hash, so these are the
+    * byte-identical rows a crash between the parquet append and the
+    * checkpoint commit would replay), then [[DedupIndex.compact]]
+    * (whose (id, bk) dedupe physically purges the replay), then the
+    * day-2 probe. Oracle: q258's closed-form SQL verbatim —
+    * stream-maintained ≡ batch-maintained ≡ brute-force, closing
+    * stream-maintenance parity for the SIXTH persisted store (band
+    * q228, ANN q229, sum q215, CC q234, KMV q238, image index here). */
+  private def q259(s: SparkSession, dir: String): DataFrame = {
+    val day2 = Multimodal.imageDHash(s,
+      q244Media(s, dir).filter(col("id") % 10 === 5)).toDF()
+    Multimodal.probeDHashIndex(s, q259Table(s, dir), day2, maxDist = 3)
+  }
+  private val q259TableCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def q259Table(s: SparkSession, dir: String): String =
+    q259TableCache.compute(sessionToken(s) + "|" + dir, { (_, prev) =>
+      if (prev != null && s.catalog.tableExists(prev)) prev
+      else {
+        val digest = java.security.MessageDigest.getInstance("SHA-1")
+          .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          .map(b => f"$b%02x").mkString.take(16)
+        val table = s"graft_dhash_str_$digest"
+        val path = java.nio.file.Files
+          .createTempDirectory("graft-dhashidx-q259").toString
+        val media = q244Media(s, dir)
+        val resident = Multimodal.imageDHash(s,
+          media.filter(col("id") % 10 =!= 0 && col("id") % 10 =!= 5)).toDF()
+        Multimodal.writeDHashIndex(resident, s"$path/idx", table)
+        // day 1 arrives as a STREAM: two single-file epochs in a file
+        // source (maxFilesPerTrigger=1 → one micro-batch per file; the
+        // stream side stays distributed — no driver collect)
+        val d1 = Multimodal.imageDHash(s,
+          media.filter(col("id") % 10 === 0)).toDF()
+        val e0 = d1.filter(col("id") % 20 === 0)
+        val e1 = d1.filter(col("id") % 20 =!= 0)
+        e0.coalesce(1).write.parquet(s"$path/in")
+        e1.coalesce(1).write.mode("append").parquet(s"$path/in")
+        val q = Multimodal.maintainDHashStream(
+          s.readStream.schema(e0.schema).option("maxFilesPerTrigger", 1)
+            .parquet(s"$path/in"),
+          s"$path/idx", table, s"$path/ckpt")
+        try q.processAllAvailable() finally q.stop()
+        // crash redelivery: the same epoch absorbed again
+        Multimodal.absorbDHashIndex(e0, s"$path/idx", table)
+        DedupIndex.compact(s, table)
+        table
+      }
+    })
+  private val q259Sql = q258Sql
+
+  // --------------------------------------------------------- q260
+  /** Incremental QUANTILES from the maintained histogram — the q248/
+    * q254/q257 composition discipline (zero new operator code): q257's
+    * maintained current-period store (write + absorb over
+    * (event_type, value-bin) counts) is read as a cumulative
+    * distribution, and the p50/p90 bins are the smallest bin whose
+    * running count crosses the rank threshold. Thresholds compare in
+    * PURE INTEGERS (`cn·2 ≥ tot`, `cn·10 ≥ tot·9`) so there is no
+    * float boundary for the two engines to disagree on. At 100 TB:
+    * the histogram is |types|·|bins| rows maintained at delta cost;
+    * the quantile read is a window over that tiny table — the raw
+    * fact table is never re-scanned, which is the whole point of
+    * monitoring distribution quantiles from maintained state. Oracle
+    * recomputes the binned quantiles from the raw events. */
+  private def q260(s: SparkSession, dir: String): DataFrame = {
+    val (_, cur) = q257State(s, dir)
+    val h = AggState.merged(s, cur, Seq("event_type", "vbin"))
+      .select(col("event_type"), col("vbin"), col("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("vbin"))
+    val t = Window.partitionBy(col("event_type"))
+    h.withColumn("cn", sum(col("n")).over(w))
+      .withColumn("tot", sum(col("n")).over(t))
+      .groupBy(col("event_type"))
+      .agg(
+        min(when(col("cn") * 2 >= col("tot"), col("vbin"))).as("p50_bin"),
+        min(when(col("cn") * 10 >= col("tot") * 9, col("vbin")))
+          .as("p90_bin"))
+  }
+  private val q260Sql =
+    """WITH b AS (SELECT event_type,
+      |    CAST(least(floor(value), 9) AS BIGINT) AS vbin
+      |  FROM events WHERE event_id % 2 <> 0),
+      |c AS (SELECT event_type, vbin, count(*) AS n FROM b GROUP BY 1, 2),
+      |cum AS (SELECT event_type, vbin,
+      |    sum(n) OVER (PARTITION BY event_type ORDER BY vbin) AS cn,
+      |    sum(n) OVER (PARTITION BY event_type) AS tot
+      |  FROM c)
+      |SELECT event_type,
+      |  min(CASE WHEN cn * 2 >= tot THEN vbin END) AS p50_bin,
+      |  min(CASE WHEN cn * 10 >= tot * 9 THEN vbin END) AS p90_bin
+      |FROM cum GROUP BY 1""".stripMargin
+
+  // --------------------------------------------------------- q261
+  /** Incremental Shannon ENTROPY of the value distribution per event
+    * type — the third drift monitor from the SAME maintained histogram
+    * (PSI q257, quantiles q260): H = ln(N) − Σ nᵢ·ln(nᵢ)/N over the
+    * maintained bin counts, rounded to 4 decimals (the q257 psi
+    * presentation). A collapsing distribution (traffic concentrating
+    * into one bin) drives H → 0 at delta maintenance cost, no raw
+    * re-scan. Oracle recomputes from the raw events. */
+  private def q261(s: SparkSession, dir: String): DataFrame = {
+    val (_, cur) = q257State(s, dir)
+    AggState.merged(s, cur, Seq("event_type", "vbin"))
+      .groupBy(col("event_type"))
+      .agg(round(
+        log(sum(col("n")).cast("double")) -
+          sum(col("n").cast("double") * log(col("n").cast("double"))) /
+            sum(col("n")).cast("double"), 4).as("bin_entropy"))
+  }
+  private val q261Sql =
+    """WITH b AS (SELECT event_type,
+      |    CAST(least(floor(value), 9) AS BIGINT) AS vbin
+      |  FROM events WHERE event_id % 2 <> 0),
+      |c AS (SELECT event_type, vbin, count(*) AS n FROM b GROUP BY 1, 2)
+      |SELECT event_type,
+      |  round(ln(sum(n)) - sum(n * ln(n)) / sum(n), 4) AS bin_entropy
+      |FROM c GROUP BY 1""".stripMargin
+
+  // --------------------------------------------------------- q262
+  /** The geometry POLICY in a maintained lifecycle, under the gate:
+    * q212's IVM store written at a deliberately small
+    * [[AggState.hashBucketsOf]] geometry, grown by an absorb, then
+    * migrated by [[AggState.maybeRebucket]] (the store-sized
+    * telemetry→policy→migration loop: consolidated group count vs
+    * target rows per bucket, doubling discipline), then absorbed AGAIN
+    * under the geometry the policy returned — proving a
+    * policy-migrated store keeps ingesting and answering exactly
+    * (merged ≡ a from-scratch aggregate of everything, q212's oracle
+    * verbatim). This is the gate for the knob itself, not just the
+    * migration mechanism (q247 gates rebucket): the policy decides
+    * from the store's own state, and the caller threads the returned
+    * geometry into every later maintenance call. */
+  private def q262(s: SparkSession, dir: String): DataFrame = {
+    val path = q262State(s, dir)
+    AggState.merged(s, path, Seq("user_id", "event_type"))
+      .select(col("user_id"), col("event_type"), col("n"),
+        round(col("sv").cast("double") / 10000, 4).as("sum_value"))
+  }
+  private val q262StateCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def q262State(s: SparkSession, dir: String): String =
+    q262StateCache.computeIfAbsent(dir, { _ =>
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-aggstate-q262").toString
+      val ev = Tables.events(s, dir)
+      val grp = Seq("user_id", "event_type")
+      val b0 = AggState.hashBucketsOf("user_id", 2)
+      AggState.write(ev.filter(col("event_id") % 10 =!= 0 &&
+          col("event_id") % 10 =!= 9), grp, "value", 10000, b0,
+        s"$out/state")
+      AggState.absorb(s, s"$out/state",
+        ev.filter(col("event_id") % 10 === 0), grp, "value", 10000, b0)
+      // the policy migrates: 2 buckets against a target of ~groups/8
+      // rows per bucket is ≥ 2× out of band, so it must fire
+      val groups = AggState.merged(s, s"$out/state", grp).count()
+      val n2 = AggState.maybeRebucket(s, s"$out/state", grp, "value",
+        10000, "user_id", 2, math.max(1L, groups / 8))
+        .getOrElse(sys.error("policy must migrate a 2-bucket store " +
+          s"holding $groups groups at ~${groups / 8} target rows"))
+      // maintenance continues under the geometry the policy returned
+      AggState.absorb(s, s"$out/state",
+        ev.filter(col("event_id") % 10 === 9), grp, "value", 10000,
+        AggState.hashBucketsOf("user_id", n2))
+      s"$out/state"
+    })
+  private val q262Sql = q212Sql
+
   val queries: Map[String, Q] = Map(
     "q168_kmv_distinct" -> q168 _,
     "q169_minhash_error" -> q169 _,
@@ -4648,7 +4823,11 @@ object CurationQueries {
     "q255_cc_stream_rtbf" -> q255 _,
     "q256_kmv_shrink" -> q256 _,
     "q257_ivm_psi" -> q257 _,
-    "q258_image_dedup_index" -> q258 _)
+    "q258_image_dedup_index" -> q258 _,
+    "q259_image_index_stream" -> q259 _,
+    "q260_ivm_quantiles" -> q260 _,
+    "q261_ivm_entropy" -> q261 _,
+    "q262_ivm_rebucket_policy" -> q262 _)
 
   val oracleSql: Map[String, String] = Map(
     "q168_kmv_distinct" -> q168Sql,
@@ -4741,5 +4920,9 @@ object CurationQueries {
     "q255_cc_stream_rtbf" -> q255Sql,
     "q256_kmv_shrink" -> q256Sql,
     "q257_ivm_psi" -> q257Sql,
-    "q258_image_dedup_index" -> q258Sql)
+    "q258_image_dedup_index" -> q258Sql,
+    "q259_image_index_stream" -> q259Sql,
+    "q260_ivm_quantiles" -> q260Sql,
+    "q261_ivm_entropy" -> q261Sql,
+    "q262_ivm_rebucket_policy" -> q262Sql)
 }

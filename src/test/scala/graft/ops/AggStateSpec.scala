@@ -650,6 +650,57 @@ class AggStateSpec extends SparkSpec {
     grow.getMessage should include("SHRINK")
   }
 
+  test("maybeRebucket policy: no-op within band, migrates at drift, answers survive, old spec fails") {
+    val dir = Files.createTempDirectory("graft-aggstate").toString
+    val path = s"$dir/state"
+    val b4 = AggState.hashBucketsOf("user_id", 4)
+    AggState.write(ev, groupCols, "value", 10000, b4, path)
+    val groups = AggState.merged(spark, path, groupCols).count()
+    val expected = AggState.partials(ev, groupCols, "value", 10000)
+      .collect().toSet
+    // within the doubling band (want ≈ have): no migration, and the
+    // original spec still owns maintenance
+    AggState.maybeRebucket(spark, path, groupCols, "value", 10000,
+      "user_id", 4, math.max(1L, groups / 4)) shouldBe None
+    AggState.merged(spark, path, groupCols).collect().toSet shouldBe expected
+    // a target small enough that want ≥ 2×have: migrates, returns the
+    // new count, answers unchanged under the new geometry
+    val grown = AggState.maybeRebucket(spark, path, groupCols, "value",
+      10000, "user_id", 4, math.max(1L, groups / 8))
+    grown should not be None
+    val n2 = grown.get
+    n2 should be >= 8
+    AggState.merged(spark, path, groupCols).collect().toSet shouldBe expected
+    // maintenance threads the returned geometry; the old spec is loud
+    val d2 = delta.filter(col("user_id") < 4)
+    AggState.absorb(spark, path, d2, groupCols, "value", 10000,
+      AggState.hashBucketsOf("user_id", n2))
+    AggState.merged(spark, path, groupCols).collect().toSet shouldBe
+      AggState.partials(ev.unionByName(d2), groupCols, "value", 10000)
+        .collect().toSet
+    intercept[IllegalArgumentException] {
+      AggState.absorb(spark, path, d2, groupCols, "value", 10000, b4)
+    }
+    // a huge target (want = 1, ≤ ½ of have): shrinks
+    AggState.maybeRebucket(spark, path, groupCols, "value", 10000,
+      "user_id", n2, Long.MaxValue) shouldBe Some(1)
+    // distinct store: same policy over the sketch layout
+    val dpath = s"$dir/dstate"
+    val grp = Seq("event_type")
+    AggState.writeDistinct(ev, grp, "user_id", 64,
+      AggState.hashBucketsOf("event_type", 8), dpath)
+    val before = AggState.distinctEstimates(spark, dpath, grp, 64)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val dGroups = before.size.toLong
+    AggState.maybeRebucketDistinct(spark, dpath, grp, "user_id", 64,
+      "event_type", 8, math.max(1L, dGroups / 8)) shouldBe None
+    AggState.maybeRebucketDistinct(spark, dpath, grp, "user_id", 64,
+      "event_type", 8, Long.MaxValue) shouldBe Some(1)
+    AggState.distinctEstimates(spark, dpath, grp, 64)
+      .collect().map(r => r.getString(0) -> r.getDouble(1))
+      .toMap shouldBe before
+  }
+
   test("absorb creates partitions for buckets the store has never seen") {
     val dir = Files.createTempDirectory("graft-aggstate").toString
     val path = s"$dir/state"
