@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.{GraftSession, Tables}
-import graft.ops.{AggState, AnnIndex, Dedup, DedupIndex}
+import graft.ops.{AggState, AnnIndex, Dedup, DedupIndex, TextAnalysis}
 
 /** Scale-evidence soak (VERDICT r8, next-round item 1): every 100 TB
   * claim in SCALE.md rested on sf0.1 measurements alone, so this main
@@ -436,6 +436,50 @@ object ScaleSoak {
         }
       }
 
+    // mg heavy-hitter store (round 17): the summary is ≤ |groups|·k
+    // rows BY CONSTRUCTION, so the resident side of a daily absorb is
+    // a constant no matter how large the corpus that produced it — the
+    // arm's cost should be the delta's own tokenize+aggregate (fixed
+    // here), i.e. ~flat. The synthesized copies' salted tokens push
+    // per-source vocabulary far past k at 10×/30×, so the compression
+    // path (not just the exact small-vocabulary case) is what's timed.
+    val mgBucket = AggState.hashBucketsOf("source", 4)
+    def mgToks(d: DataFrame): DataFrame =
+      d.select(col("source"),
+        explode(TextAnalysis.words(col("text"))).as("w"))
+    val mgIdx: Map[Int, String] =
+      if (!armOn("mgstate_absorb_scaled")) Map.empty
+      else dirs.map { case (n, d) =>
+        val out = s"$workRoot/mgstate/x$n"
+        val marker = Paths.get(s"$out/_MG_OK")
+        val stamp = s"$d|synth=$SynthVersion|mg=1"
+        if (!(Files.exists(marker) &&
+            new String(Files.readAllBytes(marker), "UTF-8") == stamp)) {
+          AggState.writeMg(mgToks(Tables.documents(spark, d)),
+            Seq("source"), "w", 63, mgBucket, s"$out/state")
+          Files.write(marker, stamp.getBytes("UTF-8"))
+        }
+        n -> s"$out/state"
+      }
+    val mgCopies: Map[Int, scala.collection.mutable.Queue[String]] =
+      if (!armOn("mgstate_absorb_scaled")) Map.empty
+      else {
+        val conf = spark.sparkContext.hadoopConfiguration
+        mgIdx.map { case (n, st) =>
+          val q = scala.collection.mutable.Queue[String]()
+          (1 to RUNS).foreach { r =>
+            val dst = Files.createTempDirectory(s"graft-soak-mgstate-x$n-$r")
+              .toString + "/state"
+            val fs = new org.apache.hadoop.fs.Path(st).getFileSystem(conf)
+            org.apache.hadoop.fs.FileUtil.copy(fs,
+              new org.apache.hadoop.fs.Path(st), fs,
+              new org.apache.hadoop.fs.Path(dst), false, conf)
+            q.enqueue(dst)
+          }
+          n -> q
+        }
+      }
+
     // annindex_delete_scaled mutates its index, so each timed run gets
     // its own UNTIMED copy of the per-scale index — the arm then times
     // only what a retention/right-to-be-forgotten batch pays: hashing
@@ -570,6 +614,13 @@ object ScaleSoak {
             .toString + "/state"
           AggState.write(Tables.events(s, d), ivmGroup, "value", 10000,
             ivmBucket, out)
+          s.range(1).toDF("ok")
+        }) :+
+        ("mgstate_absorb_scaled" -> { (s: SparkSession, _: String, n: Int) =>
+          val delta = mgToks(Tables.documents(s, base)
+            .filter(col("doc_id") % 10 === 0))
+          AggState.absorbMg(s, mgCopies(n).dequeue(), delta,
+            Seq("source"), "w", 63, mgBucket)
           s.range(1).toDF("ok")
         }) :+
         // round-14 persisted-index probe arms: banded (Q·bands fixed-

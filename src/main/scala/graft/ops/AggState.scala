@@ -5,6 +5,7 @@ import java.nio.charset.StandardCharsets
 import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Persisted partial-aggregate state: incremental view maintenance for
@@ -522,7 +523,7 @@ object AggState {
       bucketCol: String, currentBuckets: Int,
       targetBucketRows: Long): Option[Int] = {
     val want = wantBuckets(spark, path, groupCols, currentBuckets,
-      targetBucketRows, distinct = false)
+      targetBucketRows, kind = "sum")
     want.foreach { n =>
       rebucket(spark, path, groupCols, valueCol, quantScale,
         hashBucketsOf(bucketCol, n))
@@ -536,7 +537,7 @@ object AggState {
       bucketCol: String, currentBuckets: Int,
       targetBucketRows: Long): Option[Int] = {
     val want = wantBuckets(spark, path, groupCols, currentBuckets,
-      targetBucketRows, distinct = true)
+      targetBucketRows, kind = "distinct")
     want.foreach { n =>
       rebucketDistinct(spark, path, groupCols, keyCol, k,
         hashBucketsOf(bucketCol, n))
@@ -551,16 +552,19 @@ object AggState {
     * duplicates must not inflate the estimate). */
   private def wantBuckets(spark: SparkSession, path: String,
       groupCols: Seq[String], currentBuckets: Int,
-      targetBucketRows: Long, distinct: Boolean): Option[Int] = {
+      targetBucketRows: Long, kind: String): Option[Int] = {
     require(currentBuckets > 0,
       s"currentBuckets must be positive, got $currentBuckets")
     require(targetBucketRows > 0,
       s"targetBucketRows must be positive, got $targetBucketRows")
     recover(spark, path)
     val store = readStore(spark, path)
-    val groups =
-      if (distinct) residentSketch(store, groupCols, 1).count()
-      else residentAgg(store, groupCols).count()
+    val groups = kind match {
+      case "distinct" => residentSketch(store, groupCols, 1).count()
+      case "mg" => residentMg(store, groupCols)
+        .select(groupCols.map(col): _*).distinct().count()
+      case _ => residentAgg(store, groupCols).count()
+    }
     val want = math.max(1L, groups / targetBucketRows)
     if (want >= 2L * currentBuckets || 2L * want <= currentBuckets)
       Some(math.min(want, Int.MaxValue.toLong).toInt)
@@ -614,6 +618,222 @@ object AggState {
     if (fs.exists(new HPath(path))) fs.rename(new HPath(path), old)
     fs.rename(new HPath(tmp), new HPath(path))
     fs.delete(old, true)
+  }
+
+  // ==================================================================
+  // Heavy-hitter (Misra–Gries) stores: the third store kind. Rows are
+  // (group cols, item, c) with AT MOST k items per group — a mergeable
+  // frequent-items summary (Misra–Gries 1982; merge bound from
+  // Agarwal, Cormode et al., "Mergeable Summaries", PODS 2012)
+  // persisted on the [[write]]/[[absorb]] bucket layout. Stored counts
+  // are LOWER BOUNDS with per-group undercount ≤ N_g/(k+1) (N_g = the
+  // group's total absorbed mass), so every item with true count >
+  // N_g/(k+1) is GUARANTEED present — the candidate set for an exact
+  // two-pass heavy-hitters read ([[Freq.exactHeavyHitters]]'s
+  // discipline, incremental edition: candidates come from the
+  // maintained store at delta maintenance cost, and one
+  // candidate-restricted recount makes the output exact).
+  //
+  // Maintenance is [[absorbMg]] only — AT-MOST-ONCE per delta (the
+  // [[absorb]] contract). The epoch-layered at-least-once path is
+  // DELIBERATELY absent for this kind: a layer would hold a delta's
+  // exact per-item counts, which is unbounded in the item cardinality
+  // — exactly the state the k-counter summary exists to avoid.
+  // ==================================================================
+
+  private val MgLayout = 1
+  private def mgParams(k: Int,
+      bucketOf: Column): Seq[(String, String)] =
+    Seq("k" -> k.toString, "bucketSpec" -> bucketSpecOf(bucketOf))
+
+  /** Exact per-(group, item) counts of a batch — the MG maintenance
+    * input (delta-sized keyed aggregation; null items dropped). */
+  def mgPartials(df: DataFrame, groupCols: Seq[String],
+      itemCol: String): DataFrame =
+    df.filter(col(itemCol).isNotNull)
+      .groupBy(groupCols.map(col) :+
+        col(itemCol).cast("string").as("item"): _*)
+      .agg(count(lit(1)).as("c"))
+
+  /** The Misra–Gries compression step, per group: when a group holds
+    * more than k items, subtract the (k+1)-th largest count from every
+    * count and drop the non-positive — removes ≥ (k+1)·cut mass spread
+    * over ≥ k+1 items, which is what preserves the ≤ N_g/(k+1)
+    * undercount bound under merges. Value-based (the cut is a count,
+    * not a rank), so the result is deterministic under any tie
+    * order.
+    *
+    * Cost shape: the window ranks each group's DISTINCT items in one
+    * task — the input is already reduced to exact per-item counts by
+    * a distributed keyed aggregation, so a group with G distinct
+    * delta items pays one G·log G sort; groups parallelize across
+    * tasks. For a single group with extreme item cardinality this is
+    * the honest pinch point (the same single-reducer moment as any
+    * per-group top-k), bounded by the DELTA's distinct items, never
+    * the corpus's. */
+  private def mgCompress(rows: DataFrame, groupCols: Seq[String],
+      k: Int): DataFrame = {
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("c").desc, col("item"))
+    val ranked = rows.withColumn("__rk", row_number().over(w))
+    val cuts = ranked.filter(col("__rk") === k + 1)
+      .select(groupCols.map(col) :+ col("c").as("__cut"): _*)
+    ranked.join(cuts, groupCols, "left")
+      .withColumn("c", col("c") - coalesce(col("__cut"), lit(0L)))
+      .filter(col("c") > 0)
+      .drop("__rk", "__cut")
+  }
+
+  /** Layer-collapse read for the MG store (epoch is always −1 — see
+    * the kind doc — but the shared dedupe discipline stays, so a
+    * generation mix can never double-count). */
+  private def residentMg(rows: DataFrame,
+      keyCols: Seq[String]): DataFrame =
+    rows.dropDuplicates(
+        (keyCols.filterNot(_ == "pbucket") :+ "item" :+ "epoch").distinct)
+      .groupBy((keyCols :+ "item").map(col): _*)
+      .agg(sum(col("c")).as("c"))
+      .filter(col("c") > 0)
+
+  /** Build the heavy-hitter store: exact per-(group, item) counts of
+    * `base`, compressed to ≤ k counters per group, persisted on the
+    * bucket layout with kind "mg" stamped. Staged through [[swapIn]]
+    * ([[write]]'s crash contract). */
+  def writeMg(base: DataFrame, groupCols: Seq[String], itemCol: String,
+      k: Int, bucketOf: Column, path: String): Unit = {
+    require(k > 0, s"k must be positive, got $k")
+    recover(base.sparkSession, path)
+    swapIn(base.sparkSession, path,
+      mgCompress(mgPartials(base, groupCols, itemCol), groupCols, k),
+      bucketOf, "mg", MgLayout, mgParams(k, bucketOf))
+  }
+
+  /** Fold a delta into the heavy-hitter store: the delta's exact
+    * per-item counts sum into the touched buckets' resident counters
+    * (summing exact counts into an MG summary is itself a valid MG
+    * merge — the delta side has zero error), then each touched group
+    * re-compresses to ≤ k. Only the delta's partition buckets are
+    * read and rewritten (dynamic overwrite, [[absorb]]'s shape);
+    * resident groups sharing a touched bucket pass through the
+    * re-compression unchanged (≤ k items ⇒ cut = 0). AT-MOST-ONCE
+    * per delta. */
+  def absorbMg(spark: SparkSession, path: String, delta: DataFrame,
+      groupCols: Seq[String], itemCol: String, k: Int,
+      bucketOf: Column): Unit = {
+    recover(spark, path)
+    checkMeta(spark, path, "mg", MgLayout, mgParams(k, bucketOf): _*)
+    val d = mgPartials(delta, groupCols, itemCol)
+      .withColumn("pbucket", bucketOf)
+    val dirs = touchedDirs(spark, path, d)
+    val merged =
+      if (dirs.isEmpty) mgCompress(d, groupCols, k)
+      else {
+        val resident = residentMg(
+          readStore(spark, path, dirs), groupCols :+ "pbucket")
+        // union + re-aggregate rather than a join: groupBy is natively
+        // null-safe on the group keys, and both sides carry the same
+        // functional pbucket
+        val summed = resident.select(d.columns.map(col): _*)
+          .unionByName(d)
+          .groupBy((groupCols :+ "pbucket" :+ "item").map(col): _*)
+          .agg(sum(col("c")).as("c"))
+        mgCompress(summed, groupCols, k)
+      }
+    merged.withColumn("epoch", lit(-1L))
+      .repartition(col("pbucket"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("pbucket").parquet(path)
+    stampIfMissing(spark, path, "mg", MgLayout, mgParams(k, bucketOf))
+  }
+
+  /** The maintained summary: (group cols, item, c) with c a LOWER
+    * BOUND undercounting by ≤ N_g/(k+1) — the candidate set for the
+    * exact two-pass read (recount only these items from the source,
+    * then threshold; any threshold above the bound is provably
+    * complete). */
+  def mgSummary(spark: SparkSession, path: String,
+      groupCols: Seq[String]): DataFrame = {
+    recoverIfMissing(spark, path)
+    checkMeta(spark, path, "mg", MgLayout)
+    residentMg(readStore(spark, path), groupCols)
+  }
+
+  /** [[rebucket]] for the heavy-hitter store: the summary rows rewrite
+    * under the new bucket expression (state-sized, the compact cost
+    * class), meta restamped so the old spec fails loudly after. */
+  def rebucketMg(spark: SparkSession, path: String,
+      groupCols: Seq[String], k: Int, newBucketOf: Column): Unit = {
+    recover(spark, path)
+    checkMeta(spark, path, "mg", MgLayout, "k" -> k.toString)
+    swapIn(spark, path,
+      residentMg(readStore(spark, path), groupCols),
+      newBucketOf, "mg", MgLayout, mgParams(k, newBucketOf))
+  }
+
+  /** [[maybeRebucket]] for the heavy-hitter store (the summary is
+    * ≤ \|groups\|·k rows, so in practice this fires only when the
+    * GROUP population itself grows past the geometry's budget). */
+  def maybeRebucketMg(spark: SparkSession, path: String,
+      groupCols: Seq[String], k: Int, bucketCol: String,
+      currentBuckets: Int, targetBucketRows: Long): Option[Int] = {
+    val want = wantBuckets(spark, path, groupCols, currentBuckets,
+      targetBucketRows, kind = "mg")
+    want.foreach { n =>
+      rebucketMg(spark, path, groupCols, k, hashBucketsOf(bucketCol, n))
+    }
+    want
+  }
+
+  /** Right-to-be-forgotten for the heavy-hitter store — the
+    * [[rebuildGroups]] move on the mg kind: MG counters are LOWER
+    * BOUNDS with no inverse (a summary cannot subtract a deletion's
+    * counts and keep its error budget honest), so the touched groups'
+    * summaries recompute from their SURVIVING source rows and rewrite
+    * their buckets (dynamic overwrite, delta-priced on the store
+    * side). Resident groups sharing a bucket pass through unchanged; a
+    * group with NO surviving rows is rewritten as a single c=0
+    * tombstone row (read-invisible — [[residentMg]] filters c > 0), so
+    * the one overwrite physically carries its disappearance even when
+    * it empties a bucket. */
+  def rebuildMgGroups(spark: SparkSession, path: String,
+      groups: DataFrame, source: DataFrame, groupCols: Seq[String],
+      itemCol: String, k: Int, bucketOf: Column): Unit = {
+    recover(spark, path)
+    checkMeta(spark, path, "mg", MgLayout, mgParams(k, bucketOf): _*)
+    val gk = groupCols.map(c => s"__g_$c")
+    val g = groups.select(groupCols.zip(gk).map { case (c, a) =>
+      col(c).as(a) }: _*).distinct()
+    def matches(df: DataFrame): Column =
+      groupCols.zip(gk).map { case (c, a) => df(c) <=> g(a) }
+        .reduce(_ && _)
+    val fresh = mgCompress(
+        mgPartials(source.join(g, matches(source), "left_semi"),
+          groupCols, itemCol), groupCols, k)
+      .withColumn("epoch", lit(-1L))
+      .withColumn("pbucket", bucketOf)
+    val dirs = touchedDirs(spark, path,
+      g.select(groupCols.zip(gk).map { case (c, a) => col(a).as(c) }: _*)
+        .withColumn("pbucket", bucketOf))
+    val keep =
+      if (dirs.isEmpty) None
+      else Some {
+        val resident = residentMg(readStore(spark, path, dirs),
+          groupCols :+ "pbucket")
+        resident.join(g, matches(resident), "left_anti")
+          .withColumn("epoch", lit(-1L))
+      }
+    val gone = g.join(fresh, matches(fresh), "left_anti")
+      .select(groupCols.zip(gk).map { case (c, a) => col(a).as(c) } :+
+        lit("").as("item") :+ lit(0L).as("c") :+
+        lit(-1L).as("epoch"): _*)
+      .withColumn("pbucket", bucketOf)
+    (Seq(fresh, gone) ++ keep).reduce(_ unionByName _)
+      .repartition(col("pbucket"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("pbucket").parquet(path)
+    stampIfMissing(spark, path, "mg", MgLayout, mgParams(k, bucketOf))
   }
 
   /** Stage `rows` under the new bucket column beside the store (the

@@ -4732,6 +4732,199 @@ object CurationQueries {
     })
   private val q262Sql = q212Sql
 
+  // --------------------------------------------------------- q263
+  /** The image index's FULL inherited lifecycle under one gate —
+    * right-to-be-forgotten and geometry migration, the two DedupIndex
+    * operators q258/q259 didn't exercise through the dHash wrappers:
+    * write resident → tombstone-delete a resident slice
+    * ([[DedupIndex.delete]]: O(|ids|), probes exclude immediately) →
+    * [[DedupIndex.rebucket]] 32→64 (the generation rewrite purges the
+    * tombstones physically and restamps `graft.buckets`) → absorb
+    * day 1 UNDER THE MIGRATED geometry → probe day 2. Oracle: the
+    * closed-form brute force over exactly the surviving residents —
+    * a deleted image must never pair again, across migration and
+    * post-migration ingest. */
+  private def q263(s: SparkSession, dir: String): DataFrame = {
+    val day2 = Multimodal.imageDHash(s,
+      q244Media(s, dir).filter(col("id") % 10 === 5)).toDF()
+    Multimodal.probeDHashIndex(s, q263Table(s, dir), day2, maxDist = 3)
+  }
+  private val q263TableCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def q263Table(s: SparkSession, dir: String): String =
+    q263TableCache.compute(sessionToken(s) + "|" + dir, { (_, prev) =>
+      if (prev != null && s.catalog.tableExists(prev)) prev
+      else {
+        val digest = java.security.MessageDigest.getInstance("SHA-1")
+          .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          .map(b => f"$b%02x").mkString.take(16)
+        val table = s"graft_dhash_rtbf_$digest"
+        val path = java.nio.file.Files
+          .createTempDirectory("graft-dhashidx-q263").toString
+        val media = q244Media(s, dir)
+        val resident = Multimodal.imageDHash(s,
+          media.filter(col("id") % 10 =!= 0 && col("id") % 10 =!= 5)).toDF()
+        Multimodal.writeDHashIndex(resident, s"$path/idx", table)
+        // right-to-be-forgotten: every id ≡ 8 (mod 10) tombstoned
+        DedupIndex.delete(s, table,
+          Tables.documents(s, dir).filter(col("doc_id") % 10 === 8)
+            .select(col("doc_id").as("id")))
+        // geometry migration purges the tombstones physically and
+        // restamps the bucket count
+        DedupIndex.rebucket(s, table, 64)
+        // post-migration ingest validates against the NEW geometry
+        val day1 = Multimodal.imageDHash(s,
+          media.filter(col("id") % 10 === 0)).toDF()
+        Multimodal.absorbDHashIndex(day1, s"$path/idx", table,
+          buckets = 64)
+        table
+      }
+    })
+  private val q263Sql =
+    s"""WITH $DHashBitsCtes
+       |SELECT n.doc_id AS new_id, r.doc_id AS resident_id
+       |FROM hb n JOIN hb r ON n.doc_id % 10 = 5
+       |  AND r.doc_id % 10 <> 5 AND r.doc_id % 10 <> 8
+       |WHERE list_sum(list_transform(range(1, 65), k ->
+       |  CASE WHEN substring(n.bits, k, 1) <> substring(r.bits, k, 1)
+       |       THEN 1 ELSE 0 END)) <= 3""".stripMargin
+
+  // --------------------------------------------------------- q264
+  /** Incremental HEAVY HITTERS — q134's exact two-pass Misra–Gries,
+    * with pass 1 replaced by a MAINTAINED store: per-(source, token)
+    * summaries live in an [[AggState.writeMg]]/[[AggState.absorbMg]]
+    * heavy-hitter store (≤ k counters per group, undercount ≤
+    * N_g/(k+1) — candidates GUARANTEED complete for any threshold
+    * above the bound) and the per-group token totals in a maintained
+    * count store (pure composition), so arriving documents cost delta
+    * maintenance, not a full-vocabulary re-shuffle. The read is one
+    * candidate-restricted recount (shuffle ∝ heavy-item occurrences)
+    * thresholded at max(10, N_g/32) — above the k=63 bound N_g/64 for
+    * every N_g, `require`-checked. At this test scale the per-source
+    * vocabulary is smaller than k so the summary happens to be exact;
+    * AggStateSpec proves the compression path on a crafted Zipf corpus
+    * whose vocabulary far exceeds k. Oracle: the plain GROUP BY ...
+    * HAVING over the raw corpus. */
+  private val MgK = 63
+  /** The exact two-pass heavy-hitter read over a maintained (mg store,
+    * count store) pair: candidates from the summary, thresholds from
+    * the maintained totals (`require`-checked above the N_g/(k+1)
+    * completeness bound), ONE candidate-restricted recount of `toks`.
+    * Shared by q264 (maintained corpus) and q265 (post-deletion). The
+    * require's collect is driver-side ≤ \|groups\| two-long rows —
+    * parameter-bounded, the repo's collect discipline. */
+  private def mgHeavyHitters(s: SparkSession, mgPath: String,
+      nPath: String, toks: DataFrame): DataFrame = {
+    val totals = AggState.merged(s, nPath, Seq("source"))
+      .select(col("source"), col("n").as("tot"))
+    val cands = AggState.mgSummary(s, mgPath, Seq("source"))
+      .join(totals, Seq("source"))
+      // completeness: threshold must clear the store's N_g/(k+1) bound
+      .withColumn("thr", greatest(lit(10L), floor(col("tot") / 32)))
+    cands.select(col("thr"), col("tot")).distinct().collect().foreach {
+      r => require(r.getLong(0) > r.getLong(1) / (MgK + 1),
+        s"threshold ${r.getLong(0)} is not above the MG bound " +
+          s"${r.getLong(1) / (MgK + 1)} — candidates lose completeness")
+    }
+    toks.join(broadcast(cands.select(col("source"),
+        col("item").as("w"), col("thr"))), Seq("source", "w"))
+      .groupBy(col("source"), col("w"), col("thr"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= col("thr"))
+      .select(col("source"), col("w").as("token"), col("cnt"))
+  }
+  private def q264(s: SparkSession, dir: String): DataFrame = {
+    val (mgPath, nPath) = q264State(s, dir)
+    val toks = Tables.documents(s, dir).select(col("source"),
+      explode(TextAnalysis.words(col("text"))).as("w"))
+    mgHeavyHitters(s, mgPath, nPath, toks)
+  }
+  private val q264StateCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  private def q264State(s: SparkSession,
+      dir: String): (String, String) =
+    q264StateCache.computeIfAbsent(dir, { _ =>
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-mgstate-q264").toString
+      val docs = Tables.documents(s, dir)
+      def toks(d: DataFrame) = d.select(col("source"),
+        explode(TextAnalysis.words(col("text"))).as("w"))
+      val bkt = AggState.hashBucketsOf("source", 4)
+      val base = toks(docs.filter(col("doc_id") % 10 =!= 0))
+      val delta = toks(docs.filter(col("doc_id") % 10 === 0))
+      AggState.writeMg(base, Seq("source"), "w", MgK, bkt, s"$out/mg")
+      AggState.absorbMg(s, s"$out/mg", delta, Seq("source"), "w", MgK,
+        bkt)
+      // the per-group totals ride the ordinary count store — the same
+      // delta lifecycle, pure composition
+      AggState.write(base.withColumn("one", lit(1.0)), Seq("source"),
+        "one", 1, bkt, s"$out/n")
+      AggState.absorb(s, s"$out/n", delta.withColumn("one", lit(1.0)),
+        Seq("source"), "one", 1, bkt)
+      (s"$out/mg", s"$out/n")
+    })
+  private val q264Sql =
+    s"""WITH tok AS (SELECT source, unnest($WsSplit) AS w FROM documents),
+       |n AS (SELECT source, CAST(count(*) AS BIGINT) AS tot
+       |      FROM tok GROUP BY 1)
+       |SELECT t.source, t.w AS token, CAST(count(*) AS BIGINT) AS cnt
+       |FROM tok t JOIN n ON t.source = n.source
+       |GROUP BY t.source, t.w, n.tot
+       |HAVING count(*) >= greatest(10, n.tot // 32)""".stripMargin
+
+  // --------------------------------------------------------- q265
+  /** Right-to-be-forgotten for the heavy-hitter store, under the gate:
+    * q264's maintained pair with a DELETION in the middle. MG counters
+    * are lower bounds with no inverse, so forgetting is
+    * [[AggState.rebuildMgGroups]] — the touched sources' summaries
+    * recompute from the SURVIVING documents (the q236 retract-then-
+    * rebuild discipline on the mg kind) — while the count store
+    * retracts exactly (counts are abelian). The two-pass read over the
+    * survivors must then equal the from-scratch oracle over the
+    * surviving corpus: a deleted document's tokens neither surface a
+    * candidate nor inflate a count or threshold. */
+  private def q265(s: SparkSession, dir: String): DataFrame = {
+    val (mgPath, nPath) = q265State(s, dir)
+    val toks = Tables.documents(s, dir)
+      .filter(col("doc_id") % 20 =!= 7)
+      .select(col("source"), explode(TextAnalysis.words(col("text"))).as("w"))
+    mgHeavyHitters(s, mgPath, nPath, toks)
+  }
+  private val q265StateCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  private def q265State(s: SparkSession,
+      dir: String): (String, String) =
+    q265StateCache.computeIfAbsent(dir, { _ =>
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-mgstate-q265").toString
+      val docs = Tables.documents(s, dir)
+      def toks(d: DataFrame) = d.select(col("source"),
+        explode(TextAnalysis.words(col("text"))).as("w"))
+      val bkt = AggState.hashBucketsOf("source", 4)
+      val grp = Seq("source")
+      AggState.writeMg(toks(docs), grp, "w", MgK, bkt, s"$out/mg")
+      AggState.write(toks(docs).withColumn("one", lit(1.0)), grp,
+        "one", 1, bkt, s"$out/n")
+      // the deletion: every doc_id ≡ 7 (mod 20) is forgotten
+      val victims = docs.filter(col("doc_id") % 20 === 7)
+      val survivors = docs.filter(col("doc_id") % 20 =!= 7)
+      AggState.rebuildMgGroups(s, s"$out/mg",
+        victims.select(col("source")).distinct(), toks(survivors),
+        grp, "w", MgK, bkt)
+      AggState.retract(s, s"$out/n",
+        toks(victims).withColumn("one", lit(1.0)), grp, "one", 1, bkt)
+      (s"$out/mg", s"$out/n")
+    })
+  private val q265Sql =
+    s"""WITH tok AS (SELECT source, unnest($WsSplit) AS w FROM documents
+       |             WHERE doc_id % 20 <> 7),
+       |n AS (SELECT source, CAST(count(*) AS BIGINT) AS tot
+       |      FROM tok GROUP BY 1)
+       |SELECT t.source, t.w AS token, CAST(count(*) AS BIGINT) AS cnt
+       |FROM tok t JOIN n ON t.source = n.source
+       |GROUP BY t.source, t.w, n.tot
+       |HAVING count(*) >= greatest(10, n.tot // 32)""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q168_kmv_distinct" -> q168 _,
     "q169_minhash_error" -> q169 _,
@@ -4827,7 +5020,10 @@ object CurationQueries {
     "q259_image_index_stream" -> q259 _,
     "q260_ivm_quantiles" -> q260 _,
     "q261_ivm_entropy" -> q261 _,
-    "q262_ivm_rebucket_policy" -> q262 _)
+    "q262_ivm_rebucket_policy" -> q262 _,
+    "q263_image_index_rtbf" -> q263 _,
+    "q264_ivm_heavy_hitters" -> q264 _,
+    "q265_mg_rtbf" -> q265 _)
 
   val oracleSql: Map[String, String] = Map(
     "q168_kmv_distinct" -> q168Sql,
@@ -4924,5 +5120,8 @@ object CurationQueries {
     "q259_image_index_stream" -> q259Sql,
     "q260_ivm_quantiles" -> q260Sql,
     "q261_ivm_entropy" -> q261Sql,
-    "q262_ivm_rebucket_policy" -> q262Sql)
+    "q262_ivm_rebucket_policy" -> q262Sql,
+    "q263_image_index_rtbf" -> q263Sql,
+    "q264_ivm_heavy_hitters" -> q264Sql,
+    "q265_mg_rtbf" -> q265Sql)
 }

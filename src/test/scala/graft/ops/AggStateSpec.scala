@@ -701,6 +701,120 @@ class AggStateSpec extends SparkSpec {
       .toMap shouldBe before
   }
 
+  test("mg store: state bounded at k, guaranteed candidates survive, two-pass recount exact, lifecycle guards loud") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-aggstate").toString
+    val path = s"$dir/mg"
+    val grp = Seq("grp")
+    val bkt = AggState.hashBucketsOf("grp", 4)
+    // g1: a skewed corpus whose vocabulary (202 items) far exceeds
+    // k=8 — compression must fire; g2: under k — must stay exact
+    val base = ((Seq.fill(120)("hot1") ++ Seq.fill(60)("hot2") ++
+        (0 until 200).map(i => s"cold$i")).map(("g1", _)) ++
+      (Seq.fill(5)("x") ++ Seq.fill(3)("y")).map(("g2", _)))
+      .toDF("grp", "w")
+    AggState.writeMg(base, grp, "w", 8, bkt, path)
+    // state bound: at most k counters per group, ever
+    val stored = spark.read.parquet(path)
+      .groupBy(col("grp")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    stored("g1") should be <= 8L
+    // undercount bound: N_g1 = 380, k = 8 ⇒ error ≤ 380/9 = 42.2; both
+    // true-heavy items (120, 60 > 42.2) are GUARANTEED present, with
+    // stored counts in [true − bound, true]
+    val s1 = AggState.mgSummary(spark, path, grp)
+      .filter(col("grp") === "g1").collect()
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    s1("hot1") should (be >= 78L and be <= 120L)
+    s1("hot2") should (be >= 18L and be <= 60L)
+    // a group under k is exact
+    AggState.mgSummary(spark, path, grp).filter(col("grp") === "g2")
+      .collect().map(r => r.getString(1) -> r.getLong(2))
+      .toMap shouldBe Map("x" -> 5L, "y" -> 3L)
+    // the exact two-pass read: candidates from the store, ONE
+    // candidate-restricted recount of the source, threshold above the
+    // bound — output must equal the full exact computation
+    def twoPass(src: org.apache.spark.sql.DataFrame, thr: Long) = {
+      val cands = AggState.mgSummary(spark, path, grp)
+        .select(col("grp"), col("item").as("w"))
+      src.join(broadcast(cands), Seq("grp", "w"))
+        .groupBy(col("grp"), col("w")).agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= thr)
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+        .toMap
+    }
+    twoPass(base, 50L) shouldBe Map(("g1", "hot1") -> 120L,
+      ("g1", "hot2") -> 60L)
+    // absorb a delta that promotes a new heavy item; the guarantee
+    // tracks the grown N_g1 = 560 (bound 62.2)
+    val delta = ((Seq.fill(80)("hot2") ++
+      (200 until 300).map(i => s"cold$i")).map(("g1", _))).toDF("grp", "w")
+    AggState.absorbMg(spark, path, delta, grp, "w", 8, bkt)
+    spark.read.parquet(path).filter(col("grp") === "g1")
+      .count() should be <= 8L
+    twoPass(base.unionByName(delta), 100L) shouldBe
+      Map(("g1", "hot1") -> 120L, ("g1", "hot2") -> 140L)
+    // drifted k and crossed kinds fail loudly
+    intercept[IllegalArgumentException] {
+      AggState.absorbMg(spark, path, delta, grp, "w", 16, bkt)
+    }.getMessage should include("k=8")
+    intercept[IllegalArgumentException] {
+      AggState.merged(spark, path, grp)
+    }.getMessage should include("'mg'")
+    // geometry migration: summary preserved, old spec loud after
+    val before = AggState.mgSummary(spark, path, grp).collect().toSet
+    AggState.rebucketMg(spark, path, grp, 8,
+      AggState.hashBucketsOf("grp", 16))
+    AggState.mgSummary(spark, path, grp).collect().toSet shouldBe before
+    intercept[IllegalArgumentException] {
+      AggState.absorbMg(spark, path, delta, grp, "w", 8, bkt)
+    }.getMessage should include("bucketSpec")
+  }
+
+  test("mg rtbf: rebuildMgGroups equals from-scratch over survivors; emptied groups vanish; policy knob fires") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-aggstate").toString
+    val path = s"$dir/mg"
+    val grp = Seq("grp")
+    val bkt = AggState.hashBucketsOf("grp", 4)
+    val base = ((Seq.fill(120)("hot1") ++ Seq.fill(60)("hot2") ++
+        (0 until 200).map(i => s"cold$i")).map(("g1", _)) ++
+      (Seq.fill(5)("x") ++ Seq.fill(3)("y")).map(("g2", _)) ++
+      Seq.fill(7)(("g3", "z"))).toDF("grp", "w")
+    AggState.writeMg(base, grp, "w", 8, bkt, path)
+    // forget every g1 "hot1" row and ALL of g3: rebuild g1/g3 from the
+    // surviving source — g1's summary must be bit-identical to a
+    // from-scratch build over the survivors (exact counts → the same
+    // deterministic compression); g3 must become invisible; g2 (not
+    // rebuilt) untouched
+    val surviving = base.filter(!(col("grp") === "g1" && col("w") === "hot1") &&
+      col("grp") =!= "g3")
+    AggState.rebuildMgGroups(spark, path, Seq("g1", "g3").toDF("grp"),
+      surviving, grp, "w", 8, bkt)
+    val fresh = s"$dir/fresh"
+    AggState.writeMg(surviving, grp, "w", 8, bkt, fresh)
+    AggState.mgSummary(spark, path, grp).filter(col("grp") === "g1")
+      .collect().toSet shouldBe
+      AggState.mgSummary(spark, fresh, grp).filter(col("grp") === "g1")
+        .collect().toSet
+    AggState.mgSummary(spark, path, grp).filter(col("grp") === "g3")
+      .count() shouldBe 0L
+    AggState.mgSummary(spark, path, grp).filter(col("grp") === "g2")
+      .collect().map(r => r.getString(1) -> r.getLong(2))
+      .toMap shouldBe Map("x" -> 5L, "y" -> 3L)
+    // the deleted group's counters are physically gone from the store
+    spark.read.parquet(path).filter(col("grp") === "g3" && col("c") > 0)
+      .count() shouldBe 0L
+    // geometry policy for the mg kind: 2 surviving groups at a
+    // 1-row-per-bucket target with 1 current bucket fires the
+    // doubling discipline (want = 2 ≥ 2×1)
+    AggState.maybeRebucketMg(spark, path, grp, 8, "grp", 1,
+      1L) shouldBe Some(2)
+    AggState.mgSummary(spark, path, grp).filter(col("grp") === "g2")
+      .collect().map(r => r.getString(1) -> r.getLong(2))
+      .toMap shouldBe Map("x" -> 5L, "y" -> 3L)
+  }
+
   test("absorb creates partitions for buckets the store has never seen") {
     val dir = Files.createTempDirectory("graft-aggstate").toString
     val path = s"$dir/state"
