@@ -695,6 +695,31 @@ object AggState {
       .agg(sum(col("c")).as("c"))
       .filter(col("c") > 0)
 
+  /** Tombstones for groups the compression emptied ENTIRELY (every
+    * count ≤ the cut — legal MG: the whole summary is within the error
+    * bound): one read-invisible c=0 row per such group, so the write
+    * that carries the emptiness always has a row to write — without
+    * it, a dynamic overwrite would write NOTHING for the bucket and
+    * the group's STALE counters would silently survive (the
+    * [[rebuildGroups]] tombstone argument; EngineProps' mg property
+    * caught exactly this), and a full-store write would leave a
+    * schema-less empty directory. `groups` = the distinct group rows
+    * of the compression INPUT (with pbucket when the caller's write
+    * path needs it). */
+  private def mgTombstones(compressed: DataFrame, groups: DataFrame,
+      groupCols: Seq[String]): DataFrame = {
+    val gk = groupCols.map(c => s"__t_$c")
+    val cg = compressed.select(groupCols.zip(gk).map { case (c, a) =>
+      col(c).as(a) }: _*).distinct()
+    val gone = groups.join(cg,
+        groupCols.zip(gk).map { case (c, a) => groups(c) <=> cg(a) }
+          .reduce(_ && _),
+        "left_anti")
+      .withColumn("item", lit(""))
+      .withColumn("c", lit(0L))
+    compressed.unionByName(gone.select(compressed.columns.map(col): _*))
+  }
+
   /** Build the heavy-hitter store: exact per-(group, item) counts of
     * `base`, compressed to ≤ k counters per group, persisted on the
     * bucket layout with kind "mg" stamped. Staged through [[swapIn]]
@@ -703,8 +728,10 @@ object AggState {
       k: Int, bucketOf: Column, path: String): Unit = {
     require(k > 0, s"k must be positive, got $k")
     recover(base.sparkSession, path)
+    val partials = mgPartials(base, groupCols, itemCol)
     swapIn(base.sparkSession, path,
-      mgCompress(mgPartials(base, groupCols, itemCol), groupCols, k),
+      mgTombstones(mgCompress(partials, groupCols, k),
+        partials.select(groupCols.map(col): _*).distinct(), groupCols),
       bucketOf, "mg", MgLayout, mgParams(k, bucketOf))
   }
 
@@ -737,7 +764,9 @@ object AggState {
           .unionByName(d)
           .groupBy((groupCols :+ "pbucket" :+ "item").map(col): _*)
           .agg(sum(col("c")).as("c"))
-        mgCompress(summed, groupCols, k)
+        mgTombstones(mgCompress(summed, groupCols, k),
+          summed.select((groupCols :+ "pbucket").map(col): _*).distinct(),
+          groupCols)
       }
     merged.withColumn("epoch", lit(-1L))
       .repartition(col("pbucket"))

@@ -3711,7 +3711,21 @@ object CurationQueries {
     * (undecodable → NULL hash, the corrupt containment). Emitted as
     * the 64-char bit string (two's-complement bin()) — exact, no
     * signed-overflow games in SQL. */
+  /** Materialized once per dir — the [[q244Media]] caching argument
+    * (synthesis is fixture cost, the decode under test still runs per
+    * call). */
+  private val q242MediaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def q242Media(s: SparkSession, dir: String): DataFrame = {
+    val p = q242MediaCache.computeIfAbsent(dir, { _ =>
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-media-q242").toString + "/media"
+      q242MediaSynth(s, dir).write.parquet(path)
+      path
+    })
+    s.read.parquet(p)
+  }
+  private def q242MediaSynth(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, dir).select(col("doc_id")).as[Long].map { id =>
       val pid = if (id % 5 == 0 && id > 0) id - 1 else id
@@ -4056,12 +4070,16 @@ object CurationQueries {
       val grp = Seq("user_id", "event_type")
       val base = ev.filter(col("event_id") % 10 =!= 0)
       val delta = ev.filter(col("event_id") % 10 === 0)
-      AggState.write(base, grp, "value", 10000, q213Bucket, s"$out/s1")
-      AggState.write(base, grp, "value2", 10000, q213Bucket, s"$out/s2")
-      AggState.absorb(s, s"$out/s1", delta, grp, "value", 10000,
-        q213Bucket)
-      AggState.absorb(s, s"$out/s2", delta, grp, "value2", 10000,
-        q213Bucket)
+      // right-sized geometry (the maybeRebucket targetBucketRows
+      // discipline): ~hundreds of groups per bucket, not the 4/bucket
+      // a user-range/4 key gives at sf0.1 -- three stores of ~2k tiny
+      // partition dirs made the READ listing-bound, which is exactly
+      // the failure mode the geometry policy exists to prevent
+      val bkt = AggState.hashBucketsOf("user_id", 32)
+      AggState.write(base, grp, "value", 10000, bkt, s"$out/s1")
+      AggState.write(base, grp, "value2", 10000, bkt, s"$out/s2")
+      AggState.absorb(s, s"$out/s1", delta, grp, "value", 10000, bkt)
+      AggState.absorb(s, s"$out/s2", delta, grp, "value2", 10000, bkt)
       (s"$out/s1", s"$out/s2")
     })
   private val q248Sql =
@@ -4226,12 +4244,14 @@ object CurationQueries {
       val grp = Seq("user_id", "event_type")
       val base = ev.filter(col("event_id") % 10 =!= 0)
       val delta = ev.filter(col("event_id") % 10 === 0)
-      AggState.write(base, grp, "value", 10000, q213Bucket, s"$out/sx")
-      AggState.write(base, grp, "yv", 10000, q213Bucket, s"$out/sy")
-      AggState.write(base, grp, "xy", 10000, q213Bucket, s"$out/sxy")
-      AggState.absorb(s, s"$out/sx", delta, grp, "value", 10000, q213Bucket)
-      AggState.absorb(s, s"$out/sy", delta, grp, "yv", 10000, q213Bucket)
-      AggState.absorb(s, s"$out/sxy", delta, grp, "xy", 10000, q213Bucket)
+      // right-sized geometry -- see the q248 fixture comment
+      val bkt = AggState.hashBucketsOf("user_id", 32)
+      AggState.write(base, grp, "value", 10000, bkt, s"$out/sx")
+      AggState.write(base, grp, "yv", 10000, bkt, s"$out/sy")
+      AggState.write(base, grp, "xy", 10000, bkt, s"$out/sxy")
+      AggState.absorb(s, s"$out/sx", delta, grp, "value", 10000, bkt)
+      AggState.absorb(s, s"$out/sy", delta, grp, "yv", 10000, bkt)
+      AggState.absorb(s, s"$out/sxy", delta, grp, "xy", 10000, bkt)
       (s"$out/sx", s"$out/sy", s"$out/sxy")
     })
   private val q252Sql =

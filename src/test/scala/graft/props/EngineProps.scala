@@ -266,4 +266,89 @@ object EngineProps extends Properties("graft") {
         .as[(Long, Int)].collect().sorted.toSeq
       fast == window
   }
+
+  // ---------------------------------------------------------------
+  // The persisted Misra–Gries store's write and absorb reproduce a
+  // driver-side reference of the mergeable-summaries semantics (sum
+  // counts; past k entries subtract the (k+1)-th largest and drop the
+  // non-positive) EXACTLY, and the survivors honor the bound: at most
+  // k counters, each a lower bound undercounting by ≤ N/(k+1).
+  private def mgRef(counts: Map[String, Long], k: Int): Map[String, Long] =
+    if (counts.size <= k) counts
+    else {
+      val cut = counts.values.toSeq.sorted(Ordering[Long].reverse)(k)
+      counts.view.mapValues(_ - cut).filter(_._2 > 0).toMap
+    }
+
+  private val mgItems: Gen[List[String]] = for {
+    n <- Gen.chooseNum(1, 120)
+    xs <- Gen.listOfN(n, Gen.frequency(
+      5 -> Gen.const("hot"), 3 -> Gen.const("warm"),
+      4 -> Gen.oneOf((0 until 30).map(i => s"c$i"))))
+  } yield xs
+
+  property("mgStoreMatchesReferenceAndHonorsBound") = Prop.forAllNoShrink(
+    mgItems, mgItems, Gen.chooseNum(2, 8)) { (base, delta, k) =>
+      val s = spark
+      import s.implicits._
+      import org.apache.spark.sql.functions.col
+      import graft.ops.AggState
+      val dir = java.nio.file.Files.createTempDirectory("graft-prop-mg")
+        .toString + "/mg"
+      val bkt = AggState.hashBucketsOf("grp", 2)
+      AggState.writeMg(base.map(("g", _)).toDF("grp", "w"),
+        Seq("grp"), "w", k, bkt, dir)
+      def summary: Map[String, Long] =
+        AggState.mgSummary(s, dir, Seq("grp")).collect()
+          .map(r => r.getString(1) -> r.getLong(2)).toMap
+      def exact(xs: List[String]): Map[String, Long] =
+        xs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val refW = mgRef(exact(base), k)
+      val okWrite = summary == refW
+      AggState.absorbMg(s, dir, delta.map(("g", _)).toDF("grp", "w"),
+        Seq("grp"), "w", k, bkt)
+      val merged = (refW.keySet ++ exact(delta).keySet).map { w =>
+        w -> (refW.getOrElse(w, 0L) + exact(delta).getOrElse(w, 0L))
+      }.toMap
+      val got = summary
+      val okAbsorb = got == mgRef(merged, k)
+      val full = exact(base ++ delta)
+      val bound = (base.size + delta.size).toLong / (k + 1)
+      val okBound = got.size <= k &&
+        got.forall { case (w, c) => c <= full(w) } &&
+        full.forall { case (w, c) => got.getOrElse(w, 0L) >= c - bound }
+      val ok = okWrite && okAbsorb && okBound
+      if (!ok) println(s"MG-PROP-FAIL k=$k okWrite=$okWrite okAbsorb=$okAbsorb okBound=$okBound\n  base=${exact(base)}\n  delta=${exact(delta)}\n  refW=$refW\n  got=$got\n  refA=${mgRef(merged, k)}")
+      ok
+  }
+
+  // ---------------------------------------------------------------
+  // The quarter-banded perceptual-dedup search is COMPLETE at Hamming
+  // ≤ 3 (pigeonhole: 4 flipped bits at most, 4 disjoint 16-bit
+  // quarters — some quarter is untouched) and exact (the bit_count
+  // verify admits nothing farther): on random corpora with planted
+  // near-dups at every distance 0–4, the banded result equals the
+  // brute-force all-pairs truth — including the planted distance-4
+  // pairs being ABSENT.
+  property("dhashBandingMatchesBruteForceAtHamming3") = Prop.forAllNoShrink(
+    Gen.listOfN(10, Gen.chooseNum(Long.MinValue, Long.MaxValue)),
+    Gen.pick(4, 0 until 64)) { (seeds, flipPos) =>
+      val s = spark
+      import s.implicits._
+      // each seed id 3i; a planted variant at distance (i mod 5) id
+      // 3i+1 — distances 0..4 all appear across the corpus
+      val rows = seeds.zipWithIndex.flatMap { case (h, i) =>
+        val d = i % 5
+        val mask = flipPos.take(d).map(1L << _).foldLeft(0L)(_ | _)
+        Seq((3L * i, h), (3L * i + 1, h ^ mask))
+      }
+      val got = graft.ops.Multimodal
+        .dHashNearDupPairs(rows.toDF("id", "dhash"), maxDist = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val brute = (for {
+        (a, i) <- rows.zipWithIndex; (b, j) <- rows.zipWithIndex
+        if i < j && java.lang.Long.bitCount(a._2 ^ b._2) <= 3
+      } yield (math.min(a._1, b._1), math.max(a._1, b._1))).toSet
+      got == brute
+  }
 }
