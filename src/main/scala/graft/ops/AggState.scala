@@ -59,9 +59,15 @@ import org.apache.spark.sql.functions._
   * dedupe). [[compactState]] folds the layers back to one row per
   * group when the per-read layer sum grows past taste.
   *
+  * Three store kinds share this layout and lifecycle: "sum" (count/
+  * sum/extrema partials — [[write]]), "distinct" (per-group KMV
+  * sketches — [[writeDistinct]]), and "mg" (per-group Misra–Gries
+  * heavy-hitter summaries — [[writeMg]]; see the mg section banner
+  * for its bounds and deliberately absorb-only maintenance).
+  *
   * ==Parameter integrity==
-  * [[write]]/[[writeDistinct]] stamp a `_graft_agg_meta` file beside
-  * the data carrying the store kind (sum vs distinct), a layout
+  * [[write]]/[[writeDistinct]]/[[writeMg]] stamp a `_graft_agg_meta`
+  * file beside the data carrying the store kind, a layout
   * version, the quantization scale (or sketch k), and the CANONICAL
   * bucket-expression string — and every maintenance entry point
   * `require`-matches the caller's parameters against it (the
