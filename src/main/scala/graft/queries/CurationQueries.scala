@@ -4964,6 +4964,53 @@ object CurationQueries {
        |GROUP BY t.source, t.w, n.tot
        |HAVING count(*) >= greatest(10, n.tot // 32)""".stripMargin
 
+  // --------------------------------------------------------- q266
+  /** The geometry POLICY in the band index's maintained lifecycle —
+    * q262's gate shape on [[DedupIndex]]: write deliberately small
+    * (8 buckets), absorb day 1 under that geometry, then let
+    * [[DedupIndex.maybeRebucket]] decide FROM THE TABLE'S OWN ROW
+    * COUNT (the doubling discipline; the target here sizes ~16 rows
+    * per bucket-budget so an 8-bucket index is ≥ 2× out of band and
+    * the policy MUST fire — `require`d, so a silent no-op fails the
+    * gate), and probe day 2 under the migrated geometry. Unlike
+    * AggState's expression-owned geometry, the bucket count lives in
+    * the table's own `graft.buckets` stamp, so later maintenance
+    * reads it back — no caller threading. Oracle: q216's from-scratch
+    * band-key SQL verbatim. */
+  private def q266(s: SparkSession, dir: String): DataFrame = {
+    val day2 = Tables.documents(s, dir).filter(col("doc_id") % 10 === 5)
+    DedupIndex.probe(s, q266Table(s, dir), day2, "text", "doc_id",
+      Bands, RowsPerBand, ShingleK)
+  }
+  private val q266TableCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def q266Table(s: SparkSession, dir: String): String =
+    q266TableCache.compute(sessionToken(s) + "|" + dir, { (_, prev) =>
+      if (prev != null && s.catalog.tableExists(prev)) prev
+      else {
+        val digest = java.security.MessageDigest.getInstance("SHA-1")
+          .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          .map(b => f"$b%02x").mkString.take(16)
+        val table = s"graft_dedup_pol_$digest"
+        val path = java.nio.file.Files
+          .createTempDirectory("graft-dedupidx-q266").toString
+        val docs = Tables.documents(s, dir)
+        DedupIndex.write(docs.filter(col("doc_id") % 10 =!= 0 &&
+            col("doc_id") % 10 =!= 5), "text", "doc_id",
+          Bands, RowsPerBand, ShingleK, s"$path/idx", table, buckets = 8)
+        DedupIndex.absorb(docs.filter(col("doc_id") % 10 === 0),
+          "text", "doc_id", Bands, RowsPerBand, ShingleK,
+          s"$path/idx", table, buckets = 8)
+        val rows = s.table(table).count()
+        require(
+          DedupIndex.maybeRebucket(s, table, math.max(1L, rows / 16)),
+          s"policy must migrate an 8-bucket index holding $rows rows " +
+            s"at a ~${rows / 16}-rows-per-bucket target")
+        table
+      }
+    })
+  private val q266Sql = q216Sql
+
   val queries: Map[String, Q] = Map(
     "q168_kmv_distinct" -> q168 _,
     "q169_minhash_error" -> q169 _,
@@ -5062,7 +5109,8 @@ object CurationQueries {
     "q262_ivm_rebucket_policy" -> q262 _,
     "q263_image_index_rtbf" -> q263 _,
     "q264_ivm_heavy_hitters" -> q264 _,
-    "q265_mg_rtbf" -> q265 _)
+    "q265_mg_rtbf" -> q265 _,
+    "q266_band_rebucket_policy" -> q266 _)
 
   val oracleSql: Map[String, String] = Map(
     "q168_kmv_distinct" -> q168Sql,
@@ -5162,5 +5210,6 @@ object CurationQueries {
     "q262_ivm_rebucket_policy" -> q262Sql,
     "q263_image_index_rtbf" -> q263Sql,
     "q264_ivm_heavy_hitters" -> q264Sql,
-    "q265_mg_rtbf" -> q265Sql)
+    "q265_mg_rtbf" -> q265Sql,
+    "q266_band_rebucket_policy" -> q266Sql)
 }

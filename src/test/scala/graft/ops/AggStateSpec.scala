@@ -815,6 +815,31 @@ class AggStateSpec extends SparkSpec {
       .toMap shouldBe Map("x" -> 5L, "y" -> 3L)
   }
 
+  test("mg store rides the staged-swap crash contract") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-aggstate").toString
+    val path = s"$dir/mg"
+    val grp = Seq("grp")
+    val bkt = AggState.hashBucketsOf("grp", 2)
+    val base = (Seq.fill(9)("a") ++ Seq.fill(4)("b")).map(("g", _))
+      .toDF("grp", "w")
+    AggState.writeMg(base, grp, "w", 4, bkt, path)
+    val expected = AggState.mgSummary(spark, path, grp).collect().toSet
+    // crash INSIDE the swap window: a complete staged generation (its
+    // meta written last) beside a renamed-away live dir — the next
+    // read rolls FORWARD and answers unchanged
+    AggState.writeMg(base, grp, "w", 4, bkt, s"${path}_rebucketing")
+    fs.rename(new HPath(path), new HPath(s"${path}_old")) shouldBe true
+    AggState.mgSummary(spark, path, grp).collect().toSet shouldBe expected
+    fs.exists(new HPath(s"${path}_old")) shouldBe false
+    fs.exists(new HPath(s"${path}_rebucketing")) shouldBe false
+    // maintenance continues on the healed store
+    AggState.absorbMg(spark, path, Seq(("g", "a")).toDF("grp", "w"),
+      grp, "w", 4, bkt)
+    AggState.mgSummary(spark, path, grp)
+      .filter(col("item") === "a").collect().head.getLong(2) shouldBe 10L
+  }
+
   test("absorb creates partitions for buckets the store has never seen") {
     val dir = Files.createTempDirectory("graft-aggstate").toString
     val path = s"$dir/state"
