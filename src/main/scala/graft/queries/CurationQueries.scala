@@ -5011,6 +5011,43 @@ object CurationQueries {
     })
   private val q266Sql = q216Sql
 
+  // --------------------------------------------------------- q267
+  /** The geometry policy on the ANN index, in lifecycle — completing
+    * the policy-gate trio (q262 AggState, q266 DedupIndex): the flat
+    * index is written UNDER-PLANED (4), the odd half appended (per-
+    * bucket population doubles), and [[AnnIndex.maybeRebucket]] must
+    * re-plane from the store's own row count against a rows-per-bucket
+    * budget of n/2^6 — `recommendedPlanes` lands on exactly q188's 6
+    * planes at every SF because the ratio n/target stays pinned ≈ 64,
+    * inside round-to-6's [45.3, 90.5) window. The `require` makes a
+    * silent no-op fail the gate; the probe under the migrated geometry
+    * must equal q188's from-scratch multi-probe oracle (which assumes
+    * 6-plane hashing — a policy landing anywhere else hash-mismatches
+    * by construction). */
+  private def q267(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val qs = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    AnnIndex.topK(s, q267Index(s, dir), qs, AnnK)
+  }
+  private val q267IndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def q267Index(s: SparkSession, dir: String): String =
+    q267IndexCache.computeIfAbsent(dir, { _ =>
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft-annidx-q267").toString
+      val emb = Tables.embeddings(s, dir)
+      AnnIndex.write(emb.filter(col("vec_id") % 2 === 0), 4, s"$idxDir/idx")
+      AnnIndex.append(emb.filter(col("vec_id") % 2 =!= 0), s"$idxDir/idx")
+      val n = emb.count()
+      require(
+        AnnIndex.maybeRebucket(s, s"$idxDir/idx", math.max(1L, n / 64)),
+        s"policy must re-plane a 4-plane index holding $n vectors at " +
+          s"a ~${n / 64}-rows-per-bucket target")
+      s"$idxDir/idx"
+    })
+  private val q267Sql = q188Sql
+
   val queries: Map[String, Q] = Map(
     "q168_kmv_distinct" -> q168 _,
     "q169_minhash_error" -> q169 _,
@@ -5110,7 +5147,8 @@ object CurationQueries {
     "q263_image_index_rtbf" -> q263 _,
     "q264_ivm_heavy_hitters" -> q264 _,
     "q265_mg_rtbf" -> q265 _,
-    "q266_band_rebucket_policy" -> q266 _)
+    "q266_band_rebucket_policy" -> q266 _,
+    "q267_ann_rebucket_policy" -> q267 _)
 
   val oracleSql: Map[String, String] = Map(
     "q168_kmv_distinct" -> q168Sql,
@@ -5211,5 +5249,6 @@ object CurationQueries {
     "q263_image_index_rtbf" -> q263Sql,
     "q264_ivm_heavy_hitters" -> q264Sql,
     "q265_mg_rtbf" -> q265Sql,
-    "q266_band_rebucket_policy" -> q266Sql)
+    "q266_band_rebucket_policy" -> q266Sql,
+    "q267_ann_rebucket_policy" -> q267Sql)
 }
