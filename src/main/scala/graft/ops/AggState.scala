@@ -640,11 +640,20 @@ object AggState {
   // maintained store at delta maintenance cost, and one
   // candidate-restricted recount makes the output exact).
   //
-  // Maintenance is [[absorbMg]] only — AT-MOST-ONCE per delta (the
-  // [[absorb]] contract). The epoch-layered at-least-once path is
-  // DELIBERATELY absent for this kind: a layer would hold a delta's
-  // exact per-item counts, which is unbounded in the item cardinality
-  // — exactly the state the k-counter summary exists to avoid.
+  // Maintenance is [[absorbMg]] (AT-MOST-ONCE per delta — the
+  // [[absorb]] contract) or the epoch-layered at-least-once path
+  // ([[appendMgDelta]] / [[absorbMgStream]], the [[appendDelta]]
+  // discipline on this kind): a layer holds the DELTA's exact
+  // per-(group, item) counts — delta-sized like every layer in this
+  // file, never vocabulary-sized — and a redelivered epoch writes
+  // byte-identical rows that the shared (group, item, epoch) dedupe
+  // collapses, so replays are invisible to every read. Between
+  // compacts a read pays base + Σ layer items (counts stay LOWER
+  // BOUNDS: the base carries all the compression error, layers are
+  // exact, so the N_g/(k+1) completeness bound only tightens);
+  // [[compactMgState]] folds the layers back through the MG
+  // compression — summing exact layer counts into the summary is a
+  // valid MG merge — and restores the ≤ |groups|·k state bound.
   // ==================================================================
 
   private val MgLayout = 1
@@ -681,11 +690,16 @@ object AggState {
       k: Int): DataFrame = {
     val w = Window.partitionBy(groupCols.map(col): _*)
       .orderBy(col("c").desc, col("item"))
-    val ranked = rows.withColumn("__rk", row_number().over(w))
-    val cuts = ranked.filter(col("__rk") === k + 1)
-      .select(groupCols.map(col) :+ col("c").as("__cut"): _*)
-    ranked.join(cuts, groupCols, "left")
-      .withColumn("c", col("c") - coalesce(col("__cut"), lit(0L)))
+    // the cut broadcasts back over the SAME window partitioning (no
+    // join): a name-based join on the group keys would be null-unsafe
+    // and let a NULL-keyed group escape compression, growing without
+    // bound — the window is null-safe like groupBy, and Catalyst plans
+    // both window functions over one sort
+    val wg = Window.partitionBy(groupCols.map(col): _*)
+    rows.withColumn("__rk", row_number().over(w))
+      .withColumn("__cut", coalesce(
+        max(when(col("__rk") === k + 1, col("c"))).over(wg), lit(0L)))
+      .withColumn("c", col("c") - col("__cut"))
       .filter(col("c") > 0)
       .drop("__rk", "__cut")
   }
@@ -782,11 +796,95 @@ object AggState {
     stampIfMissing(spark, path, "mg", MgLayout, mgParams(k, bucketOf))
   }
 
+  /** [[appendDelta]] for the heavy-hitter store — one LAYER of the
+    * delta's exact per-(group, item) counts under `epochId` (≥ 0; −1
+    * is the compacted base). Resident files are never read or
+    * rewritten, and the write is idempotent under redelivery:
+    * [[mgPartials]] is a deterministic aggregation of the batch, so a
+    * replayed (batch, epochId) writes byte-identical rows that
+    * [[residentMg]]'s (group, item, epoch) dedupe collapses. The layer
+    * is delta-sized (the batch's distinct items), NOT vocabulary-sized
+    * — the k-counter bound is the BASE's invariant, restored by
+    * [[compactMgState]] on the layer-count schedule. One producer per
+    * store assigns epoch ids (the object doc's contract). */
+  def appendMgDelta(path: String, delta: DataFrame, epochId: Long,
+      groupCols: Seq[String], itemCol: String, k: Int,
+      bucketOf: Column): Unit = {
+    require(epochId >= 0, s"epochId must be >= 0, got $epochId")
+    val spark = delta.sparkSession
+    recover(spark, path)
+    checkMeta(spark, path, "mg", MgLayout, mgParams(k, bucketOf): _*)
+    mgPartials(delta, groupCols, itemCol)
+      .withColumn("epoch", lit(epochId))
+      .withColumn("pbucket", bucketOf)
+      .repartition(col("pbucket"))
+      .write.mode("append").partitionBy("pbucket").parquet(path)
+    stampIfMissing(spark, path, "mg", MgLayout, mgParams(k, bucketOf))
+  }
+
+  /** [[compactState]] for the heavy-hitter store: collapse every
+    * layer into the exact per-(group, item) sums (replayed epochs
+    * dedupe first), re-compress each group to ≤ k counters — summing
+    * exact layer counts into the MG summary is itself a valid MG
+    * merge, same as [[absorbMg]]'s — and rewrite bucket by bucket
+    * (dynamic overwrite). Groups the compression empties entirely
+    * keep a c=0 tombstone row ([[mgTombstones]]' argument), so the
+    * overwrite always physically carries the emptiness. Restores the
+    * ≤ \|groups\|·k state bound after a run of [[appendMgDelta]]
+    * epochs; [[layerCount]] is the telemetry,
+    * [[maybeCompactMgState]] the policy. */
+  def compactMgState(spark: SparkSession, path: String,
+      groupCols: Seq[String], k: Int): Unit = {
+    recover(spark, path)
+    checkMeta(spark, path, "mg", MgLayout, "k" -> k.toString)
+    val summed = residentMg(readStore(spark, path), groupCols :+ "pbucket")
+    mgTombstones(mgCompress(summed, groupCols, k),
+        summed.select((groupCols :+ "pbucket").map(col): _*).distinct(),
+        groupCols)
+      .withColumn("epoch", lit(-1L))
+      .repartition(col("pbucket"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("pbucket").parquet(path)
+  }
+
+  /** [[maybeCompactState]] for the heavy-hitter store — compact when
+    * more than `maxLayers` epoch layers are resident. Returns whether
+    * it compacted. Writer-side (single writer). */
+  def maybeCompactMgState(spark: SparkSession, path: String,
+      groupCols: Seq[String], k: Int,
+      maxLayers: Long = DefaultMaxLayers): Boolean =
+    if (layerCount(spark, path) <= maxLayers) false
+    else { compactMgState(spark, path, groupCols, k); true }
+
+  /** [[absorbStream]] for the heavy-hitter store: each micro-batch
+    * becomes one [[appendMgDelta]] layer under Structured Streaming's
+    * epoch id, so a crash between the parquet append and the
+    * checkpoint commit replays the batch under the SAME epoch id and
+    * the layered dedupe makes the replay invisible — effectively
+    * exactly-once without a transaction log, completing
+    * stream-maintenance parity across all six persisted store
+    * kinds. */
+  def absorbMgStream(stream: DataFrame, path: String, checkpoint: String,
+      groupCols: Seq[String], itemCol: String, k: Int,
+      bucketOf: Column): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        appendMgDelta(path, batch, epochId, groupCols, itemCol, k,
+          bucketOf)
+      }
+      .start()
+
   /** The maintained summary: (group cols, item, c) with c a LOWER
     * BOUND undercounting by ≤ N_g/(k+1) — the candidate set for the
     * exact two-pass read (recount only these items from the source,
     * then threshold; any threshold above the bound is provably
-    * complete). */
+    * complete). Layers collapse on the way ([[residentMg]]'s shared
+    * dedupe), so between compacts the summary may hold MORE than k
+    * items per group — the base carries all the compression error and
+    * layers are exact, so the completeness bound only tightens. */
   def mgSummary(spark: SparkSession, path: String,
       groupCols: Seq[String]): DataFrame = {
     recoverIfMissing(spark, path)
@@ -796,13 +894,18 @@ object AggState {
 
   /** [[rebucket]] for the heavy-hitter store: the summary rows rewrite
     * under the new bucket expression (state-sized, the compact cost
-    * class), meta restamped so the old spec fails loudly after. */
+    * class), meta restamped so the old spec fails loudly after. A
+    * rebucket is also a compact: layers collapse and re-compress to
+    * ≤ k on the way (a no-op for groups already ≤ k; a full rewrite
+    * needs no tombstones — emptied groups simply don't appear in the
+    * new generation). */
   def rebucketMg(spark: SparkSession, path: String,
       groupCols: Seq[String], k: Int, newBucketOf: Column): Unit = {
     recover(spark, path)
     checkMeta(spark, path, "mg", MgLayout, "k" -> k.toString)
     swapIn(spark, path,
-      residentMg(readStore(spark, path), groupCols),
+      mgCompress(residentMg(readStore(spark, path), groupCols),
+        groupCols, k),
       newBucketOf, "mg", MgLayout, mgParams(k, newBucketOf))
   }
 

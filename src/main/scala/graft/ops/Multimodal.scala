@@ -551,16 +551,21 @@ object Multimodal {
     * key (q243's shape, uniform by construction), which collapses an
     * identical farm to a single banded row; and (2) the banding runs
     * over DISTINCT hashes only, with [[Dedup.candidatePairs]]'s
-    * `maxBucket` cap available for corpora where distinct-but-clustered
-    * hashes still pile into one quarter bucket (buckets above the cap
-    * contribute no banded candidates — a recall cap, stated, never an
-    * OOM). Scale shape: one keyed shuffle on (band, quarter) — 4 rows
+    * `maxBucket` cap on the DISTINCT hashes a quarter bucket may hold
+    * — default 4096, a finite ceiling (≤ 8M candidate rows per
+    * degenerate bucket) for corpora where distinct-but-clustered
+    * hashes pile into one quarter (near-solid-color storms: the
+    * exact-equal pre-collapse can't help when the hashes differ by a
+    * few bits). Buckets above the cap contribute no banded candidates
+    * — a recall cap, stated, never an OOM; pass `Int.MaxValue` to
+    * uncap when completeness at maxDist ≤ 3 must be absolute.
+    * Scale shape: one keyed shuffle on (band, quarter) — 4 rows
     * per DISTINCT hash — then a parameter-bounded verify join and two
     * id-expansion joins. Note the OUTPUT itself is quadratic in farm
     * size (an N-identical farm genuinely has N²/2 dup pairs); the
     * discipline bounds the intermediate state, not the true answer. */
   def dHashNearDupPairs(hashes: DataFrame, maxDist: Int = 3,
-      maxBucket: Int = Int.MaxValue): DataFrame = {
+      maxBucket: Int = 4096): DataFrame = {
     require(maxDist >= 0 && maxDist <= 3,
       s"banded candidates are complete only for maxDist <= 3, got $maxDist")
     require(maxBucket > 0, s"maxBucket must be positive, got $maxBucket")

@@ -3648,22 +3648,37 @@ object CurationQueries {
     * asserts it within tolerance). The doc_id%10=7 arm truncates the
     * first frame to 20 bytes — no decodable frame → the −1-dims
     * corrupt shape. */
-  private def q240(s: SparkSession, dir: String): DataFrame = {
-    val media: DataFrame = {
-      import s.implicits._
-      Tables.documents(s, dir).select(col("doc_id")).as[Long].map { id =>
-        val w = (16 * (1 + id % 3)).toInt
-        val n = (1 + id % 4).toInt
-        val lumas = (0 until n).map(i => ((id * 53 + i * 29) % 256).toInt)
-        val full = Multimodal.encodeMjpeg(w, 16, lumas)
-        val bytes = if (id % 10 == 7) full.take(20) else full
-        MediaBlob(id, "video/x-mjpeg", bytes)
-      }.toDF()
-    }
-    Multimodal.extractVideoFeatures(s, media).toDF()
+  /** Materialized once per dir — the [[q244Media]] caching argument:
+    * the per-frame ImageIO JPEG ENCODE is fixture cost (the most
+    * expensive synthesis in the media family — the r17 driver window
+    * paid it on every min-of-3 run, 5.4 s vs the 1.6 s floor), while
+    * the MJPEG decode under test still runs per call. */
+  private val q240MediaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def q240Media(s: SparkSession, dir: String): DataFrame = {
+    val p = q240MediaCache.computeIfAbsent(dir, { _ =>
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-media-q240").toString + "/media"
+      q240MediaSynth(s, dir).write.parquet(path)
+      path
+    })
+    s.read.parquet(p)
+  }
+  private def q240MediaSynth(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir).select(col("doc_id")).as[Long].map { id =>
+      val w = (16 * (1 + id % 3)).toInt
+      val n = (1 + id % 4).toInt
+      val lumas = (0 until n).map(i => ((id * 53 + i * 29) % 256).toInt)
+      val full = Multimodal.encodeMjpeg(w, 16, lumas)
+      val bytes = if (id % 10 == 7) full.take(20) else full
+      MediaBlob(id, "video/x-mjpeg", bytes)
+    }.toDF()
+  }
+  private def q240(s: SparkSession, dir: String): DataFrame =
+    Multimodal.extractVideoFeatures(s, q240Media(s, dir)).toDF()
       .select(col("id").as("doc_id"), col("width"), col("height"),
         col("frames"))
-  }
   private val q240Sql =
     """SELECT doc_id,
       |  CAST(CASE WHEN doc_id % 10 = 7 THEN -1
@@ -4670,7 +4685,13 @@ object CurationQueries {
     * recomputes the binned quantiles from the raw events. */
   private def q260(s: SparkSession, dir: String): DataFrame = {
     val (_, cur) = q257State(s, dir)
+    // NULL vbin (a NULL-valued event) is dropped SYMMETRICALLY with
+    // the oracle's `value IS NOT NULL`: the cumulative window orders
+    // by vbin, and the engines disagree on default NULL ordering
+    // (Spark NULLS FIRST vs DuckDB NULLS LAST), so a NULL bin must
+    // never enter the running count on either side
     val h = AggState.merged(s, cur, Seq("event_type", "vbin"))
+      .filter(col("vbin").isNotNull)
       .select(col("event_type"), col("vbin"), col("n"))
     val w = Window.partitionBy(col("event_type")).orderBy(col("vbin"))
     val t = Window.partitionBy(col("event_type"))
@@ -4685,7 +4706,7 @@ object CurationQueries {
   private val q260Sql =
     """WITH b AS (SELECT event_type,
       |    CAST(least(floor(value), 9) AS BIGINT) AS vbin
-      |  FROM events WHERE event_id % 2 <> 0),
+      |  FROM events WHERE event_id % 2 <> 0 AND value IS NOT NULL),
       |c AS (SELECT event_type, vbin, count(*) AS n FROM b GROUP BY 1, 2),
       |cum AS (SELECT event_type, vbin,
       |    sum(n) OVER (PARTITION BY event_type ORDER BY vbin) AS cn,
@@ -5016,10 +5037,12 @@ object CurationQueries {
     * the policy-gate trio (q262 AggState, q266 DedupIndex): the flat
     * index is written UNDER-PLANED (4), the odd half appended (per-
     * bucket population doubles), and [[AnnIndex.maybeRebucket]] must
-    * re-plane from the store's own row count against a rows-per-bucket
-    * budget of n/2^6 — `recommendedPlanes` lands on exactly q188's 6
-    * planes at every SF because the ratio n/target stays pinned ≈ 64,
-    * inside round-to-6's [45.3, 90.5) window. The `require` makes a
+    * re-plane from the store's own row count against a ⌈n/90⌉
+    * rows-per-bucket budget — chosen so `recommendedPlanes` lands on
+    * exactly q188's 6 planes for EVERY n ≥ 46 (the ratio n/target
+    * stays inside round-to-6's [2^5.5, 2^6.5) window by construction;
+    * a guard `require` re-derives the plane count and fails loudly if
+    * it ever drifts). The `require` makes a
     * silent no-op fail the gate; the probe under the migrated geometry
     * must equal q188's from-scratch multi-probe oracle (which assumes
     * 6-plane hashing — a policy landing anywhere else hash-mismatches
@@ -5040,13 +5063,143 @@ object CurationQueries {
       AnnIndex.write(emb.filter(col("vec_id") % 2 === 0), 4, s"$idxDir/idx")
       AnnIndex.append(emb.filter(col("vec_id") % 2 =!= 0), s"$idxDir/idx")
       val n = emb.count()
+      // the oracle assumes 6-plane hashing, so the target must make
+      // recommendedPlanes land on exactly 6: round(log2(n/target)) = 6
+      // iff n/target ∈ [2^5.5, 2^6.5) ≈ [45.3, 90.5). A floor division
+      // n/64 exits the window for some n (e.g. n ∈ [91, 127] gives a
+      // ratio up to 127 → 7 planes); target = ⌈n/90⌉ keeps the ratio
+      // in (45.5, 90] for every n ≥ 46, and the guard below turns any
+      // residual drift into a loud failure instead of a hash mismatch
+      require(n >= 46, s"q267 needs ≥ 46 vectors for a 6-plane budget, got $n")
+      val target = math.max(1L, (n + 89) / 90)
+      require(AnnIndex.recommendedPlanes(n, target) == 6,
+        s"target $target must budget exactly the oracle's 6 planes " +
+          s"for n=$n, got ${AnnIndex.recommendedPlanes(n, target)}")
       require(
-        AnnIndex.maybeRebucket(s, s"$idxDir/idx", math.max(1L, n / 64)),
+        AnnIndex.maybeRebucket(s, s"$idxDir/idx", target),
         s"policy must re-plane a 4-plane index holding $n vectors at " +
-          s"a ~${n / 64}-rows-per-bucket target")
+          s"a ~$target-rows-per-bucket target")
       s"$idxDir/idx"
     })
   private val q267Sql = q188Sql
+
+  // --------------------------------------------------------- q268
+  /** Stream-maintenance parity for the heavy-hitter store — the q215
+    * layered-redelivery shape on the mg kind, closing the one
+    * persisted store without a stream path: the base corpus builds
+    * the summary pair, the delta arrives as two
+    * [[AggState.appendMgDelta]] epoch layers (each holding the
+    * batch's EXACT per-item counts — delta-sized, never
+    * vocabulary-sized) with epoch 0 REDELIVERED (the at-least-once
+    * crash replay, byte-identical rows the (group, item, epoch)
+    * dedupe must collapse), then [[AggState.maybeCompactMgState]]
+    * MUST fire (3 resident layers over a maxLayers=2 budget —
+    * `require`d) and fold the layers back through the MG compression
+    * to ≤ k counters per group. The exact two-pass read over the
+    * compacted store must equal q264's plain GROUP BY/HAVING oracle
+    * over the full corpus: a replay that double-counted inflates the
+    * candidates' stored counts past the completeness `require`, a
+    * lost layer or an over-compressed group drops a guaranteed
+    * candidate — either hash-mismatches. ([[AggState.absorbMgStream]]
+    * rides exactly this append path under a checkpointed
+    * foreachBatch; AggStateSpec pins the streaming wrapper.) */
+  private def q268(s: SparkSession, dir: String): DataFrame = {
+    val (mgPath, nPath) = q268State(s, dir)
+    val toks = Tables.documents(s, dir).select(col("source"),
+      explode(TextAnalysis.words(col("text"))).as("w"))
+    mgHeavyHitters(s, mgPath, nPath, toks)
+  }
+  private val q268StateCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  private def q268State(s: SparkSession,
+      dir: String): (String, String) =
+    q268StateCache.computeIfAbsent(dir, { _ =>
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-mgstate-q268").toString
+      val docs = Tables.documents(s, dir)
+      def toks(d: DataFrame) = d.select(col("source"),
+        explode(TextAnalysis.words(col("text"))).as("w"))
+      val bkt = AggState.hashBucketsOf("source", 4)
+      val grp = Seq("source")
+      val base = toks(docs.filter(col("doc_id") % 10 =!= 0))
+      val delta = docs.filter(col("doc_id") % 10 === 0)
+      val e0 = toks(delta.filter(col("doc_id") % 20 === 0))
+      val e1 = toks(delta.filter(col("doc_id") % 20 =!= 0))
+      AggState.writeMg(base, grp, "w", MgK, bkt, s"$out/mg")
+      AggState.appendMgDelta(s"$out/mg", e0, 0L, grp, "w", MgK, bkt)
+      // crash replay: the SAME batch under the SAME epoch id
+      AggState.appendMgDelta(s"$out/mg", e0, 0L, grp, "w", MgK, bkt)
+      AggState.appendMgDelta(s"$out/mg", e1, 1L, grp, "w", MgK, bkt)
+      require(AggState.maybeCompactMgState(s, s"$out/mg", grp, MgK,
+          maxLayers = 2L),
+        "3 resident mg layers over a maxLayers=2 budget must compact")
+      // the per-group totals ride the ordinary count store (q264's
+      // composition)
+      AggState.write(base.withColumn("one", lit(1.0)), grp, "one", 1,
+        bkt, s"$out/n")
+      AggState.absorb(s, s"$out/n",
+        toks(delta).withColumn("one", lit(1.0)), grp, "one", 1, bkt)
+      (s"$out/mg", s"$out/n")
+    })
+  private val q268Sql = q264Sql
+
+  // --------------------------------------------------------- q269
+  /** The geometry policy on the CC label store, in a maintained
+    * lifecycle — completing the policy-gate QUARTET (q262 AggState,
+    * q266 DedupIndex, q267 AnnIndex): day 0's verified-pair labels
+    * are written deliberately small (2 buckets), day 1's pairs
+    * absorbed under that geometry (endpoint lookups pruned to the
+    * 2-bucket layout), then [[CcState.maybeRebucket]] must migrate
+    * FROM THE STORE'S OWN ROW COUNT (a ~rows/8 target budgets ≥ 4
+    * buckets for any store of ≥ 4 labels, putting the 2-bucket store
+    * ≥ 2× out of band at every SF, so the policy MUST fire —
+    * `require`d, a silent no-op fails the gate), folding the merge
+    * log in on the way (a rebucket IS a compact). The labels under
+    * the migrated geometry must equal q233's oracle: the from-scratch
+    * recursive-CTE closure over ALL pairs. */
+  private def q269(s: SparkSession, dir: String): DataFrame =
+    CcState.labels(s, q269State(s, dir))
+      .select(col("node").as("doc_id"), col("cluster").as("cluster_id"))
+  private val q269StateCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def q269State(s: SparkSession, dir: String): String =
+    q269StateCache.computeIfAbsent(dir, { _ =>
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-ccstate-q269").toString
+      val docs = Tables.documents(s, dir)
+      val bands = Dedup
+        .bandKeys(docs, "text", "doc_id", Bands, RowsPerBand, ShingleK)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val pairs = Dedup.jaccardVerify(Dedup.candidatePairs(bands),
+            docs, "text", "doc_id", JaccardThreshold)
+          .select(col("id_a"), col("id_b"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val day0 = pairs.filter(col("id_a") % 10 =!= 0 &&
+            col("id_b") % 10 =!= 0)
+          val day1 = pairs.filter(col("id_a") % 10 === 0 ||
+            col("id_b") % 10 === 0)
+          CcState.write(day0, s"$out/cc", buckets = 2)
+          CcState.absorb(s, day1, s"$out/cc")
+          // a rows/8 target budgets ~8 buckets, ≥ 2× the written 2
+          // for EVERY store of ≥ 4 labels (want = rows/(rows/8) ≥ 4
+          // by integer-division algebra) — no dead zone where neither
+          // the grow nor the shrink branch fires
+          val rows = s.read.parquet(s"$out/cc").count()
+          require(rows >= 4,
+            s"q269 needs ≥ 4 labeled nodes for the policy budget, got $rows")
+          require(
+            CcState.maybeRebucket(s, s"$out/cc",
+              math.max(1L, rows / 8)),
+            s"policy must migrate a 2-bucket label store holding " +
+              s"$rows rows at a ~${math.max(1L, rows / 8)}-rows-per-" +
+              "bucket target")
+        } finally pairs.unpersist()
+      } finally bands.unpersist()
+      s"$out/cc"
+    })
+  private val q269Sql = q233Sql
 
   val queries: Map[String, Q] = Map(
     "q168_kmv_distinct" -> q168 _,
@@ -5148,7 +5301,9 @@ object CurationQueries {
     "q264_ivm_heavy_hitters" -> q264 _,
     "q265_mg_rtbf" -> q265 _,
     "q266_band_rebucket_policy" -> q266 _,
-    "q267_ann_rebucket_policy" -> q267 _)
+    "q267_ann_rebucket_policy" -> q267 _,
+    "q268_mg_stream_parity" -> q268 _,
+    "q269_cc_rebucket_policy" -> q269 _)
 
   val oracleSql: Map[String, String] = Map(
     "q168_kmv_distinct" -> q168Sql,
@@ -5250,5 +5405,7 @@ object CurationQueries {
     "q264_ivm_heavy_hitters" -> q264Sql,
     "q265_mg_rtbf" -> q265Sql,
     "q266_band_rebucket_policy" -> q266Sql,
-    "q267_ann_rebucket_policy" -> q267Sql)
+    "q267_ann_rebucket_policy" -> q267Sql,
+    "q268_mg_stream_parity" -> q268Sql,
+    "q269_cc_rebucket_policy" -> q269Sql)
 }

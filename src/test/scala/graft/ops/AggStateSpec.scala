@@ -840,6 +840,129 @@ class AggStateSpec extends SparkSpec {
       .filter(col("item") === "a").collect().head.getLong(2) shouldBe 10L
   }
 
+  test("mg layered epochs: replay invisible, compact restores the k bound, two-pass stays exact") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-aggstate").toString
+    val path = s"$dir/mg"
+    val grp = Seq("grp")
+    val bkt = AggState.hashBucketsOf("grp", 4)
+    val base = ((Seq.fill(120)("hot1") ++ Seq.fill(60)("hot2") ++
+        (0 until 200).map(i => s"cold$i")).map(("g1", _)) ++
+      (Seq.fill(5)("x") ++ Seq.fill(3)("y")).map(("g2", _)))
+      .toDF("grp", "w")
+    val e0 = ((Seq.fill(80)("hot2") ++
+      (200 until 250).map(i => s"cold$i")).map(("g1", _))).toDF("grp", "w")
+    val e1 = (Seq.fill(30)("hot3").map(("g1", _)) ++
+      Seq.fill(4)(("g2", "x"))).toDF("grp", "w")
+    AggState.writeMg(base, grp, "w", 8, bkt, path)
+    AggState.appendMgDelta(path, e0, 0L, grp, "w", 8, bkt)
+    // crash replay: the SAME batch under the SAME epoch id —
+    // byte-identical rows the (group, item, epoch) dedupe collapses
+    AggState.appendMgDelta(path, e0, 0L, grp, "w", 8, bkt)
+    AggState.appendMgDelta(path, e1, 1L, grp, "w", 8, bkt)
+    def twoPass(src: org.apache.spark.sql.DataFrame, thr: Long) = {
+      val cands = AggState.mgSummary(spark, path, grp)
+        .select(col("grp"), col("item").as("w"))
+      src.join(broadcast(cands), Seq("grp", "w"))
+        .groupBy(col("grp"), col("w")).agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= thr)
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+        .toMap
+    }
+    // the summary is replay-sensitive and deterministic here: base
+    // g1's compression cut is exactly 1 (rank-9 item is a cold with
+    // count 1), so stored hot2 = 59, and the layered read gives
+    // 59 + 80 = 139 — a double-counted replay would read 219, a lost
+    // layer 59
+    val s1 = AggState.mgSummary(spark, path, grp)
+      .filter(col("grp") === "g1").collect()
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    s1("hot2") shouldBe 139L
+    s1("hot1") shouldBe 119L
+    // layers are EXACT, so e1's hot3 (seen only in a layer) reads at
+    // its true count
+    s1("hot3") shouldBe 30L
+    // two-pass read: N_g1 = 540 with only base mass (380) through a
+    // compression ⇒ undercount ≤ 42.2; thr 100 is safely above it
+    val expected = Map(("g1", "hot1") -> 120L, ("g1", "hot2") -> 140L)
+    val full = base.unionByName(e0).unionByName(e1)
+    twoPass(full, 100L) shouldBe expected
+    // three layers resident (-1, 0, 1); the policy folds them
+    AggState.layerCount(spark, path) shouldBe 3L
+    AggState.maybeCompactMgState(spark, path, grp, 8,
+      maxLayers = 2L) shouldBe true
+    AggState.layerCount(spark, path) shouldBe 1L
+    // the k bound is restored and the read is unchanged
+    spark.read.parquet(path).filter(col("c") > 0)
+      .groupBy(col("grp")).count().collect()
+      .foreach(r => r.getLong(1) should be <= 8L)
+    twoPass(full, 100L) shouldBe expected
+    // a below-budget layer count is a no-op
+    AggState.maybeCompactMgState(spark, path, grp, 8) shouldBe false
+  }
+
+  test("absorbMgStream converges: a drained stream equals the layered path") {
+    import org.apache.spark.sql.{Encoder, Encoders}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-aggstate").toString
+    val path = s"$dir/mg"
+    val grp = Seq("grp")
+    val bkt = AggState.hashBucketsOf("grp", 4)
+    implicit val enc: Encoder[(String, String)] =
+      Encoders.product[(String, String)]
+    val base = ((Seq.fill(50)("hot1") ++ (0 until 100).map(i => s"c$i"))
+      .map(("g1", _))).toDF("grp", "w")
+    AggState.writeMg(base, grp, "w", 8, bkt, path)
+    val stream = MemoryStream[(String, String)](enc, spark)
+    val query = AggState.absorbMgStream(
+      stream.toDF().toDF("grp", "w"), path, s"$dir/ckpt", grp, "w", 8, bkt)
+    val b0 = Seq.fill(40)(("g1", "hot2"))
+    val b1 = Seq.fill(25)(("g1", "hot3")) ++ Seq.fill(6)(("g2", "x"))
+    try {
+      stream.addData(b0)
+      query.processAllAvailable()
+      stream.addData(b1)
+      query.processAllAvailable()
+    } finally query.stop()
+    val s1 = AggState.mgSummary(spark, path, grp).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // stream layers are exact counts riding the append path
+    s1(("g1", "hot2")) shouldBe 40L
+    s1(("g1", "hot3")) shouldBe 25L
+    s1(("g2", "x")) shouldBe 6L
+    AggState.layerCount(spark, path) shouldBe 3L
+  }
+
+  test("mg compression is null-safe on group keys: a NULL group cannot escape the k bound") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-aggstate").toString
+    val path = s"$dir/mg"
+    val grp = Seq("grp")
+    val bkt = AggState.hashBucketsOf("grp", 2)
+    // a NULL-keyed group whose vocabulary (41 items) far exceeds k=8:
+    // a name-based (null-unsafe) cut join would never match it and its
+    // counters would survive compression unbounded
+    val base = (Seq.fill(40)("hot") ++ (0 until 40).map(i => s"w$i"))
+      .map(w => (Option.empty[String], w)).toDF("grp", "w")
+      .unionByName(Seq.fill(9)(("g1", "a")).toDF("grp", "w"))
+    AggState.writeMg(base, grp, "w", 8, bkt, path)
+    spark.read.parquet(path).filter(col("grp").isNull && col("c") > 0)
+      .count() should be <= 8L
+    // the guaranteed-heavy item survives with its bounded count
+    val hot = AggState.mgSummary(spark, path, grp)
+      .filter(col("grp").isNull && col("item") === "hot")
+      .collect().head.getLong(2)
+    hot should (be >= 31L and be <= 40L)
+    // and an absorb keeps the bound (the re-compression is the same
+    // code path)
+    val delta = (0 until 30).map(i => s"v$i")
+      .map(w => (Option.empty[String], w)).toDF("grp", "w")
+    AggState.absorbMg(spark, path, delta, grp, "w", 8, bkt)
+    spark.read.parquet(path).filter(col("grp").isNull && col("c") > 0)
+      .count() should be <= 8L
+  }
+
   test("absorb creates partitions for buckets the store has never seen") {
     val dir = Files.createTempDirectory("graft-aggstate").toString
     val path = s"$dir/state"
