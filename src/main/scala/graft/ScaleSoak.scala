@@ -447,8 +447,11 @@ object ScaleSoak {
     def mgToks(d: DataFrame): DataFrame =
       d.select(col("source"),
         explode(TextAnalysis.words(col("text"))).as("w"))
+    val mgArms =
+      Seq("mgstate_absorb_scaled", "mgstate_append_scaled",
+        "mgstate_compact_scaled")
     val mgIdx: Map[Int, String] =
-      if (!armOn("mgstate_absorb_scaled")) Map.empty
+      if (!mgArms.exists(armOn)) Map.empty
       else dirs.map { case (n, d) =>
         val out = s"$workRoot/mgstate/x$n"
         val marker = Paths.get(s"$out/_MG_OK")
@@ -461,23 +464,45 @@ object ScaleSoak {
         }
         n -> s"$out/state"
       }
+    def copyMgStores(
+        tag: String): Map[Int, scala.collection.mutable.Queue[String]] = {
+      val conf = spark.sparkContext.hadoopConfiguration
+      mgIdx.map { case (n, st) =>
+        val q = scala.collection.mutable.Queue[String]()
+        (1 to RUNS).foreach { r =>
+          val dst = Files.createTempDirectory(s"graft-soak-$tag-x$n-$r")
+            .toString + "/state"
+          val fs = new org.apache.hadoop.fs.Path(st).getFileSystem(conf)
+          org.apache.hadoop.fs.FileUtil.copy(fs,
+            new org.apache.hadoop.fs.Path(st), fs,
+            new org.apache.hadoop.fs.Path(dst), false, conf)
+          q.enqueue(dst)
+        }
+        n -> q
+      }
+    }
     val mgCopies: Map[Int, scala.collection.mutable.Queue[String]] =
       if (!armOn("mgstate_absorb_scaled")) Map.empty
+      else copyMgStores("mgstate")
+    val mgAppendCopies: Map[Int, scala.collection.mutable.Queue[String]] =
+      if (!armOn("mgstate_append_scaled")) Map.empty
+      else copyMgStores("mgappend")
+    // the compact arm's copies carry two UNTIMED appendMgDelta layers,
+    // so the timed compact folds a realistic layered store
+    val mgCompactCopies: Map[Int, scala.collection.mutable.Queue[String]] =
+      if (!armOn("mgstate_compact_scaled")) Map.empty
       else {
-        val conf = spark.sparkContext.hadoopConfiguration
-        mgIdx.map { case (n, st) =>
-          val q = scala.collection.mutable.Queue[String]()
-          (1 to RUNS).foreach { r =>
-            val dst = Files.createTempDirectory(s"graft-soak-mgstate-x$n-$r")
-              .toString + "/state"
-            val fs = new org.apache.hadoop.fs.Path(st).getFileSystem(conf)
-            org.apache.hadoop.fs.FileUtil.copy(fs,
-              new org.apache.hadoop.fs.Path(st), fs,
-              new org.apache.hadoop.fs.Path(dst), false, conf)
-            q.enqueue(dst)
-          }
-          n -> q
-        }
+        val m = copyMgStores("mgcompact")
+        val docs = Tables.documents(spark, base)
+        m.values.foreach(_.foreach { st =>
+          AggState.appendMgDelta(st,
+            mgToks(docs.filter(col("doc_id") % 20 === 0)), 0L,
+            Seq("source"), "w", 63, mgBucket)
+          AggState.appendMgDelta(st,
+            mgToks(docs.filter(col("doc_id") % 20 === 10)), 1L,
+            Seq("source"), "w", 63, mgBucket)
+        })
+        m
       }
 
     // annindex_delete_scaled mutates its index, so each timed run gets
@@ -621,6 +646,26 @@ object ScaleSoak {
             .filter(col("doc_id") % 10 === 0))
           AggState.absorbMg(s, mgCopies(n).dequeue(), delta,
             Seq("source"), "w", 63, mgBucket)
+          s.range(1).toDF("ok")
+        }) :+
+        // the layered pair (round 18): append is the cheapest possible
+        // maintenance write (resident files untouched — a fixed delta's
+        // tokenize+aggregate+append, flat by construction); compact
+        // folds the layers back through the MG compression, and for
+        // THIS store kind even that full rewrite is parameter-bounded
+        // (summary ≤ |groups|·k resident + delta-sized layers, 4 bucket
+        // dirs), so BOTH exponents should be ~flat — unlike the sum
+        // store, whose compact tracks its group population.
+        ("mgstate_append_scaled" -> { (s: SparkSession, _: String, n: Int) =>
+          val delta = mgToks(Tables.documents(s, base)
+            .filter(col("doc_id") % 10 === 0))
+          AggState.appendMgDelta(mgAppendCopies(n).dequeue(), delta, 0L,
+            Seq("source"), "w", 63, mgBucket)
+          s.range(1).toDF("ok")
+        }) :+
+        ("mgstate_compact_scaled" -> { (s: SparkSession, _: String, n: Int) =>
+          AggState.compactMgState(s, mgCompactCopies(n).dequeue(),
+            Seq("source"), 63)
           s.range(1).toDF("ok")
         }) :+
         // round-14 persisted-index probe arms: banded (Q·bands fixed-

@@ -436,10 +436,12 @@ object AggState {
   }
 
   /** Distinct epoch layers resident in the store — telemetry for the
-    * [[compactState]] schedule ([[CcState.mergeLogSize]]'s discipline
-    * for the aggregate store): each [[appendDelta]] epoch adds one row
-    * per touched group, and every read collapses the layer sum until a
-    * compact folds them. Column-pruned scan of the epoch column only. */
+    * [[compactState]] / [[compactMgState]] schedules
+    * ([[CcState.mergeLogSize]]'s discipline for the layered stores):
+    * each [[appendDelta]] / [[appendMgDelta]] epoch adds delta-sized
+    * rows, and every read collapses the layer sum until a compact
+    * folds them. Column-pruned scan of the epoch column only;
+    * kind-agnostic (no meta check) by design. */
   def layerCount(spark: SparkSession, path: String): Long = {
     recoverIfMissing(spark, path)
     readStore(spark, path).select(col("epoch")).distinct().count()

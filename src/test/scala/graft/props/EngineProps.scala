@@ -323,6 +323,55 @@ object EngineProps extends Properties("graft") {
   }
 
   // ---------------------------------------------------------------
+  // The layered (stream-parity) mg path holds the same reference
+  // semantics end to end: between compacts the summary is the base's
+  // compressed counters PLUS the layers' exact counts (a redelivered
+  // epoch collapses — append e0 twice, count it once), and compact
+  // folds everything through one reference compression. The bound
+  // holds at every stage.
+  property("mgLayeredPathMatchesReferenceAndCollapsesReplay") =
+    Prop.forAllNoShrink(mgItems, mgItems, mgItems,
+      Gen.chooseNum(2, 8)) { (base, e0, e1, k) =>
+      val s = spark
+      import s.implicits._
+      import graft.ops.AggState
+      val dir = java.nio.file.Files.createTempDirectory("graft-prop-mgl")
+        .toString + "/mg"
+      val bkt = AggState.hashBucketsOf("grp", 2)
+      def df(xs: List[String]) = xs.map(("g", _)).toDF("grp", "w")
+      def exact(xs: List[String]): Map[String, Long] =
+        xs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      def summary: Map[String, Long] =
+        AggState.mgSummary(s, dir, Seq("grp")).collect()
+          .map(r => r.getString(1) -> r.getLong(2)).toMap
+      AggState.writeMg(df(base), Seq("grp"), "w", k, bkt, dir)
+      AggState.appendMgDelta(dir, df(e0), 0L, Seq("grp"), "w", k, bkt)
+      // the at-least-once replay: same batch, same epoch id
+      AggState.appendMgDelta(dir, df(e0), 0L, Seq("grp"), "w", k, bkt)
+      AggState.appendMgDelta(dir, df(e1), 1L, Seq("grp"), "w", k, bkt)
+      val refW = mgRef(exact(base), k)
+      val layered = (refW.keySet ++ exact(e0).keySet ++ exact(e1).keySet)
+        .map { w => w -> (refW.getOrElse(w, 0L) +
+          exact(e0).getOrElse(w, 0L) + exact(e1).getOrElse(w, 0L)) }
+        .toMap.filter(_._2 > 0)
+      val okLayered = summary == layered
+      AggState.compactMgState(s, dir, Seq("grp"), k)
+      val got = summary
+      val okCompact = got == mgRef(layered, k)
+      val full = exact(base ++ e0 ++ e1)
+      val bound = (base.size + e0.size + e1.size).toLong / (k + 1)
+      val okBound = got.size <= k &&
+        got.forall { case (w, c) => c <= full(w) } &&
+        full.forall { case (w, c) => got.getOrElse(w, 0L) >= c - bound }
+      val ok = okLayered && okCompact && okBound
+      if (!ok) println(s"MG-LAYER-FAIL k=$k okLayered=$okLayered " +
+        s"okCompact=$okCompact okBound=$okBound\n  base=${exact(base)}\n" +
+        s"  e0=${exact(e0)}\n  e1=${exact(e1)}\n  refW=$refW\n" +
+        s"  layered=$layered\n  got=$got")
+      ok
+  }
+
+  // ---------------------------------------------------------------
   // The quarter-banded perceptual-dedup search is COMPLETE at Hamming
   // ≤ 3 (pigeonhole: 4 flipped bits at most, 4 disjoint 16-bit
   // quarters — some quarter is untouched) and exact (the bit_count
