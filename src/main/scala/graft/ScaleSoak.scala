@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.{GraftSession, Tables}
-import graft.ops.{AggState, AnnIndex, Dedup, DedupIndex, TextAnalysis}
+import graft.ops.{AggState, AnnIndex, Dedup, DedupIndex, SearchIndex, TextAnalysis}
 
 /** Scale-evidence soak (VERDICT r8, next-round item 1): every 100 TB
   * claim in SCALE.md rested on sf0.1 measurements alone, so this main
@@ -186,6 +186,25 @@ object ScaleSoak {
         DedupIndex.write(Tables.documents(spark, d), "text", "doc_id",
           4, 4, 3, s"$out/idx", table)
         n -> table
+      }
+
+    // retrieval-index probe arm (round 18): the bm25 read's claim is
+    // that a query pays ≤ |terms| literal-pruned buckets + one stats
+    // row NO MATTER how large the indexed corpus — but the pruned
+    // buckets themselves hold the query terms' full posting lists,
+    // which GROW with the corpus, so the honest expectation is
+    // sub-linear (bucket-file read ∝ posting mass of 3 common terms),
+    // well below the from-scratch scorer's full-corpus scan. The
+    // index is built per scale, untimed (write once, query many).
+    val bm25Idx: Map[Int, (String, String)] =
+      if (!armOn("bm25_topk_scaled")) Map.empty
+      else dirs.map { case (n, d) =>
+        val table = s"graft_soak_bm25_x$n"
+        spark.sql(s"DROP TABLE IF EXISTS $table")
+        val out = Files.createTempDirectory(s"graft-soak-bm25-x$n").toString
+        SearchIndex.write(Tables.documents(spark, d), "text", "doc_id",
+          s"$out/stats", s"$out/idx", table)
+        n -> (table, s"$out/stats")
       }
 
     // band-index delete/compact arms (round 15; per-run tables since
@@ -596,6 +615,11 @@ object ScaleSoak {
         // doc_id%10=0 docs — against a resident corpus growing with
         // scale. Index arm: delta band keys + co-located bucket join.
         // Scratch control: full resident re-hash + shuffle per run.
+        ("bm25_topk_scaled" -> { (s: SparkSession, _: String, n: Int) =>
+          val (table, stats) = bm25Idx(n)
+          SearchIndex.bm25TopK(s, table, stats,
+            Seq("join", "spark", "window"), 20)
+        }) :+
         ("bandprobe_index_scaled" -> { (s: SparkSession, _: String, n: Int) =>
           val batch = Tables.documents(s, base).filter(col("doc_id") % 10 === 0)
           DedupIndex.probe(s, bandIdx(n), batch, "text", "doc_id", 4, 4, 3)

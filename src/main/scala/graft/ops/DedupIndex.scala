@@ -388,4 +388,17 @@ object DedupIndex {
   def probeKeys(spark: SparkSession, table: String,
       probe: DataFrame): DataFrame =
     liveRows(spark, table).join(probe, Seq("bk"))
+
+  /** Live rows for a LITERAL key set — [[probeKeys]] when the probe
+    * side is known at plan time (a retrieval query's terms, not a
+    * batch's computed bands): the `isin` literal predicate on the
+    * bucket column lets the scan PRUNE to the keys' buckets, so the
+    * probe reads ≤ \|keys\| bucket files no matter how large the
+    * resident corpus ([[graft.ops.SearchIndex]]'s read path).
+    * Tombstones excluded like every live read. */
+  def liveLiteralKeys(spark: SparkSession, table: String,
+      keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "need at least one literal key")
+    liveRows(spark, table).filter(col("bk").isin(keys: _*))
+  }
 }

@@ -1,0 +1,207 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted INVERTED INDEX for incremental BM25 retrieval — the
+  * maintained form of [[TextAnalysis.bm25]] (q49), and the retrieval
+  * store a training-data pipeline needs once decontamination and
+  * dedup queries run DAILY against a growing corpus: re-scoring the
+  * whole corpus per query is a full scan ([[TextAnalysis.bm25]]'s
+  * honest cost), while a maintained postings index answers the same
+  * query from ≤ \|terms\| bucket files.
+  *
+  * Pure COMPOSITION over two existing stores — no new persistence
+  * machinery:
+  *
+  *  - POSTINGS ride [[DedupIndex.writeKeys]]'s key-agnostic
+  *    bucketed+sorted table: one row per (doc, term) with `bk` = the
+  *    term and the payload columns `tf` (term frequency) and `dl`
+  *    (document length) beside it, so scoring needs NO second lookup
+  *    (the dHash-index payload argument, reference behavior
+  *    `sinker/src/sinker/sync.py:60-78`'s index-maintenance shape
+  *    applied to retrieval). Absorb is an append into the bucketed
+  *    layout (resident files untouched), delete is the inherited
+  *    tombstone + compact purge, geometry migration is the inherited
+  *    rebucket/maybeRebucket.
+  *  - CORPUS STATS (n_docs, Σdl — the BM25 normalizer inputs) ride a
+  *    single-group [[AggState]] sum store: absorb/retract at delta
+  *    cost, exact integers (quantScale 1 on an integral dl).
+  *
+  * ==Determinism==
+  * The scoring expression is IDENTICAL to [[TextAnalysis.bm25]]'s
+  * column tree (same cast/fold order), over the same exact-integer
+  * inputs: tf/dl from the postings payload, df = distinct live docs
+  * per term (a count over the probed buckets only), n_docs/avgdl from
+  * the stats store — so the maintained top-k is bit-identical to the
+  * from-scratch q49 computation restricted to docs that contain ≥ 1
+  * query term (docs with zero hits score exactly 0 and have no
+  * postings to read; the q270 oracle applies the same restriction).
+  *
+  * ==Replay safety==
+  * An at-least-once redelivered absorb appends byte-identical
+  * (id, bk, tf, dl) rows. Every read collapses them: tf via
+  * max-per-(doc, term), df via countDistinct, dl rides the group key —
+  * so a replay is invisible to scoring (q272 gates it), and the next
+  * [[DedupIndex.compact]] removes the duplicates physically (its
+  * (id, bk) dedupe keeps payloads, which are identical by
+  * construction).
+  *
+  * ==100 TB shape==
+  * A query reads ≤ \|terms\| buckets of the postings table (literal
+  * `isin` bucket pruning — [[DedupIndex.liveLiteralKeys]]), aggregates
+  * ≤ Σᵢ dfᵢ posting rows, broadcasts one stats row, and top-k's with
+  * TakeOrderedAndProject. The honest skew point is a stop-word-class
+  * term whose posting list is corpus-sized — cap the query's terms by
+  * df (the retrieval-side `maxBucket` discipline) or drop such terms
+  * at index time; nothing here materializes an uncapped list on the
+  * driver. */
+object SearchIndex {
+
+  private val Scheme = "bm25-postings-v1"
+  private def statsBucket = lit(0L)
+  private val StatsGroup = Seq("g")
+
+  /** One row per (doc, term): (id, bk = term, tf, dl) — the postings
+    * of `docs`, exact integers, empty documents contribute none (they
+    * can never match; they still count in the STATS store). */
+  def postings(docs: DataFrame, textCol: String,
+      idCol: String): DataFrame =
+    docs.select(col(idCol).as("id"),
+        TextAnalysis.words(col(textCol)).as("__ws"))
+      .select(col("id"), size(col("__ws")).cast("long").as("dl"),
+        explode(col("__ws")).as("bk"))
+      .groupBy(col("id"), col("bk"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+      .select(col("id"), col("bk"), col("tf"), col("dl"))
+
+  /** The (g, dl) rows the stats store aggregates — one per document,
+    * INCLUDING empty ones (BM25's n_docs and avgdl are corpus-wide). */
+  private def docLens(docs: DataFrame, textCol: String,
+      idCol: String): DataFrame =
+    docs.select(col(idCol),
+        size(TextAnalysis.words(col(textCol))).cast("double").as("dl"))
+      .withColumn("g", lit(0L))
+
+  /** Build the index pair: postings as a bucketed external table
+    * (the one full shuffle this layout pays), stats as a single-group
+    * sum store. */
+  def write(docs: DataFrame, textCol: String, idCol: String,
+      statsPath: String, path: String, table: String,
+      buckets: Int = 32): Unit = {
+    DedupIndex.writeKeys(postings(docs, textCol, idCol), path, table,
+      buckets, Map("scheme" -> Scheme))
+    AggState.write(docLens(docs, textCol, idCol), StatsGroup, "dl", 1,
+      statsBucket, statsPath)
+  }
+
+  /** Fold a document batch in: postings APPEND into the bucketed
+    * layout (resident files untouched — tomorrow's queries see
+    * today's corpus with no rewrite), stats absorb at delta cost. */
+  def absorb(docs: DataFrame, textCol: String, idCol: String,
+      statsPath: String, path: String, table: String,
+      buckets: Int = 32): Unit = {
+    val spark = docs.sparkSession
+    DedupIndex.absorbKeys(postings(docs, textCol, idCol), path, table,
+      buckets, Map("scheme" -> Scheme))
+    AggState.absorb(spark, statsPath, docLens(docs, textCol, idCol),
+      StatsGroup, "dl", 1, statsBucket)
+  }
+
+  /** Right-to-be-forgotten: the victims' postings tombstone
+    * (O(\|victims\|), purged physically by the next
+    * [[DedupIndex.compact]]), their dl mass retracts EXACTLY from the
+    * stats store (counts/sums are abelian). Scoring excludes them the
+    * moment this returns: live reads anti-join the tombstones, df is
+    * a live count, and the stats row already reflects the
+    * retraction. */
+  def deleteDocs(victims: DataFrame, textCol: String, idCol: String,
+      statsPath: String, table: String): Unit = {
+    val spark = victims.sparkSession
+    DedupIndex.delete(spark, table, victims.select(col(idCol)))
+    AggState.retract(spark, statsPath,
+      docLens(victims, textCol, idCol), StatsGroup, "dl", 1,
+      statsBucket)
+  }
+
+  /** Maintain the pair from a STREAM of documents — the
+    * [[DedupIndex.maintainStream]] shape: each micro-batch is one
+    * [[absorb]] under a checkpointed foreachBatch. A crash between
+    * the absorb and the checkpoint commit replays the batch; the
+    * postings side collapses at read (see the class doc) and the
+    * stats side ... does NOT (absorb is at-most-once) — so the stream
+    * wrapper routes stats through the LAYERED path instead:
+    * [[AggState.appendDelta]] under the batch's epoch id, whose
+    * (group, epoch) dedupe makes the replay invisible (q215's
+    * contract). Compact both sides on their usual schedules. */
+  def maintainStream(stream: DataFrame, textCol: String, idCol: String,
+      statsPath: String, path: String, table: String,
+      checkpoint: String, buckets: Int = 32)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        appendEpoch(batch, textCol, idCol, statsPath, path, table,
+          epochId, buckets)
+      }
+      .start()
+
+  /** One micro-batch's maintenance under an explicit epoch id — the
+    * foreachBatch body of [[maintainStream]], public so a crash
+    * redelivery (same batch, same epoch id) can be driven and gated
+    * directly: the postings append collapses at read (max/
+    * countDistinct), the stats layer dedupes on (group, epoch). */
+  def appendEpoch(docs: DataFrame, textCol: String, idCol: String,
+      statsPath: String, path: String, table: String, epochId: Long,
+      buckets: Int = 32): Unit = {
+    DedupIndex.absorbKeys(postings(docs, textCol, idCol), path, table,
+      buckets, Map("scheme" -> Scheme))
+    AggState.appendDelta(statsPath, docLens(docs, textCol, idCol),
+      epochId, StatsGroup, "dl", 1, statsBucket)
+  }
+
+  /** BM25 top-k for a literal term bag over the maintained pair —
+    * (id, dl, score) ordered by (rounded score desc, id asc), the q49
+    * presentation. Reads ≤ \|terms\| pruned buckets + one stats row;
+    * never the corpus. */
+  def bm25TopK(spark: SparkSession, table: String, statsPath: String,
+      terms: Seq[String], k: Int, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    DedupIndex.checkProps(spark, table, "scheme" -> Scheme)
+    val hits = DedupIndex.liveLiteralKeys(spark, table, terms)
+    // per-doc tf per term: max (not sum) collapses at-least-once
+    // redelivery duplicates; dl rides the group key
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      coalesce(max(when(col("bk") === lit(t), col("tf"))), lit(0L))
+        .as(s"tf$i")
+    }
+    val perDoc = hits.groupBy(col("id"), col("dl"))
+      .agg(tfCols.head, tfCols.tail: _*)
+    // per-term document frequencies over the SAME probed rows
+    // (countDistinct: replay-safe), corpus stats from the sum store
+    val dfCols = terms.zipWithIndex.map { case (t, i) =>
+      countDistinct(when(col("bk") === lit(t), col("id"))).as(s"df$i")
+    }
+    val dfRow = hits.agg(dfCols.head, dfCols.tail: _*)
+    val stats = AggState.merged(spark, statsPath, StatsGroup)
+      .select(col("n").as("n_docs"),
+        (col("sv").cast("double") / col("n")).as("avgdl"))
+    // the EXACT TextAnalysis.bm25 column tree, so the maintained path
+    // lands on bit-identical doubles
+    val score = terms.indices.map { i =>
+      val idf = log(
+        ((col("n_docs") - col(s"df$i")).cast("double") + lit(0.5)) /
+          (col(s"df$i").cast("double") + lit(0.5)) + lit(1.0))
+      val inner = lit(1.0) - lit(b) +
+        lit(b) * (col("dl").cast("double") / col("avgdl"))
+      idf * ((col(s"tf$i").cast("double") * (lit(k1) + lit(1.0))) /
+        (col(s"tf$i").cast("double") + lit(k1) * inner))
+    }.reduce(_ + _)
+    perDoc.crossJoin(broadcast(dfRow)).crossJoin(broadcast(stats))
+      .select(col("id"), col("dl"), round(score, 6).as("score"))
+      .orderBy(col("score").desc, col("id").asc)
+      .limit(k)
+  }
+}

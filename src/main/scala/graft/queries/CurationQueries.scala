@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.ops.{AggState, AnnIndex, CcState, Dedup, DedupIndex, Layout, MediaBlob, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{AggState, AnnIndex, CcState, Dedup, DedupIndex, Layout, MediaBlob, Multimodal, SearchIndex, Similarity, TextAnalysis}
 import graft.queries.LlmQueries.{distSql, AnnK, Bands, BandsCte, BucketSql,
   CosSql, JaccardThreshold, LshPlanes, RowsPerBand, ShingleK, ShinglesSql,
   WsSplit}
@@ -5201,6 +5201,173 @@ object CurationQueries {
     })
   private val q269Sql = q233Sql
 
+  // --------------------------------------------------------- q270
+  /** Incremental BM25 retrieval — q49's scorer with the corpus scan
+    * replaced by a MAINTAINED inverted index ([[SearchIndex]]: one
+    * postings row per (doc, term) on [[DedupIndex]]'s key-agnostic
+    * bucketed layout with tf and dl riding as payload, corpus stats
+    * (n_docs, Σdl) on a single-group [[AggState]] sum store — pure
+    * composition, zero new persistence machinery): build on the
+    * resident corpus, absorb day 1's batch (postings APPEND + stats
+    * absorb; resident files untouched), then answer the fixed query
+    * from ≤ \|terms\| literal-pruned buckets plus one broadcast stats
+    * row — the corpus is never re-scanned, which is the point of a
+    * retrieval index a daily decontamination pipeline probes. Score
+    * arithmetic is the exact q49 column tree over the same exact
+    * integers, so the maintained top-k is bit-identical. Oracle:
+    * q49's BM25 CTE restricted to docs holding ≥ 1 query term (a
+    * zero-hit doc has no postings and scores exactly 0 — the
+    * restriction both engines share). */
+  private val Bm25IdxTerms = Seq("join", "spark", "window")
+  private val Bm25IdxK = 20
+  private def q270(s: SparkSession, dir: String): DataFrame = {
+    val (table, statsPath) = q270State(s, dir)
+    SearchIndex.bm25TopK(s, table, statsPath, Bm25IdxTerms, Bm25IdxK)
+      .select(col("id").as("doc_id"), col("dl"), col("score"))
+  }
+  private val q270Cache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  private def q270State(s: SparkSession, dir: String): (String, String) =
+    q270Cache.compute(sessionToken(s) + "|" + dir, { (_, prev) =>
+      if (prev != null && s.catalog.tableExists(prev._1)) prev
+      else {
+        val digest = java.security.MessageDigest.getInstance("SHA-1")
+          .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          .map(b => f"$b%02x").mkString.take(16)
+        val table = s"graft_bm25_$digest"
+        val out = java.nio.file.Files
+          .createTempDirectory("graft-searchidx-q270").toString
+        val docs = Tables.documents(s, dir)
+        SearchIndex.write(docs.filter(col("doc_id") % 10 =!= 0),
+          "text", "doc_id", s"$out/stats", s"$out/idx", table)
+        SearchIndex.absorb(docs.filter(col("doc_id") % 10 === 0),
+          "text", "doc_id", s"$out/stats", s"$out/idx", table)
+        (table, s"$out/stats")
+      }
+    })
+  /** q49's CTE chain verbatim (same literals, same fold order) with
+    * the shared zero-hit restriction; `where` narrows the corpus for
+    * the RTBF gate. */
+  private def bm25OracleSql(where: String): String = {
+    def termScore(i: Int) =
+      s"""ln(((n_docs - df$i) + 0.5) / (df$i + 0.5) + 1.0) *
+         |  ((tf$i * (1.2 + 1.0)) /
+         |   (tf$i + 1.2 * (1.0 - 0.75 + 0.75 * (dl / avgdl))))""".stripMargin
+    val tfCols = Bm25IdxTerms.zipWithIndex.map { case (t, i) =>
+      s"len(list_filter($WsSplit, w -> w = '$t'))::BIGINT AS tf$i"
+    }.mkString(", ")
+    val dfCols = Bm25IdxTerms.indices
+      .map(i => s"count(*) FILTER (tf$i > 0) AS df$i").mkString(", ")
+    val scoreExpr = Bm25IdxTerms.indices.map(termScore).mkString(" + ")
+    val hit = Bm25IdxTerms.indices.map(i => s"tf$i").mkString(" + ")
+    s"""WITH tf AS (
+       |  SELECT doc_id, len($WsSplit)::BIGINT AS dl, $tfCols
+       |  FROM documents$where),
+       |stats AS (
+       |  SELECT count(*) AS n_docs, SUM(dl)::DOUBLE / count(*) AS avgdl, $dfCols
+       |  FROM tf),
+       |bm AS (
+       |  SELECT doc_id, dl, round($scoreExpr, 6) AS score FROM tf, stats
+       |  WHERE $hit > 0)
+       |SELECT doc_id, dl, score FROM bm
+       |ORDER BY score DESC, doc_id ASC LIMIT $Bm25IdxK""".stripMargin
+  }
+  private val q270Sql = bm25OracleSql("")
+
+  // --------------------------------------------------------- q271
+  /** Right-to-be-forgotten for the retrieval index, under the gate:
+    * q270's maintained pair built over the FULL corpus, then every
+    * doc_id ≡ 3 (mod 20) forgotten through [[SearchIndex.deleteDocs]]
+    * — an O(\|victims\|) tombstone append on the postings side (the
+    * inherited [[DedupIndex.delete]] contract; the physical purge
+    * rides the next scheduled compact) and an EXACT retraction of the
+    * victims' dl mass from the stats store. The gate reads WITHOUT a
+    * compact, so it pins the tombstone-live window: the moment
+    * deleteDocs returns, a forgotten doc must neither rank, nor count
+    * in any df, nor inflate n_docs/avgdl. Oracle: the same BM25 CTE
+    * over the surviving corpus. */
+  private def q271(s: SparkSession, dir: String): DataFrame = {
+    val (table, statsPath) = q271State(s, dir)
+    SearchIndex.bm25TopK(s, table, statsPath, Bm25IdxTerms, Bm25IdxK)
+      .select(col("id").as("doc_id"), col("dl"), col("score"))
+  }
+  private val q271Cache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  private def q271State(s: SparkSession, dir: String): (String, String) =
+    q271Cache.compute(sessionToken(s) + "|" + dir, { (_, prev) =>
+      if (prev != null && s.catalog.tableExists(prev._1)) prev
+      else {
+        val digest = java.security.MessageDigest.getInstance("SHA-1")
+          .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          .map(b => f"$b%02x").mkString.take(16)
+        val table = s"graft_bm25_rtbf_$digest"
+        val out = java.nio.file.Files
+          .createTempDirectory("graft-searchidx-q271").toString
+        val docs = Tables.documents(s, dir)
+        SearchIndex.write(docs, "text", "doc_id", s"$out/stats",
+          s"$out/idx", table)
+        SearchIndex.deleteDocs(docs.filter(col("doc_id") % 20 === 3),
+          "text", "doc_id", s"$out/stats", table)
+        (table, s"$out/stats")
+      }
+    })
+  private val q271Sql = bm25OracleSql(" WHERE doc_id % 20 <> 3")
+
+  // --------------------------------------------------------- q272
+  /** The retrieval index maintained from a STREAM, redelivery
+    * included — stream parity for the [[SearchIndex]] composition:
+    * day 1's documents arrive as two file-source micro-batches
+    * through [[SearchIndex.maintainStream]] (postings append +
+    * layered stats epoch per batch), epoch 0 is REDELIVERED via
+    * [[SearchIndex.appendEpoch]] (same batch, same epoch id — the
+    * crash between absorb and checkpoint commit: postings collapse at
+    * read via max/countDistinct, the stats layer dedupes on (group,
+    * epoch)), and the postings side is compacted (generation swap
+    * with payload columns, duplicates physically dropped). The top-k
+    * must equal q270's from-scratch oracle over the full corpus — a
+    * double-counted replay would inflate avgdl/n_docs or a tf, a lost
+    * batch would drop a ranked doc. */
+  private def q272(s: SparkSession, dir: String): DataFrame = {
+    val (table, statsPath) = q272State(s, dir)
+    SearchIndex.bm25TopK(s, table, statsPath, Bm25IdxTerms, Bm25IdxK)
+      .select(col("id").as("doc_id"), col("dl"), col("score"))
+  }
+  private val q272Cache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  private def q272State(s: SparkSession, dir: String): (String, String) =
+    q272Cache.compute(sessionToken(s) + "|" + dir, { (_, prev) =>
+      if (prev != null && s.catalog.tableExists(prev._1)) prev
+      else {
+        val digest = java.security.MessageDigest.getInstance("SHA-1")
+          .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          .map(b => f"$b%02x").mkString.take(16)
+        val table = s"graft_bm25_strm_$digest"
+        val out = java.nio.file.Files
+          .createTempDirectory("graft-searchidx-q272").toString
+        val docs = Tables.documents(s, dir)
+        SearchIndex.write(docs.filter(col("doc_id") % 10 =!= 0),
+          "text", "doc_id", s"$out/stats", s"$out/idx", table)
+        val delta = docs.filter(col("doc_id") % 10 === 0)
+          .select(col("doc_id"), col("text"))
+        val e0 = delta.filter(col("doc_id") % 20 === 0)
+        val e1 = delta.filter(col("doc_id") % 20 =!= 0)
+        e0.coalesce(1).write.parquet(s"$out/in")
+        e1.coalesce(1).write.mode("append").parquet(s"$out/in")
+        val q = SearchIndex.maintainStream(
+          s.readStream.schema(e0.schema).option("maxFilesPerTrigger", 1)
+            .parquet(s"$out/in"),
+          "text", "doc_id", s"$out/stats", s"$out/idx", table,
+          s"$out/ckpt")
+        try q.processAllAvailable() finally q.stop()
+        // crash redelivery: the same batch under the same epoch id
+        SearchIndex.appendEpoch(e0, "text", "doc_id", s"$out/stats",
+          s"$out/idx", table, 0L)
+        DedupIndex.compact(s, table)
+        (table, s"$out/stats")
+      }
+    })
+  private val q272Sql = q270Sql
+
   val queries: Map[String, Q] = Map(
     "q168_kmv_distinct" -> q168 _,
     "q169_minhash_error" -> q169 _,
@@ -5303,7 +5470,10 @@ object CurationQueries {
     "q266_band_rebucket_policy" -> q266 _,
     "q267_ann_rebucket_policy" -> q267 _,
     "q268_mg_stream_parity" -> q268 _,
-    "q269_cc_rebucket_policy" -> q269 _)
+    "q269_cc_rebucket_policy" -> q269 _,
+    "q270_incremental_bm25" -> q270 _,
+    "q271_bm25_rtbf" -> q271 _,
+    "q272_bm25_stream_lifecycle" -> q272 _)
 
   val oracleSql: Map[String, String] = Map(
     "q168_kmv_distinct" -> q168Sql,
@@ -5407,5 +5577,8 @@ object CurationQueries {
     "q266_band_rebucket_policy" -> q266Sql,
     "q267_ann_rebucket_policy" -> q267Sql,
     "q268_mg_stream_parity" -> q268Sql,
-    "q269_cc_rebucket_policy" -> q269Sql)
+    "q269_cc_rebucket_policy" -> q269Sql,
+    "q270_incremental_bm25" -> q270Sql,
+    "q271_bm25_rtbf" -> q271Sql,
+    "q272_bm25_stream_lifecycle" -> q272Sql)
 }

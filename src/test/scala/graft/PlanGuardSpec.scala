@@ -45,7 +45,10 @@ class PlanGuardSpec extends SparkSpec {
     "q221_ivf_lifecycle", // same probe assignment as q219 over the maintained index
     "q227_ivf_quantized", // same bounded-codebook probe assignment as q219/q221
     "q232_ivf_quantized_lifecycle", // same bounded-codebook probe assignment as q219/q221
-    "q250_ivf_rebucket") // same bounded-codebook probe assignment, re-trained 12-cell quantizer
+    "q250_ivf_rebucket", // same bounded-codebook probe assignment, re-trained 12-cell quantizer
+    "q270_incremental_bm25", // df + corpus stats: two 1-row broadcast aggregates (q49)
+    "q271_bm25_rtbf",    // same two 1-row broadcast sides as q270
+    "q272_bm25_stream_lifecycle") // same two 1-row broadcast sides as q270
 
   test("no query plans a cartesian product; nested loops only where bounded") {
     val dir = "/root/testdata/sf0.001"
