@@ -5368,6 +5368,55 @@ object CurationQueries {
     })
   private val q272Sql = q270Sql
 
+  // --------------------------------------------------------- q273
+  /** Incremental α-TEMPERATURE MIXTURE — q151's XLM-R/mT5 sampling
+    * shares with the corpus groupBy replaced by a MAINTAINED
+    * per-language count store ([[AggState]] write + absorb at delta
+    * cost): arriving documents update \|languages\| counters, and the
+    * daily mixture reweighting is a read over that summary — the raw
+    * corpus is never re-scanned, which is how a production sampler
+    * retunes its source weights as data lands. The formula is q151's
+    * bit-exact discipline VERBATIM (α = 1/4 as two correctly-rounded
+    * IEEE sqrts, 1e12-scaled-long share normalizer), so the
+    * maintained shares hash-match the from-scratch oracle
+    * (LlmQueries.q151Sql, reused as-is). */
+  private def q273(s: SparkSession, dir: String): DataFrame = {
+    // the |languages|-row summary feeds tot, z AND the projection —
+    // persist, or each consumer re-reads the store (q151's argument,
+    // at summary scale)
+    val counts = AggState.merged(s, q273State(s, dir), Seq("lang"))
+      .select(col("lang"), col("n").as("n_docs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = counts.agg(sum(col("n_docs")).as("n"))
+    val scored = counts.crossJoin(broadcast(tot))
+      .withColumn("p", col("n_docs").cast("double") / col("n"))
+      .withColumn("pi",
+        round(sqrt(sqrt(col("p"))) * lit(1e12), 0).cast("long"))
+    val z = scored.agg(sum(col("pi")).as("z"))
+    scored.crossJoin(broadcast(z))
+      .select(col("lang"), col("n_docs"),
+        round(col("p"), 6).as("nat_share"),
+        round(col("pi").cast("double") / col("z"), 6).as("samp_share"))
+  }
+  private val q273StateCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def q273State(s: SparkSession, dir: String): String =
+    q273StateCache.computeIfAbsent(dir, { _ =>
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-aggstate-q273").toString
+      val docs = Tables.documents(s, dir)
+      def ones(d: DataFrame) = d.select(col("lang"))
+        .withColumn("one", lit(1.0))
+      val bkt = AggState.hashBucketsOf("lang", 4)
+      AggState.write(ones(docs.filter(col("doc_id") % 10 =!= 0)),
+        Seq("lang"), "one", 1, bkt, s"$out/state")
+      AggState.absorb(s, s"$out/state",
+        ones(docs.filter(col("doc_id") % 10 === 0)), Seq("lang"),
+        "one", 1, bkt)
+      s"$out/state"
+    })
+  private val q273Sql = LlmQueries.q151Sql
+
   val queries: Map[String, Q] = Map(
     "q168_kmv_distinct" -> q168 _,
     "q169_minhash_error" -> q169 _,
@@ -5473,7 +5522,8 @@ object CurationQueries {
     "q269_cc_rebucket_policy" -> q269 _,
     "q270_incremental_bm25" -> q270 _,
     "q271_bm25_rtbf" -> q271 _,
-    "q272_bm25_stream_lifecycle" -> q272 _)
+    "q272_bm25_stream_lifecycle" -> q272 _,
+    "q273_ivm_temperature_mix" -> q273 _)
 
   val oracleSql: Map[String, String] = Map(
     "q168_kmv_distinct" -> q168Sql,
@@ -5580,5 +5630,6 @@ object CurationQueries {
     "q269_cc_rebucket_policy" -> q269Sql,
     "q270_incremental_bm25" -> q270Sql,
     "q271_bm25_rtbf" -> q271Sql,
-    "q272_bm25_stream_lifecycle" -> q272Sql)
+    "q272_bm25_stream_lifecycle" -> q272Sql,
+    "q273_ivm_temperature_mix" -> q273Sql)
 }

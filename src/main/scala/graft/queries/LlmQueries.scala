@@ -2896,7 +2896,7 @@ object LlmQueries {
         round(col("p"), 6).as("nat_share"),
         round(col("pi").cast("double") / col("z"), 6).as("samp_share"))
   }
-  private val q151Sql =
+  private[queries] val q151Sql =
     """WITH counts AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
       |                FROM documents GROUP BY 1),
       |tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n FROM counts),
