@@ -48,7 +48,8 @@ class PlanGuardSpec extends SparkSpec {
     "q250_ivf_rebucket", // same bounded-codebook probe assignment, re-trained 12-cell quantizer
     "q270_incremental_bm25", // df + corpus stats: two 1-row broadcast aggregates (q49)
     "q271_bm25_rtbf",    // same two 1-row broadcast sides as q270
-    "q272_bm25_stream_lifecycle") // same two 1-row broadcast sides as q270
+    "q272_bm25_stream_lifecycle", // same two 1-row broadcast sides as q270
+    "q273_ivm_temperature_mix") // corpus total + share normalizer: 1-row sides (q151)
 
   test("no query plans a cartesian product; nested loops only where bounded") {
     val dir = "/root/testdata/sf0.001"
