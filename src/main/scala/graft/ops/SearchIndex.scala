@@ -18,9 +18,12 @@ import org.apache.spark.sql.functions._
   *    bucketed+sorted table: one row per (doc, term) with `bk` = the
   *    term and the payload columns `tf` (term frequency) and `dl`
   *    (document length) beside it, so scoring needs NO second lookup
-  *    (the dHash-index payload argument, reference behavior
-  *    `sinker/src/sinker/sync.py:60-78`'s index-maintenance shape
-  *    applied to retrieval). Absorb is an append into the bucketed
+  *    (the dHash-index payload argument; the maintain-a-search-index-
+  *    incrementally deployment shape is the reference's own —
+  *    `src/sinker/sinker.py:52-72` backfills a search index once and
+  *    `runner.py` keeps it fresh per delta — re-expressed here with
+  *    the index as a native Spark bucketed table instead of an
+  *    external ES cluster). Absorb is an append into the bucketed
   *    layout (resident files untouched), delete is the inherited
   *    tombstone + compact purge, geometry migration is the inherited
   *    rebucket/maybeRebucket.
