@@ -11,8 +11,8 @@ import org.apache.spark.sql.functions._
   * honest cost), while a maintained postings index answers the same
   * query from ≤ \|terms\| bucket files.
   *
-  * Pure COMPOSITION over two existing stores — no new persistence
-  * machinery:
+  * Pure COMPOSITION over three existing-kind stores — no new
+  * persistence machinery:
   *
   *  - POSTINGS ride [[DedupIndex.writeKeys]]'s key-agnostic
   *    bucketed+sorted table: one row per (doc, term) with `bk` = the
@@ -30,6 +30,12 @@ import org.apache.spark.sql.functions._
   *  - CORPUS STATS (n_docs, Σdl — the BM25 normalizer inputs) ride a
   *    single-group [[AggState]] sum store: absorb/retract at delta
   *    cost, exact integers (quantScale 1 on an integral dl).
+  *  - PER-TERM DOCUMENT FREQUENCIES ride a term-keyed [[AggState]]
+  *    count store beside the stats store (path convention
+  *    `statsPath + "_df"`): one counter per vocabulary term,
+  *    absorb/retract/layered-epoch at delta cost — the [[bm25TopK]]
+  *    `maxDf` gatekeeper that drops stop-word-class terms BEFORE
+  *    their corpus-sized posting bucket is read.
   *
   * ==Determinism==
   * The scoring expression is IDENTICAL to [[TextAnalysis.bm25]]'s
@@ -54,16 +60,35 @@ import org.apache.spark.sql.functions._
   * A query reads ≤ \|terms\| buckets of the postings table (literal
   * `isin` bucket pruning — [[DedupIndex.liveLiteralKeys]]), aggregates
   * ≤ Σᵢ dfᵢ posting rows, broadcasts one stats row, and top-k's with
-  * TakeOrderedAndProject. The honest skew point is a stop-word-class
-  * term whose posting list is corpus-sized — cap the query's terms by
-  * df (the retrieval-side `maxBucket` discipline) or drop such terms
-  * at index time; nothing here materializes an uncapped list on the
-  * driver. */
+  * TakeOrderedAndProject. The honest skew point — a stop-word-class
+  * term whose posting list is corpus-sized — is CODE, not caller
+  * discipline: a third maintained store (per-term document
+  * frequencies, an [[AggState]] count store beside the corpus stats)
+  * lets [[bm25TopK]] drop any term whose LIVE df exceeds `maxDf`
+  * BEFORE the posting read (finite default [[DefaultMaxDf]] — the
+  * [[Multimodal.dHashNearDupPairs]] `maxBucket` discipline, retrieval
+  * edition), so no probe ever reads more than \|terms\| · maxDf
+  * posting rows no matter what the user types. Nothing here
+  * materializes an uncapped list on the driver. */
 object SearchIndex {
 
   private val Scheme = "bm25-postings-v1"
   private def statsBucket = lit(0L)
   private val StatsGroup = Seq("g")
+
+  /** The df store rides beside the stats store — derived, so no public
+    * signature carries a third path. */
+  private def dfPath(statsPath: String): String = statsPath + "_df"
+  private val DfGroup = Seq("t")
+  private def dfBucket = AggState.hashBucketsOf("t", 32)
+
+  /** One (t, one) row per (doc, term) — grouped by the store, n per
+    * term IS the document frequency (postings are one row per
+    * (doc, term) by construction). */
+  private def dfRows(docs: DataFrame, textCol: String,
+      idCol: String): DataFrame =
+    postings(docs, textCol, idCol)
+      .select(col("bk").as("t")).withColumn("one", lit(1.0))
 
   /** One row per (doc, term): (id, bk = term, tf, dl) — the postings
     * of `docs`, exact integers, empty documents contribute none (they
@@ -86,9 +111,10 @@ object SearchIndex {
         size(TextAnalysis.words(col(textCol))).cast("double").as("dl"))
       .withColumn("g", lit(0L))
 
-  /** Build the index pair: postings as a bucketed external table
+  /** Build the index triple: postings as a bucketed external table
     * (the one full shuffle this layout pays), stats as a single-group
-    * sum store. */
+    * sum store, per-term document frequencies as a term-keyed count
+    * store (the [[bm25TopK]] `maxDf` gatekeeper). */
   def write(docs: DataFrame, textCol: String, idCol: String,
       statsPath: String, path: String, table: String,
       buckets: Int = 32): Unit = {
@@ -96,6 +122,8 @@ object SearchIndex {
       buckets, Map("scheme" -> Scheme))
     AggState.write(docLens(docs, textCol, idCol), StatsGroup, "dl", 1,
       statsBucket, statsPath)
+    AggState.write(dfRows(docs, textCol, idCol), DfGroup, "one", 1,
+      dfBucket, dfPath(statsPath))
   }
 
   /** Fold a document batch in: postings APPEND into the bucketed
@@ -109,6 +137,8 @@ object SearchIndex {
       buckets, Map("scheme" -> Scheme))
     AggState.absorb(spark, statsPath, docLens(docs, textCol, idCol),
       StatsGroup, "dl", 1, statsBucket)
+    AggState.absorb(spark, dfPath(statsPath),
+      dfRows(docs, textCol, idCol), DfGroup, "one", 1, dfBucket)
   }
 
   /** Right-to-be-forgotten: the victims' postings tombstone
@@ -125,6 +155,8 @@ object SearchIndex {
     AggState.retract(spark, statsPath,
       docLens(victims, textCol, idCol), StatsGroup, "dl", 1,
       statsBucket)
+    AggState.retract(spark, dfPath(statsPath),
+      dfRows(victims, textCol, idCol), DfGroup, "one", 1, dfBucket)
   }
 
   /** Maintain the pair from a STREAM of documents — the
@@ -154,7 +186,8 @@ object SearchIndex {
     * foreachBatch body of [[maintainStream]], public so a crash
     * redelivery (same batch, same epoch id) can be driven and gated
     * directly: the postings append collapses at read (max/
-    * countDistinct), the stats layer dedupes on (group, epoch). */
+    * countDistinct), the stats and df layers dedupe on
+    * (group, epoch). */
   def appendEpoch(docs: DataFrame, textCol: String, idCol: String,
       statsPath: String, path: String, table: String, epochId: Long,
       buckets: Int = 32): Unit = {
@@ -162,29 +195,79 @@ object SearchIndex {
       buckets, Map("scheme" -> Scheme))
     AggState.appendDelta(statsPath, docLens(docs, textCol, idCol),
       epochId, StatsGroup, "dl", 1, statsBucket)
+    AggState.appendDelta(dfPath(statsPath),
+      dfRows(docs, textCol, idCol), epochId, DfGroup, "one", 1,
+      dfBucket)
   }
 
-  /** BM25 top-k for a literal term bag over the maintained pair —
+  /** The maintained per-term LIVE document frequencies — the (t, df)
+    * view over the df store (layers collapsed, retractions applied).
+    * Summary-sized: \|vocabulary\| rows, never the corpus. A literal
+    * term filter on top pushes to the store's parquet scan. */
+  def termDfs(spark: SparkSession, statsPath: String): DataFrame =
+    AggState.merged(spark, dfPath(statsPath), DfGroup)
+      .select(col("t"), col("n").as("df"))
+
+  /** Live df for a literal term bag — ≤ \|terms\| rows collected (the
+    * parameter-bounded driver read [[bm25TopK]]'s cap decision needs);
+    * terms absent from the store map to 0. */
+  def termDf(spark: SparkSession, statsPath: String,
+      terms: Seq[String]): Map[String, Long] = {
+    val stored = termDfs(spark, statsPath)
+      .filter(col("t").isin(terms: _*))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    terms.map(t => t -> stored.getOrElse(t, 0L)).toMap
+  }
+
+  /** Posting-read budget per query term, in live-document rows: a term
+    * whose maintained df exceeds this is dropped BEFORE the posting
+    * read (see [[bm25TopK]]). 2^20 — a few tens of MB of posting rows
+    * per term, readable on any executor; `Long.MaxValue` to uncap. */
+  val DefaultMaxDf: Long = 1L << 20
+
+  /** BM25 top-k for a literal term bag over the maintained triple —
     * (id, dl, score) ordered by (rounded score desc, id asc), the q49
-    * presentation. Reads ≤ \|terms\| pruned buckets + one stats row;
-    * never the corpus. */
+    * presentation. Reads ≤ \|terms\| df rows + ≤ \|terms\| pruned
+    * posting buckets + one stats row; never the corpus.
+    *
+    * `maxDf` is the stop-term discipline as code: each query term's
+    * LIVE df is looked up in the maintained df store first (a
+    * summary-sized read, ≤ \|terms\| rows collected), and terms whose
+    * df exceeds `maxDf` are dropped before any posting bucket is
+    * touched — so a stop-word-class term can never force a
+    * corpus-sized posting read. RECALL SEMANTICS, stated: a dropped
+    * term contributes 0 to every score instead of its true value
+    * (≈ 0 when df ≈ n_docs — the motivating stop-word case — but
+    * material when maxDf is set far below a rare-at-this-corpus-size
+    * term's relevance), and a doc matching ONLY dropped terms leaves
+    * the candidate set entirely; all terms dropped returns an empty
+    * top-k. Size `maxDf` as a read budget, like
+    * [[Multimodal.dHashNearDupPairs]]'s `maxBucket`. */
   def bm25TopK(spark: SparkSession, table: String, statsPath: String,
       terms: Seq[String], k: Int, k1: Double = 1.2,
-      b: Double = 0.75): DataFrame = {
+      b: Double = 0.75, maxDf: Long = DefaultMaxDf): DataFrame = {
     require(terms.nonEmpty, "bm25 needs at least one query term")
+    require(maxDf > 0, s"maxDf must be positive, got $maxDf")
     DedupIndex.checkProps(spark, table, "scheme" -> Scheme)
-    val hits = DedupIndex.liveLiteralKeys(spark, table, terms)
+    val liveDf = termDf(spark, statsPath, terms)
+    val kept = terms.filter(liveDf(_) <= maxDf)
+    if (kept.isEmpty)
+      return spark.table(table)
+        .select(col("id"), col("dl"), lit(0.0).as("score")).limit(0)
+    val hits = DedupIndex.liveLiteralKeys(spark, table, kept)
     // per-doc tf per term: max (not sum) collapses at-least-once
     // redelivery duplicates; dl rides the group key
-    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+    val tfCols = kept.zipWithIndex.map { case (t, i) =>
       coalesce(max(when(col("bk") === lit(t), col("tf"))), lit(0L))
         .as(s"tf$i")
     }
     val perDoc = hits.groupBy(col("id"), col("dl"))
       .agg(tfCols.head, tfCols.tail: _*)
     // per-term document frequencies over the SAME probed rows
-    // (countDistinct: replay-safe), corpus stats from the sum store
-    val dfCols = terms.zipWithIndex.map { case (t, i) =>
+    // (countDistinct: replay-safe — the df STORE is exact too, but
+    // scoring from the probed rows keeps the q49 bit-identity
+    // argument local to one input), corpus stats from the sum store
+    val dfCols = kept.zipWithIndex.map { case (t, i) =>
       countDistinct(when(col("bk") === lit(t), col("id"))).as(s"df$i")
     }
     val dfRow = hits.agg(dfCols.head, dfCols.tail: _*)
@@ -193,7 +276,7 @@ object SearchIndex {
         (col("sv").cast("double") / col("n")).as("avgdl"))
     // the EXACT TextAnalysis.bm25 column tree, so the maintained path
     // lands on bit-identical doubles
-    val score = terms.indices.map { i =>
+    val score = kept.indices.map { i =>
       val idf = log(
         ((col("n_docs") - col(s"df$i")).cast("double") + lit(0.5)) /
           (col(s"df$i").cast("double") + lit(0.5)) + lit(1.0))

@@ -99,4 +99,48 @@ class SearchIndexSpec extends SparkSpec {
     // stats rode the layered path: epochs collapse on read
     topK(table, s"$out/stats", 20) shouldBe reference(docs, 20)
   }
+
+  test("maxDf drops over-cap terms before the posting read; under-cap terms unchanged") {
+    val out = Files.createTempDirectory("graft-searchidx-cap").toString
+    val table = s"graft_bm25_cap_${System.nanoTime()}"
+    SearchIndex.write(docs, "text", "doc_id", s"$out/stats",
+      s"$out/idx", table, buckets = 8)
+    val dfs = SearchIndex.termDf(spark, s"$out/stats", terms)
+    dfs.values.foreach(_ should be > 0L)
+    // 1. the finite DEFAULT changes nothing for terms under the cap:
+    //    default vs explicitly-uncapped are row-identical
+    val uncapped = SearchIndex.bm25TopK(spark, table, s"$out/stats",
+        terms, 20, maxDf = Long.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    topK(table, s"$out/stats", 20) shouldBe uncapped
+    // 2. a capped term contributes exactly nothing: querying
+    //    {overCap term} ∪ {kept terms} under a cap sized between them
+    //    equals querying the kept terms alone — the over-cap term's
+    //    posting bucket is never read, so it cannot perturb any score
+    val overCap = terms.maxBy(dfs)
+    val kept = terms.filterNot(_ == overCap)
+    val cap = kept.map(dfs).max // kept terms survive, the top is out
+    dfs(overCap) should be > cap // the fixture's top df is unique
+    val capped = SearchIndex.bm25TopK(spark, table, s"$out/stats",
+        overCap +: kept, 20, maxDf = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val keptOnly = SearchIndex.bm25TopK(spark, table, s"$out/stats",
+        kept, 20, maxDf = Long.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    capped shouldBe keptOnly
+    // 3. every term over the cap: an empty top-k, never a full read
+    SearchIndex.bm25TopK(spark, table, s"$out/stats", terms, 20,
+      maxDf = dfs.values.min - 1).count() shouldBe 0L
+    // 4. the df store tracks deletions: forget half the corpus and the
+    //    live dfs shrink to the survivors' exact counts
+    SearchIndex.deleteDocs(docs.filter(col("doc_id") % 2 === 0),
+      "text", "doc_id", s"$out/stats", table)
+    val survivorDf = SearchIndex.termDf(spark, s"$out/stats", terms)
+    val expected = docs.filter(col("doc_id") % 2 =!= 0)
+      .select(col("doc_id"), explode(TextAnalysis.words(col("text"))).as("t"))
+      .filter(col("t").isin(terms: _*))
+      .groupBy(col("t")).agg(countDistinct(col("doc_id")).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    terms.foreach(t => survivorDf(t) shouldBe expected.getOrElse(t, 0L))
+  }
 }
