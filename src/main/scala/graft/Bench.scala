@@ -34,9 +34,10 @@ import graft.core.GraftSession
   *  - the HEADLINE `value` is the total of per-query MINS (r9 item 2:
   *    the floor is the one statistic starvation cannot raise); median
   *    totals ship as `total_median` with a `medians_contaminated`
-  *    flag, and a post-sweep SOLO re-run of the drift-watch trio
-  *    (q133/q134/q143) records per-round floors to bench/ISOLATED.json
-  *    (r9 item 4).
+  *    flag, and SOLO runs of the drift-watch trio (q133/q134/q143)
+  *    BEFORE and AFTER the sweep record per-round floors plus the
+  *    within-window drift bound to bench/ISOLATED.json (r9 item 4;
+  *    r18 item 4 — read rule in SCALE.md).
   */
 object Bench {
   private val RUNS = 3
@@ -69,6 +70,53 @@ object Bench {
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val flaky = scala.collection.mutable.LinkedHashMap[String, String]()
     val names = SparkEntry.queries.keys.toSeq.sorted
+
+    // ISOLATED floor arm (VERDICT r9 item 4; r18 item 4 adds the PRE
+    // point): the drift-watch trio runs SOLO back-to-back BEFORE the
+    // sweep and again AFTER it, recording each one's min-of-RUNS. One
+    // control point per window can time-shift but never bound drift
+    // WITHIN the window — pre vs post on identical code does: pre ≈
+    // post reads as a stable window (per-query mins comparable across
+    // the sweep), post >> pre reads as the host degrading mid-sweep
+    // (late-alphabet mins inflated; trust neither as a code signal —
+    // bench/ATTRIB_r18.md's read rule, now measured per run).
+    def isolatedPass(): (scala.collection.mutable.LinkedHashMap[String, Double],
+        scala.collection.mutable.LinkedHashMap[String, String]) = {
+      val isolatedNames = Seq("q133_exact_jaccard_join",
+        "q134_heavy_hitters", "q143_substring_dedup")
+        .filter(SparkEntry.queries.contains)
+      val isoMins = scala.collection.mutable.LinkedHashMap[String, Double]()
+      val isoErrors = scala.collection.mutable.LinkedHashMap[String, String]()
+      isolatedNames.foreach { name =>
+        val fn = SparkEntry.queries(name)
+        // one untimed warm run: the PRE pass runs before the global
+        // warmup pass, so without this its floor would carry
+        // first-touch codegen and read as phantom pre-vs-post drift
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case scala.util.control.NonFatal(_) => () }
+        spark.catalog.clearCache()
+        val ts = (1 to RUNS).flatMap { _ =>
+          val t0 = System.nanoTime()
+          val ok = try {
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true
+          } catch { case e: Throwable =>
+            isoErrors(name) =
+              s"${e.getClass.getName}: ${Option(e.getMessage).getOrElse("").take(300)}"
+            false
+          }
+          val dt = (System.nanoTime() - t0) / 1e9
+          spark.catalog.clearCache()
+          if (ok) Some(dt) else None
+        }
+        // a trio member whose EVERY run fails must not silently vanish
+        // from the floor record (the disappearance mode the
+        // registry-size test exists to prevent — ADVICE r10): record a
+        // -1 sentinel plus the last error message
+        isoMins(name) = if (ts.nonEmpty) ts.min else -1.0
+      }
+      (isoMins, isoErrors)
+    }
+    val (isolatedPreMins, isolatedPreErrors) = isolatedPass()
     val times = scala.collection.mutable.LinkedHashMap[String, List[Double]]()
     names.foreach(times(_) = Nil)
     times(LIFECYCLE) = Nil
@@ -140,38 +188,13 @@ object Bench {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       } + "\""
-    // ISOLATED floor arm (VERDICT r9 item 4): after the interleaved
-    // sweep, re-run the drift-watch trio SOLO, back-to-back, and record
-    // each one's min-of-3 — the per-round floor record that session
-    // cache pressure and sandbox contention cannot obscure (r9's
-    // official artifact carried q133 at a 31 s mean against a 3.9 s
-    // isolated floor). Written to bench/ISOLATED.json every run and
-    // surfaced as `isolated_min` in both JSON records.
-    val isolatedNames = Seq("q133_exact_jaccard_join", "q134_heavy_hitters",
-      "q143_substring_dedup").filter(SparkEntry.queries.contains)
-    val isolatedMins = scala.collection.mutable.LinkedHashMap[String, Double]()
-    val isolatedErrors = scala.collection.mutable.LinkedHashMap[String, String]()
-    isolatedNames.foreach { name =>
-      val fn = SparkEntry.queries(name)
-      val ts = (1 to RUNS).flatMap { _ =>
-        val t0 = System.nanoTime()
-        val ok = try {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true
-        } catch { case e: Throwable =>
-          isolatedErrors(name) =
-            s"${e.getClass.getName}: ${Option(e.getMessage).getOrElse("").take(300)}"
-          false
-        }
-        val dt = (System.nanoTime() - t0) / 1e9
-        spark.catalog.clearCache()
-        if (ok) Some(dt) else None
-      }
-      // a trio member whose EVERY run fails must not silently vanish
-      // from the floor record (the disappearance mode the registry-size
-      // test exists to prevent — ADVICE r10): record a -1 sentinel plus
-      // the last error message
-      isolatedMins(name) = if (ts.nonEmpty) ts.min else -1.0
-    }
+    // post-sweep isolated pass — the second control point (see
+    // isolatedPass above). `isolated_min` keeps naming the POST pass
+    // for continuity with rounds 9-18's records.
+    val (isolatedMins, isolatedPostErrors) = isolatedPass()
+    val isolatedErrors =
+      isolatedPreErrors.map { case (k, v) => s"pre:$k" -> v } ++
+        isolatedPostErrors.map { case (k, v) => s"post:$k" -> v }
 
     val qs = allResults.map { case (k, v) => s"${jq(k)}:$v" }.mkString("{", ",", "}")
     val minJson = mins.map { case (k, v) => s"${jq(k)}:$v" }.mkString("{", ",", "}")
@@ -182,6 +205,8 @@ object Bench {
     val contendedJson = contended.map(jq).mkString("[", ",", "]")
     val isolatedJson = isolatedMins.map { case (k, v) => s"${jq(k)}:$v" }
       .mkString("{", ",", "}")
+    val isolatedPreJson = isolatedPreMins
+      .map { case (k, v) => s"${jq(k)}:$v" }.mkString("{", ",", "}")
     // HEADLINE = total of per-query MINS (VERDICT r9 item 2): the
     // warm-run floor is the one statistic external CPU starvation
     // cannot raise, so the number a reader sees first is the engine's
@@ -200,7 +225,7 @@ object Bench {
     // one stdout line is a compact summary — total, the slowest
     // medians, throttle/error flags, and a pointer to the full file —
     // guaranteed to fit the capture window.
-    val fullJson = s"""{"metric":"total_min","value":$total,"unit":"sec","runs":$RUNS,"total_median":$totalMedian,"medians_contaminated":$contaminated,"queries":$qs,"min":$minJson,"spread":$spreadJson,"isolated_min":$isolatedJson,"throttled":$throttledJson,"contended":$contendedJson,"errors":$errJson,"flaky":$flakyJson,"sf":"$sfDir"}"""
+    val fullJson = s"""{"metric":"total_min","value":$total,"unit":"sec","runs":$RUNS,"total_median":$totalMedian,"medians_contaminated":$contaminated,"queries":$qs,"min":$minJson,"spread":$spreadJson,"isolated_min_pre":$isolatedPreJson,"isolated_min_post":$isolatedJson,"isolated_min":$isolatedJson,"throttled":$throttledJson,"contended":$contendedJson,"errors":$errJson,"flaky":$flakyJson,"sf":"$sfDir"}"""
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
       "bench/BENCH_full_latest.json")
     val p = java.nio.file.Paths.get(fullPath)
@@ -215,7 +240,7 @@ object Bench {
     val isolatedErrJson = isolatedErrors
       .map { case (k, v) => s"${jq(k)}:${jq(v)}" }.mkString("{", ",", "}")
     java.nio.file.Files.write(isoPath,
-      (s"""{"runs":$RUNS,"isolated_min":$isolatedJson,"isolated_errors":$isolatedErrJson,"sf":"$sfDir"}""" +
+      (s"""{"runs":$RUNS,"isolated_min_pre":$isolatedPreJson,"isolated_min_post":$isolatedJson,"isolated_min":$isolatedJson,"isolated_errors":$isolatedErrJson,"sf":"$sfDir"}""" +
         "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
     // slowest-12 by MIN — the steady-state ranking a contended sandbox
@@ -226,7 +251,7 @@ object Bench {
     // judge its regressions against its own baseline, not the fleet's.
     val slowestMin = mins.toSeq.sortBy(-_._2).take(12)
       .map { case (k, v) => s"${jq(k)}:$v" }.mkString("{", ",", "}")
-    println(s"""{"metric":"total_min","value":$total,"unit":"sec","runs":$RUNS,"total_median":$totalMedian,"medians_contaminated":$contaminated,"queries":$slowestMin,"isolated_min":$isolatedJson,"n_queries":${allResults.size},"throttled":$throttledJson,"contended":$contendedJson,"errors":$errJson,"flaky":$flakyJson,"sf":"$sfDir","full":${jq(fullPath)}}""")
+    println(s"""{"metric":"total_min","value":$total,"unit":"sec","runs":$RUNS,"total_median":$totalMedian,"medians_contaminated":$contaminated,"queries":$slowestMin,"isolated_min_pre":$isolatedPreJson,"isolated_min":$isolatedJson,"n_queries":${allResults.size},"throttled":$throttledJson,"contended":$contendedJson,"errors":$errJson,"flaky":$flakyJson,"sf":"$sfDir","full":${jq(fullPath)}}""")
     spark.stop()
   }
 

@@ -3880,8 +3880,12 @@ object CurationQueries {
     }.toDF()
   }
   private def q244(s: SparkSession, dir: String): DataFrame =
+    // gated against an exact brute-force Hamming oracle, so the
+    // contract here is absolute completeness at maxDist <= 3 — uncap
+    // explicitly rather than ride the capacity-minded default
     Multimodal.dHashNearDupPairs(
-      Multimodal.imageDHash(s, q244Media(s, dir)).toDF(), maxDist = 3)
+      Multimodal.imageDHash(s, q244Media(s, dir)).toDF(), maxDist = 3,
+      maxBucket = Int.MaxValue)
   /** The closed-form dHash bit strings of [[q244Media]]'s fixture
     * corpus (perturbed-dup pattern included), as the `p`/`hb` CTE pair
     * — shared by q244 (all-pairs) and q258 (batch-vs-resident). */
@@ -5359,9 +5363,26 @@ object CurationQueries {
           "text", "doc_id", s"$out/stats", s"$out/idx", table,
           s"$out/ckpt")
         try q.processAllAvailable() finally q.stop()
-        // crash redelivery: the same batch under the same epoch id
-        SearchIndex.appendEpoch(e0, "text", "doc_id", s"$out/stats",
-          s"$out/idx", table, 0L)
+        // crash redelivery: replay exactly the files the CHECKPOINT
+        // says batch 0 held, under epoch 0 — never assume the e0
+        // parquet file became batch 0 (FileStreamSource orders by
+        // mtime, and two back-to-back writes carry no ordering
+        // contract; a flipped order would put two DIFFERENT stats
+        // layers under one epoch id and the (group, epoch) dedupe
+        // would arbitrarily drop one). The source log's file 0 lists
+        // batch 0's files verbatim (v1 header + one JSON entry per
+        // file).
+        val batch0Files = java.nio.file.Files
+          .readString(java.nio.file.Paths.get(s"$out/ckpt/sources/0/0"))
+          .linesIterator
+          .flatMap("\"path\":\"([^\"]+)\"".r
+            .findFirstMatchIn(_).map(_.group(1)))
+          .toSeq
+        require(batch0Files.nonEmpty,
+          "checkpoint must record batch 0's files")
+        SearchIndex.appendEpoch(
+          s.read.schema(e0.schema).parquet(batch0Files: _*),
+          "text", "doc_id", s"$out/stats", s"$out/idx", table, 0L)
         DedupIndex.compact(s, table)
         (table, s"$out/stats")
       }
@@ -5380,12 +5401,16 @@ object CurationQueries {
     * IEEE sqrts, 1e12-scaled-long share normalizer), so the
     * maintained shares hash-match the from-scratch oracle
     * (LlmQueries.q151Sql, reused as-is). */
-  private def q273(s: SparkSession, dir: String): DataFrame = {
-    // the |languages|-row summary feeds tot, z AND the projection —
-    // persist, or each consumer re-reads the store (q151's argument,
-    // at summary scale)
-    val counts = AggState.merged(s, q273State(s, dir), Seq("lang"))
-      .select(col("lang"), col("n").as("n_docs"))
+  private def q273(s: SparkSession, dir: String): DataFrame =
+    tempMixShares(AggState.merged(s, q273State(s, dir), Seq("lang"))
+      .select(col("lang"), col("n").as("n_docs")))
+  /** q151's bit-exact share computation over a maintained
+    * (lang, n_docs) summary — shared by q273 (absorb lifecycle) and
+    * q275 (RTBF). The \|languages\|-row summary feeds tot, z AND the
+    * projection — persist, or each consumer re-reads the store
+    * (q151's argument, at summary scale). */
+  private def tempMixShares(summary: DataFrame): DataFrame = {
+    val counts = summary
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tot = counts.agg(sum(col("n_docs")).as("n"))
     val scored = counts.crossJoin(broadcast(tot))
@@ -5416,6 +5441,118 @@ object CurationQueries {
       s"$out/state"
     })
   private val q273Sql = LlmQueries.q151Sql
+
+  // --------------------------------------------------------- q274
+  /** The BM25 composition through its postings store's GEOMETRY
+    * MIGRATION — the q266 shape on [[SearchIndex]], completing "every
+    * maintained composition survives its store's rebucket in-gate":
+    * the triple is built with the postings table deliberately small
+    * (2 buckets), day 1 absorbed under that geometry, then
+    * [[DedupIndex.maybeRebucket]] must migrate FROM THE TABLE'S OWN
+    * ROW COUNT (a ~rows/16 target puts a 2-bucket table ≥ 2× out of
+    * band for any corpus of ≥ 32 postings — `require`d, a silent
+    * no-op fails the gate; the rewrite carries the tf/dl payload
+    * columns and the `graft.scheme` stamp through the generation
+    * swap). The top-k under the migrated geometry, with the stats and
+    * df stores untouched, must equal q270's from-scratch oracle. */
+  private def q274(s: SparkSession, dir: String): DataFrame = {
+    val (table, statsPath) = q274State(s, dir)
+    SearchIndex.bm25TopK(s, table, statsPath, Bm25IdxTerms, Bm25IdxK)
+      .select(col("id").as("doc_id"), col("dl"), col("score"))
+  }
+  private val q274Cache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  private def q274State(s: SparkSession, dir: String): (String, String) =
+    q274Cache.compute(sessionToken(s) + "|" + dir, { (_, prev) =>
+      if (prev != null && s.catalog.tableExists(prev._1)) prev
+      else {
+        val digest = java.security.MessageDigest.getInstance("SHA-1")
+          .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          .map(b => f"$b%02x").mkString.take(16)
+        val table = s"graft_bm25_pol_$digest"
+        val out = java.nio.file.Files
+          .createTempDirectory("graft-searchidx-q274").toString
+        val docs = Tables.documents(s, dir)
+        SearchIndex.write(docs.filter(col("doc_id") % 10 =!= 0),
+          "text", "doc_id", s"$out/stats", s"$out/idx", table,
+          buckets = 2)
+        SearchIndex.absorb(docs.filter(col("doc_id") % 10 === 0),
+          "text", "doc_id", s"$out/stats", s"$out/idx", table,
+          buckets = 2)
+        val rows = s.table(table).count()
+        require(rows >= 32,
+          s"q274 needs >= 32 postings for the policy budget, got $rows")
+        require(
+          DedupIndex.maybeRebucket(s, table, math.max(1L, rows / 16)),
+          s"policy must migrate a 2-bucket postings table holding " +
+            s"$rows rows at a ~${rows / 16}-rows-per-bucket target")
+        (table, s"$out/stats")
+      }
+    })
+  private val q274Sql = q270Sql
+
+  // --------------------------------------------------------- q275
+  /** Right-to-be-forgotten for the temperature-mix count store — the
+    * q271 symmetry on q273's composition: the per-language counters
+    * are built over the FULL corpus, then every doc_id ≡ 3 (mod 20)
+    * is retracted ([[AggState.retract]] — exact, counts are abelian),
+    * and the retuned shares must equal q151's from-scratch oracle
+    * over the SURVIVORS: a sampler that keeps mixing forgotten mass
+    * into its source weights hash-mismatches on both shares. */
+  private def q275(s: SparkSession, dir: String): DataFrame =
+    tempMixShares(AggState.merged(s, q275State(s, dir), Seq("lang"))
+      .select(col("lang"), col("n").as("n_docs")))
+  private val q275StateCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def q275State(s: SparkSession, dir: String): String =
+    q275StateCache.computeIfAbsent(dir, { _ =>
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-aggstate-q275").toString
+      val docs = Tables.documents(s, dir)
+      def ones(d: DataFrame) = d.select(col("lang"))
+        .withColumn("one", lit(1.0))
+      val bkt = AggState.hashBucketsOf("lang", 4)
+      AggState.write(ones(docs), Seq("lang"), "one", 1, bkt,
+        s"$out/state")
+      AggState.retract(s, s"$out/state",
+        ones(docs.filter(col("doc_id") % 20 === 3)), Seq("lang"),
+        "one", 1, bkt)
+      s"$out/state"
+    })
+  private val q275Sql =
+    LlmQueries.q151SqlWhere(" WHERE doc_id % 20 <> 3")
+
+  // --------------------------------------------------------- q276
+  /** The [[SearchIndex.bm25TopK]] df-cap IN the gate — the recall
+    * semantics of the stop-term discipline, oracle-pinned: the query
+    * carries q270's three terms PLUS the corpus's highest-df term,
+    * under a cap sized from the maintained df store itself (the max
+    * of the three real terms' live dfs — so the three always survive
+    * and the stop-class term is always over, at every SF; both sides
+    * `require`d loudly). The extra term must be dropped BEFORE its
+    * posting bucket is read, contributing exactly nothing: the result
+    * must hash-match q270's three-term oracle — a cap that failed to
+    * fire would let the extra term's hits perturb every score. Reuses
+    * q270's maintained triple read-only. */
+  private def q276(s: SparkSession, dir: String): DataFrame = {
+    val (table, statsPath) = q270State(s, dir)
+    val dfs = SearchIndex.termDf(s, statsPath, Bm25IdxTerms)
+    val cap = dfs.values.max
+    // the corpus's top-df term outside the query terms — found from
+    // the maintained summary (TakeOrdered over |vocabulary| rows,
+    // 1 row collected), never the corpus
+    val top = SearchIndex.termDfs(s, statsPath)
+      .filter(!col("t").isin(Bm25IdxTerms: _*))
+      .orderBy(col("df").desc, col("t").asc).limit(1)
+      .collect().head
+    require(top.getLong(1) > cap,
+      s"fixture corpus must hold a term over the ${cap}-df cap, " +
+        s"best was ${top.getString(0)} at ${top.getLong(1)}")
+    SearchIndex.bm25TopK(s, table, statsPath,
+        top.getString(0) +: Bm25IdxTerms, Bm25IdxK, maxDf = cap)
+      .select(col("id").as("doc_id"), col("dl"), col("score"))
+  }
+  private val q276Sql = q270Sql
 
   val queries: Map[String, Q] = Map(
     "q168_kmv_distinct" -> q168 _,
@@ -5523,7 +5660,10 @@ object CurationQueries {
     "q270_incremental_bm25" -> q270 _,
     "q271_bm25_rtbf" -> q271 _,
     "q272_bm25_stream_lifecycle" -> q272 _,
-    "q273_ivm_temperature_mix" -> q273 _)
+    "q273_ivm_temperature_mix" -> q273 _,
+    "q274_bm25_rebucket_policy" -> q274 _,
+    "q275_temperature_mix_rtbf" -> q275 _,
+    "q276_bm25_df_cap" -> q276 _)
 
   val oracleSql: Map[String, String] = Map(
     "q168_kmv_distinct" -> q168Sql,
@@ -5631,5 +5771,8 @@ object CurationQueries {
     "q270_incremental_bm25" -> q270Sql,
     "q271_bm25_rtbf" -> q271Sql,
     "q272_bm25_stream_lifecycle" -> q272Sql,
-    "q273_ivm_temperature_mix" -> q273Sql)
+    "q273_ivm_temperature_mix" -> q273Sql,
+    "q274_bm25_rebucket_policy" -> q274Sql,
+    "q275_temperature_mix_rtbf" -> q275Sql,
+    "q276_bm25_df_cap" -> q276Sql)
 }

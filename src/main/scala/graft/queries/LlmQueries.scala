@@ -2896,9 +2896,12 @@ object LlmQueries {
         round(col("p"), 6).as("nat_share"),
         round(col("pi").cast("double") / col("z"), 6).as("samp_share"))
   }
-  private[queries] val q151Sql =
-    """WITH counts AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
-      |                FROM documents GROUP BY 1),
+  /** q151's CTE chain with an injectable corpus restriction — `""`
+    * is q151's own oracle; the RTBF gate (CurationQueries q275)
+    * narrows to the surviving documents. */
+  private[queries] def q151SqlWhere(where: String): String =
+    s"""WITH counts AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+      |                FROM documents$where GROUP BY 1),
       |tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n FROM counts),
       |scored AS (SELECT lang, n_docs,
       |    n_docs::DOUBLE / n AS p,
@@ -2908,6 +2911,7 @@ object LlmQueries {
       |SELECT lang, n_docs, round(p, 6) AS nat_share,
       |  round(pi::DOUBLE / z, 6) AS samp_share
       |FROM scored CROSS JOIN z""".stripMargin
+  private[queries] val q151Sql = q151SqlWhere("")
 
   // --------------------------------------------------------- q152
   /** Sentence-level exact cross-doc duplication report (the RefinedWeb

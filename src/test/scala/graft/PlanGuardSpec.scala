@@ -49,7 +49,10 @@ class PlanGuardSpec extends SparkSpec {
     "q270_incremental_bm25", // df + corpus stats: two 1-row broadcast aggregates (q49)
     "q271_bm25_rtbf",    // same two 1-row broadcast sides as q270
     "q272_bm25_stream_lifecycle", // same two 1-row broadcast sides as q270
-    "q273_ivm_temperature_mix") // corpus total + share normalizer: 1-row sides (q151)
+    "q273_ivm_temperature_mix", // corpus total + share normalizer: 1-row sides (q151)
+    "q274_bm25_rebucket_policy", // same two 1-row broadcast sides as q270
+    "q275_temperature_mix_rtbf", // same 1-row sides as q273/q151
+    "q276_bm25_df_cap") // same two 1-row broadcast sides as q270
 
   test("no query plans a cartesian product; nested loops only where bounded") {
     val dir = "/root/testdata/sf0.001"

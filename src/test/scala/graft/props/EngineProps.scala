@@ -392,7 +392,10 @@ object EngineProps extends Properties("graft") {
         Seq((3L * i, h), (3L * i + 1, h ^ mask))
       }
       val got = graft.ops.Multimodal
-        .dHashNearDupPairs(rows.toDF("id", "dhash"), maxDist = 3)
+        // the property IS completeness vs brute force — uncap
+        // explicitly (the finite default caps recall by contract)
+        .dHashNearDupPairs(rows.toDF("id", "dhash"), maxDist = 3,
+          maxBucket = Int.MaxValue)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       val brute = (for {
         (a, i) <- rows.zipWithIndex; (b, j) <- rows.zipWithIndex
