@@ -79,6 +79,9 @@ object SearchIndex {
   /** The df store rides beside the stats store — derived, so no public
     * signature carries a third path. */
   private def dfPath(statsPath: String): String = statsPath + "_df"
+  /** The derived df-store location — exposed for gates/telemetry
+    * (e.g. layer-count checks after [[compact]]). */
+  def dfPathOf(statsPath: String): String = dfPath(statsPath)
   private val DfGroup = Seq("t")
   private def dfBucket = AggState.hashBucketsOf("t", 32)
 
@@ -198,6 +201,24 @@ object SearchIndex {
     AggState.appendDelta(dfPath(statsPath),
       dfRows(docs, textCol, idCol), epochId, DfGroup, "one", 1,
       dfBucket)
+  }
+
+  /** Scheduled maintenance for the whole triple, one entry point so
+    * the three stores share a schedule: the postings table is
+    * rewritten (tombstones purged physically, redelivery duplicates
+    * dropped, one sorted file per bucket — [[DedupIndex.compact]]),
+    * and the stats/df stores fold their epoch layers back into the
+    * consolidated generation when more than `maxLayers` are resident
+    * ([[AggState.maybeCompactState]] — a no-op between stream runs
+    * that appended fewer). Answers are invariant by construction:
+    * every read already collapses what compaction removes. */
+  def compact(spark: SparkSession, table: String, statsPath: String,
+      buckets: Int = 32,
+      maxLayers: Long = AggState.DefaultMaxLayers): Unit = {
+    DedupIndex.compact(spark, table, buckets)
+    AggState.maybeCompactState(spark, statsPath, StatsGroup, maxLayers)
+    AggState.maybeCompactState(spark, dfPath(statsPath), DfGroup,
+      maxLayers)
   }
 
   /** The maintained per-term LIVE document frequencies — the (t, df)

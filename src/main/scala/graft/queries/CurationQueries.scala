@@ -5326,11 +5326,13 @@ object CurationQueries {
     * [[SearchIndex.appendEpoch]] (same batch, same epoch id — the
     * crash between absorb and checkpoint commit: postings collapse at
     * read via max/countDistinct, the stats layer dedupes on (group,
-    * epoch)), and the postings side is compacted (generation swap
-    * with payload columns, duplicates physically dropped). The top-k
-    * must equal q270's from-scratch oracle over the full corpus — a
-    * double-counted replay would inflate avgdl/n_docs or a tf, a lost
-    * batch would drop a ranked doc. */
+    * epoch)), and the TRIPLE is compacted on one schedule
+    * ([[SearchIndex.compact]]: postings generation swap with payload
+    * columns and duplicates physically dropped, stats/df epoch layers
+    * `require`d to fold back into the consolidated generation). The
+    * top-k must equal q270's from-scratch oracle over the full corpus
+    * — a double-counted replay would inflate avgdl/n_docs or a tf, a
+    * lost batch would drop a ranked doc. */
   private def q272(s: SparkSession, dir: String): DataFrame = {
     val (table, statsPath) = q272State(s, dir)
     SearchIndex.bm25TopK(s, table, statsPath, Bm25IdxTerms, Bm25IdxK)
@@ -5383,7 +5385,16 @@ object CurationQueries {
         SearchIndex.appendEpoch(
           s.read.schema(e0.schema).parquet(batch0Files: _*),
           "text", "doc_id", s"$out/stats", s"$out/idx", table, 0L)
-        DedupIndex.compact(s, table)
+        // full-triple maintenance in-gate: the postings generation
+        // swap (redelivery duplicates physically dropped) AND the
+        // stats/df epoch layers FORCED to fold (maxLayers = 1 with
+        // two epochs resident), so the gate's read covers the
+        // post-compaction state of all three stores
+        SearchIndex.compact(s, table, s"$out/stats", maxLayers = 1L)
+        require(AggState.layerCount(s, s"$out/stats") == 1L &&
+            AggState.layerCount(s,
+              SearchIndex.dfPathOf(s"$out/stats")) == 1L,
+          "compaction must consolidate the stats and df stores")
         (table, s"$out/stats")
       }
     })

@@ -97,7 +97,17 @@ class SearchIndexSpec extends SparkSpec {
       q.processAllAvailable()
     } finally q.stop()
     // stats rode the layered path: epochs collapse on read
-    topK(table, s"$out/stats", 20) shouldBe reference(docs, 20)
+    val expected = reference(docs, 20)
+    topK(table, s"$out/stats", 20) shouldBe expected
+    // full-triple compact: postings rewrite + the stats/df epoch
+    // layers forced to fold (two epochs resident over maxLayers = 1);
+    // answers invariant, both layered stores consolidated
+    SearchIndex.compact(spark, table, s"$out/stats", buckets = 8,
+      maxLayers = 1L)
+    AggState.layerCount(spark, s"$out/stats") shouldBe 1L
+    AggState.layerCount(spark,
+      SearchIndex.dfPathOf(s"$out/stats")) shouldBe 1L
+    topK(table, s"$out/stats", 20) shouldBe expected
   }
 
   test("maxDf drops over-cap terms before the posting read; under-cap terms unchanged") {
