@@ -435,6 +435,33 @@ object AggState {
     residentAgg(readStore(spark, path), groupCols)
   }
 
+  /** [[merged]] restricted to `keys`' groups — the pruned POINT-LOOKUP
+    * read: the keys' buckets are computed with the store's own bucket
+    * expression and only those partition directories are read (the
+    * [[refresh]] pruning applied to a PURE read — nothing is merged
+    * in), then co-bucketed strangers are dropped with a null-safe
+    * semi-join against the distinct keys. Groups with no resident row
+    * yield no output row — the caller chooses the default (e.g.
+    * [[graft.ops.SearchIndex.termDf]] maps absent to 0). The read set
+    * is known BEFORE the scan: ≤ \|keys' buckets\| directories no
+    * matter how many groups the store holds — the read path for
+    * scoring a batch against a maintained summary. */
+  def mergedFor(spark: SparkSession, path: String, keys: DataFrame,
+      groupCols: Seq[String], bucketOf: Column): DataFrame = {
+    recoverIfMissing(spark, path)
+    checkMeta(spark, path, "sum", SumLayout)
+    val k = keys.select(groupCols.map(col): _*).distinct()
+      .withColumn("pbucket", bucketOf)
+    val dirs = touchedDirs(spark, path, k)
+    if (dirs.isEmpty)
+      // no key names a resident bucket: empty, with merged's schema
+      return residentAgg(readStore(spark, path), groupCols).limit(0)
+    val res = residentAgg(readStore(spark, path, dirs), groupCols)
+    val kd = k.drop("pbucket")
+    res.join(kd, groupCols.map(c => res(c) <=> kd(c)).reduce(_ && _),
+      "left_semi")
+  }
+
   /** Distinct epoch layers resident in the store — telemetry for the
     * [[compactState]] / [[compactMgState]] schedules
     * ([[CcState.mergeLogSize]]'s discipline for the layered stores):

@@ -229,13 +229,17 @@ object SearchIndex {
     AggState.merged(spark, dfPath(statsPath), DfGroup)
       .select(col("t"), col("n").as("df"))
 
-  /** Live df for a literal term bag — ≤ \|terms\| rows collected (the
+  /** Live df for a literal term bag — the pruned point-lookup
+    * ([[AggState.mergedFor]]: ≤ \|terms\| partition directories read,
+    * never the whole vocabulary), ≤ \|terms\| rows collected (the
     * parameter-bounded driver read [[bm25TopK]]'s cap decision needs);
     * terms absent from the store map to 0. */
   def termDf(spark: SparkSession, statsPath: String,
       terms: Seq[String]): Map[String, Long] = {
-    val stored = termDfs(spark, statsPath)
-      .filter(col("t").isin(terms: _*))
+    val keys = spark.createDataFrame(terms.map(Tuple1(_))).toDF("t")
+    val stored = AggState
+      .mergedFor(spark, dfPath(statsPath), keys, DfGroup, dfBucket)
+      .select(col("t"), col("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     terms.map(t => t -> stored.getOrElse(t, 0L)).toMap
   }

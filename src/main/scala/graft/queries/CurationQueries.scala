@@ -5565,6 +5565,65 @@ object CurationQueries {
   }
   private val q276Sql = q270Sql
 
+  // --------------------------------------------------------- q277
+  /** Incremental DSIR — q150's importance scorer with the corpus
+    * bigram recount replaced by a MAINTAINED LM store, scoring only
+    * the arriving batch (the production shape: the reference-vs-raw
+    * bigram LMs absorb each day's delta, and the day's documents are
+    * scored against them without ever recounting the corpus). ONE
+    * [[AggState]] sum store carries both LMs: one row per bigram
+    * occurrence with value = 1.0 iff the doc is in the target domain,
+    * so per gram n = ct + cr and sv = ct — exact integers, absorb/
+    * retract at delta cost. The batch's per-gram counts are read
+    * through [[AggState.mergedFor]] — the pruned point-lookup, ≤
+    * \|batch grams' buckets\| partition directories, never the
+    * vocabulary — while the corpus-wide totals (nt, nr, v) are one
+    * aggregate over the summary (vocabulary-sized, never the corpus;
+    * at larger scale nt/nr could ride a 1-row side store and v is a
+    * column-pruned count). Scoring is [[LlmQueries.dsirScore]] — the
+    * SAME column tree as q150, shared by construction — so the
+    * maintained path lands on bit-identical doubles. Oracle: q150's
+    * CTE chain with the final SELECT restricted to the scored batch
+    * (LM counts stay corpus-wide — exactly what the store holds after
+    * the absorb). */
+  private def q277(s: SparkSession, dir: String): DataFrame = {
+    val path = q277State(s, dir)
+    val delta = Tables.documents(s, dir)
+      .filter(col("doc_id") % 10 === 0)
+    // feeds the lookup's key set, the score join AND the fold —
+    // persist, or each consumer re-runs the bigram window
+    val bi = LlmQueries.dsirBigrams(delta)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = AggState
+      .mergedFor(s, path, bi.select(col("g")), Seq("g"), DsirBucket)
+      .select(col("g"), col("sv").as("ct"),
+        (col("n") - col("sv")).as("cr"))
+    val tot = AggState.merged(s, path, Seq("g"))
+      .agg(sum(col("sv")).as("nt"),
+        sum(col("n") - col("sv")).as("nr"), count(lit(1)).as("v"))
+    LlmQueries.dsirScore(bi, counts, tot)
+  }
+  private def DsirBucket = AggState.hashBucketsOf("g", 8)
+  private val q277StateCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def q277State(s: SparkSession, dir: String): String =
+    q277StateCache.computeIfAbsent(dir, { _ =>
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-aggstate-q277").toString
+      val docs = Tables.documents(s, dir)
+      def rows(d: DataFrame) = LlmQueries.dsirBigrams(d)
+        .select(col("g"),
+          when(col("tgt"), lit(1.0)).otherwise(lit(0.0)).as("tgtocc"))
+      AggState.write(rows(docs.filter(col("doc_id") % 10 =!= 0)),
+        Seq("g"), "tgtocc", 1, DsirBucket, s"$out/state")
+      AggState.absorb(s, s"$out/state",
+        rows(docs.filter(col("doc_id") % 10 === 0)), Seq("g"),
+        "tgtocc", 1, DsirBucket)
+      s"$out/state"
+    })
+  private val q277Sql =
+    LlmQueries.q150SqlScored(" WHERE doc_id % 10 = 0")
+
   val queries: Map[String, Q] = Map(
     "q168_kmv_distinct" -> q168 _,
     "q169_minhash_error" -> q169 _,
@@ -5674,7 +5733,8 @@ object CurationQueries {
     "q273_ivm_temperature_mix" -> q273 _,
     "q274_bm25_rebucket_policy" -> q274 _,
     "q275_temperature_mix_rtbf" -> q275 _,
-    "q276_bm25_df_cap" -> q276 _)
+    "q276_bm25_df_cap" -> q276 _,
+    "q277_ivm_dsir" -> q277 _)
 
   val oracleSql: Map[String, String] = Map(
     "q168_kmv_distinct" -> q168Sql,
@@ -5785,5 +5845,6 @@ object CurationQueries {
     "q273_ivm_temperature_mix" -> q273Sql,
     "q274_bm25_rebucket_policy" -> q274Sql,
     "q275_temperature_mix_rtbf" -> q275Sql,
-    "q276_bm25_df_cap" -> q276Sql)
+    "q276_bm25_df_cap" -> q276Sql,
+    "q277_ivm_dsir" -> q277Sql)
 }

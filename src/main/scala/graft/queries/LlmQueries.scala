@@ -2807,25 +2807,29 @@ object LlmQueries {
     * back to the doc stream, one doc-keyed fold. At 100 TB the gram
     * key hashes to 64 bits first (the q105 discipline). */
   private val DsirTarget = "src0"
-  private def q150(s: SparkSession, dir: String): DataFrame = {
-    val t = Tables.documents(s, dir)
+  /** The (doc_id, tgt, pos, g) bigram stream q150 counts and scores —
+    * shared with the incremental scorer (CurationQueries q277), whose
+    * maintained LM store absorbs exactly these rows. */
+  private[queries] def dsirBigrams(docs: DataFrame): DataFrame = {
+    val t = docs
       .select(col("doc_id"), (col("source") === DsirTarget).as("tgt"),
         Dedup.words(col("text")).as("ws"))
       .filter(size(col("ws")) >= 2)
-    val w = t.select(col("doc_id"), col("tgt"),
-      posexplode(col("ws")).as(Seq("pos", "w2")))
-    val bi = w
+    t.select(col("doc_id"), col("tgt"),
+        posexplode(col("ws")).as(Seq("pos", "w2")))
       .withColumn("w1", lag(col("w2"), 1).over(
         Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
       .filter(col("w1").isNotNull)
       .select(col("doc_id"), col("tgt"), col("pos"),
         concat_ws(" ", col("w1"), col("w2")).as("g"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val counts = bi.groupBy(col("g")).agg(
-      sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"),
-      sum(when(!col("tgt"), 1L).otherwise(0L)).as("cr"))
-    val tot = counts.agg(sum(col("ct")).as("nt"), sum(col("cr")).as("nr"),
-      count(lit(1)).as("v"))
+  }
+  /** The DSIR scoring tail — per-position add-1 log-ratio, per-doc
+    * position-ordered fold — over ANY (g, ct, cr) LM source and
+    * (nt, nr, v) totals row, so the from-scratch path (q150) and the
+    * maintained-store path (q277) share the formula by construction
+    * (bit-identical doubles). */
+  private[queries] def dsirScore(bi: DataFrame, counts: DataFrame,
+      tot: DataFrame): DataFrame = {
     val lp = bi.join(counts, Seq("g")).crossJoin(broadcast(tot))
       .select(col("doc_id"), col("pos"),
         (log((col("ct") + lit(1L)).cast("double") /
@@ -2840,7 +2844,21 @@ object LlmQueries {
           (acc, x) => acc + x.getField("lr")) /
           col("n_bigrams").cast("double"), 6).as("dsir_logweight"))
   }
-  private val q150Sql =
+  private def q150(s: SparkSession, dir: String): DataFrame = {
+    val bi = dsirBigrams(Tables.documents(s, dir))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = bi.groupBy(col("g")).agg(
+      sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"),
+      sum(when(!col("tgt"), 1L).otherwise(0L)).as("cr"))
+    val tot = counts.agg(sum(col("ct")).as("nt"), sum(col("cr")).as("nr"),
+      count(lit(1)).as("v"))
+    dsirScore(bi, counts, tot)
+  }
+  /** q150's CTE chain with an injectable restriction on the SCORED
+    * docs — the LM counts/totals stay corpus-wide; `""` is q150's own
+    * oracle, the incremental scorer (q277) narrows to the delta batch
+    * it scores. */
+  private[queries] def q150SqlScored(where: String): String =
     s"""WITH t AS (SELECT doc_id, source = '$DsirTarget' AS tgt,
        |             $WsSplit AS ws FROM documents
        |           WHERE len($WsSplit) >= 2),
@@ -2866,7 +2884,9 @@ object LlmQueries {
        |    CAST(COUNT(*) AS BIGINT) AS n_bigrams
        |  FROM lp GROUP BY doc_id)
        |SELECT doc_id, n_bigrams,
-       |  round(sm / n_bigrams::DOUBLE, 6) AS dsir_logweight FROM agg""".stripMargin
+       |  round(sm / n_bigrams::DOUBLE, 6) AS dsir_logweight
+       |FROM agg$where""".stripMargin
+  private val q150Sql = q150SqlScored("")
 
   // --------------------------------------------------------- q151
   /** α-temperature sampling shares (the XLM-R / mT5 multilingual

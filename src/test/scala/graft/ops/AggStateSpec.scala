@@ -39,6 +39,37 @@ class AggStateSpec extends SparkSpec {
     got.size should be > 0
   }
 
+  test("mergedFor is merged restricted to the keys, reading only their buckets") {
+    val dir = Files.createTempDirectory("graft-aggstate").toString
+    AggState.write(base, groupCols, "value", 10000, bucketOf, s"$dir/state")
+    // layered epochs + a retraction must be collapsed identically to
+    // the full merged view
+    AggState.appendDelta(s"$dir/state", delta, 0L, groupCols, "value",
+      10000, bucketOf)
+    AggState.retract(spark, s"$dir/state",
+      base.filter(col("event_id") % 3 === 0), groupCols, "value",
+      10000, bucketOf)
+    val keys = ev.filter(col("user_id") < 4)
+      .select(col("user_id"), col("event_type")).distinct()
+    val got = AggState.mergedFor(spark, s"$dir/state", keys, groupCols,
+      bucketOf).collect().toSet
+    val want = AggState.merged(spark, s"$dir/state", groupCols)
+      .join(keys, groupCols, "left_semi").collect().toSet
+    got shouldBe want
+    got.size should be > 0
+    // pruning is real: every other bucket dir deleted, answer unchanged
+    fs.listStatus(new HPath(s"$dir/state"))
+      .filter(s => s.getPath.getName.startsWith("pbucket=") &&
+        s.getPath.getName != "pbucket=0")
+      .foreach(s => fs.delete(s.getPath, true))
+    AggState.mergedFor(spark, s"$dir/state", keys, groupCols, bucketOf)
+      .collect().toSet shouldBe want
+    // keys with no resident bucket: empty, never an error
+    AggState.mergedFor(spark, s"$dir/state",
+      keys.filter(col("user_id") > 1000000), groupCols, bucketOf)
+      .count() shouldBe 0L
+  }
+
   test("untouched buckets are never read: refresh survives their deletion") {
     val dir = Files.createTempDirectory("graft-aggstate").toString
     AggState.write(base, groupCols, "value", 10000, bucketOf, s"$dir/state")
