@@ -5586,13 +5586,19 @@ object CurationQueries {
     * CTE chain with the final SELECT restricted to the scored batch
     * (LM counts stay corpus-wide — exactly what the store holds after
     * the absorb). */
-  private def q277(s: SparkSession, dir: String): DataFrame = {
-    val path = q277State(s, dir)
-    val delta = Tables.documents(s, dir)
-      .filter(col("doc_id") % 10 === 0)
+  private def q277(s: SparkSession, dir: String): DataFrame =
+    dsirBatchScore(s, q277State(s, dir),
+      Tables.documents(s, dir).filter(col("doc_id") % 10 === 0))
+  /** Score `batch` against the maintained DSIR LM store at `path` —
+    * shared by q277 (absorb lifecycle) and q278 (RTBF): per-gram
+    * counts through the pruned [[AggState.mergedFor]] point-lookup,
+    * corpus totals from one summary aggregate, the q150 column tree
+    * via [[LlmQueries.dsirScore]]. */
+  private def dsirBatchScore(s: SparkSession, path: String,
+      batch: DataFrame): DataFrame = {
     // feeds the lookup's key set, the score join AND the fold —
     // persist, or each consumer re-runs the bigram window
-    val bi = LlmQueries.dsirBigrams(delta)
+    val bi = LlmQueries.dsirBigrams(batch)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = AggState
       .mergedFor(s, path, bi.select(col("g")), Seq("g"), DsirBucket)
@@ -5623,6 +5629,44 @@ object CurationQueries {
     })
   private val q277Sql =
     LlmQueries.q150SqlScored(" WHERE doc_id % 10 = 0")
+
+  // --------------------------------------------------------- q278
+  /** Right-to-be-forgotten for the DSIR LM store — the q275 symmetry
+    * on q277's composition: both LMs are built over the FULL corpus,
+    * then every doc_id ≡ 10 (mod 20)'s bigram occurrences are
+    * retracted ([[AggState.retract]] — exact integers; grams
+    * retracted to zero become n=0 tombstones every read already
+    * filters, so they leave the shared vocabulary v too). The victims
+    * deliberately overlap the scored batch (≡ 10 (mod 20) ⊂ ≡ 0
+    * (mod 10)), so the gate pins BOTH effects at once: forgotten docs
+    * stop being scored, and every surviving score shifts through the
+    * shrunken ct/cr/nt/nr/v — an importance sampler that keeps
+    * weighting by forgotten documents' n-grams hash-mismatches on
+    * every row. Oracle: q150's chain over the surviving corpus,
+    * scoring the surviving batch. */
+  private def q278(s: SparkSession, dir: String): DataFrame =
+    dsirBatchScore(s, q278State(s, dir),
+      Tables.documents(s, dir).filter(col("doc_id") % 10 === 0 &&
+        col("doc_id") % 20 =!= 10))
+  private val q278StateCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def q278State(s: SparkSession, dir: String): String =
+    q278StateCache.computeIfAbsent(dir, { _ =>
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-aggstate-q278").toString
+      val docs = Tables.documents(s, dir)
+      def rows(d: DataFrame) = LlmQueries.dsirBigrams(d)
+        .select(col("g"),
+          when(col("tgt"), lit(1.0)).otherwise(lit(0.0)).as("tgtocc"))
+      AggState.write(rows(docs), Seq("g"), "tgtocc", 1, DsirBucket,
+        s"$out/state")
+      AggState.retract(s, s"$out/state",
+        rows(docs.filter(col("doc_id") % 20 === 10)), Seq("g"),
+        "tgtocc", 1, DsirBucket)
+      s"$out/state"
+    })
+  private val q278Sql = LlmQueries.q150SqlScored(
+    " WHERE doc_id % 20 = 0", " AND doc_id % 20 <> 10")
 
   val queries: Map[String, Q] = Map(
     "q168_kmv_distinct" -> q168 _,
@@ -5734,7 +5778,8 @@ object CurationQueries {
     "q274_bm25_rebucket_policy" -> q274 _,
     "q275_temperature_mix_rtbf" -> q275 _,
     "q276_bm25_df_cap" -> q276 _,
-    "q277_ivm_dsir" -> q277 _)
+    "q277_ivm_dsir" -> q277 _,
+    "q278_dsir_rtbf" -> q278 _)
 
   val oracleSql: Map[String, String] = Map(
     "q168_kmv_distinct" -> q168Sql,
@@ -5846,5 +5891,6 @@ object CurationQueries {
     "q274_bm25_rebucket_policy" -> q274Sql,
     "q275_temperature_mix_rtbf" -> q275Sql,
     "q276_bm25_df_cap" -> q276Sql,
-    "q277_ivm_dsir" -> q277Sql)
+    "q277_ivm_dsir" -> q277Sql,
+    "q278_dsir_rtbf" -> q278Sql)
 }

@@ -2854,14 +2854,16 @@ object LlmQueries {
       count(lit(1)).as("v"))
     dsirScore(bi, counts, tot)
   }
-  /** q150's CTE chain with an injectable restriction on the SCORED
-    * docs — the LM counts/totals stay corpus-wide; `""` is q150's own
-    * oracle, the incremental scorer (q277) narrows to the delta batch
-    * it scores. */
-  private[queries] def q150SqlScored(where: String): String =
+  /** q150's CTE chain with injectable restrictions: `where` narrows
+    * the SCORED docs (LM counts/totals stay corpus-wide — the q277
+    * delta-batch shape), `corpusAnd` narrows the CORPUS itself (the
+    * q278 right-to-be-forgotten shape: forgotten docs leave the LMs
+    * too). `("", "")` is q150's own oracle. */
+  private[queries] def q150SqlScored(where: String,
+      corpusAnd: String = ""): String =
     s"""WITH t AS (SELECT doc_id, source = '$DsirTarget' AS tgt,
        |             $WsSplit AS ws FROM documents
-       |           WHERE len($WsSplit) >= 2),
+       |           WHERE len($WsSplit) >= 2$corpusAnd),
        |w AS (SELECT doc_id, tgt, unnest(ws) AS w2,
        |        generate_subscripts(ws, 1) AS pos FROM t),
        |bi AS (SELECT doc_id, tgt, pos, w1 || ' ' || w2 AS g FROM (

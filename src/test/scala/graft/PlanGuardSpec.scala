@@ -53,7 +53,8 @@ class PlanGuardSpec extends SparkSpec {
     "q274_bm25_rebucket_policy", // same two 1-row broadcast sides as q270
     "q275_temperature_mix_rtbf", // same 1-row sides as q273/q151
     "q276_bm25_df_cap", // same two 1-row broadcast sides as q270
-    "q277_ivm_dsir")    // LM totals: exactly one aggregate row (q150)
+    "q277_ivm_dsir",    // LM totals: exactly one aggregate row (q150)
+    "q278_dsir_rtbf")   // same 1-row LM-totals side as q277/q150
 
   test("no query plans a cartesian product; nested loops only where bounded") {
     val dir = "/root/testdata/sf0.001"
