@@ -207,6 +207,29 @@ object ScaleSoak {
         n -> (table, s"$out/stats")
       }
 
+    // incremental-DSIR scorer arm (round 19): a FIXED batch (the base
+    // corpus's doc_id%10=0 docs) scored against a maintained bigram
+    // LM store that grows with scale — the daily-delta deployment
+    // shape (q277). The batch's per-gram counts ride the pruned
+    // AggState.mergedFor point-lookup (only the batch grams' buckets
+    // are read), so the honest expectation is SUB-LINEAR: the touched
+    // buckets hold the batch grams' occurrence rows, which grow with
+    // the corpus's use of those grams, never with the corpus row
+    // count — well below the from-scratch scorer's full recount. The
+    // store is built per scale, untimed (write once, score daily).
+    val dsirStore: Map[Int, String] =
+      if (!armOn("dsir_batch_scaled")) Map.empty
+      else dirs.map { case (n, d) =>
+        val out = Files
+          .createTempDirectory(s"graft-soak-dsir-x$n").toString
+        AggState.write(
+          graft.queries.CurationQueries.dsirStoreRows(
+            Tables.documents(spark, d)),
+          Seq("g"), "tgtocc", 1,
+          graft.queries.CurationQueries.DsirBucket, s"$out/state")
+        n -> s"$out/state"
+      }
+
     // band-index delete/compact arms (round 15; per-run tables since
     // round 16 — ADVICE r15: the shared-table version let each run
     // re-append the same tombstone batch, so later runs probed a grown
@@ -619,6 +642,13 @@ object ScaleSoak {
           val (table, stats) = bm25Idx(n)
           SearchIndex.bm25TopK(s, table, stats,
             Seq("join", "spark", "window"), 20)
+        }) :+
+        // dsir pair: the FIXED base-corpus delta scored against the
+        // per-scale maintained LM store (pruned point-lookups + one
+        // summary aggregate) — vs recounting the whole corpus.
+        ("dsir_batch_scaled" -> { (s: SparkSession, _: String, n: Int) =>
+          graft.queries.CurationQueries.dsirBatchScore(s, dsirStore(n),
+            Tables.documents(s, base).filter(col("doc_id") % 10 === 0))
         }) :+
         ("bandprobe_index_scaled" -> { (s: SparkSession, _: String, n: Int) =>
           val batch = Tables.documents(s, base).filter(col("doc_id") % 10 === 0)

@@ -5594,7 +5594,7 @@ object CurationQueries {
     * counts through the pruned [[AggState.mergedFor]] point-lookup,
     * corpus totals from one summary aggregate, the q150 column tree
     * via [[LlmQueries.dsirScore]]. */
-  private def dsirBatchScore(s: SparkSession, path: String,
+  private[graft] def dsirBatchScore(s: SparkSession, path: String,
       batch: DataFrame): DataFrame = {
     // feeds the lookup's key set, the score join AND the fold —
     // persist, or each consumer re-runs the bigram window
@@ -5609,7 +5609,14 @@ object CurationQueries {
         sum(col("n") - col("sv")).as("nr"), count(lit(1)).as("v"))
     LlmQueries.dsirScore(bi, counts, tot)
   }
-  private def DsirBucket = AggState.hashBucketsOf("g", 8)
+  private[graft] def DsirBucket = AggState.hashBucketsOf("g", 8)
+  /** The (g, tgtocc) occurrence rows the DSIR LM store aggregates —
+    * one per bigram occurrence, value 1 iff the target domain (shared
+    * by the q277/q278 builders and the soak arm). */
+  private[graft] def dsirStoreRows(docs: DataFrame): DataFrame =
+    LlmQueries.dsirBigrams(docs)
+      .select(col("g"),
+        when(col("tgt"), lit(1.0)).otherwise(lit(0.0)).as("tgtocc"))
   private val q277StateCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def q277State(s: SparkSession, dir: String): String =
@@ -5617,14 +5624,12 @@ object CurationQueries {
       val out = java.nio.file.Files
         .createTempDirectory("graft-aggstate-q277").toString
       val docs = Tables.documents(s, dir)
-      def rows(d: DataFrame) = LlmQueries.dsirBigrams(d)
-        .select(col("g"),
-          when(col("tgt"), lit(1.0)).otherwise(lit(0.0)).as("tgtocc"))
-      AggState.write(rows(docs.filter(col("doc_id") % 10 =!= 0)),
+      AggState.write(
+        dsirStoreRows(docs.filter(col("doc_id") % 10 =!= 0)),
         Seq("g"), "tgtocc", 1, DsirBucket, s"$out/state")
       AggState.absorb(s, s"$out/state",
-        rows(docs.filter(col("doc_id") % 10 === 0)), Seq("g"),
-        "tgtocc", 1, DsirBucket)
+        dsirStoreRows(docs.filter(col("doc_id") % 10 === 0)),
+        Seq("g"), "tgtocc", 1, DsirBucket)
       s"$out/state"
     })
   private val q277Sql =
@@ -5655,14 +5660,11 @@ object CurationQueries {
       val out = java.nio.file.Files
         .createTempDirectory("graft-aggstate-q278").toString
       val docs = Tables.documents(s, dir)
-      def rows(d: DataFrame) = LlmQueries.dsirBigrams(d)
-        .select(col("g"),
-          when(col("tgt"), lit(1.0)).otherwise(lit(0.0)).as("tgtocc"))
-      AggState.write(rows(docs), Seq("g"), "tgtocc", 1, DsirBucket,
-        s"$out/state")
+      AggState.write(dsirStoreRows(docs), Seq("g"), "tgtocc", 1,
+        DsirBucket, s"$out/state")
       AggState.retract(s, s"$out/state",
-        rows(docs.filter(col("doc_id") % 20 === 10)), Seq("g"),
-        "tgtocc", 1, DsirBucket)
+        dsirStoreRows(docs.filter(col("doc_id") % 20 === 10)),
+        Seq("g"), "tgtocc", 1, DsirBucket)
       s"$out/state"
     })
   private val q278Sql = LlmQueries.q150SqlScored(
