@@ -208,8 +208,12 @@ object DedupIndex {
 
   /** The resident rows minus tombstoned ids (broadcast anti-join —
     * adds no shuffle, so the co-located bucket join's zero-Exchange
-    * plan survives; DedupIndexSpec pins it). */
-  private def liveRows(spark: SparkSession, table: String): DataFrame = {
+    * plan survives; DedupIndexSpec pins it). `private[ops]` for the
+    * compositions whose probe side is the LARGE side and therefore
+    * invert the join direction this layout was bucketed for
+    * ([[ContamIndex.screen]] broadcasts the live resident grams
+    * against a corpus-sized train scan). */
+  private[ops] def liveRows(spark: SparkSession, table: String): DataFrame = {
     val res = spark.table(table)
     if (spark.catalog.tableExists(delTable(table)))
       // no distinct on the tombstones: left_anti ignores duplicate

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.ops.{AggState, AnnIndex, CcState, Dedup, DedupIndex, Layout, MediaBlob, Multimodal, SearchIndex, Similarity, TextAnalysis}
+import graft.ops.{AggState, AnnIndex, CcState, ContamIndex, Dedup, DedupIndex, Layout, MediaBlob, Multimodal, SearchIndex, Similarity, TextAnalysis}
 import graft.queries.LlmQueries.{distSql, AnnK, Bands, BandsCte, BucketSql,
   CosSql, JaccardThreshold, LshPlanes, RowsPerBand, ShingleK, ShinglesSql,
   WsSplit}
@@ -5670,6 +5670,182 @@ object CurationQueries {
   private val q278Sql = LlmQueries.q150SqlScored(
     " WHERE doc_id % 20 = 0", " AND doc_id % 20 <> 10")
 
+  // --------------------------------------------------------- q279
+  /** Incremental decontamination — q61's GPT-3 n-gram screen with the
+    * eval-set gram set MAINTAINED ([[ContamIndex]]): half the bench
+    * docs are written as the initial index, the other half absorbed
+    * as a later eval-set arrival (delta-sized shingling, bucket
+    * append — the resident files untouched), then the full training
+    * side is screened against the union's live grams. Must equal
+    * q61's from-scratch oracle over the same split: a screen missing
+    * the absorbed suite under-counts every doc sharing its grams; a
+    * gram set that drifted from the oracle's words→distinct-shingles
+    * tree mismatches row-by-row. The screen broadcasts the distinct
+    * live grams — the train side pays one scan + one doc-keyed
+    * aggregation, never a gram-keyed shuffle (q61's plan shape, now
+    * without re-shingling the eval corpus per pass). */
+  private def q279(s: SparkSession, dir: String): DataFrame =
+    ContamIndex.screen(s, q279State(s, dir),
+      Tables.documents(s, dir).filter(col("doc_id") % 50 =!= 0),
+      "text", "doc_id", LlmQueries.DecontN)
+  private val q279Cache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def q279State(s: SparkSession, dir: String): String =
+    q279Cache.compute(sessionToken(s) + "|" + dir, { (_, prev) =>
+      if (prev != null && s.catalog.tableExists(prev)) prev
+      else {
+        val digest = java.security.MessageDigest.getInstance("SHA-1")
+          .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          .map(b => f"$b%02x").mkString.take(16)
+        val table = s"graft_contam_$digest"
+        val out = java.nio.file.Files
+          .createTempDirectory("graft-contamidx-q279").toString
+        val bench = Tables.documents(s, dir)
+          .filter(col("doc_id") % 50 === 0)
+        ContamIndex.write(bench.filter(col("doc_id") % 100 === 0),
+          "text", "doc_id", LlmQueries.DecontN, s"$out/idx", table)
+        ContamIndex.absorb(bench.filter(col("doc_id") % 100 =!= 0),
+          "text", "doc_id", LlmQueries.DecontN, s"$out/idx", table)
+        table
+      }
+    })
+  private val q279Sql = LlmQueries.q61Sql
+
+  // --------------------------------------------------------- q280
+  /** Right-to-be-forgotten for the decontamination index — a
+    * withdrawn eval suite ([[ContamIndex.forget]], the O(|ids|)
+    * tombstone append) must stop flagging IMMEDIATELY, gated in the
+    * tombstone-live window (no compact): the full bench set is
+    * indexed, the doc_id ≡ 0 (mod 100) suite withdrawn, and the
+    * screen must equal q61's oracle with the bench side restricted
+    * to the SURVIVORS. Both failure directions hash-mismatch: a
+    * screen still reading tombstoned rows over-counts every train
+    * doc sharing the withdrawn suite's unique grams, while a
+    * tombstone that removed by GRAM rather than by doc would drop
+    * grams the survivors also contributed and under-count. */
+  private def q280(s: SparkSession, dir: String): DataFrame =
+    ContamIndex.screen(s, q280State(s, dir),
+      Tables.documents(s, dir).filter(col("doc_id") % 50 =!= 0),
+      "text", "doc_id", LlmQueries.DecontN)
+  private val q280Cache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def q280State(s: SparkSession, dir: String): String =
+    q280Cache.compute(sessionToken(s) + "|" + dir, { (_, prev) =>
+      if (prev != null && s.catalog.tableExists(prev)) prev
+      else {
+        val digest = java.security.MessageDigest.getInstance("SHA-1")
+          .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          .map(b => f"$b%02x").mkString.take(16)
+        val table = s"graft_contam_rtbf_$digest"
+        val out = java.nio.file.Files
+          .createTempDirectory("graft-contamidx-q280").toString
+        val docs = Tables.documents(s, dir)
+        ContamIndex.write(docs.filter(col("doc_id") % 50 === 0),
+          "text", "doc_id", LlmQueries.DecontN, s"$out/idx", table)
+        ContamIndex.forget(s, table,
+          docs.filter(col("doc_id") % 100 === 0).select(col("doc_id")))
+        table
+      }
+    })
+  private val q280Sql =
+    LlmQueries.q61SqlBench("doc_id % 50 = 0 AND doc_id % 100 <> 0")
+
+  // --------------------------------------------------------- q281
+  /** Stream-maintenance parity for the decontamination index: the
+    * eval suites arrive as a STREAM ([[ContamIndex.maintainStream]] —
+    * absorb under a checkpointed foreachBatch), with the first
+    * arrival REDELIVERED in-gate (the at-least-once crash replay —
+    * [[ContamIndex.absorb]] of the same suite again, byte-identical
+    * (id, gram) rows). The screen must STILL equal q61's from-scratch
+    * oracle: its distinct-live-grams read collapses the replay by
+    * construction, so a double-counted gram CANNOT inflate
+    * shared_grams — effectively exactly-once maintenance without a
+    * transaction log, physically deduped by the next compact. */
+  private def q281(s: SparkSession, dir: String): DataFrame =
+    ContamIndex.screen(s, q281State(s, dir),
+      Tables.documents(s, dir).filter(col("doc_id") % 50 =!= 0),
+      "text", "doc_id", LlmQueries.DecontN)
+  private val q281Cache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def q281State(s: SparkSession, dir: String): String =
+    q281Cache.compute(sessionToken(s) + "|" + dir, { (_, prev) =>
+      if (prev != null && s.catalog.tableExists(prev)) prev
+      else {
+        val digest = java.security.MessageDigest.getInstance("SHA-1")
+          .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          .map(b => f"$b%02x").mkString.take(16)
+        val table = s"graft_contam_strm_$digest"
+        val out = java.nio.file.Files
+          .createTempDirectory("graft-contamidx-q281").toString
+        val bench = Tables.documents(s, dir)
+          .filter(col("doc_id") % 50 === 0)
+          .select(col("doc_id"), col("text"))
+        val e0 = bench.filter(col("doc_id") % 100 === 0)
+        val e1 = bench.filter(col("doc_id") % 100 =!= 0)
+        e0.coalesce(1).write.parquet(s"$out/in")
+        e1.coalesce(1).write.mode("append").parquet(s"$out/in")
+        val q = ContamIndex.maintainStream(
+          s.readStream.schema(e0.schema).option("maxFilesPerTrigger", 1)
+            .parquet(s"$out/in"),
+          "text", "doc_id", LlmQueries.DecontN, s"$out/idx", table,
+          s"$out/ckpt")
+        try q.processAllAvailable() finally q.stop()
+        // crash replay: one suite absorbed AGAIN — byte-identical
+        // rows the screen's distinct read must collapse
+        ContamIndex.absorb(e0, "text", "doc_id", LlmQueries.DecontN,
+          s"$out/idx", table)
+        table
+      }
+    })
+  private val q281Sql = LlmQueries.q61Sql
+
+  // --------------------------------------------------------- q282
+  /** The decontamination screen through its store's GEOMETRY
+    * MIGRATION — the q266/q274 shape on [[ContamIndex]]: the index is
+    * written deliberately small (2 buckets), the second suite
+    * absorbed under that geometry, then [[DedupIndex.maybeRebucket]]
+    * must migrate FROM THE TABLE'S OWN ROW COUNT (a ~rows/16 target
+    * puts a 2-bucket table ≥ 2× out of band for any index of ≥ 32
+    * gram rows — `require`d, a silent no-op fails the gate; the
+    * generation swap carries the `graft.scheme`/`graft.n` stamps, so
+    * the post-migration screen still validates its gram order). The
+    * screen under the migrated geometry must equal q61's oracle. */
+  private def q282(s: SparkSession, dir: String): DataFrame =
+    ContamIndex.screen(s, q282State(s, dir),
+      Tables.documents(s, dir).filter(col("doc_id") % 50 =!= 0),
+      "text", "doc_id", LlmQueries.DecontN)
+  private val q282Cache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def q282State(s: SparkSession, dir: String): String =
+    q282Cache.compute(sessionToken(s) + "|" + dir, { (_, prev) =>
+      if (prev != null && s.catalog.tableExists(prev)) prev
+      else {
+        val digest = java.security.MessageDigest.getInstance("SHA-1")
+          .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          .map(b => f"$b%02x").mkString.take(16)
+        val table = s"graft_contam_pol_$digest"
+        val out = java.nio.file.Files
+          .createTempDirectory("graft-contamidx-q282").toString
+        val bench = Tables.documents(s, dir)
+          .filter(col("doc_id") % 50 === 0)
+        ContamIndex.write(bench.filter(col("doc_id") % 100 === 0),
+          "text", "doc_id", LlmQueries.DecontN, s"$out/idx", table,
+          buckets = 2)
+        ContamIndex.absorb(bench.filter(col("doc_id") % 100 =!= 0),
+          "text", "doc_id", LlmQueries.DecontN, s"$out/idx", table,
+          buckets = 2)
+        val rows = s.table(table).count()
+        require(rows >= 32,
+          s"q282 needs >= 32 gram rows for the policy budget, got $rows")
+        require(
+          DedupIndex.maybeRebucket(s, table, math.max(1L, rows / 16)),
+          s"policy must migrate a 2-bucket gram index holding $rows " +
+            s"rows at a ~${rows / 16}-rows-per-bucket target")
+        table
+      }
+    })
+  private val q282Sql = LlmQueries.q61Sql
+
   val queries: Map[String, Q] = Map(
     "q168_kmv_distinct" -> q168 _,
     "q169_minhash_error" -> q169 _,
@@ -5781,7 +5957,11 @@ object CurationQueries {
     "q275_temperature_mix_rtbf" -> q275 _,
     "q276_bm25_df_cap" -> q276 _,
     "q277_ivm_dsir" -> q277 _,
-    "q278_dsir_rtbf" -> q278 _)
+    "q278_dsir_rtbf" -> q278 _,
+    "q279_incremental_decontam" -> q279 _,
+    "q280_decontam_rtbf" -> q280 _,
+    "q281_decontam_stream" -> q281 _,
+    "q282_decontam_rebucket_policy" -> q282 _)
 
   val oracleSql: Map[String, String] = Map(
     "q168_kmv_distinct" -> q168Sql,
@@ -5894,5 +6074,9 @@ object CurationQueries {
     "q275_temperature_mix_rtbf" -> q275Sql,
     "q276_bm25_df_cap" -> q276Sql,
     "q277_ivm_dsir" -> q277Sql,
-    "q278_dsir_rtbf" -> q278Sql)
+    "q278_dsir_rtbf" -> q278Sql,
+    "q279_incremental_decontam" -> q279Sql,
+    "q280_decontam_rtbf" -> q280Sql,
+    "q281_decontam_stream" -> q281Sql,
+    "q282_decontam_rebucket_policy" -> q282Sql)
 }

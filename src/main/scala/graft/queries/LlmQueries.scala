@@ -739,7 +739,7 @@ object LlmQueries {
     * this corpus' tiny vocabulary). The eval side is broadcast — the
     * training corpus is never shuffled. See
     * [[graft.ops.Dedup.decontaminate]] for the 100 TB shape. */
-  private val DecontN = 3
+  private[queries] val DecontN = 3
   private def q61(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     Dedup.decontaminate(
@@ -747,15 +747,20 @@ object LlmQueries {
       bench = docs.filter(col("doc_id") % 50 === 0),
       textCol = "text", idCol = "doc_id", n = DecontN)
   }
-  private val q61Sql =
+  /** q61's oracle with the BENCH membership parameterized — shared
+    * with the maintained-screen gates (CurationQueries q279–q282),
+    * whose eval-set index holds exactly the docs `benchPred` selects
+    * (the train side is fixed at q61's `doc_id % 50 <> 0`). */
+  private[queries] def q61SqlBench(benchPred: String): String =
     s"""WITH sh AS (SELECT doc_id,
        |  list_distinct(${shinglesSqlK(DecontN)}) AS grams FROM documents),
        |ex AS (SELECT doc_id, unnest(grams) AS gram FROM sh),
-       |bench AS (SELECT DISTINCT gram FROM ex WHERE doc_id % 50 = 0)
+       |bench AS (SELECT DISTINCT gram FROM ex WHERE $benchPred)
        |SELECT e.doc_id, count(*) AS shared_grams
        |FROM ex e JOIN bench USING (gram)
        |WHERE e.doc_id % 50 <> 0
        |GROUP BY e.doc_id""".stripMargin
+  private[queries] val q61Sql = q61SqlBench("doc_id % 50 = 0")
 
   // --------------------------------------------------------- q62
   /** PII scrubbing: emails, phone-shaped spans, and ≥2-digit runs in
