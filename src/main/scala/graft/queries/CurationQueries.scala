@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.ops.{AggState, AnnIndex, CcState, ContamIndex, Dedup, DedupIndex, Layout, MediaBlob, Multimodal, SearchIndex, Similarity, TextAnalysis}
+import graft.ops.{AggState, AnnIndex, CcState, ContamIndex, Dedup, DedupIndex, Layout, MediaBlob, Multimodal, SearchIndex, SemDedupIndex, Similarity, TextAnalysis}
 import graft.queries.LlmQueries.{distSql, AnnK, Bands, BandsCte, BucketSql,
   CosSql, JaccardThreshold, LshPlanes, RowsPerBand, ShingleK, ShinglesSql,
   WsSplit}
@@ -5846,6 +5846,190 @@ object CurationQueries {
     })
   private val q282Sql = LlmQueries.q61Sql
 
+  // --------------------------------------------------------- q283
+  /** Incremental SemDeDup — q122's semantic-dedup keep set with the
+    * cluster/pair/CC work MAINTAINED ([[SemDedupIndex]]): day 0
+    * pins the quantizer, persists the assigned vectors, and settles
+    * the resident×resident pairs into a [[CcState]] label store; day
+    * 1's embeddings are absorbed at delta cost (assign against the
+    * pinned centroids, probe the touched cells for cross pairs,
+    * self-join the batch for internal pairs, contracted-delta CC).
+    * The maintained keep set must equal q122's from-scratch oracle
+    * over the FULL corpus: a probe that missed a resident cross pair
+    * splits a cluster (wrong rep / spurious kept=true), a re-derived
+    * resident pair set or re-derived centroids would be a different
+    * composition than the one this gate pins. The day-1 slice
+    * excludes ids < nClusters, so the day-0 quantizer IS the full
+    * corpus's lowest-id quantizer — the oracle's centroid CTE. */
+  private def q283(s: SparkSession, dir: String): DataFrame =
+    SemDedupIndex.keep(s, q283State(s, dir)._2)
+  private val q283Cache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  private def q283State(s: SparkSession, dir: String): (String, String) =
+    q283Cache.compute(sessionToken(s) + "|" + dir, { (_, prev) =>
+      if (prev != null && s.catalog.tableExists(prev._1)) prev
+      else {
+        val digest = java.security.MessageDigest.getInstance("SHA-1")
+          .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          .map(b => f"$b%02x").mkString.take(16)
+        val table = s"graft_semdedup_$digest"
+        val out = java.nio.file.Files
+          .createTempDirectory("graft-semdedup-q283").toString
+        val emb = Tables.embeddings(s, dir)
+        val day1 = emb.filter(col("vec_id") % 10 === 7 &&
+          col("vec_id") >= LlmQueries.IvfClusters)
+        val day0 = emb.filter(!(col("vec_id") % 10 === 7 &&
+          col("vec_id") >= LlmQueries.IvfClusters))
+        SemDedupIndex.write(day0, LlmQueries.IvfClusters,
+          LlmQueries.SemDedupTau, s"$out/cent", s"$out/idx", table,
+          s"$out/cc", s"$out/edges")
+        SemDedupIndex.absorb(day1, LlmQueries.IvfClusters,
+          LlmQueries.SemDedupTau, s"$out/cent", s"$out/idx", table,
+          s"$out/cc", s"$out/edges")
+        (table, s"$out/cc")
+      }
+    })
+  private val q283Sql = LlmQueries.q122Sql
+
+  // --------------------------------------------------------- q284
+  /** Right-to-be-forgotten for the maintained SemDeDup composition:
+    * the full corpus is indexed, then every non-centroid vec_id ≡ 3
+    * (mod 10) vector is withdrawn ([[SemDedupIndex.forget]] —
+    * tombstones in the assigned store + [[CcState.deleteNodes]]'s
+    * component-local recompute from surviving edges). The keep set
+    * must equal q122's oracle over the SURVIVORS with the quantizer
+    * UNCHANGED (centroids pinned at write — the oracle's centroid CTE
+    * stays unfiltered deliberately; withdrawing a centroid is a
+    * re-quantization, i.e. a scheduled write rebuild, not a forget):
+    * a delete that dropped whole components over-forgets, one that
+    * left the victims' edges in place keeps clustering the survivors
+    * THROUGH a forgotten vector — both hash-mismatch. The oracle is
+    * the q253 shape: the surviving pair graph's closure with every
+    * ORIGINALLY-clustered survivor seeded — a survivor whose every
+    * near-dup was forgotten stays visible as its own kept=true
+    * singleton (the store's deliberate [[CcState.deleteNodes]]
+    * semantics, decision-equivalent to q122's implicit keep but
+    * explicit, so the prune decision for a once-clustered vector
+    * never silently flips on a forget). */
+  private def q284(s: SparkSession, dir: String): DataFrame =
+    SemDedupIndex.keep(s, q284State(s, dir)._2)
+  private val q284Cache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  private def q284State(s: SparkSession, dir: String): (String, String) =
+    q284Cache.compute(sessionToken(s) + "|" + dir, { (_, prev) =>
+      if (prev != null && s.catalog.tableExists(prev._1)) prev
+      else {
+        val digest = java.security.MessageDigest.getInstance("SHA-1")
+          .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          .map(b => f"$b%02x").mkString.take(16)
+        val table = s"graft_semdedup_rtbf_$digest"
+        val out = java.nio.file.Files
+          .createTempDirectory("graft-semdedup-q284").toString
+        val emb = Tables.embeddings(s, dir)
+        SemDedupIndex.write(emb, LlmQueries.IvfClusters,
+          LlmQueries.SemDedupTau, s"$out/cent", s"$out/idx", table,
+          s"$out/cc", s"$out/edges")
+        SemDedupIndex.forget(s,
+          emb.filter(col("vec_id") % 10 === 3 &&
+              col("vec_id") >= LlmQueries.IvfClusters)
+            .select(col("vec_id")),
+          table, s"$out/cc", s"$out/edges")
+        (table, s"$out/cc")
+      }
+    })
+  private val q284Victim =
+    s"(vec_id % 10 = 3 AND vec_id >= ${LlmQueries.IvfClusters})"
+  private val q284Sql =
+    s"""WITH RECURSIVE cents AS (SELECT vec_id AS cluster,
+       |    embedding::DOUBLE[] AS c
+       |  FROM embeddings ORDER BY vec_id LIMIT ${LlmQueries.IvfClusters}),
+       |base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |assigned AS (
+       |  SELECT vec_id, v, cluster FROM (
+       |    SELECT b.vec_id, b.v, cents.cluster,
+       |      ROW_NUMBER() OVER (PARTITION BY b.vec_id
+       |        ORDER BY ${distSql("b.v", "cents.c")} ASC, cents.cluster ASC)
+       |        AS rn
+       |    FROM base b, cents) WHERE rn = 1),
+       |vpairs AS (
+       |  SELECT id_a, id_b FROM (
+       |    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |      list_dot_product(a.v, b.v) /
+       |        (sqrt(list_dot_product(a.v, a.v)) *
+       |         sqrt(list_dot_product(b.v, b.v))) AS cos
+       |    FROM assigned a JOIN assigned b
+       |      ON a.cluster = b.cluster AND a.vec_id < b.vec_id)
+       |  WHERE cos >= ${LlmQueries.SemDedupTau}),
+       |alln AS (SELECT DISTINCT vec_id AS node FROM (
+       |    SELECT id_a AS vec_id FROM vpairs
+       |    UNION ALL SELECT id_b FROM vpairs)
+       |  WHERE NOT $q284Victim),
+       |surv AS (SELECT id_a, id_b FROM vpairs
+       |  WHERE NOT (id_a % 10 = 3 AND id_a >= ${LlmQueries.IvfClusters})
+       |    AND NOT (id_b % 10 = 3 AND id_b >= ${LlmQueries.IvfClusters})),
+       |edges AS (SELECT id_a AS s, id_b AS d FROM surv
+       |          UNION ALL SELECT id_b, id_a FROM surv),
+       |reach AS (SELECT node, node AS r FROM alln
+       |          UNION
+       |          SELECT e.s, r.r FROM edges e JOIN reach r ON r.node = e.d)
+       |SELECT node AS vec_id, CAST(MIN(r) AS BIGINT) AS cluster_rep,
+       |       node = MIN(r) AS kept
+       |FROM reach GROUP BY node""".stripMargin
+
+  // --------------------------------------------------------- q285
+  /** Stream-maintenance parity for the SemDeDup composition: day 1
+    * arrives as a STREAM of embedding micro-batches
+    * ([[SemDedupIndex.maintainStream]] — absorb under a checkpointed
+    * foreachBatch), with the first batch REDELIVERED in-gate (the
+    * at-least-once crash replay). The keep set must STILL equal
+    * q122's full-corpus oracle: the replay re-derives byte-identical
+    * pairs — CC is idempotent under re-unioned edges and every edge
+    * read distincts — so a replayed batch can neither split nor merge
+    * a cluster. (The replayed ABSORB also re-probes against residents
+    * that now include the batch's own first copy; the id≠id guard and
+    * pair idempotence make that invisible too.) */
+  private def q285(s: SparkSession, dir: String): DataFrame =
+    SemDedupIndex.keep(s, q285State(s, dir)._2)
+  private val q285Cache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  private def q285State(s: SparkSession, dir: String): (String, String) =
+    q285Cache.compute(sessionToken(s) + "|" + dir, { (_, prev) =>
+      if (prev != null && s.catalog.tableExists(prev._1)) prev
+      else {
+        val digest = java.security.MessageDigest.getInstance("SHA-1")
+          .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          .map(b => f"$b%02x").mkString.take(16)
+        val table = s"graft_semdedup_strm_$digest"
+        val out = java.nio.file.Files
+          .createTempDirectory("graft-semdedup-q285").toString
+        val emb = Tables.embeddings(s, dir)
+        val day1 = emb.filter(col("vec_id") % 10 === 7 &&
+          col("vec_id") >= LlmQueries.IvfClusters)
+        val day0 = emb.filter(!(col("vec_id") % 10 === 7 &&
+          col("vec_id") >= LlmQueries.IvfClusters))
+        SemDedupIndex.write(day0, LlmQueries.IvfClusters,
+          LlmQueries.SemDedupTau, s"$out/cent", s"$out/idx", table,
+          s"$out/cc", s"$out/edges")
+        val d1a = day1.filter(col("vec_id") % 20 === 7)
+        val d1b = day1.filter(col("vec_id") % 20 =!= 7)
+        d1a.coalesce(1).write.parquet(s"$out/in")
+        d1b.coalesce(1).write.mode("append").parquet(s"$out/in")
+        val q = SemDedupIndex.maintainStream(
+          s.readStream.schema(d1a.schema).option("maxFilesPerTrigger", 1)
+            .parquet(s"$out/in"),
+          LlmQueries.IvfClusters, LlmQueries.SemDedupTau, s"$out/cent",
+          s"$out/idx", table, s"$out/cc", s"$out/edges", s"$out/ckpt")
+        try q.processAllAvailable() finally q.stop()
+        // crash replay: one micro-batch absorbed AGAIN — CC must
+        // collapse the re-derived pairs
+        SemDedupIndex.absorb(d1a, LlmQueries.IvfClusters,
+          LlmQueries.SemDedupTau, s"$out/cent", s"$out/idx", table,
+          s"$out/cc", s"$out/edges")
+        (table, s"$out/cc")
+      }
+    })
+  private val q285Sql = LlmQueries.q122Sql
+
   val queries: Map[String, Q] = Map(
     "q168_kmv_distinct" -> q168 _,
     "q169_minhash_error" -> q169 _,
@@ -5961,7 +6145,10 @@ object CurationQueries {
     "q279_incremental_decontam" -> q279 _,
     "q280_decontam_rtbf" -> q280 _,
     "q281_decontam_stream" -> q281 _,
-    "q282_decontam_rebucket_policy" -> q282 _)
+    "q282_decontam_rebucket_policy" -> q282 _,
+    "q283_incremental_semdedup" -> q283 _,
+    "q284_semdedup_rtbf" -> q284 _,
+    "q285_semdedup_stream" -> q285 _)
 
   val oracleSql: Map[String, String] = Map(
     "q168_kmv_distinct" -> q168Sql,
@@ -6078,5 +6265,8 @@ object CurationQueries {
     "q279_incremental_decontam" -> q279Sql,
     "q280_decontam_rtbf" -> q280Sql,
     "q281_decontam_stream" -> q281Sql,
-    "q282_decontam_rebucket_policy" -> q282Sql)
+    "q282_decontam_rebucket_policy" -> q282Sql,
+    "q283_incremental_semdedup" -> q283Sql,
+    "q284_semdedup_rtbf" -> q284Sql,
+    "q285_semdedup_stream" -> q285Sql)
 }

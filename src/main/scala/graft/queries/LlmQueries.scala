@@ -415,7 +415,7 @@ object LlmQueries {
     * the query's 2 nearest cells, brute-force cosine inside them.
     * Distances use the dot-product identity so both engines fold
     * identically. */
-  private val IvfClusters = 8
+  private[queries] val IvfClusters = 8
   private val IvfProbe = 2
   private def q43(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
@@ -1781,7 +1781,7 @@ object LlmQueries {
     * cell, pairs >= 0.35 reported with id_a < id_b. Comparison cost is
     * sum over cells of |cell|^2, never N^2 — the oracle replays the
     * assignment and the within-cell pair join verbatim. */
-  private val SemDedupTau = 0.35
+  private[queries] val SemDedupTau = 0.35
   private def q118(s: SparkSession, dir: String): DataFrame =
     Similarity.semDedupPairs(Tables.embeddings(s, dir), IvfClusters,
       SemDedupTau)
@@ -1815,10 +1815,17 @@ object LlmQueries {
   private def q122(s: SparkSession, dir: String): DataFrame =
     Similarity.semDedupKeep(Tables.embeddings(s, dir), IvfClusters,
       SemDedupTau)
-  private val q122Sql =
+  /** q122's oracle with the CORPUS membership parameterized — shared
+    * with the maintained-SemDeDup gates (CurationQueries q283/q285;
+    * the RTBF gate q284 instead uses the q253-shaped seeded-reach
+    * variant, because [[graft.ops.CcState.deleteNodes]] deliberately
+    * keeps orphaned survivors as singleton labels). The centroid CTE
+    * stays UNFILTERED deliberately: the maintained composition pins
+    * its quantizer at write time. */
+  private[queries] def q122SqlWhere(basePred: String): String =
     s"""WITH RECURSIVE cents AS (SELECT vec_id AS cluster, embedding::DOUBLE[] AS c
        |               FROM embeddings ORDER BY vec_id LIMIT $IvfClusters),
-       |base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings$basePred),
        |assigned AS (
        |  SELECT vec_id, v, cluster FROM (
        |    SELECT b.vec_id, b.v, cents.cluster,
@@ -1843,6 +1850,7 @@ object LlmQueries {
        |SELECT node AS vec_id, CAST(MIN(r) AS BIGINT) AS cluster_rep,
        |       node = MIN(r) AS kept
        |FROM reach GROUP BY node""".stripMargin
+  private[queries] val q122Sql = q122SqlWhere("")
 
   // --------------------------------------------------------- q123
   /** Near-dup candidate-graph degree histogram
