@@ -112,8 +112,41 @@ object SemDedupIndex {
   def write(corpus: DataFrame, nClusters: Int, tau: Double,
       centPath: String, idxPath: String, table: String,
       ccPath: String, edgePath: String, buckets: Int = 32): Unit = {
-    val spark = corpus.sparkSession
     writeCentroids(corpus, nClusters, centPath)
+    buildFrom(corpus, nClusters, tau, centPath, idxPath, table,
+      ccPath, edgePath, buckets)
+  }
+
+  /** The scheduled RE-QUANTIZATION — [[write]] with a caller-supplied
+    * REFINED codebook `(cluster, c: array<double>)` (e.g.
+    * [[Similarity.kmeans]]'s Lloyd-refined centroids rebuilt from its
+    * exact scaled-integer moments) instead of the lowest-id sample.
+    * A full rebuild BY DESIGN: changing the quantizer moves every
+    * vector's cell, so the assigned store, the pair set, and the
+    * keep state are all re-derived under the new geometry — the
+    * compact cost class, run on the re-quantization schedule, never
+    * a tax on daily absorbs (which keep riding the pinned codebook
+    * until the next refinement lands). The refined codebook persists
+    * at `centPath`, so every later [[absorb]] assigns against IT. */
+  def requantize(corpus: DataFrame, centroids: DataFrame, tau: Double,
+      centPath: String, idxPath: String, table: String,
+      ccPath: String, edgePath: String, buckets: Int = 32): Unit = {
+    val cents = centroids
+      .select(col("cluster").cast("long").as("cluster"), col("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val k = cents.count()
+      require(k > 0, "requantize needs a non-empty codebook")
+      cents.coalesce(1).write.mode("overwrite").parquet(centPath)
+      buildFrom(corpus, k.toInt, tau, centPath, idxPath, table,
+        ccPath, edgePath, buckets)
+    } finally cents.unpersist()
+  }
+
+  private def buildFrom(corpus: DataFrame, nClusters: Int, tau: Double,
+      centPath: String, idxPath: String, table: String,
+      ccPath: String, edgePath: String, buckets: Int): Unit = {
+    val spark = corpus.sparkSession
     val a = assign(spark, centPath, corpus)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.ops.{AggState, AnnIndex, CcState, ContamIndex, Dedup, DedupIndex, Layout, MediaBlob, Multimodal, SearchIndex, SemDedupIndex, Similarity, TextAnalysis}
+import graft.ops.{AggState, AnnIndex, CcState, ContamIndex, Dedup, DedupIndex, Layout, MediaBlob, Multimodal, SearchIndex, SemDedupIndex, Similarity, TextAnalysis, WinnowIndex}
 import graft.queries.LlmQueries.{distSql, AnnK, Bands, BandsCte, BucketSql,
   CosSql, JaccardThreshold, LshPlanes, RowsPerBand, ShingleK, ShinglesSql,
   WsSplit}
@@ -6030,6 +6030,358 @@ object CurationQueries {
     })
   private val q285Sql = LlmQueries.q122Sql
 
+  // --------------------------------------------------------- q286
+  /** RE-QUANTIZATION for the maintained SemDeDup composition — the
+    * one claim the round-19 docs made in prose ("swap in
+    * k-means-refined centroids offline as a scheduled write rebuild")
+    * turned into gated code: a RUNNING composition (day 0 written
+    * under the lowest-id sample quantizer, day 1 absorbed) is rebuilt
+    * by [[SemDedupIndex.requantize]] under [[Similarity.kmeans]]'s
+    * Lloyd-refined codebook (2 iterations, k=4, q137's gate-exact
+    * moments; the codebook is rebuilt from the exact scaled-integer
+    * moments in the SAME unrounded s/n/10⁶ division order as the
+    * kmeans driver loop, so both engines land on bit-identical
+    * centroid doubles). The keep set under the refined quantizer must
+    * equal the oracle that unrolls both Lloyd iterations CTE-by-CTE
+    * (the shared [[LlmQueries.KmUnrolledCtes]] chain), rebuilds c3
+    * from m2, re-assigns every vector, and closes the within-cell
+    * pair graph: a rebuild that kept stale cells, a codebook that
+    * drifted by one ULP, or a tie broken toward a different cluster
+    * id all hash-mismatch. */
+  private def q286(s: SparkSession, dir: String): DataFrame =
+    SemDedupIndex.keep(s, q286State(s, dir)._2)
+  private val q286Cache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  private def q286State(s: SparkSession, dir: String): (String, String) =
+    q286Cache.compute(sessionToken(s) + "|" + dir, { (_, prev) =>
+      if (prev != null && s.catalog.tableExists(prev._1)) prev
+      else {
+        val digest = java.security.MessageDigest.getInstance("SHA-1")
+          .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          .map(b => f"$b%02x").mkString.take(16)
+        val table = s"graft_semdedup_rq_$digest"
+        val out = java.nio.file.Files
+          .createTempDirectory("graft-semdedup-q286").toString
+        val emb = Tables.embeddings(s, dir)
+        // the running composition the requantize replaces (the q283
+        // split): sample-quantizer write + one absorbed delta
+        val day1 = emb.filter(col("vec_id") % 10 === 7 &&
+          col("vec_id") >= LlmQueries.IvfClusters)
+        val day0 = emb.filter(!(col("vec_id") % 10 === 7 &&
+          col("vec_id") >= LlmQueries.IvfClusters))
+        SemDedupIndex.write(day0, LlmQueries.IvfClusters,
+          LlmQueries.SemDedupTau, s"$out/cent", s"$out/idx", table,
+          s"$out/cc", s"$out/edges")
+        SemDedupIndex.absorb(day1, LlmQueries.IvfClusters,
+          LlmQueries.SemDedupTau, s"$out/cent", s"$out/idx", table,
+          s"$out/cc", s"$out/edges")
+        // the refined codebook, rebuilt from the kmeans moments in
+        // the driver loop's exact unrounded division order
+        val cents = Similarity.kmeans(emb, "embedding", "vec_id",
+            LlmQueries.KmK, LlmQueries.KmIters)
+          .select(col("cluster"), col("pos"),
+            (col("sum_scaled").cast("double") / col("cnt") /
+              lit(1000000d)).as("cv"))
+          .groupBy(col("cluster"))
+          .agg(array_sort(collect_list(struct(col("pos"), col("cv"))))
+            .as("a"))
+          .select(col("cluster"),
+            transform(col("a"), x => x.getField("cv")).as("c"))
+        SemDedupIndex.requantize(emb, cents, LlmQueries.SemDedupTau,
+          s"$out/cent2", s"$out/idx2", table, s"$out/cc",
+          s"$out/edges")
+        (table, s"$out/cc")
+      }
+    })
+  private val q286Sql =
+    s"""WITH RECURSIVE ${LlmQueries.KmUnrolledCtes},
+       |c3 AS (SELECT cluster AS cl,
+       |         list(CAST(s AS DOUBLE) / n / 1000000.0 ORDER BY pos) AS c
+       |       FROM m2 GROUP BY 1),
+       |assigned AS (
+       |  SELECT vec_id, v, cl AS cluster FROM (
+       |    SELECT e.vec_id, e.v, c3.cl,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${distSql("e.v", "c3.c")} ASC, c3.cl ASC)
+       |        AS rn
+       |    FROM e, c3) WHERE rn = 1),
+       |vpairs AS (
+       |  SELECT id_a, id_b FROM (
+       |    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |      list_dot_product(a.v, b.v) /
+       |        (sqrt(list_dot_product(a.v, a.v)) *
+       |         sqrt(list_dot_product(b.v, b.v))) AS cos
+       |    FROM assigned a JOIN assigned b
+       |      ON a.cluster = b.cluster AND a.vec_id < b.vec_id)
+       |  WHERE cos >= ${LlmQueries.SemDedupTau}),
+       |edges AS (SELECT id_a AS s, id_b AS d FROM vpairs
+       |          UNION ALL SELECT id_b, id_a FROM vpairs),
+       |reach AS (SELECT DISTINCT s AS node, s AS r FROM edges
+       |          UNION
+       |          SELECT e2.s, r.r FROM edges e2 JOIN reach r ON r.node = e2.d)
+       |SELECT node AS vec_id, CAST(MIN(r) AS BIGINT) AS cluster_rep,
+       |       node = MIN(r) AS kept
+       |FROM reach GROUP BY node""".stripMargin
+
+  // --------------------------------------------------------- q287
+  /** Incremental unigram-LM surprisal — q72's CCNet-discipline
+    * fluency filter with the corpus word recount replaced by a
+    * MAINTAINED LM store, scoring only the arriving batch (the q277
+    * deployment shape on the unigram kind): one [[AggState]] count
+    * store keyed by word absorbs each day's occurrences, the batch's
+    * per-word counts ride the pruned [[AggState.mergedFor]]
+    * point-lookup (≤ the batch words' buckets, never the vocabulary
+    * scan), the corpus total is one aggregate over the summary, and
+    * scoring is [[LlmQueries.surprisalScore]] — q72's exact column
+    * tree including the position-ordered fold, so the maintained path
+    * lands on bit-identical doubles. Oracle: q72's CTE chain with the
+    * final per-doc scores restricted to the batch (the LM stays
+    * corpus-wide — exactly what the store holds after the absorb). */
+  private def q287(s: SparkSession, dir: String): DataFrame =
+    surprisalBatchScore(s, q287State(s, dir),
+      Tables.documents(s, dir).filter(col("doc_id") % 10 === 0))
+  /** Score `batch` against the maintained unigram LM store at `path`
+    * — shared by q287 (absorb lifecycle) and q288 (RTBF): per-word
+    * counts through the pruned point-lookup, the corpus total from
+    * one summary aggregate, the q72 column tree via
+    * [[LlmQueries.surprisalScore]]. */
+  private[graft] def surprisalBatchScore(s: SparkSession, path: String,
+      batch: DataFrame): DataFrame = {
+    // feeds the lookup's key set AND the score join — persist, or
+    // each consumer re-runs the posexplode
+    val w = LlmQueries.surprisalWords(batch)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val freq = AggState
+      .mergedFor(s, path, w.select(col("word").as("w")), Seq("w"),
+        SurpBucket)
+      .select(col("w").as("word"), col("n").as("c"))
+    val tot = AggState.merged(s, path, Seq("w"))
+      .agg(sum(col("n")).as("n"))
+    LlmQueries.surprisalScore(w, freq, tot)
+  }
+  private[graft] def SurpBucket = AggState.hashBucketsOf("w", 8)
+  /** The (w, one) occurrence rows the unigram LM store aggregates —
+    * one per word occurrence (shared by the q287/q288 builders). */
+  private[graft] def surpStoreRows(docs: DataFrame): DataFrame =
+    LlmQueries.surprisalWords(docs)
+      .select(col("word").as("w")).withColumn("one", lit(1.0))
+  private val q287StateCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def q287State(s: SparkSession, dir: String): String =
+    q287StateCache.computeIfAbsent(dir, { _ =>
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-aggstate-q287").toString
+      val docs = Tables.documents(s, dir)
+      AggState.write(
+        surpStoreRows(docs.filter(col("doc_id") % 10 =!= 0)),
+        Seq("w"), "one", 1, SurpBucket, s"$out/state")
+      AggState.absorb(s, s"$out/state",
+        surpStoreRows(docs.filter(col("doc_id") % 10 === 0)),
+        Seq("w"), "one", 1, SurpBucket)
+      s"$out/state"
+    })
+  private val q287Sql =
+    LlmQueries.q72SqlScored("", " WHERE doc_id % 10 = 0")
+
+  // --------------------------------------------------------- q288
+  /** Right-to-be-forgotten for the unigram LM store — the q278
+    * symmetry on q287's composition: the LM is built over the FULL
+    * corpus, then every doc_id ≡ 10 (mod 20)'s word occurrences are
+    * retracted ([[AggState.retract]] — exact integers; words
+    * retracted to zero become n=0 tombstones every read filters, so
+    * they leave the vocabulary too). The victims deliberately overlap
+    * the scored batch (≡ 10 (mod 20) ⊂ ≡ 0 (mod 10)), so the gate
+    * pins BOTH effects: forgotten docs stop being scored, and every
+    * surviving score shifts through the shrunken counts and total — a
+    * filter that keeps pricing fluency by forgotten documents' words
+    * hash-mismatches on every row. Oracle: q72's chain over the
+    * surviving corpus, scoring the surviving batch. */
+  private def q288(s: SparkSession, dir: String): DataFrame =
+    surprisalBatchScore(s, q288State(s, dir),
+      Tables.documents(s, dir).filter(col("doc_id") % 10 === 0 &&
+        col("doc_id") % 20 =!= 10))
+  private val q288StateCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def q288State(s: SparkSession, dir: String): String =
+    q288StateCache.computeIfAbsent(dir, { _ =>
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-aggstate-q288").toString
+      val docs = Tables.documents(s, dir)
+      AggState.write(surpStoreRows(docs), Seq("w"), "one", 1,
+        SurpBucket, s"$out/state")
+      AggState.retract(s, s"$out/state",
+        surpStoreRows(docs.filter(col("doc_id") % 20 === 10)),
+        Seq("w"), "one", 1, SurpBucket)
+      s"$out/state"
+    })
+  private val q288Sql = LlmQueries.q72SqlScored(
+    " WHERE doc_id % 20 <> 10",
+    " WHERE doc_id % 10 = 0 AND doc_id % 20 <> 10")
+
+  // --------------------------------------------------------- q289
+  /** Incremental winnow-overlap search — q52's substring-level
+    * plagiarism detector with the fingerprint work MAINTAINED
+    * ([[WinnowIndex]] — the [[SearchIndex]] composition shape applied
+    * to overlap search): the resident corpus's fingerprint postings
+    * and the per-fingerprint dfs (q52's boilerplate-cap input) are
+    * persisted once, a day's batch is absorbed at delta cost, and the
+    * probe answers "which docs does this batch overlap" from ≤ the
+    * batch fingerprints' buckets — with boilerplate fingerprints
+    * dropped via the maintained df store BEFORE the join, so a hot
+    * fingerprint can never fan the probe out corpus-wide. Must equal
+    * q52's from-scratch oracle restricted to pairs touching the
+    * batch: a probe that read a tombstone, missed the absorbed
+    * postings, or capped against stale dfs (the cap counts the WHOLE
+    * corpus including the batch — exactly the from-scratch HAVING)
+    * all hash-mismatch. */
+  private def q289(s: SparkSession, dir: String): DataFrame = {
+    val (table, dfPath) = q289State(s, dir)
+    WinnowIndex.overlapProbe(s, table, dfPath,
+      Tables.documents(s, dir).filter(col("doc_id") % 10 === 0),
+      "text", "doc_id", LlmQueries.WinnowK, LlmQueries.WinnowW,
+      LlmQueries.WinnowMinShared, LlmQueries.WinnowMaxDocsPerFp)
+  }
+  private val q289Cache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  private def q289State(s: SparkSession, dir: String): (String, String) =
+    q289Cache.compute(sessionToken(s) + "|" + dir, { (_, prev) =>
+      if (prev != null && s.catalog.tableExists(prev._1)) prev
+      else {
+        val digest = java.security.MessageDigest.getInstance("SHA-1")
+          .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          .map(b => f"$b%02x").mkString.take(16)
+        val table = s"graft_winnow_$digest"
+        val out = java.nio.file.Files
+          .createTempDirectory("graft-winnowidx-q289").toString
+        val docs = Tables.documents(s, dir)
+        WinnowIndex.write(docs.filter(col("doc_id") % 10 =!= 0),
+          "text", "doc_id", LlmQueries.WinnowK, LlmQueries.WinnowW,
+          LlmQueries.WinnowMaxDocsPerFp, s"$out/df", s"$out/idx", table)
+        WinnowIndex.absorb(docs.filter(col("doc_id") % 10 === 0),
+          "text", "doc_id", LlmQueries.WinnowK, LlmQueries.WinnowW,
+          LlmQueries.WinnowMaxDocsPerFp, s"$out/df", s"$out/idx", table)
+        (table, s"$out/df")
+      }
+    })
+  private val q289Sql = LlmQueries.q52SqlFor("",
+    " WHERE id_a % 10 = 0 OR id_b % 10 = 0")
+
+  // --------------------------------------------------------- q290
+  /** Right-to-be-forgotten for the winnow composition: the full
+    * corpus is indexed, every doc_id ≡ 0 (mod 20) withdrawn
+    * ([[WinnowIndex.forget]] — postings tombstone + EXACT df
+    * retraction from the victims' own fingerprints), then the
+    * surviving batch (≡ 10 mod 20) is probed. Must equal q52's
+    * oracle over the SURVIVORS: forgotten docs vanish from every
+    * pair, and — the sharp edge this gate exists for — a fingerprint
+    * whose df dropped back under the boilerplate cap when its
+    * victims left STARTS generating pairs again; a forget that only
+    * tombstoned the postings but left the df store fat would keep
+    * suppressing those fingerprints and under-report survivors'
+    * overlaps. */
+  private def q290(s: SparkSession, dir: String): DataFrame = {
+    val (table, dfPath) = q290State(s, dir)
+    WinnowIndex.overlapProbe(s, table, dfPath,
+      Tables.documents(s, dir).filter(col("doc_id") % 20 === 10),
+      "text", "doc_id", LlmQueries.WinnowK, LlmQueries.WinnowW,
+      LlmQueries.WinnowMinShared, LlmQueries.WinnowMaxDocsPerFp)
+  }
+  private val q290Cache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  private def q290State(s: SparkSession, dir: String): (String, String) =
+    q290Cache.compute(sessionToken(s) + "|" + dir, { (_, prev) =>
+      if (prev != null && s.catalog.tableExists(prev._1)) prev
+      else {
+        val digest = java.security.MessageDigest.getInstance("SHA-1")
+          .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          .map(b => f"$b%02x").mkString.take(16)
+        val table = s"graft_winnow_rtbf_$digest"
+        val out = java.nio.file.Files
+          .createTempDirectory("graft-winnowidx-q290").toString
+        val docs = Tables.documents(s, dir)
+        WinnowIndex.write(docs, "text", "doc_id", LlmQueries.WinnowK,
+          LlmQueries.WinnowW, LlmQueries.WinnowMaxDocsPerFp,
+          s"$out/df", s"$out/idx", table)
+        WinnowIndex.forget(docs.filter(col("doc_id") % 20 === 0),
+          "text", "doc_id", LlmQueries.WinnowK, LlmQueries.WinnowW,
+          s"$out/df", table)
+        (table, s"$out/df")
+      }
+    })
+  private val q290Sql = LlmQueries.q52SqlFor(
+    " WHERE doc_id % 20 <> 0",
+    " WHERE id_a % 20 = 10 OR id_b % 20 = 10")
+
+  // --------------------------------------------------------- q291
+  /** Stream-maintenance parity for the winnow composition: day 1
+    * arrives as a STREAM ([[WinnowIndex.maintainStream]] — postings
+    * append + one [[AggState.appendDelta]] df EPOCH LAYER per
+    * micro-batch under a checkpointed foreachBatch), with batch 0
+    * REDELIVERED in-gate under ITS OWN epoch id — read from the
+    * checkpoint's source manifest, never assumed from file order (the
+    * q272 discipline; ADVICE r18's mtime hazard). The probe must
+    * STILL equal q289's from-scratch oracle: a replay that
+    * double-counted a df would push fingerprints over the boilerplate
+    * cap and DROP true pairs (the sharp edge — df inflation here
+    * silently loses recall, it doesn't inflate counts), while the
+    * postings duplicates collapse in the probe's distinct. */
+  private def q291(s: SparkSession, dir: String): DataFrame = {
+    val (table, dfPath) = q291State(s, dir)
+    WinnowIndex.overlapProbe(s, table, dfPath,
+      Tables.documents(s, dir).filter(col("doc_id") % 10 === 0),
+      "text", "doc_id", LlmQueries.WinnowK, LlmQueries.WinnowW,
+      LlmQueries.WinnowMinShared, LlmQueries.WinnowMaxDocsPerFp)
+  }
+  private val q291Cache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  private def q291State(s: SparkSession, dir: String): (String, String) =
+    q291Cache.compute(sessionToken(s) + "|" + dir, { (_, prev) =>
+      if (prev != null && s.catalog.tableExists(prev._1)) prev
+      else {
+        val digest = java.security.MessageDigest.getInstance("SHA-1")
+          .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          .map(b => f"$b%02x").mkString.take(16)
+        val table = s"graft_winnow_strm_$digest"
+        val out = java.nio.file.Files
+          .createTempDirectory("graft-winnowidx-q291").toString
+        val docs = Tables.documents(s, dir)
+        WinnowIndex.write(docs.filter(col("doc_id") % 10 =!= 0),
+          "text", "doc_id", LlmQueries.WinnowK, LlmQueries.WinnowW,
+          LlmQueries.WinnowMaxDocsPerFp, s"$out/df", s"$out/idx", table)
+        val day1 = docs.filter(col("doc_id") % 10 === 0)
+          .select(col("doc_id"), col("text"))
+        val e0 = day1.filter(col("doc_id") % 20 === 0)
+        val e1 = day1.filter(col("doc_id") % 20 =!= 0)
+        e0.coalesce(1).write.parquet(s"$out/in")
+        e1.coalesce(1).write.mode("append").parquet(s"$out/in")
+        val q = WinnowIndex.maintainStream(
+          s.readStream.schema(e0.schema).option("maxFilesPerTrigger", 1)
+            .parquet(s"$out/in"),
+          "text", "doc_id", LlmQueries.WinnowK, LlmQueries.WinnowW,
+          LlmQueries.WinnowMaxDocsPerFp, s"$out/df", s"$out/idx", table,
+          s"$out/ckpt")
+        try q.processAllAvailable() finally q.stop()
+        // crash redelivery: replay exactly the files the CHECKPOINT
+        // says batch 0 held, under epoch 0 (the q272 manifest read —
+        // FileStreamSource orders by mtime, so the e0 parquet file
+        // must never be ASSUMED to be batch 0)
+        val batch0Files = java.nio.file.Files
+          .readString(java.nio.file.Paths.get(s"$out/ckpt/sources/0/0"))
+          .linesIterator
+          .flatMap("\"path\":\"([^\"]+)\"".r
+            .findFirstMatchIn(_).map(_.group(1)))
+          .toSeq
+        require(batch0Files.nonEmpty,
+          "checkpoint must record batch 0's files")
+        WinnowIndex.absorbEpoch(
+          s.read.schema(e0.schema).parquet(batch0Files: _*), 0L,
+          "text", "doc_id", LlmQueries.WinnowK, LlmQueries.WinnowW,
+          LlmQueries.WinnowMaxDocsPerFp, s"$out/df", s"$out/idx", table)
+        (table, s"$out/df")
+      }
+    })
+  private val q291Sql = q289Sql
+
   val queries: Map[String, Q] = Map(
     "q168_kmv_distinct" -> q168 _,
     "q169_minhash_error" -> q169 _,
@@ -6148,7 +6500,13 @@ object CurationQueries {
     "q282_decontam_rebucket_policy" -> q282 _,
     "q283_incremental_semdedup" -> q283 _,
     "q284_semdedup_rtbf" -> q284 _,
-    "q285_semdedup_stream" -> q285 _)
+    "q285_semdedup_stream" -> q285 _,
+    "q286_semdedup_requantize" -> q286 _,
+    "q287_ivm_surprisal" -> q287 _,
+    "q288_surprisal_rtbf" -> q288 _,
+    "q289_incremental_winnow" -> q289 _,
+    "q290_winnow_rtbf" -> q290 _,
+    "q291_winnow_stream" -> q291 _)
 
   val oracleSql: Map[String, String] = Map(
     "q168_kmv_distinct" -> q168Sql,
@@ -6268,5 +6626,11 @@ object CurationQueries {
     "q282_decontam_rebucket_policy" -> q282Sql,
     "q283_incremental_semdedup" -> q283Sql,
     "q284_semdedup_rtbf" -> q284Sql,
-    "q285_semdedup_stream" -> q285Sql)
+    "q285_semdedup_stream" -> q285Sql,
+    "q286_semdedup_requantize" -> q286Sql,
+    "q287_ivm_surprisal" -> q287Sql,
+    "q288_surprisal_rtbf" -> q288Sql,
+    "q289_incremental_winnow" -> q289Sql,
+    "q290_winnow_rtbf" -> q290Sql,
+    "q291_winnow_stream" -> q291Sql)
 }

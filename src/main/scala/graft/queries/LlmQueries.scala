@@ -453,8 +453,8 @@ object LlmQueries {
   // --------------------------------------------------------- q44
   /** Winnowing fingerprints (k-gram rolling hash + window minima —
     * Schleimer et al. SIGMOD'03) per document. */
-  private val WinnowK = 8
-  private val WinnowW = 4
+  private[queries] val WinnowK = 8
+  private[queries] val WinnowW = 4
   private def q44(s: SparkSession, dir: String): DataFrame =
     Dedup.winnowFingerprint(Tables.documents(s, dir), "text", "doc_id",
       WinnowK, WinnowW)
@@ -632,13 +632,22 @@ object LlmQueries {
     * fingerprints — substring-level partial-overlap detection (the
     * plagiarism-detector shape), distinct from whole-doc Jaccard
     * (q28/q48) and from equal-sketch clustering (q44). */
-  private val WinnowMinShared = 3
-  private val WinnowMaxDocsPerFp = 10
+  private[queries] val WinnowMinShared = 3
+  private[queries] val WinnowMaxDocsPerFp = 10
   private def q52(s: SparkSession, dir: String): DataFrame =
     Dedup.winnowOverlapPairs(Tables.documents(s, dir), "text", "doc_id",
       WinnowK, WinnowW, WinnowMinShared, WinnowMaxDocsPerFp)
       .select(col("id_a"), col("id_b"), col("n_shared"))
-  private val q52Sql = {
+  /** q52's oracle with the CORPUS membership and an outer pair
+    * predicate parameterized — shared with the maintained-winnow
+    * gates (CurationQueries q289/q290): `corpusWhere` restricts the
+    * docs whose fingerprints exist (the RTBF survivors — the
+    * boilerplate cap's dfs recompute over them, so a fingerprint
+    * whose df drops back under the cap re-enters), `pairWhere`
+    * restricts the reported pairs (e.g. to those touching the probed
+    * batch). */
+  private[queries] def q52SqlFor(corpusWhere: String,
+      pairWhere: String): String = {
     val k = WinnowK; val w = WinnowW
     s"""WITH hs AS (
        |  SELECT doc_id,
@@ -646,7 +655,7 @@ object LlmQueries {
        |      THEN list_transform(range(1, length(text) - $k + 2),
        |             i -> ('0x' || substr(md5(substr(text, i, $k)), 1, 12))::BIGINT)
        |      ELSE [] END AS h
-       |  FROM documents),
+       |  FROM documents$corpusWhere),
        |wins AS (
        |  SELECT doc_id,
        |    CASE WHEN len(h) = 0 THEN []
@@ -658,11 +667,14 @@ object LlmQueries {
        |fps AS (SELECT doc_id, unnest(list_distinct(wmins)) AS fp FROM wins),
        |keep AS (SELECT fp FROM fps GROUP BY fp
        |         HAVING count(*) <= $WinnowMaxDocsPerFp),
-       |rare AS (SELECT f.* FROM fps f JOIN keep USING (fp))
-       |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
-       |FROM rare a JOIN rare b ON a.fp = b.fp AND a.doc_id < b.doc_id
-       |GROUP BY 1, 2 HAVING count(*) >= $WinnowMinShared""".stripMargin
+       |rare AS (SELECT f.* FROM fps f JOIN keep USING (fp)),
+       |prs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+       |  FROM rare a JOIN rare b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2 HAVING count(*) >= $WinnowMinShared)
+       |SELECT id_a, id_b, n_shared FROM prs$pairWhere""".stripMargin
   }
+  private val q52Sql = q52SqlFor("", "")
 
   // --------------------------------------------------------- q57
   /** Deterministic hash-based corpus split (train/val/test) — the
@@ -976,16 +988,21 @@ object LlmQueries {
     * POSITION-ORDERED left fold on both engines (`aggregate` HOF here,
     * `list_reduce` there) — a plain SUM would fold in shuffle order and
     * flip low bits. */
-  private def q72(s: SparkSession, dir: String): DataFrame = {
-    val t = Tables.documents(s, dir)
-      .select(col("doc_id"), Dedup.words(col("text")).as("ws"))
-    val w = t.select(col("doc_id"), posexplode(col("ws")).as(Seq("pos", "word")))
-    // persist the vocabulary: it feeds both the lookup join and the
-    // corpus total, and Catalyst would otherwise re-scan the corpus to
-    // rebuild it for each consumer (three full passes instead of two)
-    val freq = w.groupBy(col("word")).agg(count(lit(1)).as("c"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val tot = freq.agg(sum(col("c")).as("n"))
+  /** The position-exploded word stream `(doc_id, pos, word)` — q72's
+    * input projection, shared with the incremental scorer
+    * (CurationQueries q287/q288), whose maintained LM store aggregates
+    * exactly these rows. */
+  private[queries] def surprisalWords(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), Dedup.words(col("text")).as("ws"))
+      .select(col("doc_id"), posexplode(col("ws")).as(Seq("pos", "word")))
+
+  /** The q72 scoring tail — per-position log-prob, position-ordered
+    * fold, per-doc mean — over caller-supplied counts: `freq` is
+    * (word, c), `tot` is a 1-row (n). The batch path (q72) and the
+    * maintained-store path (q287/q288) share the column tree by
+    * construction, so both land on bit-identical doubles. */
+  private[queries] def surprisalScore(w: DataFrame, freq: DataFrame,
+      tot: DataFrame): DataFrame = {
     val lp = w.join(freq, "word").crossJoin(broadcast(tot))
       .select(col("doc_id"), col("pos"),
         log(col("c").cast("double") / col("n").cast("double")).as("lpw"))
@@ -1002,8 +1019,26 @@ object LlmQueries {
           (acc, x) => acc + x.getField("lpw")) / col("n_toks").cast("double"), 6)
           .as("surprisal"))
   }
-  private val q72Sql =
-    s"""WITH t AS (SELECT doc_id, $WsSplit AS ws FROM documents),
+
+  private def q72(s: SparkSession, dir: String): DataFrame = {
+    val w = surprisalWords(Tables.documents(s, dir))
+    // persist the vocabulary: it feeds both the lookup join and the
+    // corpus total, and Catalyst would otherwise re-scan the corpus to
+    // rebuild it for each consumer (three full passes instead of two)
+    val freq = w.groupBy(col("word")).agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = freq.agg(sum(col("c")).as("n"))
+    surprisalScore(w, freq, tot)
+  }
+  /** q72's oracle with the LM corpus and the scored set parameterized
+    * — shared with the incremental-surprisal gates (CurationQueries
+    * q287/q288): `corpusWhere` restricts the docs the LM counts (the
+    * RTBF survivors), `scoredWhere` restricts the final per-doc
+    * scores to the arriving batch (the LM stays corpus-wide — exactly
+    * what the maintained store holds). */
+  private[queries] def q72SqlScored(corpusWhere: String,
+      scoredWhere: String): String =
+    s"""WITH t AS (SELECT doc_id, $WsSplit AS ws FROM documents$corpusWhere),
        |w AS (SELECT doc_id, unnest(ws) AS word, generate_subscripts(ws, 1) AS pos FROM t),
        |freq AS (SELECT word, COUNT(*) AS c FROM w GROUP BY 1),
        |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM freq),
@@ -1012,8 +1047,9 @@ object LlmQueries {
        |agg AS (SELECT doc_id,
        |    list_reduce(list(lpw ORDER BY pos), (a, b) -> a + b) AS s,
        |    COUNT(*) AS n_toks
-       |  FROM lp GROUP BY doc_id)
+       |  FROM lp$scoredWhere GROUP BY doc_id)
        |SELECT doc_id, n_toks, round(-s / n_toks::DOUBLE, 6) AS surprisal FROM agg""".stripMargin
+  private val q72Sql = q72SqlScored("", "")
 
   // --------------------------------------------------------- q73
   /** Token chunking: 16-token windows, 4-token overlap (stride 12) —
@@ -2232,40 +2268,47 @@ object LlmQueries {
     * v·v − 2v·c + c·c in the same fold order), scaled-integer moment
     * sums for each M-step, `s/n/10⁶` codebook rebuild in the same
     * division order. */
-  private val KmK = 4
-  private val KmIters = 2
+  private[queries] val KmK = 4
+  private[queries] val KmIters = 2
   private def q137(s: SparkSession, dir: String): DataFrame =
     Similarity.kmeans(Tables.embeddings(s, dir), "embedding", "vec_id",
       KmK, KmIters)
-  private val q137Sql = {
-    def estep(centsRel: String) =
-      s"""SELECT vec_id, v, cl AS cluster FROM (
-         |    SELECT e.vec_id, e.v, $centsRel.cl,
-         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
-         |        ORDER BY ${distSql("e.v", s"$centsRel.c")} ASC,
-         |          $centsRel.cl ASC) AS rn
-         |    FROM e, $centsRel) WHERE rn = 1""".stripMargin
-    def mstep(assignRel: String) =
-      s"""SELECT cluster, pos,
-         |    CAST(SUM(CAST(round(vel * 1000000) AS BIGINT)) AS BIGINT) AS s,
-         |    CAST(COUNT(*) AS BIGINT) AS n
-         |  FROM (SELECT cluster, unnest(v) AS vel,
-         |          generate_subscripts(v, 1) AS pos FROM $assignRel)
-         |  GROUP BY 1, 2""".stripMargin
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+  private def kmEstepSql(centsRel: String) =
+    s"""SELECT vec_id, v, cl AS cluster FROM (
+       |    SELECT e.vec_id, e.v, $centsRel.cl,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${distSql("e.v", s"$centsRel.c")} ASC,
+       |          $centsRel.cl ASC) AS rn
+       |    FROM e, $centsRel) WHERE rn = 1""".stripMargin
+  private def kmMstepSql(assignRel: String) =
+    s"""SELECT cluster, pos,
+       |    CAST(SUM(CAST(round(vel * 1000000) AS BIGINT)) AS BIGINT) AS s,
+       |    CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM (SELECT cluster, unnest(v) AS vel,
+       |          generate_subscripts(v, 1) AS pos FROM $assignRel)
+       |  GROUP BY 1, 2""".stripMargin
+  /** The 2-iteration Lloyd unroll as a reusable CTE chain (`e` →
+    * `seed` → `a1` → `m1` → `c2` → `a2` → `m2`) — shared by q137's
+    * moment output and the maintained-SemDeDup re-quantization gate
+    * (CurationQueries q286), whose oracle rebuilds the refined
+    * codebook from `m2` exactly as [[Similarity.kmeans]]'s driver
+    * loop does. */
+  private[queries] val KmUnrolledCtes: String =
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |seed AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl, v AS c
        |         FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $KmK)),
-       |a1 AS (${estep("seed")}),
-       |m1 AS (${mstep("a1")}),
+       |a1 AS (${kmEstepSql("seed")}),
+       |m1 AS (${kmMstepSql("a1")}),
        |c2 AS (SELECT cluster AS cl,
        |         list(CAST(s AS DOUBLE) / n / 1000000.0 ORDER BY pos) AS c
        |       FROM m1 GROUP BY 1),
-       |a2 AS (${estep("c2")}),
-       |m2 AS (${mstep("a2")})
+       |a2 AS (${kmEstepSql("c2")}),
+       |m2 AS (${kmMstepSql("a2")})""".stripMargin
+  private val q137Sql =
+    s"""WITH $KmUnrolledCtes
        |SELECT cluster, CAST(pos - 1 AS INT) AS pos, s AS sum_scaled,
        |  n AS cnt, round(CAST(s AS DOUBLE) / n / 1000000.0, 6) AS centroid
        |FROM m2""".stripMargin
-  }
 
   // --------------------------------------------------------- q138
   /** Cross-source near-dup overlap matrix: per source pair, how many

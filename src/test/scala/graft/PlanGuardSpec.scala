@@ -54,7 +54,9 @@ class PlanGuardSpec extends SparkSpec {
     "q275_temperature_mix_rtbf", // same 1-row sides as q273/q151
     "q276_bm25_df_cap", // same two 1-row broadcast sides as q270
     "q277_ivm_dsir",    // LM totals: exactly one aggregate row (q150)
-    "q278_dsir_rtbf")   // same 1-row LM-totals side as q277/q150
+    "q278_dsir_rtbf",   // same 1-row LM-totals side as q277/q150
+    "q287_ivm_surprisal", // LM total: exactly one aggregate row (q72)
+    "q288_surprisal_rtbf") // same 1-row LM-total side as q287/q72
 
   test("no query plans a cartesian product; nested loops only where bounded") {
     val dir = "/root/testdata/sf0.001"

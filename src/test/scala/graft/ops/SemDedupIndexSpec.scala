@@ -88,6 +88,34 @@ class SemDedupIndexSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS sdidx_rtbf")
   }
 
+  test("requantize restamps the geometry: later absorbs must ride the refined codebook's k") {
+    val out = Files.createTempDirectory("graft-semdedup").toString
+    build(out, "sdidx_rq", day0)
+    try {
+      val refined = Similarity.kmeans(day0, "embedding", "vec_id", 4, 2)
+        .select(col("cluster"), col("pos"),
+          (col("sum_scaled").cast("double") / col("cnt") /
+            lit(1000000d)).as("cv"))
+        .groupBy(col("cluster"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("cv"))))
+          .as("a"))
+        .select(col("cluster"),
+          transform(col("a"), x => x.getField("cv")).as("c"))
+      SemDedupIndex.requantize(day0, refined, Tau, s"$out/cent2",
+        s"$out/idx2", "sdidx_rq", s"$out/cc", s"$out/edges")
+      // the old sample-quantizer k must now fail loudly...
+      val e = intercept[IllegalArgumentException] {
+        SemDedupIndex.absorb(day1, K, Tau, s"$out/cent2", s"$out/idx2",
+          "sdidx_rq", s"$out/cc", s"$out/edges")
+      }
+      e.getMessage should include("nClusters=4")
+      // ...and the refined k absorbs cleanly against the new codebook
+      SemDedupIndex.absorb(day1, 4, Tau, s"$out/cent2", s"$out/idx2",
+        "sdidx_rq", s"$out/cc", s"$out/edges")
+      keepMap(SemDedupIndex.keep(spark, s"$out/cc")) should not be empty
+    } finally spark.sql("DROP TABLE IF EXISTS sdidx_rq")
+  }
+
   test("absorb with a drifted tau fails loudly against the stamp") {
     val out = Files.createTempDirectory("graft-semdedup").toString
     build(out, "sdidx_drift", day0)
