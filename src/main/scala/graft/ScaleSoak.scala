@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.{GraftSession, Tables}
-import graft.ops.{AggState, AnnIndex, Dedup, DedupIndex, SearchIndex, TextAnalysis}
+import graft.ops.{AggState, AnnIndex, ContamIndex, Dedup, DedupIndex, SearchIndex, SemDedupIndex, TextAnalysis, WinnowIndex}
 
 /** Scale-evidence soak (VERDICT r8, next-round item 1): every 100 TB
   * claim in SCALE.md rested on sf0.1 measurements alone, so this main
@@ -228,6 +228,107 @@ object ScaleSoak {
           Seq("g"), "tgtocc", 1,
           graft.queries.CurationQueries.DsirBucket, s"$out/state")
         n -> s"$out/state"
+      }
+
+    // maintained-decontamination arms (round 19): the eval-set gram
+    // index grows with scale (every copy contributes its doc_id%50
+    // bench docs), the timed bodies are what a daily run pays.
+    //  - contam_screen_scaled: a FIXED train batch (the base corpus's
+    //    %50<>0 docs) screened against the grown index — the cost is
+    //    the fixed train scan + doc-keyed aggregation plus the LIVE
+    //    GRAM distinct+broadcast, which tracks the EVAL STORE (tiny
+    //    even at 30x), never a gram-keyed shuffle of the train side.
+    //  - contam_absorb_scaled: a FIXED suite absorbed — a blind
+    //    delta-sized bucket append, resident files untouched: flat.
+    //    Replayed absorbs are invisible to answers (every screen
+    //    distincts), so runs share one table per scale; separate
+    //    tables per arm so appends never contaminate the screen arm.
+    val ContamSoakN = 3
+    def buildContamIdx(tag: String): Map[Int, (String, String)] =
+      dirs.map { case (n, d) =>
+        val table = s"graft_soak_$tag$n"
+        spark.sql(s"DROP TABLE IF EXISTS $table")
+        val out = Files.createTempDirectory(s"graft-soak-$tag$n").toString
+        ContamIndex.write(
+          Tables.documents(spark, d).filter(col("doc_id") % 50 === 0),
+          "text", "doc_id", ContamSoakN, s"$out/idx", table)
+        n -> (table, s"$out/idx")
+      }
+    val contamIdx: Map[Int, (String, String)] =
+      if (!armOn("contam_screen_scaled")) Map.empty
+      else buildContamIdx("contam")
+    val contamAbsIdx: Map[Int, (String, String)] =
+      if (!armOn("contam_absorb_scaled")) Map.empty
+      else buildContamIdx("contamabs")
+
+    // maintained-winnow arms (round 19): the plagiarism-search
+    // composition's daily cycle against a resident corpus growing
+    // with scale.
+    //  - winnow_probe_scaled: a FIXED batch (base %10=0, absorbed
+    //    untimed at prep so the read-your-writes cap contract holds)
+    //    probed — the read is ≤ the batch fingerprints' buckets with
+    //    fan-out capped at maxDocsPerFp per key, so the contract is
+    //    ~flat; the df point-lookup reads only the batch
+    //    fingerprints' buckets.
+    //  - winnow_absorb_scaled: the FIXED batch absorbed — delta
+    //    fingerprinting + bucket append + df absorb into touched
+    //    buckets: flat. Separate tables per arm (the contam
+    //    discipline) so the absorb arm's repeat appends never drift
+    //    the probe arm's cap decisions.
+    val WinSoak = (8, 4, 3, 10) // (k, w, minShared, maxDocsPerFp)
+    // the fixed daily batch, re-keyed FAR outside every synthesized
+    // copy's id range (copies use i·IdStride for i < 30) so it is a
+    // genuinely new arrival at every scale — never an id collision
+    // with a resident replica
+    def winSoakBatch(s: SparkSession): DataFrame =
+      Tables.documents(s, base).filter(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000L * IdStride)
+    def buildWinnowIdx(tag: String,
+        preAbsorbProbeBatch: Boolean): Map[Int, (String, String)] =
+      dirs.map { case (n, d) =>
+        val (wk, ww, _, wcap) = WinSoak
+        val table = s"graft_soak_$tag$n"
+        spark.sql(s"DROP TABLE IF EXISTS $table")
+        val out = Files.createTempDirectory(s"graft-soak-$tag$n").toString
+        WinnowIndex.write(Tables.documents(spark, d), "text", "doc_id",
+          wk, ww, wcap, s"$out/df", s"$out/idx", table)
+        if (preAbsorbProbeBatch)
+          WinnowIndex.absorb(winSoakBatch(spark), "text", "doc_id",
+            wk, ww, wcap, s"$out/df", s"$out/idx", table)
+        n -> (table, s"$out/df")
+      }
+    val winnowProbeIdx: Map[Int, (String, String)] =
+      if (!armOn("winnow_probe_scaled")) Map.empty
+      else buildWinnowIdx("winprobe", preAbsorbProbeBatch = true)
+    val winnowAbsorbIdx: Map[Int, (String, String)] =
+      if (!armOn("winnow_absorb_scaled")) Map.empty
+      else buildWinnowIdx("winabs", preAbsorbProbeBatch = false)
+
+    // maintained-SemDeDup arm (round 19): a FIXED embedding delta
+    // absorbed into a store grown with scale UNDER THE
+    // RE-QUANTIZATION SCHEDULE (nClusters ∝ scale so cell population
+    // stays ~constant — the soakPlanes/IVF discipline applied to the
+    // coarse quantizer; holding k fixed would grow every cell
+    // linearly and time a mis-operated store). Timed: assign (one
+    // codegen pass, O(|batch|·k) — k here grows with scale, at
+    // production sized ~√N), the touched cells' probe (~constant
+    // population by the discipline), the batch's within-cell
+    // self-join, delta-contracted CC. Absorb mutates, but a replayed
+    // absorb is invisible by construction (the q285 argument), so
+    // runs share one store per scale. State built untimed per scale.
+    val SemSoakCells = 8
+    val SemSoakTau = 0.35
+    val semIdx: Map[Int, (String, String)] =
+      if (!armOn("semdedup_absorb_scaled")) Map.empty
+      else dirs.map { case (n, d) =>
+        val table = s"graft_soak_semdedup_x$n"
+        spark.sql(s"DROP TABLE IF EXISTS $table")
+        val out = Files
+          .createTempDirectory(s"graft-soak-semdedup-x$n").toString
+        SemDedupIndex.write(Tables.embeddings(spark, d),
+          SemSoakCells * n, SemSoakTau, s"$out/cent", s"$out/idx",
+          table, s"$out/cc", s"$out/edges")
+        n -> (table, out)
       }
 
     // band-index delete/compact arms (round 15; per-run tables since
@@ -824,6 +925,40 @@ object ScaleSoak {
             .filter(col("id") =!= col("new_id"))
             .select(col("new_id"), col("id").as("resident_id"))
             .distinct()
+        }) :+
+        // round-19 maintained-composition arms (see the prep blocks):
+        ("contam_screen_scaled" -> { (s: SparkSession, _: String, n: Int) =>
+          ContamIndex.screen(s, contamIdx(n)._1,
+            Tables.documents(s, base).filter(col("doc_id") % 50 =!= 0),
+            "text", "doc_id", ContamSoakN)
+        }) :+
+        ("contam_absorb_scaled" -> { (s: SparkSession, _: String, n: Int) =>
+          val (table, path) = contamAbsIdx(n)
+          ContamIndex.absorb(
+            Tables.documents(s, base).filter(col("doc_id") % 50 === 0),
+            "text", "doc_id", ContamSoakN, path, table)
+          s.range(1).toDF("ok")
+        }) :+
+        ("semdedup_absorb_scaled" -> { (s: SparkSession, _: String, n: Int) =>
+          val (table, out) = semIdx(n)
+          SemDedupIndex.absorb(
+            Tables.embeddings(s, base).filter(col("vec_id") % 10 === 7),
+            SemSoakCells * n, SemSoakTau, s"$out/cent", s"$out/idx",
+            table, s"$out/cc", s"$out/edges")
+          s.range(1).toDF("ok")
+        }) :+
+        ("winnow_probe_scaled" -> { (s: SparkSession, _: String, n: Int) =>
+          val (wk, ww, wmin, wcap) = WinSoak
+          val (table, dfPath) = winnowProbeIdx(n)
+          WinnowIndex.overlapProbe(s, table, dfPath, winSoakBatch(s),
+            "text", "doc_id", wk, ww, wmin, wcap)
+        }) :+
+        ("winnow_absorb_scaled" -> { (s: SparkSession, _: String, n: Int) =>
+          val (wk, ww, _, wcap) = WinSoak
+          val (table, dfPath) = winnowAbsorbIdx(n)
+          WinnowIndex.absorb(winSoakBatch(s), "text", "doc_id",
+            wk, ww, wcap, dfPath, s"unused-$table", table)
+          s.range(1).toDF("ok")
         })
 
     val selected = bodies.filter(b => armOn(b._1))
