@@ -5249,10 +5249,11 @@ object CurationQueries {
         (table, s"$out/stats")
       }
     })
-  /** q49's CTE chain verbatim (same literals, same fold order) with
-    * the shared zero-hit restriction; `where` narrows the corpus for
-    * the RTBF gate. */
-  private def bm25OracleSql(where: String): String = {
+  /** q49's BM25 CTE prefix (`tf` → `stats` → `bm`, same literals,
+    * same fold order, the shared zero-hit restriction) — shared by
+    * [[bm25OracleSql]]'s top-k gates and the hybrid-retrieval oracle
+    * (q292), which fuses `bm`'s cut with an ANN list. */
+  private def bm25CoreCtes(where: String): String = {
     def termScore(i: Int) =
       s"""ln(((n_docs - df$i) + 0.5) / (df$i + 0.5) + 1.0) *
          |  ((tf$i * (1.2 + 1.0)) /
@@ -5264,7 +5265,7 @@ object CurationQueries {
       .map(i => s"count(*) FILTER (tf$i > 0) AS df$i").mkString(", ")
     val scoreExpr = Bm25IdxTerms.indices.map(termScore).mkString(" + ")
     val hit = Bm25IdxTerms.indices.map(i => s"tf$i").mkString(" + ")
-    s"""WITH tf AS (
+    s"""tf AS (
        |  SELECT doc_id, len($WsSplit)::BIGINT AS dl, $tfCols
        |  FROM documents$where),
        |stats AS (
@@ -5272,10 +5273,15 @@ object CurationQueries {
        |  FROM tf),
        |bm AS (
        |  SELECT doc_id, dl, round($scoreExpr, 6) AS score FROM tf, stats
-       |  WHERE $hit > 0)
+       |  WHERE $hit > 0)""".stripMargin
+  }
+
+  /** q49's CTE chain verbatim with the top-k cut; `where` narrows the
+    * corpus for the RTBF gate. */
+  private def bm25OracleSql(where: String): String =
+    s"""WITH ${bm25CoreCtes(where)}
        |SELECT doc_id, dl, score FROM bm
        |ORDER BY score DESC, doc_id ASC LIMIT $Bm25IdxK""".stripMargin
-  }
   private val q270Sql = bm25OracleSql("")
 
   // --------------------------------------------------------- q271
@@ -6382,6 +6388,208 @@ object CurationQueries {
     })
   private val q291Sql = q289Sql
 
+  // --------------------------------------------------------- q292
+  /** Hybrid retrieval over MAINTAINED indexes — q140's α-score-fusion
+    * (the Vespa/Weaviate alpha blend) with BOTH retriever lists
+    * answered from persisted, incrementally-maintained state: the
+    * lexical list from the [[SearchIndex]] BM25 triple (q270's
+    * maintained state, reused read-only), the semantic list from the
+    * persisted multi-probe [[AnnIndex]] (q204's index, reused
+    * read-only). This is the production hybrid stack's read path —
+    * the corpus is scanned by NEITHER side (the BM25 list reads ≤
+    * \|terms\| literal-pruned posting buckets + one stats row, the
+    * ANN list reads planes+1 hyperplane buckets), and fusion touches
+    * only the two parameter-bounded cuts. The oracle rebuilds both
+    * lists from scratch (q49's BM25 CTEs; q188's multi-probe chain
+    * for query vector 0) and fuses with q140's exact min-max/α
+    * formula — either maintained index answering even one row off its
+    * from-scratch cut shifts a normalized score and hash-mismatches
+    * the fused list. */
+  private def q292(s: SparkSession, dir: String): DataFrame = {
+    val (table, statsPath) = q270State(s, dir)
+    val lexN = SearchIndex
+      .bm25TopK(s, table, statsPath, Bm25IdxTerms, Bm25IdxK)
+      .select(col("id").as("doc_id"), col("score").as("sc"))
+    val emb = Tables.embeddings(s, dir)
+    val qs = emb.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val semN = AnnIndex.topK(s, q204Index(s, dir), qs, AnnK)
+      .select(col("vec_id").as("doc_id"), col("cos_sim").as("cs"))
+    val lex = lexN.crossJoin(broadcast(
+        lexN.agg(min(col("sc")).as("lo"), max(col("sc")).as("hi"))))
+      .select(col("doc_id"),
+        ((col("sc") - col("lo")) /
+          nullif(col("hi") - col("lo"), lit(0.0))).as("nl"))
+    val sem = semN.crossJoin(broadcast(
+        semN.agg(min(col("cs")).as("lo"), max(col("cs")).as("hi"))))
+      .select(col("doc_id"),
+        ((col("cs") - col("lo")) /
+          nullif(col("hi") - col("lo"), lit(0.0))).as("ns"))
+    lex.join(sem, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        round(coalesce(lit(LlmQueries.FuseAlpha) * col("nl"), lit(0.0)) +
+          coalesce(lit(LlmQueries.FuseBeta) * col("ns"), lit(0.0)), 6)
+          .as("fused"))
+      .orderBy(col("fused").desc, col("doc_id"))
+      .limit(LlmQueries.RrfTopK)
+  }
+  private val q292Sql =
+    s"""WITH ${bm25CoreCtes("")},
+       |lexn AS (SELECT doc_id, score AS sc FROM bm
+       |         ORDER BY score DESC, doc_id ASC LIMIT $Bm25IdxK),
+       |base AS (SELECT vec_id, embedding AS e, embedding::DOUBLE[] AS vd FROM embeddings),
+       |b AS (SELECT vec_id, vd, $BucketSql AS bucket FROM base),
+       |q0 AS (SELECT vec_id AS q_id, bucket FROM b WHERE vec_id = 0),
+       |probes AS (
+       |  SELECT q_id, unnest(list_prepend(bucket,
+       |    list_transform(range(1, $LshPlanes + 1), i ->
+       |      substr(bucket, 1, i - 1) ||
+       |      (CASE WHEN substr(bucket, i, 1) = '1' THEN '0' ELSE '1' END) ||
+       |      substr(bucket, i + 1, $LshPlanes - i)))) AS bucket
+       |  FROM q0),
+       |cand AS (SELECT DISTINCT p.q_id, c.vec_id
+       |         FROM probes p JOIN b c USING (bucket) WHERE c.vec_id <> p.q_id),
+       |scn AS (SELECT cand.q_id, cand.vec_id, qq.vd AS qv, cc.vd AS v
+       |       FROM cand JOIN b cc ON cand.vec_id = cc.vec_id
+       |         JOIN b qq ON cand.q_id = qq.vec_id),
+       |semn AS (SELECT vec_id AS doc_id, round(cos, 6) AS cs FROM (
+       |  SELECT q_id, vec_id, $CosSql AS cos,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY $CosSql DESC, vec_id) AS rn
+       |  FROM scn) WHERE rn <= $AnnK),
+       |lex AS (SELECT doc_id,
+       |          (sc - (SELECT min(sc) FROM lexn)) /
+       |            NULLIF((SELECT max(sc) FROM lexn) -
+       |                   (SELECT min(sc) FROM lexn), 0.0) AS nl
+       |        FROM lexn),
+       |sem AS (SELECT doc_id,
+       |          (cs - (SELECT min(cs) FROM semn)) /
+       |            NULLIF((SELECT max(cs) FROM semn) -
+       |                   (SELECT min(cs) FROM semn), 0.0) AS ns
+       |        FROM semn)
+       |SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+       |  round(COALESCE(${LlmQueries.FuseAlpha} * nl, 0.0) +
+       |        COALESCE(${LlmQueries.FuseBeta} * ns, 0.0), 6) AS fused
+       |FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+       |ORDER BY fused DESC, COALESCE(lex.doc_id, sem.doc_id)
+       |LIMIT ${LlmQueries.RrfTopK}""".stripMargin
+
+  // --------------------------------------------------------- q293
+  /** The SemDeDup composition through its assigned-store GEOMETRY
+    * MIGRATION — the q266/q274/q282 shape on [[SemDedupIndex]]: the
+    * store is written deliberately small (2 buckets), day 1 absorbed
+    * under that geometry (the probe's cross pairs ride the 2-bucket
+    * layout), then [[DedupIndex.maybeRebucket]] must migrate FROM THE
+    * TABLE'S OWN ROW COUNT (~rows/16 target, ≥ 2× out of band for any
+    * store of ≥ 32 assigned rows — `require`d; the generation swap
+    * carries the vector payload and the scheme/nClusters/tau stamps).
+    * The keep set afterwards must equal q122's oracle — and because
+    * the pair graph was settled BEFORE the migration, the gate also
+    * pins that a rebucket is a pure relayout: it must not re-derive,
+    * drop, or duplicate a single pair. */
+  private def q293(s: SparkSession, dir: String): DataFrame =
+    SemDedupIndex.keep(s, q293State(s, dir)._2)
+  private val q293Cache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  private def q293State(s: SparkSession, dir: String): (String, String) =
+    q293Cache.compute(sessionToken(s) + "|" + dir, { (_, prev) =>
+      if (prev != null && s.catalog.tableExists(prev._1)) prev
+      else {
+        val digest = java.security.MessageDigest.getInstance("SHA-1")
+          .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          .map(b => f"$b%02x").mkString.take(16)
+        val table = s"graft_semdedup_pol_$digest"
+        val out = java.nio.file.Files
+          .createTempDirectory("graft-semdedup-q293").toString
+        val emb = Tables.embeddings(s, dir)
+        val day1 = emb.filter(col("vec_id") % 10 === 7 &&
+          col("vec_id") >= LlmQueries.IvfClusters)
+        val day0 = emb.filter(!(col("vec_id") % 10 === 7 &&
+          col("vec_id") >= LlmQueries.IvfClusters))
+        SemDedupIndex.write(day0, LlmQueries.IvfClusters,
+          LlmQueries.SemDedupTau, s"$out/cent", s"$out/idx", table,
+          s"$out/cc", s"$out/edges", buckets = 2)
+        SemDedupIndex.absorb(day1, LlmQueries.IvfClusters,
+          LlmQueries.SemDedupTau, s"$out/cent", s"$out/idx", table,
+          s"$out/cc", s"$out/edges", buckets = 2)
+        val rows = s.table(table).count()
+        require(rows >= 32,
+          s"q293 needs >= 32 assigned rows for the policy budget, got $rows")
+        require(
+          DedupIndex.maybeRebucket(s, table, math.max(1L, rows / 16)),
+          s"policy must migrate a 2-bucket assigned store holding " +
+            s"$rows rows at a ~${rows / 16}-rows-per-bucket target")
+        (table, s"$out/cc")
+      }
+    })
+  private val q293Sql = LlmQueries.q122Sql
+
+  // --------------------------------------------------------- q294
+  /** Full maintenance schedule for the winnow PAIR in one lifecycle —
+    * the q272 "compact the whole triple" discipline: after q291's
+    * shape (write small at 2 buckets, stream day 1 as epoch layers),
+    * BOTH stores take their scheduled maintenance: the postings table
+    * migrates geometry ([[DedupIndex.maybeRebucket]] `require`d to
+    * fire from its own row count — the rewrite folds redelivery
+    * duplicates and carries the scheme stamps), and the df store's
+    * epoch layers are FORCED to fold ([[AggState.maybeCompactState]]
+    * with maxLayers=1 over ≥ 2 resident layers — `require`d,
+    * layer-count `require`d to land at 1). The probe after both must
+    * still equal q289's from-scratch oracle: a fold that summed a
+    * replayed layer twice pushes dfs over the cap and DROPS pairs, a
+    * migration that lost a posting drops a shared fingerprint. */
+  private def q294(s: SparkSession, dir: String): DataFrame = {
+    val (table, dfPath) = q294State(s, dir)
+    WinnowIndex.overlapProbe(s, table, dfPath,
+      Tables.documents(s, dir).filter(col("doc_id") % 10 === 0),
+      "text", "doc_id", LlmQueries.WinnowK, LlmQueries.WinnowW,
+      LlmQueries.WinnowMinShared, LlmQueries.WinnowMaxDocsPerFp)
+  }
+  private val q294Cache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  private def q294State(s: SparkSession, dir: String): (String, String) =
+    q294Cache.compute(sessionToken(s) + "|" + dir, { (_, prev) =>
+      if (prev != null && s.catalog.tableExists(prev._1)) prev
+      else {
+        val digest = java.security.MessageDigest.getInstance("SHA-1")
+          .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          .map(b => f"$b%02x").mkString.take(16)
+        val table = s"graft_winnow_pol_$digest"
+        val out = java.nio.file.Files
+          .createTempDirectory("graft-winnowidx-q294").toString
+        val docs = Tables.documents(s, dir)
+        WinnowIndex.write(docs.filter(col("doc_id") % 10 =!= 0),
+          "text", "doc_id", LlmQueries.WinnowK, LlmQueries.WinnowW,
+          LlmQueries.WinnowMaxDocsPerFp, s"$out/df", s"$out/idx", table,
+          buckets = 2)
+        val day1 = docs.filter(col("doc_id") % 10 === 0)
+        WinnowIndex.absorbEpoch(
+          day1.filter(col("doc_id") % 20 === 0), 0L, "text", "doc_id",
+          LlmQueries.WinnowK, LlmQueries.WinnowW,
+          LlmQueries.WinnowMaxDocsPerFp, s"$out/df", s"$out/idx", table,
+          buckets = 2)
+        WinnowIndex.absorbEpoch(
+          day1.filter(col("doc_id") % 20 =!= 0), 1L, "text", "doc_id",
+          LlmQueries.WinnowK, LlmQueries.WinnowW,
+          LlmQueries.WinnowMaxDocsPerFp, s"$out/df", s"$out/idx", table,
+          buckets = 2)
+        val rows = s.table(table).count()
+        require(rows >= 32,
+          s"q294 needs >= 32 posting rows for the policy budget, got $rows")
+        require(
+          DedupIndex.maybeRebucket(s, table, math.max(1L, rows / 16)),
+          s"policy must migrate a 2-bucket posting table holding " +
+            s"$rows rows at a ~${rows / 16}-rows-per-bucket target")
+        require(
+          AggState.maybeCompactState(s, s"$out/df", Seq("fp"),
+            maxLayers = 1L),
+          "3 resident df layers over a maxLayers=1 budget must compact")
+        require(AggState.layerCount(s, s"$out/df") == 1L,
+          "compaction must consolidate the df store to one layer")
+        (table, s"$out/df")
+      }
+    })
+  private val q294Sql = q289Sql
+
   val queries: Map[String, Q] = Map(
     "q168_kmv_distinct" -> q168 _,
     "q169_minhash_error" -> q169 _,
@@ -6506,7 +6714,10 @@ object CurationQueries {
     "q288_surprisal_rtbf" -> q288 _,
     "q289_incremental_winnow" -> q289 _,
     "q290_winnow_rtbf" -> q290 _,
-    "q291_winnow_stream" -> q291 _)
+    "q291_winnow_stream" -> q291 _,
+    "q292_hybrid_maintained" -> q292 _,
+    "q293_semdedup_rebucket_policy" -> q293 _,
+    "q294_winnow_maintenance" -> q294 _)
 
   val oracleSql: Map[String, String] = Map(
     "q168_kmv_distinct" -> q168Sql,
@@ -6632,5 +6843,8 @@ object CurationQueries {
     "q288_surprisal_rtbf" -> q288Sql,
     "q289_incremental_winnow" -> q289Sql,
     "q290_winnow_rtbf" -> q290Sql,
-    "q291_winnow_stream" -> q291Sql)
+    "q291_winnow_stream" -> q291Sql,
+    "q292_hybrid_maintained" -> q292Sql,
+    "q293_semdedup_rebucket_policy" -> q293Sql,
+    "q294_winnow_maintenance" -> q294Sql)
 }

@@ -2059,7 +2059,7 @@ object LlmQueries {
     * rows after TakeOrderedAndProject), never the corpus; no
     * unpartitioned WindowExec appears anywhere in the plan. */
   private val RrfN = 50
-  private val RrfTopK = 15
+  private[queries] val RrfTopK = 15
   private def q131(s: SparkSession, dir: String): DataFrame = {
     val lexN = TextAnalysis.bm25(Tables.documents(s, dir), "text", "doc_id",
         Bm25Terms)
@@ -2374,8 +2374,8 @@ object LlmQueries {
     * the corpus is scanned once per retriever, windows and stats only
     * ever see ≤ N candidate rows. Ranks over the ROUNDED fused score
     * with id tie-break (q96 rule). */
-  private val FuseAlpha = 0.7
-  private val FuseBeta = 0.3 // 1 − α, spelled exactly (1-0.7 ≠ 0.3 in binary)
+  private[queries] val FuseAlpha = 0.7
+  private[queries] val FuseBeta = 0.3 // 1 − α, spelled exactly (1-0.7 ≠ 0.3 in binary)
   private def q140(s: SparkSession, dir: String): DataFrame = {
     val lexN = TextAnalysis.bm25(Tables.documents(s, dir), "text", "doc_id",
         Bm25Terms)

@@ -56,7 +56,8 @@ class PlanGuardSpec extends SparkSpec {
     "q277_ivm_dsir",    // LM totals: exactly one aggregate row (q150)
     "q278_dsir_rtbf",   // same 1-row LM-totals side as q277/q150
     "q287_ivm_surprisal", // LM total: exactly one aggregate row (q72)
-    "q288_surprisal_rtbf") // same 1-row LM-total side as q287/q72
+    "q288_surprisal_rtbf", // same 1-row LM-total side as q287/q72
+    "q292_hybrid_maintained") // per-list min/max stats: 1-row sides (q140)
 
   test("no query plans a cartesian product; nested loops only where bounded") {
     val dir = "/root/testdata/sf0.001"
