@@ -6590,6 +6590,56 @@ object CurationQueries {
     })
   private val q294Sql = q289Sql
 
+  // --------------------------------------------------------- q295
+  /** The full pre-training cleaning funnel with every STATEFUL stage
+    * answered from maintained state — q67's composed pass (exact-dedup
+    * canonical, quality threshold, eval holdout, contamination
+    * quarantine) extended with the SemDeDup prune, where the
+    * contamination screen reads the maintained [[ContamIndex]]
+    * (q279's store, reused read-only: the eval grams were accreted in
+    * two absorbs, never re-shingled) and the semantic prune reads the
+    * maintained [[SemDedupIndex]] keep state (q283's store: the pair
+    * graph was settled incrementally, day 1 absorbed against pinned
+    * centroids). The stateless stages stay q67's plan: one
+    * content-hash window for the canonical flag, per-row codegen
+    * quality scoring fused into the scan, the screen's broadcast
+    * gram join, and two anti joins against parameter-bounded sides
+    * (contaminated ids, pruned vec ids). The oracle rebuilds the
+    * ENTIRE funnel from scratch — q67's CTEs plus q122's recursive
+    * semantic-closure chain — so either maintained store being one
+    * row off its from-scratch truth adds or drops a training doc. */
+  private def q295(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val canonical = Dedup.exactDedup(docs, "text", "doc_id")
+      .filter(col("is_canonical")).select(col("doc_id"))
+    val contaminated = ContamIndex.screen(s, q279State(s, dir),
+        docs.filter(col("doc_id") % 50 =!= 0), "text", "doc_id",
+        LlmQueries.DecontN)
+      .select(col("doc_id"))
+    val pruned = SemDedupIndex.keep(s, q283State(s, dir)._2)
+      .filter(!col("kept")).select(col("vec_id").as("doc_id"))
+    docs
+      .select(col("doc_id"), col("lang"),
+        TextAnalysis.qualityScore(col("text"), col("n_chars"))
+          .as("quality"))
+      .filter(col("doc_id") % 50 =!= 0)
+      .filter(col("quality") >= LlmQueries.CleanQualityMin)
+      .join(canonical, Seq("doc_id"), "left_semi")
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .join(pruned, Seq("doc_id"), "left_anti")
+  }
+  private val q295Sql =
+    s"""WITH RECURSIVE ${LlmQueries.semKeepCtes("")},
+       |sem_pruned AS (SELECT node AS vec_id FROM reach
+       |               GROUP BY node HAVING node <> MIN(r)),
+       |${LlmQueries.CleanCtes}
+       |SELECT d.doc_id, d.lang, q.quality
+       |FROM documents d JOIN canon USING (doc_id) JOIN qual q USING (doc_id)
+       |WHERE canonical AND d.doc_id % 50 <> 0
+       |  AND q.quality >= ${LlmQueries.CleanQualityMin}
+       |  AND d.doc_id NOT IN (SELECT doc_id FROM hits)
+       |  AND d.doc_id NOT IN (SELECT vec_id FROM sem_pruned)""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q168_kmv_distinct" -> q168 _,
     "q169_minhash_error" -> q169 _,
@@ -6717,7 +6767,8 @@ object CurationQueries {
     "q291_winnow_stream" -> q291 _,
     "q292_hybrid_maintained" -> q292 _,
     "q293_semdedup_rebucket_policy" -> q293 _,
-    "q294_winnow_maintenance" -> q294 _)
+    "q294_winnow_maintenance" -> q294 _,
+    "q295_maintained_funnel" -> q295 _)
 
   val oracleSql: Map[String, String] = Map(
     "q168_kmv_distinct" -> q168Sql,
@@ -6846,5 +6897,6 @@ object CurationQueries {
     "q291_winnow_stream" -> q291Sql,
     "q292_hybrid_maintained" -> q292Sql,
     "q293_semdedup_rebucket_policy" -> q293Sql,
-    "q294_winnow_maintenance" -> q294Sql)
+    "q294_winnow_maintenance" -> q294Sql,
+    "q295_maintained_funnel" -> q295Sql)
 }

@@ -845,7 +845,7 @@ object LlmQueries {
     * (one keyed shuffle), per-row codegen scoring (zero shuffle), a
     * broadcast semi/anti join against the bounded eval side. Catalyst
     * fuses the per-row stages into the same whole-stage codegen span. */
-  private val CleanQualityMin = 0.5
+  private[queries] val CleanQualityMin = 0.5
   private def q67(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val canonical = Dedup.exactDedup(docs, "text", "doc_id")
@@ -863,8 +863,12 @@ object LlmQueries {
       .join(canonical, Seq("doc_id"), "left_semi")
       .join(contaminated, Seq("doc_id"), "left_anti")
   }
-  private val q67Sql =
-    s"""WITH canon AS (SELECT doc_id,
+  /** q67's CTE chain (canonical flag, quality score, contamination
+    * hits) without the final SELECT — shared with the maintained-state
+    * funnel gate (CurationQueries q295), whose oracle appends the
+    * semantic-prune chain to the same funnel. */
+  private[queries] val CleanCtes =
+    s"""canon AS (SELECT doc_id,
        |    ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1 AS canonical
        |  FROM documents),
        |qual AS (
@@ -884,7 +888,9 @@ object LlmQueries {
        |ex AS (SELECT doc_id, unnest(grams) AS gram FROM shg),
        |bench AS (SELECT DISTINCT gram FROM ex WHERE doc_id % 50 = 0),
        |hits AS (SELECT DISTINCT e.doc_id FROM ex e JOIN bench USING (gram)
-       |         WHERE e.doc_id % 50 <> 0)
+       |         WHERE e.doc_id % 50 <> 0)""".stripMargin
+  private val q67Sql =
+    s"""WITH $CleanCtes
        |SELECT d.doc_id, d.lang, q.quality
        |FROM documents d JOIN canon USING (doc_id) JOIN qual q USING (doc_id)
        |WHERE canonical AND d.doc_id % 50 <> 0 AND q.quality >= $CleanQualityMin
@@ -1859,7 +1865,15 @@ object LlmQueries {
     * stays UNFILTERED deliberately: the maintained composition pins
     * its quantizer at write time. */
   private[queries] def q122SqlWhere(basePred: String): String =
-    s"""WITH RECURSIVE cents AS (SELECT vec_id AS cluster, embedding::DOUBLE[] AS c
+    s"""WITH RECURSIVE ${semKeepCtes(basePred)}
+       |SELECT node AS vec_id, CAST(MIN(r) AS BIGINT) AS cluster_rep,
+       |       node = MIN(r) AS kept
+       |FROM reach GROUP BY node""".stripMargin
+  /** The q122 CTE chain (assignment → pairs → recursive reachability)
+    * without the `WITH RECURSIVE` prefix or final SELECT — shared with
+    * the maintained-state funnel oracle (CurationQueries q295). */
+  private[queries] def semKeepCtes(basePred: String): String =
+    s"""cents AS (SELECT vec_id AS cluster, embedding::DOUBLE[] AS c
        |               FROM embeddings ORDER BY vec_id LIMIT $IvfClusters),
        |base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings$basePred),
        |assigned AS (
@@ -1882,10 +1896,7 @@ object LlmQueries {
        |          UNION ALL SELECT id_b, id_a FROM vpairs),
        |reach AS (SELECT DISTINCT s AS node, s AS r FROM edges
        |          UNION
-       |          SELECT e.s, r.r FROM edges e JOIN reach r ON r.node = e.d)
-       |SELECT node AS vec_id, CAST(MIN(r) AS BIGINT) AS cluster_rep,
-       |       node = MIN(r) AS kept
-       |FROM reach GROUP BY node""".stripMargin
+       |          SELECT e.s, r.r FROM edges e JOIN reach r ON r.node = e.d)""".stripMargin
   private[queries] val q122Sql = q122SqlWhere("")
 
   // --------------------------------------------------------- q123
