@@ -5945,8 +5945,12 @@ object CurationQueries {
     })
   private val q284Victim =
     s"(vec_id % 10 = 3 AND vec_id >= ${LlmQueries.IvfClusters})"
-  private val q284Sql =
-    s"""WITH RECURSIVE cents AS (SELECT vec_id AS cluster,
+  /** q284's CTE chain (pinned-quantizer assignment → pairs →
+    * survivor-seeded recursive closure) without the `WITH RECURSIVE`
+    * prefix or final SELECT — shared with the retention-arm funnel
+    * oracle (q296). */
+  private val SemRtbfCtes =
+    s"""cents AS (SELECT vec_id AS cluster,
        |    embedding::DOUBLE[] AS c
        |  FROM embeddings ORDER BY vec_id LIMIT ${LlmQueries.IvfClusters}),
        |base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -5977,7 +5981,9 @@ object CurationQueries {
        |          UNION ALL SELECT id_b, id_a FROM surv),
        |reach AS (SELECT node, node AS r FROM alln
        |          UNION
-       |          SELECT e.s, r.r FROM edges e JOIN reach r ON r.node = e.d)
+       |          SELECT e.s, r.r FROM edges e JOIN reach r ON r.node = e.d)""".stripMargin
+  private val q284Sql =
+    s"""WITH RECURSIVE $SemRtbfCtes
        |SELECT node AS vec_id, CAST(MIN(r) AS BIGINT) AS cluster_rep,
        |       node = MIN(r) AS kept
        |FROM reach GROUP BY node""".stripMargin
@@ -6608,15 +6614,23 @@ object CurationQueries {
     * ENTIRE funnel from scratch — q67's CTEs plus q122's recursive
     * semantic-closure chain — so either maintained store being one
     * row off its from-scratch truth adds or drops a training doc. */
-  private def q295(s: SparkSession, dir: String): DataFrame = {
+  private def q295(s: SparkSession, dir: String): DataFrame =
+    maintainedFunnel(s, dir, q279State(s, dir), q283State(s, dir)._2)
+  /** The funnel read shared by q295/q296: q67's stateless stages
+    * (content-hash canonical window, fused per-row quality scoring,
+    * eval holdout) plus the two maintained-state stages — the
+    * contamination screen from `contamTable` and the semantic prune
+    * from the keep labels at `ccPath`. */
+  private def maintainedFunnel(s: SparkSession, dir: String,
+      contamTable: String, ccPath: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val canonical = Dedup.exactDedup(docs, "text", "doc_id")
       .filter(col("is_canonical")).select(col("doc_id"))
-    val contaminated = ContamIndex.screen(s, q279State(s, dir),
+    val contaminated = ContamIndex.screen(s, contamTable,
         docs.filter(col("doc_id") % 50 =!= 0), "text", "doc_id",
         LlmQueries.DecontN)
       .select(col("doc_id"))
-    val pruned = SemDedupIndex.keep(s, q283State(s, dir)._2)
+    val pruned = SemDedupIndex.keep(s, ccPath)
       .filter(!col("kept")).select(col("vec_id").as("doc_id"))
     docs
       .select(col("doc_id"), col("lang"),
@@ -6633,6 +6647,37 @@ object CurationQueries {
        |sem_pruned AS (SELECT node AS vec_id FROM reach
        |               GROUP BY node HAVING node <> MIN(r)),
        |${LlmQueries.CleanCtes}
+       |SELECT d.doc_id, d.lang, q.quality
+       |FROM documents d JOIN canon USING (doc_id) JOIN qual q USING (doc_id)
+       |WHERE canonical AND d.doc_id % 50 <> 0
+       |  AND q.quality >= ${LlmQueries.CleanQualityMin}
+       |  AND d.doc_id NOT IN (SELECT doc_id FROM hits)
+       |  AND d.doc_id NOT IN (SELECT vec_id FROM sem_pruned)""".stripMargin
+
+  // --------------------------------------------------------- q296
+  /** The maintained-state funnel AFTER retention events on BOTH of
+    * its stores — q295's read path pointed at the post-RTBF states:
+    * the contamination screen reads q280's store (a withdrawn eval
+    * suite tombstoned — its unique grams must stop quarantining
+    * immediately, so training docs they flagged RE-ENTER the
+    * training set), the semantic prune reads q284's store (a slice
+    * of embeddings forgotten — the prune decision for the SURVIVORS
+    * recomputed component-locally from surviving edges; a doc whose
+    * vector was withdrawn carries no semantic evidence and re-enters
+    * unless the other gates exclude it). The oracle rebuilds the
+    * post-retention funnel from scratch: q67's CTEs with the bench
+    * gram set restricted to surviving suites, plus q284's
+    * survivor-seeded closure chain for the prune side. A tombstone
+    * that failed to lift a quarantine, or a forget that dropped a
+    * surviving cluster's prune decision, each shifts the final
+    * training-set membership by whole documents. */
+  private def q296(s: SparkSession, dir: String): DataFrame =
+    maintainedFunnel(s, dir, q280State(s, dir), q284State(s, dir)._2)
+  private val q296Sql =
+    s"""WITH RECURSIVE $SemRtbfCtes,
+       |sem_pruned AS (SELECT node AS vec_id FROM reach
+       |               GROUP BY node HAVING node <> MIN(r)),
+       |${LlmQueries.cleanCtes("doc_id % 50 = 0 AND doc_id % 100 <> 0")}
        |SELECT d.doc_id, d.lang, q.quality
        |FROM documents d JOIN canon USING (doc_id) JOIN qual q USING (doc_id)
        |WHERE canonical AND d.doc_id % 50 <> 0
@@ -6768,7 +6813,8 @@ object CurationQueries {
     "q292_hybrid_maintained" -> q292 _,
     "q293_semdedup_rebucket_policy" -> q293 _,
     "q294_winnow_maintenance" -> q294 _,
-    "q295_maintained_funnel" -> q295 _)
+    "q295_maintained_funnel" -> q295 _,
+    "q296_funnel_retention" -> q296 _)
 
   val oracleSql: Map[String, String] = Map(
     "q168_kmv_distinct" -> q168Sql,
@@ -6898,5 +6944,6 @@ object CurationQueries {
     "q292_hybrid_maintained" -> q292Sql,
     "q293_semdedup_rebucket_policy" -> q293Sql,
     "q294_winnow_maintenance" -> q294Sql,
-    "q295_maintained_funnel" -> q295Sql)
+    "q295_maintained_funnel" -> q295Sql,
+    "q296_funnel_retention" -> q296Sql)
 }

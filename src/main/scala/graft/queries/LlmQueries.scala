@@ -865,9 +865,12 @@ object LlmQueries {
   }
   /** q67's CTE chain (canonical flag, quality score, contamination
     * hits) without the final SELECT — shared with the maintained-state
-    * funnel gate (CurationQueries q295), whose oracle appends the
-    * semantic-prune chain to the same funnel. */
-  private[queries] val CleanCtes =
+    * funnel gates (CurationQueries q295/q296), whose oracles append
+    * the semantic-prune chain to the same funnel. The BENCH membership
+    * is parameterized for the retention arm (q296 screens against the
+    * suites SURVIVING a withdrawal); the train side stays the fixed
+    * `% 50 <> 0` holdout. */
+  private[queries] def cleanCtes(benchPred: String): String =
     s"""canon AS (SELECT doc_id,
        |    ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1 AS canonical
        |  FROM documents),
@@ -886,9 +889,10 @@ object LlmQueries {
        |    FROM documents)),
        |shg AS (SELECT doc_id, list_distinct(${shinglesSqlK(DecontN)}) AS grams FROM documents),
        |ex AS (SELECT doc_id, unnest(grams) AS gram FROM shg),
-       |bench AS (SELECT DISTINCT gram FROM ex WHERE doc_id % 50 = 0),
+       |bench AS (SELECT DISTINCT gram FROM ex WHERE $benchPred),
        |hits AS (SELECT DISTINCT e.doc_id FROM ex e JOIN bench USING (gram)
        |         WHERE e.doc_id % 50 <> 0)""".stripMargin
+  private[queries] val CleanCtes = cleanCtes("doc_id % 50 = 0")
   private val q67Sql =
     s"""WITH $CleanCtes
        |SELECT d.doc_id, d.lang, q.quality
