@@ -72,4 +72,23 @@ class CurationOpsSpec extends SparkSpec {
       next should be <= prev
     }
   }
+
+  test("retention can only re-admit: the post-RTBF funnel is a superset") {
+    // A theorem for q296's victim sets, pinned across the two gates:
+    // withdrawing an eval suite only SHRINKS the live gram set, so
+    // contamination quarantines can only lift; forgetting embeddings
+    // only shrinks pair-graph components, so for a surviving vector
+    // kept = (v == min(component)) can only flip false -> true (its
+    // new component is a subset of the old one that still contains v,
+    // and if v was the min of the old set it is the min of any such
+    // subset). Canonical flag, quality score, and the eval holdout
+    // read the untouched documents table. Hence q296 (post-retention
+    // funnel) must contain every q295 (pre-retention) training doc.
+    val before = SparkEntry.queries("q295_maintained_funnel")(spark, dir)
+      .select("doc_id")
+    val after = SparkEntry.queries("q296_funnel_retention")(spark, dir)
+      .select("doc_id")
+    before.join(after, Seq("doc_id"), "left_anti").count() shouldBe 0L
+    after.count() should be >= before.count()
+  }
 }
