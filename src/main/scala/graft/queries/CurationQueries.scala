@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.ops.{AggState, AnnIndex, CcState, ContamIndex, Dedup, DedupIndex, Layout, MediaBlob, Multimodal, SearchIndex, SemDedupIndex, Similarity, TextAnalysis, WinnowIndex}
+import graft.ops.{AggState, AnnIndex, CcState, ContamIndex, DatasheetIndex, Dedup, DedupIndex, Layout, MediaBlob, Multimodal, SearchIndex, SemDedupIndex, Similarity, TextAnalysis, WinnowIndex}
 import graft.queries.LlmQueries.{distSql, AnnK, Bands, BandsCte, BucketSql,
   CosSql, JaccardThreshold, LshPlanes, RowsPerBand, ShingleK, ShinglesSql,
   WsSplit}
@@ -6685,6 +6685,160 @@ object CurationQueries {
        |  AND d.doc_id NOT IN (SELECT doc_id FROM hits)
        |  AND d.doc_id NOT IN (SELECT vec_id FROM sem_pruned)""".stripMargin
 
+  // --------------------------------------------------------- q297
+  /** Maintained corpus datasheet ([[DatasheetIndex]]): q147's
+    * per-source release report — doc/token masses, language spread,
+    * exact-duplicate rate — answered from three parameter-bounded
+    * maintained summaries instead of a corpus re-scan. Day 0 is
+    * written, day 1 arrives as two absorbed epochs; the duplicate
+    * rate is the interesting maintenance: "dup" is corpus-GLOBAL, so
+    * each absorb must flip residents whose text the batch
+    * re-delivers (one prior distinct owner + an arrival ⇒ +1 that
+    * owner's source) via one bucket-pruned probe of the batch's
+    * hashes. The synthetic corpus ships NO exact-duplicate texts, so
+    * the gates overlay deterministic copies ([[dsheetDocs]] — the
+    * SAME union the oracle replays; offsets chosen so the overlay
+    * exercises every transition path: 16 single-owner resident
+    * flips split across both epochs, 7 within-batch duplicate
+    * groups, 88 write-time pairs — checked against DuckDB when the
+    * fixture was designed). The gate is q147's column tree over the
+    * augmented corpus: a missed resident flip, a double-counted
+    * within-batch duplicate, or a token sum off by one doc all
+    * shift a source's row. */
+  private def q297(s: SparkSession, dir: String): DataFrame =
+    DatasheetIndex.datasheet(s, q297State(s, dir))
+  /** The duplicate overlay: the corpus plus two deterministic copy
+    * slices with re-keyed ids. Offsets are congruence-tuned against
+    * the gates' splits — 100003 ≡ 1 (mod 7) / 3 (mod 10) scatters
+    * copies across the day boundary AND the victim slice (resident
+    * flips + RTBF flip-backs), 200060 ≡ 0 (mod 70) keeps copies in
+    * their original's epoch and victim slice (within-batch
+    * duplicates + fully-forgotten groups). */
+  private val DsheetOff1 = 100003L
+  private val DsheetOff2 = 200060L
+  private def dsheetDocs(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("lang"), col("text"))
+    docs
+      .unionByName(docs.filter(col("doc_id") % 9 === 2)
+        .withColumn("doc_id", col("doc_id") + DsheetOff1))
+      .unionByName(docs.filter(col("doc_id") % 9 === 5)
+        .withColumn("doc_id", col("doc_id") + DsheetOff2))
+  }
+  private val DsheetAugCte =
+    s"""aug AS (
+       |  SELECT doc_id, source, lang, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + $DsheetOff1, source, lang, text
+       |  FROM documents WHERE doc_id % 9 = 2
+       |  UNION ALL
+       |  SELECT doc_id + $DsheetOff2, source, lang, text
+       |  FROM documents WHERE doc_id % 9 = 5),
+       |""".stripMargin
+  private val q297Cache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  private def q297State(s: SparkSession, dir: String): String =
+    q297Cache.compute(sessionToken(s) + "|" + dir, { (_, prev) =>
+      if (prev != null && s.catalog.tableExists(prev._1)) prev
+      else {
+        val digest = java.security.MessageDigest.getInstance("SHA-1")
+          .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          .map(b => f"$b%02x").mkString.take(16)
+        val table = s"graft_datasheet_$digest"
+        val out = java.nio.file.Files
+          .createTempDirectory("graft-datasheet-q297").toString
+        val docs = dsheetDocs(s, dir)
+        DatasheetIndex.write(docs.filter(col("doc_id") % 7 =!= 3),
+          "text", "doc_id", out, table)
+        DatasheetIndex.absorb(docs.filter(col("doc_id") % 14 === 3),
+          "text", "doc_id", out, table, epochId = 0L)
+        DatasheetIndex.absorb(docs.filter(col("doc_id") % 14 === 10),
+          "text", "doc_id", out, table, epochId = 1L)
+        (table, out)
+      }
+    })._2
+  private val q297Sql =
+    LlmQueries.q147SqlFrom(DsheetAugCte, "aug", "")
+
+  // --------------------------------------------------------- q298
+  /** The datasheet's at-least-once discipline, in-gate: q297's
+    * lifecycle with epoch 0 absorbed TWICE (the crash replay —
+    * byte-identical batch, same epoch id). The report must STILL
+    * equal the full-corpus oracle: the transition derivation
+    * excludes the batch's own ids from the prior-owner view (so the
+    * replay re-derives byte-identical dup facts), the epoch layers
+    * collapse on (group, epoch), and the hash-index probe counts
+    * DISTINCT doc ids (the replayed bucketed append is invisible).
+    * A replay that double-counted a single resident flip would
+    * inflate one source's dup row — hash-mismatch. */
+  private def q298(s: SparkSession, dir: String): DataFrame =
+    DatasheetIndex.datasheet(s, q298State(s, dir))
+  private val q298Cache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  private def q298State(s: SparkSession, dir: String): String =
+    q298Cache.compute(sessionToken(s) + "|" + dir, { (_, prev) =>
+      if (prev != null && s.catalog.tableExists(prev._1)) prev
+      else {
+        val digest = java.security.MessageDigest.getInstance("SHA-1")
+          .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          .map(b => f"$b%02x").mkString.take(16)
+        val table = s"graft_datasheet_rpl_$digest"
+        val out = java.nio.file.Files
+          .createTempDirectory("graft-datasheet-q298").toString
+        val docs = dsheetDocs(s, dir)
+        val e0 = docs.filter(col("doc_id") % 14 === 3)
+        DatasheetIndex.write(docs.filter(col("doc_id") % 7 =!= 3),
+          "text", "doc_id", out, table)
+        DatasheetIndex.absorb(e0, "text", "doc_id", out, table,
+          epochId = 0L)
+        // the crash replay: the SAME batch under the SAME epoch id
+        DatasheetIndex.absorb(e0, "text", "doc_id", out, table,
+          epochId = 0L)
+        DatasheetIndex.absorb(docs.filter(col("doc_id") % 14 === 10),
+          "text", "doc_id", out, table, epochId = 1L)
+        (table, out)
+      }
+    })._2
+  private val q298Sql = q297Sql
+
+  // --------------------------------------------------------- q299
+  /** Right-to-be-forgotten for the datasheet: q297's running
+    * composition, then every doc_id ≡ 6 (mod 10) doc is withdrawn
+    * ([[DatasheetIndex.forget]] — hash-index tombstones + exact fact
+    * retraction on all three stores, including the INVERSE dup
+    * transition: a hash left with exactly one survivor flips that
+    * survivor back to unique, −1 its source). The report must equal
+    * q147's oracle over the SURVIVORS: a tombstone that kept
+    * counting a victim's tokens, or a flip-back that never fired
+    * (leaving a now-unique survivor counted as a duplicate), each
+    * shifts a source's row. */
+  private def q299(s: SparkSession, dir: String): DataFrame =
+    DatasheetIndex.datasheet(s, q299State(s, dir))
+  private val q299Cache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  private def q299State(s: SparkSession, dir: String): String =
+    q299Cache.compute(sessionToken(s) + "|" + dir, { (_, prev) =>
+      if (prev != null && s.catalog.tableExists(prev._1)) prev
+      else {
+        val digest = java.security.MessageDigest.getInstance("SHA-1")
+          .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          .map(b => f"$b%02x").mkString.take(16)
+        val table = s"graft_datasheet_rtbf_$digest"
+        val out = java.nio.file.Files
+          .createTempDirectory("graft-datasheet-q299").toString
+        val docs = dsheetDocs(s, dir)
+        DatasheetIndex.write(docs.filter(col("doc_id") % 7 =!= 3),
+          "text", "doc_id", out, table)
+        DatasheetIndex.absorb(docs.filter(col("doc_id") % 7 === 3),
+          "text", "doc_id", out, table, epochId = 0L)
+        DatasheetIndex.forget(docs.filter(col("doc_id") % 10 === 6),
+          "text", "doc_id", out, table)
+        (table, out)
+      }
+    })._2
+  private val q299Sql =
+    LlmQueries.q147SqlFrom(DsheetAugCte, "aug", " WHERE doc_id % 10 <> 6")
+
   val queries: Map[String, Q] = Map(
     "q168_kmv_distinct" -> q168 _,
     "q169_minhash_error" -> q169 _,
@@ -6814,7 +6968,10 @@ object CurationQueries {
     "q293_semdedup_rebucket_policy" -> q293 _,
     "q294_winnow_maintenance" -> q294 _,
     "q295_maintained_funnel" -> q295 _,
-    "q296_funnel_retention" -> q296 _)
+    "q296_funnel_retention" -> q296 _,
+    "q297_ivm_datasheet" -> q297 _,
+    "q298_datasheet_replay" -> q298 _,
+    "q299_datasheet_rtbf" -> q299 _)
 
   val oracleSql: Map[String, String] = Map(
     "q168_kmv_distinct" -> q168Sql,
@@ -6945,5 +7102,8 @@ object CurationQueries {
     "q293_semdedup_rebucket_policy" -> q293Sql,
     "q294_winnow_maintenance" -> q294Sql,
     "q295_maintained_funnel" -> q295Sql,
-    "q296_funnel_retention" -> q296Sql)
+    "q296_funnel_retention" -> q296Sql,
+    "q297_ivm_datasheet" -> q297Sql,
+    "q298_datasheet_replay" -> q298Sql,
+    "q299_datasheet_rtbf" -> q299Sql)
 }

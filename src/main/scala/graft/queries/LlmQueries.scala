@@ -2710,11 +2710,17 @@ object LlmQueries {
       .withColumn("dup_frac",
         round(col("n_dup_docs").cast("double") / col("n_docs"), 6))
   }
-  private val q147Sql =
-    s"""WITH d AS (
+  /** q147's oracle with the source relation and corpus membership
+    * parameterized — shared with the maintained-datasheet gates
+    * (CurationQueries q297–q299), which overlay deterministic
+    * duplicate copies (`pre` carries their extra CTE, `src` names it)
+    * and whose RTBF arm reports over the survivors. */
+  private[queries] def q147SqlFrom(pre: String, src: String,
+      where: String): String =
+    s"""WITH ${pre}d AS (
        |  SELECT doc_id, source, lang, md5(text) AS h,
        |    CAST(len($WsSplit) AS BIGINT) AS toks
-       |  FROM documents),
+       |  FROM $src$where),
        |dh AS (SELECT h FROM (SELECT h, COUNT(*) AS nh FROM d GROUP BY 1)
        |       WHERE nh >= 2),
        |f AS (SELECT doc_id, CAST(1 AS BIGINT) AS isdup FROM d
@@ -2729,6 +2735,7 @@ object LlmQueries {
        |        CAST(COUNT(*) AS DOUBLE), 6) AS dup_frac
        |FROM d LEFT JOIN f USING (doc_id)
        |GROUP BY 1""".stripMargin
+  private val q147Sql = q147SqlFrom("", "documents", "")
 
   // --------------------------------------------------------- q148
   /** Per-source Zipf slope: OLS fit of ln(freq) on ln(rank) over each

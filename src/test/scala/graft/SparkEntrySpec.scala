@@ -15,6 +15,6 @@ class SparkEntrySpec extends SparkSpec {
   test("every query is oracle-gated and keys line up exactly") {
     SparkEntry.queries.keySet shouldBe SparkEntry.oracleSql.keySet
     SparkEntry.queries.size shouldBe SparkEntry.oracleSql.size
-    SparkEntry.queries.size should be >= 296
+    SparkEntry.queries.size should be >= 299
   }
 }
