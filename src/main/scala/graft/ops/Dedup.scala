@@ -445,8 +445,11 @@ object Dedup {
     * pairs, never corpus². */
   def containmentVerify(pairs: DataFrame, docs: DataFrame, textCol: String,
       idCol: String, threshold: Double): DataFrame = {
-    val sets = docs.select(col(idCol).as("jid"),
-      array_distinct(words(col(textCol))).as("toks"))
+    // spread() for the same reason as [[jaccardVerify]]: the set build
+    // feeds both join sides, and an unsplit scan tokenizes on one task
+    val sets = spread(docs.select(col(idCol), col(textCol)))
+      .select(col(idCol).as("jid"),
+        array_distinct(words(col(textCol))).as("toks"))
     pairs
       .join(sets.withColumnRenamed("toks", "toks_a"), col("id_a") === col("jid"))
       .drop("jid")
@@ -461,12 +464,16 @@ object Dedup {
         round(col("contain_ba"), 4).as("contain_ba"))
   }
 
-  /** Verify candidate pairs with exact token-set Jaccard. */
+  /** Verify candidate pairs with exact token-set Jaccard. spread() the
+    * token-set build: it feeds BOTH join sides as separate plan
+    * subtrees, so an unsplit scan would tokenize the whole corpus twice
+    * on one task each (no-op at real scale — see [[spread]]). */
   def jaccardVerify(pairs: DataFrame, docs: DataFrame, textCol: String,
       idCol: String, threshold: Double): DataFrame =
     verifySets(pairs,
-      docs.select(col(idCol).as("jid"),
-        array_distinct(words(col(textCol))).as("toks")),
+      spread(docs.select(col(idCol), col(textCol)))
+        .select(col(idCol).as("jid"),
+          array_distinct(words(col(textCol))).as("toks")),
       threshold)
 
   /** Distinct word n-gram sets: the set representation behind n-gram
@@ -479,10 +486,14 @@ object Dedup {
         array_distinct(shinglesOfWords(col("__ws"), n)).as("toks"))
 
   /** Verify candidate pairs with exact n-gram Jaccard (distinct word
-    * n-gram sets instead of unigram token sets). */
+    * n-gram sets instead of unigram token sets). spread() as in
+    * [[jaccardVerify]] — the shingle build is the heavy per-row work. */
   def ngramJaccardVerify(pairs: DataFrame, docs: DataFrame, textCol: String,
       idCol: String, n: Int, threshold: Double): DataFrame =
-    verifySets(pairs, ngramSets(docs, textCol, idCol, n), threshold)
+    verifySets(pairs,
+      ngramSets(spread(docs.select(col(idCol), col(textCol))),
+        textCol, idCol, n),
+      threshold)
 
   /** Benchmark decontamination (the GPT-3/Llama discipline): count, per
     * training document, how many distinct word `n`-grams it shares with
@@ -557,9 +568,12 @@ object Dedup {
       idCol: String, n: Int, threshold: Double): DataFrame = {
     val sets = spread(ngramSets(docs, textCol, idCol, n))
     val toks = sets.select(col("jid"), explode(col("toks")).as("tok"))
-    val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+    // token frequency as a window count — one token-keyed exchange of
+    // the exploded table instead of aggregate + join back (two moves of
+    // the same rows at scale); see [[prefixFilterPairs]]
     // rebuild each set sorted rarest-first: struct sort on (freq, tok)
-    val ordered = toks.join(freq, Seq("tok"))
+    val ordered = toks
+      .withColumn("freq", count(lit(1)).over(Window.partitionBy(col("tok"))))
       .groupBy(col("jid"))
       .agg(sort_array(collect_list(struct(col("freq"), col("tok")))).as("sorted"))
       .select(col("jid"), transform(col("sorted"), _.getField("tok")).as("og"))
@@ -933,13 +947,23 @@ object Dedup {
       s"threshold must be in (0,1], got $threshold")
     // the gram-set and exploded-gram frames each feed multiple branches
     // (df count + order join; both verify sides) — persist them, or one
-    // pass recomputes the scan→shingle chain five times
-    val sets = ngramSets(docs, textCol, idCol, n)
+    // pass recomputes the scan→shingle chain five times. spread() first:
+    // shingle construction is the pass's CPU-heavy per-row work, and a
+    // small input (one parquet file → one scan task) would otherwise
+    // build every gram set on a single core (no-op at real scale, where
+    // the scan's own splits already spread it — see [[spread]])
+    val sets = ngramSets(spread(docs.select(col(idCol), col(textCol))),
+        textCol, idCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tok = sets.select(col("jid"), explode(col("toks")).as("w"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val dfreq = tok.groupBy(col("w")).agg(count(lit(1)).as("df"))
-    val ordered = tok.join(dfreq, Seq("w"))
+    // document frequency as a window count over the gram — ONE gram-keyed
+    // exchange of the token table, where the aggregate-then-join form
+    // moved it twice (df shuffle + join shuffle; the join only LOOKS free
+    // at broadcast-able vocab sizes). Measured locally too: the ordered
+    // build drops ~0.95 s → ~0.77 s at sf0.1, bit-identical output.
+    val ordered = tok
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("w"))))
       .groupBy(col("jid"))
       .agg(array_sort(collect_list(struct(col("df"), col("w")))).as("ts"))
     val prefixLen =
@@ -1043,7 +1067,10 @@ object Dedup {
   def substringDupStats(docs: DataFrame, textCol: String, idCol: String,
       w: Int): DataFrame = {
     require(w > 0, s"window must be positive, got $w")
-    val win = docs
+    // spread() before the window pass: the stride-1 md5-per-window
+    // transform is the operator's CPU bill, and a single-file scan would
+    // otherwise hash the whole corpus on one task (no-op at real scale)
+    val win = spread(docs.select(col(idCol), col(textCol)))
       .select(col(idCol).as("jid"), words(col(textCol)).as("a"))
       .filter(size(col("a")) >= w)
       .select(col("jid"), posexplode(expr(
@@ -1052,18 +1079,28 @@ object Dedup {
       .select(col("jid"), (col("p0") + 1).as("pos"), col("wh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nw = win.groupBy(col("jid")).agg(count(lit(1)).as("n_windows"))
-    val dw = win.select(col("wh"), col("jid")).distinct()
-      .groupBy(col("wh")).agg(count(lit(1)).as("nd"))
-      .filter(col("nd") >= 2).select(col("wh"))
-    val dup = win.join(dw, Seq("wh")).select(col("jid"), col("pos"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // "window hash seen in ≥ 2 distinct docs" = min(jid) ≠ max(jid) over
+    // the hash's rows — ONE wh-keyed exchange, replacing the previous
+    // distinct → doc-frequency aggregate → equi-join back, which moved
+    // the corpus-sized window table across the network three times
+    // (distinct shuffle, df shuffle, join shuffle) where this moves it
+    // once; at broadcast-able sizes the optimizer used to hide that cost
+    // locally, at 100 TB it cannot (guide §2.3/2.4)
+    val whW = Window.partitionBy(col("wh"))
+    val dup = win
+      .withColumn("__mnj", min(col("jid")).over(whW))
+      .withColumn("__mxj", max(col("jid")).over(whW))
+      .filter(col("__mnj") =!= col("__mxj"))
+      .select(col("jid"), col("pos"))
+    // islands pass: per-island lengths give max_run AND (summed) n_dup —
+    // the second scan of `dup` and the third output join disappear
     val runs = dup
       .withColumn("isl", col("pos") -
         row_number().over(Window.partitionBy(col("jid")).orderBy(col("pos"))))
       .groupBy(col("jid"), col("isl")).agg(count(lit(1)).as("rl"))
-    val mx = runs.groupBy(col("jid")).agg(max(col("rl")).as("max_run"))
-    val nd = dup.groupBy(col("jid")).agg(count(lit(1)).as("n_dup"))
-    nw.join(nd, Seq("jid")).join(mx, Seq("jid"))
+    val agg = runs.groupBy(col("jid"))
+      .agg(max(col("rl")).as("max_run"), sum(col("rl")).as("n_dup"))
+    nw.join(agg, Seq("jid"))
       .select(col("jid").as(idCol), col("n_windows"), col("n_dup"),
         (col("max_run") + lit(w) - 1).cast("long").as("max_dup_len"))
   }

@@ -127,17 +127,28 @@ object Graphs {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = deg.count()
     val base = math.round((1.0 - damping) * Scale / n)
-    var pr = deg.select(col("node"), col("outdeg"),
-      lit(math.round(Scale / n)).as("s"))
+    // The per-edge contribution needs only the SOURCE's outdeg, which
+    // never changes — so stamp it onto the edge list once instead of
+    // re-joining `deg` every iteration (one join × iters removed), and
+    // hash-partition the stamped list by `src` so the cached partitioning
+    // satisfies each iteration's join distribution (the per-iteration
+    // re-shuffle of the edge list disappears; only the score frame moves).
+    val edgesD = edges
+      .join(deg.withColumnRenamed("node", "src"), Seq("src"))
+      .repartition(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var pr = deg.select(col("node"), lit(math.round(Scale / n)).as("s"))
     val chain = new CheckpointChain(pairs.sparkSession)
     for (i <- 1 to iters) {
-      val contrib = edges
+      val contrib = edgesD
         .join(pr.withColumnRenamed("node", "src"), Seq("src"))
         .select(col("dst").as("node"),
           round(col("s") * damping / col("outdeg"), 0).cast("long").as("c"))
+      // every node has degree ≥ 1 and the symmetrized edge list points at
+      // it, so the aggregation's node set equals deg's — same recursion,
+      // identical longs, one fewer join per round
       pr = contrib.groupBy(col("node"))
         .agg((sum(col("c")) + lit(base)).as("s"))
-        .join(deg, Seq("node"))
       if (i % checkpointEvery == 0 && i < iters)
         pr = chain.truncate(pr)
     }
