@@ -31,6 +31,18 @@ object GraftSession {
       .config("spark.sql.ansi.doubleQuotedIdentifiers", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // Let AQE rewrite a planned sort-merge join to a shuffled hash
+      // join when EVERY post-shuffle partition of the build side is
+      // under this many bytes (default 0 = never). Unlike a static
+      // preferSortMergeJoin=false this decision is made from RUNTIME
+      // partition sizes, so it is scale-adaptive by construction: the
+      // many key-bounded joins of the dedup/verify/index read paths
+      // skip their sorts, while a genuinely large join (any partition
+      // ≥ 64 MB — the realistic case at cluster scale) keeps
+      // sort-merge's graceful spill. Measured at sf0.1: −8–15 % across
+      // the join-heavy gate families, no regressions (OPTIMIZATION_r19).
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        "67108864")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.ui.enabled", "false")
 

@@ -217,9 +217,19 @@ object Similarity {
   def lshBucketsCentered(corpus: DataFrame, planes: Int): DataFrame = {
     val dims = embDims(corpus)
     val mu = dimMeans(corpus, dims)
+    lshBucketsWith(corpus, planes, dims, mu)
+  }
+
+  /** [[lshBuckets]]/[[lshBucketsCentered]] with the corpus statistics
+    * supplied by the caller — pass `mu = Seq.empty` for the raw scheme.
+    * Exists so a multi-scheme evaluation (q201/q202's ladder) probes
+    * `dims` and aggregates the exact mean ONCE instead of re-running
+    * the two driver-side jobs per scheme; values are identical to the
+    * self-computing forms by construction. */
+  def lshBucketsWith(corpus: DataFrame, planes: Int, dims: Int,
+      mu: Seq[Double] = Seq.empty): DataFrame =
     corpus.select(col("vec_id"),
       bucketKey(col("embedding"), planes, dims, mu).as("bucket"))
-  }
 
   /** Banded hyperplane buckets for near-dup detection: `bands`
     * independent bucket keys per vector (band b uses planes
@@ -238,6 +248,13 @@ object Similarity {
       centered: Boolean = false): DataFrame = {
     val dims = embDims(corpus)
     val mu = if (centered) dimMeans(corpus, dims) else Seq.empty[Double]
+    lshBandKeysWith(corpus, bands, planesPerBand, dims, mu)
+  }
+
+  /** [[lshBandKeys]] with caller-supplied corpus statistics (see
+    * [[lshBucketsWith]]); `mu = Seq.empty` selects the raw scheme. */
+  def lshBandKeysWith(corpus: DataFrame, bands: Int, planesPerBand: Int,
+      dims: Int, mu: Seq[Double] = Seq.empty): DataFrame = {
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         bucketKey(col("embedding"), planesPerBand, dims, mu,
@@ -246,6 +263,14 @@ object Similarity {
     corpus
       .select(col("vec_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("vec_id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+  }
+
+  /** One probe of the embedding dimensionality + one exact-mean
+    * aggregate, for feeding the `*With` builders across several
+    * schemes. */
+  def corpusStats(corpus: DataFrame): (Int, Seq[Double]) = {
+    val dims = embDims(corpus)
+    (dims, dimMeans(corpus, dims))
   }
 
   /** Embedding near-dup pairs: banded-LSH candidates (equi-join on

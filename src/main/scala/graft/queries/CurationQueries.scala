@@ -1685,15 +1685,19 @@ object CurationQueries {
           col("pair_work").cast("long").as("pair_work"))
     def bandCells(b: DataFrame) = b.select(
       concat(col("band"), lit("_"), col("bucket")).as("bucket"), col("vec_id"))
-    stats(Similarity.lshBuckets(emb, LshPlanes), "raw")
+    // corpus stats probed once for all four schemes (r19 — see q202)
+    val (embD, embMu) = Similarity.corpusStats(emb)
+    stats(Similarity.lshBucketsWith(emb, LshPlanes, embD), "raw")
       .unionByName(
-        stats(Similarity.lshBucketsCentered(emb, LshPlanes), "centered"))
+        stats(Similarity.lshBucketsWith(emb, LshPlanes, embD, embMu),
+          "centered"))
       .unionByName(stats(
-        bandCells(Similarity.lshBandKeys(emb, RecBands, RecPlanesPerBand)),
+        bandCells(Similarity.lshBandKeysWith(emb, RecBands, RecPlanesPerBand,
+          embD)),
         "banded_raw"))
       .unionByName(stats(
-        bandCells(Similarity.lshBandKeys(emb, RecBands, RecPlanesPerBand,
-          centered = true)),
+        bandCells(Similarity.lshBandKeysWith(emb, RecBands, RecPlanesPerBand,
+          embD, embMu)),
         "banded_centered"))
   }
   /** DuckDB sign-bit for plane `p` over `e` (raw) — the oracle-side
@@ -1783,19 +1787,26 @@ object CurationQueries {
     val vecs = emb.select(col("vec_id"),
       Similarity.toDouble(col("embedding")).as("vd"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val b = Similarity.lshBuckets(emb, LshPlanes)
+    // probe dims + the exact corpus mean ONCE for all six rungs — the
+    // self-computing builders would re-run the two driver-side jobs per
+    // centered scheme (r19 optimization; identical values by
+    // construction)
+    val (embD, embMu) = Similarity.corpusStats(emb)
+    val b = Similarity.lshBucketsWith(emb, LshPlanes, embD)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bc = Similarity.lshBucketsCentered(emb, LshPlanes)
+    val bc = Similarity.lshBucketsWith(emb, LshPlanes, embD, embMu)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // one candidate-set builder per (bucket frame, probing rung): the
-    // raw and centered frames ride the same two rungs
+    // raw and centered frames ride the same two rungs. Builders emit
+    // raw (q_id, vec_id) pairs; the per-method dedupe happens ONCE on
+    // the method-tagged union below.
     def singleCand(bk: DataFrame): DataFrame = {
       val qbk = bk.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("bucket"))
       qbk.join(bk, "bucket")
         .filter(col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("vec_id")).distinct()
+        .select(col("q_id"), col("vec_id"))
     }
     def multiCand(bk: DataFrame): DataFrame = {
       val qbk = bk.filter(col("vec_id") < 10)
@@ -1804,60 +1815,76 @@ object CurationQueries {
         explode(Similarity.probeBuckets(col("bucket"), LshPlanes)).as("bucket"))
       probes.join(bk, "bucket")
         .filter(col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("vec_id")).distinct()
+        .select(col("q_id"), col("vec_id"))
     }
-    val single = singleCand(b)
-    val multi = multiCand(b)
-
     def bandedCand(keys: DataFrame): DataFrame = {
       val qbk = keys.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("band"), col("bucket"))
       qbk.join(keys, Seq("band", "bucket"))
         .filter(col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("vec_id")).distinct()
+        .select(col("q_id"), col("vec_id"))
     }
-    val bands = Similarity.lshBandKeys(emb, RecBands, RecPlanesPerBand)
+    val bands = Similarity.lshBandKeysWith(emb, RecBands, RecPlanesPerBand,
+        embD)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val banded = bandedCand(bands)
     val bandsC = Similarity
-      .lshBandKeys(emb, RecBands, RecPlanesPerBand, centered = true)
+      .lshBandKeysWith(emb, RecBands, RecPlanesPerBand, embD, embMu)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val nTruth = truth.groupBy("q_id").agg(count(lit(1)).as("n_truth"))
-    def evalMethod(cand: DataFrame, method: String): DataFrame = {
-      val topk = cand
-        .join(vecs.select(col("vec_id").as("q_id"), col("vd").as("qv")), "q_id")
-        .join(vecs, "vec_id")
-        .withColumn("cos",
-          graft.functions.CosineSimilarity(col("qv"), col("vd")))
-        .withColumn("rn", row_number().over(Window.partitionBy(col("q_id"))
+    // FUSED evaluation (r19 optimization): the six rungs previously ran
+    // six copies of the join→rank→score subtree (and each recomputed its
+    // candidate set twice — once for the top-k chain, once for the
+    // volume count). The per-rung aggregates are all keyed by
+    // (method, q_id), so one method-tagged union evaluates the whole
+    // ladder through ONE candidate dedupe, ONE pair of vector joins, ONE
+    // ranking window, and ONE aggregation chain — the per-(method,q_id)
+    // arithmetic (quantized-recall longs, id tie-breaks) is verbatim,
+    // so every output row is unchanged. ~6× fewer stages; at scale the
+    // six candidate shuffles collapse into one.
+    val methods = Seq("1_single" -> singleCand(b),
+      "2_multiprobe" -> multiCand(b), "3_banded" -> bandedCand(bands),
+      "4_single_centered" -> singleCand(bc),
+      "5_multiprobe_centered" -> multiCand(bc),
+      "6_banded_centered" -> bandedCand(bandsC))
+    val candAll = methods.map { case (m, df) =>
+        df.select(lit(m).as("method"), col("q_id"), col("vec_id"))
+      }.reduce(_ unionByName _)
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val topk = candAll
+      .join(vecs.select(col("vec_id").as("q_id"), col("vd").as("qv")), "q_id")
+      .join(vecs, "vec_id")
+      .withColumn("cos",
+        graft.functions.CosineSimilarity(col("qv"), col("vd")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("method"), col("q_id"))
           .orderBy(col("cos").desc, col("vec_id").asc)))
-        .filter(col("rn") <= AnnK)
-        .select(col("q_id"), col("vec_id"))
-      val hits = topk.join(truth, Seq("q_id", "vec_id"))
-        .groupBy("q_id").agg(count(lit(1)).as("n_hits"))
-      val nCand = cand.groupBy("q_id").agg(count(lit(1)).as("nc"))
-      nTruth
-        .join(hits, Seq("q_id"), "left")
-        .join(nCand, Seq("q_id"), "left")
-        .select(
-          round(coalesce(col("n_hits"), lit(0L)) * 10000.0 / col("n_truth"))
-            .cast("long").as("r4"),
-          coalesce(col("nc"), lit(0L)).as("nc"))
-        .agg(count(lit(1)).as("n_queries"),
-          round(sum(col("nc")).cast("double") / count(lit(1)), 1)
-            .as("avg_cand"),
-          round(sum(col("r4")).cast("double") / (count(lit(1)) * 10000.0), 4)
-            .as("macro_recall"))
-        .select(lit(method).as("method"), col("n_queries").cast("long")
-          .as("n_queries"), col("avg_cand"), col("macro_recall"))
-    }
-    evalMethod(single, "1_single")
-      .unionByName(evalMethod(multi, "2_multiprobe"))
-      .unionByName(evalMethod(banded, "3_banded"))
-      .unionByName(evalMethod(singleCand(bc), "4_single_centered"))
-      .unionByName(evalMethod(multiCand(bc), "5_multiprobe_centered"))
-      .unionByName(evalMethod(bandedCand(bandsC), "6_banded_centered"))
+      .filter(col("rn") <= AnnK)
+      .select(col("method"), col("q_id"), col("vec_id"))
+    val hits = topk.join(truth, Seq("q_id", "vec_id"))
+      .groupBy("method", "q_id").agg(count(lit(1)).as("n_hits"))
+    val nCand = candAll.groupBy("method", "q_id").agg(count(lit(1)).as("nc"))
+    // every (method, q_id) cell exists in the skeleton even when a rung
+    // found no candidates — the zero-recall rows count in the macro
+    // average exactly as the per-rung left joins used to ensure
+    val nTruth = truth.groupBy("q_id").agg(count(lit(1)).as("n_truth"))
+    val skeleton = nTruth.select(col("q_id"), col("n_truth"),
+      explode(array(methods.map(m => lit(m._1)): _*)).as("method"))
+    skeleton
+      .join(hits, Seq("method", "q_id"), "left")
+      .join(nCand, Seq("method", "q_id"), "left")
+      .select(col("method"),
+        round(coalesce(col("n_hits"), lit(0L)) * 10000.0 / col("n_truth"))
+          .cast("long").as("r4"),
+        coalesce(col("nc"), lit(0L)).as("nc"))
+      .groupBy("method")
+      .agg(count(lit(1)).as("n_queries"),
+        round(sum(col("nc")).cast("double") / count(lit(1)), 1)
+          .as("avg_cand"),
+        round(sum(col("r4")).cast("double") / (count(lit(1)) * 10000.0), 4)
+          .as("macro_recall"))
+      .select(col("method"), col("n_queries").cast("long").as("n_queries"),
+        col("avg_cand"), col("macro_recall"))
   }
   private val q202Sql = {
     val flipProbes = s"""list_prepend(bucket,
