@@ -225,9 +225,13 @@ object Bench {
     // one stdout line is a compact summary — total, the slowest
     // medians, throttle/error flags, and a pointer to the full file —
     // guaranteed to fit the capture window.
-    val fullJson = s"""{"metric":"total_min","value":$total,"unit":"sec","runs":$RUNS,"total_median":$totalMedian,"medians_contaminated":$contaminated,"queries":$qs,"min":$minJson,"spread":$spreadJson,"isolated_min_pre":$isolatedPreJson,"isolated_min_post":$isolatedJson,"isolated_min":$isolatedJson,"throttled":$throttledJson,"contended":$contendedJson,"errors":$errJson,"flaky":$flakyJson,"sf":"$sfDir"}"""
+    // r19 item 2: multi-config driver runs (c32 then c8) used to
+    // overwrite one another's full record; the default path now carries
+    // the core count so each config keeps its own artifact.
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val fullJson = s"""{"metric":"total_min","value":$total,"unit":"sec","runs":$RUNS,"cpus":$cpus,"total_median":$totalMedian,"medians_contaminated":$contaminated,"queries":$qs,"min":$minJson,"spread":$spreadJson,"isolated_min_pre":$isolatedPreJson,"isolated_min_post":$isolatedJson,"isolated_min":$isolatedJson,"throttled":$throttledJson,"contended":$contendedJson,"errors":$errJson,"flaky":$flakyJson,"sf":"$sfDir"}"""
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
-      "bench/BENCH_full_latest.json")
+      s"bench/BENCH_full_latest_c$cpus.json")
     val p = java.nio.file.Paths.get(fullPath)
     Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
     java.nio.file.Files.write(p,
@@ -252,6 +256,15 @@ object Bench {
     val slowestMin = mins.toSeq.sortBy(-_._2).take(12)
       .map { case (k, v) => s"${jq(k)}:$v" }.mkString("{", ",", "}")
     println(s"""{"metric":"total_min","value":$total,"unit":"sec","runs":$RUNS,"total_median":$totalMedian,"medians_contaminated":$contaminated,"queries":$slowestMin,"isolated_min_pre":$isolatedPreJson,"isolated_min":$isolatedJson,"n_queries":${allResults.size},"throttled":$throttledJson,"contended":$contendedJson,"errors":$errJson,"flaky":$flakyJson,"sf":"$sfDir","full":${jq(fullPath)}}""")
+    // Machine contract (VERDICT r19 item 2): the compact line above is
+    // for humans (its `queries` map is deliberately the slowest-12);
+    // two rounds of PERF artifacts parsed to null because no stdout
+    // line carried the full per-query record. The FULL record — every
+    // query's median under `queries` plus the full `min` map — is
+    // printed as the LAST line this program emits before spark.stop(),
+    // so a parser taking the last JSON-looking stdout line (sbt's own
+    // `[success]` trailer excepted) gets all ~300 entries.
+    println(fullJson)
     spark.stop()
   }
 

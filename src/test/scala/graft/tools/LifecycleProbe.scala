@@ -10,9 +10,16 @@ object LifecycleProbe {
     val spark = graft.core.GraftSession.get()
     spark.range(1000).selectExpr("sum(id) as s").write.format("noop").mode("overwrite").save()
     graft.core.Tables.region(spark, sfDir).write.format("noop").mode("overwrite").save()
+    // per-phase Spark-job counter: job counts are host-noise-immune
+    // evidence of driver-side round trips (guide §1/§5)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    })
     def timed[T](label: String)(f: => T): T = {
-      val t0 = System.nanoTime(); val r = f
-      println(f"PROBE $label ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+      val j0 = jobs.get(); val t0 = System.nanoTime(); val r = f
+      println(f"PROBE $label ${(System.nanoTime() - t0) / 1e9}%.2f s jobs=${jobs.get() - j0}"); r
     }
     val tmp = java.nio.file.Files.createTempDirectory("graft-probe").toString
     var flip = false
