@@ -1085,7 +1085,12 @@ object Dedup {
     // the corpus-sized window table across the network three times
     // (distinct shuffle, df shuffle, join shuffle) where this moves it
     // once; at broadcast-able sizes the optimizer used to hide that cost
-    // locally, at 100 TB it cannot (guide §2.3/2.4)
+    // locally, at 100 TB it cannot (guide §2.3/2.4).
+    // Skew caveat (ADVICE r19): the window drops map-side partial
+    // aggregation, so every row of one hot hash (a boilerplate window)
+    // lands on a single task. Acceptable against the 3x shuffle
+    // reduction; if hot-key stragglers appear at scale, salt the key or
+    // go two-level (min/max by (wh, salt), then by wh) — guide §2.5.
     val whW = Window.partitionBy(col("wh"))
     val dup = win
       .withColumn("__mnj", min(col("jid")).over(whW))

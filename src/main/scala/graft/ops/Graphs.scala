@@ -137,6 +137,11 @@ object Graphs {
       .join(deg.withColumnRenamed("node", "src"), Seq("src"))
       .repartition(col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // edgesD supersedes the raw symmetrized list for the whole loop —
+    // materialize it, then release `edges` so the edge bytes are cached
+    // ONCE for the iteration, not twice (ADVICE r19)
+    edgesD.count()
+    edges.unpersist()
     var pr = deg.select(col("node"), lit(math.round(Scale / n)).as("s"))
     val chain = new CheckpointChain(pairs.sparkSession)
     for (i <- 1 to iters) {

@@ -524,10 +524,15 @@ object Multimodal {
   def imageDHash(spark: SparkSession, media: DataFrame,
       batchSize: Int = 64, partitions: Int = 0): Dataset[ImageHash] = {
     import spark.implicits._
-    val parts = if (partitions > 0) partitions
-      else spark.sessionState.conf.numShufflePartitions
-    media
-      .repartition(parts, col("id"))
+    // The decode is embarrassingly parallel and key-agnostic, so the
+    // blob bytes must never pay a shuffle just to be decoded (guide
+    // §2.3 — the payload-proxy rule): repartition only when the caller
+    // pins a count, or when the source scan has too few splits to fill
+    // the cores ([[Dedup.spread]]'s one-file-fixture case).
+    val spreadMedia =
+      if (partitions > 0) media.repartition(partitions, col("id"))
+      else Dedup.spread(media)
+    spreadMedia
       .as[MediaBlob]
       .mapPartitions(it => it.grouped(batchSize)
         .flatMap(_.map(m => ImageHash(m.id, dHash(m)))))
@@ -666,13 +671,17 @@ object Multimodal {
     DedupIndex.checkProps(spark, table, DHashIndexParams.toSeq: _*)
     val probe = dHashBandKeys(hashes)
       .select(col("id").as("new_id"), col("dhash").as("__da"), col("bk"))
+    // Hamming-verify BEFORE the distinct (guide §2.3): the verify is a
+    // codegen'd per-row filter, so running it first means the dedupe
+    // exchange carries only the pairs that survived — two id columns
+    // instead of ids plus both 64-bit hashes (an id's hash is
+    // functionally determined, so the narrower distinct key is the
+    // same pair set).
     DedupIndex.probeKeys(spark, table, probe)
       .filter(col("id") =!= col("new_id"))
-      .select(col("new_id"), col("id").as("resident_id"),
-        col("__da"), col("dhash"))
-      .distinct()
       .filter(expr(s"bit_count(__da ^ dhash) <= $maxDist"))
-      .select(col("new_id"), col("resident_id"))
+      .select(col("new_id"), col("id").as("resident_id"))
+      .distinct()
   }
 
   /** Maintain the image index from a STREAM of (id, dhash) rows —

@@ -46,33 +46,36 @@ class Pipeline(
     * new, push only the delta to the sink, then MERGE the delta into the
     * snapshot. Returns #actions applied.
     *
-    * I/O shape (the 100 TB property): the recomputed view is persisted
-    * to executor memory/local disk (the cluster's scratch tier), never
-    * staged into the store; the diff is the only thing written — so an
-    * idle refresh writes NOTHING, and a 1% change batch rewrites ~1% of
-    * a [[graft.refresh.BucketedSnapshotStore]]'s files. The view query
-    * still runs exactly once (both diff branches read the persisted
-    * plan).
+    * I/O shape (the 100 TB property): the recomputed view flows
+    * through ONE full-outer diff join (never staged into the store);
+    * the diff is the only thing written — so an idle refresh writes
+    * NOTHING, and a 1% change batch rewrites ~1% of a
+    * [[graft.refresh.BucketedSnapshotStore]]'s files. The view query
+    * runs exactly once per refresh (single diff branch).
     *
     * Failure ordering: the snapshot merge commits only after the sink
     * accepted the batch, so a sink failure leaves the old snapshot
     * committed and the next refresh re-diffs and re-sends — at-least-
     * once delivery converging via idempotent upserts (SURVEY §2C). */
   def refresh(): Long = {
+    // keyed old side: the diff never reads the old snapshot's doc
+    // bytes, and the fused full-outer diff reads the recomputed view
+    // exactly ONCE — so the view query needs no persist of its own;
+    // the cached ACTIONS frame (change-volume-sized) is what the
+    // count, the sink and the snapshot merge all share.
+    // compute() runs first so a failing view query surfaces ITS error,
+    // not the store's (e.g. "no committed snapshot" on a never-backfilled
+    // pipeline) — the reference's error-ordering the runner tests pin
     val newSnap = compute()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val actions = DiffRefresher.diffKeyed(store.readKeyed(), newSnap).cache()
     try {
-      // keyed old side: the diff never reads the old snapshot's doc bytes
-      val actions = DiffRefresher.diffKeyed(store.readKeyed(), newSnap).cache()
-      try {
-        val n = actions.count()
-        if (n > 0) {
-          sink.applyActions(actions)
-          store.mergeActions(actions)
-        }
-        n
-      } finally actions.unpersist()
-    } finally newSnap.unpersist()
+      val n = actions.count()
+      if (n > 0) {
+        sink.applyActions(actions)
+        store.mergeActions(actions)
+      }
+      n
+    } finally actions.unpersist()
   }
 
   /** The 100 TB refresh path: recompute ONLY the view keys a change

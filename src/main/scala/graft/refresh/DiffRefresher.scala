@@ -31,18 +31,31 @@ object DiffRefresher {
     * ([[BucketedSnapshotStore.readKeyed]]) serve this from a
     * column-pruned scan: at 100 TB the doc column dominates the bytes,
     * so the per-refresh base scan shrinks to ids+hashes.
+    *
+    * ONE full-outer join on `id` (guide §2.4): the previous two
+    * anti-joins scanned each snapshot twice and exchanged four times
+    * (old and new on (id, h), then old and new again on id); the fused
+    * form scans each side once and exchanges each once. Correctness
+    * rests on the documented invariant that `id` is unique per
+    * snapshot (the reference's mandatory unique index): per id the
+    * outer join yields exactly one row — old-only → delete, new-only
+    * or hash-changed → index, hash-equal → dropped. A null hash on
+    * either side (null doc) upserts, exactly as the anti-join's
+    * null-rejecting equi-condition did.
     * @return actions `(op: "index"|"delete", id, doc)` */
   def diffKeyed(oldKeyed: DataFrame, newSnap: DataFrame): DataFrame = {
     val o = oldKeyed.select(col("id").as("o_id"), col("h").as("o_h"))
-    val n = newSnap.select(col("id"), col("doc"), xxhash64(col("doc")).as("n_h"))
-    val upserts = n
-      .join(o, n("id") === o("o_id") && n("n_h") === o("o_h"), "left_anti")
-      .select(lit("index").as("op"), col("id"), col("doc"))
-    val deletes = oldKeyed.select(col("id"))
-      .join(newSnap.select(col("id")), Seq("id"), "left_anti")
-      .select(lit("delete").as("op"), col("id"),
-        lit(null).cast("string").as("doc"))
-    upserts.unionByName(deletes)
+    val n = newSnap.select(col("id").as("n_id"), col("doc"),
+      xxhash64(col("doc")).as("n_h"))
+    o.join(n, o("o_id") === n("n_id"), "full_outer")
+      .filter(col("o_id").isNull || col("n_id").isNull ||
+        col("o_h").isNull || col("n_h").isNull ||
+        col("o_h") =!= col("n_h"))
+      .select(
+        when(col("n_id").isNull, lit("delete")).otherwise(lit("index")).as("op"),
+        coalesce(col("n_id"), col("o_id")).as("id"),
+        // doc is already null on the delete branch (no new-side row)
+        col("doc"))
   }
 
   /** @return actions `(op: "index"|"delete", id, doc)` */

@@ -57,7 +57,10 @@ trait SnapshotStore {
 
   /** Apply a diff batch `(op: "index"|"delete", id, doc)` to the
     * snapshot atomically: upserts replace, deletes vanish, untouched
-    * rows stay. */
+    * rows stay. Each id appears AT MOST ONCE per batch — a batch is a
+    * keyed diff ([[DiffRefresher]]: upsert and delete key sets are
+    * disjoint, one row per id), and layouts rely on it (the bucketed
+    * store's delta log resolves latest-wins ACROSS batches only). */
   def mergeActions(actions: DataFrame): Unit
 
   /** Replace all rows whose id ∈ `ids` with `recomputed` (which must
@@ -439,6 +442,18 @@ class BucketedSnapshotStore(
           "with a different bucket count) — re-stage and retry")
     }
 
+  /** Publish an EMPTY committed snapshot without staging any data —
+    * what `recreate` needs: the manifest a `commit(stage(emptyDF))`
+    * would publish (no buckets, no deltas), minus the Spark write job
+    * an empty stage still costs. Everything downstream is identical:
+    * reads resolve to the empty frame, the first merge bulk-loads. */
+  private[graft] def commitEmpty(): Unit = withCasRetry("commitEmpty") {
+    val (gen, prev) = currentGenAndBody()
+      .map { case (g, s) => (g, parseManifest(s)) }
+      .getOrElse((0L, Manifest(Map.empty, Nil)))
+    commitManifest(Manifest(Map.empty, Nil), gen, prev)
+  }
+
   /** Full-snapshot commit: every bucket present in `v` becomes current
     * and the delta log is cleared (a backfill / full refresh wrote the
     * complete view into `v`). */
@@ -479,21 +494,31 @@ class BucketedSnapshotStore(
     }
 
   /** Latest-wins resolution of the delta log: one row per id from the
-    * newest delta mentioning it. Deltas are change-volume-sized, so the
-    * window is over a small frame and the join against base typically
-    * broadcasts. */
+    * newest delta mentioning it. Deltas are change-volume-sized.
+    * Within ONE delta file ids are unique by contract (a
+    * [[mergeActions]] batch is a keyed diff — upsert and delete key
+    * sets are disjoint and each id appears once), so a one-file log —
+    * the steady state between compactions — reads with NO shuffle at
+    * all; a stacked log resolves via a `max_by` hash aggregate, which
+    * keeps map-side partial aggregation where the previous
+    * row_number window forced a sort exchange (guide §2.3/§2.4). */
   private def latestDelta(deltas: Seq[String]): Option[DataFrame] =
     if (deltas.isEmpty) None
+    else if (deltas.size == 1) Some {
+      spark.read.schema("op STRING, id STRING, doc STRING, h BIGINT")
+        .parquet(new Path(root, deltas.head).toString)
+    }
     else Some {
       deltas.zipWithIndex.map { case (d, i) =>
         spark.read.schema("op STRING, id STRING, doc STRING, h BIGINT")
           .parquet(new Path(root, d).toString)
           .withColumn("_seq", lit(i))
       }.reduce(_ unionByName _)
-        .withColumn("_rn", row_number().over(
-          Window.partitionBy("id").orderBy(col("_seq").desc)))
-        .filter(col("_rn") === 1)
-        .select("op", "id", "doc", "h")
+        .groupBy(col("id"))
+        .agg(max_by(struct(col("op"), col("doc"), col("h")),
+          col("_seq")).as("_w"))
+        .select(col("_w.op").as("op"), col("id"),
+          col("_w.doc").as("doc"), col("_w.h").as("h"))
     }
 
   /** Base+delta merged view as `(id, doc, h)`. */

@@ -151,15 +151,14 @@ class BucketedParquetIndex(spark: SparkSession, val index: String,
   private val store =
     new graft.refresh.BucketedSnapshotStore(spark, path, numBuckets, maxDeltas)
 
-  /** Initialize empty (A16 recreate_index: delete + recreate). */
+  /** Initialize empty (A16 recreate_index: delete + recreate) —
+    * manifest-only: publishing the empty snapshot needs no Spark job
+    * (an empty stage+commit used to pay one write job for zero rows). */
   def recreate(): Unit = {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(root)) fs.delete(root, true)
-    val empty = spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      graft.refresh.SnapshotStore.docSchema)
-    store.commit(store.stage(empty))
+    store.commitEmpty()
   }
 
   def read(): DataFrame = store.read()

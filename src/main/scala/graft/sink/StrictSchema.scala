@@ -108,13 +108,19 @@ object StrictSchema {
     val viol = when(col("doc").isNull, array(lit("<malformed json>")))
       .otherwise(call_function("strict_violations",
         col("doc"), lit(schema.toDDL)))
-    val bad = actions
+    val violRows = actions
       .filter(col("op") === "index")
       .select(col("id"), viol.as("viol"))
       .filter(size(col("viol")) > 0)
-      .take(3)
-    if (bad.nonEmpty)
+    // The common (clean) batch is the hot path: one partial-aggregated
+    // count job — a bare take(3) would escalate through 1/4/20/all
+    // partition scans before concluding "no violations" (several jobs,
+    // ~1.5 scans of the batch). Samples for the error message are only
+    // fetched once a violation is known to exist.
+    if (violRows.count() > 0) {
+      val bad = violRows.take(3)
       throw SchemaViolationException(index,
         bad.toSeq.map(r => (r.getString(0), r.getSeq[String](1))))
+    }
   }
 }
