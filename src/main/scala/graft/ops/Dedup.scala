@@ -44,6 +44,17 @@ object Dedup {
     * guessing "already spread". */
   def spread(df: DataFrame): DataFrame = {
     val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    if (underSpread(df)) df.repartition(parts) else df
+  }
+
+  /** The [[spread]] decision alone: true when `df`'s leaves have fewer
+    * splits than the session's shuffle partitions (the one-file-fixture
+    * serialization case). Exposed so callers that prefer a KEYED
+    * repartition when spreading (keyless round-robin pays a local
+    * pre-sort of the rows — costly on blob payloads; guide §2.5) can
+    * reuse the estimator without the round-robin default. */
+  private[ops] def underSpread(df: DataFrame): Boolean = {
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
     val known: Seq[Option[Int]] = df.queryExecution.logical.collectLeaves().map {
       case r: org.apache.spark.sql.execution.LogicalRDD =>
         Some(r.rdd.getNumPartitions)
@@ -65,7 +76,7 @@ object Dedup {
     val leafParts: Seq[Int] =
       if (known.nonEmpty && known.forall(_.isDefined)) known.flatten
       else Seq(df.rdd.getNumPartitions) // unknown source: pay one conversion
-    if (leafParts.max < parts) df.repartition(parts) else df
+    leafParts.max < parts
   }
 
   // ------------------------------------------------------------ exact

@@ -528,10 +528,14 @@ object Multimodal {
     // blob bytes must never pay a shuffle just to be decoded (guide
     // §2.3 — the payload-proxy rule): repartition only when the caller
     // pins a count, or when the source scan has too few splits to fill
-    // the cores ([[Dedup.spread]]'s one-file-fixture case).
+    // the cores ([[Dedup.underSpread]]'s one-file-fixture case). When
+    // spreading IS needed, hash by id rather than round-robin — the
+    // keyless form pre-sorts every partition's blob rows (guide §2.5).
+    val parts = spark.sessionState.conf.numShufflePartitions
     val spreadMedia =
       if (partitions > 0) media.repartition(partitions, col("id"))
-      else Dedup.spread(media)
+      else if (Dedup.underSpread(media)) media.repartition(parts, col("id"))
+      else media
     spreadMedia
       .as[MediaBlob]
       .mapPartitions(it => it.grouped(batchSize)

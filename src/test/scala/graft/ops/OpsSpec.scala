@@ -1648,4 +1648,38 @@ class OpsSpec extends SparkSpec {
     Similarity.powerIterationPC1(df.repartition(7), "embedding", d, iters)
       .as[(Int, Double)].collect().toSet shouldBe got
   }
+
+  test("multimodal: imageDHash spreads narrow sources by id and skips the " +
+      "blob shuffle when the source already has enough splits") {
+    def png(seed: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(9, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8; x <- 0 until 9)
+        img.setRGB(x, y, ((seed * 31 + y * 9 + x) * 37) & 0xffffff)
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    }
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val media = (0 until 6).map(i => (i.toLong, "image/png", png(i)))
+      .toDF("id", "mime", "blob")
+    // driver-local rows: one keyed exchange fills the cores (no keyless
+    // round-robin — that pre-sorts every partition's blob rows)
+    val narrowPlan = Multimodal.imageDHash(spark, media)
+      .queryExecution.executedPlan.toString
+    assert(narrowPlan.contains("Exchange hashpartitioning"), narrowPlan)
+    // an already-spread source: the decode runs where the rows sit —
+    // no exchange carries the blob bytes at all
+    val wide = media.repartition(parts + 1).localCheckpoint(true)
+    val widePlan = Multimodal.imageDHash(spark, wide)
+      .queryExecution.executedPlan.toString
+    assert(!widePlan.contains("Exchange"), widePlan)
+    // identical hashes either way
+    val a = Multimodal.imageDHash(spark, media).collect()
+      .map(h => h.id -> h.dhash).toMap
+    val b = Multimodal.imageDHash(spark, wide).collect()
+      .map(h => h.id -> h.dhash).toMap
+    b shouldBe a
+    a.values.foreach(_.isDefined shouldBe true)
+  }
 }
