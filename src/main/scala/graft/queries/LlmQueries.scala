@@ -918,24 +918,61 @@ object LlmQueries {
     val bands = Dedup
       .bandKeys(docs, "text", "doc_id", Bands, RowsPerBand, ShingleK)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // materialize the successor table BEFORE recursing: each recursion
-    // round re-reads the view, and a lazy plan would re-run the whole
-    // LSH+verify chain per round (16 rounds × full pipeline = 12s at
-    // sf0.1, measured; eager localCheckpoint makes rounds scan ~5k
-    // cached rows instead)
-    Dedup.jaccardVerify(Dedup.candidatePairs(bands), docs,
+    // materialize the successor table BEFORE walking: a lazy plan would
+    // re-run the whole LSH+verify chain per round (16 rounds × full
+    // pipeline = 12s at sf0.1, measured). The PageRank discipline
+    // (guide §2.4): the loop-invariant side is hash-partitioned by the
+    // join key ONCE and eagerly checkpointed — LogicalRDD keeps the
+    // partitioning, so every round's join leaves succ where it sits and
+    // only the (shrinking) frontier moves.
+    val succ = Dedup.jaccardVerify(Dedup.candidatePairs(bands), docs,
         "text", "doc_id", JaccardThreshold)
       .groupBy(col("id_a")).agg(min(col("id_b")).as("id_b"))
+      .repartition(col("id_a"))
       .localCheckpoint(true)
-      .createOrReplaceTempView("q68_succ")
-    s.sql("""
-      WITH RECURSIVE walk(root, node, depth) AS (
-        SELECT id_a AS root, id_a AS node, 0 AS depth FROM q68_succ
-        WHERE id_a NOT IN (SELECT id_b FROM q68_succ)
-        UNION ALL
-        SELECT w.root, s.id_b, w.depth + 1
-        FROM walk w JOIN q68_succ s ON w.node = s.id_a)
-      SELECT root, node, depth FROM walk""")
+    // Recursive DOUBLING in place of WITH RECURSIVE: the SQL UnionLoop
+    // paid ~5 driver jobs per unit-depth round (103 jobs for depth ≤ 16
+    // at sf0.1 — the per-round latency, not data volume, was the whole
+    // cost; the same chain without the walk is 8 jobs). Pointer jumping
+    // makes the round count LOGARITHMIC in the deepest chain: round k
+    // extends every known path (depth < 2^k) by one exact 2^k-jump —
+    // the jump table J_k(node → 2^k-th successor) is the loop's
+    // squared successor relation, at most one row per node. Identical
+    // output rows: every depth d decomposes uniquely in binary, so each
+    // (root, node, depth) triple is produced exactly once; the
+    // ascending-id forest still guarantees termination. At 100 TB the
+    // same change turns a 1000-round straggler chain into 10 rounds.
+    val anchor = succ.select(col("id_a"))
+      .join(succ.select(col("id_b").as("__is_succ")),
+        col("id_a") === col("__is_succ"), "left_anti")
+      .select(col("id_a").as("root"), col("id_a").as("node"),
+        lit(0).as("depth"))
+      .localCheckpoint(true)
+    // pieces(k) holds depths [2^(k-1), 2^k); their lazy union feeds the
+    // next extension without recopying materialized rows
+    val pieces = scala.collection.mutable.ArrayBuffer[DataFrame](anchor)
+    var jump = succ.select(col("id_a").as("jf"), col("id_b").as("jt"),
+      lit(1).as("jd"))
+    var growing = true
+    while (growing) {
+      val known = pieces.reduce(_ unionByName _)
+      val step = known
+        .join(jump, known("node") === jump("jf"))
+        .select(known("root"), col("jt").as("node"),
+          (known("depth") + col("jd")).as("depth"))
+        .localCheckpoint(true)
+      if (step.isEmpty) growing = false
+      else {
+        pieces += step
+        val j2 = jump.select(col("jf"), col("jt").as("__mid"), col("jd"))
+        val j3 = jump.select(col("jf").as("__mid2"), col("jt"),
+          col("jd").as("__jd2"))
+        jump = j2.join(j3, col("__mid") === col("__mid2"))
+          .select(col("jf"), col("jt"), (col("jd") + col("__jd2")).as("jd"))
+          .localCheckpoint(true)
+      }
+    }
+    pieces.reduce(_ unionByName _)
   }
   private val q68Sql =
     s"""WITH RECURSIVE $BandsCte,
