@@ -13,9 +13,17 @@ object JobCountProbe {
     val spark = graft.core.GraftSession.get()
     spark.sparkContext.setLogLevel("ERROR")
     val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val verbose = sys.env.get("JOBPROBE_VERBOSE").contains("1")
+    val starts = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
         jobs.incrementAndGet()
+        starts.put(js.jobId, System.nanoTime())
+      }
+      override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+        if (verbose) Option(starts.remove(je.jobId)).foreach { t0 =>
+          println(f"[jobprobe]   job ${je.jobId} ${(System.nanoTime() - t0) / 1e9}%.3f s")
+        }
     })
     val fn = graft.SparkEntry.queries(name)
     // untimed warmup (index builds, codegen)
